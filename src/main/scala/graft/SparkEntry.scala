@@ -1,13 +1,282 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each entry in `queries` exercises one operator from the SURVEY.md §2
+  * inventory (names carry the operator id); `oracleSql` holds the
+  * equivalent DuckDB SQL over the same parquet tables. Column names and
+  * types are aligned pair-wise: timestamps are emitted as epoch-millis
+  * BIGINTs (the source `events.ts` is nanosecond-precision, which the
+  * two engines truncate differently at sub-microsecond resolution),
+  * long sums are CAST to BIGINT on the DuckDB side (whose SUM widens to
+  * HUGEINT), and float aggregates go through exact DECIMAL sums before
+  * one deterministic double division, so results are bit-identical at
+  * any parallelism.
+  */
 object SparkEntry {
+
+  /** Deterministic stand-in for the reference's `now() + 5 minutes`
+    * future-event guard (transformations.py:136): all test events are
+    * in January 2024.
+    */
+  private val CutoffTs = "2024-02-01 00:00:00"
+  private val CutoffMs = 1706745600000L
+  private val Day = "2024-01-15"
+
+  private def trades(s: SparkSession, dir: String): DataFrame = Tables.trades(s, dir)
+
+  private def silverDf(s: SparkSession, dir: String): DataFrame =
+    Medallion.dedup(
+      Medallion.toSilver(trades(s, dir), lit(CutoffTs).cast("timestamp")))
+
+  private def gold5m(s: SparkSession, dir: String): DataFrame = Ohlcv.bars5m(silverDf(s, dir))
+  private def gold1h(s: SparkSession, dir: String): DataFrame = Ohlcv.bars1h(silverDf(s, dir))
+
+  private def goldMs(gold: DataFrame): DataFrame =
+    gold.select(col("symbol"),
+      unix_millis(col("window_start")).as("window_start_ms"),
+      unix_millis(col("window_end")).as("window_end_ms"),
+      col("open"), col("high"), col("low"), col("close"),
+      col("volume"), col("trade_count"), col("vwap_e6"))
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    goldMs(gold5m(spark, "/root/testdata/sf0.001"))
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // P1+P2 — JSON decode + event-time derivation.
+    "p1_parse_trades" -> ((s, dir) =>
+      trades(s, dir).select(col("event_id"), col("symbol"), col("price"), col("volume"),
+        unix_millis(col("event_time")).as("event_time_ms"), col("trade_date"))),
+
+    // P3 — bronze enrichment (deterministic columns).
+    "p3_bronze" -> ((s, dir) =>
+      Medallion.toBronze(trades(s, dir)).select(col("event_id"), col("symbol"),
+        col("price"), col("volume"), unix_millis(col("event_time")).as("event_time_ms"),
+        col("trade_date"), col("source"))),
+
+    // P4 — quality normalization.
+    "p4_clean" -> ((s, dir) =>
+      Medallion.clean(trades(s, dir)).select(col("event_id"), col("symbol"),
+        col("price"), col("volume"))),
+
+    // F1 (+P4, F2) — the silver layer.
+    "f1_silver" -> ((s, dir) =>
+      silverDf(s, dir).select(col("event_id"), col("symbol"), col("price"), col("volume"),
+        unix_millis(col("event_time")).as("event_time_ms"), col("trade_date"))),
+
+    // F2 — dedup invariants: per-symbol row and distinct-key counts.
+    "f2_dedup_stats" -> ((s, dir) =>
+      silverDf(s, dir).groupBy(col("symbol")).agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("event_time")).as("n_unique_times"))),
+
+    // F3+F4+F5 — validation rule bundle + metrics.
+    "f3_validation_metrics" -> ((s, dir) =>
+      Validation.metrics(Validation.validate(trades(s, dir), CutoffMs))),
+
+    // A1+A4 — 5-minute OHLCV bars with VWAP.
+    "a1_ohlcv_5m" -> ((s, dir) => goldMs(gold5m(s, dir))),
+
+    // A2 — 1-hour grain.
+    "a2_ohlcv_1h" -> ((s, dir) => goldMs(gold1h(s, dir))),
+
+    // A3 — sliding windows (5 minutes every 1 minute).
+    "a3_ohlcv_slide" -> ((s, dir) => goldMs(Ohlcv.barsSliding(silverDf(s, dir)))),
+
+    // A6 — latest-price snapshot with change vs previous trade.
+    "a6_latest_prices" -> ((s, dir) => LatestPrices.snapshot(silverDf(s, dir))),
+
+    // Q1 — count for one day.
+    "q1_count_day" -> ((s, dir) => MarketQueries.countForDay(silverDf(s, dir), Day)),
+
+    // Q2 — total gold volume for one day.
+    "q2_volume_day" -> ((s, dir) => MarketQueries.volumeForDay(gold5m(s, dir), Day)),
+
+    // Q3 — freshest bar for one day.
+    "q3_max_window_day" -> ((s, dir) => MarketQueries.maxWindowForDay(gold5m(s, dir), Day)),
+
+    // Q4 — candles top-k newest-first.
+    "q4_candles" -> ((s, dir) => MarketQueries.candles(gold5m(s, dir), "click", Day, 50)),
+
+    // Q5 — volume by symbol.
+    "q5_volume_by_symbol" -> ((s, dir) => MarketQueries.volumeBySymbol(gold5m(s, dir))),
+
+    // Q6 — trade count by symbol.
+    "q6_trades_by_symbol" -> ((s, dir) => MarketQueries.tradeCountBySymbol(gold5m(s, dir))),
+
+    // Q8 — latest N trades for symbol+day.
+    "q8_latest_trades" -> ((s, dir) => MarketQueries.latestTrades(silverDf(s, dir), "purchase", Day, 20)),
+
+    // Q9 — OHLCV date-range fetch (1h grain).
+    "q9_ohlcv_range" -> ((s, dir) =>
+      MarketQueries.ohlcvRange(gold1h(s, dir), "view", "2024-01-10", "2024-01-16")),
+
+    // Q10 — avg-latency analog (timestamp arithmetic + avg).
+    "q10_avg_seconds_into_day" -> ((s, dir) =>
+      MarketQueries.avgSecondsIntoDay(silverDf(s, dir), Day)),
+
+    // Q11 — secondary-index analog: price-band filter.
+    "q11_price_band" -> ((s, dir) => MarketQueries.priceBand(silverDf(s, dir), 50.0, 100.0)),
+
+    // H1 — TPC-H-style pricing summary (scan-heavy agg benchmark).
+    "h1_pricing_summary" -> ((s, dir) => TpchQueries.pricingSummary(s, dir)),
+
+    // H3 — TPC-H-style shipping priority (3-way join + top-k).
+    "h3_shipping_priority" -> ((s, dir) => TpchQueries.shippingPriority(s, dir))
+  )
+
+  /** Shared DuckDB CTE prelude: trades view + medallion layers.
+    * Mirrors Tables.trades / Medallion / Ohlcv exactly.
+    */
+  private val P: String = """WITH trades AS (
+    SELECT event_id, event_type AS symbol, value AS price,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS volume,
+           ts AS event_time, CAST(ts AS DATE) AS trade_date
+    FROM events
+  ), silver AS (
+    SELECT * FROM (
+      SELECT event_id, symbol, ROUND(price, 4) AS price, ABS(volume) AS volume,
+             event_time, trade_date
+      FROM trades
+    ) WHERE volume > 0 AND price > 0 AND event_time <= TIMESTAMP '2024-02-01 00:00:00'
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY symbol, event_time ORDER BY event_id) = 1
+  ), gold_5m AS (
+    SELECT symbol, ws_ms, ws_ms + 300000 AS we_ms,
+           CAST(make_timestamp(ws_ms * 1000) AS DATE) AS window_date,
+           arg_min(price, event_time) AS open, MAX(price) AS high,
+           MIN(price) AS low, arg_max(price, event_time) AS close,
+           CAST(SUM(volume) AS BIGINT) AS volume, COUNT(*) AS trade_count,
+           CASE WHEN SUM(volume) = 0 THEN NULL ELSE
+             CAST(SUM(CAST(CAST(price AS DECIMAL(18,4)) * volume * 10000 AS BIGINT)) * 100
+                  // SUM(volume) AS BIGINT) END AS vwap_e6
+    FROM (SELECT *, epoch_ms(event_time) - epoch_ms(event_time) % 300000 AS ws_ms FROM silver)
+    GROUP BY symbol, ws_ms
+  ), gold_1h AS (
+    SELECT symbol, ws_ms, ws_ms + 3600000 AS we_ms,
+           CAST(make_timestamp(ws_ms * 1000) AS DATE) AS window_date,
+           arg_min(price, event_time) AS open, MAX(price) AS high,
+           MIN(price) AS low, arg_max(price, event_time) AS close,
+           CAST(SUM(volume) AS BIGINT) AS volume, COUNT(*) AS trade_count,
+           CASE WHEN SUM(volume) = 0 THEN NULL ELSE
+             CAST(SUM(CAST(CAST(price AS DECIMAL(18,4)) * volume * 10000 AS BIGINT)) * 100
+                  // SUM(volume) AS BIGINT) END AS vwap_e6
+    FROM (SELECT *, epoch_ms(event_time) - epoch_ms(event_time) % 3600000 AS ws_ms FROM silver)
+    GROUP BY symbol, ws_ms
+  ) """
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "p1_parse_trades" -> (P +
+      "SELECT event_id, symbol, price, volume, epoch_ms(event_time) AS event_time_ms, trade_date FROM trades"),
+
+    "p3_bronze" -> (P +
+      "SELECT event_id, symbol, price, volume, epoch_ms(event_time) AS event_time_ms, trade_date, 'market' AS source FROM trades"),
+
+    "p4_clean" -> (P +
+      "SELECT event_id, symbol, ROUND(price, 4) AS price, ABS(volume) AS volume FROM trades"),
+
+    "f1_silver" -> (P +
+      "SELECT event_id, symbol, price, volume, epoch_ms(event_time) AS event_time_ms, trade_date FROM silver"),
+
+    "f2_dedup_stats" -> (P +
+      "SELECT symbol, COUNT(*) AS n_rows, COUNT(DISTINCT event_time) AS n_unique_times FROM silver GROUP BY symbol"),
+
+    "f3_validation_metrics" -> (P + """
+      SELECT reason, COUNT(*) AS n FROM (
+        SELECT UNNEST(CASE WHEN len(errs) = 0 THEN ['valid'] ELSE errs END) AS reason FROM (
+          SELECT list_filter([
+            CASE WHEN symbol IS NULL THEN 'missing_symbol' END,
+            CASE WHEN length(symbol) > 10 THEN 'symbol_too_long' END,
+            CASE WHEN price IS NULL THEN 'missing_price' END,
+            CASE WHEN price < 0 OR price > 1000000 THEN 'price_out_of_range' END,
+            CASE WHEN volume IS NULL THEN 'missing_volume' END,
+            CASE WHEN volume < 0 THEN 'negative_volume' END,
+            CASE WHEN volume = 0 THEN 'zero_volume' END,
+            CASE WHEN event_time IS NULL THEN 'missing_timestamp' END,
+            CASE WHEN epoch_ms(event_time) > 1706745600000 THEN 'future_timestamp' END
+          ], x -> x IS NOT NULL) AS errs FROM trades)
+      ) GROUP BY reason"""),
+
+    "a1_ohlcv_5m" -> (P +
+      "SELECT symbol, ws_ms AS window_start_ms, we_ms AS window_end_ms, open, high, low, close, volume, trade_count, vwap_e6 FROM gold_5m"),
+
+    "a2_ohlcv_1h" -> (P +
+      "SELECT symbol, ws_ms AS window_start_ms, we_ms AS window_end_ms, open, high, low, close, volume, trade_count, vwap_e6 FROM gold_1h"),
+
+    "a3_ohlcv_slide" -> (P + """
+      SELECT symbol, ws_ms AS window_start_ms, ws_ms + 300000 AS window_end_ms,
+             arg_min(price, event_time) AS open, MAX(price) AS high,
+             MIN(price) AS low, arg_max(price, event_time) AS close,
+             CAST(SUM(volume) AS BIGINT) AS volume, COUNT(*) AS trade_count,
+             CASE WHEN SUM(volume) = 0 THEN NULL ELSE
+               CAST(SUM(CAST(CAST(price AS DECIMAL(18,4)) * volume * 10000 AS BIGINT)) * 100
+                    // SUM(volume) AS BIGINT) END AS vwap_e6
+      FROM (
+        SELECT *, epoch_ms(event_time) - epoch_ms(event_time) % 60000
+                  - 60000 * UNNEST([0, 1, 2, 3, 4]) AS ws_ms
+        FROM silver)
+      GROUP BY symbol, ws_ms"""),
+
+    "a6_latest_prices" -> (P + """
+      SELECT symbol, price AS last_price, volume AS last_volume,
+             epoch_ms(event_time) AS last_trade_time_ms,
+             ROUND(price - prev_price, 6) AS price_change,
+             CASE WHEN prev_price IS NULL OR prev_price = 0 THEN NULL
+                  ELSE ROUND((price - prev_price) / prev_price * 100, 6) END AS price_change_pct
+      FROM (
+        SELECT *, ROW_NUMBER() OVER w AS rn, LEAD(price, 1) OVER w AS prev_price
+        FROM silver
+        WINDOW w AS (PARTITION BY symbol ORDER BY event_time DESC, event_id DESC)
+      ) WHERE rn = 1"""),
+
+    "q1_count_day" -> (P +
+      s"SELECT COUNT(*) AS n_trades FROM silver WHERE trade_date = DATE '$Day'"),
+
+    "q2_volume_day" -> (P +
+      s"SELECT CAST(SUM(volume) AS BIGINT) AS total_volume FROM gold_5m WHERE window_date = DATE '$Day'"),
+
+    "q3_max_window_day" -> (P +
+      s"SELECT MAX(ws_ms) AS max_window_start_ms FROM gold_5m WHERE window_date = DATE '$Day'"),
+
+    "q4_candles" -> (P +
+      s"SELECT ws_ms AS window_start_ms, open, high, low, close, volume FROM gold_5m " +
+      s"WHERE symbol = 'click' AND window_date = DATE '$Day' ORDER BY window_start_ms DESC LIMIT 50"),
+
+    "q5_volume_by_symbol" -> (P +
+      "SELECT symbol, CAST(SUM(volume) AS BIGINT) AS total_volume FROM gold_5m GROUP BY symbol"),
+
+    "q6_trades_by_symbol" -> (P +
+      "SELECT symbol, CAST(SUM(trade_count) AS BIGINT) AS total_trades FROM gold_5m GROUP BY symbol"),
+
+    "q8_latest_trades" -> (P +
+      s"SELECT event_id, symbol, price, volume, epoch_ms(event_time) AS event_time_ms FROM silver " +
+      s"WHERE symbol = 'purchase' AND trade_date = DATE '$Day' " +
+      "ORDER BY event_time_ms DESC, event_id DESC LIMIT 20"),
+
+    "q9_ohlcv_range" -> (P +
+      "SELECT ws_ms AS window_start_ms, open, high, low, close, volume, trade_count, vwap_e6 FROM gold_1h " +
+      "WHERE symbol = 'view' AND window_date BETWEEN DATE '2024-01-10' AND DATE '2024-01-16'"),
+
+    "q10_avg_seconds_into_day" -> (P +
+      s"SELECT ROUND(SUM(epoch_ms(event_time) - epoch_ms(CAST(trade_date AS TIMESTAMP))) " +
+      s"/ COUNT(*) / 1000.0, 6) AS avg_seconds_into_day FROM silver WHERE trade_date = DATE '$Day'"),
+
+    "q11_price_band" -> (P + """
+      SELECT symbol, COUNT(*) AS n_trades, ROUND(MIN(price), 4) AS min_price,
+             ROUND(MAX(price), 4) AS max_price
+      FROM silver WHERE price BETWEEN 50 AND 100 GROUP BY symbol"""),
+
+    "h1_pricing_summary" -> TpchQueries.pricingSummarySql,
+    "h3_shipping_priority" -> TpchQueries.shippingPrioritySql
+  )
 }

@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Windowed OHLCV bars + VWAP — the analytical core (A1-A4,
+  * calculate_ohlcv, reference transformations.py:161-204; vwap gap
+  * filled per keyspace.cql:88 which declares the column the reference
+  * never computes).
+  *
+  * Semantic fix over the reference (SURVEY.md §7.5.1): PySpark
+  * `first`/`last` in a groupBy are ordering-dependent, i.e. the
+  * reference's open/close are non-deterministic. We pin open/close to
+  * event-time order with `min_by`/`max_by` (tie-broken by event_id via
+  * a composite ordering struct), which is a single hash-aggregation —
+  * one shuffle on (symbol, window), partial aggregation map-side, no
+  * sort. That plan scales to any cluster size: state per reducer is
+  * one small buffer per (symbol, window) key.
+  *
+  * Exact arithmetic: price is cast to DECIMAL(18,4) before the sums so
+  * volume-weighted sums are order-independent (double addition is not
+  * associative; a 1000-executor plan must not produce different vwap
+  * than a laptop).
+  */
+object Ohlcv {
+
+  /** Tumbling-window OHLCV. `duration` e.g. "5 minutes", "1 hour".
+    * Pass `slide` for the sliding-window variant (A3,
+    * docs/research/SPARK_STREAMING.md:27-49).
+    */
+  def bars(trades: DataFrame, duration: String, slide: Option[String] = None): DataFrame = {
+    val w = slide match {
+      case Some(s) => window(col("event_time"), duration, s)
+      case None    => window(col("event_time"), duration)
+    }
+    // Composite ordering key: event-time first, event_id tie-break.
+    val ord = struct(col("event_time"), col("event_id"))
+    val priceDec = col("price").cast("decimal(18,4)")
+    // price*volume in integer ticks of 1e-4 — summing longs is exact
+    // and associative, so any aggregation order gives one answer.
+    val pvTicks = (priceDec * col("volume") * 10000).cast("long")
+    trades
+      .groupBy(col("symbol"), w.as("w"))
+      .agg(
+        min_by(col("price"), ord).as("open"),
+        max(col("price")).as("high"),
+        min(col("price")).as("low"),
+        max_by(col("price"), ord).as("close"),
+        sum(col("volume")).as("volume"),
+        count(lit(1)).as("trade_count"),
+        sum(pvTicks).as("pv_ticks"))
+      .select(
+        col("symbol"),
+        col("w.start").as("window_start"),
+        col("w.end").as("window_end"),
+        col("open"), col("high"), col("low"), col("close"),
+        col("volume"), col("trade_count"),
+        // A4 — VWAP in integer micro-units (floor(1e6 * Σpv / Σv)):
+        // float rounding at the x.xxxxxx5 boundary differs between
+        // engines, so the canonical form stays in integer arithmetic.
+        when(col("volume") === 0, lit(null))
+          .otherwise(expr("(pv_ticks * 100) div volume"))
+          .as("vwap_e6"),
+        // Human-facing double VWAP (not oracle-compared).
+        when(col("volume") === 0, lit(null))
+          .otherwise(col("pv_ticks").cast("double") / 10000.0 / col("volume").cast("double"))
+          .as("vwap"))
+  }
+
+  def bars5m(trades: DataFrame): DataFrame = bars(trades, "5 minutes")
+  def bars1h(trades: DataFrame): DataFrame = bars(trades, "1 hour")
+
+  /** Sliding 5-minute windows advancing every minute (A3). */
+  def barsSliding(trades: DataFrame): DataFrame =
+    bars(trades, "5 minutes", Some("1 minute"))
+}

@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Columnar re-expression of the reference's producer-side row
+  * validator (F3/F4/F5 — TradeValidator.validate/_normalize,
+  * src/producer/validator.py:108-231, and ValidationMetrics,
+  * validator.py:22-69).
+  *
+  * The reference validates row-at-a-time in Python; here the whole
+  * rule bundle is a single codegen'd projection — no shuffle, no UDF —
+  * so it runs at scan speed on any cluster size.
+  */
+object Validation {
+
+  val MinPrice = 0.0001
+  val MaxPrice = 1000000.0
+  /** Reference: timestamps more than 5 minutes in the future are
+    * rejected (validator.py:84). Batch callers pass a deterministic
+    * cutoff; streaming uses current_timestamp per micro-batch.
+    */
+  val FutureSkewMs: Long = 5 * 60 * 1000L
+
+  /** F4 — unit normalization: epoch-seconds vs epoch-millis heuristic
+    * (validator.py:162,219-221 — t < 1e12 means seconds, scale up).
+    * Input column `t` is epoch in unknown unit; output `timestamp_ms`.
+    */
+  def normalizeEpochMs(df: DataFrame, tCol: String = "t"): DataFrame =
+    df.withColumn("timestamp_ms",
+      when(col(tCol) < 1000000000000L, col(tCol) * 1000L).otherwise(col(tCol)))
+
+  /** F3 — validation rule bundle. Adds `errors: array<string>` and
+    * `is_valid` to the trade rows. Rules mirror validator.py:108-173:
+    * required fields, symbol length, price bounds, non-negative and
+    * (toggle) non-zero volume, future-timestamp guard.
+    *
+    * `maxEventTimeMs` is the deterministic "now + 5 min" bound.
+    */
+  def validate(trades: DataFrame, maxEventTimeMs: Long,
+               filterZeroVolume: Boolean = true): DataFrame = {
+    val errs = array_compact(array(
+      when(col("symbol").isNull, lit("missing_symbol")),
+      when(length(col("symbol")) > 10, lit("symbol_too_long")),
+      when(col("price").isNull, lit("missing_price")),
+      when(col("price") < 0 || col("price") > MaxPrice, lit("price_out_of_range")),
+      when(col("volume").isNull, lit("missing_volume")),
+      when(col("volume") < 0, lit("negative_volume")),
+      if (filterZeroVolume) when(col("volume") === 0, lit("zero_volume")) else lit(null),
+      when(col("event_time").isNull, lit("missing_timestamp")),
+      when(unix_millis(col("event_time")) > maxEventTimeMs, lit("future_timestamp"))
+    ))
+    trades
+      .withColumn("errors", errs)
+      .withColumn("is_valid", size(col("errors")) === 0)
+  }
+
+  /** Valid branch -> silver; invalid branch -> dead-letter (K5,
+    * pipeline.py:120-126). Both are lazy views over one validated
+    * plan; Spark reuses the scan via whole-stage codegen per branch.
+    */
+  def split(validated: DataFrame): (DataFrame, DataFrame) =
+    (validated.filter(col("is_valid")).drop("errors", "is_valid"),
+     validated.filter(!col("is_valid")))
+
+  /** F5 — validation metrics: per-reason breakdown plus the valid
+    * count (ValidationMetrics, validator.py:22-69). Valid rows emit
+    * the reason "valid" so every input row is counted exactly once per
+    * applicable reason. One map-side-combined aggregation.
+    */
+  def metrics(validated: DataFrame): DataFrame = {
+    validated
+      .select(explode(
+        when(size(col("errors")) === 0, array(lit("valid")))
+          .otherwise(col("errors"))).as("reason"))
+      .groupBy(col("reason"))
+      .agg(count(lit(1)).as("n"))
+  }
+}
