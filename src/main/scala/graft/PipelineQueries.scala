@@ -1,0 +1,317 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import graft.operators._
+
+/** Training-data pipeline queries (text analysis, dedup, similarity,
+  * multimodal) over the documents/embeddings tables, with generated
+  * DuckDB oracle SQL. All hashing/scoring is portable integer
+  * arithmetic, so even MinHash signatures and SimHash fingerprints are
+  * oracle-checkable.
+  */
+object PipelineQueries {
+
+  // ---------------------------------------------------------------
+  // Spark side
+  // ---------------------------------------------------------------
+
+  private def docs(s: SparkSession, dir: String) = Tables.documents(s, dir)
+  private def embs(s: SparkSession, dir: String) = Tables.embeddings(s, dir)
+
+  def textStats(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.features(docs(s, dir))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("sum_tokens"),
+        sum(col("n_chars_m")).as("sum_chars"),
+        sum(col("n_bpe_tokens")).as("sum_bpe"),
+        (sum(col("quality_e6")) / count(lit(1))).cast("long").as("avg_quality_e6"))
+
+  def langIdConfusion(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("lang"), TextAnalysis.langId(col("text")).as("lang_pred"))
+      .groupBy(col("lang"), col("lang_pred"))
+      .agg(count(lit(1)).as("n"))
+
+  def fingerprintStats(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.features(docs(s, dir))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("fp_md5")).as("n_unique_md5"),
+        countDistinct(col("fp_poly")).as("n_unique_poly"))
+
+  def docFeatures(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.features(docs(s, dir).filter(col("doc_id") < 200))
+      .select(col("doc_id"), col("n_tokens"), col("n_bpe_tokens"),
+        col("punct_chars"), col("quality_e6"), col("lang_pred"),
+        col("fp_md5"), col("fp_poly"))
+
+  def exactDedupStats(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactDedupStats(docs(s, dir), "lang")
+
+  def jaccardPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardPairs(docs(s, dir).filter(pmod(col("doc_id"), lit(10)) === 0),
+      minJaccardE6 = 50000L, shingleN = 2)
+
+  def minhashSignatures(s: SparkSession, dir: String): DataFrame = {
+    val sh = Dedup.withShingles(docs(s, dir).filter(col("doc_id") < 100), "text", 3)
+      .select(col("doc_id"), col("sh"))
+    sh.select(col("doc_id"),
+        posexplode(Dedup.minhashSignature(col("sh"), 16)).as(Seq("pos", "sig_value")))
+      .select(col("doc_id"), (col("pos") + 1).as("perm"), col("sig_value"))
+  }
+
+  def minhashCandidates(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashCandidates(docs(s, dir).filter(pmod(col("doc_id"), lit(10)) === 0),
+      shingleN = 3, k = 16, bands = 8)
+
+  def simhashFingerprints(s: SparkSession, dir: String): DataFrame =
+    Dedup.withSimhash(docs(s, dir).filter(col("doc_id") < 200))
+      .select(col("doc_id"), col("simhash32"))
+
+  def embeddingDups(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingDupPairs(embs(s, dir).filter(pmod(col("vec_id"), lit(5)) === 0),
+      minCos = 0.25)
+
+  def knnBrute(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    Similarity.bruteForceTopK(e.filter(col("vec_id") < 5), e, k = 5)
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rank"))
+  }
+
+  def knnLsh(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    Similarity.lshTopK(e.filter(col("vec_id") < 5), e, k = 5, dim = 64, planes = 6, tables = 8)
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rank"))
+  }
+
+  def modalityStats(s: SparkSession, dir: String): DataFrame =
+    Multimodal.modalityStats(
+      Multimodal.extractFeatures(s, Multimodal.asMediaTable(docs(s, dir))))
+
+  // ---------------------------------------------------------------
+  // Oracle SQL (DuckDB) — mirrors the integer-arithmetic operators
+  // ---------------------------------------------------------------
+
+  private val Pm = "1000000007"
+
+  /** Char-level polynomial hash of a string expression, mod m. */
+  private def polySql(sExpr: String, mult: Int, m: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(generate_series(1, length($sExpr)), i -> CAST(ord(substr($sExpr, i, 1)) AS BIGINT))), (a, b) -> (a * $mult + b) % $m)"
+
+  /** Tokens CTE fragment: lowercase whitespace tokens. */
+  private val toksSql = "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x != '')"
+  private val rawToksSql = "list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')"
+
+  private val allStop = TextAnalysis.Stopwords.values.flatten.toSeq
+    .map(w => s"'$w'").mkString("[", ", ", "]")
+  private def stopList(l: String) = TextAnalysis.Stopwords(l)
+    .map(w => s"'$w'").mkString("[", ", ", "]")
+
+  private val normSql = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+
+  /** Per-document feature CTE shared by the text oracles. */
+  private val featSql: String = s"""WITH feat AS (
+    SELECT doc_id, lang, source,
+           CAST(length(text) AS BIGINT) AS n_chars_m,
+           CAST(len($rawToksSql) AS BIGINT) AS n_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe_tokens,
+           CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9 \\t\\n]', '', 'g')) AS BIGINT) AS punct_chars,
+           CAST(len(list_filter($toksSql, t -> list_contains($allStop, t))) AS BIGINT) AS stop_hits,
+           md5($normSql) AS fp_md5,
+           ${polySql(normSql, 31, Pm)} AS fp_poly,
+           CASE
+             WHEN len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) > 0 THEN 'zh'
+             WHEN en_h > 0 AND en_h >= de_h AND en_h >= fr_h AND en_h >= es_h THEN 'en'
+             WHEN de_h > 0 AND de_h >= fr_h AND de_h >= es_h THEN 'de'
+             WHEN fr_h > 0 AND fr_h >= es_h THEN 'fr'
+             WHEN es_h > 0 THEN 'es'
+             ELSE 'und' END AS lang_pred
+    FROM (
+      SELECT *,
+             len(list_filter($toksSql, t -> list_contains(${stopList("en")}, t))) AS en_h,
+             len(list_filter($toksSql, t -> list_contains(${stopList("de")}, t))) AS de_h,
+             len(list_filter($toksSql, t -> list_contains(${stopList("fr")}, t))) AS fr_h,
+             len(list_filter($toksSql, t -> list_contains(${stopList("es")}, t))) AS es_h
+      FROM documents)
+  ), feat2 AS (
+    SELECT *,
+           (least(1000000, n_tokens * 20000)
+            + CASE WHEN n_chars_m > 0 THEN (n_chars_m - punct_chars) * 1000000 // n_chars_m ELSE 0 END
+            + CASE WHEN n_tokens > 0 THEN stop_hits * 1000000 // n_tokens ELSE 0 END) // 3 AS quality_e6
+    FROM feat
+  ) """
+
+  val textStatsSql: String = featSql + """
+    SELECT lang, source, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+           CAST(SUM(n_chars_m) AS BIGINT) AS sum_chars,
+           CAST(SUM(n_bpe_tokens) AS BIGINT) AS sum_bpe,
+           CAST(SUM(quality_e6) // COUNT(*) AS BIGINT) AS avg_quality_e6
+    FROM feat2 GROUP BY lang, source"""
+
+  val langIdSql: String = featSql + """
+    SELECT lang, lang_pred, COUNT(*) AS n FROM feat2 GROUP BY lang, lang_pred"""
+
+  val fingerprintSql: String = featSql + """
+    SELECT source, COUNT(*) AS n_docs,
+           COUNT(DISTINCT fp_md5) AS n_unique_md5,
+           COUNT(DISTINCT fp_poly) AS n_unique_poly
+    FROM feat2 GROUP BY source"""
+
+  val docFeaturesSql: String = featSql + """
+    SELECT doc_id, n_tokens, n_bpe_tokens, punct_chars, quality_e6,
+           lang_pred, fp_md5, fp_poly
+    FROM feat2 WHERE doc_id < 200"""
+
+  val exactDedupSql: String = featSql + """
+    SELECT lang, COUNT(*) AS n_docs, COUNT(DISTINCT fp_md5) AS n_unique,
+           COUNT(*) - COUNT(DISTINCT fp_md5) AS n_dups
+    FROM feat2 GROUP BY lang"""
+
+  /** Shingle CTE: token hashes then word n-gram polynomial shingles.
+    * `filter` bounds the doc set; recurrence matches
+    * Dedup.shingleHashes exactly.
+    */
+  private def shingleSql(n: Int, filter: String): String = {
+    val comb = (1 to n).foldLeft("CAST(0 AS BIGINT)")((acc, j) =>
+      s"(($acc * 131 + th[i + ${j - 1}]) % $Pm)")
+    s"""sh AS (
+    SELECT doc_id, CASE WHEN len(th) >= $n THEN
+             list_distinct(list_transform(generate_series(1, len(th) - ${n - 1}), i -> $comb))
+           ELSE [] END AS sh
+    FROM (
+      SELECT doc_id, list_transform($toksSql, t -> ${polySql("t", 31, Pm)}) AS th
+      FROM documents WHERE $filter)
+  )"""
+  }
+
+  val jaccardPairsSql: String = s"""WITH ${shingleSql(2, "doc_id % 10 = 0")}
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(len(list_intersect(a.sh, b.sh)) * 1000000
+                // (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS BIGINT) AS jaccard_e6
+    FROM sh a, sh b
+    WHERE a.doc_id < b.doc_id
+      AND (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) > 0
+      AND len(list_intersect(a.sh, b.sh)) * 1000000
+          // (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 50000"""
+
+  /** MinHash signature CTE over `sh`: 16 permutations
+    * sig_i = min((x*(2i+1) + 104729*i mod P) mod P), sentinel P when
+    * no shingles. Matches Dedup.minhashParams/minhashSignature.
+    */
+  private val sigSql: String = """sigs AS (
+    SELECT doc_id,
+           list_transform(generate_series(1, 16), p ->
+             CASE WHEN len(sh) > 0 THEN
+               list_min(list_transform(sh, x ->
+                 (x * ((2654435761 * p + 1) % 1000000007)
+                  + (40503 * p * p + 17) % 1000000007) % 1000000007))
+             ELSE 1000000007 END) AS sig
+    FROM sh
+  )"""
+
+  val minhashSigSql: String = s"""WITH ${shingleSql(3, "doc_id < 100")}, $sigSql
+    SELECT doc_id, CAST(perm AS BIGINT) AS perm, sig[perm] AS sig_value
+    FROM sigs, UNNEST(generate_series(1, 16)) AS t(perm)"""
+
+  val minhashCandSql: String = s"""WITH ${shingleSql(3, "doc_id % 10 = 0")}, $sigSql,
+  banded AS (
+    SELECT doc_id, b,
+           list_reduce(list_prepend(CAST(b AS BIGINT), sig[b*2 + 1 : b*2 + 2]),
+                       (a, x) -> (a * 131 + x) % 1000000007) AS key
+    FROM sigs, UNNEST([0, 1, 2, 3, 4, 5, 6, 7]) AS t(b)
+  )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM banded a, banded b
+    WHERE a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id"""
+
+  val simhashSql: String = s"""WITH th AS (
+    SELECT doc_id,
+           list_transform($toksSql, t -> ${polySql("t", 131, "4294967296")}) AS th
+    FROM documents WHERE doc_id < 200
+  )
+    SELECT doc_id,
+           CAST(coalesce(list_sum(list_transform(generate_series(0, 31), i ->
+             CASE WHEN coalesce(list_sum(list_transform(th, h -> ((h >> i) & 1) * 2 - 1)), 0) >= 0
+                  THEN 1 << i ELSE 0 END)), 0) AS BIGINT) AS simhash32
+    FROM th"""
+
+  /** Deterministic left-fold cosine between two embedding columns. */
+  private def cosSql(a: String, b: String): String = {
+    def fold(l: String) = s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), $l), (x, y) -> x + y)"
+    val dot = fold(s"list_transform(generate_series(1, len($a)), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))")
+    val na = fold(s"list_transform($a, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))")
+    val nb = fold(s"list_transform($b, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))")
+    s"CASE WHEN sqrt($na) * sqrt($nb) = 0 THEN 0.0 ELSE $dot / (sqrt($na) * sqrt($nb)) END"
+  }
+
+  val embeddingDupsSql: String = s"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(${cosSql("a.embedding", "b.embedding")}, 6) AS cos_sim
+    FROM embeddings a, embeddings b
+    WHERE a.vec_id % 5 = 0 AND b.vec_id % 5 = 0 AND a.vec_id < b.vec_id
+      AND ROUND(${cosSql("a.embedding", "b.embedding")}, 6) >= 0.25"""
+
+  val knnBruteSql: String = s"""
+    SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROUND(${cosSql("q.embedding", "c.embedding")}, 6) AS cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY q.vec_id
+               ORDER BY ROUND(${cosSql("q.embedding", "c.embedding")}, 6) DESC, c.vec_id) AS rank
+      FROM embeddings q, embeddings c
+      WHERE q.vec_id < 5 AND q.vec_id != c.vec_id)
+    WHERE rank <= 5"""
+
+  val modalityStatsSql: String = s"""
+    SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len) AS BIGINT) AS total_bytes,
+           CAST(SUM(64 + len % 256) AS BIGINT) AS sum_width,
+           CAST(SUM(64 + (len * 7) % 256) AS BIGINT) AS sum_height,
+           CAST(SUM(1 + len % 8) AS BIGINT) AS sum_frames,
+           CAST(SUM(cs % 1000) AS BIGINT) AS checksum_probe
+    FROM (
+      SELECT doc_id, CAST(length(text) AS BIGINT) AS len,
+             ${polySql("text", 31, Pm)} AS cs
+      FROM documents)
+    GROUP BY 1"""
+
+  // ---------------------------------------------------------------
+  // Wiring
+  // ---------------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t1_text_stats" -> (textStats _),
+    "t2_lang_id" -> (langIdConfusion _),
+    "t3_fingerprints" -> (fingerprintStats _),
+    "t4_doc_features" -> (docFeatures _),
+    "d1_exact_dedup" -> (exactDedupStats _),
+    "d2_jaccard_pairs" -> (jaccardPairs _),
+    "d3_minhash_sigs" -> (minhashSignatures _),
+    "d4_minhash_candidates" -> (minhashCandidates _),
+    "d5_simhash" -> (simhashFingerprints _),
+    "d6_embedding_dups" -> (embeddingDups _),
+    "s1_knn_brute" -> (knnBrute _),
+    "s2_knn_lsh" -> (knnLsh _),
+    "mm1_modality_stats" -> (modalityStats _)
+  )
+
+  /** s2_knn_lsh is approximate (no SQL oracle; rows-only check). */
+  val oracles: Map[String, String] = Map(
+    "t1_text_stats" -> textStatsSql,
+    "t2_lang_id" -> langIdSql,
+    "t3_fingerprints" -> fingerprintSql,
+    "t4_doc_features" -> docFeaturesSql,
+    "d1_exact_dedup" -> exactDedupSql,
+    "d2_jaccard_pairs" -> jaccardPairsSql,
+    "d3_minhash_sigs" -> minhashSigSql,
+    "d4_minhash_candidates" -> minhashCandSql,
+    "d5_simhash" -> simhashSql,
+    "d6_embedding_dups" -> embeddingDupsSql,
+    "s1_knn_brute" -> knnBruteSql,
+    "mm1_modality_stats" -> modalityStatsSql
+  )
+}

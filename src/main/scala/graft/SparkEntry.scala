@@ -50,7 +50,7 @@ object SparkEntry {
     goldMs(gold5m(spark, "/root/testdata/sf0.001"))
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map[String, (SparkSession, String) => DataFrame](
     // P1+P2 — JSON decode + event-time derivation.
     "p1_parse_trades" -> ((s, dir) =>
       trades(s, dir).select(col("event_id"), col("symbol"), col("price"), col("volume"),
@@ -131,7 +131,7 @@ object SparkEntry {
 
     // H3 — TPC-H-style shipping priority (3-way join + top-k).
     "h3_shipping_priority" -> ((s, dir) => TpchQueries.shippingPriority(s, dir))
-  )
+  ) ++ PipelineQueries.queries
 
   /** Shared DuckDB CTE prelude: trades view + medallion layers.
     * Mirrors Tables.trades / Medallion / Ohlcv exactly.
@@ -278,5 +278,5 @@ object SparkEntry {
 
     "h1_pricing_summary" -> TpchQueries.pricingSummarySql,
     "h3_shipping_priority" -> TpchQueries.shippingPrioritySql
-  )
+  ) ++ PipelineQueries.oracles
 }

@@ -1,0 +1,247 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact,
+  * MinHash+LSH, SimHash, and n-gram Jaccard (north-star extensions,
+  * SURVEY.md §7.6).
+  *
+  * Scale design notes (the point of each algorithm at 100 TB):
+  *  - exact: one hash-aggregate on the fingerprint — a single shuffle
+  *    whose key count is the number of distinct documents.
+  *  - MinHash+LSH: per-row signature (pure projection), then
+  *    explode-by-band (b rows/doc) and a hash-aggregate on band keys.
+  *    Candidate pairs come only from same-bucket groups, so the
+  *    quadratic blowup is bounded per bucket instead of per corpus —
+  *    the standard way near-dup detection survives web scale.
+  *  - SimHash: per-row 32-bit fingerprint; near-dups cluster by
+  *    fingerprint (or by rotated prefixes for Hamming distance > 0).
+  *  - n-gram Jaccard: exact pairwise verification — only ever applied
+  *    to bounded candidate sets (LSH output), never the full corpus.
+  *
+  * All hashing is in portable integer arithmetic (polynomial rolling
+  * hashes mod 1e9+7) — deterministic across engines and cluster sizes.
+  */
+object Dedup {
+
+  val P = 1000000007L
+
+  /** Portable token hash: polynomial over characters, h*31+c mod P. */
+  def tokenHash(tok: Column): Column =
+    aggregate(
+      filter(split(tok, ""), c => c =!= ""),
+      lit(0L),
+      (acc, c) => pmod(acc * 31L + ascii(c), lit(P)))
+
+  /** Lowercased whitespace tokens. */
+  private def toks(text: Column): Column = TextAnalysis.tokens(lower(text))
+
+  /** All token hashes of a text column (one pass over the tokens). */
+  def tokenHashes(text: Column): Column = transform(toks(text), t => tokenHash(t))
+
+  /** Shingle hashes from a *materialized* token-hash array column:
+    * polynomial combination of n consecutive token hashes.
+    */
+  def shinglesFromTokenHashes(th: Column, n: Int): Column =
+    when(size(th) >= n,
+      array_distinct(transform(
+        sequence(lit(0), size(th) - n),
+        i => (0 until n).foldLeft(lit(0L): Column)((acc, j) =>
+          pmod(acc * 131L + element_at(th, i + j + 1), lit(P))))))
+      .otherwise(array().cast("array<bigint>"))
+
+  /** Word n-gram shingles, each hashed to a long.
+    *
+    * NOTE: do not inline this Column into further array expressions —
+    * higher-order functions are interpreted (no codegen CSE), so a
+    * consumer that references the shingle array m times re-evaluates
+    * the whole token-hash tree m times. Stage through projections
+    * instead (see withShingles): Catalyst's CollapseProject keeps an
+    * expensive alias materialized when it is referenced more than
+    * once, which turns an accidental O(tokens * shingles * k) blowup
+    * into O(tokens + shingles + k) per row. (Found live: the LSH
+    * candidate query dropped from 180s to seconds at sf0.1.)
+    */
+  def shingleHashes(text: Column, n: Int): Column =
+    shinglesFromTokenHashes(tokenHashes(text), n)
+
+  /** Staged shingle computation: adds column `out` with the distinct
+    * shingle-hash set, materializing tokens-hashes first.
+    */
+  def withShingles(docs: DataFrame, textCol: String, n: Int,
+                   out: String = "sh"): DataFrame =
+    docs.withColumn("__th", tokenHashes(col(textCol)))
+      .withColumn(out, shinglesFromTokenHashes(col("__th"), n))
+      .drop("__th")
+
+  /** Deterministic (a,b) parameters for the k MinHash permutations.
+    * The multipliers must be large and well-mixed: with small a (3, 5,
+    * 7...) the "permutations" preserve magnitude ordering, every sig
+    * position picks nearly the same element, and the Jaccard estimator
+    * is badly biased (caught by TextDedupSpec). Knuth-style
+    * multiplicative constants mod the prime give independent-looking
+    * bijections, reproducible everywhere.
+    */
+  def minhashParams(k: Int): Seq[(Long, Long)] =
+    (1 to k).map(i => ((2654435761L * i + 1L) % P, (40503L * i * i + 17L) % P))
+
+  /** MinHash signature: sig_i = min over shingles of (a_i*x+b_i mod P).
+    * Empty shingle set -> all P (sentinel).
+    */
+  def minhashSignature(shingles: Column, k: Int): Column = {
+    val parts = minhashParams(k).map { case (a, b) =>
+      when(size(shingles) > 0,
+        array_min(transform(shingles, x => pmod(x * a + b, lit(P)))))
+        .otherwise(lit(P))
+    }
+    array(parts: _*)
+  }
+
+  /** LSH band keys: the signature split into `bands` bands of
+    * `rowsPerBand`, each band reduced to one portable long key
+    * (band index mixed in so bands never collide across positions).
+    */
+  def bandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column = {
+    val keys = (0 until bands).map { bIdx =>
+      (0 until rowsPerBand).foldLeft(lit(bIdx.toLong): Column)((acc, r) =>
+        pmod(acc * 131L + element_at(sig, bIdx * rowsPerBand + r + 1), lit(P)))
+    }
+    array(keys: _*)
+  }
+
+  /** MinHash+LSH candidate pairs over a document table.
+    * Returns (doc_a, doc_b) with doc_a < doc_b, distinct.
+    *
+    * Plan shape: projection (signatures) -> explode(bands) -> shuffle
+    * on band key -> self-join within bucket. At scale the join is a
+    * shuffled hash join on band_key; bucket sizes are the only
+    * quadratic term.
+    */
+  def minhashCandidates(docs: DataFrame, idCol: String = "doc_id",
+                        textCol: String = "text", shingleN: Int = 3,
+                        k: Int = 16, bands: Int = 4): DataFrame = {
+    val rows = k / bands
+    val sig = withShingles(docs.select(col(idCol).as("id"), col(textCol)), textCol, shingleN)
+      .select(col("id"), minhashSignature(col("sh"), k).as("sig"))
+    val banded = sig.select(col("id"), col("sig"),
+        posexplode(bandKeys(col("sig"), bands, rows)).as(Seq("band", "key")))
+      .select(col("id"), col("band"), col("key"))
+    val a = banded.as("a"); val b = banded.as("b")
+    a.join(b,
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+      .distinct()
+  }
+
+  /** Estimated Jaccard from MinHash signatures (matching positions/k),
+    * in exact integer micro-units.
+    */
+  def minhashJaccardE6(sigA: Column, sigB: Column, k: Int): Column = {
+    val matches = size(filter(zip_with(sigA, sigB, (x, y) => x === y), m => m))
+    (matches.cast("long") * 1000000L / k).cast("long")
+  }
+
+  /** Exact n-gram Jaccard similarity in integer micro-units:
+    * floor(1e6 * |A∩B| / |A∪B|) over distinct shingle-hash sets.
+    */
+  def jaccardE6(shA: Column, shB: Column): Column = {
+    val inter = size(array_intersect(shA, shB)).cast("long")
+    val uni = size(array_union(shA, shB)).cast("long")
+    when(uni === 0, 0L).otherwise(((inter * 1000000L) - pmod(inter * 1000000L, uni)) / uni).cast("long")
+  }
+
+  /** Exact pairwise n-gram Jaccard over a (bounded!) document set:
+    * all pairs with similarity >= minJaccardE6. Quadratic — apply to
+    * LSH candidates or sampled subsets only.
+    */
+  def jaccardPairs(docs: DataFrame, minJaccardE6: Long,
+                   idCol: String = "doc_id", textCol: String = "text",
+                   shingleN: Int = 2): DataFrame = {
+    val sh = withShingles(docs.select(col(idCol).as("id"), col(textCol)), textCol, shingleN)
+      .select(col("id"), col("sh"))
+    val a = sh.as("a"); val b = sh.as("b")
+    // Stage intersection size once per pair (the arrays are distinct
+    // sets, so |A∪B| = |A|+|B|-|A∩B| avoids a second array walk).
+    a.join(b, col("a.id") < col("b.id"))
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
+        size(array_intersect(col("a.sh"), col("b.sh"))).cast("long").as("inter"),
+        (size(col("a.sh")) + size(col("b.sh"))).cast("long").as("szsum"))
+      .withColumn("uni", col("szsum") - col("inter"))
+      .withColumn("jaccard_e6",
+        when(col("uni") === 0, lit(0L))
+          .otherwise(((col("inter") * 1000000L) - pmod(col("inter") * 1000000L, col("uni"))) / col("uni"))
+          .cast("long"))
+      .filter(col("jaccard_e6") >= minJaccardE6)
+      .select("doc_a", "doc_b", "jaccard_e6")
+  }
+
+  /** 32-bit SimHash over token hashes: bit i of the fingerprint is the
+    * sign of sum over tokens of (2*bit_i(token_hash) - 1). Portable
+    * integer arithmetic throughout (token hash mod 2^32).
+    */
+  /** Token hashes for SimHash: mod 2^32, multiplier 131. */
+  def simhashTokenHashes(text: Column): Column =
+    transform(toks(text), t =>
+      aggregate(filter(split(t, ""), c => c =!= ""),
+        lit(0L), (acc, c) => pmod(acc * 131L + ascii(c), lit(4294967296L))))
+
+  /** SimHash fingerprint from a materialized token-hash column (the 32
+    * bit-sums each walk the array; keep `th` an attribute, not an
+    * inlined expression — see shingleHashes note).
+    */
+  def simhash32FromTokenHashes(th: Column): Column =
+    (0 until 32).foldLeft(lit(0L): Column) { (fp, i) =>
+      val bitSum = aggregate(th, lit(0L), (acc, h) =>
+        acc + shiftright(h, i).bitwiseAND(1L) * 2L - 1L)
+      fp + when(bitSum >= 0, lit(1L << i)).otherwise(lit(0L))
+    }
+
+  def simhash32(text: Column): Column = simhash32FromTokenHashes(simhashTokenHashes(text))
+
+  /** Staged per-document SimHash projection. */
+  def withSimhash(docs: DataFrame, textCol: String = "text",
+                  out: String = "simhash32"): DataFrame =
+    docs.withColumn("__th", simhashTokenHashes(col(textCol)))
+      .withColumn(out, simhash32FromTokenHashes(col("__th")))
+      .drop("__th")
+
+  /** Exact dedup stats per group: total docs, distinct normalized
+    * contents, and surviving representative count (min id per
+    * fingerprint) — the hash-groupBy exact dedup.
+    */
+  def exactDedupStats(docs: DataFrame, groupCol: String,
+                      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(col(groupCol), col(idCol),
+        TextAnalysis.fingerprintMd5(col(textCol)).as("fp"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("fp")).as("n_unique"),
+        (count(lit(1)) - countDistinct(col("fp"))).as("n_dups"))
+
+  /** Exact dedup: keep the lowest id per normalized fingerprint. */
+  def exactDedup(docs: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    val fp = docs.withColumn("fp", TextAnalysis.fingerprintMd5(col(textCol)))
+    val keep = fp.groupBy(col("fp")).agg(min(col(idCol)).as(idCol))
+    fp.join(keep, Seq("fp", idCol), "left_semi").drop("fp")
+  }
+
+  /** Embedding near-duplicates: pairs with cosine >= minCos over a
+    * (bounded) vector set. Exact cosine via left-fold double dot
+    * product (see Similarity.cosine).
+    */
+  def embeddingDupPairs(vecs: DataFrame, minCos: Double,
+                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // Precompute each vector's norm once instead of per pair.
+    val v = vecs.select(col(idCol).as("id"), col(vecCol).as("v"),
+      Similarity.norm(col(vecCol)).as("nrm"))
+    val a = v.as("a"); val b = v.as("b")
+    a.join(b, col("a.id") < col("b.id"))
+      .select(col("a.id").as("vec_a"), col("b.id").as("vec_b"),
+        round(Similarity.cosineWithNorms(col("a.v"), col("b.v"),
+          col("a.nrm"), col("b.nrm")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= minCos)
+  }
+}

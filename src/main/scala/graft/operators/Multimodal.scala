@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column handling: image/audio/video as opaque `binary`
+  * payloads with typed metadata, plus decode / feature-extract stages
+  * (north-star extensions, SURVEY.md §7.6).
+  *
+  * The decode step is STUBBED — this container has no image/audio
+  * codecs — with a deterministic fake that derives "decoded" metadata
+  * purely from the payload bytes. Everything around it is the real
+  * Spark plumbing a production pipeline needs: binary columns flow
+  * through parquet scans untouched by projection pruning, the decode
+  * runs as a typed `mapPartitions` (one iterator pass per partition,
+  * the Scala analog of `mapInPandas` batch processing — the shape a
+  * JNI/FFI codec call wants), and downstream aggregation is ordinary
+  * codegen'd SQL.
+  */
+object Multimodal {
+
+  case class MediaRow(doc_id: Long, modality: String, payload: Array[Byte])
+  case class MediaFeatures(doc_id: Long, modality: String, byte_len: Long,
+                           width: Int, height: Int, n_frames: Int,
+                           checksum: Long)
+
+  /** Wrap a document table as a media table: the text bytes stand in
+    * for an encoded payload; modality assigned round-robin so every
+    * branch is exercised.
+    */
+  def asMediaTable(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("modality"),
+      col("text").cast("binary").as("payload"))
+
+  /** STUB decode (deterministic fake): a real implementation would
+    * call an image/audio codec here (e.g. via JNI) on each payload.
+    * The fake derives metadata from byte length and a rolling checksum
+    * so results are reproducible and oracle-checkable.
+    */
+  def decodeStub(payload: Array[Byte]): (Int, Int, Int, Long) = {
+    val len = payload.length
+    var checksum = 0L
+    var i = 0
+    while (i < len) { checksum = (checksum * 31 + (payload(i) & 0xff)) % 1000000007L; i += 1 }
+    val width = 64 + len % 256
+    val height = 64 + (len * 7) % 256
+    val frames = 1 + len % 8
+    (width, height, frames, checksum)
+  }
+
+  /** Decode + feature-extract over the media table. `mapPartitions`
+    * keeps one decoder instance per partition (decoder init is the
+    * expensive part with a real codec) and streams rows through it.
+    */
+  def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("modality"), col("payload")).as[MediaRow]
+      .mapPartitions { rows =>
+        // Real pipeline: initialize the codec once per partition here.
+        rows.map { r =>
+          val (w, h, f, cs) = decodeStub(r.payload)
+          MediaFeatures(r.doc_id, r.modality, r.payload.length.toLong, w, h, f, cs)
+        }
+      }
+  }
+
+  /** Per-modality statistics over the extracted features — ordinary
+    * hash aggregation downstream of the decode stage.
+    */
+  def modalityStats(features: Dataset[MediaFeatures]): DataFrame =
+    features.toDF().groupBy(col("modality"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("byte_len")).as("total_bytes"),
+        sum(col("width")).as("sum_width"),
+        sum(col("height")).as("sum_height"),
+        sum(col("n_frames")).as("sum_frames"),
+        sum(col("checksum") % 1000L).as("checksum_probe"))
+}

@@ -1,0 +1,130 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (Array[Float]) — the
+  * approximate-nearest-neighbor surface of the training-data pipeline
+  * (north-star extensions, SURVEY.md §7.6).
+  *
+  *  - bruteForceTopK: the exact baseline — broadcast the (small) query
+  *    set against all candidates; per-query top-k via window rank.
+  *    Scales linearly in candidates on any cluster; the broadcast
+  *    avoids shuffling the big side entirely.
+  *  - lshTopK: the scale path — random-hyperplane (sign) LSH buckets
+  *    both sides, only same-bucket pairs are scored. Sub-linear probe
+  *    cost at the price of recall; recall is tested against the
+  *    brute-force baseline in SimilaritySpec.
+  *
+  * Cosine is computed as a strict left-fold over the element products
+  * in double precision: associativity-free, so the score is identical
+  * on 1 core or 1000 executors (and reproducible by other engines).
+  */
+object Similarity {
+
+  /** Strict left-fold sum — deterministic order, unlike a parallel
+    * reduction.
+    */
+  private def foldSum(arr: Column): Column =
+    aggregate(arr, lit(0.0), (acc, x) => acc + x)
+
+  def dot(a: Column, b: Column): Column =
+    foldSum(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")))
+
+  def norm(a: Column): Column = sqrt(foldSum(transform(a, x => x.cast("double") * x.cast("double"))))
+
+  def cosine(a: Column, b: Column): Column = {
+    val d = norm(a) * norm(b)
+    when(d === 0, lit(0.0)).otherwise(dot(a, b) / d)
+  }
+
+  /** Cosine with precomputed norms — joins should materialize each
+    * side's norm once (a per-row projection) instead of re-folding the
+    * vector for every pair. Same float ops in the same order as
+    * `cosine`, so results are bit-identical.
+    */
+  def cosineWithNorms(a: Column, b: Column, na: Column, nb: Column): Column = {
+    val d = na * nb
+    when(d === 0, lit(0.0)).otherwise(dot(a, b) / d)
+  }
+
+  /** Exact top-k cosine neighbors for each query vector.
+    * `queries` and `candidates` both carry (idCol, vecCol); the query
+    * side is assumed small and is broadcast. Ranking is on the
+    * 6-decimal-rounded score with id tie-break, so the result set is
+    * stable under float noise.
+    */
+  def bruteForceTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      norm(col(vecCol)).as("qn"))
+    val c = candidates.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      norm(col(vecCol)).as("cn"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosineWithNorms(col("qv"), col("cv"), col("qn"), col("cn")), 6).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane p,
+    * dimension d): a fixed-seed integer hash mapped to [-1, 1). Keeps
+    * the LSH reproducible with no RNG state.
+    */
+  private def planeComponent(p: Int, d: Int): Double = {
+    var h = p * 2654435761L + d * 40503L + 12345L
+    h ^= (h >>> 16); h *= 0x85ebca6bL; h &= 0xffffffffL
+    h ^= (h >>> 13); h *= 0xc2b2ae35L; h &= 0xffffffffL
+    h ^= (h >>> 16)
+    (h & 0xffffffffL).toDouble / 2147483648.0 - 1.0
+  }
+
+  /** Sign-LSH bucket key for one hash table: `planes` random
+    * hyperplanes -> one long key of sign bits. `table` offsets the
+    * plane seed so tables are independent.
+    */
+  def lshKey(vec: Column, planes: Int, dim: Int, table: Int = 0): Column =
+    (0 until planes).foldLeft(lit(0L): Column) { (acc, p) =>
+      val proj = foldSum(zip_with(vec,
+        array((0 until dim).map(d => lit(planeComponent(table * 64 + p, d))): _*),
+        (x, w) => x.cast("double") * w))
+      acc + when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+
+  /** All table bucket keys as (table, bucket) structs. */
+  private def lshKeys(vec: Column, planes: Int, dim: Int, tables: Int): Column =
+    array((0 until tables).map(t =>
+      struct(lit(t).as("t"), lshKey(vec, planes, dim, t).as("b"))): _*)
+
+  /** Approximate top-k via multi-table sign-LSH: a candidate is scored
+    * iff it shares a bucket with the query in ANY of the `tables`
+    * independent hash tables. One table of p planes finds a
+    * cos-similar neighbor with probability (1 - theta/pi)^p; T tables
+    * lift recall to 1-(1-r)^T while probe cost stays ~|bucket|*T.
+    * This is the standard recall/cost dial for ANN at scale — at 100 TB
+    * the exploded candidate side shuffles on (table, bucket), so the
+    * quadratic scoring is confined to bucket-sized groups.
+    */
+  def lshTopK(queries: DataFrame, candidates: DataFrame, k: Int, dim: Int,
+              planes: Int = 6, tables: Int = 8,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      norm(col(vecCol)).as("qn"),
+      explode(lshKeys(col(vecCol), planes, dim, tables)).as("tb"))
+    val c = candidates.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      norm(col(vecCol)).as("cn"),
+      explode(lshKeys(col(vecCol), planes, dim, tables)).as("tb"))
+    val paired = c.join(broadcast(q), Seq("tb"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val scored = paired.select(col("query_id"), col("neighbor_id"),
+      round(cosineWithNorms(col("qv"), col("cv"), col("qn"), col("cn")), 6).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+}

@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline
+  * (north-star extensions, SURVEY.md §7.6): token counting, quality
+  * scoring, language identification, document fingerprinting.
+  *
+  * Everything here is a per-row projection built from codegen'd
+  * `functions._` / higher-order array functions — no UDFs, no shuffle,
+  * so the operators run at scan speed and scale embarrassingly to any
+  * number of executors. Scores that feed cross-engine checks are
+  * computed in integer micro-units (deterministic; float division
+  * rounding is engine-specific).
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens with empties removed (split keeps a trailing
+    * empty string when the text ends in whitespace).
+    */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => t =!= "")
+
+  /** BPE-ish subword proxy: alpha runs, single digits, single
+    * punctuation marks — the shape of a GPT-2-style pre-tokenizer.
+    */
+  val BpePattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpePattern), lit(0)))
+
+  /** Count of non-alphanumeric, non-space characters. */
+  def punctCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[^A-Za-z0-9 \\t\\n]", ""))
+
+  /** Per-language stopword marker lists for the n-gram/stopword
+    * language-ID heuristic.
+    */
+  val Stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "and", "of", "to", "is", "in"),
+    "de" -> Seq("der", "die", "das", "und", "ein", "ist", "nicht"),
+    "fr" -> Seq("le", "la", "les", "et", "un", "est", "ne"),
+    "es" -> Seq("el", "los", "las", "y", "es", "no", "por"))
+
+  private def hits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words: _*)))
+
+  /** Language-ID: CJK characters dominate, otherwise the language with
+    * the most stopword hits wins (fixed precedence en > de > fr > es
+    * on ties; "und" = undetermined when nothing matches).
+    */
+  def langId(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val cjk = size(regexp_extract_all(text, lit("[\\u4e00-\\u9fff]"), lit(0)))
+    val en = hits(toks, Stopwords("en")); val de = hits(toks, Stopwords("de"))
+    val fr = hits(toks, Stopwords("fr")); val es = hits(toks, Stopwords("es"))
+    when(cjk > 0, "zh")
+      .when(en > 0 && en >= de && en >= fr && en >= es, "en")
+      .when(de > 0 && de >= fr && de >= es, "de")
+      .when(fr > 0 && fr >= es, "fr")
+      .when(es > 0, "es")
+      .otherwise("und")
+  }
+
+  /** Quality score in integer micro-units (0..1e6): mean of
+    *  - length component: min(1, n_tokens/50)
+    *  - cleanliness: 1 - punct_ratio
+    *  - stopword component: stopword_hits / n_tokens
+    * Exact integer arithmetic end-to-end.
+    */
+  def qualityE6(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val nTok = size(toks).cast("long")
+    val nChars = length(text).cast("long")
+    val punct = punctCount(text).cast("long")
+    val stop = hits(toks, Stopwords.values.flatten.toSeq).cast("long")
+    // Integer floor division; quotients here are never within double
+    // rounding error of an integer boundary (denominators <= 1e6), so
+    // divide-then-truncate equals exact floor.
+    val lenC = least(lit(1000000L), nTok * 20000L)
+    val cleanC = when(nChars > 0, ((nChars - punct) * 1000000L / nChars).cast("long")).otherwise(0L)
+    val stopC = when(nTok > 0, (stop * 1000000L / nTok).cast("long")).otherwise(0L)
+    ((lenC + cleanC + stopC) / 3).cast("long")
+  }
+
+  /** Canonical normalized form: lowercase, whitespace collapsed. */
+  def normalized(text: Column): Column =
+    regexp_replace(trim(lower(text)), "\\s+", " ")
+
+  /** Content fingerprint: md5 of the normalized text (portable across
+    * engines, collision-negligible at corpus scale).
+    */
+  def fingerprintMd5(text: Column): Column = md5(normalized(text).cast("binary"))
+
+  /** Rolling polynomial hash over the normalized characters
+    * (h = h*31 + codepoint mod 1e9+7) — the classic Rabin-Karp shape,
+    * kept in portable integer arithmetic so any engine reproduces it.
+    */
+  def fingerprintPoly(text: Column): Column =
+    aggregate(
+      filter(split(normalized(text), ""), c => c =!= ""),
+      lit(0L),
+      (acc, c) => pmod(acc * 31L + ascii(c), lit(1000000007L)))
+
+  /** Full per-document feature projection. */
+  def features(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    docs
+      .withColumn("n_chars_m", length(t).cast("long"))
+      .withColumn("n_tokens", size(tokens(t)).cast("long"))
+      .withColumn("n_bpe_tokens", bpeTokenCount(t).cast("long"))
+      .withColumn("punct_chars", punctCount(t).cast("long"))
+      .withColumn("quality_e6", qualityE6(t))
+      .withColumn("lang_pred", langId(t))
+      .withColumn("fp_md5", fingerprintMd5(t))
+      .withColumn("fp_poly", fingerprintPoly(t))
+  }
+}

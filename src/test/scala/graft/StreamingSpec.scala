@@ -1,0 +1,110 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.operators.Ohlcv
+import graft.streaming.{LatestPriceStream, Sinks, TradeStreams}
+
+/** End-to-end streaming behavior over MemoryStream — the spine the
+  * reference wires in spark_processor.py:135-183: parse -> watermark
+  * -> dedup -> OHLCV -> sinks, plus the stateful latest-prices op.
+  */
+class StreamingSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def tradeJson(sym: String, p: Double, v: Long, tMs: Long): String =
+    s"""{"symbol":"$sym","price":$p,"volume":$v,"timestamp":$tMs,"conditions":["1"],"ingestion_time":$tMs}"""
+
+  private val t0 = 1705312800000L // 2024-01-15T10:00:00Z
+
+  test("P1 parse: kafka-shaped JSON bytes -> typed trade rows with event_time") {
+    val raw = Seq(tradeJson("AAPL", 150.25, 100, t0)).toDF("value")
+    val parsed = TradeStreams.parseTrades(raw).collect().head
+    assert(parsed.getAs[String]("symbol") === "AAPL")
+    assert(parsed.getAs[Double]("price") === 150.25)
+    assert(parsed.getAs[Seq[String]]("conditions") === Seq("1"))
+    assert(parsed.getAs[Timestamp]("event_time").getTime === t0)
+  }
+
+  test("streaming OHLCV over MemoryStream: watermark + dedup + windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val trades = TradeStreams.parseTrades(mem.toDF().withColumnRenamed("value", "value"))
+      .withColumn("event_id", col("timestamp")) // deterministic tie-break key
+    val deduped = TradeStreams.dedupWithinWatermark(
+      TradeStreams.withWatermark(trades))
+    val bars = Ohlcv.bars5m(deduped)
+    val q = bars.writeStream.format("memory").queryName("bars_out")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    mem.addData(
+      tradeJson("AAPL", 10.0, 5, t0),
+      tradeJson("AAPL", 10.0, 5, t0), // exact duplicate -> dropped
+      tradeJson("AAPL", 20.0, 5, t0 + 60000),
+      tradeJson("MSFT", 99.0, 1, t0 + 1000))
+    q.awaitTermination(60000)
+    val out = spark.table("bars_out").collect()
+    val aapl = out.find(_.getAs[String]("symbol") == "AAPL").get
+    assert(aapl.getAs[Long]("trade_count") === 2L) // dup removed
+    assert(aapl.getAs[Double]("open") === 10.0)
+    assert(aapl.getAs[Double]("close") === 20.0)
+    assert(out.exists(_.getAs[String]("symbol") == "MSFT"))
+  }
+
+  test("latest-price stateful stream emits change vs previous trade") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[LatestPriceStream.TradeEvent]
+    val snaps = LatestPriceStream.snapshots(spark, mem.toDS())
+    val q = snaps.writeStream.format("memory").queryName("lp_out")
+      .outputMode("update").start()
+    mem.addData(LatestPriceStream.TradeEvent("AAPL", 100.0, 10, new Timestamp(t0)))
+    q.processAllAvailable()
+    mem.addData(LatestPriceStream.TradeEvent("AAPL", 110.0, 20, new Timestamp(t0 + 1000)))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("lp_out").orderBy("last_trade_time").collect()
+    assert(rows.length === 2)
+    assert(rows(0).getAs[Double]("price_change") === 0.0)
+    assert(rows(1).getAs[Double]("price_change") === 10.0)
+    assert(math.abs(rows(1).getAs[Double]("price_change_pct") - 10.0) < 1e-9)
+  }
+
+  test("batch adapter reproduces the stateful fold") {
+    val ds = Seq(
+      LatestPriceStream.TradeEvent("A", 100.0, 1, new Timestamp(t0)),
+      LatestPriceStream.TradeEvent("A", 150.0, 2, new Timestamp(t0 + 5000)),
+      LatestPriceStream.TradeEvent("B", 10.0, 3, new Timestamp(t0))).toDS()
+    val out = LatestPriceStream.snapshotsBatch(spark, ds).collect()
+      .map(lp => lp.symbol -> lp).toMap
+    assert(out("A").last_price === 150.0)
+    assert(out("A").price_change === 50.0)
+    assert(out("B").price_change === 0.0)
+  }
+
+  test("SinkManager fans out one source to parquet + dead-letter sinks (K1/K4/K5)") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_sink").toString
+    val mem = MemoryStream[String]
+    val trades = TradeStreams.parseTrades(mem.toDF())
+    val mgr = new Sinks.SinkManager
+    mgr.start("bronze", Sinks.parquetSink(trades, s"$dir/bronze", s"$dir/ckp_b",
+      trigger = Trigger.ProcessingTime(0), queryName = "bronze"))
+    mem.addData(tradeJson("AAPL", 1.0, 1, t0), tradeJson("MSFT", 2.0, 2, t0))
+    mgr.processAllAvailable()
+    assert(mgr.status === Map("bronze" -> true))
+    assert(spark.read.parquet(s"$dir/bronze").count() === 2)
+    mgr.stopAll()
+    assert(mgr.status === Map("bronze" -> false))
+  }
+
+  test("kafka sink projection re-keys by symbol with JSON payload (P6/K3)") {
+    val df = Seq(("AAPL", 1.5)).toDF("symbol", "price")
+    val out = Sinks.kafkaProjection(df).collect().head
+    assert(out.getAs[String]("key") === "AAPL")
+    assert(out.getAs[String]("value") === """{"symbol":"AAPL","price":1.5}""")
+  }
+}

@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, TextAnalysis}
+
+class TextDedupSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def docsDf(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+
+  test("fingerprints are whitespace/case-insensitive and content-sensitive") {
+    val df = docsDf(Seq(
+      (1L, "Hello   World"),
+      (2L, "hello world"),
+      (3L, "hello there")))
+      .select(col("doc_id"),
+        TextAnalysis.fingerprintMd5(col("text")).as("md5"),
+        TextAnalysis.fingerprintPoly(col("text")).as("poly"))
+    val rows = df.collect().map(r =>
+      r.getAs[Long]("doc_id") -> (r.getAs[String]("md5"), r.getAs[Long]("poly"))).toMap
+    assert(rows(1L) === rows(2L))
+    assert(rows(1L) !== rows(3L))
+  }
+
+  test("exactDedup keeps lowest doc_id per normalized content") {
+    val df = docsDf(Seq((10L, "a b c"), (7L, "A  B C"), (3L, "different text")))
+    val kept = Dedup.exactDedup(df).collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(kept === Set(7L, 3L))
+  }
+
+  test("jaccard: identical docs score 1e6, disjoint docs 0") {
+    val df = docsDf(Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "entirely unrelated words appear here today")))
+    val pairs = Dedup.jaccardPairs(df, minJaccardE6 = 0L, shingleN = 2)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) -> r.getAs[Long]("jaccard_e6")).toMap
+    assert(pairs((1L, 2L)) === 1000000L)
+    assert(pairs((1L, 3L)) === 0L)
+  }
+
+  test("minhash estimate approximates exact jaccard for near-dups") {
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 57).map(i => s"tok$i").mkString(" ") + " x y z"
+    val df = docsDf(Seq((1L, base), (2L, nearDup)))
+    val sigs = df.select(col("doc_id"),
+      Dedup.minhashSignature(Dedup.shingleHashes(col("text"), 3), 64).as("sig"))
+    val a = sigs.as("a"); val b = sigs.as("b")
+    val est = a.join(b, col("a.doc_id") < col("b.doc_id"))
+      .select(Dedup.minhashJaccardE6(col("a.sig"), col("b.sig"), 64).as("est"))
+      .collect().head.getAs[Long]("est")
+    val exact = Dedup.jaccardPairs(df, 0L, shingleN = 3)
+      .collect().head.getAs[Long]("jaccard_e6")
+    // 64 permutations: stderr ~ sqrt(j(1-j)/64) ~ 0.05
+    assert(math.abs(est - exact) < 200000L, s"est=$est exact=$exact")
+  }
+
+  test("minhash LSH finds the exact duplicate pair") {
+    val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val df = docsDf(Seq((1L, text), (2L, text), (3L, "totally different content with many other words present")))
+    val cands = Dedup.minhashCandidates(df)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(cands.contains((1L, 2L)))
+    assert(!cands.contains((1L, 3L)))
+  }
+
+  test("simhash: identical texts collide, unrelated texts differ") {
+    val df = docsDf(Seq(
+      (1L, "spark engine window aggregate shuffle partition"),
+      (2L, "spark engine window aggregate shuffle partition"),
+      (3L, "cat dog bird fish lizard horse")))
+      .select(col("doc_id"), Dedup.simhash32(col("text")).as("sh"))
+    val m = df.collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("sh")).toMap
+    assert(m(1L) === m(2L))
+    assert(m(1L) !== m(3L))
+    assert(m(1L) >= 0 && m(1L) < (1L << 32))
+  }
+
+  test("langId picks the language with most stopword hits") {
+    val df = Seq(
+      (1L, "the cat and the dog in a house"),
+      (2L, "der hund und die katze ist nicht hier"),
+      (3L, "le chat et la maison est un lieu"),
+      (4L, "el perro y el gato no es por aqui"),
+      (5L, "你好世界"),
+      (6L, "xyzzy plugh")).toDF("doc_id", "text")
+      .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang"))
+    val m = df.collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("lang")).toMap
+    assert(m === Map(1L -> "en", 2L -> "de", 3L -> "fr", 4L -> "es", 5L -> "zh", 6L -> "und"))
+  }
+
+  test("quality score rewards long clean stopword-bearing text") {
+    val good = "the quick brown fox jumps over the lazy dog and then the fox rests " * 5
+    val bad = "@@@@ ####"
+    val df = Seq((1L, good), (2L, bad)).toDF("doc_id", "text")
+      .select(col("doc_id"), TextAnalysis.qualityE6(col("text")).as("q"))
+    val m = df.collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("q")).toMap
+    assert(m(1L) > m(2L))
+    assert(m.values.forall(q => q >= 0 && q <= 1000000))
+  }
+}
