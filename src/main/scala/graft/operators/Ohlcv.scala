@@ -33,8 +33,14 @@ object Ohlcv {
       case Some(s) => window(col("event_time"), duration, s)
       case None    => window(col("event_time"), duration)
     }
-    // Composite ordering key: event-time first, event_id tie-break.
-    val ord = struct(col("event_time"), col("event_id"))
+    // Two-level ordering key: event-time first, event_id tie-break.
+    // Built-in min_by(price, struct(ts, id)) would be semantically
+    // right but forces SortAggregate (struct agg buffer); the custom
+    // MinByOrd2/MaxByOrd2 DeclarativeAggregate keeps primitive buffer
+    // slots so the plan stays a codegen'd HashAggregate with map-side
+    // partial aggregation (graft.functions.OrderedExtremum).
+    val ordTs = unix_micros(col("event_time"))
+    val ordId = col("event_id")
     val priceDec = col("price").cast("decimal(18,4)")
     // price*volume in integer ticks of 1e-4 — summing longs is exact
     // and associative, so any aggregation order gives one answer.
@@ -42,10 +48,10 @@ object Ohlcv {
     trades
       .groupBy(col("symbol"), w.as("w"))
       .agg(
-        min_by(col("price"), ord).as("open"),
+        graft.functions.OrderedExtremum.minByOrd2(col("price"), ordTs, ordId).as("open"),
         max(col("price")).as("high"),
         min(col("price")).as("low"),
-        max_by(col("price"), ord).as("close"),
+        graft.functions.OrderedExtremum.maxByOrd2(col("price"), ordTs, ordId).as("close"),
         sum(col("volume")).as("volume"),
         count(lit(1)).as("trade_count"),
         sum(pvTicks).as("pv_ticks"))
