@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.operators.{Medallion, Ohlcv}
+import graft.streaming.{Sinks, TradeStreams}
+
+/** Streaming application entry — the Scala analog of the reference
+  * consumer CLI (src/consumer/main.py:115-153): layer toggles, trigger
+  * interval, watermark, offsets, source selection.
+  *
+  * Usage:
+  *   graft.App --source kafka --brokers host:9092 --topic trades_raw \
+  *     --layers bronze,silver,gold5m,gold1h --out /data/market \
+  *     --checkpoint /data/ckp --trigger "10 seconds" --watermark "10 minutes" \
+  *     --offsets latest
+  *   graft.App --source file --in /data/raw --out /data/market ...
+  *
+  * Pipeline (spark_processor.py:135-183): source -> parse (P1,P2) ->
+  * watermark (A5) -> bronze (P3) / silver (P4,F1,F2) / gold (A1-A4)
+  * branches, each with its own foreachBatch parquet sink and
+  * checkpoint, fanned out through one SinkManager (K1/K4).
+  */
+object App {
+
+  case class Config(
+      source: String = "file",
+      brokers: String = "localhost:9092",
+      topic: String = "trades_raw",
+      offsets: String = "latest",
+      in: String = "",
+      out: String = "/tmp/graft_out",
+      checkpoint: String = "/tmp/graft_ckp",
+      layers: Set[String] = Set("bronze", "silver", "gold5m"),
+      trigger: String = "10 seconds",
+      watermark: String = "10 minutes",
+      master: String = "local[*]")
+
+  def parseArgs(args: Array[String]): Config =
+    args.sliding(2, 2).foldLeft(Config()) {
+      case (c, Array("--source", v)) => c.copy(source = v)
+      case (c, Array("--brokers", v)) => c.copy(brokers = v)
+      case (c, Array("--topic", v)) => c.copy(topic = v)
+      case (c, Array("--offsets", v)) => c.copy(offsets = v)
+      case (c, Array("--in", v)) => c.copy(in = v)
+      case (c, Array("--out", v)) => c.copy(out = v)
+      case (c, Array("--checkpoint", v)) => c.copy(checkpoint = v)
+      case (c, Array("--layers", v)) => c.copy(layers = v.split(",").map(_.trim).toSet)
+      case (c, Array("--trigger", v)) => c.copy(trigger = v)
+      case (c, Array("--watermark", v)) => c.copy(watermark = v)
+      case (c, Array("--master", v)) => c.copy(master = v)
+      case (c, other) => sys.error(s"unknown argument: ${other.mkString(" ")}")
+    }
+
+  /** Build the full branch graph over a raw source frame and start
+    * every selected sink. Returns the manager holding the handles.
+    */
+  def start(spark: SparkSession, raw: DataFrame, cfg: Config): Sinks.SinkManager = {
+    val trigger = Trigger.ProcessingTime(cfg.trigger)
+    val parsed = TradeStreams.parseTrades(raw)
+    val watermarked = TradeStreams.withWatermark(parsed, cfg.watermark)
+    val mgr = new Sinks.SinkManager
+
+    if (cfg.layers("bronze")) {
+      val bronze = Medallion.withAuditTimestamps(
+        Medallion.toBronze(parsed.withColumn("trade_date", to_date(col("event_time")))))
+      mgr.start("bronze", Sinks.parquetSink(bronze, s"${cfg.out}/bronze",
+        s"${cfg.checkpoint}/bronze", partitionBy = Seq("trade_date"),
+        trigger = trigger, queryName = "bronze"))
+    }
+    if (cfg.layers("silver")) {
+      val silver = TradeStreams.dedupWithinWatermark(
+        TradeStreams.toSilverStreaming(watermarked))
+        .withColumn("trade_date", to_date(col("event_time")))
+      mgr.start("silver", Sinks.parquetSink(silver, s"${cfg.out}/silver",
+        s"${cfg.checkpoint}/silver", partitionBy = Seq("trade_date"),
+        trigger = trigger, queryName = "silver"))
+    }
+    def goldSink(name: String, duration: String): Unit = {
+      val grain = Ohlcv.bars(
+        TradeStreams.dedupWithinWatermark(TradeStreams.toSilverStreaming(watermarked))
+          .withColumn("event_id", col("timestamp")),
+        duration)
+        .withColumn("window_date", to_date(col("window_start")))
+      mgr.start(name, Sinks.parquetSink(grain, s"${cfg.out}/$name",
+        s"${cfg.checkpoint}/$name", partitionBy = Seq("window_date"),
+        overwritePartitions = true, trigger = trigger, queryName = name))
+    }
+    if (cfg.layers("gold5m")) goldSink("gold5m", "5 minutes")
+    if (cfg.layers("gold1h")) goldSink("gold1h", "1 hour")
+    mgr
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cfg = parseArgs(args)
+    val spark = SparkSession.builder()
+      .master(cfg.master)
+      .appName("graft-market-engine")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      // RocksDB-backed state: dedup + window state stays off-heap and
+      // spills to disk — required posture for long-running streams.
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val raw = cfg.source match {
+      case "kafka" => TradeStreams.kafkaSource(spark, cfg.brokers, cfg.topic, cfg.offsets)
+      case "file" =>
+        TradeStreams.fileSource(spark, cfg.in,
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("value",
+              org.apache.spark.sql.types.StringType))))
+      case other => sys.error(s"unknown source: $other")
+    }
+    val mgr = start(spark, raw, cfg)
+    mgr.awaitAnyTermination()
+  }
+}

@@ -19,6 +19,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm the JVM/session (codegen, file index, JIT) outside the
+    // timed region so the first query doesn't absorb ~7s of startup.
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    spark.read.parquet(s"$sfDir/events.parquet").limit(1).count()
     // Stable iteration order so per-query numbers are comparable
     // across rounds.
     val names = SparkEntry.queries.keys.toSeq.sorted

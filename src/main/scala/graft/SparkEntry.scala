@@ -126,6 +126,9 @@ object SparkEntry {
     // Q11 — secondary-index analog: price-band filter.
     "q11_price_band" -> ((s, dir) => MarketQueries.priceBand(silverDf(s, dir), 50.0, 100.0)),
 
+    // Q12 — catalog/table health check.
+    "q12_catalog" -> ((s, dir) => MarketQueries.catalogSummary(s, dir)),
+
     // H1 — TPC-H-style pricing summary (scan-heavy agg benchmark).
     "h1_pricing_summary" -> ((s, dir) => TpchQueries.pricingSummary(s, dir)),
 
@@ -275,6 +278,10 @@ object SparkEntry {
       SELECT symbol, COUNT(*) AS n_trades, ROUND(MIN(price), 4) AS min_price,
              ROUND(MAX(price), 4) AS max_price
       FROM silver WHERE price BETWEEN 50 AND 100 GROUP BY symbol"""),
+
+    "q12_catalog" -> graft.sources.Tables.tableNames
+      .map(n => s"SELECT '$n' AS table_name, COUNT(*) AS n_rows FROM $n")
+      .mkString(" UNION ALL "),
 
     "h1_pricing_summary" -> TpchQueries.pricingSummarySql,
     "h3_shipping_priority" -> TpchQueries.shippingPrioritySql

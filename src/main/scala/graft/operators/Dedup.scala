@@ -234,14 +234,11 @@ object Dedup {
     */
   def embeddingDupPairs(vecs: DataFrame, minCos: Double,
                         idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    // Precompute each vector's norm once instead of per pair.
-    val v = vecs.select(col(idCol).as("id"), col(vecCol).as("v"),
-      Similarity.norm(col(vecCol)).as("nrm"))
+    val v = vecs.select(col(idCol).as("id"), col(vecCol).as("v"))
     val a = v.as("a"); val b = v.as("b")
     a.join(b, col("a.id") < col("b.id"))
       .select(col("a.id").as("vec_a"), col("b.id").as("vec_b"),
-        round(Similarity.cosineWithNorms(col("a.v"), col("b.v"),
-          col("a.nrm"), col("b.nrm")), 6).as("cos_sim"))
+        round(Similarity.cosine(col("a.v"), col("b.v")), 6).as("cos_sim"))
       .filter(col("cos_sim") >= minCos)
   }
 }

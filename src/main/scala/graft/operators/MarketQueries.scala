@@ -97,4 +97,16 @@ object MarketQueries {
       .agg(count(lit(1)).as("n_trades"),
         round(min(col("price")), 4).as("min_price"),
         round(max(col("price")), 4).as("max_price"))
+
+  /** Q12 — keyspace/table health check (smoke_test.py:75-100 analog):
+    * every store table with its row count, as one unioned plan. Counts
+    * are metadata-cheap for parquet (footer row counts; Spark's
+    * aggregate pushdown short-circuits the scan).
+    */
+  def catalogSummary(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    graft.sources.Tables.tableNames.map { n =>
+      graft.sources.Tables.table(spark, dir, n)
+        .agg(count(lit(1)).as("n_rows"))
+        .select(lit(n).as("table_name"), col("n_rows"))
+    }.reduce(_ unionByName _)
 }

@@ -34,20 +34,19 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(foldSum(transform(a, x => x.cast("double") * x.cast("double"))))
 
-  def cosine(a: Column, b: Column): Column = {
+  /** Reference fold-based cosine (kept for cross-checking the native
+    * expression in tests; same accumulation order).
+    */
+  def cosineFold(a: Column, b: Column): Column = {
     val d = norm(a) * norm(b)
     when(d === 0, lit(0.0)).otherwise(dot(a, b) / d)
   }
 
-  /** Cosine with precomputed norms — joins should materialize each
-    * side's norm once (a per-row projection) instead of re-folding the
-    * vector for every pair. Same float ops in the same order as
-    * `cosine`, so results are bit-identical.
+  /** Production cosine: the codegen'd native expression — one fused
+    * loop per pair, no array allocation (graft.functions.CosineSim).
     */
-  def cosineWithNorms(a: Column, b: Column, na: Column, nb: Column): Column = {
-    val d = na * nb
-    when(d === 0, lit(0.0)).otherwise(dot(a, b) / d)
-  }
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorFunctions.cosineSim(a, b)
 
   /** Exact top-k cosine neighbors for each query vector.
     * `queries` and `candidates` both carry (idCol, vecCol); the query
@@ -57,13 +56,11 @@ object Similarity {
     */
   def bruteForceTopK(queries: DataFrame, candidates: DataFrame, k: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      norm(col(vecCol)).as("qn"))
-    val c = candidates.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      norm(col(vecCol)).as("cn"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = candidates.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        round(cosineWithNorms(col("qv"), col("cv"), col("qn"), col("cn")), 6).as("cos_sim"))
+        round(cosine(col("qv"), col("cv")), 6).as("cos_sim"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -112,16 +109,14 @@ object Similarity {
               planes: Int = 6, tables: Int = 8,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      norm(col(vecCol)).as("qn"),
       explode(lshKeys(col(vecCol), planes, dim, tables)).as("tb"))
     val c = candidates.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      norm(col(vecCol)).as("cn"),
       explode(lshKeys(col(vecCol), planes, dim, tables)).as("tb"))
     val paired = c.join(broadcast(q), Seq("tb"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .dropDuplicates("query_id", "neighbor_id")
     val scored = paired.select(col("query_id"), col("neighbor_id"),
-      round(cosineWithNorms(col("qv"), col("cv"), col("qn"), col("cn")), 6).as("cos_sim"))
+      round(cosine(col("qv"), col("cv")), 6).as("cos_sim"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))

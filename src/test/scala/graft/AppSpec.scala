@@ -1,0 +1,44 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+class AppSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("parseArgs maps every consumer flag") {
+    val cfg = App.parseArgs(Array(
+      "--source", "kafka", "--brokers", "b:9092", "--topic", "t",
+      "--offsets", "earliest", "--layers", "bronze,gold1h",
+      "--trigger", "5 seconds", "--watermark", "2 minutes"))
+    assert(cfg.source === "kafka" && cfg.brokers === "b:9092")
+    assert(cfg.layers === Set("bronze", "gold1h"))
+    assert(cfg.trigger === "5 seconds" && cfg.watermark === "2 minutes")
+    assert(cfg.offsets === "earliest")
+    intercept[RuntimeException](App.parseArgs(Array("--bogus", "x")))
+  }
+
+  test("start() wires selected layers end-to-end over a memory source") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_app").toString
+    val mem = MemoryStream[String]
+    val t0 = 1705312800000L
+    val cfg = App.Config(out = s"$dir/out", checkpoint = s"$dir/ckp",
+      layers = Set("bronze", "silver", "gold5m"), trigger = "0 seconds")
+    val mgr = App.start(spark, mem.toDF(), cfg)
+    mem.addData(
+      s"""{"symbol":"AAPL","price":10.5,"volume":3,"timestamp":$t0,"conditions":[],"ingestion_time":$t0}""",
+      s"""{"symbol":"AAPL","price":11.5,"volume":2,"timestamp":${t0 + 60000},"conditions":[],"ingestion_time":$t0}""")
+    mgr.processAllAvailable()
+    mgr.stopAll()
+    assert(spark.read.parquet(s"$dir/out/bronze").count() === 2)
+    assert(spark.read.parquet(s"$dir/out/silver").count() === 2)
+    val gold = spark.read.parquet(s"$dir/out/gold5m")
+    assert(gold.count() === 1)
+    val bar = gold.collect().head
+    assert(bar.getAs[Double]("open") === 10.5)
+    assert(bar.getAs[Double]("close") === 11.5)
+    assert(bar.getAs[Long]("volume") === 5L)
+  }
+}

@@ -20,6 +20,16 @@ class SimilaritySpec extends SparkSpecBase {
     assert(math.abs(m(3L) + 1.0) < 1e-12)
   }
 
+  test("native CosineSim is bit-identical to the fold-based form") {
+    val e = Tables.embeddings(spark, Sf).limit(100)
+    val a = e.as("a"); val b = e.as("b")
+    val both = a.join(b, col("a.vec_id") < col("b.vec_id"))
+      .select(
+        Similarity.cosine(col("a.embedding"), col("b.embedding")).as("native"),
+        Similarity.cosineFold(col("a.embedding"), col("b.embedding")).as("fold"))
+    assert(both.filter(col("native") =!= col("fold")).count() === 0)
+  }
+
   test("brute-force top-1 of a duplicated vector is its twin") {
     val e = Tables.embeddings(spark, Sf)
     // Duplicate vec 0 as id 10000.

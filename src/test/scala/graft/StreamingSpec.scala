@@ -39,14 +39,18 @@ class StreamingSpec extends SparkSpecBase {
     val deduped = TradeStreams.dedupWithinWatermark(
       TradeStreams.withWatermark(trades))
     val bars = Ohlcv.bars5m(deduped)
+    // NOTE: Trigger.AvailableNow snapshots offsets at start — data
+    // added after .start() may never be seen (was a flaky race here).
+    // processAllAvailable() is the synchronous test idiom.
     val q = bars.writeStream.format("memory").queryName("bars_out")
-      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+      .outputMode("update").start()
     mem.addData(
       tradeJson("AAPL", 10.0, 5, t0),
       tradeJson("AAPL", 10.0, 5, t0), // exact duplicate -> dropped
       tradeJson("AAPL", 20.0, 5, t0 + 60000),
       tradeJson("MSFT", 99.0, 1, t0 + 1000))
-    q.awaitTermination(60000)
+    q.processAllAvailable()
+    q.stop()
     val out = spark.table("bars_out").collect()
     val aapl = out.find(_.getAs[String]("symbol") == "AAPL").get
     assert(aapl.getAs[Long]("trade_count") === 2L) // dup removed
