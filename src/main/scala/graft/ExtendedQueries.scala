@@ -1,0 +1,148 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import graft.operators.{AsOfJoin, Sessions}
+
+/** Extended analytics the reference lacks entirely (SURVEY.md §2.8
+  * lists joins, set ops, rollup, ranking windows, sessions as absent):
+  * the engine gets them Spark-first, each with a DuckDB oracle.
+  */
+object ExtendedQueries {
+
+  /** Events with the raw nanosecond timestamp kept as the ordering key
+    * (full precision — no truncation ties against the oracle).
+    */
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).select(col("event_id"), col("user_id"),
+      col("event_type"), col("value"), col("ts"))
+
+  /** X1 — as-of join: each purchase enriched with the user's latest
+    * prior view (trade-vs-quote shape).
+    */
+  def asofJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir)
+    val t = e.filter(col("event_type") === "purchase").drop("event_type")
+    val q = e.filter(col("event_type") === "view").drop("event_type")
+      .select(col("user_id"), col("ts"), col("value"))
+    AsOfJoin.asOf(t, q, keys = Seq("user_id"), leftTime = "ts", rightTime = "ts",
+        rightPayload = Seq("value"))
+      .select(col("event_id"), col("user_id"),
+        expr("ts div 1000000").as("ts_ms"), col("value"),
+        col("asof_value"), expr("asof_time div 1000000").as("asof_ts_ms"))
+  }
+
+  val asofJoinSql: String = """
+    WITH t AS (SELECT * FROM events WHERE event_type = 'purchase'),
+         q AS (SELECT * FROM events WHERE event_type = 'view')
+    SELECT t.event_id, t.user_id, epoch_ms(t.ts) AS ts_ms, t.value,
+           q.value AS asof_value, epoch_ms(q.ts) AS asof_ts_ms
+    FROM t ASOF LEFT JOIN q ON t.user_id = q.user_id AND q.ts <= t.ts"""
+
+  /** X2 — session windows: 30-minute-gap user activity sessions. */
+  def sessions(s: SparkSession, dir: String): DataFrame =
+    Sessions.sessionStats(
+      Tables.events(s, dir).select(col("user_id"), col("value"),
+        expr("timestamp_micros(ts div 1000)").as("event_time")),
+      keyCol = "user_id", timeCol = "event_time", valueCol = "value",
+      gap = "30 minutes")
+
+  val sessionsSql: String = """
+    WITH brk AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sess AS (
+      SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+      FROM brk
+    )
+    SELECT user_id, epoch_ms(MIN(ts)) AS session_start_ms,
+           epoch_ms(MAX(ts)) + 1800000 AS session_end_ms,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM sess GROUP BY user_id, sid"""
+
+  /** X3 — rollup: volume by (symbol, day) with subtotals + grand
+    * total, grouping id included.
+    */
+  def rollupVolume(s: SparkSession, dir: String): DataFrame =
+    Tables.trades(s, dir)
+      .rollup(col("symbol"), col("trade_date"))
+      .agg(sum(col("volume")).as("total_volume"), count(lit(1)).as("n"),
+        grouping_id().as("gid"))
+
+  val rollupVolumeSql: String = """
+    WITH trades AS (
+      SELECT event_type AS symbol,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS volume,
+             CAST(ts AS DATE) AS trade_date
+      FROM events)
+    SELECT symbol, trade_date, CAST(SUM(volume) AS BIGINT) AS total_volume,
+           COUNT(*) AS n, CAST(GROUPING(symbol, trade_date) AS BIGINT) AS gid
+    FROM trades GROUP BY ROLLUP(symbol, trade_date)"""
+
+  /** X4 — ranking windows: top-3 prices per (symbol, day) by
+    * rank/dense_rank (tie-inclusive, deterministic under ties).
+    */
+  def topPricesRanked(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("symbol"), col("trade_date"))
+      .orderBy(col("price").desc)
+    Tables.trades(s, dir)
+      .withColumn("rnk", rank().over(w))
+      .withColumn("drnk", dense_rank().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("symbol"), col("trade_date"), col("event_id"),
+        col("price"), col("rnk"), col("drnk"))
+  }
+
+  val topPricesRankedSql: String = """
+    WITH trades AS (
+      SELECT event_id, event_type AS symbol, value AS price,
+             CAST(ts AS DATE) AS trade_date
+      FROM events)
+    SELECT symbol, trade_date, event_id, price,
+           CAST(rnk AS INT) AS rnk, CAST(drnk AS INT) AS drnk
+    FROM (
+      SELECT *, rank() OVER w AS rnk, dense_rank() OVER w AS drnk
+      FROM trades WINDOW w AS (PARTITION BY symbol, trade_date ORDER BY price DESC)
+    ) WHERE rnk <= 3"""
+
+  /** X5 — set operations: users who errored AND purchased on a day,
+    * minus those who signed up that day (INTERSECT + EXCEPT).
+    */
+  def setOps(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .withColumn("d", to_date(expr("timestamp_micros(ts div 1000)")))
+      .filter(col("d") === lit("2024-01-15").cast("date"))
+    def users(t: String) = e.filter(col("event_type") === t).select(col("user_id")).distinct()
+    users("error").intersect(users("purchase")).except(users("signup"))
+  }
+
+  val setOpsSql: String = """
+    WITH e AS (SELECT * FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-15')
+    (SELECT DISTINCT user_id FROM e WHERE event_type = 'error'
+     INTERSECT SELECT DISTINCT user_id FROM e WHERE event_type = 'purchase')
+    EXCEPT SELECT DISTINCT user_id FROM e WHERE event_type = 'signup'"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x1_asof_join" -> (asofJoin _),
+    "x2_sessions" -> (sessions _),
+    "x3_rollup" -> (rollupVolume _),
+    "x4_rank_windows" -> (topPricesRanked _),
+    "x5_set_ops" -> (setOps _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "x1_asof_join" -> asofJoinSql,
+    "x2_sessions" -> sessionsSql,
+    "x3_rollup" -> rollupVolumeSql,
+    "x4_rank_windows" -> topPricesRankedSql,
+    "x5_set_ops" -> setOpsSql
+  )
+}

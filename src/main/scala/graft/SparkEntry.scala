@@ -134,7 +134,7 @@ object SparkEntry {
 
     // H3 — TPC-H-style shipping priority (3-way join + top-k).
     "h3_shipping_priority" -> ((s, dir) => TpchQueries.shippingPriority(s, dir))
-  ) ++ PipelineQueries.queries
+  ) ++ PipelineQueries.queries ++ ExtendedQueries.queries
 
   /** Shared DuckDB CTE prelude: trades view + medallion layers.
     * Mirrors Tables.trades / Medallion / Ohlcv exactly.
@@ -285,5 +285,5 @@ object SparkEntry {
 
     "h1_pricing_summary" -> TpchQueries.pricingSummarySql,
     "h3_shipping_priority" -> TpchQueries.shippingPrioritySql
-  ) ++ PipelineQueries.oracles
+  ) ++ PipelineQueries.oracles ++ ExtendedQueries.oracles
 }
