@@ -159,14 +159,18 @@ object Dedup {
   def jaccardPairs(docs: DataFrame, minJaccardE6: Long,
                    idCol: String = "doc_id", textCol: String = "text",
                    shingleN: Int = 2): DataFrame = {
+    // Sort each shingle set once per row: the per-pair intersection
+    // then runs as a codegen'd merge walk (SortedIntersectSize)
+    // instead of a hash set per pair — the cost that dominates the
+    // quadratic verification stage.
     val sh = withShingles(docs.select(col(idCol).as("id"), col(textCol)), textCol, shingleN)
-      .select(col("id"), col("sh"))
+      .select(col("id"), array_sort(col("sh")).as("sh"))
     val a = sh.as("a"); val b = sh.as("b")
     // Stage intersection size once per pair (the arrays are distinct
     // sets, so |A∪B| = |A|+|B|-|A∩B| avoids a second array walk).
     a.join(b, col("a.id") < col("b.id"))
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
-        size(array_intersect(col("a.sh"), col("b.sh"))).cast("long").as("inter"),
+        graft.functions.ArrayFunctions.sortedIntersectSize(col("a.sh"), col("b.sh")).as("inter"),
         (size(col("a.sh")) + size(col("b.sh"))).cast("long").as("szsum"))
       .withColumn("uni", col("szsum") - col("inter"))
       .withColumn("jaccard_e6",
