@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+import graft.functions._
+
+/** Session extension registering the engine's custom Catalyst
+  * expressions as SQL functions, so `spark.sql` users get them too:
+  *
+  *   spark-submit --conf spark.sql.extensions=graft.GraftExtensions ...
+  *   SELECT cosine_sim(a.embedding, b.embedding) FROM ...
+  *   SELECT min_by_ord2(price, ts_us, event_id) FROM ... GROUP BY ...
+  *
+  * `GraftExtensions.register(spark)` does the same on an already-built
+  * session (test/REPL convenience).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftExtensions.all.foreach { case (name, info, builder) =>
+      e.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+
+  private def litInt(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft", null, name, usage, "")
+
+  val all: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("cosine_sim",
+      info("cosine_sim", "cosine_sim(a, b) - cosine similarity of two float/double arrays"),
+      (es: Seq[Expression]) => CosineSim(es(0), es(1))),
+    ("sorted_intersect_size",
+      info("sorted_intersect_size", "sorted_intersect_size(a, b) - |a ∩ b| of two sorted bigint arrays"),
+      (es: Seq[Expression]) => SortedIntersectSize(es(0), es(1))),
+    ("min_by_ord2",
+      info("min_by_ord2", "min_by_ord2(value, ord1, ord2) - value at the smallest (ord1, ord2)"),
+      (es: Seq[Expression]) => MinByOrd2(es(0), es(1), es(2))),
+    ("max_by_ord2",
+      info("max_by_ord2", "max_by_ord2(value, ord1, ord2) - value at the largest (ord1, ord2)"),
+      (es: Seq[Expression]) => MaxByOrd2(es(0), es(1), es(2))),
+    ("sign_lsh_keys",
+      info("sign_lsh_keys", "sign_lsh_keys(vec, planes, tables, dim) - multi-table sign-LSH bucket keys"),
+      (es: Seq[Expression]) => SignLshKeys(es(0), litInt(es(1), "planes"),
+        litInt(es(2), "tables"), litInt(es(3), "dim")))
+  )
+
+  /** Register on an existing session. */
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (name, _, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "built-in")
+    }
+}

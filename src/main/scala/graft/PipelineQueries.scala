@@ -67,6 +67,11 @@ object PipelineQueries {
     Dedup.minhashCandidates(docs(s, dir).filter(pmod(col("doc_id"), lit(10)) === 0),
       shingleN = 3, k = 16, bands = 8)
 
+  def nearDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.nearDedup(docs(s, dir).filter(pmod(col("doc_id"), lit(10)) === 0),
+        minJaccardE6 = 100000L)
+      .select(col("doc_id"), col("lang"), col("source"))
+
   def simhashFingerprints(s: SparkSession, dir: String): DataFrame =
     Dedup.withSimhash(docs(s, dir).filter(col("doc_id") < 200))
       .select(col("doc_id"), col("simhash32"))
@@ -228,6 +233,28 @@ object PipelineQueries {
     FROM banded a, banded b
     WHERE a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id"""
 
+  val nearDedupSql: String = s"""WITH ${shingleSql(3, "doc_id % 10 = 0")}, $sigSql,
+  banded AS (
+    SELECT doc_id, b,
+           list_reduce(list_prepend(CAST(b AS BIGINT), sig[b*2 + 1 : b*2 + 2]),
+                       (a, x) -> (a * 131 + x) % 1000000007) AS key
+    FROM sigs, UNNEST([0, 1, 2, 3, 4, 5, 6, 7]) AS t(b)
+  ), cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM banded a, banded b
+    WHERE a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id
+  ), dropped AS (
+    SELECT DISTINCT c.doc_b
+    FROM cand c
+    JOIN sh sa ON sa.doc_id = c.doc_a
+    JOIN sh sb ON sb.doc_id = c.doc_b
+    WHERE (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) > 0
+      AND len(list_intersect(sa.sh, sb.sh)) * 1000000
+          >= (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) * 100000
+  )
+    SELECT doc_id, lang, source FROM documents
+    WHERE doc_id % 10 = 0 AND doc_id NOT IN (SELECT doc_b FROM dropped)"""
+
   val simhashSql: String = s"""WITH th AS (
     SELECT doc_id,
            list_transform($toksSql, t -> ${polySql("t", 131, "4294967296")}) AS th
@@ -293,6 +320,7 @@ object PipelineQueries {
     "d3_minhash_sigs" -> (minhashSignatures _),
     "d4_minhash_candidates" -> (minhashCandidates _),
     "d5_simhash" -> (simhashFingerprints _),
+    "d7_near_dedup" -> (nearDedup _),
     "d6_embedding_dups" -> (embeddingDups _),
     "s1_knn_brute" -> (knnBrute _),
     "s2_knn_lsh" -> (knnLsh _),
@@ -310,6 +338,7 @@ object PipelineQueries {
     "d3_minhash_sigs" -> minhashSigSql,
     "d4_minhash_candidates" -> minhashCandSql,
     "d5_simhash" -> simhashSql,
+    "d7_near_dedup" -> nearDedupSql,
     "d6_embedding_dups" -> embeddingDupsSql,
     "s1_knn_brute" -> knnBruteSql,
     "mm1_modality_stats" -> modalityStatsSql

@@ -232,6 +232,30 @@ object Dedup {
     fp.join(keep, Seq("fp", idCol), "left_semi").drop("fp")
   }
 
+  /** Full near-dedup pipeline: MinHash+LSH candidate generation ->
+    * exact n-gram Jaccard verification on candidate pairs only ->
+    * greedy survivor rule (drop any doc with a verified near-duplicate
+    * of lower id). This is the composition a 100 TB dedup actually
+    * runs: the quadratic verify stage touches only same-bucket pairs.
+    * Returns the surviving documents.
+    */
+  def nearDedup(docs: DataFrame, minJaccardE6: Long,
+                idCol: String = "doc_id", textCol: String = "text",
+                shingleN: Int = 3, k: Int = 16, bands: Int = 8): DataFrame = {
+    val cands = minhashCandidates(docs, idCol, textCol, shingleN, k, bands)
+    val sh = withShingles(docs.select(col(idCol).as("id"), col(textCol)), textCol, shingleN)
+      .select(col("id"), array_sort(col("sh")).as("sh"))
+    val verified = cands
+      .join(sh.select(col("id").as("doc_a"), col("sh").as("sha")), "doc_a")
+      .join(sh.select(col("id").as("doc_b"), col("sh").as("shb")), "doc_b")
+      .withColumn("inter", graft.functions.ArrayFunctions.sortedIntersectSize(col("sha"), col("shb")))
+      .withColumn("uni", size(col("sha")).cast("long") + size(col("shb")).cast("long") - col("inter"))
+      // floor(1e6*inter/uni) >= tau  <=>  1e6*inter >= tau*uni (integer tau)
+      .filter(col("uni") > 0 && col("inter") * 1000000L >= col("uni") * minJaccardE6)
+    val dropIds = verified.select(col("doc_b").as(idCol)).distinct()
+    docs.join(dropIds, Seq(idCol), "left_anti")
+  }
+
   /** Embedding near-duplicates: pairs with cosine >= minCos over a
     * (bounded) vector set. Exact cosine via left-fold double dot
     * product (see Similarity.cosine).

@@ -71,13 +71,8 @@ object Similarity {
     * dimension d): a fixed-seed integer hash mapped to [-1, 1). Keeps
     * the LSH reproducible with no RNG state.
     */
-  private def planeComponent(p: Int, d: Int): Double = {
-    var h = p * 2654435761L + d * 40503L + 12345L
-    h ^= (h >>> 16); h *= 0x85ebca6bL; h &= 0xffffffffL
-    h ^= (h >>> 13); h *= 0xc2b2ae35L; h &= 0xffffffffL
-    h ^= (h >>> 16)
-    (h & 0xffffffffL).toDouble / 2147483648.0 - 1.0
-  }
+  private def planeComponent(p: Int, d: Int): Double =
+    graft.functions.LshWeights.component(p, d)
 
   /** Sign-LSH bucket key for one hash table: `planes` random
     * hyperplanes -> one long key of sign bits. `table` offsets the
@@ -91,10 +86,12 @@ object Similarity {
       acc + when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
     }
 
-  /** All table bucket keys as (table, bucket) structs. */
+  /** All table bucket keys, computed by the native SignLshKeys
+    * expression (one codegen'd loop; bit-identical to folding lshKey
+    * per table — SimilaritySpec compares recall against brute force).
+    */
   private def lshKeys(vec: Column, planes: Int, dim: Int, tables: Int): Column =
-    array((0 until tables).map(t =>
-      struct(lit(t).as("t"), lshKey(vec, planes, dim, t).as("b"))): _*)
+    graft.functions.LshFunctions.signLshKeys(vec, planes, tables, dim)
 
   /** Approximate top-k via multi-table sign-LSH: a candidate is scored
     * iff it shares a bucket with the query in ANY of the `tables`
@@ -109,10 +106,10 @@ object Similarity {
               planes: Int = 6, tables: Int = 8,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      explode(lshKeys(col(vecCol), planes, dim, tables)).as("tb"))
+      posexplode(lshKeys(col(vecCol), planes, dim, tables)).as(Seq("tbl", "bkt")))
     val c = candidates.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      explode(lshKeys(col(vecCol), planes, dim, tables)).as("tb"))
-    val paired = c.join(broadcast(q), Seq("tb"))
+      posexplode(lshKeys(col(vecCol), planes, dim, tables)).as(Seq("tbl", "bkt")))
+    val paired = c.join(broadcast(q), Seq("tbl", "bkt"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .dropDuplicates("query_id", "neighbor_id")
     val scored = paired.select(col("query_id"), col("neighbor_id"),

@@ -1,0 +1,42 @@
+package graft
+
+class ExtensionsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("custom expressions are callable from SQL after registration") {
+    GraftExtensions.register(spark)
+    val r = spark.sql("""
+      SELECT cosine_sim(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+                        array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS c,
+             sorted_intersect_size(array(1L, 2L, 3L), array(2L, 3L, 9L)) AS i
+    """).collect().head
+    assert(math.abs(r.getAs[Double]("c") - 1.0) < 1e-12)
+    assert(r.getAs[Long]("i") === 2L)
+  }
+
+  test("aggregate expressions work in SQL GROUP BY") {
+    GraftExtensions.register(spark)
+    Seq((1L, "A", 10.0, 100L), (2L, "A", 20.0, 50L))
+      .toDF("id", "sym", "px", "ts").createOrReplaceTempView("tx")
+    val r = spark.sql("""
+      SELECT sym, min_by_ord2(px, ts, id) AS first_px,
+             max_by_ord2(px, ts, id) AS last_px
+      FROM tx GROUP BY sym
+    """).collect().head
+    assert(r.getAs[Double]("first_px") === 20.0) // ts=50 is earliest
+    assert(r.getAs[Double]("last_px") === 10.0)
+  }
+
+  test("sign_lsh_keys returns one bucket key per table and rejects non-literal params") {
+    GraftExtensions.register(spark)
+    val r = spark.sql("""
+      SELECT sign_lsh_keys(array(CAST(0.5 AS FLOAT), CAST(-0.25 AS FLOAT)), 6, 8, 2) AS ks
+    """).collect().head
+    val ks = r.getSeq[Long](0)
+    assert(ks.length === 8)
+    assert(ks.forall(k => k >= 0 && k < 64))
+    intercept[Exception] {
+      spark.sql("SELECT sign_lsh_keys(array(CAST(1.0 AS FLOAT)), 1+5, 8, 2)").collect()
+    }
+  }
+}

@@ -65,6 +65,17 @@ class TextDedupSpec extends SparkSpecBase {
     assert(!cands.contains((1L, 3L)))
   }
 
+  test("nearDedup drops verified near-duplicates, keeps lowest id") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 38).map(i => s"tok$i").mkString(" ") + " x y"
+    val other = "completely different words in this one sentence that shares nothing at all"
+    val df = docsDf(Seq((5L, base), (2L, nearDup), (9L, other)))
+    val kept = Dedup.nearDedup(df, minJaccardE6 = 500000L)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    // 2 and 5 are near-dups: survivor is the lower id (2); 9 unrelated.
+    assert(kept === Set(2L, 9L))
+  }
+
   test("simhash: identical texts collide, unrelated texts differ") {
     val df = docsDf(Seq(
       (1L, "spark engine window aggregate shuffle partition"),
