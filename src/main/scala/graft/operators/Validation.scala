@@ -55,6 +55,19 @@ object Validation {
       .withColumn("is_valid", size(col("errors")) === 0)
   }
 
+  /** F5 (streaming form) — zero-cost validation counters attached to
+    * the stream itself via `Dataset.observe`: total/valid/invalid per
+    * micro-batch, surfaced through StreamingQueryProgress
+    * .observedMetrics (ValidationMetrics' running counters,
+    * validator.py:22-69, without a second aggregation pass).
+    */
+  def observeValidation(validated: DataFrame,
+                        name: String = "validation"): DataFrame =
+    validated.observe(name,
+      count(lit(1)).as("total"),
+      count(when(col("is_valid"), 1)).as("valid"),
+      count(when(!col("is_valid"), 1)).as("invalid"))
+
   /** Valid branch -> silver; invalid branch -> dead-letter (K5,
     * pipeline.py:120-126). Both are lazy views over one validated
     * plan; Spark reuses the scan via whole-stage codegen per branch.

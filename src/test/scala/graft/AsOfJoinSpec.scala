@@ -48,6 +48,29 @@ class AsOfJoinSpec extends SparkSpecBase {
     assert(run().size === 4)
   }
 
+  test("session windows work in streaming mode with a watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, String, Double)]
+    val events = mem.toDF().toDF("user_id", "ts", "value")
+      .withColumn("event_time", col("ts").cast("timestamp"))
+      .withWatermark("event_time", "1 hour")
+    val q = Sessions.sessionStats(events, "user_id", "event_time", "value", "30 minutes")
+      .writeStream.format("memory").queryName("sess_out").outputMode("append").start()
+    mem.addData(
+      ("u1", "2024-01-01 00:00:00", 1.0),
+      ("u1", "2024-01-01 00:10:00", 2.0),
+      ("u1", "2024-01-01 01:00:00", 4.0),
+      // Advance the watermark far enough to close all sessions.
+      ("u2", "2024-01-01 09:00:00", 8.0))
+    q.processAllAvailable()
+    q.stop()
+    val closed = spark.table("sess_out").filter(col("user_id") === "u1")
+      .orderBy("session_start_ms").collect()
+    assert(closed.length === 2)
+    assert(closed.head.getAs[Long]("n_events") === 2)
+    assert(closed.head.getAs[Double]("sum_value") === 3.0)
+  }
+
   test("session windows merge within gap and split beyond it") {
     val events = Seq(
       ("u1", "2024-01-01 00:00:00", 1.0),

@@ -1,0 +1,63 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Medallion, Validation}
+import graft.sources.{ServingStore, Tables}
+
+class ServingStoreSpec extends SparkSpecBase {
+
+  test("date-partitioned store prunes partitions for day queries") {
+    val dir = Files.createTempDirectory("graft_store").toString
+    val silver = Medallion.dedup(Medallion.toSilver(
+      Tables.trades(spark, Sf), lit("2024-02-01 00:00:00").cast("timestamp")))
+    ServingStore.write(silver, dir, "trade_date", Seq("symbol"))
+
+    // Layout: one directory per day.
+    val dayDirs = new java.io.File(dir).listFiles().filter(_.getName.startsWith("trade_date="))
+    assert(dayDirs.length >= 28) // January 2024 coverage
+
+    val q = ServingStore.read(spark, dir)
+      .filter(col("trade_date") === lit("2024-01-15").cast("date"))
+    // Partition pruning visible in the physical plan: the day filter
+    // becomes a PartitionFilter on the scan (directory-level skip),
+    // and the result matches the unpartitioned source exactly.
+    val ex = q.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(ex.contains("PartitionFilters") && ex.contains("trade_date"))
+    val expected = silver.filter(col("trade_date") === lit("2024-01-15").cast("date")).count()
+    assert(q.count() === expected && expected > 0)
+  }
+
+  test("observe() exposes validation counters without a second pass") {
+    val trades = Tables.trades(spark, Sf)
+    val validated = Validation.observeValidation(
+      Validation.validate(trades, 1706745600000L))
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      @volatile var metrics: Option[Map[String, Any]] = None
+      override def onSuccess(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             durationNs: Long): Unit = {
+        val m = qe.observedMetrics.get("validation")
+        if (m.isDefined) metrics = Some(m.get.getValuesMap(Seq("total", "valid", "invalid")))
+      }
+      override def onFailure(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val total = validated.count()
+      // Listener fires asynchronously; poll for delivery.
+      var tries = 0
+      while (listener.metrics.isEmpty && tries < 50) { Thread.sleep(100); tries += 1 }
+      val m = listener.metrics.get
+      assert(m("total") === total)
+      assert(m("valid").asInstanceOf[Long] + m("invalid").asInstanceOf[Long] === total)
+      assert(m("invalid").asInstanceOf[Long] > 0) // zero-volume rows exist
+    } finally spark.listenerManager.unregister(listener)
+  }
+}
