@@ -130,7 +130,64 @@ object ExtendedQueries {
      INTERSECT SELECT DISTINCT user_id FROM e WHERE event_type = 'purchase')
     EXCEPT SELECT DISTINCT user_id FROM e WHERE event_type = 'signup'"""
 
+  /** X6 — deterministic Bernoulli sample (10%) of documents. */
+  def docSample(s: SparkSession, dir: String): DataFrame =
+    operators.Sampling.deterministicSample(
+      Tables.documents(s, dir), "doc_id", perMyriad = 1000)
+      .select(col("doc_id"), col("lang"), col("source"))
+
+  val docSampleSql: String = """
+    SELECT doc_id, lang, source FROM documents
+    WHERE ((doc_id * 2654435761) % 1000000007 * 40503) % 1000000007 % 10000 < 1000"""
+
+  /** X7 — deterministic stratified sample: 5 docs per language. */
+  def stratifiedSample(s: SparkSession, dir: String): DataFrame =
+    operators.Sampling.stratifiedSample(
+      Tables.documents(s, dir), "lang", "doc_id", nPerStratum = 5)
+      .select(col("doc_id"), col("lang"))
+
+  val stratifiedSampleSql: String = """
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang, ROW_NUMBER() OVER (
+        PARTITION BY lang
+        ORDER BY ((doc_id * 2654435761) % 1000000007 * 40503) % 1000000007 % 10000, doc_id
+      ) AS rn FROM documents
+    ) WHERE rn <= 5"""
+
+  /** X8 — exact discrete percentiles of price per symbol. */
+  def percentiles(s: SparkSession, dir: String): DataFrame =
+    Tables.trades(s, dir)
+      .groupBy(col("symbol"))
+      .agg(
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY price)").as("p50"),
+        expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY price)").as("p95"),
+        count(lit(1)).as("n"))
+
+  val percentilesSql: String = """
+    WITH trades AS (SELECT event_type AS symbol, value AS price FROM events)
+    SELECT symbol, quantile_disc(price, 0.5) AS p50,
+           quantile_disc(price, 0.95) AS p95, COUNT(*) AS n
+    FROM trades GROUP BY symbol"""
+
+  /** X9 — fixed-width price histogram (40 bins over [0, 200)). */
+  def priceHistogram(s: SparkSession, dir: String): DataFrame =
+    operators.Sampling.histogram(Tables.trades(s, dir), "price", 0.0, 200.0, 40)
+
+  val priceHistogramSql: String = """
+    WITH trades AS (SELECT value AS price FROM events)
+    SELECT bin, COUNT(*) AS n, ROUND(MIN(price), 4) AS min_value,
+           ROUND(MAX(price), 4) AS max_value
+    FROM (
+      SELECT price, CASE WHEN price < 0 THEN 0 WHEN price >= 200 THEN 41
+                         ELSE CAST(FLOOR((price - 0) / (200 - 0) * 40) AS INT) + 1 END AS bin
+      FROM trades)
+    GROUP BY bin"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x6_deterministic_sample" -> (docSample _),
+    "x7_stratified_sample" -> (stratifiedSample _),
+    "x8_percentiles" -> (percentiles _),
+    "x9_histogram" -> (priceHistogram _),
     "x1_asof_join" -> (asofJoin _),
     "x2_sessions" -> (sessions _),
     "x3_rollup" -> (rollupVolume _),
@@ -139,6 +196,10 @@ object ExtendedQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "x6_deterministic_sample" -> docSampleSql,
+    "x7_stratified_sample" -> stratifiedSampleSql,
+    "x8_percentiles" -> percentilesSql,
+    "x9_histogram" -> priceHistogramSql,
     "x1_asof_join" -> asofJoinSql,
     "x2_sessions" -> sessionsSql,
     "x3_rollup" -> rollupVolumeSql,

@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling + distribution statistics for training-data
+  * curation. Spark's `df.sample` is seed-dependent on partitioning, so
+  * at cluster scale two runs of the "same" sample differ; these
+  * operators key the sampling decision on a content hash of the id —
+  * stable under any partitioning, any cluster size, and reproducible
+  * by other engines (the point of an auditable data pipeline).
+  */
+object Sampling {
+
+  private val P = 1000000007L
+
+  /** Portable per-id hash bucket in [0, 10000). */
+  def hashBucket(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    pmod(pmod(id * 2654435761L, lit(P)) * 40503L, lit(P)) % 10000L
+
+  /** Keep ~permille/10000 of rows, decided by id hash — deterministic
+    * Bernoulli sampling.
+    */
+  def deterministicSample(df: DataFrame, idCol: String, perMyriad: Int): DataFrame =
+    df.filter(hashBucket(col(idCol)) < perMyriad)
+
+  /** Exactly-n-per-stratum sample, ordered inside each stratum by the
+    * id hash (then id): a deterministic stratified sample.
+    */
+  def stratifiedSample(df: DataFrame, strataCol: String, idCol: String,
+                       nPerStratum: Int): DataFrame = {
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(hashBucket(col(idCol)), col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= nPerStratum)
+      .drop("__rn")
+  }
+
+  /** Fixed-width histogram over [lo, hi): bin 0 = underflow,
+    * bin nBins+1 = overflow, deterministic bin arithmetic.
+    */
+  def histogram(df: DataFrame, valueCol: String, lo: Double, hi: Double,
+                nBins: Int): DataFrame = {
+    val x = col(valueCol)
+    val bin = when(x < lo, 0)
+      .when(x >= hi, nBins + 1)
+      .otherwise(floor((x - lo) / (hi - lo) * nBins).cast("int") + 1)
+    df.withColumn("bin", bin)
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        round(min(x), 4).as("min_value"),
+        round(max(x), 4).as("max_value"))
+  }
+}
