@@ -86,6 +86,12 @@ object PipelineQueries {
       .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rank"))
   }
 
+  def knnIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    Ivf.ivfTopK(e.filter(col("vec_id") < 5), e, k = 5, nCentroids = 16, nProbe = 4)
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rank"))
+  }
+
   def knnLsh(s: SparkSession, dir: String): DataFrame = {
     val e = embs(s, dir)
     Similarity.lshTopK(e.filter(col("vec_id") < 5), e, k = 5, dim = 64, planes = 6, tables = 8)
@@ -324,6 +330,7 @@ object PipelineQueries {
     "d6_embedding_dups" -> (embeddingDups _),
     "s1_knn_brute" -> (knnBrute _),
     "s2_knn_lsh" -> (knnLsh _),
+    "s3_knn_ivf" -> (knnIvf _),
     "mm1_modality_stats" -> (modalityStats _)
   )
 

@@ -42,6 +42,26 @@ class SimilaritySpec extends SparkSpecBase {
     assert(math.abs(top.getAs[Double]("cos_sim") - 1.0) < 1e-6)
   }
 
+  test("IVF probes recover a meaningful fraction of true neighbors; duplicate lands in same cell") {
+    val e = Tables.embeddings(spark, Sf)
+    val queries = e.filter(col("vec_id") < 20)
+    val brute = Similarity.bruteForceTopK(queries, e, k = 5)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val ivf = graft.operators.Ivf.ivfTopK(queries, e, k = 5, nCentroids = 16, nProbe = 4)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    // Probing 4 of 16 cells scans ~25% of the corpus; on unclustered
+    // random vectors recall tracks the scan fraction.
+    val recall = (brute intersect ivf).size.toDouble / brute.size
+    assert(recall > 0.12, s"recall=$recall")
+    // An exact duplicate always assigns to the same cell as its twin
+    // and must be retrieved as the top neighbor.
+    val dup = e.filter(col("vec_id") === 0)
+      .select(lit(10000L).as("vec_id"), col("embedding"), col("label"))
+    val top = graft.operators.Ivf.ivfTopK(e.filter(col("vec_id") === 0),
+        e.unionByName(dup), k = 1).collect().head
+    assert(top.getAs[Long]("neighbor_id") === 10000L)
+  }
+
   test("LSH buckets preserve exact duplicates and recall is sane") {
     val e = Tables.embeddings(spark, Sf)
     val queries = e.filter(col("vec_id") < 20)
