@@ -183,7 +183,34 @@ object ExtendedQueries {
       FROM trades)
     GROUP BY bin"""
 
+  /** X10 — token-budget shard packing: documents laid out
+    * deterministically and cut into ~5000-token training shards.
+    */
+  def tokenPacking(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"),
+      size(operators.TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+    operators.Sampling.packByTokenBudget(docs, "doc_id", "n_tokens", budget = 5000L)
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+  }
+
+  val tokenPackingSql: String = """
+    WITH d AS (
+      SELECT doc_id,
+             CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x != '')) AS BIGINT) AS n_tokens,
+             ((doc_id * 2654435761) % 1000000007 * 40503) % 1000000007 % 10000 AS hb
+      FROM documents
+    ), c AS (
+      SELECT *, SUM(n_tokens) OVER (ORDER BY hb, doc_id ROWS UNBOUNDED PRECEDING) AS cum
+      FROM d
+    )
+    SELECT CAST((cum - n_tokens) // 5000 AS BIGINT) AS shard_id,
+           COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+    FROM c GROUP BY 1"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "h5_region_revenue" -> ((s: SparkSession, dir: String) => TpchQueries.regionRevenue(s, dir)),
+    "x10_token_packing" -> (tokenPacking _),
     "x6_deterministic_sample" -> (docSample _),
     "x7_stratified_sample" -> (stratifiedSample _),
     "x8_percentiles" -> (percentiles _),
@@ -196,6 +223,8 @@ object ExtendedQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "h5_region_revenue" -> TpchQueries.regionRevenueSql,
+    "x10_token_packing" -> tokenPackingSql,
     "x6_deterministic_sample" -> docSampleSql,
     "x7_stratified_sample" -> stratifiedSampleSql,
     "x8_percentiles" -> percentilesSql,

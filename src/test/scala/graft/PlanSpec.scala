@@ -1,0 +1,60 @@
+package graft
+
+/** Plan-shape regression tests: the scale properties claimed in
+  * README/COVERAGE must be visible in the physical plans, not just
+  * intended. A change that silently degrades one of these (e.g. an
+  * aggregate falling back to SortAggregate, a lost pushdown) fails
+  * here before it costs anything on a cluster.
+  */
+class PlanSpec extends SparkSpecBase {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, Sf).queryExecution.executedPlan.toString
+
+  test("OHLCV aggregates hash, not sort (custom min_by_ord2)") {
+    val p = plan("a1_ohlcv_5m")
+    assert(p.contains("HashAggregate"))
+    assert(p.contains("min_by_ord2") && p.contains("max_by_ord2"))
+    assert(!p.contains("SortAggregate"), "OHLCV fell back to SortAggregate")
+    assert(p.contains("partial_min_by_ord2"), "lost map-side partial aggregation")
+  }
+
+  test("candles: symbol filter pushes into the parquet scan; top-k avoids a global sort") {
+    val p = plan("q4_candles")
+    assert(p.contains("PushedFilters") && p.contains("EqualTo(event_type,click)"),
+      "symbol filter not pushed to scan")
+    assert(p.contains("TakeOrderedAndProject"), "top-k planned as full sort")
+  }
+
+  test("shipping priority broadcasts the dimension side") {
+    val p = plan("h3_shipping_priority")
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("h5 six-table join broadcasts nation and region") {
+    val p = plan("h5_region_revenue")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(p.contains("r_name"))
+  }
+
+  test("pricing summary prunes lineitem columns at the scan") {
+    val df = SparkEntry.queries("h1_pricing_summary")(spark, Sf)
+    // (collectLeaves sees the whole unexecuted AQE subtree as one
+    // leaf, so assert on the scan's ReadSchema instead.)
+    val readSchema = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      .linesIterator.filter(_.contains("ReadSchema")).mkString
+    // 11-column table; the query needs exactly 7.
+    assert(readSchema.split(",").length === 7, readSchema)
+    assert(!readSchema.contains("l_orderkey") && !readSchema.contains("l_partkey"))
+  }
+
+  test("date filter reaches the events scan through the whole medallion pipeline") {
+    val p = plan("q1_count_day")
+    // The trade_date = 2024-01-15 predicate must appear as a ts bound
+    // inside the scan's pushed filters, not as a post-scan filter only.
+    assert(p.contains("PushedFilters: [IsNotNull"), "no pushdown at all")
+    assert(p.contains("2024-01-15") || p.contains("1705276800"),
+      "day constraint did not reach the scan")
+  }
+}
