@@ -56,6 +56,55 @@ object LatestPriceStream {
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(updateState)
   }
 
+  /** Spark-4 `transformWithState` form (SURVEY.md §2.5 A6 names this
+    * API): same semantics as `snapshots`, state held in a typed
+    * ValueState managed by the new stateful-processor runtime
+    * (RocksDB-backed, TTL-capable — the long-horizon posture for
+    * keyed state at scale).
+    */
+  class LatestPriceProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, TradeEvent, LatestPrice] {
+    import org.apache.spark.sql.streaming.{TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.{Encoders, streaming => ss}
+
+    @transient private var state: ValueState[PriceState] = _
+
+    override def init(outputMode: ss.OutputMode, timeMode: ss.TimeMode): Unit =
+      state = getHandle.getValueState[PriceState]("latest",
+        Encoders.product[PriceState], TTLConfig.NONE)
+
+    override def handleInputRows(symbol: String, rows: Iterator[TradeEvent],
+                                 timerValues: TimerValues): Iterator[LatestPrice] = {
+      val sorted = rows.toSeq.sortBy(e => (e.event_time.getTime, e.price))
+      if (sorted.isEmpty) Iterator.empty
+      else {
+        var prev = Option(state.get())
+        var out = List.empty[LatestPrice]
+        sorted.foreach { e =>
+          val (change, pct) = prev match {
+            case Some(p) if p.price != 0 =>
+              (e.price - p.price, (e.price - p.price) / p.price * 100)
+            case Some(p) => (e.price - p.price, 0.0)
+            case None => (0.0, 0.0)
+          }
+          out = LatestPrice(symbol, e.price, e.volume, e.event_time, change, pct) :: out
+          prev = Some(PriceState(e.price, e.volume, e.event_time))
+        }
+        state.update(prev.get)
+        Iterator(out.head)
+      }
+    }
+  }
+
+  /** snapshots() on the transformWithState runtime. */
+  def snapshotsTws(spark: SparkSession, trades: Dataset[TradeEvent]): Dataset[LatestPrice] = {
+    import org.apache.spark.sql.streaming.TimeMode
+    import spark.implicits._
+    trades.groupByKey(_.symbol)
+      .transformWithState(new LatestPriceProcessor,
+        TimeMode.None(), OutputMode.Update, implicitly[org.apache.spark.sql.Encoder[LatestPrice]])
+  }
+
   /** Batch adapter: same per-symbol fold, for tests and backfill. */
   def snapshotsBatch(spark: SparkSession, trades: Dataset[TradeEvent]): Dataset[LatestPrice] = {
     import spark.implicits._

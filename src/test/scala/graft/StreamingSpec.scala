@@ -59,6 +59,32 @@ class StreamingSpec extends SparkSpecBase {
     assert(out.exists(_.getAs[String]("symbol") == "MSFT"))
   }
 
+  test("A5: events later than the watermark are dropped from the aggregation") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val trades = TradeStreams.parseTrades(mem.toDF())
+      .withColumn("event_id", col("timestamp"))
+    val bars = Ohlcv.bars5m(TradeStreams.withWatermark(trades, "10 minutes"))
+    val q = bars.writeStream.format("memory").queryName("late_out")
+      .outputMode("update").start()
+    // Batch 1: one event; watermark after the batch = t0 - 10min.
+    mem.addData(tradeJson("AAPL", 10.0, 1, t0))
+    q.processAllAvailable()
+    // Batch 2: event one hour later pushes the watermark to t0+50min.
+    mem.addData(tradeJson("AAPL", 20.0, 1, t0 + 3600000))
+    q.processAllAvailable()
+    // Batch 3: a late event inside the first (now-expired) window.
+    mem.addData(tradeJson("AAPL", 99.0, 7, t0 + 60000))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("late_out").collect()
+    // The first window must never reflect the late 99.0 trade.
+    val firstWindow = rows.filter(_.getAs[java.sql.Timestamp]("window_start").getTime == (t0 / 300000) * 300000)
+    assert(firstWindow.nonEmpty)
+    assert(firstWindow.forall(_.getAs[Double]("high") === 10.0))
+    assert(firstWindow.forall(_.getAs[Long]("volume") === 1L))
+  }
+
   test("latest-price stateful stream emits change vs previous trade") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[LatestPriceStream.TradeEvent]
@@ -75,6 +101,32 @@ class StreamingSpec extends SparkSpecBase {
     assert(rows(0).getAs[Double]("price_change") === 0.0)
     assert(rows(1).getAs[Double]("price_change") === 10.0)
     assert(math.abs(rows(1).getAs[Double]("price_change_pct") - 10.0) < 1e-9)
+  }
+
+  test("transformWithState processor matches the flatMapGroupsWithState form") {
+    implicit val sqlCtx = spark.sqlContext
+    // transformWithState requires the RocksDB state store provider.
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[LatestPriceStream.TradeEvent]
+      val snaps = LatestPriceStream.snapshotsTws(spark, mem.toDS())
+      val q = snaps.writeStream.format("memory").queryName("lp_tws_out")
+        .outputMode("update").start()
+      mem.addData(LatestPriceStream.TradeEvent("AAPL", 100.0, 10, new Timestamp(t0)))
+      q.processAllAvailable()
+      mem.addData(LatestPriceStream.TradeEvent("AAPL", 110.0, 20, new Timestamp(t0 + 1000)))
+      q.processAllAvailable()
+      q.stop()
+      val rows = spark.table("lp_tws_out").orderBy("last_trade_time").collect()
+      assert(rows.length === 2)
+      assert(rows(1).getAs[Double]("price_change") === 10.0)
+      assert(math.abs(rows(1).getAs[Double]("price_change_pct") - 10.0) < 1e-9)
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
   }
 
   test("batch adapter reproduces the stateful fold") {
