@@ -102,6 +102,11 @@ object PipelineQueries {
     Multimodal.modalityStats(
       Multimodal.extractFeatures(s, Multimodal.asMediaTable(docs(s, dir))))
 
+  def frameSample(s: SparkSession, dir: String): DataFrame =
+    Multimodal.sampleFrames(
+      Multimodal.extractFeatures(s, Multimodal.asMediaTable(
+        docs(s, dir).filter(col("doc_id") < 300))), stride = 2)
+
   // ---------------------------------------------------------------
   // Oracle SQL (DuckDB) — mirrors the integer-arithmetic operators
   // ---------------------------------------------------------------
@@ -312,6 +317,15 @@ object PipelineQueries {
       FROM documents)
     GROUP BY 1"""
 
+  val frameSampleSql: String = s"""
+    WITH f AS (
+      SELECT doc_id, CAST(1 + length(text) % 8 AS INT) AS n_frames,
+             ${polySql("text", 31, Pm)} AS cs
+      FROM documents WHERE doc_id < 300 AND doc_id % 3 = 2)
+    SELECT doc_id, n_frames, CAST(frame_idx AS INT) AS frame_idx,
+           (cs + frame_idx * 2654435761) % 1000000007 AS frame_checksum
+    FROM (SELECT *, UNNEST(generate_series(0, n_frames - 1, 2)) AS frame_idx FROM f)"""
+
   // ---------------------------------------------------------------
   // Wiring
   // ---------------------------------------------------------------
@@ -331,7 +345,8 @@ object PipelineQueries {
     "s1_knn_brute" -> (knnBrute _),
     "s2_knn_lsh" -> (knnLsh _),
     "s3_knn_ivf" -> (knnIvf _),
-    "mm1_modality_stats" -> (modalityStats _)
+    "mm1_modality_stats" -> (modalityStats _),
+    "mm2_frame_sample" -> (frameSample _)
   )
 
   /** s2_knn_lsh is approximate (no SQL oracle; rows-only check). */
@@ -348,6 +363,7 @@ object PipelineQueries {
     "d7_near_dedup" -> nearDedupSql,
     "d6_embedding_dups" -> embeddingDupsSql,
     "s1_knn_brute" -> knnBruteSql,
-    "mm1_modality_stats" -> modalityStatsSql
+    "mm1_modality_stats" -> modalityStatsSql,
+    "mm2_frame_sample" -> frameSampleSql
   )
 }

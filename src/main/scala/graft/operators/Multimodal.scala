@@ -66,6 +66,21 @@ object Multimodal {
       }
   }
 
+  /** Frame sampling: explode each video row into one row per sampled
+    * frame (stride-sampled). With a real codec the frame payload would
+    * be decoded here; the stub derives a deterministic frame checksum.
+    * The plumbing is the real thing: a generator expression expanding
+    * rows scan-side, no shuffle.
+    */
+  def sampleFrames(features: Dataset[MediaFeatures], stride: Int = 2): DataFrame =
+    features.toDF()
+      .filter(col("modality") === "video")
+      .select(col("doc_id"), col("n_frames"), col("checksum"),
+        explode(sequence(lit(0), col("n_frames") - 1, lit(stride))).as("frame_idx"))
+      .withColumn("frame_checksum",
+        pmod(col("checksum") + col("frame_idx") * 2654435761L, lit(1000000007L)))
+      .select(col("doc_id"), col("n_frames"), col("frame_idx"), col("frame_checksum"))
+
   /** Per-modality statistics over the extracted features — ordinary
     * hash aggregation downstream of the decode stage.
     */

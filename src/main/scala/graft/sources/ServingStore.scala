@@ -30,4 +30,21 @@ object ServingStore {
 
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Bucketed table write: pre-shuffles once at write time so that
+    * every future join/aggregation on `bucketCols` runs with NO
+    * exchange — the parquet analog of co-locating by Cassandra
+    * partition key, and the biggest lever for repeated large-table
+    * joins at 100 TB (pay the shuffle once, amortize it over every
+    * downstream query). Requires the session catalog (saveAsTable).
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
+                    nBuckets: Int, sortCols: Seq[String] = Nil): Unit = {
+    val w = df.write
+      .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
+      .mode(SaveMode.Overwrite)
+      .format("parquet")
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(table)
+  }
 }

@@ -32,6 +32,39 @@ class ServingStoreSpec extends SparkSpecBase {
     assert(q.count() === expected && expected > 0)
   }
 
+  test("bucketed tables join with no shuffle exchange") {
+    val li = Tables.lineitem(spark, Sf).select("l_orderkey", "l_extendedprice")
+    val ord = Tables.orders(spark, Sf).select("o_orderkey", "o_totalprice")
+    ServingStore.writeBucketed(li, "li_bucketed", Seq("l_orderkey"), 8)
+    ServingStore.writeBucketed(ord, "ord_bucketed", Seq("o_orderkey"), 8)
+    try {
+      // Disable broadcast so the join would otherwise shuffle.
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("li_bucketed")
+        .join(spark.table("ord_bucketed"), col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"))
+      assert(!plan.contains("Exchange"),
+        s"bucketed join still shuffles:\n${plan.take(800)}")
+      assert(joined.count() > 0)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS li_bucketed")
+      spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+    }
+  }
+
+  test("console sink runs a streaming query to completion (K2)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Int]
+    val q = graft.streaming.Sinks.consoleSink(mem.toDF(), numRows = 3).start()
+    mem.addData(1, 2, 3)
+    q.processAllAvailable()
+    assert(q.isActive)
+    q.stop()
+  }
+
   test("observe() exposes validation counters without a second pass") {
     val trades = Tables.trades(spark, Sf)
     val validated = Validation.observeValidation(
