@@ -210,6 +210,7 @@ object ExtendedQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "h5_region_revenue" -> ((s: SparkSession, dir: String) => TpchQueries.regionRevenue(s, dir)),
+    "h14_promo_revenue" -> ((s: SparkSession, dir: String) => TpchQueries.promoRevenue(s, dir)),
     "x10_token_packing" -> (tokenPacking _),
     "x6_deterministic_sample" -> (docSample _),
     "x7_stratified_sample" -> (stratifiedSample _),
@@ -224,6 +225,7 @@ object ExtendedQueries {
 
   val oracles: Map[String, String] = Map(
     "h5_region_revenue" -> TpchQueries.regionRevenueSql,
+    "h14_promo_revenue" -> TpchQueries.promoRevenueSql,
     "x10_token_packing" -> tokenPackingSql,
     "x6_deterministic_sample" -> docSampleSql,
     "x7_stratified_sample" -> stratifiedSampleSql,

@@ -57,6 +57,7 @@ object PipelineQueries {
 
   def minhashSignatures(s: SparkSession, dir: String): DataFrame = {
     val sh = Dedup.withShingles(docs(s, dir).filter(col("doc_id") < 100), "text", 3)
+      .filter(size(col("sh")) > 0)
       .select(col("doc_id"), col("sh"))
     sh.select(col("doc_id"),
         posexplode(Dedup.minhashSignature(col("sh"), 16)).as(Seq("pos", "sig_value")))
@@ -218,6 +219,10 @@ object PipelineQueries {
     * sig_i = min((x*(2i+1) + 104729*i mod P) mod P), sentinel P when
     * no shingles. Matches Dedup.minhashParams/minhashSignature.
     */
+  /** Excludes docs with no shingles (mirrors Dedup.minhashCandidates
+    * and minhashSignatures — they cannot be near-dups and would all
+    * collide on the sentinel signature).
+    */
   private val sigSql: String = """sigs AS (
     SELECT doc_id,
            list_transform(generate_series(1, 16), p ->
@@ -226,7 +231,7 @@ object PipelineQueries {
                  (x * ((2654435761 * p + 1) % 1000000007)
                   + (40503 * p * p + 17) % 1000000007) % 1000000007))
              ELSE 1000000007 END) AS sig
-    FROM sh
+    FROM sh WHERE len(sh) > 0
   )"""
 
   val minhashSigSql: String = s"""WITH ${shingleSql(3, "doc_id < 100")}, $sigSql

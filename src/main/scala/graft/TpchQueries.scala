@@ -113,6 +113,45 @@ object TpchQueries {
         count(lit(1)).as("n_lineitems"))
   }
 
+  /** TPC-H Q14 shape: promotion revenue share. part |><| lineitem on
+    * partkey — part is the build side; at real scale AQE picks
+    * broadcast vs shuffle from runtime stats. The ratio is exact:
+    * both numerator and denominator are DECIMAL sums, divided once.
+    */
+  def promoRevenue(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1997-06-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-07-01").cast("timestamp"))
+    val p = Tables.part(s, dir)
+    li.join(p, col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type").startsWith("PROMO"),
+          dec("l_extendedprice") * (lit(1) - dec("l_discount"))).otherwise(lit(0).cast("decimal(18,2)")))
+          .cast("double").as("promo_revenue"),
+        sum(dec("l_extendedprice") * (lit(1) - dec("l_discount"))).cast("double").as("total_revenue"),
+        count(lit(1)).as("n_lineitems"))
+      .withColumn("promo_share_e6",
+        when(col("total_revenue") > 0,
+          floor(col("promo_revenue") / col("total_revenue") * 1000000).cast("long")))
+  }
+
+  val promoRevenueSql: String = """
+    SELECT CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+                 THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                 ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS promo_revenue,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_revenue,
+           COUNT(*) AS n_lineitems,
+           CASE WHEN SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) > 0 THEN
+             CAST(FLOOR(CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+                    THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                  / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+                  * 1000000) AS BIGINT) END AS promo_share_e6
+    FROM lineitem, part
+    WHERE l_partkey = p_partkey
+      AND l_shipdate >= TIMESTAMP '1997-06-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-07-01 00:00:00'"""
+
   /** First region name alphabetically — keeps the query data-driven
     * instead of assuming TPC-H's region spellings.
     */

@@ -122,7 +122,12 @@ object Dedup {
                         textCol: String = "text", shingleN: Int = 3,
                         k: Int = 16, bands: Int = 4): DataFrame = {
     val rows = k / bands
+    // Docs too short to shingle can't be near-duplicates by
+    // definition — and all of them share the sentinel signature, so
+    // keeping them would put every short doc in one quadratic bucket
+    // (caught by EdgeCaseSpec).
     val sig = withShingles(docs.select(col(idCol).as("id"), col(textCol)), textCol, shingleN)
+      .filter(size(col("sh")) > 0)
       .select(col("id"), minhashSignature(col("sh"), k).as("sig"))
     val banded = sig.select(col("id"), col("sig"),
         posexplode(bandKeys(col("sig"), bands, rows)).as(Seq("band", "key")))

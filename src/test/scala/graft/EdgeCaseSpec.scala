@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators._
+
+/** Degenerate inputs: every operator must return empty/identity
+  * results on empty input rather than throwing — the difference
+  * between a library and a demo when a partition filter matches
+  * nothing.
+  */
+class EdgeCaseSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val emptyTrades = spark.createDataFrame(
+    spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+    StructType(Seq(
+      StructField("event_id", LongType), StructField("symbol", StringType),
+      StructField("price", DoubleType), StructField("volume", LongType),
+      StructField("event_time", TimestampType))))
+
+  test("OHLCV, latest prices, dedup on empty input") {
+    assert(Ohlcv.bars5m(emptyTrades).count() === 0)
+    assert(LatestPrices.snapshot(emptyTrades).count() === 0)
+    assert(Medallion.dedup(emptyTrades).count() === 0)
+  }
+
+  test("text/dedup operators on empty and degenerate documents") {
+    val docs = Seq((1L, ""), (2L, "   "), (3L, "x")).toDF("doc_id", "text")
+    val feats = TextAnalysis.features(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_tokens")).toMap
+    assert(feats(1L) === 0L && feats(2L) === 0L && feats(3L) === 1L)
+    // Shingles need >= n tokens: empty shingle sets score j=0, no crash.
+    assert(Dedup.jaccardPairs(docs, 0L, shingleN = 2).count() === 3)
+    assert(Dedup.jaccardPairs(docs, 1L, shingleN = 2).count() === 0)
+    assert(Dedup.minhashCandidates(docs).count() === 0)
+    assert(Dedup.nearDedup(docs, 500000L).count() === 3)
+  }
+
+  test("similarity with empty query set and zero vectors") {
+    val vecs = Seq((1L, Seq(0f, 0f)), (2L, Seq(1f, 0f))).toDF("vec_id", "embedding")
+    // Zero vector: cosine guard returns 0, no NaN.
+    val sims = Similarity.bruteForceTopK(vecs.filter(col("vec_id") === 1), vecs, k = 5)
+      .collect()
+    assert(sims.length === 1 && sims.head.getAs[Double]("cos_sim") === 0.0)
+    val none = Similarity.bruteForceTopK(vecs.filter(col("vec_id") > 99), vecs, k = 5)
+    assert(none.count() === 0)
+  }
+
+  test("as-of join with empty right side preserves left rows with nulls") {
+    val left = Seq((1L, "A", 10L, 1.0)).toDF("id", "k", "t", "px")
+    val right = Seq.empty[(String, Long, Double)].toDF("k", "t", "bid")
+    val out = AsOfJoin.asOf(left, right, Seq("k"), "t", "t", Seq("bid")).collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[Any]("asof_bid") === null)
+  }
+
+  test("validation of fully-null rows flags every reason, crashes never") {
+    val df = Seq.empty[(java.lang.Long, String, java.lang.Double, java.lang.Long)]
+      .toDF("event_id", "symbol", "price", "volume")
+      .withColumn("event_time", lit(null).cast("timestamp"))
+    assert(Validation.validate(df, 0L).count() === 0)
+  }
+}
