@@ -130,6 +130,18 @@ object ExtendedQueries {
      INTERSECT SELECT DISTINCT user_id FROM e WHERE event_type = 'purchase')
     EXCEPT SELECT DISTINCT user_id FROM e WHERE event_type = 'signup'"""
 
+  /** X11 — HLL sketch: approximate distinct trade count per symbol
+    * (approx_count_distinct, rsd 2%). Sketches are mergeable partial
+    * aggregates — at 100 TB the shuffle carries one ~kB sketch per
+    * group instead of the key set; the price is approximation, so this
+    * query gets the rows-only check (error bound asserted vs the exact
+    * count in SketchSpec).
+    */
+  def approxDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.trades(s, dir)
+      .groupBy(col("symbol"))
+      .agg(approx_count_distinct(col("event_id"), rsd = 0.02).as("approx_trades"))
+
   /** X6 — deterministic Bernoulli sample (10%) of documents. */
   def docSample(s: SparkSession, dir: String): DataFrame =
     operators.Sampling.deterministicSample(
@@ -212,6 +224,7 @@ object ExtendedQueries {
     "h5_region_revenue" -> ((s: SparkSession, dir: String) => TpchQueries.regionRevenue(s, dir)),
     "h14_promo_revenue" -> ((s: SparkSession, dir: String) => TpchQueries.promoRevenue(s, dir)),
     "x10_token_packing" -> (tokenPacking _),
+    "x11_approx_distinct" -> (approxDistinct _),
     "x6_deterministic_sample" -> (docSample _),
     "x7_stratified_sample" -> (stratifiedSample _),
     "x8_percentiles" -> (percentiles _),

@@ -65,6 +65,17 @@ object TradeStreams {
   /** P1+P2 composed — the entry transform of the consumer. */
   def parseTrades(raw: DataFrame): DataFrame = withEventTime(parseKafkaValue(raw))
 
+  /** Typed form: the parsed stream as Dataset[Trade] (compile-time
+    * field checks downstream; graft.model mirrors the Avro contract).
+    */
+  def parseTradesTyped(spark: SparkSession, raw: DataFrame): org.apache.spark.sql.Dataset[graft.model.Trade] = {
+    import spark.implicits._
+    parseTrades(raw)
+      .select(col("symbol"), col("price"), col("volume"), col("timestamp"),
+        col("conditions"), col("event_time"))
+      .as[graft.model.Trade]
+  }
+
   /** A5 — watermark: late events beyond `delay` are dropped from
     * stateful ops (apply_watermark, transformations.py:211-224;
     * default 10 minutes, spark_processor.py:45).

@@ -29,6 +29,9 @@ class StreamingSpec extends SparkSpecBase {
     assert(parsed.getAs[Double]("price") === 150.25)
     assert(parsed.getAs[Seq[String]]("conditions") === Seq("1"))
     assert(parsed.getAs[Timestamp]("event_time").getTime === t0)
+    val typed = TradeStreams.parseTradesTyped(spark, raw).collect().head
+    assert(typed.symbol === "AAPL" && typed.price === 150.25 &&
+      typed.conditions === Seq("1") && typed.event_time.getTime === t0)
   }
 
   test("streaming OHLCV over MemoryStream: watermark + dedup + windows") {
