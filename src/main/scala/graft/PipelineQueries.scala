@@ -56,8 +56,9 @@ object PipelineQueries {
       minJaccardE6 = 50000L, shingleN = 2)
 
   def minhashSignatures(s: SparkSession, dir: String): DataFrame = {
-    val sh = Dedup.withShingles(docs(s, dir).filter(col("doc_id") < 100), "text", 3)
-      .filter(size(col("sh")) > 0)
+    val sh = Dedup.withShingles(
+        docs(s, dir).filter(col("doc_id") < 100 &&
+          size(TextAnalysis.tokens(col("text"))) >= 3), "text", 3)
       .select(col("doc_id"), col("sh"))
     sh.select(col("doc_id"),
         posexplode(Dedup.minhashSignature(col("sh"), 16)).as(Seq("pos", "sig_value")))

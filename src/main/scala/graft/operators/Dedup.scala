@@ -125,9 +125,13 @@ object Dedup {
     // Docs too short to shingle can't be near-duplicates by
     // definition — and all of them share the sentinel signature, so
     // keeping them would put every short doc in one quadratic bucket
-    // (caught by EdgeCaseSpec).
-    val sig = withShingles(docs.select(col(idCol).as("id"), col(textCol)), textCol, shingleN)
-      .filter(size(col("sh")) > 0)
+    // (caught by EdgeCaseSpec). Filter on the cheap token count BEFORE
+    // the hash projections: a filter on the shingle column itself gets
+    // predicate-pushed below the staged projections and re-inlines the
+    // whole token-hash tree (8x slowdown, caught live in Bench).
+    val eligible = docs.select(col(idCol).as("id"), col(textCol))
+      .filter(size(TextAnalysis.tokens(col(textCol))) >= shingleN)
+    val sig = withShingles(eligible, textCol, shingleN)
       .select(col("id"), minhashSignature(col("sh"), k).as("sig"))
     val banded = sig.select(col("id"), col("sig"),
         posexplode(bandKeys(col("sig"), bands, rows)).as(Seq("band", "key")))
