@@ -32,8 +32,9 @@ object SparkEntry {
   private def trades(s: SparkSession, dir: String): DataFrame = Tables.trades(s, dir)
 
   private def silverDf(s: SparkSession, dir: String): DataFrame =
-    Medallion.dedup(
-      Medallion.toSilver(trades(s, dir), lit(CutoffTs).cast("timestamp")))
+    Medallion.dedupAgg(
+      Medallion.toSilver(trades(s, dir), lit(CutoffTs).cast("timestamp")),
+      payloadCols = Seq("price", "volume", "trade_date"))
 
   private def gold5m(s: SparkSession, dir: String): DataFrame = Ohlcv.bars5m(silverDf(s, dir))
   private def gold1h(s: SparkSession, dir: String): DataFrame = Ohlcv.bars1h(silverDf(s, dir))

@@ -66,4 +66,22 @@ object Medallion {
       .filter(col("rn") === 1)
       .drop("rn")
   }
+
+  /** F2 via hash aggregation: same survivor semantics as `dedup`
+    * (lowest event_id per (symbol, event_time)), but each payload
+    * column is picked with the primitive-buffer MinByOrd2 aggregate —
+    * a HashAggregate with map-side partials instead of the window
+    * form's double sort + WindowGroupLimit. Preferred on the hot gold
+    * path; `dedup` stays for arbitrary schemas (the aggregate form
+    * needs the payload column list).
+    */
+  def dedupAgg(trades: DataFrame, payloadCols: Seq[String] = Seq("price", "volume")): DataFrame = {
+    import graft.functions.OrderedExtremum.minByOrd2
+    val aggs = payloadCols.map(c =>
+      minByOrd2(col(c), col("event_id"), lit(0L)).as(c)) :+
+      min(col("event_id")).as("event_id")
+    trades
+      .groupBy(col("symbol"), col("event_time"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
 }

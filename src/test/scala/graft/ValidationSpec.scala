@@ -100,4 +100,20 @@ class ValidationSpec extends SparkSpecBase {
     val kept = Medallion.dedup(df).collect().map(_.getAs[Long]("event_id")).toSet
     assert(kept === Set(3L, 7L))
   }
+
+  test("aggregate-form dedup returns the same surviving rows as the window form") {
+    val df = tradesDf(Seq(
+      (5L, "A", 10.0, 10L, "2024-01-15 10:00:00"),
+      (3L, "A", 11.0, 20L, "2024-01-15 10:00:00"),
+      (9L, "A", 12.0, 30L, "2024-01-15 10:00:05"),
+      (7L, "B", 12.0, 40L, "2024-01-15 10:00:00")))
+    def rows(d: org.apache.spark.sql.DataFrame) = d
+      .select("event_id", "symbol", "price", "volume")
+      .collect().map(_.toSeq).toSet
+    assert(rows(Medallion.dedupAgg(df)) === rows(Medallion.dedup(df)))
+    // Survivor payload comes from the lowest-id row, not a mix.
+    val a = Medallion.dedupAgg(df).filter(col("symbol") === "A" &&
+      col("event_id") === 3L).collect().head
+    assert(a.getAs[Double]("price") === 11.0 && a.getAs[Long]("volume") === 20L)
+  }
 }
