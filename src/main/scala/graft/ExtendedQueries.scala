@@ -130,6 +130,45 @@ object ExtendedQueries {
      INTERSECT SELECT DISTINCT user_id FROM e WHERE event_type = 'purchase')
     EXCEPT SELECT DISTINCT user_id FROM e WHERE event_type = 'signup'"""
 
+  /** X12 — correlated scalar subquery through the SQL surface: trades
+    * that are their (symbol, day) high. Exercises Spark's subquery
+    * decorrelation (rewritten to an aggregate + join under the hood).
+    */
+  def dailyHighTrades(s: SparkSession, dir: String): DataFrame = {
+    Tables.trades(s, dir).createOrReplaceTempView("trades_v")
+    s.sql("""
+      SELECT t.symbol, t.trade_date, t.event_id, t.price
+      FROM trades_v t
+      WHERE t.price = (SELECT MAX(t2.price) FROM trades_v t2
+                       WHERE t2.symbol = t.symbol AND t2.trade_date = t.trade_date)
+    """)
+  }
+
+  val dailyHighTradesSql: String = """
+    WITH trades AS (
+      SELECT event_id, event_type AS symbol, value AS price, CAST(ts AS DATE) AS trade_date
+      FROM events)
+    SELECT t.symbol, t.trade_date, t.event_id, t.price
+    FROM trades t
+    WHERE t.price = (SELECT MAX(t2.price) FROM trades t2
+                     WHERE t2.symbol = t.symbol AND t2.trade_date = t.trade_date)"""
+
+  /** X13 — CUBE: volume totals over all 2^2 grouping combinations. */
+  def cubeVolume(s: SparkSession, dir: String): DataFrame =
+    Tables.trades(s, dir)
+      .cube(col("symbol"), col("trade_date"))
+      .agg(sum(col("volume")).as("total_volume"), grouping_id().as("gid"))
+
+  val cubeVolumeSql: String = """
+    WITH trades AS (
+      SELECT event_type AS symbol,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS volume,
+             CAST(ts AS DATE) AS trade_date
+      FROM events)
+    SELECT symbol, trade_date, CAST(SUM(volume) AS BIGINT) AS total_volume,
+           CAST(GROUPING(symbol, trade_date) AS BIGINT) AS gid
+    FROM trades GROUP BY CUBE(symbol, trade_date)"""
+
   /** X11 — HLL sketch: approximate distinct trade count per symbol
     * (approx_count_distinct, rsd 2%). Sketches are mergeable partial
     * aggregates — at 100 TB the shuffle carries one ~kB sketch per
@@ -225,6 +264,8 @@ object ExtendedQueries {
     "h14_promo_revenue" -> ((s: SparkSession, dir: String) => TpchQueries.promoRevenue(s, dir)),
     "x10_token_packing" -> (tokenPacking _),
     "x11_approx_distinct" -> (approxDistinct _),
+    "x12_subquery_daily_high" -> (dailyHighTrades _),
+    "x13_cube" -> (cubeVolume _),
     "x6_deterministic_sample" -> (docSample _),
     "x7_stratified_sample" -> (stratifiedSample _),
     "x8_percentiles" -> (percentiles _),
@@ -240,6 +281,8 @@ object ExtendedQueries {
     "h5_region_revenue" -> TpchQueries.regionRevenueSql,
     "h14_promo_revenue" -> TpchQueries.promoRevenueSql,
     "x10_token_packing" -> tokenPackingSql,
+    "x12_subquery_daily_high" -> dailyHighTradesSql,
+    "x13_cube" -> cubeVolumeSql,
     "x6_deterministic_sample" -> docSampleSql,
     "x7_stratified_sample" -> stratifiedSampleSql,
     "x8_percentiles" -> percentilesSql,
