@@ -90,6 +90,19 @@ object App {
     }
     if (cfg.layers("gold5m")) goldSink("gold5m", "5 minutes")
     if (cfg.layers("gold1h")) goldSink("gold1h", "1 hour")
+    if (cfg.layers("deadletter")) {
+      // K5 — validation split: rows failing the rule bundle (including
+      // schema-level parse nulls) land in the dead-letter store with
+      // their reasons. The future-timestamp bound is micro-batch wall
+      // clock, as in the reference's producer-side validator.
+      val validated = graft.operators.Validation.validate(
+        parsed.withColumn("event_id", col("timestamp")),
+        maxEventTimeMs = System.currentTimeMillis() + graft.operators.Validation.FutureSkewMs)
+      val (_, dead) = graft.operators.Validation.split(validated)
+      mgr.start("deadletter", Sinks.deadLetterSink(
+        dead.withColumn("errors", to_json(col("errors"))),
+        s"${cfg.out}/dead_letters", s"${cfg.checkpoint}/deadletter"))
+    }
     mgr
   }
 

@@ -25,14 +25,16 @@ class AppSpec extends SparkSpecBase {
     val mem = MemoryStream[String]
     val t0 = 1705312800000L
     val cfg = App.Config(out = s"$dir/out", checkpoint = s"$dir/ckp",
-      layers = Set("bronze", "silver", "gold5m"), trigger = "0 seconds")
+      layers = Set("bronze", "silver", "gold5m", "deadletter"), trigger = "0 seconds")
     val mgr = App.start(spark, mem.toDF(), cfg)
     mem.addData(
       s"""{"symbol":"AAPL","price":10.5,"volume":3,"timestamp":$t0,"conditions":[],"ingestion_time":$t0}""",
-      s"""{"symbol":"AAPL","price":11.5,"volume":2,"timestamp":${t0 + 60000},"conditions":[],"ingestion_time":$t0}""")
+      s"""{"symbol":"AAPL","price":11.5,"volume":2,"timestamp":${t0 + 60000},"conditions":[],"ingestion_time":$t0}""",
+      // invalid: negative price -> dead letter, never silver/gold
+      s"""{"symbol":"BAD","price":-1.0,"volume":9,"timestamp":${t0 + 1000},"conditions":[],"ingestion_time":$t0}""")
     mgr.processAllAvailable()
     mgr.stopAll()
-    assert(spark.read.parquet(s"$dir/out/bronze").count() === 2)
+    assert(spark.read.parquet(s"$dir/out/bronze").count() === 3)
     assert(spark.read.parquet(s"$dir/out/silver").count() === 2)
     val gold = spark.read.parquet(s"$dir/out/gold5m")
     assert(gold.count() === 1)
@@ -40,5 +42,9 @@ class AppSpec extends SparkSpecBase {
     assert(bar.getAs[Double]("open") === 10.5)
     assert(bar.getAs[Double]("close") === 11.5)
     assert(bar.getAs[Long]("volume") === 5L)
+    val dead = spark.read.parquet(s"$dir/out/dead_letters").collect()
+    assert(dead.length === 1)
+    assert(dead.head.getAs[String]("symbol") === "BAD")
+    assert(dead.head.getAs[String]("errors").contains("price_out_of_range"))
   }
 }

@@ -62,6 +62,27 @@ class StreamingSpec extends SparkSpecBase {
     assert(out.exists(_.getAs[String]("symbol") == "MSFT"))
   }
 
+  test("append mode emits a bar exactly once, when the watermark closes its window") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val trades = TradeStreams.parseTrades(mem.toDF())
+      .withColumn("event_id", col("timestamp"))
+    val bars = Ohlcv.bars5m(TradeStreams.withWatermark(trades, "10 minutes"))
+    val q = bars.writeStream.format("memory").queryName("append_out")
+      .outputMode("append").start()
+    mem.addData(tradeJson("AAPL", 10.0, 1, t0))
+    q.processAllAvailable()
+    // Window still open: nothing emitted yet.
+    assert(spark.table("append_out").count() === 0)
+    // Advance the watermark past the window end.
+    mem.addData(tradeJson("AAPL", 20.0, 1, t0 + 3600000))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("append_out").collect()
+    assert(rows.length === 1) // the closed first window, finalized once
+    assert(rows.head.getAs[Double]("close") === 10.0)
+  }
+
   test("A5: events later than the watermark are dropped from the aggregation") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[String]
