@@ -17,10 +17,12 @@ import graft.functions._
   * session (test/REPL convenience).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftExtensions.all.foreach { case (name, info, builder) =>
       e.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    e.injectOptimizerRule(_ => graft.plans.IntersectSizeRule)
+  }
 }
 
 object GraftExtensions {
@@ -53,10 +55,16 @@ object GraftExtensions {
         litInt(es(2), "tables"), litInt(es(3), "dim")))
   )
 
-  /** Register on an existing session. */
-  def register(spark: SparkSession): Unit =
+  /** Register on an existing session (functions + the intersect-size
+    * optimizer rule via experimental extraOptimizations).
+    */
+  def register(spark: SparkSession): Unit = {
     all.foreach { case (name, _, builder) =>
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         name, builder, "built-in")
     }
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.IntersectSizeRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.IntersectSizeRule
+  }
 }

@@ -18,8 +18,11 @@ import org.apache.spark.sql.types._
   * intersection cardinality is a single merge walk — no allocation, no
   * hashing — and fuses into whole-stage codegen.
   *
-  * Precondition: both inputs sorted ascending (duplicates allowed on
-  * neither side — shingle sets are distinct by construction).
+  * Precondition: both inputs sorted ascending. Duplicates are
+  * counted once (set semantics — same result as
+  * size(array_intersect(a, b)) for sorted inputs), which also makes
+  * the expression a safe rewrite target for the optimizer rule in
+  * graft.plans.IntersectSizeRule.
   */
 case class SortedIntersectSize(left: Expression, right: Expression)
     extends BinaryExpression with Serializable {
@@ -44,7 +47,12 @@ case class SortedIntersectSize(left: Expression, right: Expression)
     var i = 0; var j = 0; var n = 0L
     while (i < na && j < nb) {
       val x = a.getLong(i); val y = b.getLong(j)
-      if (x == y) { n += 1; i += 1; j += 1 }
+      if (x == y) {
+        n += 1
+        // skip duplicate runs on both sides (set semantics)
+        while (i < na && a.getLong(i) == x) i += 1
+        while (j < nb && b.getLong(j) == y) j += 1
+      }
       else if (x < y) i += 1
       else j += 1
     }
@@ -62,7 +70,11 @@ case class SortedIntersectSize(left: Expression, right: Expression)
         int $i = 0; int $j = 0; long $n = 0L;
         while ($i < $na && $j < $nb) {
           long $x = $a.getLong($i); long $y = $b.getLong($j);
-          if ($x == $y) { $n++; $i++; $j++; }
+          if ($x == $y) {
+            $n++;
+            while ($i < $na && $a.getLong($i) == $x) { $i++; }
+            while ($j < $nb && $b.getLong($j) == $y) { $j++; }
+          }
           else if ($x < $y) { $i++; } else { $j++; }
         }
         ${ev.value} = $n;

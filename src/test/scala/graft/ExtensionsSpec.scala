@@ -39,4 +39,18 @@ class ExtensionsSpec extends SparkSpecBase {
       spark.sql("SELECT sign_lsh_keys(array(CAST(1.0 AS FLOAT)), 1+5, 8, 2)").collect()
     }
   }
+
+  test("optimizer rule rewrites size(array_intersect(sorted, sorted)) to the native walk") {
+    GraftExtensions.register(spark)
+    val df = Seq(
+      (Seq(3L, 1L, 2L, 2L), Seq(2L, 3L, 9L, 3L)),
+      (Seq(1L), Seq(2L))).toDF("a", "b")
+      .repartition(2) // keep the plan non-foldable (no LocalRelation collapse)
+      .selectExpr("size(array_intersect(array_sort(a), array_sort(b))) AS n")
+    assert(df.queryExecution.optimizedPlan.toString.contains("sorted_intersect_size"),
+      df.queryExecution.optimizedPlan.toString)
+    // Set semantics preserved, duplicates counted once; INT schema
+    // kept. (Order-insensitive: repartition scrambles row order.)
+    assert(df.collect().map(_.getInt(0)).toSet === Set(2, 0))
+  }
 }
