@@ -109,6 +109,13 @@ object PipelineQueries {
       Multimodal.extractFeatures(s, Multimodal.asMediaTable(
         docs(s, dir).filter(col("doc_id") < 300))), stride = 2)
 
+  def resizePlan(s: SparkSession, dir: String): DataFrame =
+    Multimodal.withResize(
+      Multimodal.extractFeatures(s, Multimodal.asMediaTable(
+        docs(s, dir).filter(col("doc_id") < 300))), maxDim = 224)
+      .select(col("doc_id"), col("modality"), col("width"), col("height"),
+        col("resized_w"), col("resized_h"))
+
   // ---------------------------------------------------------------
   // Oracle SQL (DuckDB) — mirrors the integer-arithmetic operators
   // ---------------------------------------------------------------
@@ -332,6 +339,20 @@ object PipelineQueries {
            (cs + frame_idx * 2654435761) % 1000000007 AS frame_checksum
     FROM (SELECT *, UNNEST(generate_series(0, n_frames - 1, 2)) AS frame_idx FROM f)"""
 
+  val resizePlanSql: String = """
+    WITH f AS (
+      SELECT doc_id,
+             CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+             CAST(64 + length(text) % 256 AS INT) AS width,
+             CAST(64 + (length(text) * 7) % 256 AS INT) AS height
+      FROM documents WHERE doc_id < 300)
+    SELECT doc_id, modality, width, height,
+           CAST(CASE WHEN greatest(width, height) <= 224 THEN width
+                ELSE width * 224 // greatest(width, height) END AS INT) AS resized_w,
+           CAST(CASE WHEN greatest(width, height) <= 224 THEN height
+                ELSE height * 224 // greatest(width, height) END AS INT) AS resized_h
+    FROM f"""
+
   // ---------------------------------------------------------------
   // Wiring
   // ---------------------------------------------------------------
@@ -352,7 +373,8 @@ object PipelineQueries {
     "s2_knn_lsh" -> (knnLsh _),
     "s3_knn_ivf" -> (knnIvf _),
     "mm1_modality_stats" -> (modalityStats _),
-    "mm2_frame_sample" -> (frameSample _)
+    "mm2_frame_sample" -> (frameSample _),
+    "mm3_resize_plan" -> (resizePlan _)
   )
 
   /** s2_knn_lsh is approximate (no SQL oracle; rows-only check). */
@@ -370,6 +392,7 @@ object PipelineQueries {
     "d6_embedding_dups" -> embeddingDupsSql,
     "s1_knn_brute" -> knnBruteSql,
     "mm1_modality_stats" -> modalityStatsSql,
-    "mm2_frame_sample" -> frameSampleSql
+    "mm2_frame_sample" -> frameSampleSql,
+    "mm3_resize_plan" -> resizePlanSql
   )
 }

@@ -66,6 +66,22 @@ object Multimodal {
       }
   }
 
+  /** Resize stage (stub): compute target dimensions for a bounding-box
+    * resize to `maxDim` (aspect-preserving, integer arithmetic; a real
+    * implementation would transform the payload here). No-op for
+    * frames already inside the box.
+    */
+  def withResize(features: Dataset[MediaFeatures], maxDim: Int): DataFrame =
+    features.toDF()
+      .withColumn("long_side", greatest(col("width"), col("height")))
+      .withColumn("resized_w",
+        when(col("long_side") <= maxDim, col("width"))
+          .otherwise((col("width") * maxDim / col("long_side")).cast("int")))
+      .withColumn("resized_h",
+        when(col("long_side") <= maxDim, col("height"))
+          .otherwise((col("height") * maxDim / col("long_side")).cast("int")))
+      .drop("long_side")
+
   /** Frame sampling: explode each video row into one row per sampled
     * frame (stride-sampled). With a real codec the frame payload would
     * be decoded here; the stub derives a deterministic frame checksum.

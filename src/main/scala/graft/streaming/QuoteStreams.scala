@@ -44,6 +44,25 @@ object QuoteStreams {
           (col("bid_size") - col("ask_size")).cast("double") /
             (col("bid_size") + col("ask_size"))))
 
+  /** Stream-stream interval join: each trade joined with every quote
+    * for its symbol in the lookback window — the real-time form of
+    * trade-quote alignment. Both sides must be watermarked; Spark
+    * bounds the join state to (watermark + lookback), so state is
+    * O(traffic in the window), not O(stream history).
+    */
+  def streamStreamQuoteJoin(trades: DataFrame, quotes: DataFrame,
+                            lookback: String = "5 minutes"): DataFrame = {
+    val t = trades.select(col("symbol"), col("price"),
+      col("event_time").as("trade_time"))
+    val q = quotes.select(col("symbol").as("q_symbol"),
+      col("bid_price"), col("ask_price"), col("event_time").as("quote_time"))
+    t.join(q,
+      col("symbol") === col("q_symbol") &&
+        col("quote_time") >= col("trade_time") - expr(s"INTERVAL $lookback") &&
+        col("quote_time") <= col("trade_time"))
+      .drop("q_symbol")
+  }
+
   /** Trade enriched with the prevailing quote (at-or-before) — the
     * canonical trade-quote alignment, built on AsOfJoin.
     */

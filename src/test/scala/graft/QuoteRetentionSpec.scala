@@ -4,7 +4,7 @@ import java.nio.file.Files
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Medallion, Retention}
+import graft.operators.{Medallion, Multimodal, Retention}
 import graft.sources.{ServingStore, Tables}
 import graft.streaming.QuoteStreams
 
@@ -36,6 +36,42 @@ class QuoteRetentionSpec extends SparkSpecBase {
         Option(r.getAs[java.lang.Double]("quote_bid_price"))).toMap
     assert(out(100.5) === Some(99.0)) // trade after the quote sees it
     assert(out(98.0) === None)        // trade before any quote
+  }
+
+  test("stream-stream interval join keeps only in-window quotes") {
+    implicit val sqlCtx = spark.sqlContext
+    val tMem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Double, Long)]
+    val qMem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Double, Double, Long)]
+    val trades = tMem.toDF().toDF("symbol", "price", "ts")
+      .withColumn("event_time", (col("ts") / 1000).cast("timestamp"))
+      .withWatermark("event_time", "1 minute")
+    val quotes = qMem.toDF().toDF("symbol", "bid_price", "ask_price", "ts")
+      .withColumn("event_time", (col("ts") / 1000).cast("timestamp"))
+      .withWatermark("event_time", "1 minute")
+    val q = QuoteStreams.streamStreamQuoteJoin(trades, quotes, "5 minutes")
+      .writeStream.format("memory").queryName("ssj_out").outputMode("append").start()
+    qMem.addData(
+      ("AAPL", 99.0, 101.0, t0 - 60000),   // 1 min before: in window
+      ("AAPL", 90.0, 92.0, t0 - 600000),   // 10 min before: outside
+      ("MSFT", 1.0, 2.0, t0 - 30000))      // wrong symbol
+    tMem.addData(("AAPL", 100.0, t0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("ssj_out").collect()
+    assert(rows.length === 1)
+    assert(rows.head.getAs[Double]("bid_price") === 99.0)
+  }
+
+  test("resize stage preserves aspect ratio with integer arithmetic") {
+    import spark.implicits._
+    val feats = Seq(
+      Multimodal.MediaFeatures(1L, "image", 100L, 448, 224, 1, 0L),
+      Multimodal.MediaFeatures(2L, "image", 100L, 100, 50, 1, 0L)).toDS()
+    val out = Multimodal.withResize(feats, 224).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("resized_w"), r.getAs[Int]("resized_h"))).toMap
+    assert(out(1L) === (224, 112)) // halved, aspect kept
+    assert(out(2L) === (100, 50))  // already inside the box: untouched
   }
 
   test("retention: read predicate + partition drop reclaim") {
