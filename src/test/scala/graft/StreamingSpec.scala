@@ -62,6 +62,24 @@ class StreamingSpec extends SparkSpecBase {
     assert(out.exists(_.getAs[String]("symbol") == "MSFT"))
   }
 
+  test("A3: sliding windows stream — one event lands in 5 overlapping bars") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val trades = TradeStreams.parseTrades(mem.toDF())
+      .withColumn("event_id", col("timestamp"))
+    val bars = Ohlcv.barsSliding(TradeStreams.withWatermark(trades))
+    val q = bars.writeStream.format("memory").queryName("slide_out")
+      .outputMode("update").start()
+    mem.addData(tradeJson("AAPL", 10.0, 1, t0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("slide_out").collect()
+    assert(rows.length === 5)
+    assert(rows.forall(_.getAs[Double]("open") === 10.0))
+    val starts = rows.map(_.getAs[java.sql.Timestamp]("window_start").getTime).sorted
+    assert(starts.zip(starts.tail).forall { case (a, b) => b - a == 60000 })
+  }
+
   test("append mode emits a bar exactly once, when the watermark closes its window") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[String]
