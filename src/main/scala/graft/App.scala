@@ -78,6 +78,12 @@ object App {
         s"${cfg.checkpoint}/silver", partitionBy = Seq("trade_date"),
         trigger = trigger, queryName = "silver"))
     }
+    // NOTE each layer is its own StreamingQuery with its own state,
+    // mirroring the reference's per-sink fan-out (sinks.py) — gold
+    // grains therefore re-run the silver dedup with separate
+    // watermark state. For state-constrained deployments, chain
+    // instead: run only the silver layer here and feed gold from a
+    // readStream over the silver output directory.
     def goldSink(name: String, duration: String): Unit = {
       val grain = Ohlcv.bars(
         TradeStreams.dedupWithinWatermark(TradeStreams.toSilverStreaming(watermarked))
@@ -86,18 +92,19 @@ object App {
         .withColumn("window_date", to_date(col("window_start")))
       mgr.start(name, Sinks.parquetSink(grain, s"${cfg.out}/$name",
         s"${cfg.checkpoint}/$name", partitionBy = Seq("window_date"),
-        overwritePartitions = true, trigger = trigger, queryName = name))
+        upsertKeys = Seq("symbol", "window_start"),
+        trigger = trigger, queryName = name))
     }
     if (cfg.layers("gold5m")) goldSink("gold5m", "5 minutes")
     if (cfg.layers("gold1h")) goldSink("gold1h", "1 hour")
     if (cfg.layers("deadletter")) {
       // K5 — validation split: rows failing the rule bundle (including
       // schema-level parse nulls) land in the dead-letter store with
-      // their reasons. The future-timestamp bound is micro-batch wall
-      // clock, as in the reference's producer-side validator.
-      val validated = graft.operators.Validation.validate(
-        parsed.withColumn("event_id", col("timestamp")),
-        maxEventTimeMs = System.currentTimeMillis() + graft.operators.Validation.FutureSkewMs)
+      // their reasons. The future-timestamp bound is re-evaluated per
+      // micro-batch (validateStreaming) — a constant here would start
+      // rejecting all live traffic after 5 minutes of uptime.
+      val validated = graft.operators.Validation.validateStreaming(
+        parsed.withColumn("event_id", col("timestamp")))
       val (_, dead) = graft.operators.Validation.split(validated)
       mgr.start("deadletter", Sinks.deadLetterSink(
         dead.withColumn("errors", to_json(col("errors"))),

@@ -26,11 +26,17 @@ object Bench {
     // Stable iteration order so per-query numbers are comparable
     // across rounds.
     val names = SparkEntry.queries.keys.toSeq.sorted
+    // A failing query reports -1.0, never a fake wall-clock figure —
+    // totals must not silently absorb broken queries.
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          false
+      }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")

@@ -189,7 +189,7 @@ object ExtendedQueries {
 
   val docSampleSql: String = """
     SELECT doc_id, lang, source FROM documents
-    WHERE ((doc_id * 2654435761) % 1000000007 * 40503) % 1000000007 % 10000 < 1000"""
+    WHERE (((doc_id % 1000000007) * 2654435761) % 1000000007 * 40503) % 1000000007 % 10000 < 1000"""
 
   /** X7 — deterministic stratified sample: 5 docs per language. */
   def stratifiedSample(s: SparkSession, dir: String): DataFrame =
@@ -201,7 +201,7 @@ object ExtendedQueries {
     SELECT doc_id, lang FROM (
       SELECT doc_id, lang, ROW_NUMBER() OVER (
         PARTITION BY lang
-        ORDER BY ((doc_id * 2654435761) % 1000000007 * 40503) % 1000000007 % 10000, doc_id
+        ORDER BY (((doc_id % 1000000007) * 2654435761) % 1000000007 * 40503) % 1000000007 % 10000, doc_id
       ) AS rn FROM documents
     ) WHERE rn <= 5"""
 
@@ -249,7 +249,7 @@ object ExtendedQueries {
     WITH d AS (
       SELECT doc_id,
              CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x != '')) AS BIGINT) AS n_tokens,
-             ((doc_id * 2654435761) % 1000000007 * 40503) % 1000000007 % 10000 AS hb
+             (((doc_id % 1000000007) * 2654435761) % 1000000007 * 40503) % 1000000007 % 10000 AS hb
       FROM documents
     ), c AS (
       SELECT *, SUM(n_tokens) OVER (ORDER BY hb, doc_id ROWS UNBOUNDED PRECEDING) AS cum

@@ -316,16 +316,21 @@ object PipelineQueries {
       WHERE q.vec_id < 5 AND q.vec_id != c.vec_id)
     WHERE rank <= 5"""
 
+  /** total_bytes is the UTF-8 octet length of the payload; the decode
+    * metadata (dims, frames, checksum) is codepoint-based — mirrors
+    * Multimodal.decodeStub exactly, ASCII or not.
+    */
   val modalityStatsSql: String = s"""
     SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
            COUNT(*) AS n_docs,
-           CAST(SUM(len) AS BIGINT) AS total_bytes,
+           CAST(SUM(blen) AS BIGINT) AS total_bytes,
            CAST(SUM(64 + len % 256) AS BIGINT) AS sum_width,
            CAST(SUM(64 + (len * 7) % 256) AS BIGINT) AS sum_height,
            CAST(SUM(1 + len % 8) AS BIGINT) AS sum_frames,
            CAST(SUM(cs % 1000) AS BIGINT) AS checksum_probe
     FROM (
       SELECT doc_id, CAST(length(text) AS BIGINT) AS len,
+             CAST(octet_length(encode(text)) AS BIGINT) AS blen,
              ${polySql("text", 31, Pm)} AS cs
       FROM documents)
     GROUP BY 1"""

@@ -43,14 +43,19 @@ abstract class ExtremumByOrd2 extends DeclarativeAggregate with Serializable {
   protected lazy val bOrd1 = AttributeReference("bOrd1", LongType)()
   protected lazy val bOrd2 = AttributeReference("bOrd2", LongType)()
   protected lazy val bVal = AttributeReference("bVal", valueExpr.dataType)()
+  // Explicit emptiness flag: using IsNull(bVal) as the marker would
+  // make a NULL value at the winning ordering key reset the buffer,
+  // turning the result row-order-dependent (found in review).
+  protected lazy val bSet = AttributeReference("bSet", BooleanType, nullable = false)()
 
   override lazy val aggBufferAttributes: Seq[AttributeReference] =
-    Seq(bOrd1, bOrd2, bVal)
+    Seq(bOrd1, bOrd2, bVal, bSet)
 
   override lazy val initialValues: Seq[Expression] = Seq(
     Literal(if (isMin) Long.MaxValue else Long.MinValue, LongType),
     Literal(if (isMin) Long.MaxValue else Long.MinValue, LongType),
-    Literal.create(null, valueExpr.dataType))
+    Literal.create(null, valueExpr.dataType),
+    Literal(false, BooleanType))
 
   private def better(o1: Expression, o2: Expression,
                      curO1: Expression, curO2: Expression): Expression =
@@ -59,23 +64,26 @@ abstract class ExtremumByOrd2 extends DeclarativeAggregate with Serializable {
 
   override lazy val updateExpressions: Seq[Expression] = {
     val take = And(And(IsNotNull(ord1), IsNotNull(ord2)),
-      Or(IsNull(bVal), better(ord1, ord2, bOrd1, bOrd2)))
+      Or(Not(bSet), better(ord1, ord2, bOrd1, bOrd2)))
     Seq(
       If(take, ord1, bOrd1),
       If(take, ord2, bOrd2),
-      If(take, valueExpr, bVal))
+      If(take, valueExpr, bVal),
+      Or(bSet, take))
   }
 
   override lazy val mergeExpressions: Seq[Expression] = {
-    val take = And(IsNotNull(bVal.right),
-      Or(IsNull(bVal.left), better(bOrd1.right, bOrd2.right, bOrd1.left, bOrd2.left)))
+    val take = And(bSet.right,
+      Or(Not(bSet.left), better(bOrd1.right, bOrd2.right, bOrd1.left, bOrd2.left)))
     Seq(
       If(take, bOrd1.right, bOrd1.left),
       If(take, bOrd2.right, bOrd2.left),
-      If(take, bVal.right, bVal.left))
+      If(take, bVal.right, bVal.left),
+      Or(bSet.left, bSet.right))
   }
 
-  override lazy val evaluateExpression: Expression = bVal
+  override lazy val evaluateExpression: Expression =
+    If(bSet, bVal, Literal.create(null, valueExpr.dataType))
 }
 
 case class MinByOrd2(valueExpr: Expression, ord1: Expression, ord2: Expression)

@@ -36,14 +36,18 @@ object Multimodal {
 
   /** STUB decode (deterministic fake): a real implementation would
     * call an image/audio codec here (e.g. via JNI) on each payload.
-    * The fake derives metadata from byte length and a rolling checksum
-    * so results are reproducible and oracle-checkable.
+    * The fake decodes the payload as UTF-8 and derives metadata from
+    * the CODEPOINT stream — byte-based arithmetic would silently
+    * diverge from character-based oracles on any non-ASCII document
+    * (found in review; the corpus's zh branch makes that real).
     */
   def decodeStub(payload: Array[Byte]): (Int, Int, Int, Long) = {
-    val len = payload.length
+    val s = new String(payload, java.nio.charset.StandardCharsets.UTF_8)
+    val cps = s.codePoints().toArray
+    val len = cps.length
     var checksum = 0L
     var i = 0
-    while (i < len) { checksum = (checksum * 31 + (payload(i) & 0xff)) % 1000000007L; i += 1 }
+    while (i < len) { checksum = (checksum * 31 + cps(i)) % 1000000007L; i += 1 }
     val width = 64 + len % 256
     val height = 64 + (len * 7) % 256
     val frames = 1 + len % 8

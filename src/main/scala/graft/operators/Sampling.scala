@@ -15,9 +15,14 @@ object Sampling {
 
   private val P = 1000000007L
 
-  /** Portable per-id hash bucket in [0, 10000). */
+  /** Portable per-id hash bucket in [0, 10000). `id` is reduced mod P
+    * BEFORE the multiply: `id * 2654435761` overflows Long for ids
+    * above ~3.4e9 — an ANSI arithmetic error, or silent divergence
+    * from a 128-bit oracle (found in review). After reduction the
+    * product is < P * 2654435761 < 2^62.
+    */
   def hashBucket(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    pmod(pmod(id * 2654435761L, lit(P)) * 40503L, lit(P)) % 10000L
+    pmod(pmod(pmod(id, lit(P)) * 2654435761L, lit(P)) * 40503L, lit(P)) % 10000L
 
   /** Keep ~permille/10000 of rows, decided by id hash — deterministic
     * Bernoulli sampling.

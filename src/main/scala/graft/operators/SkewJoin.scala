@@ -16,9 +16,16 @@ import org.apache.spark.sql.functions._
   */
 object SkewJoin {
 
+  private val SupportedJoinTypes =
+    Set("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi")
+
   def saltedJoin(skewed: DataFrame, other: DataFrame, keys: Seq[String],
                  factor: Int, joinType: String = "inner"): DataFrame = {
     require(factor > 0, "salt factor must be positive")
+    // Right/full outer would emit each unmatched replicated-side row
+    // `factor` times, breaking the result-identical contract.
+    require(SupportedJoinTypes.contains(joinType.toLowerCase),
+      s"saltedJoin supports inner/left/left_semi joins, got $joinType")
     // Salt assignment only affects placement, not results — spread
     // rows round-robin within each input partition.
     val salted = skewed.withColumn("__salt",

@@ -38,7 +38,17 @@ object Validation {
     * `maxEventTimeMs` is the deterministic "now + 5 min" bound.
     */
   def validate(trades: DataFrame, maxEventTimeMs: Long,
-               filterZeroVolume: Boolean = true): DataFrame = {
+               filterZeroVolume: Boolean = true): DataFrame =
+    validate(trades, lit(maxEventTimeMs), filterZeroVolume)
+
+  /** Column-bound variant: streaming callers pass a wall-clock bound
+    * expression (re-evaluated per micro-batch) — a Scala Long constant
+    * would freeze "now" at plan-construction time and start
+    * dead-lettering all live traffic once uptime exceeds the skew
+    * window (found in review).
+    */
+  def validate(trades: DataFrame, maxEventTimeMs: org.apache.spark.sql.Column,
+               filterZeroVolume: Boolean): DataFrame = {
     val errs = array_compact(array(
       when(col("symbol").isNull, lit("missing_symbol")),
       when(length(col("symbol")) > 10, lit("symbol_too_long")),
@@ -54,6 +64,14 @@ object Validation {
       .withColumn("errors", errs)
       .withColumn("is_valid", size(col("errors")) === 0)
   }
+
+  /** Streaming form: the future bound is micro-batch evaluation time
+    * plus the skew window, like the reference's producer validator.
+    */
+  def validateStreaming(trades: DataFrame,
+                        filterZeroVolume: Boolean = true): DataFrame =
+    validate(trades,
+      unix_millis(current_timestamp()) + lit(FutureSkewMs), filterZeroVolume)
 
   /** F5 (streaming form) — zero-cost validation counters attached to
     * the stream itself via `Dataset.observe`: total/valid/invalid per

@@ -22,7 +22,9 @@ object IntersectSizeRule extends Rule[LogicalPlan] {
 
   private def sortedLongArray(e: org.apache.spark.sql.catalyst.expressions.Expression): Boolean =
     e.isInstanceOf[ArraySort] && (e.dataType match {
-      case ArrayType(LongType, _) => true
+      // containsNull must be false: the merge walk reads raw longs and
+      // would diverge from array_intersect's null-as-member semantics.
+      case ArrayType(LongType, false) => true
       case _ => false
     })
 

@@ -25,28 +25,42 @@ object LatestPriceStream {
 
   case class PriceState(price: Double, volume: Long, time: Timestamp)
 
-  def updateState(symbol: String, events: Iterator[TradeEvent],
-                  state: GroupState[PriceState]): Iterator[LatestPrice] = {
-    val sorted = events.toSeq.sortBy(e => (e.event_time.getTime, e.price))
-    if (sorted.isEmpty) Iterator.empty
-    else {
-      var prev = state.getOption
-      var out = List.empty[LatestPrice]
-      sorted.foreach { e =>
+  /** Core fold shared by both stateful runtimes: advance through the
+    * batch's events in event-time order, IGNORING any event older than
+    * the current state — a late out-of-order trade must not regress
+    * the snapshot to stale data (found in review; the batch form's
+    * window picks the max event time, and streaming must agree).
+    * Ties on event_time take the later-sorted (higher-price) event,
+    * deterministically.
+    */
+  private[streaming] def fold(symbol: String, events: Seq[TradeEvent],
+                              initial: Option[PriceState]): (Option[PriceState], Option[LatestPrice]) = {
+    val sorted = events.sortBy(e => (e.event_time.getTime, e.price))
+    var prev = initial
+    var newest: Option[LatestPrice] = None
+    sorted.foreach { e =>
+      val fresh = prev.forall(p => !e.event_time.before(p.time))
+      if (fresh) {
         val (change, pct) = prev match {
           case Some(p) if p.price != 0 =>
             (e.price - p.price, (e.price - p.price) / p.price * 100)
           case Some(p) => (e.price - p.price, 0.0)
           case None => (0.0, 0.0)
         }
-        out = LatestPrice(symbol, e.price, e.volume, e.event_time, change, pct) :: out
+        newest = Some(LatestPrice(symbol, e.price, e.volume, e.event_time, change, pct))
         prev = Some(PriceState(e.price, e.volume, e.event_time))
       }
-      state.update(prev.get)
-      // Emit only the newest snapshot per micro-batch (update
-      // semantics: downstream upserts by symbol).
-      Iterator(out.head)
     }
+    (prev, newest)
+  }
+
+  def updateState(symbol: String, events: Iterator[TradeEvent],
+                  state: GroupState[PriceState]): Iterator[LatestPrice] = {
+    val (next, newest) = fold(symbol, events.toSeq, state.getOption)
+    next.foreach(state.update)
+    // Emit only the newest snapshot per micro-batch (update
+    // semantics: downstream upserts by symbol).
+    newest.iterator
   }
 
   /** Wire the stateful operator over a parsed trade stream. */
@@ -75,24 +89,9 @@ object LatestPriceStream {
 
     override def handleInputRows(symbol: String, rows: Iterator[TradeEvent],
                                  timerValues: TimerValues): Iterator[LatestPrice] = {
-      val sorted = rows.toSeq.sortBy(e => (e.event_time.getTime, e.price))
-      if (sorted.isEmpty) Iterator.empty
-      else {
-        var prev = Option(state.get())
-        var out = List.empty[LatestPrice]
-        sorted.foreach { e =>
-          val (change, pct) = prev match {
-            case Some(p) if p.price != 0 =>
-              (e.price - p.price, (e.price - p.price) / p.price * 100)
-            case Some(p) => (e.price - p.price, 0.0)
-            case None => (0.0, 0.0)
-          }
-          out = LatestPrice(symbol, e.price, e.volume, e.event_time, change, pct) :: out
-          prev = Some(PriceState(e.price, e.volume, e.event_time))
-        }
-        state.update(prev.get)
-        Iterator(out.head)
-      }
+      val (next, newest) = fold(symbol, rows.toSeq, Option(state.get()))
+      next.foreach(state.update)
+      newest.iterator
     }
   }
 

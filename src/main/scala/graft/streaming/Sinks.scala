@@ -20,27 +20,68 @@ import scala.collection.mutable
 object Sinks {
 
   /** K1 — parquet foreachBatch sink: checkpointed, 10s
-    * processing-time trigger (sinks.py:88-132). `overwritePartitions`
-    * selects the update-mode upsert used for gold.
+    * processing-time trigger (sinks.py:88-132). Append mode for the
+    * immutable bronze/silver layers; pass `upsertKeys` for the
+    * update-mode gold layer (see upsertByKey).
     */
   def parquetSink(df: DataFrame, path: String, checkpoint: String,
                   partitionBy: Seq[String] = Nil,
-                  overwritePartitions: Boolean = false,
+                  upsertKeys: Seq[String] = Nil,
                   trigger: Trigger = Trigger.ProcessingTime("10 seconds"),
                   queryName: String = "parquet_sink"): DataStreamWriter[Row] = {
-    val mode = if (overwritePartitions) "overwrite" else "append"
     df.writeStream
       .queryName(queryName)
-      .outputMode(if (overwritePartitions) "update" else "append")
+      .outputMode(if (upsertKeys.nonEmpty) "update" else "append")
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val w0 = batch.write
-          .option("partitionOverwriteMode", "dynamic")
-          .mode(mode)
-        val w = if (partitionBy.nonEmpty) w0.partitionBy(partitionBy: _*) else w0
-        w.parquet(path)
+        if (upsertKeys.nonEmpty) upsertByKey(batch, path, partitionBy, upsertKeys)
+        else {
+          val w0 = batch.write.mode("append")
+          val w = if (partitionBy.nonEmpty) w0.partitionBy(partitionBy: _*) else w0
+          w.parquet(path)
+        }
       }
+  }
+
+  /** Keyed parquet upsert (the Cassandra-primary-key analog): merge a
+    * micro-batch into the store so rows matching `keys` are replaced
+    * and everything else survives. Only the partitions present in the
+    * batch are read back and rewritten (partition pruning bounds the
+    * rewrite to the touched dates), via dynamic partition overwrite.
+    *
+    * NOTE a bare dynamic-overwrite of the batch alone is WRONG for
+    * update-mode aggregates: a micro-batch carries only the bars that
+    * changed, so overwriting a whole date partition with it would drop
+    * that date's other bars (found in review; regression-tested in
+    * StreamingSpec).
+    */
+  def upsertByKey(batch: DataFrame, path: String, partitionBy: Seq[String],
+                  keys: Seq[String]): Unit = {
+    val spark = batch.sparkSession
+    val batchP = batch.persist()
+    try {
+      // "Exists" must mean "has data": a pre-created empty directory
+      // would make the read-back fail schema inference.
+      val root = new java.io.File(path)
+      val exists = root.exists() &&
+        Option(root.listFiles()).exists(_.exists(f => !f.getName.startsWith("_")))
+      val merged = if (exists) {
+        val existing = spark.read.parquet(path)
+        val affected = batchP.select(partitionBy.map(col): _*).distinct()
+        val touched = existing.join(broadcast(affected), partitionBy, "left_semi")
+        val untouchedOfDate = touched.join(
+          broadcast(batchP.select(keys.map(col): _*).distinct()), keys, "left_anti")
+        // Cut lineage before overwriting the path we just read.
+        untouchedOfDate.unionByName(batchP).select(existing.columns.map(col): _*)
+          .localCheckpoint(true)
+      } else batchP
+      val w0 = merged.write
+        .option("partitionOverwriteMode", "dynamic")
+        .mode(if (exists) "overwrite" else "append")
+      val w = if (partitionBy.nonEmpty) w0.partitionBy(partitionBy: _*) else w0
+      w.parquet(path)
+    } finally batchP.unpersist()
   }
 
   /** K2 — console sink (sinks.py:147-164). */

@@ -199,6 +199,26 @@ class StreamingSpec extends SparkSpecBase {
     assert(mgr.status === Map("bronze" -> false))
   }
 
+  test("upsertByKey merges a partial micro-batch without dropping sibling rows") {
+    val dir = Files.createTempDirectory("graft_upsert").toString
+    def bars(rows: (String, String, Double)*) =
+      rows.toSeq.toDF("symbol", "window_date", "close")
+    // Batch 1: two bars for the same date.
+    Sinks.upsertByKey(bars(("AAPL", "2024-01-15", 10.0), ("MSFT", "2024-01-15", 20.0)),
+      dir, Seq("window_date"), Seq("symbol", "window_date"))
+    // Batch 2: update-mode emits ONLY the changed bar.
+    Sinks.upsertByKey(bars(("AAPL", "2024-01-15", 11.0)),
+      dir, Seq("window_date"), Seq("symbol", "window_date"))
+    val out = spark.read.parquet(dir).collect()
+      .map(r => r.getAs[String]("symbol") -> r.getAs[Double]("close")).toMap
+    // AAPL replaced, MSFT survived (a bare dynamic-overwrite would drop it).
+    assert(out === Map("AAPL" -> 11.0, "MSFT" -> 20.0))
+    // Replay of batch 2 converges (idempotent).
+    Sinks.upsertByKey(bars(("AAPL", "2024-01-15", 11.0)),
+      dir, Seq("window_date"), Seq("symbol", "window_date"))
+    assert(spark.read.parquet(dir).count() === 2)
+  }
+
   test("kafka sink projection re-keys by symbol with JSON payload (P6/K3)") {
     val df = Seq(("AAPL", 1.5)).toDF("symbol", "price")
     val out = Sinks.kafkaProjection(df).collect().head
