@@ -171,6 +171,27 @@ class StreamingSpec extends SparkSpecBase {
     }
   }
 
+  test("a late out-of-order trade does not regress the latest-price snapshot") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[LatestPriceStream.TradeEvent]
+    val snaps = LatestPriceStream.snapshots(spark, mem.toDS())
+    val q = snaps.writeStream.format("memory").queryName("lp_late_out")
+      .outputMode("update").start()
+    mem.addData(LatestPriceStream.TradeEvent("AAPL", 110.0, 20, new Timestamp(t0 + 60000)))
+    q.processAllAvailable()
+    // Late event: older than the stored state — must be ignored.
+    mem.addData(LatestPriceStream.TradeEvent("AAPL", 100.0, 10, new Timestamp(t0)))
+    q.processAllAvailable()
+    // A genuinely newer event still advances the state correctly.
+    mem.addData(LatestPriceStream.TradeEvent("AAPL", 120.0, 5, new Timestamp(t0 + 120000)))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("lp_late_out").orderBy("last_trade_time").collect()
+    assert(rows.length === 2) // the late batch emitted nothing
+    assert(rows.last.getAs[Double]("last_price") === 120.0)
+    assert(rows.last.getAs[Double]("price_change") === 10.0) // vs 110, not vs the stale 100
+  }
+
   test("batch adapter reproduces the stateful fold") {
     val ds = Seq(
       LatestPriceStream.TradeEvent("A", 100.0, 1, new Timestamp(t0)),
