@@ -169,6 +169,75 @@ object ExtendedQueries {
            CAST(GROUPING(symbol, trade_date) AS BIGINT) AS gid
     FROM trades GROUP BY CUBE(symbol, trade_date)"""
 
+  /** X14 — pivot: daily volume matrix, symbols x three fixed days. */
+  def pivotVolume(s: SparkSession, dir: String): DataFrame =
+    Tables.trades(s, dir)
+      .withColumn("d", date_format(col("trade_date"), "yyyy_MM_dd"))
+      .groupBy(col("symbol"))
+      .pivot("d", Seq("2024_01_14", "2024_01_15", "2024_01_16"))
+      .agg(sum(col("volume")))
+
+  val pivotVolumeSql: String = """
+    WITH trades AS (
+      SELECT event_type AS symbol,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS volume,
+             CAST(ts AS DATE) AS trade_date
+      FROM events)
+    SELECT symbol,
+           CAST(SUM(CASE WHEN trade_date = DATE '2024-01-14' THEN volume END) AS BIGINT) AS "2024_01_14",
+           CAST(SUM(CASE WHEN trade_date = DATE '2024-01-15' THEN volume END) AS BIGINT) AS "2024_01_15",
+           CAST(SUM(CASE WHEN trade_date = DATE '2024-01-16' THEN volume END) AS BIGINT) AS "2024_01_16"
+    FROM trades GROUP BY symbol"""
+
+  /** X15 — non-equi range join: classify trades into price bands via
+    * a BETWEEN join against a band dimension (broadcast nested loop).
+    */
+  def rangeBandJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bands = Seq(("penny", 0.0, 20.0), ("low", 20.0, 80.0),
+      ("mid", 80.0, 140.0), ("high", 140.0, 1e9))
+      .toDF("band", "lo", "hi")
+    Tables.trades(s, dir)
+      .join(broadcast(bands), col("price") >= col("lo") && col("price") < col("hi"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_trades"),
+        sum(col("volume")).as("total_volume"))
+  }
+
+  val rangeBandJoinSql: String = """
+    WITH trades AS (
+      SELECT value AS price, CAST(json_extract_string(props, '$.k') AS BIGINT) AS volume
+      FROM events),
+    bands AS (
+      SELECT * FROM (VALUES ('penny', 0.0, 20.0), ('low', 20.0, 80.0),
+                            ('mid', 80.0, 140.0), ('high', 140.0, 1e9)) v(band, lo, hi))
+    SELECT band, COUNT(*) AS n_trades, CAST(SUM(volume) AS BIGINT) AS total_volume
+    FROM trades JOIN bands ON price >= lo AND price < hi
+    GROUP BY band"""
+
+  /** X16 — semi/anti joins: users who purchased on a day and never
+    * errored that day.
+    */
+  def semiAntiUsers(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .withColumn("d", to_date(expr("timestamp_micros(ts div 1000)")))
+      .filter(col("d") === lit("2024-01-15").cast("date"))
+    val purchases = e.filter(col("event_type") === "purchase")
+    val errors = e.filter(col("event_type") === "error").select(col("user_id").as("eu"))
+    purchases
+      .join(errors, col("user_id") === col("eu"), "left_anti")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_purchases"))
+  }
+
+  val semiAntiUsersSql: String = """
+    WITH e AS (SELECT * FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-15')
+    SELECT user_id, COUNT(*) AS n_purchases
+    FROM e
+    WHERE event_type = 'purchase'
+      AND user_id NOT IN (SELECT user_id FROM e WHERE event_type = 'error')
+    GROUP BY user_id"""
+
   /** X11 — HLL sketch: approximate distinct trade count per symbol
     * (approx_count_distinct, rsd 2%). Sketches are mergeable partial
     * aggregates — at 100 TB the shuffle carries one ~kB sketch per
@@ -266,6 +335,9 @@ object ExtendedQueries {
     "x11_approx_distinct" -> (approxDistinct _),
     "x12_subquery_daily_high" -> (dailyHighTrades _),
     "x13_cube" -> (cubeVolume _),
+    "x14_pivot" -> (pivotVolume _),
+    "x15_range_join" -> (rangeBandJoin _),
+    "x16_semi_anti" -> (semiAntiUsers _),
     "x6_deterministic_sample" -> (docSample _),
     "x7_stratified_sample" -> (stratifiedSample _),
     "x8_percentiles" -> (percentiles _),
@@ -283,6 +355,9 @@ object ExtendedQueries {
     "x10_token_packing" -> tokenPackingSql,
     "x12_subquery_daily_high" -> dailyHighTradesSql,
     "x13_cube" -> cubeVolumeSql,
+    "x14_pivot" -> pivotVolumeSql,
+    "x15_range_join" -> rangeBandJoinSql,
+    "x16_semi_anti" -> semiAntiUsersSql,
     "x6_deterministic_sample" -> docSampleSql,
     "x7_stratified_sample" -> stratifiedSampleSql,
     "x8_percentiles" -> percentilesSql,
