@@ -27,12 +27,12 @@ object Dedup {
 
   val P = 1000000007L
 
-  /** Portable token hash: polynomial over characters, h*31+c mod P. */
+  /** Portable token hash: polynomial over codepoints, h*31+c mod P —
+    * the native PolyHash expression (one compiled loop; the fold-based
+    * form walked interpreted lambdas per character).
+    */
   def tokenHash(tok: Column): Column =
-    aggregate(
-      filter(split(tok, ""), c => c =!= ""),
-      lit(0L),
-      (acc, c) => pmod(acc * 31L + ascii(c), lit(P)))
+    graft.functions.PolyHashFunctions.polyHash(tok, 31L, P)
 
   /** Lowercased whitespace tokens. */
   private def toks(text: Column): Column = TextAnalysis.tokens(lower(text))
@@ -197,8 +197,7 @@ object Dedup {
   /** Token hashes for SimHash: mod 2^32, multiplier 131. */
   def simhashTokenHashes(text: Column): Column =
     transform(toks(text), t =>
-      aggregate(filter(split(t, ""), c => c =!= ""),
-        lit(0L), (acc, c) => pmod(acc * 131L + ascii(c), lit(4294967296L))))
+      graft.functions.PolyHashFunctions.polyHash(t, 131L, 4294967296L))
 
   /** SimHash fingerprint from a materialized token-hash column (the 32
     * bit-sums each walk the array; keep `th` an attribute, not an

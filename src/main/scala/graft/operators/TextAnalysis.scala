@@ -98,10 +98,7 @@ object TextAnalysis {
     * kept in portable integer arithmetic so any engine reproduces it.
     */
   def fingerprintPoly(text: Column): Column =
-    aggregate(
-      filter(split(normalized(text), ""), c => c =!= ""),
-      lit(0L),
-      (acc, c) => pmod(acc * 31L + ascii(c), lit(1000000007L)))
+    graft.functions.PolyHashFunctions.polyHash(normalized(text), 31L, 1000000007L)
 
   /** Full per-document feature projection. */
   def features(docs: DataFrame, textCol: String = "text"): DataFrame = {
