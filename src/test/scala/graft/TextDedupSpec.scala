@@ -88,6 +88,26 @@ class TextDedupSpec extends SparkSpecBase {
     assert(m(1L) >= 0 && m(1L) < (1L << 32))
   }
 
+  test("streaming dedup drops exact and near duplicates within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, String)]
+    val docs = mem.toDF().toDF("doc_id", "text", "ts")
+      .withColumn("event_time", col("ts").cast("timestamp"))
+    val q = graft.streaming.StreamingDedup
+      .nearWithinWatermark(docs, "text", "event_time", "1 hour")
+      .writeStream.format("memory").queryName("sdedup_out").outputMode("append").start()
+    val text = "alpha beta gamma delta epsilon zeta"
+    mem.addData(
+      (1L, text, "2024-01-01 00:00:00"),
+      (2L, text, "2024-01-01 00:05:00"), // exact dup -> identical simhash -> dropped
+      (3L, "wholly different content here", "2024-01-01 00:06:00"))
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("sdedup_out").collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(kept.contains(3L))
+    assert((kept & Set(1L, 2L)).size === 1) // one survivor of the dup pair
+  }
+
   test("langId picks the language with most stopword hits") {
     val df = Seq(
       (1L, "the cat and the dog in a house"),
