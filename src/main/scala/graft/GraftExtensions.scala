@@ -34,7 +34,7 @@ object GraftExtensions {
   }
 
   private def info(name: String, usage: String) =
-    new ExpressionInfo("graft", null, name, usage, "")
+    new ExpressionInfo("graft", "", name, usage, "", "", "", "", "", "", "built-in")
 
   val all: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("cosine_sim",

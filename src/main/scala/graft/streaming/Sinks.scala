@@ -12,10 +12,10 @@ import scala.collection.mutable
   * The reference writes micro-batches to Cassandra via foreachBatch
   * with idempotent primary-key upserts as its exactly-once mechanism
   * (CASSANDRA_MODELING.md:69-75). The Spark-native analog: foreachBatch
-  * into parquet partitioned by a deterministic key — append for the
-  * immutable bronze/silver layers, dynamic partition overwrite for the
-  * update-mode gold layer (re-emitting a window replaces its
-  * partition, so replays converge instead of duplicating).
+  * into parquet — append for the immutable bronze/silver layers, a
+  * keyed read-back merge (upsertByKey) for the update-mode gold layer,
+  * so re-emitted bars replace exactly their key and replays converge
+  * instead of duplicating.
   */
 object Sinks {
 
@@ -73,7 +73,7 @@ object Sinks {
         val untouchedOfDate = touched.join(
           broadcast(batchP.select(keys.map(col): _*).distinct()), keys, "left_anti")
         // Cut lineage before overwriting the path we just read.
-        untouchedOfDate.unionByName(batchP).select(existing.columns.map(col): _*)
+        untouchedOfDate.unionByName(batchP).select(existing.columns.toIndexedSeq.map(col): _*)
           .localCheckpoint(true)
       } else batchP
       val w0 = merged.write
