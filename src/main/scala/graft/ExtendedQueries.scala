@@ -230,13 +230,18 @@ object ExtendedQueries {
       .agg(count(lit(1)).as("n_purchases"))
   }
 
+  /** NOT EXISTS, not NOT IN: a NULL user_id on the error side would
+    * make NOT IN return zero rows while Spark's left_anti keeps
+    * non-matching purchasers — NOT EXISTS matches anti-join semantics.
+    */
   val semiAntiUsersSql: String = """
     WITH e AS (SELECT * FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-15')
-    SELECT user_id, COUNT(*) AS n_purchases
-    FROM e
-    WHERE event_type = 'purchase'
-      AND user_id NOT IN (SELECT user_id FROM e WHERE event_type = 'error')
-    GROUP BY user_id"""
+    SELECT p.user_id, COUNT(*) AS n_purchases
+    FROM e p
+    WHERE p.event_type = 'purchase'
+      AND NOT EXISTS (SELECT 1 FROM e x WHERE x.event_type = 'error'
+                      AND x.user_id = p.user_id)
+    GROUP BY p.user_id"""
 
   /** X11 — HLL sketch: approximate distinct trade count per symbol
     * (approx_count_distinct, rsd 2%). Sketches are mergeable partial

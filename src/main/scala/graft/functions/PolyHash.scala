@@ -14,15 +14,29 @@ import org.apache.spark.unsafe.types.UTF8String
   * of the DuckDB oracle's list_reduce over ord(substr(...)).
   */
 object PolyHashUtil {
+  /** Allocation-free: decodes codepoints straight from the
+    * UTF8String's backing bytes (no String copy per call — this runs
+    * once per token per row in the text operators).
+    */
   def hash(s: UTF8String, mult: Long, mod: Long): Long = {
-    val str = s.toString
+    val n = s.numBytes
     var h = 0L
     var i = 0
-    val n = str.length
     while (i < n) {
-      val cp = str.codePointAt(i)
+      val b0 = s.getByte(i) & 0xff
+      var cp = 0
+      var len = 1
+      if (b0 < 0x80) { cp = b0 }
+      else if (b0 < 0xe0) { cp = b0 & 0x1f; len = 2 }
+      else if (b0 < 0xf0) { cp = b0 & 0x0f; len = 3 }
+      else { cp = b0 & 0x07; len = 4 }
+      var j = 1
+      while (j < len && i + j < n) {
+        cp = (cp << 6) | (s.getByte(i + j) & 0x3f)
+        j += 1
+      }
       h = (h * mult + cp) % mod
-      i += Character.charCount(cp)
+      i += len
     }
     h
   }

@@ -26,16 +26,24 @@ object StreamingDedup {
   /** Exact streaming dedup on normalized content. `df` must carry an
     * event-time column; `delay` is the allowed lateness.
     */
+  private def requireFree(df: DataFrame, name: String): Unit =
+    require(!df.columns.contains(name),
+      s"input already has a column named $name; rename it first " +
+        "(the dedup helper column would silently clobber it)")
+
   def exactWithinWatermark(df: DataFrame, textCol: String, timeCol: String,
-                           delay: String = "10 minutes"): DataFrame =
+                           delay: String = "10 minutes"): DataFrame = {
+    requireFree(df, "__fp")
     df.withColumn("__fp", TextAnalysis.fingerprintMd5(col(textCol)))
       .withWatermark(timeCol, delay)
       .dropDuplicatesWithinWatermark(Seq("__fp"))
       .drop("__fp")
+  }
 
   /** Near-duplicate streaming dedup via SimHash collision. */
   def nearWithinWatermark(df: DataFrame, textCol: String, timeCol: String,
                           delay: String = "10 minutes"): DataFrame = {
+    requireFree(df, "__simhash")
     val hashed = Dedup.withSimhash(df, textCol, out = "__simhash")
     hashed
       .withWatermark(timeCol, delay)

@@ -25,7 +25,7 @@ class GoldenSpec extends SparkSpecBase {
   private def canon(v: Any): String = v match {
     case null => "NULL"
     case d: Double if d.isNaN => "NaN"
-    case d: Double => String.format("%.9g", Double.box(d))
+    case d: Double => String.format(java.util.Locale.ROOT, "%.9g", Double.box(d))
     case f: Float => canon(f.toDouble)
     case other => other.toString
   }

@@ -108,6 +108,30 @@ class TextDedupSpec extends SparkSpecBase {
     assert((kept & Set(1L, 2L)).size === 1) // one survivor of the dup pair
   }
 
+  test("streaming exact dedup collapses whitespace/case variants only") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, String)]
+    val docs = mem.toDF().toDF("doc_id", "text", "ts")
+      .withColumn("event_time", col("ts").cast("timestamp"))
+    val q = graft.streaming.StreamingDedup
+      .exactWithinWatermark(docs, "text", "event_time", "1 hour")
+      .writeStream.format("memory").queryName("sdedup_exact_out").outputMode("append").start()
+    mem.addData(
+      (1L, "Alpha  Beta", "2024-01-01 00:00:00"),
+      (2L, "alpha beta", "2024-01-01 00:01:00"),   // normalized-equal -> dropped
+      (3L, "alpha beta gamma", "2024-01-01 00:02:00")) // near but not exact -> kept
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("sdedup_exact_out").collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(kept.contains(3L))
+    assert((kept & Set(1L, 2L)).size === 1)
+    // Clobber guard: a pre-existing helper column fails fast.
+    intercept[IllegalArgumentException] {
+      graft.streaming.StreamingDedup.exactWithinWatermark(
+        docs.withColumn("__fp", lit("x")), "text", "event_time")
+    }
+  }
+
   test("langId picks the language with most stopword hits") {
     val df = Seq(
       (1L, "the cat and the dog in a house"),
