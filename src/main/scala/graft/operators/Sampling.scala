@@ -46,23 +46,63 @@ object Sampling {
     * laid out in a deterministic order (id hash, then id) and cut into
     * shards whenever the running token count would exceed `budget`.
     * shard_id = floor((cumulative_tokens - tokens) / budget) — the
-    * standard prefix-sum formulation, one window pass, deterministic
-    * on any cluster.
+    * standard prefix-sum formulation, deterministic on any cluster.
     *
-    * At 100 TB the single global ordering is the scale limit of the
-    * exact form; the practical variant applies the same logic per
-    * (hash-range) partition, which this operator expresses by salting
-    * the window key upstream.
+    * Distributed two-pass prefix sum — no global single-partition
+    * window stage:
+    *   1. Rows are hash-range partitioned by a PURE function of the
+    *      row (`hashBucket` is ~uniform in [0, 10000), so partition
+    *      `hb * nPart div 10000` both balances load and agrees with
+    *      the global (hb, id) sort order). No RangePartitioner
+    *      sampling, so the side branches below see identical
+    *      partition assignments by construction.
+    *   2. An in-partition window computes the local running sum —
+    *      parallel across nPart partitions.
+    *   3. Per-partition token subtotals (one row per partition,
+    *      O(nPart) total) are collapsed into a single sorted array
+    *      and turned into exclusive-prefix offsets with an array
+    *      fold — never a no-partition window, so no stage ever holds
+    *      more than nPart tiny rows on one task.
+    *   4. Offsets broadcast-join back on the partition id; global
+    *      cumsum = local cumsum + partition offset. Shard ids are
+    *      bit-identical to the single-window formulation.
     */
   def packByTokenBudget(df: DataFrame, idCol: String, tokensCol: String,
-                        budget: Long): DataFrame = {
-    val w = Window.orderBy(hashBucket(col(idCol)), col(idCol))
+                        budget: Long, numPartitions: Int = 0): DataFrame = {
+    val nPart =
+      if (numPartitions > 0) numPartitions
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    val hb = hashBucket(col(idCol))
+    val keyed = df
+      .withColumn("__hb", hb)
+      .withColumn("__part", ((col("__hb") * nPart) / 10000L).cast("int"))
+
+    val wLocal = Window.partitionBy(col("__part"))
+      .orderBy(col("__hb"), col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("__cum", sum(col(tokensCol)).over(w))
+    val local = keyed.withColumn("__cum_local", sum(col(tokensCol)).over(wLocal))
+
+    // Exclusive prefix offsets over the (tiny) per-partition subtotals:
+    // sort_array orders the structs by __part; offset(i) = sum of
+    // subtotals strictly before i, computed by an array fold (O(nPart²)
+    // on ≤ a few thousand elements — negligible, and WindowExec-free).
+    val offsets = keyed
+      .groupBy(col("__part"))
+      .agg(sum(col(tokensCol)).as("__ptotal"))
+      .agg(sort_array(collect_list(struct(col("__part"), col("__ptotal")))).as("ps"))
+      .select(col("ps"), posexplode(col("ps")))
+      .select(
+        col("col.__part").as("__part"),
+        aggregate(slice(col("ps"), lit(1), col("pos")), lit(0L),
+          (acc, x) => acc + x.getField("__ptotal")).as("__offset"))
+
+    local
+      .join(broadcast(offsets), Seq("__part"))
+      .withColumn("__cum", col("__cum_local") + col("__offset"))
       .withColumn("shard_id",
         (((col("__cum") - col(tokensCol)) - pmod(col("__cum") - col(tokensCol), lit(budget))) / budget)
           .cast("long"))
-      .drop("__cum")
+      .drop("__part", "__hb", "__cum_local", "__offset", "__cum")
   }
 
   /** Fixed-width histogram over [lo, hi): bin 0 = underflow,

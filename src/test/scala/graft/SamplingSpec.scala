@@ -26,6 +26,35 @@ class SamplingSpec extends SparkSpecBase {
     assert(out.forall(_.getAs[Long]("count") === 5L))
   }
 
+  test("packByTokenBudget matches the sequential prefix-sum reference and is partition-invariant") {
+    val docs = Tables.documents(spark, Sf)
+      .select(col("doc_id"), (length(col("text")) / 4 + 1).cast("long").as("n_tokens"))
+    val budget = 2000L
+
+    val got = Sampling.packByTokenBudget(docs, "doc_id", "n_tokens", budget)
+      .select("doc_id", "shard_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // Sequential reference: global (hashBucket, id) order, running sum,
+    // shard = floor((cum - tokens) / budget).
+    val rows = docs.withColumn("__hb", Sampling.hashBucket(col("doc_id")))
+      .collect().map(r => (r.getAs[Long]("__hb"), r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens")))
+      .sortBy(t => (t._1, t._2))
+    var cum = 0L
+    val want = rows.map { case (_, id, tok) =>
+      cum += tok
+      id -> (cum - tok) / budget
+    }.toMap
+    assert(got === want)
+    assert(got.values.toSet.size > 1, "expected multiple shards at this budget")
+
+    // Same ids under a different input partitioning and explicit nPart.
+    val got2 = Sampling.packByTokenBudget(docs.repartition(7), "doc_id", "n_tokens", budget, numPartitions = 5)
+      .select("doc_id", "shard_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2 === want)
+  }
+
   test("histogram bins partition the domain with under/overflow") {
     val df = Seq(-1.0, 0.0, 4.9, 5.0, 199.9, 200.0, 500.0).toDF("v")
     val bins = Sampling.histogram(df, "v", 0.0, 200.0, 40)
