@@ -78,9 +78,32 @@ object PipelineQueries {
     Dedup.withSimhash(docs(s, dir).filter(col("doc_id") < 200))
       .select(col("doc_id"), col("simhash32"))
 
-  def embeddingDups(s: SparkSession, dir: String): DataFrame =
-    Dedup.embeddingDupPairs(embs(s, dir).filter(pmod(col("vec_id"), lit(5)) === 0),
-      minCos = 0.25)
+  /** Embedding near-dup detection through the SCALE path: sign-LSH
+    * bucket prefilter → exact cosine verify (no all-pairs self-join
+    * anywhere in the plan). The raw test embeddings contain no
+    * high-cosine pairs, so the query derives deterministic near-dups
+    * in-plan: each kept vector gets a copy (id + 1e6) with every
+    * element scaled by 1 + ((vec_id + dim_idx) % 7 - 3)/100 — cosine
+    * ≈ 0.9995 to its original, near-orthogonal to everything else.
+    * The DuckDB oracle computes the SAME derived set ALL-PAIRS, so a
+    * hash match is a measured 100%-recall proof for the LSH route on
+    * genuine near-duplicates, not just a rows>0 smoke check.
+    */
+  def embeddingDups(s: SparkSession, dir: String): DataFrame = {
+    val base = embs(s, dir).filter(pmod(col("vec_id"), lit(10)) === 0)
+    val origs = base.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("embedding"))
+    // Perturb BEFORE renaming the id: with both in one select, the
+    // lambda's col("vec_id") resolves to the shifted output alias
+    // (vec_id + 1e6), silently rotating every factor by 1e6 % 7.
+    val copies = base.select(col("vec_id"),
+      transform(col("embedding"), (x, d) =>
+        x.cast("double") *
+          (lit(1.0) + (pmod(col("vec_id") + d, lit(7)) - 3).cast("double") / 100.0))
+        .as("embedding"))
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    Dedup.embeddingDupPairsLsh(origs.unionByName(copies), minCos = 0.9, dim = 64)
+  }
 
   def knnBrute(s: SparkSession, dir: String): DataFrame = {
     val e = embs(s, dir)
@@ -299,12 +322,25 @@ object PipelineQueries {
     s"CASE WHEN sqrt($na) * sqrt($nb) = 0 THEN 0.0 ELSE $dot / (sqrt($na) * sqrt($nb)) END"
   }
 
+  /** All-pairs oracle over the SAME derived orig+perturbed-copy set as
+    * the Spark LSH query — a hash match proves the LSH prefilter lost
+    * no near-dup pair.
+    */
   val embeddingDupsSql: String = s"""
+    WITH base AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0),
+    v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding FROM base
+      UNION ALL
+      SELECT vec_id + 1000000,
+             list_transform(generate_series(1, len(embedding)), i ->
+               CAST(embedding[i] AS DOUBLE) *
+                 (1 + CAST(((vec_id + i - 1) % 7) - 3 AS DOUBLE) / 100.0))
+      FROM base)
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            ROUND(${cosSql("a.embedding", "b.embedding")}, 6) AS cos_sim
-    FROM embeddings a, embeddings b
-    WHERE a.vec_id % 5 = 0 AND b.vec_id % 5 = 0 AND a.vec_id < b.vec_id
-      AND ROUND(${cosSql("a.embedding", "b.embedding")}, 6) >= 0.25"""
+    FROM v a, v b
+    WHERE a.vec_id < b.vec_id
+      AND ROUND(${cosSql("a.embedding", "b.embedding")}, 6) >= 0.9"""
 
   val knnBruteSql: String = s"""
     SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank FROM (

@@ -21,6 +21,13 @@ import org.apache.spark.sql.types._
 case class SignLshKeys(child: Expression, planes: Int, tables: Int, dim: Int)
     extends UnaryExpression with Serializable {
 
+  // The key packs one sign bit per plane into a long, and the seed
+  // convention strides tables by 64 (t * 64 + p): planes > 64 would
+  // wrap the shift AND collide table seeds, silently degenerating the
+  // buckets.
+  require(planes >= 1 && planes <= 64, s"planes must be in [1, 64], got $planes")
+  require(tables >= 1 && dim >= 1, s"tables=$tables and dim=$dim must be >= 1")
+
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "sign_lsh_keys"
 

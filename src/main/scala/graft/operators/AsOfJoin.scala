@@ -41,27 +41,33 @@ object AsOfJoin {
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__t"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carriedCols = payloadRenamed.map { case (_, a) =>
-      a -> last(col(a), ignoreNulls = true).over(w)
-    } :+ (s"${prefix}time" -> last(when(col("__side") === 0, col("__t")), ignoreNulls = true).over(w))
+    // Carry the matched right row as ONE struct, not per-column: with
+    // independent last(_, ignoreNulls) carries, a NULL field in the
+    // matched quote would silently backfill from an OLDER quote,
+    // blending two right rows. The struct is non-null for every right
+    // row (even all-NULL payloads), so the whole match stands or falls
+    // together — single-row ASOF semantics as in DuckDB/kdb.
+    val carryFields = payloadRenamed.map { case (_, a) => col(a) } :+
+      col("__t").as(s"${prefix}time")
+    val carried = unioned.withColumn("__carry",
+      last(when(col("__side") === 0, struct(carryFields: _*)), ignoreNulls = true).over(w))
 
-    val carried = carriedCols.foldLeft(unioned) { case (df, (name, c)) =>
-      df.withColumn(name, c)
-    }
-    val withTol = toleranceMs match {
+    val gated = toleranceMs match {
       case Some(tol) =>
         // Age in ms for timestamp time columns; in the column's own
         // unit for numeric time columns.
         val isTs = left.schema(leftTime).dataType ==
           org.apache.spark.sql.types.TimestampType
+        val matchT = col("__carry")(s"${prefix}time")
         val age =
-          if (isTs) unix_millis(col("__t")) - unix_millis(col(s"${prefix}time"))
-          else col("__t") - col(s"${prefix}time")
-        val fresh = col(s"${prefix}time").isNotNull && age <= tol
-        carriedCols.map(_._1).foldLeft(carried)((df, name) =>
-          df.withColumn(name, when(fresh, col(name))))
+          if (isTs) unix_millis(col("__t")) - unix_millis(matchT)
+          else col("__t") - matchT
+        carried.withColumn("__carry", when(age <= tol, col("__carry")))
       case None => carried
     }
-    withTol.filter(col("__side") === 1).drop("__t", "__side")
+    val outNames = payloadRenamed.map(_._2) :+ s"${prefix}time"
+    val expanded = outNames.foldLeft(gated)((df, name) =>
+      df.withColumn(name, col("__carry")(name)))
+    expanded.filter(col("__side") === 1).drop("__t", "__side", "__carry")
   }
 }

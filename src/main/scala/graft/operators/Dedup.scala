@@ -121,6 +121,9 @@ object Dedup {
   def minhashCandidates(docs: DataFrame, idCol: String = "doc_id",
                         textCol: String = "text", shingleN: Int = 3,
                         k: Int = 16, bands: Int = 4): DataFrame = {
+    require(k % bands == 0,
+      s"signature length k=$k must be divisible by bands=$bands — " +
+        "otherwise the trailing signature positions are silently ignored")
     val rows = k / bands
     // Docs too short to shingle can't be near-duplicates by
     // definition — and all of them share the sentinel signature, so
@@ -167,7 +170,14 @@ object Dedup {
     */
   def jaccardPairs(docs: DataFrame, minJaccardE6: Long,
                    idCol: String = "doc_id", textCol: String = "text",
-                   shingleN: Int = 2): DataFrame = {
+                   shingleN: Int = 2, maxRows: Long = 100000L): DataFrame = {
+    // Hard guard: this form is O(n²) by design (verification-stage /
+    // oracle baseline). Refuse silently-quadratic runs over a corpus —
+    // the production path is nearDedup (LSH buckets → verify).
+    val n = docs.count()
+    require(n <= maxRows,
+      s"jaccardPairs is an all-pairs baseline for bounded sets; got $n rows " +
+        s"(max $maxRows). Use nearDedup/minhashCandidates at corpus scale.")
     // Sort each shingle set once per row: the per-pair intersection
     // then runs as a codegen'd merge walk (SortedIntersectSize)
     // instead of a hash set per pair — the cost that dominates the
@@ -264,17 +274,61 @@ object Dedup {
     docs.join(dropIds, Seq(idCol), "left_anti")
   }
 
-  /** Embedding near-duplicates: pairs with cosine >= minCos over a
-    * (bounded) vector set. Exact cosine via left-fold double dot
-    * product (see Similarity.cosine).
+  /** Embedding near-duplicates, all-pairs baseline: pairs with cosine
+    * >= minCos over a BOUNDED vector set. O(n²) by design — guarded,
+    * test/verification use only; the scale path is
+    * [[embeddingDupPairsLsh]].
     */
   def embeddingDupPairs(vecs: DataFrame, minCos: Double,
-                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                        idCol: String = "vec_id", vecCol: String = "embedding",
+                        maxRows: Long = 100000L): DataFrame = {
+    val n = vecs.count()
+    require(n <= maxRows,
+      s"embeddingDupPairs is an all-pairs baseline for bounded sets; got $n rows " +
+        s"(max $maxRows). Use embeddingDupPairsLsh at corpus scale.")
     val v = vecs.select(col(idCol).as("id"), col(vecCol).as("v"))
     val a = v.as("a"); val b = v.as("b")
     a.join(b, col("a.id") < col("b.id"))
       .select(col("a.id").as("vec_a"), col("b.id").as("vec_b"),
         round(Similarity.cosine(col("a.v"), col("b.v")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= minCos)
+  }
+
+  /** Embedding near-duplicates at scale: multi-table sign-LSH bucket
+    * prefilter → exact cosine verification on same-bucket pairs only.
+    * Same (vec_a, vec_b, cos_sim) contract as the all-pairs baseline,
+    * but the self-join is an equi-join on (table, bucket) — a shuffled
+    * hash join whose quadratic term is confined to bucket-sized
+    * groups, never a nested loop over the corpus.
+    *
+    * Candidate generation carries only (id, table, bucket); vectors
+    * join back for the verify stage, so the exploded shuffle is
+    * tables×16 bytes per row, not tables×dim×4. Recall: a pair at
+    * cosine c collides in one table with prob (1 - acos(c)/π)^planes;
+    * `tables` independent tables lift it to 1-(1-r)^T. At a near-dup
+    * threshold (c ≥ 0.9) the defaults put the miss probability per
+    * pair below 1e-10; for weakly-similar thresholds (c ≤ 0.5) use
+    * the guarded all-pairs baseline — no LSH family separates
+    * near-orthogonal pairs.
+    */
+  def embeddingDupPairsLsh(vecs: DataFrame, minCos: Double, dim: Int,
+                           planes: Int = 8, tables: Int = 12,
+                           idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val v = vecs.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val keyed = v.select(col("id"),
+      posexplode(graft.functions.LshFunctions.signLshKeys(col("v"), planes, tables, dim))
+        .as(Seq("tbl", "bkt")))
+    val a = keyed.as("a"); val b = keyed.as("b")
+    val cands = a.join(b,
+        col("a.tbl") === col("b.tbl") && col("a.bkt") === col("b.bkt") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("vec_a"), col("b.id").as("vec_b"))
+      .distinct()
+    cands
+      .join(v.select(col("id").as("vec_a"), col("v").as("va")), "vec_a")
+      .join(v.select(col("id").as("vec_b"), col("v").as("vb")), "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        round(Similarity.cosine(col("va"), col("vb")), 6).as("cos_sim"))
       .filter(col("cos_sim") >= minCos)
   }
 }

@@ -78,13 +78,17 @@ object Similarity {
     * hyperplanes -> one long key of sign bits. `table` offsets the
     * plane seed so tables are independent.
     */
-  def lshKey(vec: Column, planes: Int, dim: Int, table: Int = 0): Column =
+  def lshKey(vec: Column, planes: Int, dim: Int, table: Int = 0): Column = {
+    require(planes >= 1 && planes <= 64,
+      s"planes must be in [1, 64], got $planes — the key packs one sign bit " +
+        "per plane into a long, and the t*64+p seed stride assumes <= 64")
     (0 until planes).foldLeft(lit(0L): Column) { (acc, p) =>
       val proj = foldSum(zip_with(vec,
         array((0 until dim).map(d => lit(planeComponent(table * 64 + p, d))): _*),
         (x, w) => x.cast("double") * w))
       acc + when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
     }
+  }
 
   /** All table bucket keys, computed by the native SignLshKeys
     * expression (one codegen'd loop; bit-identical to folding lshKey

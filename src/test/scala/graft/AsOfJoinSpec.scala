@@ -48,6 +48,18 @@ class AsOfJoinSpec extends SparkSpecBase {
     assert(run().size === 4)
   }
 
+  test("NULL payload field in the matched right row is NOT backfilled from an older row") {
+    // Single-row ASOF semantics: the match at t=100 has bid=NULL, and
+    // must surface that NULL — not blend bid=800 from the t=80 quote.
+    val l = Seq((1L, "A", 120L)).toDF("id", "k", "t")
+    val r = Seq(("A", 80L, Some(800.0), Some(10L)),
+                ("A", 100L, None, Some(20L))).toDF("k", "t", "bid", "sz")
+    val out = AsOfJoin.asOf(l, r, Seq("k"), "t", "t", Seq("bid", "sz")).collect().head
+    assert(out.getAs[Any]("asof_bid") === null)      // matched row's NULL stands
+    assert(out.getAs[Long]("asof_sz") === 20L)       // same matched row's non-null field
+    assert(out.getAs[Long]("asof_time") === 100L)
+  }
+
   test("session windows work in streaming mode with a watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, String, Double)]

@@ -78,4 +78,44 @@ class SimilaritySpec extends SparkSpecBase {
     // And every LSH result must share the query's bucket by construction:
     // verified implicitly — lshTopK only scores same-bucket pairs.
   }
+
+  test("LSH embedding-dup pairs equal the all-pairs baseline on planted near-dups") {
+    import graft.operators.Dedup
+    val base = Tables.embeddings(spark, Sf).filter(col("vec_id") < 50)
+    val origs = base.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("embedding"))
+    val copies = base.select(col("vec_id"),
+      transform(col("embedding"), (x, d) =>
+        x.cast("double") * (lit(1.0) + (pmod(col("vec_id") + d, lit(7)) - 3).cast("double") / 100.0))
+        .as("embedding"))
+      .select((col("vec_id") + 1000L).as("vec_id"), col("embedding"))
+    val vecs = origs.unionByName(copies)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val lsh = rows(Dedup.embeddingDupPairsLsh(vecs, minCos = 0.9, dim = 64))
+    val brute = rows(Dedup.embeddingDupPairs(vecs, minCos = 0.9))
+    assert(lsh === brute)
+    assert(lsh.size === 50) // exactly the planted (orig, copy) pairs
+  }
+
+  test("parameter guards reject degenerate LSH/MinHash configs") {
+    val e = Tables.embeddings(spark, Sf)
+    intercept[IllegalArgumentException] {
+      Similarity.lshKey(col("embedding"), planes = 65, dim = 64)
+    }
+    intercept[IllegalArgumentException] {
+      graft.functions.LshFunctions.signLshKeys(col("embedding"), planes = 65, tables = 2, dim = 64)
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.Dedup.minhashCandidates(
+        Tables.documents(spark, Sf), k = 16, bands = 5)
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.Dedup.embeddingDupPairs(e, minCos = 0.9, maxRows = 10L)
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.Dedup.jaccardPairs(
+        Tables.documents(spark, Sf), minJaccardE6 = 500000L, maxRows = 10L)
+    }
+  }
 }
