@@ -44,43 +44,84 @@ object Sinks {
       }
   }
 
+  /** Name of the synthetic key-hash partition column added by
+    * upsertByKey. Kept free of a leading underscore: Spark's file
+    * listing treats `_`-prefixed paths as hidden, so `__bucket=3`
+    * directories would silently vanish from reads.
+    */
+  val BucketCol = "upsert_bucket"
+
   /** Keyed parquet upsert (the Cassandra-primary-key analog): merge a
     * micro-batch into the store so rows matching `keys` are replaced
-    * and everything else survives. Only the partitions present in the
-    * batch are read back and rewritten (partition pruning bounds the
-    * rewrite to the touched dates), via dynamic partition overwrite.
+    * and everything else survives.
+    *
+    * Layout: `partitionBy.../upsert_bucket=K/`, K = xxhash64(keys) mod
+    * nBuckets. Per batch, only the (partition, bucket) directories
+    * that actually contain a batch key are read back, merged, and
+    * dynamically overwritten — per-batch I/O is O(batch keys / bucket
+    * density), NOT O(touched date partition). With a 10 s trigger on a
+    * hot trading day this is the difference between rewriting a few
+    * key buckets and rewriting the whole day 8,640×. The touched set
+    * is pruned with an explicit OR-of-ANDs predicate on the partition
+    * values (collected from the batch — bounded by batch key count),
+    * so pruning is static and guaranteed, not dependent on runtime
+    * DPP. `nBuckets` trades rewrite granularity against file count;
+    * tune so bucket files stay ~100 MB at the deployment's bar rate.
     *
     * NOTE a bare dynamic-overwrite of the batch alone is WRONG for
     * update-mode aggregates: a micro-batch carries only the bars that
-    * changed, so overwriting a whole date partition with it would drop
-    * that date's other bars (found in review; regression-tested in
-    * StreamingSpec).
+    * changed, so overwriting a whole partition with it would drop
+    * that partition's other bars (found in review; regression-tested
+    * in StreamingSpec).
+    *
+    * Atomicity: dynamic partition overwrite stages files and commits
+    * by per-directory rename — a crash mid-commit can leave a touched
+    * bucket half-replaced (bounded by one bucket, and replaying the
+    * micro-batch converges because the merge is idempotent). A table
+    * format with a transactional MERGE (Delta/Iceberg) is the slot-in
+    * upgrade when one is allowed on the cluster.
     */
   def upsertByKey(batch: DataFrame, path: String, partitionBy: Seq[String],
-                  keys: Seq[String]): Unit = {
+                  keys: Seq[String], nBuckets: Int = 16): Unit = {
+    require(keys.nonEmpty, "upsertByKey needs at least one key column")
     val spark = batch.sparkSession
-    val batchP = batch.persist()
+    val bucketed = batch.withColumn(BucketCol,
+      pmod(xxhash64(keys.map(col): _*), lit(nBuckets.toLong)).cast("int"))
+    val batchP = bucketed.persist()
     try {
+      val partCols = partitionBy :+ BucketCol
       // "Exists" must mean "has data": a pre-created empty directory
-      // would make the read-back fail schema inference.
-      val root = new java.io.File(path)
-      val exists = root.exists() &&
-        Option(root.listFiles()).exists(_.exists(f => !f.getName.startsWith("_")))
+      // would make the read-back fail schema inference. Hadoop FS API,
+      // not java.io.File — the store may be hdfs:// or s3a://.
+      val hPath = new org.apache.hadoop.fs.Path(path)
+      val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val exists = fs.exists(hPath) && fs.listStatus(hPath).exists { s =>
+        val n = s.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      }
       val merged = if (exists) {
         val existing = spark.read.parquet(path)
-        val affected = batchP.select(partitionBy.map(col): _*).distinct()
-        val touched = existing.join(broadcast(affected), partitionBy, "left_semi")
-        val untouchedOfDate = touched.join(
+        // Exact touched (partition..., bucket) combos from the batch —
+        // tiny (bounded by batch keys) — as a static pruning predicate.
+        val combos = batchP.select(partCols.map(col): _*).distinct().collect()
+        if (combos.isEmpty) return // empty micro-batch: nothing to merge
+        val touchedPred = combos.map { row =>
+          partCols.zipWithIndex.map { case (c, i) =>
+            col(c) === lit(row.get(i))
+          }.reduce(_ && _)
+        }.reduce(_ || _)
+        val touched = existing.filter(touchedPred)
+        val untouchedOfBucket = touched.join(
           broadcast(batchP.select(keys.map(col): _*).distinct()), keys, "left_anti")
         // Cut lineage before overwriting the path we just read.
-        untouchedOfDate.unionByName(batchP).select(existing.columns.toIndexedSeq.map(col): _*)
+        untouchedOfBucket.unionByName(batchP).select(existing.columns.toIndexedSeq.map(col): _*)
           .localCheckpoint(true)
       } else batchP
-      val w0 = merged.write
+      merged.write
         .option("partitionOverwriteMode", "dynamic")
         .mode(if (exists) "overwrite" else "append")
-      val w = if (partitionBy.nonEmpty) w0.partitionBy(partitionBy: _*) else w0
-      w.parquet(path)
+        .partitionBy(partCols: _*)
+        .parquet(path)
     } finally batchP.unpersist()
   }
 

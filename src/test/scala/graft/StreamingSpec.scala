@@ -240,6 +240,41 @@ class StreamingSpec extends SparkSpecBase {
     assert(spark.read.parquet(dir).count() === 2)
   }
 
+  test("upsert rewrites only the buckets in the batch; untouched bucket files stay byte-identical") {
+    val dir = Files.createTempDirectory("graft_upsert_bkt").toString
+    def bars(rows: (String, String, Double)*) =
+      rows.toSeq.toDF("symbol", "window_date", "close")
+    def digests(): Map[String, String] = {
+      val root = new java.io.File(dir)
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk) else Seq(f)
+      walk(root).filter(f => f.getName.endsWith(".parquet")).map { f =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        f.getAbsolutePath.stripPrefix(dir) ->
+          md.digest(java.nio.file.Files.readAllBytes(f.toPath)).map("%02x".format(_)).mkString
+      }.toMap
+    }
+    val seed = (0 until 12).map(i => (s"SYM$i", "2024-01-15", i.toDouble))
+    Sinks.upsertByKey(bars(seed: _*), dir, Seq("window_date"),
+      Seq("symbol", "window_date"), nBuckets = 8)
+    val before = digests()
+    Sinks.upsertByKey(bars(("SYM0", "2024-01-15", 99.0)), dir, Seq("window_date"),
+      Seq("symbol", "window_date"), nBuckets = 8)
+    val after = digests()
+    val touchedBucket = spark.range(1)
+      .select(pmod(xxhash64(lit("SYM0"), lit("2024-01-15")), lit(8L)).cast("int"))
+      .collect()(0).getInt(0)
+    def untouched(m: Map[String, String]) =
+      m.filter(!_._1.contains(s"upsert_bucket=$touchedBucket"))
+    assert(untouched(before) === untouched(after)) // untouched buckets byte-identical
+    assert(untouched(before).nonEmpty)             // the assertion actually covers files
+    val out = spark.read.parquet(dir).collect()
+      .map(r => r.getAs[String]("symbol") -> r.getAs[Double]("close")).toMap
+    assert(out("SYM0") === 99.0)                   // upserted
+    assert(out("SYM5") === 5.0)                    // sibling survived
+    assert(out.size === 12)
+  }
+
   test("kafka sink projection re-keys by symbol with JSON payload (P6/K3)") {
     val df = Seq(("AAPL", 1.5)).toDF("symbol", "price")
     val out = Sinks.kafkaProjection(df).collect().head
