@@ -83,6 +83,10 @@ object SparkEntry {
     "f3_validation_metrics" -> ((s, dir) =>
       Validation.metrics(Validation.validate(trades(s, dir), CutoffMs))),
 
+    // F5 — validation-rate gauge (validator.py validation_rate parity).
+    "f4_validation_rate" -> ((s, dir) =>
+      Validation.rateMetrics(Validation.validate(trades(s, dir), CutoffMs))),
+
     // A1+A4 — 5-minute OHLCV bars with VWAP.
     "a1_ohlcv_5m" -> ((s, dir) => goldMs(gold5m(s, dir))),
 
@@ -200,7 +204,6 @@ object SparkEntry {
         SELECT UNNEST(CASE WHEN len(errs) = 0 THEN ['valid'] ELSE errs END) AS reason FROM (
           SELECT list_filter([
             CASE WHEN symbol IS NULL THEN 'missing_symbol' END,
-            CASE WHEN length(symbol) > 10 THEN 'symbol_too_long' END,
             CASE WHEN price IS NULL THEN 'missing_price' END,
             CASE WHEN price < 0 OR price > 1000000 THEN 'price_out_of_range' END,
             CASE WHEN volume IS NULL THEN 'missing_volume' END,
@@ -210,6 +213,25 @@ object SparkEntry {
             CASE WHEN epoch_ms(event_time) > 1706745600000 THEN 'future_timestamp' END
           ], x -> x IS NOT NULL) AS errs FROM trades)
       ) GROUP BY reason"""),
+
+    "f4_validation_rate" -> (P + """
+      SELECT CAST(COUNT(*) AS BIGINT) AS total,
+             CAST(SUM(CASE WHEN nerr = 0 THEN 1 ELSE 0 END) AS BIGINT) AS valid,
+             CAST(SUM(CASE WHEN nerr > 0 THEN 1 ELSE 0 END) AS BIGINT) AS invalid,
+             CASE WHEN COUNT(*) = 0 THEN 1000000
+                  ELSE CAST(SUM(CASE WHEN nerr = 0 THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT)
+             END AS valid_rate_e6
+      FROM (
+        SELECT len(list_filter([
+          CASE WHEN symbol IS NULL THEN 'missing_symbol' END,
+          CASE WHEN price IS NULL THEN 'missing_price' END,
+          CASE WHEN price < 0 OR price > 1000000 THEN 'price_out_of_range' END,
+          CASE WHEN volume IS NULL THEN 'missing_volume' END,
+          CASE WHEN volume < 0 THEN 'negative_volume' END,
+          CASE WHEN volume = 0 THEN 'zero_volume' END,
+          CASE WHEN event_time IS NULL THEN 'missing_timestamp' END,
+          CASE WHEN epoch_ms(event_time) > 1706745600000 THEN 'future_timestamp' END
+        ], x -> x IS NOT NULL)) AS nerr FROM trades)"""),
 
     "a1_ohlcv_5m" -> (P +
       "SELECT symbol, ws_ms AS window_start_ms, we_ms AS window_end_ms, open, high, low, close, volume, trade_count, vwap_e6 FROM gold_5m"),

@@ -30,10 +30,19 @@ object Validation {
     df.withColumn("timestamp_ms",
       when(col(tCol) < 1000000000000L, col(tCol) * 1000L).otherwise(col(tCol)))
 
-  /** F3 — validation rule bundle. Adds `errors: array<string>` and
-    * `is_valid` to the trade rows. Rules mirror validator.py:108-173:
-    * required fields, symbol length, price bounds, non-negative and
-    * (toggle) non-zero volume, future-timestamp guard.
+  /** Age beyond which a timestamp is flagged stale (warning only) —
+    * validator.py:168-170: ts more than 1 day old.
+    */
+  val StaleAgeMs: Long = 86400000L
+
+  /** F3 — validation rule bundle. Adds `errors: array<string>`,
+    * `warnings: array<string>` and `is_valid` to the trade rows.
+    * Rules mirror validator.py:108-173 INCLUDING its error/warning
+    * split: long symbols (>10 chars), price below min (but >= 0) and
+    * stale timestamps (> 1 day old) are WARNINGS — the row stays
+    * valid, matching the reference, which only dead-letters on
+    * errors. Errors: missing fields, negative price, price above max,
+    * negative volume, (toggle) zero volume, future timestamp.
     *
     * `maxEventTimeMs` is the deterministic "now + 5 min" bound.
     */
@@ -51,7 +60,6 @@ object Validation {
                filterZeroVolume: Boolean): DataFrame = {
     val errs = array_compact(array(
       when(col("symbol").isNull, lit("missing_symbol")),
-      when(length(col("symbol")) > 10, lit("symbol_too_long")),
       when(col("price").isNull, lit("missing_price")),
       when(col("price") < 0 || col("price") > MaxPrice, lit("price_out_of_range")),
       when(col("volume").isNull, lit("missing_volume")),
@@ -60,8 +68,17 @@ object Validation {
       when(col("event_time").isNull, lit("missing_timestamp")),
       when(unix_millis(col("event_time")) > maxEventTimeMs, lit("future_timestamp"))
     ))
+    // "now" is the future bound minus the skew window; stale = more
+    // than StaleAgeMs before it (validator.py:166-170).
+    val warns = array_compact(array(
+      when(length(col("symbol")) > 10, lit("symbol_too_long")),
+      when(col("price") >= 0 && col("price") < MinPrice, lit("price_below_min")),
+      when(unix_millis(col("event_time")) <
+        maxEventTimeMs - lit(FutureSkewMs) - lit(StaleAgeMs), lit("stale_timestamp"))
+    ))
     trades
       .withColumn("errors", errs)
+      .withColumn("warnings", warns)
       .withColumn("is_valid", size(col("errors")) === 0)
   }
 
@@ -91,7 +108,7 @@ object Validation {
     * plan; Spark reuses the scan via whole-stage codegen per branch.
     */
   def split(validated: DataFrame): (DataFrame, DataFrame) =
-    (validated.filter(col("is_valid")).drop("errors", "is_valid"),
+    (validated.filter(col("is_valid")).drop("errors", "warnings", "is_valid"),
      validated.filter(!col("is_valid")))
 
   /** F5 — validation metrics: per-reason breakdown plus the valid
@@ -106,5 +123,24 @@ object Validation {
           .otherwise(col("errors"))).as("reason"))
       .groupBy(col("reason"))
       .agg(count(lit(1)).as("n"))
+  }
+
+  /** Validation-rate gauge (ValidationMetrics.validation_rate,
+    * validator.py:52-57): total/valid/invalid counts and the valid
+    * rate in exact integer micro-units (floor(1e6 * valid / total);
+    * 1e6 on empty input, mirroring the reference's 100.0%). One
+    * map-side-combined aggregation, no second pass.
+    */
+  def rateMetrics(validated: DataFrame): DataFrame = {
+    val total = count(lit(1))
+    val valid = count(when(col("is_valid"), 1))
+    val num = valid * 1000000L
+    validated.agg(
+      total.as("total"),
+      valid.as("valid"),
+      (total - valid).as("invalid"),
+      when(total === 0, 1000000L)
+        .otherwise(((num - pmod(num, total)) / total).cast("long"))
+        .as("valid_rate_e6"))
   }
 }

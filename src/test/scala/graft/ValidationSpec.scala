@@ -58,10 +58,40 @@ class ValidationSpec extends SparkSpecBase {
     assert(row.getSeq[String](row.fieldIndex("errors")) === Seq("future_timestamp"))
   }
 
-  test("symbol longer than 10 chars is flagged") {
+  test("symbol longer than 10 chars is a WARNING, not an error (validator.py parity)") {
     val df = tradesDf(Seq((1L, "ABCDEFGHIJK", 10.0, 10L, "2024-01-15 10:00:00")))
     val row = Validation.validate(df, maxMs).collect().head
-    assert(row.getSeq[String](row.fieldIndex("errors")) === Seq("symbol_too_long"))
+    assert(row.getAs[Boolean]("is_valid") === true)
+    assert(row.getSeq[String](row.fieldIndex("errors")).isEmpty)
+    // (Jan 15 is also > 1 day before the synthetic Feb 1 "now".)
+    assert(row.getSeq[String](row.fieldIndex("warnings"))
+      === Seq("symbol_too_long", "stale_timestamp"))
+  }
+
+  test("price below min and stale timestamp warn; row stays valid") {
+    val df = tradesDf(Seq(
+      (1L, "A", 0.00001, 10L, "2024-01-15 10:00:00"), // below MinPrice, >= 0
+      (2L, "A", 10.0, 10L, "2023-12-01 00:00:00")))   // > 1 day before "now"
+    val rows = Validation.validate(df, maxMs).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        (r.getAs[Boolean]("is_valid"), r.getSeq[String](r.fieldIndex("warnings")))).toMap
+    assert(rows(1L) === (true, Seq("price_below_min", "stale_timestamp")))
+    assert(rows(2L) === (true, Seq("stale_timestamp")))
+  }
+
+  test("rateMetrics reports totals and exact micro-unit valid rate") {
+    val df = tradesDf(Seq(
+      (1L, "A", 10.0, 10L, "2024-01-15 10:00:00"),
+      (2L, "A", 10.0, 0L, "2024-01-15 10:00:00"),
+      (3L, "A", -1.0, 10L, "2024-01-15 10:00:00")))
+    val r = Validation.rateMetrics(Validation.validate(df, maxMs)).collect().head
+    assert(r.getAs[Long]("total") === 3L)
+    assert(r.getAs[Long]("valid") === 1L)
+    assert(r.getAs[Long]("invalid") === 2L)
+    assert(r.getAs[Long]("valid_rate_e6") === 333333L) // floor(1e6/3)
+    // Empty input mirrors the reference's 100% convention.
+    val empty = Validation.rateMetrics(Validation.validate(df.limit(0), maxMs)).collect().head
+    assert(empty.getAs[Long]("valid_rate_e6") === 1000000L)
   }
 
   test("seconds-vs-millis heuristic scales small epochs (F4)") {
