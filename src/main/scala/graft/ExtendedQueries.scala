@@ -333,7 +333,45 @@ object ExtendedQueries {
            COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
     FROM c GROUP BY 1"""
 
+  /** X17 — market-hours session gating (MarketHours Column forms over
+    * UTC event times; reference time_utils.py semantics incl. the
+    * 2024 MLK holiday that falls inside the test data's range).
+    */
+  def marketHoursSessions(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables.trades(s, dir)
+    t.select(col("symbol"),
+        when(operators.MarketHours.isRegularHoursCol(col("event_time")), "regular")
+          .when(operators.MarketHours.isExtendedHoursCol(col("event_time")), "extended")
+          .otherwise("closed").as("session"))
+      .groupBy(col("symbol"), col("session"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  val marketHoursSessionsSql: String = """
+    WITH trades AS (SELECT event_type AS symbol, ts AS event_time FROM events),
+    et AS (
+      SELECT symbol,
+             timezone('America/New_York', event_time AT TIME ZONE 'UTC') AS t
+      FROM trades
+    ), cls AS (
+      SELECT symbol,
+             CASE WHEN trading_day AND s BETWEEN 34200 AND 57600 THEN 'regular'
+                  WHEN trading_day AND ((s >= 14400 AND s < 34200) OR (s > 57600 AND s <= 72000)) THEN 'extended'
+                  ELSE 'closed' END AS session
+      FROM (
+        SELECT symbol,
+               date_part('hour', t) * 3600 + date_part('minute', t) * 60 + date_part('second', t) AS s,
+               dayofweek(t) NOT IN (0, 6) AND strftime(t, '%Y-%m-%d') NOT IN (
+                 '2024-01-01','2024-01-15','2024-02-19','2024-03-29','2024-05-27',
+                 '2024-06-19','2024-07-04','2024-09-02','2024-11-28','2024-12-25',
+                 '2025-01-01','2025-01-20','2025-02-17','2025-04-18','2025-05-26',
+                 '2025-06-19','2025-07-04','2025-09-01','2025-11-27','2025-12-25') AS trading_day
+        FROM et)
+    )
+    SELECT symbol, session, COUNT(*) AS n FROM cls GROUP BY symbol, session"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x17_market_hours" -> (marketHoursSessions _),
     "h5_region_revenue" -> ((s: SparkSession, dir: String) => TpchQueries.regionRevenue(s, dir)),
     "h14_promo_revenue" -> ((s: SparkSession, dir: String) => TpchQueries.promoRevenue(s, dir)),
     "x10_token_packing" -> (tokenPacking _),
@@ -355,6 +393,7 @@ object ExtendedQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "x17_market_hours" -> marketHoursSessionsSql,
     "h5_region_revenue" -> TpchQueries.regionRevenueSql,
     "h14_promo_revenue" -> TpchQueries.promoRevenueSql,
     "x10_token_packing" -> tokenPackingSql,
