@@ -30,6 +30,16 @@ object QuoteStreams {
       .select(col("q.*"))
       .withColumn("event_time", to_timestamp(col("timestamp") / 1000))
 
+  /** Avro form over the registered quote contract
+    * (TradeStreams.quoteAvroSchema; includes the avsc's
+    * ingestion_time field, which the JSON path's schema omits).
+    */
+  def parseQuotesAvro(raw: DataFrame): DataFrame =
+    raw.select(graft.functions.AvroFunctions
+        .fromAvro(col("value"), TradeStreams.quoteAvroSchema).as("q"))
+      .select(col("q.*"))
+      .withColumn("event_time", to_timestamp(col("timestamp") / 1000))
+
   /** Derived quote analytics: mid price, absolute and relative spread,
     * book imbalance — all per-row codegen'd arithmetic.
     */

@@ -27,19 +27,67 @@ object TradeStreams {
     StructField("conditions", ArrayType(StringType)),
     StructField("ingestion_time", LongType)))
 
+  /** The reference's provisioned topic layout
+    * (scripts/create_topics.sh:44-55).
+    */
+  object Topics {
+    val TradesRaw = "trades_raw"
+    val QuotesRaw = "quotes_raw"
+    val CryptoRaw = "crypto_raw"
+    val DeadLetters = "dead_letters"
+    val All: Seq[String] = Seq(TradesRaw, QuotesRaw, CryptoRaw, DeadLetters)
+  }
+
   /** S1 — Kafka streaming scan (read_from_kafka,
     * spark_processor.py:116-133): subscribe, latest offsets, tolerate
-    * data loss. Returns the raw (key, value, ...) frame.
+    * data loss. Returns the raw (key, value, topic, ...) frame.
+    * Accepts one topic or the reference's whole four-topic layout —
+    * one consumer group/scan either way; use [[topicBranch]] to split.
     */
   def kafkaSource(spark: SparkSession, bootstrap: String, topic: String,
                   startingOffsets: String = "latest"): DataFrame =
+    kafkaSource(spark, bootstrap, Seq(topic), startingOffsets)
+
+  def kafkaSource(spark: SparkSession, bootstrap: String, topics: Seq[String],
+                  startingOffsets: String): DataFrame =
+    spark.readStream
+      .format("kafka")
+      .options(kafkaOptions(bootstrap, topics, startingOffsets))
+      .load()
+
+  /** Reader options for a subscribe-list scan — exposed so the config
+    * contract is testable without a broker (none in this sandbox).
+    */
+  def kafkaOptions(bootstrap: String, topics: Seq[String],
+                   startingOffsets: String): Map[String, String] = {
+    require(topics.nonEmpty, "at least one topic")
+    Map(
+      "kafka.bootstrap.servers" -> bootstrap,
+      "subscribe" -> topics.mkString(","),
+      "startingOffsets" -> startingOffsets,
+      "failOnDataLoss" -> "false")
+  }
+
+  /** Pattern-subscribe form (e.g. ".*_raw" picks up new per-venue raw
+    * topics without a restart).
+    */
+  def kafkaSourcePattern(spark: SparkSession, bootstrap: String, pattern: String,
+                         startingOffsets: String = "latest"): DataFrame =
     spark.readStream
       .format("kafka")
       .option("kafka.bootstrap.servers", bootstrap)
-      .option("subscribe", topic)
+      .option("subscribePattern", pattern)
       .option("startingOffsets", startingOffsets)
       .option("failOnDataLoss", "false")
       .load()
+
+  /** One topic's rows out of a multi-subscribe scan. The filter is on
+    * Kafka's `topic` metadata column and rides the scan: each branch
+    * is a lazy view, so trades feed [[parseTrades]] and quotes feed
+    * QuoteStreams.parseQuotes from ONE consumer scan.
+    */
+  def topicBranch(raw: DataFrame, topic: String): DataFrame =
+    raw.filter(col("topic") === topic)
 
   /** File-based streaming source over a parquet directory — the test
     * and replay path (SURVEY.md S2: the WebSocket producer is outside
@@ -55,6 +103,53 @@ object TradeStreams {
   def parseKafkaValue(raw: DataFrame): DataFrame =
     raw.select(from_json(col("value").cast("string"), tradeSchema).as("trade"))
       .select(col("trade.*"))
+
+  /** Avro writer schema for trade values — the contract the reference
+    * registers with BACKWARD compatibility
+    * (schemas/avro/trade.avsc:1-42, scripts/register_schemas.py:17-20)
+    * even though its own producer ships JSON. Field names/types match
+    * `tradeSchema` exactly, so both decode paths produce identical
+    * rows.
+    */
+  val tradeAvroSchema: String =
+    """{"type":"record","name":"Trade","namespace":"com.finnhub.market","fields":[
+      |{"name":"symbol","type":"string"},
+      |{"name":"price","type":"double"},
+      |{"name":"volume","type":"long"},
+      |{"name":"timestamp","type":"long"},
+      |{"name":"conditions","type":{"type":"array","items":"string"},"default":[]},
+      |{"name":"ingestion_time","type":"long"}]}""".stripMargin
+
+  /** quote.avsc:1-50 analog for the quotes_raw topic. */
+  val quoteAvroSchema: String =
+    """{"type":"record","name":"Quote","namespace":"com.finnhub.market","fields":[
+      |{"name":"symbol","type":"string"},
+      |{"name":"bid_price","type":"double"},
+      |{"name":"bid_size","type":"long"},
+      |{"name":"ask_price","type":"double"},
+      |{"name":"ask_size","type":"long"},
+      |{"name":"timestamp","type":"long"},
+      |{"name":"ingestion_time","type":"long"}]}""".stripMargin
+
+  /** P1, Avro form — decode registry-style Avro-encoded value bytes
+    * against the trade writer schema. Same output columns as the JSON
+    * path; pick per topic. (The registry itself is a service, not an
+    * operator — binary decode against the registered writer schema
+    * covers the data plane; graft.functions.AvroDecode because this
+    * Spark build bundles the Avro file format but not the spark-avro
+    * SQL module.)
+    */
+  def parseKafkaValueAvro(raw: DataFrame,
+                          schemaJson: String = tradeAvroSchema): DataFrame =
+    raw.select(graft.functions.AvroFunctions
+        .fromAvro(col("value"), schemaJson).as("trade"))
+      .select(col("trade.*"))
+
+  /** Avro trade decode + event time (the from_avro analog of
+    * [[parseTrades]]).
+    */
+  def parseTradesAvro(raw: DataFrame): DataFrame =
+    withEventTime(parseKafkaValueAvro(raw))
 
   /** P2 — event-time derivation: epoch-ms -> timestamp
     * (parse_with_event_time, transformations.py:69-83).
