@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{LatestPrices, Medallion, Ohlcv, Sampling}
+import graft.sources.Tables
+
+/** Synthetic scale-up bench: replicate the sf inputs k× (disjoint ids
+  * and day-shifted event times, so window/bar cardinality grows with
+  * the data instead of collapsing onto itself) and measure the
+  * heaviest operators at 1× and k×. A near-linear wall-clock ratio is
+  * the measured evidence behind docs/SCALE.md's shuffle cost model —
+  * run with SPARK_GRAFT_SF_DIR and an optional k argument (default
+  * 10):
+  *
+  *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt "runMain graft.ScaleBench"
+  *
+  * Prints one JSON line {"k":10,"queries":{name:{"t1":s,"tk":s,
+  * "ratio":r}}}.
+  */
+object ScaleBench {
+
+  /** k disjoint copies of the trade feed: ids offset per copy, event
+    * times shifted by i*40 days (the source spans ~31 days, so copy
+    * ranges never overlap) — same per-day trade density, k× the days,
+    * so OHLCV bars, dedup keys and shuffle volume all scale k×.
+    */
+  private def scaledTrades(s: SparkSession, dir: String, k: Int): DataFrame =
+    (0 until k).map { i =>
+      Tables.trades(s, dir)
+        .withColumn("event_id", col("event_id") + lit(i.toLong * 1000000000000L))
+        .withColumn("event_time", col("event_time") + expr(s"INTERVAL ${i * 40} DAYS"))
+        .withColumn("trade_date", to_date(col("event_time")))
+    }.reduce(_ unionByName _)
+
+  private def scaledDocs(s: SparkSession, dir: String, k: Int): DataFrame =
+    (0 until k).map { i =>
+      Tables.documents(s, dir)
+        .withColumn("doc_id", col("doc_id") + lit(i.toLong * 1000000000L))
+    }.reduce(_ unionByName _)
+
+  // Beyond the furthest shifted copy (k=10 -> +360 days into 2025).
+  private val Cutoff = "2026-01-01 00:00:00"
+
+  private def silver(trades: DataFrame): DataFrame =
+    Medallion.dedupAgg(
+      Medallion.toSilver(trades, lit(Cutoff).cast("timestamp")),
+      payloadCols = Seq("price", "volume", "trade_date"))
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val k = args.headOption.map(_.toInt).getOrElse(10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000).selectExpr("sum(id)").collect() // warm JVM
+
+    def time(f: => Long): (Double, Long) = {
+      val t0 = System.nanoTime(); val n = f
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+
+    val cases: Seq[(String, Int => Long)] = Seq(
+      "a1_ohlcv_5m" -> { kk: Int =>
+        Ohlcv.bars5m(silver(scaledTrades(spark, sfDir, kk))).count()
+      },
+      "a6_latest_prices" -> { kk: Int =>
+        LatestPrices.snapshot(silver(scaledTrades(spark, sfDir, kk))).count()
+      },
+      "x10_token_packing" -> { kk: Int =>
+        val docs = scaledDocs(spark, sfDir, kk).select(col("doc_id"),
+          size(operators.TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+        Sampling.packByTokenBudget(docs, "doc_id", "n_tokens", budget = 5000L)
+          .groupBy(col("shard_id")).agg(count(lit(1))).count()
+      })
+
+    val results = cases.map { case (name, run) =>
+      run(1) // warm codegen/file-index for this shape
+      val (t1, n1) = time(run(1))
+      val (tk, nk) = time(run(k))
+      val ratio = tk / t1
+      System.err.println(f"[scalebench] $name 1x=$t1%.2fs ($n1 rows) ${k}x=$tk%.2fs ($nk rows) ratio=$ratio%.1f")
+      f""""$name":{"t1":$t1%.3f,"tk":$tk%.3f,"ratio":$ratio%.2f,"rows1":$n1,"rowsk":$nk}"""
+    }
+    println(s"""{"metric":"scale_ratio","k":$k,"queries":${results.mkString("{", ",", "}")},"sf":"$sfDir"}""")
+    spark.stop()
+  }
+}
