@@ -96,7 +96,12 @@ object TpchQueries {
   def regionRevenue(s: SparkSession, dir: String): DataFrame = {
     val from = lit("1997-01-01").cast("timestamp")
     val to = lit("1998-01-01").cast("timestamp")
-    val region = Tables.region(s, dir).filter(col("r_name") === regionName(s, dir))
+    // Uncorrelated scalar "first region alphabetically" stays IN-PLAN
+    // (broadcast join against the 1-row min aggregate) — no driver
+    // collect, same shape as the oracle's scalar subquery.
+    val region = Tables.region(s, dir).join(
+      broadcast(Tables.region(s, dir).agg(min(col("r_name")).as("__min_r"))),
+      col("r_name") === col("__min_r")).drop("__min_r")
     val nation = Tables.nation(s, dir)
     val cust = Tables.customer(s, dir)
     val ord = Tables.orders(s, dir).filter(col("o_orderdate") >= from && col("o_orderdate") < to)
@@ -151,13 +156,6 @@ object TpchQueries {
     WHERE l_partkey = p_partkey
       AND l_shipdate >= TIMESTAMP '1997-06-01 00:00:00'
       AND l_shipdate < TIMESTAMP '1997-07-01 00:00:00'"""
-
-  /** First region name alphabetically — keeps the query data-driven
-    * instead of assuming TPC-H's region spellings.
-    */
-  private def regionName(s: SparkSession, dir: String): String =
-    Tables.region(s, dir).orderBy(col("r_name")).limit(1)
-      .collect().head.getAs[String]("r_name")
 
   val regionRevenueSql: String = """
     SELECT n_name,

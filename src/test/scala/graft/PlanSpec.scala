@@ -57,4 +57,30 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("2024-01-15") || p.contains("1705276800"),
       "day constraint did not reach the scan")
   }
+
+  test("embedding dedup runs on equi-joins only — no nested-loop over the corpus (r1 VERDICT)") {
+    val p = plan("d6_embedding_dups")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "d6 regressed to an all-pairs self-join")
+  }
+
+  test("token packing has no global no-partition window (r1 VERDICT scale-killer)") {
+    // Every WindowExec in the plan must carry a partition spec; the
+    // old formulation's `Window [...] ORDER BY` with an empty
+    // partitionBy serialized the corpus through one task.
+    val p = plan("x10_token_packing")
+    val windowLines = p.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(windowLines.nonEmpty, "expected a windowed prefix sum in the plan")
+    windowLines.foreach { l =>
+      assert(l.contains("windowspecdefinition") && l.contains("__part"),
+        s"window without partition spec: $l")
+    }
+  }
+
+  test("h5 region pick is an in-plan scalar aggregate, not a driver collect") {
+    // The min(r_name) pick joins in-plan; nothing about the query
+    // shape requires executing a separate job at build time.
+    val df = SparkEntry.queries("h5_region_revenue")(spark, Sf)
+    assert(df.queryExecution.analyzed.toString.contains("min(r_name"))
+  }
 }
