@@ -1,0 +1,102 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Native MinHash signature: all k permutation minima in one fused
+  * loop over the shingle-hash array.
+  *
+  * The composable form is k separate interpreted
+  * `array_min(transform(sh, x -> (x*a+b) mod P))` trees — k array
+  * allocations and k lambda walks per row. This expression keeps the
+  * running minima in a local long[k] and visits each shingle once,
+  * inside whole-stage codegen.
+  *
+  * Parameters are the deterministic Knuth-style (a_i, b_i) pairs
+  * shared with the fold-based reference form (Dedup.minhashParams
+  * delegates here); empty shingle sets yield the all-P sentinel
+  * signature, identical to the fold form and the DuckDB oracle.
+  */
+case class MinHashSig(child: Expression, k: Int)
+    extends UnaryExpression with Serializable {
+
+  require(k >= 1, s"k must be >= 1, got $k")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<bigint> shingle hashes, got $other")
+  }
+
+  lazy val paramsA: Array[Long] = MinHashFunctions.params(k).map(_._1).toArray
+  lazy val paramsB: Array[Long] = MinHashFunctions.params(k).map(_._2).toArray
+
+  override def nullSafeEval(input: Any): Any = {
+    val sh = input.asInstanceOf[ArrayData]
+    val n = sh.numElements()
+    val sig = new Array[Long](k)
+    java.util.Arrays.fill(sig, MinHashFunctions.P)
+    var j = 0
+    while (j < n) {
+      val x = sh.getLong(j)
+      var i = 0
+      while (i < k) {
+        val h = (x * paramsA(i) + paramsB(i)) % MinHashFunctions.P
+        if (n > 0 && h < sig(i)) sig(i) = h
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("mhA", paramsA, "long[]")
+    val bRef = ctx.addReferenceObj("mhB", paramsB, "long[]")
+    nullSafeCodeGen(ctx, ev, sh => {
+      val n = ctx.freshName("n"); val sig = ctx.freshName("sig")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val x = ctx.freshName("x"); val h = ctx.freshName("h")
+      s"""
+        int $n = $sh.numElements();
+        long[] $sig = new long[$k];
+        java.util.Arrays.fill($sig, ${MinHashFunctions.P}L);
+        for (int $j = 0; $j < $n; $j++) {
+          long $x = $sh.getLong($j);
+          for (int $i = 0; $i < $k; $i++) {
+            long $h = ($x * $aRef[$i] + $bRef[$i]) % ${MinHashFunctions.P}L;
+            if ($h < $sig[$i]) $sig[$i] = $h;
+          }
+        }
+        ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($sig);
+      """
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object MinHashFunctions {
+
+  val P = 1000000007L
+
+  /** Deterministic (a,b) parameters for the k MinHash permutations.
+    * Large well-mixed multipliers mod the prime — small odd a_i would
+    * preserve magnitude ordering and bias the Jaccard estimator
+    * (caught by TextDedupSpec in round 1).
+    */
+  def params(k: Int): Seq[(Long, Long)] =
+    (1 to k).map(i => ((2654435761L * i + 1L) % P, (40503L * i.toLong * i + 17L) % P))
+
+  /** Fused MinHash signature of a shingle-hash array column. */
+  def minhashSig(shingles: Column, k: Int): Column =
+    ColumnBridge.column(MinHashSig(ColumnBridge.expression(shingles), k))
+}

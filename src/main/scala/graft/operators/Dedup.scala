@@ -84,12 +84,22 @@ object Dedup {
     * bijections, reproducible everywhere.
     */
   def minhashParams(k: Int): Seq[(Long, Long)] =
-    (1 to k).map(i => ((2654435761L * i + 1L) % P, (40503L * i * i + 17L) % P))
+    graft.functions.MinHashFunctions.params(k)
 
   /** MinHash signature: sig_i = min over shingles of (a_i*x+b_i mod P).
-    * Empty shingle set -> all P (sentinel).
+    * Empty shingle set -> all P (sentinel). Native fused expression —
+    * one pass over the shingles inside codegen
+    * (graft.functions.MinHashSig); [[minhashSignatureFold]] is the
+    * composable reference form, spec-pinned bit-identical.
     */
-  def minhashSignature(shingles: Column, k: Int): Column = {
+  def minhashSignature(shingles: Column, k: Int): Column =
+    graft.functions.MinHashFunctions.minhashSig(shingles, k)
+
+  /** Fold-based reference implementation (k interpreted
+    * array_min/transform trees — kept for cross-checking the native
+    * expression in TextDedupSpec, not for production plans).
+    */
+  def minhashSignatureFold(shingles: Column, k: Int): Column = {
     val parts = minhashParams(k).map { case (a, b) =>
       when(size(shingles) > 0,
         array_min(transform(shingles, x => pmod(x * a + b, lit(P)))))

@@ -56,6 +56,22 @@ class TextDedupSpec extends SparkSpecBase {
     assert(math.abs(est - exact) < 200000L, s"est=$est exact=$exact")
   }
 
+  test("native MinHashSig is bit-identical to the fold-based form, incl. empty shingles") {
+    val docs = graft.sources.Tables.documents(spark, Sf).limit(200)
+      .select(col("doc_id"), col("text"))
+    val staged = Dedup.withShingles(docs, "text", 3)
+    val both = staged.select(
+      Dedup.minhashSignature(col("sh"), 16).as("native"),
+      Dedup.minhashSignatureFold(col("sh"), 16).as("fold"))
+    assert(both.filter(col("native") =!= col("fold")).count() === 0)
+    // Degenerate doc (too short to shingle) -> sentinel signature.
+    val empty = docsDf(Seq((1L, "x")))
+    val sig = Dedup.withShingles(empty, "text", 3)
+      .select(Dedup.minhashSignature(col("sh"), 4).as("s"))
+      .collect().head.getSeq[Long](0)
+    assert(sig === Seq.fill(4)(Dedup.P))
+  }
+
   test("minhash LSH finds the exact duplicate pair") {
     val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val df = docsDf(Seq((1L, text), (2L, text), (3L, "totally different content with many other words present")))
