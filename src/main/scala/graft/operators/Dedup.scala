@@ -181,19 +181,25 @@ object Dedup {
   def jaccardPairs(docs: DataFrame, minJaccardE6: Long,
                    idCol: String = "doc_id", textCol: String = "text",
                    shingleN: Int = 2, maxRows: Long = 100000L): DataFrame = {
-    // Hard guard: this form is O(n²) by design (verification-stage /
-    // oracle baseline). Refuse silently-quadratic runs over a corpus —
-    // the production path is nearDedup (LSH buckets → verify).
-    val n = docs.count()
-    require(n <= maxRows,
-      s"jaccardPairs is an all-pairs baseline for bounded sets; got $n rows " +
-        s"(max $maxRows). Use nearDedup/minhashCandidates at corpus scale.")
     // Sort each shingle set once per row: the per-pair intersection
     // then runs as a codegen'd merge walk (SortedIntersectSize)
     // instead of a hash set per pair — the cost that dominates the
-    // quadratic verification stage.
+    // quadratic verification stage. The sorted-shingle frame is
+    // eagerly localCheckpoint'ed: ReuseExchange does not fire across
+    // self-join aliasing, so without it the whole token->shingle tree
+    // runs twice; materializing is safe exactly because this operator
+    // is restricted to bounded sets.
     val sh = withShingles(docs.select(col(idCol).as("id"), col(textCol)), textCol, shingleN)
       .select(col("id"), array_sort(col("sh")).as("sh"))
+      .localCheckpoint(true)
+    // Hard guard: this form is O(n²) by design (verification-stage /
+    // oracle baseline). Refuse silently-quadratic runs over a corpus —
+    // the production path is nearDedup (LSH buckets → verify). The
+    // count is a cheap scan of the just-materialized checkpoint.
+    val n = sh.count()
+    require(n <= maxRows,
+      s"jaccardPairs is an all-pairs baseline for bounded sets; got $n rows " +
+        s"(max $maxRows). Use nearDedup/minhashCandidates at corpus scale.")
     val a = sh.as("a"); val b = sh.as("b")
     // Stage intersection size once per pair (the arrays are distinct
     // sets, so |A∪B| = |A|+|B|-|A∩B| avoids a second array walk).
