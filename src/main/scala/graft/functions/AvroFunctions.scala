@@ -67,17 +67,27 @@ case class AvroDecode(child: Expression, schemaJson: String)
 
 object AvroFunctions {
 
-  /** Avro schema -> Catalyst type for the supported flat subset. */
-  def toSqlType(s: Schema): DataType = s.getType match {
-    case Schema.Type.RECORD =>
+  /** Avro schema -> Catalyst type for the supported flat subset.
+    * Nested records are rejected HERE, at schema-parse time — the
+    * documented flat-contract scope guard, not a per-row failure.
+    */
+  def toSqlType(s: Schema): DataType = toSqlType(s, top = true)
+
+  private def toSqlType(s: Schema, top: Boolean): DataType = s.getType match {
+    case Schema.Type.RECORD if top =>
       StructType(s.getFields.asScala.map { f =>
-        StructField(f.name(), toSqlType(f.schema()), nullable = isNullable(f.schema()))
+        StructField(f.name(), toSqlType(f.schema(), top = false),
+          nullable = isNullable(f.schema()))
       }.toSeq)
-    case Schema.Type.ARRAY => ArrayType(toSqlType(s.getElementType))
+    case Schema.Type.RECORD =>
+      throw new IllegalArgumentException(
+        s"nested record '${s.getFullName}' unsupported — AvroDecode covers the " +
+          "flat market contracts only")
+    case Schema.Type.ARRAY => ArrayType(toSqlType(s.getElementType, top = false))
     case Schema.Type.UNION =>
       val nonNull = s.getTypes.asScala.filter(_.getType != Schema.Type.NULL)
       require(nonNull.size == 1, s"only nullable unions supported, got $s")
-      toSqlType(nonNull.head)
+      toSqlType(nonNull.head, top = false)
     case Schema.Type.STRING => StringType
     case Schema.Type.BOOLEAN => BooleanType
     case Schema.Type.INT => IntegerType

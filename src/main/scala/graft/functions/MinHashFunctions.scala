@@ -49,8 +49,15 @@ case class MinHashSig(child: Expression, k: Int)
       val x = sh.getLong(j)
       var i = 0
       while (i < k) {
-        val h = (x * paramsA(i) + paramsB(i)) % MinHashFunctions.P
-        if (n > 0 && h < sig(i)) sig(i) = h
+        // pmod, not %: identical for in-contract hashes in [0, P);
+        // for out-of-range inputs like raw xxhash64 values, `%` alone
+        // would go negative and silently poison every minimum, while
+        // the sign-fix keeps the signature total and in [0, P) (the
+        // fold form isn't even evaluable there — ANSI mode raises on
+        // the wrapped multiply).
+        var h = (x * paramsA(i) + paramsB(i)) % MinHashFunctions.P
+        if (h < 0) h += MinHashFunctions.P
+        if (h < sig(i)) sig(i) = h
         i += 1
       }
       j += 1
@@ -73,6 +80,7 @@ case class MinHashSig(child: Expression, k: Int)
           long $x = $sh.getLong($j);
           for (int $i = 0; $i < $k; $i++) {
             long $h = ($x * $aRef[$i] + $bRef[$i]) % ${MinHashFunctions.P}L;
+            if ($h < 0) $h += ${MinHashFunctions.P}L;
             if ($h < $sig[$i]) $sig[$i] = $h;
           }
         }

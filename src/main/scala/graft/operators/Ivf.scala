@@ -33,26 +33,28 @@ object Ivf {
     // Deterministic centroid pick: smallest id-hash candidates,
     // ordered by id so ties in scoring break toward the smallest
     // centroid id (same contract as the previous window form).
+    // The final `.sort(idCol)` runs IN Spark so id ordering follows
+    // the column's own type semantics — ids stay generic (long, int,
+    // string, ...) rather than assuming getLong.
     val centRows = candidates
       .withColumn("__h", Sampling.hashBucket(col(idCol)))
       .orderBy(col("__h"), col(idCol))
       .limit(nCentroids)
       .select(col(idCol), col(vecCol))
+      .sort(col(idCol))
       .collect()
-      .sortBy(_.getLong(0))
     if (centRows.isEmpty) {
       return queries.select(col(idCol).as("query_id"), col(idCol).as("neighbor_id"),
         lit(0.0).as("cos_sim"), lit(0).as("rank")).limit(0)
     }
-    val centIds: Seq[Long] = centRows.map(_.getLong(0)).toSeq
     val centVecs: Seq[Seq[Double]] = centRows.map(_.getSeq[Any](1).map {
       case f: Float => f.toDouble
       case d: Double => d
       case other => throw new IllegalArgumentException(s"non-numeric vector element $other")
     }.toSeq).toSeq
-    val nC = centIds.size
+    val nC = centRows.length
     val cArr = typedLit(centVecs)
-    val idsArr = typedLit(centIds)
+    val idsArr = array(centRows.toIndexedSeq.map(r => lit(r.get(0))): _*)
 
     // Top-n cells by (rounded cosine desc, centroid index asc), as a
     // projection: score the centroid literal, sort the (score, index)

@@ -103,29 +103,47 @@ object MarketHours {
   }
 
   // ---- Column forms (per-row, codegen'd — for scan-time gating) ----
+  //
+  // Built from pure epoch arithmetic, NOT from hour()/date_format():
+  // those render in spark.sql.session.timeZone, so the predicate
+  // would silently misclassify on any cluster whose session zone is
+  // not UTC (found in review). from_utc_timestamp shifts the epoch by
+  // the NY offset (DST-aware); unix_seconds extracts the shifted
+  // epoch session-independently, and seconds-of-day / day-of-week /
+  // calendar date all derive from it with integer arithmetic
+  // (1970-01-01 was a Thursday; epoch day + 4 mod 7 -> 0 = Sunday).
 
   private val holidayLits: Column =
-    array(Holidays.toSeq.sorted.map(d => lit(d.toString)): _*)
+    array(Holidays.toSeq.sorted.map(d => lit(java.sql.Date.valueOf(d.toString))): _*)
 
-  private def secondsOfDay(etTs: Column): Column =
-    hour(etTs) * 3600 + minute(etTs) * 60 + second(etTs)
+  /** NY-wall-clock epoch seconds — session-tz independent. */
+  private def nySeconds(tsUtc: Column): Column =
+    unix_seconds(from_utc_timestamp(tsUtc, Zone.getId))
 
-  private def onTradingDay(etTs: Column): Column =
-    !dayofweek(etTs).isin(1, 7) &&
-      !array_contains(holidayLits, date_format(etTs, "yyyy-MM-dd"))
+  private def secondsOfDay(nySec: Column): Column = pmod(nySec, lit(86400L))
+
+  private def epochDay(nySec: Column): Column =
+    ((nySec - pmod(nySec, lit(86400L))) / 86400L).cast("int")
+
+  private def onTradingDay(nySec: Column): Column = {
+    val day = epochDay(nySec)
+    val dow = pmod(day + 4, lit(7)) // 0 = Sunday ... 6 = Saturday
+    dow =!= 0 && dow =!= 6 &&
+      !array_contains(holidayLits, date_add(lit(java.sql.Date.valueOf("1970-01-01")), day))
+  }
 
   /** Regular-hours predicate over a UTC timestamp column. */
   def isRegularHoursCol(tsUtc: Column): Column = {
-    val t = from_utc_timestamp(tsUtc, Zone.getId)
-    val s = secondsOfDay(t)
-    onTradingDay(t) && s >= 34200 && s <= 57600
+    val sec = nySeconds(tsUtc)
+    val s = secondsOfDay(sec)
+    onTradingDay(sec) && s >= 34200 && s <= 57600
   }
 
   /** Extended-hours predicate over a UTC timestamp column. */
   def isExtendedHoursCol(tsUtc: Column): Column = {
-    val t = from_utc_timestamp(tsUtc, Zone.getId)
-    val s = secondsOfDay(t)
-    onTradingDay(t) && ((s >= 14400 && s < 34200) || (s > 57600 && s <= 72000))
+    val sec = nySeconds(tsUtc)
+    val s = secondsOfDay(sec)
+    onTradingDay(sec) && ((s >= 14400 && s < 34200) || (s > 57600 && s <= 72000))
   }
 
   /** Keep only rows inside (optionally extended) trading hours —

@@ -134,13 +134,17 @@ object Validation {
   def rateMetrics(validated: DataFrame): DataFrame = {
     val total = count(lit(1))
     val valid = count(when(col("is_valid"), 1))
-    val num = valid * 1000000L
+    // SQL `div` is true integral division: exact at any Long count,
+    // unlike the `/`-as-Double route whose quotient loses micro-units
+    // once valid * 1e6 passes 2^53 (~9e9 valid rows — reachable in
+    // one 100 TB aggregate). The Long multiply itself bounds the
+    // gauge at ~9.2e12 valid rows per aggregation.
     validated.agg(
-      total.as("total"),
-      valid.as("valid"),
-      (total - valid).as("invalid"),
-      when(total === 0, 1000000L)
-        .otherwise(((num - pmod(num, total)) / total).cast("long"))
-        .as("valid_rate_e6"))
+        total.as("total"),
+        valid.as("valid"),
+        (total - valid).as("invalid"))
+      .selectExpr("total", "valid", "invalid",
+        "CASE WHEN total = 0 THEN CAST(1000000 AS BIGINT) " +
+          "ELSE (valid * 1000000) div total END AS valid_rate_e6")
   }
 }

@@ -99,15 +99,25 @@ object Sinks {
         val n = s.getPath.getName
         !n.startsWith("_") && !n.startsWith(".")
       }
+      // The bucket layout is part of the store's identity: a different
+      // nBuckets (or key set) hashes the same key to a different
+      // directory and the merge would silently leave the stale row
+      // behind. The spec marker makes any drift — including a store
+      // written by a pre-bucket layout, which has no marker — a loud
+      // error instead of data corruption.
+      if (exists) checkStoreSpec(fs, hPath, partitionBy, keys, nBuckets)
       val merged = if (exists) {
         val existing = spark.read.parquet(path)
         // Exact touched (partition..., bucket) combos from the batch —
         // tiny (bounded by batch keys) — as a static pruning predicate.
+        // Null-SAFE equality: `===` on a NULL partition value yields
+        // NULL, which would exclude that directory's surviving rows
+        // from the merge while dynamic overwrite still rewrites it.
         val combos = batchP.select(partCols.map(col): _*).distinct().collect()
         if (combos.isEmpty) return // empty micro-batch: nothing to merge
         val touchedPred = combos.map { row =>
           partCols.zipWithIndex.map { case (c, i) =>
-            col(c) === lit(row.get(i))
+            col(c) <=> lit(row.get(i))
           }.reduce(_ && _)
         }.reduce(_ || _)
         val touched = existing.filter(touchedPred)
@@ -122,7 +132,42 @@ object Sinks {
         .mode(if (exists) "overwrite" else "append")
         .partitionBy(partCols: _*)
         .parquet(path)
+      if (!exists) writeStoreSpec(fs, hPath, partitionBy, keys, nBuckets)
     } finally batchP.unpersist()
+  }
+
+  private def specPath(root: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(root, "_graft_upsert_spec")
+
+  private def specLine(partitionBy: Seq[String], keys: Seq[String], nBuckets: Int): String =
+    s"v1|buckets=$nBuckets|keys=${keys.mkString(",")}|partitionBy=${partitionBy.mkString(",")}"
+
+  private def writeStoreSpec(fs: org.apache.hadoop.fs.FileSystem,
+                             root: org.apache.hadoop.fs.Path,
+                             partitionBy: Seq[String], keys: Seq[String],
+                             nBuckets: Int): Unit = {
+    val out = fs.create(specPath(root), true)
+    try out.write(specLine(partitionBy, keys, nBuckets).getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def checkStoreSpec(fs: org.apache.hadoop.fs.FileSystem,
+                             root: org.apache.hadoop.fs.Path,
+                             partitionBy: Seq[String], keys: Seq[String],
+                             nBuckets: Int): Unit = {
+    val p = specPath(root)
+    require(fs.exists(p),
+      s"$root has data but no ${p.getName} marker — it was not written by the " +
+        "bucketed upsertByKey (pre-bucket layout?). Rewrite the store through " +
+        "upsertByKey once before upserting into it.")
+    val in = fs.open(p)
+    val found = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+    finally in.close()
+    val expect = specLine(partitionBy, keys, nBuckets)
+    require(found == expect,
+      s"upsert spec mismatch for $root: store has [$found], caller wants [$expect]. " +
+        "Changing nBuckets/keys relocates keys between bucket directories and " +
+        "would leave stale rows behind — rewrite the store to change its layout.")
   }
 
   /** K2 — console sink (sinks.py:147-164). */

@@ -94,6 +94,17 @@ class AvroIngestSpec extends SparkSpecBase {
     assert(TradeStreams.Topics.All.size === 4)
   }
 
+  test("nested-record Avro schemas are rejected at parse time, not per row") {
+    val nested = """{"type":"record","name":"Outer","fields":[
+      {"name":"inner","type":{"type":"record","name":"Inner","fields":[
+        {"name":"x","type":"long"}]}}]}"""
+    val e = intercept[IllegalArgumentException] {
+      graft.functions.AvroFunctions.toSqlType(
+        new Schema.Parser().parse(nested))
+    }
+    assert(e.getMessage.contains("nested record"))
+  }
+
   test("multi-topic kafka source config carries the full subscribe list") {
     // No broker (or kafka connector) in the sandbox: assert the
     // reader-config contract the source is built from.

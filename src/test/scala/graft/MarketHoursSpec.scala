@@ -76,6 +76,30 @@ class MarketHoursSpec extends SparkSpecBase {
     assert(got.sortBy(_._1).toSeq === expected.sortBy(_._1))
   }
 
+  test("Column forms are session-timezone independent (non-UTC cluster)") {
+    // 15:00 UTC on a trading Tuesday = 10:00 ET -> regular hours. A
+    // session zone of America/Chicago must not change the verdict
+    // (hour()-based logic would classify it as 04:00 pre-market).
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/Chicago")
+      val df = Seq(
+        ("2024-01-16T15:00:00Z", true, false),  // 10:00 ET regular
+        ("2024-01-16T13:00:00Z", false, true),  // 08:00 ET pre-market
+        ("2024-01-15T15:00:00Z", false, false), // MLK holiday
+        ("2024-03-11T13:35:00Z", true, false))  // post-DST: 09:35 EDT regular
+        .toDF("iso", "expReg", "expExt")
+        .withColumn("ts", to_timestamp(col("iso")))
+        .select(col("iso"), col("expReg"), col("expExt"),
+          MarketHours.isRegularHoursCol(col("ts")).as("reg"),
+          MarketHours.isExtendedHoursCol(col("ts")).as("ext"))
+      df.collect().foreach { r =>
+        assert(r.getAs[Boolean]("reg") === r.getAs[Boolean]("expReg"), r.getString(0))
+        assert(r.getAs[Boolean]("ext") === r.getAs[Boolean]("expExt"), r.getString(0))
+      }
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
+
   test("filterMarketHours gates rows at scan time") {
     val df = Seq(
       ("in", "2024-01-16T15:00:00Z"),   // 10:00 ET Tuesday

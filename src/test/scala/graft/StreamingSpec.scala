@@ -275,6 +275,37 @@ class StreamingSpec extends SparkSpecBase {
     assert(out.size === 12)
   }
 
+  test("upsert refuses a bucket-layout change that would strand stale rows") {
+    val dir = Files.createTempDirectory("graft_upsert_spec").toString
+    def bars(rows: (String, String, Double)*) =
+      rows.toSeq.toDF("symbol", "window_date", "close")
+    Sinks.upsertByKey(bars(("AAPL", "2024-01-15", 1.0)), dir, Seq("window_date"),
+      Seq("symbol", "window_date"), nBuckets = 8)
+    // Different nBuckets relocates keys between bucket dirs -> loud error.
+    val e = intercept[IllegalArgumentException] {
+      Sinks.upsertByKey(bars(("AAPL", "2024-01-15", 2.0)), dir, Seq("window_date"),
+        Seq("symbol", "window_date"), nBuckets = 16)
+    }
+    assert(e.getMessage.contains("spec mismatch"))
+    // Different key set likewise.
+    intercept[IllegalArgumentException] {
+      Sinks.upsertByKey(bars(("AAPL", "2024-01-15", 2.0)), dir, Seq("window_date"),
+        Seq("symbol"), nBuckets = 8)
+    }
+    // A data directory without the marker (pre-bucket layout) is refused.
+    val legacy = Files.createTempDirectory("graft_upsert_legacy").toString
+    bars(("AAPL", "2024-01-15", 1.0)).write.mode("overwrite").parquet(legacy)
+    val e2 = intercept[IllegalArgumentException] {
+      Sinks.upsertByKey(bars(("AAPL", "2024-01-15", 2.0)), legacy, Seq("window_date"),
+        Seq("symbol", "window_date"), nBuckets = 8)
+    }
+    assert(e2.getMessage.contains("marker"))
+    // Matching spec still merges fine.
+    Sinks.upsertByKey(bars(("AAPL", "2024-01-15", 3.0)), dir, Seq("window_date"),
+      Seq("symbol", "window_date"), nBuckets = 8)
+    assert(spark.read.parquet(dir).collect().head.getAs[Double]("close") === 3.0)
+  }
+
   test("kafka sink projection re-keys by symbol with JSON payload (P6/K3)") {
     val df = Seq(("AAPL", 1.5)).toDF("symbol", "price")
     val out = Sinks.kafkaProjection(df).collect().head

@@ -70,6 +70,21 @@ class TextDedupSpec extends SparkSpecBase {
       .select(Dedup.minhashSignature(col("sh"), 4).as("s"))
       .collect().head.getSeq[Long](0)
     assert(sig === Seq.fill(4)(Dedup.P))
+    // Out-of-contract inputs (raw 64-bit hashes, incl. negatives and
+    // Long-wrap products): the native form stays total and in [0, P)
+    // with Java-wrap pmod semantics (the fold form can't even be
+    // compared here — ANSI mode raises ARITHMETIC_OVERFLOW on the
+    // wrapped multiply). Reference values computed driver-side.
+    val rawVals = Seq(-4965676366866126659L, 8286623314361712435L, 42L)
+    val raw = Seq(rawVals).toDF("sh")
+    val native = raw.select(Dedup.minhashSignature(col("sh"), 8).as("n"))
+      .collect().head.getSeq[Long](0)
+    val P = Dedup.P
+    val want = graft.functions.MinHashFunctions.params(8).map { case (a, b) =>
+      rawVals.map { x => val h = (x * a + b) % P; if (h < 0) h + P else h }.min
+    }
+    assert(native === want)
+    assert(native.forall(v => v >= 0 && v < P))
   }
 
   test("minhash LSH finds the exact duplicate pair") {
