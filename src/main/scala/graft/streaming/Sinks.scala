@@ -127,7 +127,15 @@ object Sinks {
         untouchedOfBucket.unionByName(batchP).select(existing.columns.toIndexedSeq.map(col): _*)
           .localCheckpoint(true)
       } else batchP
-      merged.write
+      // Cluster rows by their target directory before writing: without
+      // this, every one of the 32 writer tasks opens a file in every
+      // (date, bucket) directory it sees — a small-file explosion that
+      // cost 4x wall-clock in StreamBench. After the repartition each
+      // combo is written by exactly one task -> one file per touched
+      // bucket per batch.
+      merged
+        .repartition(partCols.map(col): _*)
+        .write
         .option("partitionOverwriteMode", "dynamic")
         .mode(if (exists) "overwrite" else "append")
         .partitionBy(partCols: _*)
