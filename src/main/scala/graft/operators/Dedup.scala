@@ -41,9 +41,17 @@ object Dedup {
   def tokenHashes(text: Column): Column = transform(toks(text), t => tokenHash(t))
 
   /** Shingle hashes from a *materialized* token-hash array column:
-    * polynomial combination of n consecutive token hashes.
+    * polynomial combination of n consecutive token hashes. Native
+    * fused expression (graft.functions.ShingleHashes — rolling window
+    * + dedup in one compiled loop); the coalesce preserves the fold
+    * form's null-text -> empty-array behavior.
     */
   def shinglesFromTokenHashes(th: Column, n: Int): Column =
+    coalesce(graft.functions.ShingleFunctions.shingleHashes(th, n),
+      array().cast("array<bigint>"))
+
+  /** Interpreted HOF reference form (spec cross-check only). */
+  def shinglesFromTokenHashesFold(th: Column, n: Int): Column =
     when(size(th) >= n,
       array_distinct(transform(
         sequence(lit(0), size(th) - n),

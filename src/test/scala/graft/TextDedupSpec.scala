@@ -56,6 +56,22 @@ class TextDedupSpec extends SparkSpecBase {
     assert(math.abs(est - exact) < 200000L, s"est=$est exact=$exact")
   }
 
+  test("native ShingleHashes is bit-identical to the fold form, incl. degenerate docs") {
+    val docs = graft.sources.Tables.documents(spark, Sf).limit(200)
+      .select(col("doc_id"), col("text"))
+      .withColumn("__th", Dedup.tokenHashes(col("text")))
+    val both = docs.select(
+      Dedup.shinglesFromTokenHashes(col("__th"), 3).as("native"),
+      Dedup.shinglesFromTokenHashesFold(col("__th"), 3).as("fold"))
+    assert(both.filter(col("native") =!= col("fold")).count() === 0)
+    // Short doc (< n tokens) and NULL token array -> empty, not null.
+    val edge = Seq((1L, Some("one two")), (2L, None)).toDF("doc_id", "text")
+      .withColumn("__th", Dedup.tokenHashes(col("text")))
+      .select(Dedup.shinglesFromTokenHashes(col("__th"), 3).as("sh"))
+      .collect().map(_.getSeq[Long](0))
+    assert(edge.forall(_.isEmpty))
+  }
+
   test("native MinHashSig is bit-identical to the fold-based form, incl. empty shingles") {
     val docs = graft.sources.Tables.documents(spark, Sf).limit(200)
       .select(col("doc_id"), col("text"))
