@@ -36,7 +36,11 @@ object App {
       layers: Set[String] = Set("bronze", "silver", "gold5m"),
       trigger: String = "10 seconds",
       watermark: String = "10 minutes",
-      master: String = "local[*]")
+      master: String = "local[*]",
+      /** Value encoding on the wire: "json" (reference producer) or
+        * "avro" (the registry contract, schemas/avro/trade.avsc).
+        */
+      format: String = "json")
 
   def parseArgs(args: Array[String]): Config =
     args.sliding(2, 2).foldLeft(Config()) {
@@ -51,6 +55,7 @@ object App {
       case (c, Array("--trigger", v)) => c.copy(trigger = v)
       case (c, Array("--watermark", v)) => c.copy(watermark = v)
       case (c, Array("--master", v)) => c.copy(master = v)
+      case (c, Array("--format", v)) => c.copy(format = v)
       case (c, other) => sys.error(s"unknown argument: ${other.mkString(" ")}")
     }
 
@@ -59,7 +64,11 @@ object App {
     */
   def start(spark: SparkSession, raw: DataFrame, cfg: Config): Sinks.SinkManager = {
     val trigger = Trigger.ProcessingTime(cfg.trigger)
-    val parsed = TradeStreams.parseTrades(raw)
+    val parsed = cfg.format match {
+      case "json" => TradeStreams.parseTrades(raw)
+      case "avro" => TradeStreams.parseTradesAvro(raw)
+      case other => sys.error(s"unknown format '$other' (json|avro)")
+    }
     val watermarked = TradeStreams.withWatermark(parsed, cfg.watermark)
     val mgr = new Sinks.SinkManager
 

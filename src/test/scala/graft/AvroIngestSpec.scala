@@ -105,6 +105,25 @@ class AvroIngestSpec extends SparkSpecBase {
     assert(e.getMessage.contains("nested record"))
   }
 
+  test("App runs the full layer graph over an Avro-encoded stream (--format avro)") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_avro_app").toString
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Array[Byte]]
+    val cfg = graft.App.parseArgs(Array(
+      "--format", "avro", "--layers", "bronze",
+      "--out", s"$dir/out", "--checkpoint", s"$dir/ckp", "--trigger", "0 seconds"))
+    assert(cfg.format === "avro")
+    val mgr = graft.App.start(spark, mem.toDF().toDF("value"), cfg)
+    mem.addData(
+      encodeTrade("AAPL", 150.25, 100L, 1705312800000L, Seq("regular"), 1705312801000L),
+      encodeTrade("MSFT", 388.5, 42L, 1705312860000L, Nil, 1705312861000L))
+    mgr.processAllAvailable()
+    mgr.stopAll()
+    val bronze = spark.read.parquet(s"$dir/out/bronze")
+    assert(bronze.count() === 2)
+    assert(bronze.select("symbol").collect().map(_.getString(0)).toSet === Set("AAPL", "MSFT"))
+  }
+
   test("multi-topic kafka source config carries the full subscribe list") {
     // No broker (or kafka connector) in the sandbox: assert the
     // reader-config contract the source is built from.

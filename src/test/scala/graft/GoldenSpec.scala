@@ -20,7 +20,12 @@ class GoldenSpec extends SparkSpecBase {
     "a1_ohlcv_5m" -> (973, "7c1df6f03eb9c1941be8bab5a02facd9"),
     "t4_doc_features" -> (200, "1fadae2318e673ae0fe69f7bd973f550"),
     "x1_asof_join" -> (202, "d3343dca7004469a2af0434a0ae53702"),
-    "h1_pricing_summary" -> (6, "12ec5bb0335c71398dff988c7c980652"))
+    "h1_pricing_summary" -> (6, "12ec5bb0335c71398dff988c7c980652"),
+    // Round-2 surfaces.
+    "d6_embedding_dups" -> (50, "203327a4956e6eae623c5524ab4cb000"),
+    "x17_market_hours" -> (15, "0202bee15d77b71816d2d477870e7e55"),
+    "f4_validation_rate" -> (1, "ba9232ae855ea6de6a6a8dd58c7f8573"),
+    "x10_token_packing" -> (6, "0d6a693aa259dc86ceb696e7cf133768"))
 
   private def canon(v: Any): String = v match {
     case null => "NULL"
