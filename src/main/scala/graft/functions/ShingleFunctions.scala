@@ -14,9 +14,12 @@ import org.apache.spark.sql.types._
   * The composable form (`transform(sequence(...), i -> foldLeft of n
   * element_at calls)` followed by `array_distinct`) walks interpreted
   * lambda trees per shingle and allocates the undeduped array first.
-  * This expression keeps the n-window combination and the seen-set in
-  * one loop: O(shingles) work, first-occurrence order — bit-identical
-  * output to the fold form (spec-pinned).
+  * This expression runs the n-window combination and the seen-set in
+  * one loop over primitive longs (open-addressed probe table, no
+  * boxing), first-occurrence order — bit-identical output to the fold
+  * form for in-contract inputs (spec-pinned), and total (sign-fixed
+  * pmod per step) for out-of-range token hashes where the fold form
+  * raises under ANSI.
   *
   * Contract matches Dedup.shinglesFromTokenHashes: token hashes are
   * in [0, P) (PolyHash output), result hashes are pmod-P polynomial
@@ -37,56 +40,16 @@ case class ShingleHashes(child: Expression, n: Int)
       s"$prettyName expects array<bigint> token hashes, got $other")
   }
 
-  override def nullSafeEval(input: Any): Any = {
-    val th = input.asInstanceOf[ArrayData]
-    val m = th.numElements()
-    if (m < n) return new GenericArrayData(Array.emptyLongArray)
-    val out = new java.util.ArrayList[Long](m - n + 1)
-    val seen = new java.util.HashSet[Long]()
-    var i = 0
-    while (i <= m - n) {
-      var acc = 0L
-      var j = 0
-      while (j < n) {
-        acc = (acc * 131L + th.getLong(i + j)) % ShingleFunctions.P
-        j += 1
-      }
-      if (seen.add(acc)) out.add(acc)
-      i += 1
-    }
-    val arr = new Array[Long](out.size)
-    var k = 0
-    while (k < arr.length) { arr(k) = out.get(k); k += 1 }
-    new GenericArrayData(arr)
-  }
+  override def nullSafeEval(input: Any): Any =
+    ShingleFunctions.compute(input.asInstanceOf[ArrayData], n)
 
+  // The whole kernel lives in the static helper (plain JVM-compiled
+  // primitive loops — same machine code the inline template would
+  // produce); generated code just calls it, keeping this expression
+  // inside whole-stage codegen without a per-row interpreted boundary.
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, th => {
-      val m = ctx.freshName("m"); val out = ctx.freshName("out")
-      val seen = ctx.freshName("seen"); val i = ctx.freshName("i")
-      val j = ctx.freshName("j"); val acc = ctx.freshName("acc")
-      val arr = ctx.freshName("arr"); val k = ctx.freshName("k")
-      s"""
-        int $m = $th.numElements();
-        long[] $arr;
-        if ($m < $n) {
-          $arr = new long[0];
-        } else {
-          java.util.ArrayList<Long> $out = new java.util.ArrayList<Long>($m - $n + 1);
-          java.util.HashSet<Long> $seen = new java.util.HashSet<Long>();
-          for (int $i = 0; $i <= $m - $n; $i++) {
-            long $acc = 0L;
-            for (int $j = 0; $j < $n; $j++) {
-              $acc = ($acc * 131L + $th.getLong($i + $j)) % ${ShingleFunctions.P}L;
-            }
-            if ($seen.add($acc)) $out.add($acc);
-          }
-          $arr = new long[$out.size()];
-          for (int $k = 0; $k < $arr.length; $k++) $arr[$k] = $out.get($k).longValue();
-        }
-        ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($arr);
-      """
-    })
+    nullSafeCodeGen(ctx, ev, th =>
+      s"${ev.value} = graft.functions.ShingleFunctions.compute($th, $n);")
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
@@ -94,6 +57,58 @@ case class ShingleHashes(child: Expression, n: Int)
 object ShingleFunctions {
 
   val P = 1000000007L
+
+  /** Open-addressed probe-table slot sentinel — shingle hashes are
+    * sign-fixed into [0, P), so -1 can never collide with a value.
+    */
+  private final val Empty = -1L
+
+  /** Distinct rolling n-gram hashes, first-occurrence order. Called
+    * from both the interpreted and generated paths.
+    */
+  def compute(th: ArrayData, n: Int): GenericArrayData = {
+    val m = th.numElements()
+    if (m < n) return new GenericArrayData(Array.emptyLongArray)
+    val cnt = m - n + 1
+    var cap = 8
+    while (cap < cnt * 2) cap <<= 1
+    val table = new Array[Long](cap)
+    java.util.Arrays.fill(table, Empty)
+    val out = new Array[Long](cnt)
+    val mask = cap - 1
+    var size = 0
+    var i = 0
+    while (i < cnt) {
+      var acc = 0L
+      var j = 0
+      while (j < n) {
+        // pmod per step, like the fold form: no-op for in-contract
+        // hashes in [0, P); keeps out-of-range inputs total and
+        // non-negative instead of silently emitting negatives.
+        acc = (acc * 131L + th.getLong(i + j)) % P
+        if (acc < 0) acc += P
+        j += 1
+      }
+      // Fibonacci-scrambled open addressing over primitive longs.
+      var idx = ((acc * -7046029254386353131L) >>> 40).toInt & mask
+      var dup = false
+      var probing = true
+      while (probing) {
+        val slot = table(idx)
+        if (slot == Empty) probing = false
+        else if (slot == acc) { dup = true; probing = false }
+        else idx = (idx + 1) & mask
+      }
+      if (!dup) {
+        table(idx) = acc
+        out(size) = acc
+        size += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(
+      if (size == cnt) out else java.util.Arrays.copyOf(out, size))
+  }
 
   /** Distinct rolling n-gram hashes of a token-hash array column. */
   def shingleHashes(tokenHashes: Column, n: Int): Column =

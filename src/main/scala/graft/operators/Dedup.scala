@@ -306,14 +306,16 @@ object Dedup {
   def embeddingDupPairs(vecs: DataFrame, minCos: Double,
                         idCol: String = "vec_id", vecCol: String = "embedding",
                         maxRows: Long = 100000L): DataFrame = {
-    // Materialize once (bounded set, so checkpoint is cheap): the
-    // guard count and both self-join sides then read the checkpoint
-    // instead of re-running the upstream plan three times.
-    val v = vecs.select(col(idCol).as("id"), col(vecCol).as("v")).localCheckpoint(true)
-    val n = v.count()
+    // Guard FIRST on a cheap column-pruned count — an oversized corpus
+    // must fail before anything is materialized — then checkpoint the
+    // (now known bounded) projection once so both self-join sides read
+    // it instead of re-running the upstream plan.
+    val projected = vecs.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val n = projected.count()
     require(n <= maxRows,
       s"embeddingDupPairs is an all-pairs baseline for bounded sets; got $n rows " +
         s"(max $maxRows). Use embeddingDupPairsLsh at corpus scale.")
+    val v = projected.localCheckpoint(true)
     val a = v.as("a"); val b = v.as("b")
     a.join(b, col("a.id") < col("b.id"))
       .select(col("a.id").as("vec_a"), col("b.id").as("vec_b"),

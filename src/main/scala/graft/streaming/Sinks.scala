@@ -104,8 +104,14 @@ object Sinks {
       // directory and the merge would silently leave the stale row
       // behind. The spec marker makes any drift — including a store
       // written by a pre-bucket layout, which has no marker — a loud
-      // error instead of data corruption.
+      // error instead of data corruption. Written BEFORE the first
+      // data write: a crash between the two then leaves marker+no-data
+      // (harmless — `exists` only counts data, so replay re-runs this
+      // branch and overwrites the marker idempotently), never
+      // data+no-marker, which would wedge checkpoint replay behind the
+      // marker check forever.
       if (exists) checkStoreSpec(fs, hPath, partitionBy, keys, nBuckets)
+      else writeStoreSpec(fs, hPath, partitionBy, keys, nBuckets)
       val merged = if (exists) {
         val existing = spark.read.parquet(path)
         // Exact touched (partition..., bucket) combos from the batch —
@@ -140,7 +146,6 @@ object Sinks {
         .mode(if (exists) "overwrite" else "append")
         .partitionBy(partCols: _*)
         .parquet(path)
-      if (!exists) writeStoreSpec(fs, hPath, partitionBy, keys, nBuckets)
     } finally batchP.unpersist()
   }
 

@@ -70,6 +70,12 @@ class TextDedupSpec extends SparkSpecBase {
       .select(Dedup.shinglesFromTokenHashes(col("__th"), 3).as("sh"))
       .collect().map(_.getSeq[Long](0))
     assert(edge.forall(_.isEmpty))
+    // Out-of-contract token hashes (negative / wrapping) stay total
+    // and land in [0, P) — no silent negative shingles.
+    val raw = Seq(Seq(-4965676366866126659L, 8286623314361712435L, -7L, 42L)).toDF("th")
+      .select(Dedup.shinglesFromTokenHashes(col("th"), 2).as("sh"))
+      .collect().head.getSeq[Long](0)
+    assert(raw.nonEmpty && raw.forall(v => v >= 0 && v < Dedup.P))
   }
 
   test("native MinHashSig is bit-identical to the fold-based form, incl. empty shingles") {
