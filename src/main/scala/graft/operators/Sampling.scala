@@ -99,9 +99,10 @@ object Sampling {
     local
       .join(broadcast(offsets), Seq("__part"))
       .withColumn("__cum", col("__cum_local") + col("__offset"))
-      .withColumn("shard_id",
-        (((col("__cum") - col(tokensCol)) - pmod(col("__cum") - col(tokensCol), lit(budget))) / budget)
-          .cast("long"))
+      // SQL `div` = exact integral division: the `/`-as-Double route
+      // loses whole shard ids once the cumulative token count passes
+      // 2^53 — reachable in a 100 TB corpus.
+      .withColumn("shard_id", expr(s"(__cum - $tokensCol) div ${budget}L"))
       .drop("__part", "__hb", "__cum_local", "__offset", "__cum")
   }
 
