@@ -40,7 +40,14 @@ object App {
       /** Value encoding on the wire: "json" (reference producer) or
         * "avro" (the registry contract, schemas/avro/trade.avsc).
         */
-      format: String = "json")
+      format: String = "json",
+      /** Chained topology: gold grains stream from the silver OUTPUT
+        * directory instead of re-running the parse+silver+dedup
+        * pipeline with their own copy of the watermark/dedup state.
+        * Halves stateful work per extra grain — the posture for
+        * state-constrained deployments; requires the silver layer.
+        */
+      chained: Boolean = false)
 
   def parseArgs(args: Array[String]): Config =
     args.sliding(2, 2).foldLeft(Config()) {
@@ -56,8 +63,26 @@ object App {
       case (c, Array("--watermark", v)) => c.copy(watermark = v)
       case (c, Array("--master", v)) => c.copy(master = v)
       case (c, Array("--format", v)) => c.copy(format = v)
+      case (c, Array("--chained", v)) => c.copy(chained = v.toBoolean)
       case (c, other) => sys.error(s"unknown argument: ${other.mkString(" ")}")
     }
+
+  /** Schema of the silver parquet layer (what a chained gold stream
+    * reads): the parsed trade columns after quality normalization,
+    * plus event_time and the trade_date partition column.
+    */
+  val silverSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("symbol", StringType),
+      StructField("price", DoubleType),
+      StructField("volume", LongType),
+      StructField("timestamp", LongType),
+      StructField("conditions", ArrayType(StringType)),
+      StructField("ingestion_time", LongType),
+      StructField("event_time", TimestampType),
+      StructField("trade_date", DateType)))
+  }
 
   /** Build the full branch graph over a raw source frame and start
     * every selected sink. Returns the manager holding the handles.
@@ -87,17 +112,27 @@ object App {
         s"${cfg.checkpoint}/silver", partitionBy = Seq("trade_date"),
         trigger = trigger, queryName = "silver"))
     }
-    // NOTE each layer is its own StreamingQuery with its own state,
-    // mirroring the reference's per-sink fan-out (sinks.py) — gold
-    // grains therefore re-run the silver dedup with separate
-    // watermark state. For state-constrained deployments, chain
-    // instead: run only the silver layer here and feed gold from a
-    // readStream over the silver output directory.
+    // NOTE in the default (fan-out) topology each layer is its own
+    // StreamingQuery with its own state, mirroring the reference's
+    // per-sink fan-out (sinks.py) — gold grains therefore re-run the
+    // silver dedup with separate watermark state. With cfg.chained
+    // the gold grains instead stream FROM the silver output directory
+    // (already deduped and quality-filtered), so the parse+dedup
+    // state exists exactly once regardless of grain count.
     def goldSink(name: String, duration: String): Unit = {
-      val grain = Ohlcv.bars(
-        TradeStreams.dedupWithinWatermark(TradeStreams.toSilverStreaming(watermarked))
-          .withColumn("event_id", col("timestamp")),
-        duration)
+      val upstream =
+        if (cfg.chained) {
+          require(cfg.layers("silver"),
+            "chained gold grains read the silver output — enable the silver layer")
+          // The file source requires the directory to exist at stream
+          // start; silver's first commit would otherwise race it.
+          new java.io.File(s"${cfg.out}/silver").mkdirs()
+          TradeStreams.withWatermark(
+            spark.readStream.schema(silverSchema).parquet(s"${cfg.out}/silver"),
+            cfg.watermark)
+        } else
+          TradeStreams.dedupWithinWatermark(TradeStreams.toSilverStreaming(watermarked))
+      val grain = Ohlcv.bars(upstream.withColumn("event_id", col("timestamp")), duration)
         .withColumn("window_date", to_date(col("window_start")))
       mgr.start(name, Sinks.parquetSink(grain, s"${cfg.out}/$name",
         s"${cfg.checkpoint}/$name", partitionBy = Seq("window_date"),
@@ -117,7 +152,7 @@ object App {
       val (_, dead) = graft.operators.Validation.split(validated)
       mgr.start("deadletter", Sinks.deadLetterSink(
         dead.withColumn("errors", to_json(col("errors"))),
-        s"${cfg.out}/dead_letters", s"${cfg.checkpoint}/deadletter"))
+        s"${cfg.out}/dead_letters", s"${cfg.checkpoint}/deadletter", trigger))
     }
     mgr
   }

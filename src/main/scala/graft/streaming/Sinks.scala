@@ -206,11 +206,16 @@ object Sinks {
       .option("checkpointLocation", checkpoint)
 
   /** K5 — dead-letter branch writer: the invalid split of
-    * Validation.split, persisted with its error reasons.
+    * Validation.split, persisted with its error reasons. Takes the
+    * caller's trigger like every other sink — silently keeping the
+    * 10 s default here left the dead-letter branch up to one trigger
+    * interval behind the app's configured cadence (found live: a
+    * trigger=0 test drained every sink except this one).
     */
-  def deadLetterSink(invalid: DataFrame, path: String, checkpoint: String): DataStreamWriter[Row] =
+  def deadLetterSink(invalid: DataFrame, path: String, checkpoint: String,
+                     trigger: Trigger = Trigger.ProcessingTime("10 seconds")): DataStreamWriter[Row] =
     parquetSink(invalid.withColumn("dead_lettered_at", current_timestamp()),
-      path, checkpoint, queryName = "dead_letters")
+      path, checkpoint, trigger = trigger, queryName = "dead_letters")
 
   /** K4 — multi-sink fan-out manager: N concurrent StreamingQuery
     * handles from one source (SinkManager, sinks.py:209-245).

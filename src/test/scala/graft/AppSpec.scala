@@ -47,4 +47,36 @@ class AppSpec extends SparkSpecBase {
     assert(dead.head.getAs[String]("symbol") === "BAD")
     assert(dead.head.getAs[String]("errors").contains("price_out_of_range"))
   }
+
+  test("chained topology: gold streams from the silver output, same bars") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_app_chain").toString
+    val mem = MemoryStream[String]
+    val t0 = 1705312800000L
+    val cfg = App.parseArgs(Array(
+      "--chained", "true", "--layers", "silver,gold5m",
+      "--out", s"$dir/out", "--checkpoint", s"$dir/ckp", "--trigger", "0 seconds"))
+    assert(cfg.chained)
+    val mgr = App.start(spark, mem.toDF(), cfg)
+    mem.addData(
+      s"""{"symbol":"AAPL","price":10.5,"volume":3,"timestamp":$t0,"conditions":[],"ingestion_time":$t0}""",
+      s"""{"symbol":"AAPL","price":11.5,"volume":2,"timestamp":${t0 + 60000},"conditions":[],"ingestion_time":$t0}""")
+    // Two drains: the first commits silver files, the second lets the
+    // chained gold file-source discover and process them.
+    mgr.processAllAvailable()
+    mgr.processAllAvailable()
+    mgr.stopAll()
+    assert(spark.read.parquet(s"$dir/out/silver").count() === 2)
+    val gold = spark.read.parquet(s"$dir/out/gold5m")
+    assert(gold.count() === 1)
+    val bar = gold.collect().head
+    assert(bar.getAs[Double]("open") === 10.5)
+    assert(bar.getAs[Double]("close") === 11.5)
+    assert(bar.getAs[Long]("volume") === 5L)
+    // Chained gold without the silver layer is refused loudly.
+    intercept[IllegalArgumentException] {
+      App.start(spark, mem.toDF(), cfg.copy(layers = Set("gold5m"),
+        out = s"$dir/out2", checkpoint = s"$dir/ckp2"))
+    }
+  }
 }
