@@ -20,8 +20,12 @@ import graft.streaming.{Sinks, TradeStreams}
   *
   * Pipeline (spark_processor.py:135-183): source -> parse (P1,P2) ->
   * watermark (A5) -> bronze (P3) / silver (P4,F1,F2) / gold (A1-A4)
-  * branches, each with its own foreachBatch parquet sink and
-  * checkpoint, fanned out through one SinkManager (K1/K4).
+  * branches, each with its own sink and checkpoint, fanned out
+  * through one SinkManager (K1/K4). Append layers (bronze, silver,
+  * dead letters) use the native file sink — exactly-once via the
+  * _spark_metadata commit log; the update-mode gold layers use the
+  * foreachBatch keyed upsert (idempotent, so at-least-once replay
+  * converges).
   */
 object App {
 
@@ -100,7 +104,7 @@ object App {
     if (cfg.layers("bronze")) {
       val bronze = Medallion.withAuditTimestamps(
         Medallion.toBronze(parsed.withColumn("trade_date", to_date(col("event_time")))))
-      mgr.start("bronze", Sinks.parquetSink(bronze, s"${cfg.out}/bronze",
+      mgr.start("bronze", Sinks.fileSink(bronze, s"${cfg.out}/bronze",
         s"${cfg.checkpoint}/bronze", partitionBy = Seq("trade_date"),
         trigger = trigger, queryName = "bronze"))
     }
@@ -108,7 +112,14 @@ object App {
       val silver = TradeStreams.dedupWithinWatermark(
         TradeStreams.toSilverStreaming(watermarked))
         .withColumn("trade_date", to_date(col("event_time")))
-      mgr.start("silver", Sinks.parquetSink(silver, s"${cfg.out}/silver",
+      // Exactly-once matters here specifically: the chained gold
+      // topology STREAMS from this directory, so a foreachBatch
+      // append (at-least-once — crash between append and checkpoint
+      // commit replays the batch) would double-count duplicated rows
+      // into gold bars. The file sink's _spark_metadata commit log
+      // closes that window: the chained file source reads only
+      // committed files.
+      mgr.start("silver", Sinks.fileSink(silver, s"${cfg.out}/silver",
         s"${cfg.checkpoint}/silver", partitionBy = Seq("trade_date"),
         trigger = trigger, queryName = "silver"))
     }
@@ -126,7 +137,12 @@ object App {
             "chained gold grains read the silver output — enable the silver layer")
           // The file source requires the directory to exist at stream
           // start; silver's first commit would otherwise race it.
-          new java.io.File(s"${cfg.out}/silver").mkdirs()
+          // Hadoop FS API, not java.io.File — the output may be
+          // hdfs:// or s3a://, where File.mkdirs is a silent no-op
+          // and the gold stream would fail at start.
+          val silverPath = new org.apache.hadoop.fs.Path(s"${cfg.out}/silver")
+          silverPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .mkdirs(silverPath)
           TradeStreams.withWatermark(
             spark.readStream.schema(silverSchema).parquet(s"${cfg.out}/silver"),
             cfg.watermark)

@@ -40,12 +40,20 @@ object ScaleBench {
         .withColumn("doc_id", col("doc_id") + lit(i.toLong * 1000000000L))
     }.reduce(_ unionByName _)
 
-  // Beyond the furthest shifted copy (k=10 -> +360 days into 2025).
-  private val Cutoff = "2026-01-01 00:00:00"
+  /** Future-timestamp cutoff for the silver quality filter, derived
+    * from k: base max event_time + k*40 days (the furthest copy is
+    * shifted (k-1)*40 days, leaving one full stride of headroom). A
+    * pinned constant here silently dropped the furthest copies once
+    * k grew past its horizon, deflating the measured ratio.
+    */
+  private def cutoffFor(s: SparkSession, dir: String, k: Int): org.apache.spark.sql.Column = {
+    val maxTs = Tables.trades(s, dir).agg(max(col("event_time"))).head.get(0)
+    lit(maxTs) + expr(s"INTERVAL ${k * 40} DAYS")
+  }
 
-  private def silver(trades: DataFrame): DataFrame =
+  private def silver(trades: DataFrame, cutoff: org.apache.spark.sql.Column): DataFrame =
     Medallion.dedupAgg(
-      Medallion.toSilver(trades, lit(Cutoff).cast("timestamp")),
+      Medallion.toSilver(trades, cutoff),
       payloadCols = Seq("price", "volume", "trade_date"))
 
   def main(args: Array[String]): Unit = {
@@ -68,12 +76,16 @@ object ScaleBench {
       ((System.nanoTime() - t0) / 1e9, n)
     }
 
+    // One cutoff for both the 1x and kx runs (sized for the furthest
+    // kx copy): the filter only needs to exceed the data's horizon,
+    // so the wider bound changes no row counts at 1x.
+    val cutoff = cutoffFor(spark, sfDir, k)
     val cases: Seq[(String, Int => Long)] = Seq(
       "a1_ohlcv_5m" -> { kk: Int =>
-        Ohlcv.bars5m(silver(scaledTrades(spark, sfDir, kk))).count()
+        Ohlcv.bars5m(silver(scaledTrades(spark, sfDir, kk), cutoff)).count()
       },
       "a6_latest_prices" -> { kk: Int =>
-        LatestPrices.snapshot(silver(scaledTrades(spark, sfDir, kk))).count()
+        LatestPrices.snapshot(silver(scaledTrades(spark, sfDir, kk), cutoff)).count()
       },
       "x10_token_packing" -> { kk: Int =>
         val docs = scaledDocs(spark, sfDir, kk).select(col("doc_id"),

@@ -36,6 +36,18 @@ case class MinHashSig(child: Expression, k: Int)
       s"$prettyName expects array<bigint> shingle hashes, got $other")
   }
 
+  /** Whether the input array may carry null elements. A null element
+    * propagates to a null signature (matching what the fold reference
+    * form would produce) — silently reading it as 0 would fold an
+    * arbitrary hash into every minimum.
+    */
+  private def elementsNullable: Boolean = child.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => true
+  }
+
+  override def nullable: Boolean = child.nullable || elementsNullable
+
   lazy val paramsA: Array[Long] = MinHashFunctions.params(k).map(_._1).toArray
   lazy val paramsB: Array[Long] = MinHashFunctions.params(k).map(_._2).toArray
 
@@ -46,6 +58,7 @@ case class MinHashSig(child: Expression, k: Int)
     java.util.Arrays.fill(sig, MinHashFunctions.P)
     var j = 0
     while (j < n) {
+      if (sh.isNullAt(j)) return null
       val x = sh.getLong(j)
       var i = 0
       while (i < k) {
@@ -72,11 +85,29 @@ case class MinHashSig(child: Expression, k: Int)
       val n = ctx.freshName("n"); val sig = ctx.freshName("sig")
       val i = ctx.freshName("i"); val j = ctx.freshName("j")
       val x = ctx.freshName("x"); val h = ctx.freshName("h")
+      val nullElem = ctx.freshName("nullElem")
+      // ev.isNull is the literal "false" when nullable is false, so
+      // the null-element branch is only emitted when the input type
+      // says elements can actually be null.
+      val (nullCheck, finish) =
+        if (elementsNullable)
+          (s"if ($sh.isNullAt($j)) { $nullElem = true; break; }",
+           s"""
+            if ($nullElem) {
+              ${ev.isNull} = true;
+            } else {
+              ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($sig);
+            }""")
+        else
+          ("",
+           s"${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($sig);")
       s"""
         int $n = $sh.numElements();
         long[] $sig = new long[$k];
+        boolean $nullElem = false;
         java.util.Arrays.fill($sig, ${MinHashFunctions.P}L);
         for (int $j = 0; $j < $n; $j++) {
+          $nullCheck
           long $x = $sh.getLong($j);
           for (int $i = 0; $i < $k; $i++) {
             long $h = ($x * $aRef[$i] + $bRef[$i]) % ${MinHashFunctions.P}L;
@@ -84,7 +115,7 @@ case class MinHashSig(child: Expression, k: Int)
             if ($h < $sig[$i]) $sig[$i] = $h;
           }
         }
-        ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($sig);
+        $finish
       """
     })
   }

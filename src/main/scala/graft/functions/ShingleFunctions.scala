@@ -40,6 +40,17 @@ case class ShingleHashes(child: Expression, n: Int)
       s"$prettyName expects array<bigint> token hashes, got $other")
   }
 
+  /** A null token hash propagates to a null result (what the fold
+    * reference form produces) rather than being read as an undefined
+    * value and hashed into every shingle it overlaps.
+    */
+  private def elementsNullable: Boolean = child.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => true
+  }
+
+  override def nullable: Boolean = child.nullable || elementsNullable
+
   override def nullSafeEval(input: Any): Any =
     ShingleFunctions.compute(input.asInstanceOf[ArrayData], n)
 
@@ -48,8 +59,18 @@ case class ShingleHashes(child: Expression, n: Int)
   // produce); generated code just calls it, keeping this expression
   // inside whole-stage codegen without a per-row interpreted boundary.
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, th =>
-      s"${ev.value} = graft.functions.ShingleFunctions.compute($th, $n);")
+    nullSafeCodeGen(ctx, ev, th => {
+      // compute returns null on a null element; ev.isNull is the
+      // literal "false" when nullable is false, so only emit the
+      // propagation branch when the input type allows null elements.
+      val propagate =
+        if (elementsNullable) s"if (${ev.value} == null) { ${ev.isNull} = true; }"
+        else ""
+      s"""
+        ${ev.value} = graft.functions.ShingleFunctions.compute($th, $n);
+        $propagate
+      """
+    })
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
@@ -64,10 +85,16 @@ object ShingleFunctions {
   private final val Empty = -1L
 
   /** Distinct rolling n-gram hashes, first-occurrence order. Called
-    * from both the interpreted and generated paths.
+    * from both the interpreted and generated paths. Returns null if
+    * any token hash is null (null-element propagation).
     */
   def compute(th: ArrayData, n: Int): GenericArrayData = {
     val m = th.numElements()
+    var s = 0
+    while (s < m) {
+      if (th.isNullAt(s)) return null
+      s += 1
+    }
     if (m < n) return new GenericArrayData(Array.emptyLongArray)
     val cnt = m - n + 1
     var cap = 8

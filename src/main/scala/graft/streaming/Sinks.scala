@@ -23,6 +23,15 @@ object Sinks {
     * processing-time trigger (sinks.py:88-132). Append mode for the
     * immutable bronze/silver layers; pass `upsertKeys` for the
     * update-mode gold layer (see upsertByKey).
+    *
+    * NOTE the append form is at-least-once: a crash between the
+    * parquet append and the checkpoint commit replays the micro-batch
+    * and appends its rows twice. That is acceptable for a terminal
+    * store a downstream dedups anyway, but any append layer that
+    * other streams READ FROM (the chained gold topology streams from
+    * silver) must use [[fileSink]] instead — its _spark_metadata
+    * commit log gives exactly-once and file sources read only
+    * committed files.
     */
   def parquetSink(df: DataFrame, path: String, checkpoint: String,
                   partitionBy: Seq[String] = Nil,
@@ -42,6 +51,31 @@ object Sinks {
           w.parquet(path)
         }
       }
+  }
+
+  /** K1 (exactly-once append form) — the native streaming parquet
+    * file sink. Committed files are recorded in the sink's
+    * `_spark_metadata` log, so a micro-batch replayed after a crash
+    * commits the same batch id once, and both batch reads and
+    * downstream streaming file sources see only committed files.
+    * This is the required sink for append layers that another stream
+    * consumes (chained gold reads the silver directory) and the
+    * preferred one for bronze/dead-letters; `parquetSink`'s
+    * foreachBatch append remains for sinks that need per-batch
+    * logic.
+    */
+  def fileSink(df: DataFrame, path: String, checkpoint: String,
+               partitionBy: Seq[String] = Nil,
+               trigger: Trigger = Trigger.ProcessingTime("10 seconds"),
+               queryName: String = "file_sink"): DataStreamWriter[Row] = {
+    val w = df.writeStream
+      .queryName(queryName)
+      .format("parquet")
+      .outputMode("append")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+    if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w
   }
 
   /** Name of the synthetic key-hash partition column added by
@@ -214,7 +248,7 @@ object Sinks {
     */
   def deadLetterSink(invalid: DataFrame, path: String, checkpoint: String,
                      trigger: Trigger = Trigger.ProcessingTime("10 seconds")): DataStreamWriter[Row] =
-    parquetSink(invalid.withColumn("dead_lettered_at", current_timestamp()),
+    fileSink(invalid.withColumn("dead_lettered_at", current_timestamp()),
       path, checkpoint, trigger = trigger, queryName = "dead_letters")
 
   /** K4 — multi-sink fan-out manager: N concurrent StreamingQuery

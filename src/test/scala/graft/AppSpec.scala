@@ -67,6 +67,11 @@ class AppSpec extends SparkSpecBase {
     mgr.processAllAvailable()
     mgr.stopAll()
     assert(spark.read.parquet(s"$dir/out/silver").count() === 2)
+    // Silver is written by the native file sink: its _spark_metadata
+    // commit log is what makes the chained read exactly-once (a
+    // replayed micro-batch commits the same batch id once, and the
+    // gold file source reads only committed files).
+    assert(new java.io.File(s"$dir/out/silver/_spark_metadata").exists())
     val gold = spark.read.parquet(s"$dir/out/gold5m")
     assert(gold.count() === 1)
     val bar = gold.collect().head

@@ -109,6 +109,32 @@ class TextDedupSpec extends SparkSpecBase {
     assert(native.forall(v => v >= 0 && v < P))
   }
 
+  test("null array elements propagate to null, not an undefined hash") {
+    // containsNull=true input: a null token/shingle hash must yield a
+    // null result (as the fold forms would), never be read as 0 and
+    // silently folded into every minimum/shingle (ADVICE r2).
+    val withNull = Seq(
+      (1L, Seq[java.lang.Long](1L, null, 3L)),
+      (2L, Seq[java.lang.Long](1L, 2L, 3L))).toDF("id", "arr")
+    val sigs = withNull
+      .select(col("id"), Dedup.minhashSignature(col("arr"), 4).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(sigs(1L) === true, "null element must give a null signature")
+    assert(sigs(2L) === false)
+    val shingles = withNull
+      .select(col("id"),
+        graft.functions.ShingleFunctions.shingleHashes(col("arr"), 2).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(shingles(1L) === true, "null element must give null shingles")
+    assert(shingles(2L) === false)
+    // The pipeline wrapper coalesces that null to the documented
+    // empty-set form, same as a null text.
+    val viaPipeline = withNull
+      .select(Dedup.shinglesFromTokenHashes(col("arr"), 2).as("sh"))
+      .collect().map(_.getSeq[Long](0))
+    assert(viaPipeline.exists(_.isEmpty) && viaPipeline.exists(_.nonEmpty))
+  }
+
   test("minhash LSH finds the exact duplicate pair") {
     val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val df = docsDf(Seq((1L, text), (2L, text), (3L, "totally different content with many other words present")))
