@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.Indicators
+
+/** Oracle-checked query entries for the technical indicators
+  * (operators/Indicators.scala) — the b-prefixed family. Inputs are
+  * the deterministic silver layer shared with the a- and q-queries.
+  */
+object IndicatorQueries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // B1 — rolling SMA + Bollinger bands (20-trade window).
+    "b1_sma_bollinger" -> ((s, dir) =>
+      Indicators.smaBollinger(SparkEntry.silverDf(s, dir), n = 20)),
+
+    // B2 — per-trade returns, top-5 daily movers by |return|.
+    "b2_top_movers" -> ((s, dir) =>
+      Indicators.topMovers(SparkEntry.silverDf(s, dir), k = 5)),
+
+    // B3 — RSI-14 (simple-average form, integer e4 units).
+    "b3_rsi" -> ((s, dir) =>
+      Indicators.rsi(SparkEntry.silverDf(s, dir), n = 14)),
+
+    // B4 — z-score price-spike counts per symbol/day.
+    "b4_spike_counts" -> ((s, dir) =>
+      Indicators.spikeCounts(SparkEntry.silverDf(s, dir), n = 20, z = 3)))
+
+  /** Shared tick CTE over the silver prelude: price as exact e4
+    * integer ticks (mirrors Indicators.ticksE4).
+    */
+  private def ind: String = """ind AS (
+    SELECT event_id, symbol, price, event_time, trade_date,
+           CAST(CAST(price AS DECIMAL(18,4)) * 10000 AS BIGINT) AS px
+    FROM silver
+  )"""
+
+  def oracleSql: Map[String, String] = Map(
+    "b1_sma_bollinger" -> (SparkEntry.P + s""", $ind, wnd AS (
+      SELECT symbol, event_time, price,
+             COUNT(*) OVER w AS cnt,
+             CAST(SUM(px) OVER w AS BIGINT) AS s1,
+             CAST(SUM(px * px) OVER w AS BIGINT) AS s2
+      FROM ind
+      WINDOW w AS (PARTITION BY symbol ORDER BY event_time
+                   ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    )
+    SELECT symbol, epoch_ms(event_time) AS ts_ms, price, cnt,
+           CAST((s1 * 100) // cnt AS BIGINT) AS sma_e6,
+           CAST(cnt * s2 - s1 * s1 AS BIGINT) AS var_num,
+           CAST(s1 AS DOUBLE) / CAST(cnt * 10000 AS DOUBLE) AS sma,
+           CAST(s1 AS DOUBLE) / CAST(cnt * 10000 AS DOUBLE)
+             + 2.0 * sqrt(CAST(cnt * s2 - s1 * s1 AS DOUBLE)
+                          / CAST(cnt * cnt * 100000000 AS DOUBLE)) AS bb_upper,
+           CAST(s1 AS DOUBLE) / CAST(cnt * 10000 AS DOUBLE)
+             - 2.0 * sqrt(CAST(cnt * s2 - s1 * s1 AS DOUBLE)
+                          / CAST(cnt * cnt * 100000000 AS DOUBLE)) AS bb_lower
+    FROM wnd"""),
+
+    "b2_top_movers" -> (SparkEntry.P + s""", $ind, rets AS (
+      SELECT trade_date, symbol, event_id, price,
+             CAST(px - prev_px AS DOUBLE) / CAST(prev_px AS DOUBLE) AS ret
+      FROM (SELECT *, lag(px) OVER (PARTITION BY symbol ORDER BY event_time) AS prev_px
+            FROM ind)
+      WHERE prev_px IS NOT NULL
+    )
+    SELECT trade_date, CAST(rnk AS INT) AS rnk, symbol, event_id, price, ret
+    FROM (SELECT *, row_number() OVER (PARTITION BY trade_date
+                      ORDER BY abs(ret) DESC, symbol, event_id) AS rnk
+          FROM rets)
+    WHERE rnk <= 5"""),
+
+    "b3_rsi" -> (SparkEntry.P + s""", $ind, g AS (
+      SELECT symbol, event_time, price,
+             greatest(diff, 0) AS gain, greatest(-diff, 0) AS loss
+      FROM (SELECT *, px - lag(px) OVER (PARTITION BY symbol ORDER BY event_time) AS diff
+            FROM ind)
+      WHERE diff IS NOT NULL
+    ), wnd AS (
+      SELECT symbol, event_time, price,
+             CAST(SUM(gain) OVER w AS BIGINT) AS gain_sum,
+             CAST(SUM(loss) OVER w AS BIGINT) AS loss_sum,
+             COUNT(*) OVER w AS n_diffs
+      FROM g
+      WINDOW w AS (PARTITION BY symbol ORDER BY event_time
+                   ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    )
+    SELECT symbol, epoch_ms(event_time) AS ts_ms, price,
+           CASE WHEN gain_sum + loss_sum = 0 THEN NULL
+                ELSE CAST((gain_sum * 1000000) // (gain_sum + loss_sum) AS BIGINT)
+           END AS rsi_e4
+    FROM wnd WHERE n_diffs = 14"""),
+
+    "b4_spike_counts" -> (SparkEntry.P + s""", $ind, wnd AS (
+      SELECT symbol, trade_date, px,
+             COUNT(*) OVER w AS cnt,
+             CAST(SUM(px) OVER w AS BIGINT) AS s1,
+             CAST(SUM(px * px) OVER w AS BIGINT) AS s2
+      FROM ind
+      WINDOW w AS (PARTITION BY symbol ORDER BY event_time
+                   ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    )
+    SELECT symbol, trade_date, COUNT(*) AS n_windows,
+           CAST(SUM(CASE WHEN dev * dev > 9 * (cnt * s2 - s1 * s1)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_spikes
+    FROM (SELECT symbol, trade_date, cnt, s1, s2, cnt * px - s1 AS dev
+          FROM wnd WHERE cnt = 20)
+    GROUP BY symbol, trade_date"""))
+}

@@ -31,7 +31,7 @@ object SparkEntry {
 
   private def trades(s: SparkSession, dir: String): DataFrame = Tables.trades(s, dir)
 
-  private def silverDf(s: SparkSession, dir: String): DataFrame =
+  private[graft] def silverDf(s: SparkSession, dir: String): DataFrame =
     Medallion.dedupAgg(
       Medallion.toSilver(trades(s, dir), lit(CutoffTs).cast("timestamp")),
       payloadCols = Seq("price", "volume", "trade_date"))
@@ -139,12 +139,12 @@ object SparkEntry {
 
     // H3 — TPC-H-style shipping priority (3-way join + top-k).
     "h3_shipping_priority" -> ((s, dir) => TpchQueries.shippingPriority(s, dir))
-  ) ++ PipelineQueries.queries ++ ExtendedQueries.queries
+  ) ++ PipelineQueries.queries ++ ExtendedQueries.queries ++ IndicatorQueries.queries
 
   /** Shared DuckDB CTE prelude: trades view + medallion layers.
     * Mirrors Tables.trades / Medallion / Ohlcv exactly.
     */
-  private val P: String = """WITH trades AS (
+  private[graft] val P: String = """WITH trades AS (
     SELECT event_id, event_type AS symbol, value AS price,
            CAST(json_extract_string(props, '$.k') AS BIGINT) AS volume,
            ts AS event_time, CAST(ts AS DATE) AS trade_date
@@ -308,5 +308,5 @@ object SparkEntry {
 
     "h1_pricing_summary" -> TpchQueries.pricingSummarySql,
     "h3_shipping_priority" -> TpchQueries.shippingPrioritySql
-  ) ++ PipelineQueries.oracles ++ ExtendedQueries.oracles
+  ) ++ PipelineQueries.oracles ++ ExtendedQueries.oracles ++ IndicatorQueries.oracleSql
 }

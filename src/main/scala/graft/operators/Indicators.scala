@@ -1,0 +1,154 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Technical indicators over the silver trade feed — the analytics a
+  * user of the reference pipeline computes downstream of its OHLCV
+  * store (the reference stops at bars; SMA/Bollinger/RSI/return
+  * scans are the canonical next queries over them).
+  *
+  * All rolling state is per-symbol, time-ordered — expressed as
+  * `Window.partitionBy(symbol).orderBy(event_time)` row frames. Scale
+  * posture: the shuffle key is the symbol, so parallelism = symbol
+  * count (thousands in a real market feed — fine at 100 TB); there is
+  * deliberately NO global (partition-less) window anywhere. A single
+  * hot symbol serializes its own scan only, which is inherent to any
+  * sequential indicator (the alternative — day-chunked windows with
+  * boundary overlap replay — only pays off when one symbol dominates
+  * an executor's memory, and AQE skew hints cover that first).
+  *
+  * Exactness: every windowed aggregate is an integer sum of e4 price
+  * ticks (decimal(18,4) * 10000), so any aggregation order gives one
+  * answer; the float columns (bands, returns) are derived from those
+  * exact integers with single IEEE operations (+,-,*,/ and sqrt are
+  * correctly rounded per IEEE-754, hence bit-identical across engines
+  * when the expression tree matches — mirrored literally in the
+  * DuckDB oracles).
+  */
+object Indicators {
+
+  /** Price in integer e4 ticks: silver prices are ROUND(price, 4), so
+    * the decimal cast is exact and the tick count is a faithful
+    * integer representation.
+    */
+  private def ticksE4(price: Column): Column =
+    (price.cast("decimal(18,4)") * 10000).cast("long")
+
+  private def bySymbolTime = Window.partitionBy(col("symbol")).orderBy(col("event_time"))
+
+  /** Rolling SMA + Bollinger bands over the last `n` trades.
+    *
+    * Emits both the exact integer form (`sma_e6`, `var_num` — the
+    * variance numerator cnt*Σx² − (Σx)², exact in ticks²) and the
+    * usual float bands (sma ± 2σ) computed from them.
+    */
+  def smaBollinger(silver: DataFrame, n: Int = 20): DataFrame = {
+    val w = bySymbolTime.rowsBetween(-(n - 1), Window.currentRow)
+    silver
+      .withColumn("px", ticksE4(col("price")))
+      .withColumn("cnt", count(lit(1)).over(w))
+      .withColumn("s1", sum(col("px")).over(w))
+      .withColumn("s2", sum(col("px") * col("px")).over(w))
+      .select(
+        col("symbol"),
+        unix_millis(col("event_time")).as("ts_ms"),
+        col("price"),
+        col("cnt"),
+        // Exact integer SMA in e6 units: ticks are e4, *100 -> e6.
+        // Both operands nonnegative, so truncating and flooring
+        // division agree (Spark div vs DuckDB // differ on negatives).
+        expr("(s1 * 100) div cnt").as("sma_e6"),
+        (col("cnt") * col("s2") - col("s1") * col("s1")).as("var_num"),
+        smaD(col("s1"), col("cnt")).as("sma"),
+        (smaD(col("s1"), col("cnt")) + lit(2.0) * sigmaD(col("cnt"), col("s1"), col("s2")))
+          .as("bb_upper"),
+        (smaD(col("s1"), col("cnt")) - lit(2.0) * sigmaD(col("cnt"), col("s1"), col("s2")))
+          .as("bb_lower"))
+  }
+
+  /** SMA as a double: one division of exactly-represented integers. */
+  private def smaD(s1: Column, cnt: Column): Column =
+    s1.cast("double") / (cnt * 10000).cast("double")
+
+  /** Population σ in price units from the exact integer sums: one
+    * division + one sqrt, both correctly rounded.
+    */
+  private def sigmaD(cnt: Column, s1: Column, s2: Column): Column =
+    sqrt((cnt * s2 - s1 * s1).cast("double") /
+      (cnt * cnt * lit(100000000L)).cast("double"))
+
+  /** Per-trade simple returns + the day's top-k movers by |return|.
+    *
+    * The return is one IEEE division of exact tick integers; ranking
+    * is deterministic under ties (|ret|, then symbol, then event_id).
+    */
+  def topMovers(silver: DataFrame, k: Int = 5): DataFrame = {
+    val prev = lag(col("px"), 1).over(bySymbolTime)
+    val byDay = Window.partitionBy(col("trade_date"))
+      .orderBy(abs(col("ret")).desc, col("symbol"), col("event_id"))
+    silver
+      .withColumn("px", ticksE4(col("price")))
+      .withColumn("prev_px", prev)
+      .filter(col("prev_px").isNotNull)
+      .withColumn("ret",
+        (col("px") - col("prev_px")).cast("double") / col("prev_px").cast("double"))
+      .withColumn("rnk", row_number().over(byDay))
+      .filter(col("rnk") <= k)
+      .select(col("trade_date"), col("rnk"), col("symbol"), col("event_id"),
+        col("price"), col("ret"))
+  }
+
+  /** Wilder-style RSI over the last `n` price changes (simple average
+    * form), kept entirely in integer arithmetic:
+    * rsi_e4 = 1e6 * Σgain / (Σgain + Σloss) — i.e. RSI (0..100)
+    * scaled by 1e4. Rows without a full n-change window are dropped
+    * (the standard warm-up); a flat window (no gains, no losses)
+    * yields null.
+    */
+  def rsi(silver: DataFrame, n: Int = 14): DataFrame = {
+    val wOrd = bySymbolTime
+    val wN = bySymbolTime.rowsBetween(-(n - 1), Window.currentRow)
+    silver
+      .withColumn("px", ticksE4(col("price")))
+      .withColumn("diff", col("px") - lag(col("px"), 1).over(wOrd))
+      .filter(col("diff").isNotNull)
+      .withColumn("gain", greatest(col("diff"), lit(0L)))
+      .withColumn("loss", greatest(-col("diff"), lit(0L)))
+      .withColumn("gain_sum", sum(col("gain")).over(wN))
+      .withColumn("loss_sum", sum(col("loss")).over(wN))
+      .withColumn("n_diffs", count(lit(1)).over(wN))
+      .filter(col("n_diffs") === n)
+      .select(
+        col("symbol"),
+        unix_millis(col("event_time")).as("ts_ms"),
+        col("price"),
+        when(col("gain_sum") + col("loss_sum") === 0, lit(null))
+          .otherwise(expr("(gain_sum * 1000000) div (gain_sum + loss_sum)"))
+          .as("rsi_e4"))
+  }
+
+  /** Price-spike (anomaly) counts: a trade is a spike when its z-score
+    * against the trailing `n`-trade window exceeds `z`. The test is
+    * the cross-multiplied integer form
+    *   (cnt*x − Σx)² > z² * (cnt*Σx² − (Σx)²)
+    * — no float, no sqrt, no rounding ambiguity. Windows still
+    * warming up (cnt < n) are excluded.
+    */
+  def spikeCounts(silver: DataFrame, n: Int = 20, z: Int = 3): DataFrame = {
+    val w = bySymbolTime.rowsBetween(-(n - 1), Window.currentRow)
+    silver
+      .withColumn("px", ticksE4(col("price")))
+      .withColumn("cnt", count(lit(1)).over(w))
+      .withColumn("s1", sum(col("px")).over(w))
+      .withColumn("s2", sum(col("px") * col("px")).over(w))
+      .filter(col("cnt") === n)
+      .withColumn("dev", col("cnt") * col("px") - col("s1"))
+      .withColumn("spike",
+        (col("dev") * col("dev")) > lit(z.toLong * z) * (col("cnt") * col("s2") - col("s1") * col("s1")))
+      .groupBy(col("symbol"), col("trade_date"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("spike"), 1L).otherwise(0L)).as("n_spikes"))
+  }
+}
