@@ -74,6 +74,16 @@ object PipelineQueries {
         minJaccardE6 = 100000L)
       .select(col("doc_id"), col("lang"), col("source"))
 
+  /** T5 — Gopher-style repetition quality stats. */
+  def repetitionStats(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.repetitionStats(docs(s, dir))
+
+  /** D8 — decontamination overlap vs the doc_id % 97 == 0 "benchmark"
+    * slice (a deterministic ~1% stand-in for an eval suite).
+    */
+  def decontamination(s: SparkSession, dir: String): DataFrame =
+    Dedup.decontaminationOverlap(docs(s, dir), pmod(col("doc_id"), lit(97)) === 0)
+
   def simhashFingerprints(s: SparkSession, dir: String): DataFrame =
     Dedup.withSimhash(docs(s, dir).filter(col("doc_id") < 200))
       .select(col("doc_id"), col("simhash32"))
@@ -223,10 +233,10 @@ object PipelineQueries {
     * `filter` bounds the doc set; recurrence matches
     * Dedup.shingleHashes exactly.
     */
-  private def shingleSql(n: Int, filter: String): String = {
+  private def shingleSql(n: Int, filter: String, name: String = "sh"): String = {
     val comb = (1 to n).foldLeft("CAST(0 AS BIGINT)")((acc, j) =>
       s"(($acc * 131 + th[i + ${j - 1}]) % $Pm)")
-    s"""sh AS (
+    s"""$name AS (
     SELECT doc_id, CASE WHEN len(th) >= $n THEN
              list_distinct(list_transform(generate_series(1, len(th) - ${n - 1}), i -> $comb))
            ELSE [] END AS sh
@@ -394,6 +404,52 @@ object PipelineQueries {
                 ELSE height * 224 // greatest(width, height) END AS INT) AS resized_h
     FROM f"""
 
+  /** Mirrors TextAnalysis.repetitionStats: duplicate-token and
+    * top-bigram fractions in exact e6 integers.
+    */
+  val repetitionSql: String = s"""WITH base AS (
+    SELECT doc_id, list_transform($toksSql, t -> ${polySql("t", 31, Pm)}) AS th
+    FROM documents
+  ), feat AS (
+    SELECT doc_id,
+           CAST(len(th) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(th)) AS BIGINT) AS n_distinct_tokens,
+           CASE WHEN len(th) >= 2 THEN
+             list_transform(generate_series(1, len(th) - 1), i -> (th[i] * 131 + th[i + 1]) % $Pm)
+           ELSE [] END AS bg
+    FROM base
+  ), bgc AS (
+    SELECT doc_id, bg_h, COUNT(*) AS c
+    FROM (SELECT doc_id, unnest(bg) AS bg_h FROM feat)
+    GROUP BY doc_id, bg_h
+  ), top AS (SELECT doc_id, MAX(c) AS top_c FROM bgc GROUP BY doc_id
+  ), fr AS (
+    SELECT f.doc_id, n_tokens, n_distinct_tokens,
+           CASE WHEN n_tokens > 0
+                THEN CAST((n_tokens - n_distinct_tokens) * 1000000 // n_tokens AS BIGINT)
+                ELSE 0 END AS dup_token_frac_e6,
+           CASE WHEN n_tokens >= 2 AND top_c IS NOT NULL
+                THEN CAST(top_c * 1000000 // (n_tokens - 1) AS BIGINT)
+                ELSE 0 END AS top_bigram_frac_e6
+    FROM feat f LEFT JOIN top USING (doc_id)
+  )
+  SELECT doc_id, n_tokens, n_distinct_tokens, dup_token_frac_e6, top_bigram_frac_e6,
+         CASE WHEN dup_token_frac_e6 > 700000 OR top_bigram_frac_e6 > 200000
+              THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS repetitive
+  FROM fr"""
+
+  /** Mirrors Dedup.decontaminationOverlap (3-gram shingle overlap vs
+    * the doc_id % 97 = 0 benchmark slice).
+    */
+  val decontaminationSql: String = s"""WITH ${shingleSql(3, "doc_id % 97 <> 0", "shc")},
+  ${shingleSql(3, "doc_id % 97 = 0", "shb")},
+  ce AS (SELECT doc_id, unnest(sh) AS h FROM shc),
+  be AS (SELECT doc_id AS bench_id, unnest(sh) AS h FROM shb)
+  SELECT ce.doc_id, COUNT(DISTINCT ce.h) AS n_overlap,
+         COUNT(DISTINCT be.bench_id) AS n_bench_docs
+  FROM ce JOIN be ON ce.h = be.h
+  GROUP BY ce.doc_id"""
+
   // ---------------------------------------------------------------
   // Wiring
   // ---------------------------------------------------------------
@@ -403,7 +459,9 @@ object PipelineQueries {
     "t2_lang_id" -> (langIdConfusion _),
     "t3_fingerprints" -> (fingerprintStats _),
     "t4_doc_features" -> (docFeatures _),
+    "t5_repetition" -> (repetitionStats _),
     "d1_exact_dedup" -> (exactDedupStats _),
+    "d8_decontamination" -> (decontamination _),
     "d2_jaccard_pairs" -> (jaccardPairs _),
     "d3_minhash_sigs" -> (minhashSignatures _),
     "d4_minhash_candidates" -> (minhashCandidates _),
@@ -424,7 +482,9 @@ object PipelineQueries {
     "t2_lang_id" -> langIdSql,
     "t3_fingerprints" -> fingerprintSql,
     "t4_doc_features" -> docFeaturesSql,
+    "t5_repetition" -> repetitionSql,
     "d1_exact_dedup" -> exactDedupSql,
+    "d8_decontamination" -> decontaminationSql,
     "d2_jaccard_pairs" -> jaccardPairsSql,
     "d3_minhash_sigs" -> minhashSigSql,
     "d4_minhash_candidates" -> minhashCandSql,

@@ -253,6 +253,32 @@ object Dedup {
       .withColumn(out, simhash32FromTokenHashes(col("__th")))
       .drop("__th")
 
+  /** D8 — benchmark decontamination: for every corpus document, the
+    * count of distinct word n-gram shingles it shares with a
+    * benchmark/eval set, and how many benchmark documents it touches.
+    * Documents with no overlap are absent (clean).
+    *
+    * Shape at scale: the benchmark side is tiny by construction (eval
+    * suites are MBs even when the corpus is 100 TB), so its exploded
+    * shingle set is BROADCAST — the corpus is a single scan + broadcast
+    * hash join, never shuffled on the shingle key; only matched rows
+    * (bounded by contamination volume) shuffle for the per-doc count.
+    */
+  def decontaminationOverlap(docs: DataFrame, benchPred: Column,
+                             idCol: String = "doc_id", textCol: String = "text",
+                             n: Int = 3): DataFrame = {
+    val bench = withShingles(docs.filter(benchPred).select(col(idCol).as("bench_id"), col(textCol)),
+        textCol, n)
+      .select(col("bench_id"), explode(col("sh")).as("h"))
+    val corpus = withShingles(docs.filter(!benchPred).select(col(idCol), col(textCol)),
+        textCol, n)
+      .select(col(idCol), explode(col("sh")).as("h"))
+    corpus.join(broadcast(bench), Seq("h"))
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("h")).as("n_overlap"),
+        countDistinct(col("bench_id")).as("n_bench_docs"))
+  }
+
   /** Exact dedup stats per group: total docs, distinct normalized
     * contents, and surviving representative count (min id per
     * fingerprint) — the hash-groupBy exact dedup.

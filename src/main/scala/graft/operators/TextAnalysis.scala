@@ -100,6 +100,49 @@ object TextAnalysis {
   def fingerprintPoly(text: Column): Column =
     graft.functions.PolyHashFunctions.polyHash(normalized(text), 31L, 1000000007L)
 
+  /** Repetition (Gopher-style quality) stats per document: duplicate
+    * token fraction and most-frequent-bigram fraction, in exact e6
+    * integer fractions, plus a combined `repetitive` flag.
+    *
+    * Shape at scale: the per-doc features are a scan-side projection;
+    * the top-bigram count is explode -> two hash aggregations keyed by
+    * (doc_id, bigram) then doc_id — shuffle volume O(total bigrams),
+    * fully parallel, no global state. (The bigram list is built with
+    * the interpreted HOF form rather than a native expression: unlike
+    * the shingle path it keeps duplicates, runs once per doc, and is
+    * nowhere near any hot loop.)
+    */
+  def repetitionStats(docs: DataFrame, textCol: String = "text",
+                      dupTokenThresholdE6: Long = 700000L,
+                      topBigramThresholdE6: Long = 200000L): DataFrame = {
+    val P = Dedup.P
+    // Stage the token-hash array through a projection (HOF lambdas
+    // re-evaluate inlined trees per reference).
+    val staged = docs.select(col("doc_id"), Dedup.tokenHashes(col(textCol)).as("__th"))
+    val feat = staged.select(
+      col("doc_id"),
+      size(col("__th")).cast("long").as("n_tokens"),
+      size(array_distinct(col("__th"))).cast("long").as("n_distinct_tokens"),
+      when(size(col("__th")) >= 2,
+        transform(sequence(lit(0), size(col("__th")) - 2),
+          i => pmod(element_at(col("__th"), i + 1) * 131L + element_at(col("__th"), i + 2), lit(P))))
+        .otherwise(array().cast("array<bigint>")).as("bg"))
+    val top = feat.select(col("doc_id"), explode(col("bg")).as("b"))
+      .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("top_c"))
+    feat.join(top, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct_tokens"),
+        when(col("n_tokens") > 0,
+          expr("((n_tokens - n_distinct_tokens) * 1000000) div n_tokens"))
+          .otherwise(0L).as("dup_token_frac_e6"),
+        when(col("n_tokens") >= 2 && col("top_c").isNotNull,
+          expr("(top_c * 1000000) div (n_tokens - 1)"))
+          .otherwise(0L).as("top_bigram_frac_e6"))
+      .withColumn("repetitive",
+        when(col("dup_token_frac_e6") > dupTokenThresholdE6 ||
+          col("top_bigram_frac_e6") > topBigramThresholdE6, 1L).otherwise(0L))
+  }
+
   /** Full per-document feature projection. */
   def features(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

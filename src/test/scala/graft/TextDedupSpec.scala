@@ -135,6 +135,43 @@ class TextDedupSpec extends SparkSpecBase {
     assert(viaPipeline.exists(_.isEmpty) && viaPipeline.exists(_.nonEmpty))
   }
 
+  test("repetition stats: fractions and flag on hand-built docs") {
+    val df = docsDf(Seq(
+      (1L, "a a a a"),            // 3/4 dup tokens, top bigram (a,a) = 3/3
+      (2L, "w x y z"),            // all distinct, every bigram unique
+      (3L, "")))                  // empty -> zeros
+    val out = graft.operators.TextAnalysis.repetitionStats(df)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("dup_token_frac_e6") === 750000L)
+    assert(out(1L).getAs[Long]("top_bigram_frac_e6") === 1000000L)
+    assert(out(1L).getAs[Long]("repetitive") === 1L)
+    assert(out(2L).getAs[Long]("dup_token_frac_e6") === 0L)
+    assert(out(2L).getAs[Long]("top_bigram_frac_e6") === 333333L)
+    assert(out(2L).getAs[Long]("repetitive") === 1L) // 1/3 bigram > 20%
+    assert(out(3L).getAs[Long]("n_tokens") === 0L)
+    assert(out(3L).getAs[Long]("dup_token_frac_e6") === 0L)
+    assert(out(3L).getAs[Long]("repetitive") === 0L)
+  }
+
+  test("decontamination finds planted benchmark overlap, broadcasts the benchmark") {
+    // Doc 97 is "benchmark" (id % 97 == 0 and != 0 for the others).
+    val shared = "alpha beta gamma delta epsilon"
+    val df = docsDf(Seq(
+      (97L, shared + " zeta"),
+      (1L, shared + " omega"),     // shares 3-grams with doc 97
+      (2L, "totally different words here entirely")))
+    val out = graft.operators.Dedup.decontaminationOverlap(
+      df, pmod(col("doc_id"), lit(97)) === 0)
+    val rows = out.collect().map(r => r.getLong(0) -> r).toMap
+    assert(rows.contains(1L) && !rows.contains(2L))
+    assert(rows(1L).getAs[Long]("n_overlap") === 3L) // 3-grams of the 5 shared words
+    assert(rows(1L).getAs[Long]("n_bench_docs") === 1L)
+    // Scale shape: the benchmark side must be broadcast — the corpus
+    // never shuffles on the shingle key.
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+  }
+
   test("minhash LSH finds the exact duplicate pair") {
     val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val df = docsDf(Seq((1L, text), (2L, text), (3L, "totally different content with many other words present")))
