@@ -1,8 +1,10 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, count, lit, max_by, to_date}
 
 import graft.operators.Indicators
+import graft.streaming.IndicatorStream
 
 /** Oracle-checked query entries for the technical indicators
   * (operators/Indicators.scala) — the b-prefixed family. Inputs are
@@ -25,7 +27,22 @@ object IndicatorQueries {
 
     // B4 — z-score price-spike counts per symbol/day.
     "b4_spike_counts" -> ((s, dir) =>
-      Indicators.spikeCounts(SparkEntry.silverDf(s, dir), n = 20, z = 3)))
+      Indicators.spikeCounts(SparkEntry.silverDf(s, dir), n = 20, z = 3)),
+
+    // B5 — end-of-day EMA-14 per symbol, the recursion running
+    // continuously from sequence start (streaming/IndicatorStream's
+    // batch adapter — the one indicator a row-frame window cannot
+    // express; oracle folds the same IEEE ops via list_reduce).
+    "b5_ema_daily" -> ((s, dir) => {
+      import s.implicits._
+      val ticks = SparkEntry.silverDf(s, dir)
+        .select(col("symbol"), col("price"), col("event_time"))
+        .as[IndicatorStream.TradeTick]
+      IndicatorStream.updatesBatch(s, ticks, n = 14).toDF()
+        .groupBy(col("symbol"), to_date(col("event_time")).as("trade_date"))
+        .agg(count(lit(1)).as("n_ticks"),
+             max_by(col("ema"), col("event_time")).as("ema"))
+    }))
 
   /** Shared tick CTE over the silver prelude: price as exact e4
     * integer ticks (mirrors Indicators.ticksE4).
@@ -106,5 +123,24 @@ object IndicatorQueries {
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_spikes
     FROM (SELECT symbol, trade_date, cnt, s1, s2, cnt * px - s1 AS dev
           FROM wnd WHERE cnt = 20)
-    GROUP BY symbol, trade_date"""))
+    GROUP BY symbol, trade_date"""),
+
+    // The EMA recursion as a literal left fold over the per-symbol
+    // price sequence: acc' = α·x + (1−α)·acc with α = 2/15 — the same
+    // IEEE double ops in the same order as IndicatorStream.step, so
+    // the result is bit-identical, not approximately equal. silver is
+    // deduped on (symbol, event_time), so event_time order is total.
+    "b5_ema_daily" -> (SparkEntry.P + s""", seq AS (
+      SELECT symbol, trade_date, event_time,
+             COUNT(*) OVER (PARTITION BY symbol, trade_date) AS cnt,
+             list(price) OVER (PARTITION BY symbol ORDER BY event_time
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pxs,
+             row_number() OVER (PARTITION BY symbol, trade_date
+                                ORDER BY event_time DESC) AS rn
+      FROM silver
+    )
+    SELECT symbol, trade_date, CAST(cnt AS BIGINT) AS n_ticks,
+           list_reduce(pxs, (acc, x) -> (2::DOUBLE / 15::DOUBLE) * x
+                              + (1::DOUBLE - 2::DOUBLE / 15::DOUBLE) * acc) AS ema
+    FROM seq WHERE rn = 1"""))
 }

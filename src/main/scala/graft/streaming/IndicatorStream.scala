@@ -37,6 +37,41 @@ object IndicatorStream {
   case class IndicatorUpdate(symbol: String, event_time: Timestamp, price: Double,
                              ema: Double, rsi: Option[Double])
 
+  /** One step of the recursion: absorb a single tick into the carried
+    * state. Returns None (state unchanged) when the tick is older than
+    * the state's time — a recursion cannot be rewound.
+    */
+  private[graft] def step(symbol: String, st: Option[IndicatorState],
+                          t: TradeTick, n: Int)
+      : Option[(IndicatorState, IndicatorUpdate)] = {
+    val alpha = 2.0 / (n + 1)
+    val tMs = t.event_time.getTime
+    if (!st.forall(_.timeMs <= tMs)) None
+    else {
+      val next = st match {
+        case None =>
+          IndicatorState(t.price, 0.0, 0.0, t.price, 1L, tMs)
+        case Some(p) =>
+          val diff = t.price - p.prevPrice
+          val gain = math.max(diff, 0.0)
+          val loss = math.max(-diff, 0.0)
+          // Wilder smoothing once warm; plain accumulation before.
+          val (ag, al) =
+            if (p.nSeen <= n) ((p.avgGain * (p.nSeen - 1) + gain) / p.nSeen,
+                               (p.avgLoss * (p.nSeen - 1) + loss) / p.nSeen)
+            else ((p.avgGain * (n - 1) + gain) / n,
+                  (p.avgLoss * (n - 1) + loss) / n)
+          IndicatorState(alpha * t.price + (1 - alpha) * p.ema,
+            ag, al, t.price, p.nSeen + 1, tMs)
+      }
+      val rsi =
+        if (next.nSeen <= n) None
+        else if (next.avgGain + next.avgLoss == 0.0) None
+        else Some(100.0 * next.avgGain / (next.avgGain + next.avgLoss))
+      Some((next, IndicatorUpdate(symbol, t.event_time, t.price, next.ema, rsi)))
+    }
+  }
+
   /** Shared fold: advance the recursion through the batch's ticks in
     * event-time order, dropping rows older than the carried state.
     * Emits one update per accepted tick. RSI is None until n changes
@@ -45,34 +80,12 @@ object IndicatorStream {
   private[graft] def fold(symbol: String, ticks: Seq[TradeTick],
                               initial: Option[IndicatorState], n: Int)
       : (Option[IndicatorState], Seq[IndicatorUpdate]) = {
-    val alpha = 2.0 / (n + 1)
     val sorted = ticks.sortBy(t => (t.event_time.getTime, t.price))
     var st = initial
     val out = Seq.newBuilder[IndicatorUpdate]
     sorted.foreach { t =>
-      val tMs = t.event_time.getTime
-      if (st.forall(_.timeMs <= tMs)) {
-        val next = st match {
-          case None =>
-            IndicatorState(t.price, 0.0, 0.0, t.price, 1L, tMs)
-          case Some(p) =>
-            val diff = t.price - p.prevPrice
-            val gain = math.max(diff, 0.0)
-            val loss = math.max(-diff, 0.0)
-            // Wilder smoothing once warm; plain accumulation before.
-            val (ag, al) =
-              if (p.nSeen <= n) ((p.avgGain * (p.nSeen - 1) + gain) / p.nSeen,
-                                 (p.avgLoss * (p.nSeen - 1) + loss) / p.nSeen)
-              else ((p.avgGain * (n - 1) + gain) / n,
-                    (p.avgLoss * (n - 1) + loss) / n)
-            IndicatorState(alpha * t.price + (1 - alpha) * p.ema,
-              ag, al, t.price, p.nSeen + 1, tMs)
-        }
-        val rsi =
-          if (next.nSeen <= n) None
-          else if (next.avgGain + next.avgLoss == 0.0) None
-          else Some(100.0 * next.avgGain / (next.avgGain + next.avgLoss))
-        out += IndicatorUpdate(symbol, t.event_time, t.price, next.ema, rsi)
+      step(symbol, st, t, n).foreach { case (next, u) =>
+        out += u
         st = Some(next)
       }
     }
@@ -104,13 +117,29 @@ object IndicatorStream {
         TimeMode.None(), OutputMode.Append, implicitly[Encoder[IndicatorUpdate]])
   }
 
-  /** Batch adapter: the same fold over whole per-symbol groups — for
-    * backfill and the batch/streaming equivalence spec.
+  /** Batch adapter: the same recursion over whole per-symbol histories —
+    * for backfill and the batch/streaming equivalence spec.
+    *
+    * Scale shape: repartition by symbol + sortWithinPartitions gives each
+    * partition its symbols' ticks in (symbol, time, price) order; the
+    * fold then streams the iterator one row at a time, resetting state at
+    * symbol boundaries. Nothing is materialized per group (a flatMapGroups
+    * + toSeq would buffer a symbol's entire history — a 100 TB backfill
+    * has histories that don't fit), and the sort is Spark's spillable
+    * external sort, not an in-memory sortBy.
     */
   def updatesBatch(spark: SparkSession, ticks: Dataset[TradeTick], n: Int = 14): Dataset[IndicatorUpdate] = {
     import spark.implicits._
-    ticks.groupByKey(_.symbol).flatMapGroups { (sym, it) =>
-      fold(sym, it.toSeq, None, n)._2.iterator
-    }
+    import org.apache.spark.sql.functions.col
+    ticks.repartition(col("symbol"))
+      .sortWithinPartitions(col("symbol"), col("event_time"), col("price"))
+      .mapPartitions { it =>
+        var sym: String = null
+        var st: Option[IndicatorState] = None
+        it.flatMap { t =>
+          if (t.symbol != sym) { sym = t.symbol; st = None }
+          step(sym, st, t, n).map { case (next, u) => st = Some(next); u }
+        }
+      }
   }
 }
