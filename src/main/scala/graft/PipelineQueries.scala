@@ -74,6 +74,34 @@ object PipelineQueries {
         minJaccardE6 = 100000L)
       .select(col("doc_id"), col("lang"), col("source"))
 
+  /** D9 — near-dup CLUSTER assignment (connected components over
+    * LSH-verified pairs). The raw sf slices carry no organic near-dup
+    * pairs, so the query derives a deterministic duplicate family per
+    * kept doc in-plan: copy1 = text + one extra token, copy2 = copy1 +
+    * one more — a transitive triple whose pairwise Jaccards are all
+    * high but distinct. The oracle recomputes the identical derived
+    * set, the identical MinHash+LSH candidate generation, then
+    * resolves components by recursive label propagation — so a hash
+    * match proves candidate generation, exact verification, AND the
+    * large-star/small-star contraction agree with a transitive-closure
+    * ground truth.
+    */
+  def dupClusters(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir).filter(pmod(col("doc_id"), lit(10)) === 0)
+      .select(col("doc_id"), col("text"))
+    // Perturb BEFORE renaming the id (see embeddingDups note).
+    val c1 = base
+      .select(col("doc_id"),
+        concat(col("text"), lit(" q"), pmod(col("doc_id"), lit(89)).cast("string")).as("text"))
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val c2 = base
+      .select(col("doc_id"),
+        concat(col("text"), lit(" q"), pmod(col("doc_id"), lit(89)).cast("string"),
+          lit(" r"), pmod(col("doc_id"), lit(83)).cast("string")).as("text"))
+      .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
+    Dedup.dupClusters(base.unionByName(c1).unionByName(c2), minJaccardE6 = 500000L)
+  }
+
   /** T5 — Gopher-style repetition quality stats. */
   def repetitionStats(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.repetitionStats(docs(s, dir))
@@ -233,7 +261,8 @@ object PipelineQueries {
     * `filter` bounds the doc set; recurrence matches
     * Dedup.shingleHashes exactly.
     */
-  private def shingleSql(n: Int, filter: String, name: String = "sh"): String = {
+  private def shingleSql(n: Int, filter: String, name: String = "sh",
+                         src: String = "documents"): String = {
     val comb = (1 to n).foldLeft("CAST(0 AS BIGINT)")((acc, j) =>
       s"(($acc * 131 + th[i + ${j - 1}]) % $Pm)")
     s"""$name AS (
@@ -242,7 +271,7 @@ object PipelineQueries {
            ELSE [] END AS sh
     FROM (
       SELECT doc_id, list_transform($toksSql, t -> ${polySql("t", 31, Pm)}) AS th
-      FROM documents WHERE $filter)
+      FROM $src WHERE $filter)
   )"""
   }
 
@@ -311,6 +340,55 @@ object PipelineQueries {
   )
     SELECT doc_id, lang, source FROM documents
     WHERE doc_id % 10 = 0 AND doc_id NOT IN (SELECT doc_b FROM dropped)"""
+
+  /** D9 oracle: the same derived duplicate-triple corpus and the same
+    * MinHash+LSH candidate/verify stages as nearDedupSql, but resolved
+    * into components by recursive min-label propagation (a transitive
+    * closure the tiny cluster sizes keep cheap) — ground truth for the
+    * distributed star-contraction CC.
+    */
+  val dupClustersSql: String = s"""WITH RECURSIVE docs9 AS (
+    SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+    UNION ALL
+    SELECT doc_id + 1000000,
+           text || ' q' || CAST(doc_id % 89 AS VARCHAR)
+    FROM documents WHERE doc_id % 10 = 0
+    UNION ALL
+    SELECT doc_id + 2000000,
+           text || ' q' || CAST(doc_id % 89 AS VARCHAR) || ' r' || CAST(doc_id % 83 AS VARCHAR)
+    FROM documents WHERE doc_id % 10 = 0
+  ), ${shingleSql(3, "1=1", src = "docs9")}, $sigSql,
+  banded AS (
+    SELECT doc_id, b,
+           list_reduce(list_prepend(CAST(b AS BIGINT), sig[b*2 + 1 : b*2 + 2]),
+                       (a, x) -> (a * 131 + x) % 1000000007) AS key
+    FROM sigs, UNNEST([0, 1, 2, 3, 4, 5, 6, 7]) AS t(b)
+  ), cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM banded a, banded b
+    WHERE a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id
+  ), verified AS (
+    SELECT c.doc_a, c.doc_b
+    FROM cand c
+    JOIN sh sa ON sa.doc_id = c.doc_a
+    JOIN sh sb ON sb.doc_id = c.doc_b
+    WHERE (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) > 0
+      AND len(list_intersect(sa.sh, sb.sh)) * 1000000
+          >= (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) * 500000
+  ), edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM verified
+    UNION
+    SELECT doc_b, doc_a FROM verified
+  ), reach AS (
+    SELECT DISTINCT src AS id, src AS lbl FROM edges
+    UNION
+    SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+  ), comp AS (
+    SELECT id, MIN(lbl) AS cluster_id FROM reach GROUP BY id
+  )
+    SELECT c.id AS doc_id, c.cluster_id,
+           CAST(COUNT(*) OVER (PARTITION BY c.cluster_id) AS BIGINT) AS cluster_size
+    FROM comp c"""
 
   val simhashSql: String = s"""WITH th AS (
     SELECT doc_id,
@@ -467,6 +545,7 @@ object PipelineQueries {
     "d4_minhash_candidates" -> (minhashCandidates _),
     "d5_simhash" -> (simhashFingerprints _),
     "d7_near_dedup" -> (nearDedup _),
+    "d9_dup_clusters" -> (dupClusters _),
     "d6_embedding_dups" -> (embeddingDups _),
     "s1_knn_brute" -> (knnBrute _),
     "s2_knn_lsh" -> (knnLsh _),
@@ -490,6 +569,7 @@ object PipelineQueries {
     "d4_minhash_candidates" -> minhashCandSql,
     "d5_simhash" -> simhashSql,
     "d7_near_dedup" -> nearDedupSql,
+    "d9_dup_clusters" -> dupClustersSql,
     "d6_embedding_dups" -> embeddingDupsSql,
     "s1_knn_brute" -> knnBruteSql,
     "mm1_modality_stats" -> modalityStatsSql,

@@ -310,18 +310,47 @@ object Dedup {
   def nearDedup(docs: DataFrame, minJaccardE6: Long,
                 idCol: String = "doc_id", textCol: String = "text",
                 shingleN: Int = 3, k: Int = 16, bands: Int = 8): DataFrame = {
+    val verified = verifiedPairs(docs, minJaccardE6, idCol, textCol, shingleN, k, bands)
+    val dropIds = verified.select(col("doc_b").as(idCol)).distinct()
+    docs.join(dropIds, Seq(idCol), "left_anti")
+  }
+
+  /** The candidate-then-verify stage of [[nearDedup]] exposed as an
+    * edge list: (doc_a, doc_b) with doc_a < doc_b and exact n-gram
+    * Jaccard >= minJaccardE6, candidates drawn from LSH buckets only.
+    * Feed to [[GraphOps.connectedComponents]] for cluster assignment.
+    */
+  def verifiedPairs(docs: DataFrame, minJaccardE6: Long,
+                    idCol: String = "doc_id", textCol: String = "text",
+                    shingleN: Int = 3, k: Int = 16, bands: Int = 8): DataFrame = {
     val cands = minhashCandidates(docs, idCol, textCol, shingleN, k, bands)
     val sh = withShingles(docs.select(col(idCol).as("id"), col(textCol)), textCol, shingleN)
       .select(col("id"), array_sort(col("sh")).as("sh"))
-    val verified = cands
+    cands
       .join(sh.select(col("id").as("doc_a"), col("sh").as("sha")), "doc_a")
       .join(sh.select(col("id").as("doc_b"), col("sh").as("shb")), "doc_b")
       .withColumn("inter", graft.functions.ArrayFunctions.sortedIntersectSize(col("sha"), col("shb")))
       .withColumn("uni", size(col("sha")).cast("long") + size(col("shb")).cast("long") - col("inter"))
       // floor(1e6*inter/uni) >= tau  <=>  1e6*inter >= tau*uni (integer tau)
       .filter(col("uni") > 0 && col("inter") * 1000000L >= col("uni") * minJaccardE6)
-    val dropIds = verified.select(col("doc_b").as(idCol)).distinct()
-    docs.join(dropIds, Seq(idCol), "left_anti")
+      .select(col("doc_a"), col("doc_b"))
+  }
+
+  /** Near-dup cluster assignment: LSH-verified pairs resolved into
+    * transitive clusters. Returns (doc_id, cluster_id, cluster_size)
+    * for every document with at least one verified near-duplicate;
+    * cluster_id is the minimum doc id of the component — the canonical
+    * representative a keep-one-per-cluster policy retains.
+    */
+  def dupClusters(docs: DataFrame, minJaccardE6: Long,
+                  idCol: String = "doc_id", textCol: String = "text",
+                  shingleN: Int = 3, k: Int = 16, bands: Int = 8): DataFrame = {
+    val pairs = verifiedPairs(docs, minJaccardE6, idCol, textCol, shingleN, k, bands)
+    val cc = GraphOps.connectedComponents(pairs, "doc_a", "doc_b")
+    val sizes = cc.groupBy(col("component")).agg(count(lit(1)).as("cluster_size"))
+    cc.join(sizes, "component")
+      .select(col("id").as(idCol), col("component").as("cluster_id"),
+        col("cluster_size"))
   }
 
   /** Embedding near-duplicates, all-pairs baseline: pairs with cosine
