@@ -112,6 +112,13 @@ object PipelineQueries {
   def decontamination(s: SparkSession, dir: String): DataFrame =
     Dedup.decontaminationOverlap(docs(s, dir), pmod(col("doc_id"), lit(97)) === 0)
 
+  /** D10 — the same contamination answer through the Bloom-prefilter
+    * scale path; shares d8's oracle because false positives are
+    * removed exactly.
+    */
+  def decontaminationBloom(s: SparkSession, dir: String): DataFrame =
+    Dedup.decontaminationOverlapBloom(docs(s, dir), pmod(col("doc_id"), lit(97)) === 0)
+
   def simhashFingerprints(s: SparkSession, dir: String): DataFrame =
     Dedup.withSimhash(docs(s, dir).filter(col("doc_id") < 200))
       .select(col("doc_id"), col("simhash32"))
@@ -540,6 +547,7 @@ object PipelineQueries {
     "t5_repetition" -> (repetitionStats _),
     "d1_exact_dedup" -> (exactDedupStats _),
     "d8_decontamination" -> (decontamination _),
+    "d10_decontam_bloom" -> (decontaminationBloom _),
     "d2_jaccard_pairs" -> (jaccardPairs _),
     "d3_minhash_sigs" -> (minhashSignatures _),
     "d4_minhash_candidates" -> (minhashCandidates _),
@@ -564,6 +572,7 @@ object PipelineQueries {
     "t5_repetition" -> repetitionSql,
     "d1_exact_dedup" -> exactDedupSql,
     "d8_decontamination" -> decontaminationSql,
+    "d10_decontam_bloom" -> decontaminationSql,
     "d2_jaccard_pairs" -> jaccardPairsSql,
     "d3_minhash_sigs" -> minhashSigSql,
     "d4_minhash_candidates" -> minhashCandSql,

@@ -279,6 +279,70 @@ object Dedup {
         countDistinct(col("bench_id")).as("n_bench_docs"))
   }
 
+  /** D10 — decontamination with a Bloom-filter prefilter: the same
+    * answer as [[decontaminationOverlap]], reached by probing a bitset
+    * before any join. The bench side's shingle hashes are folded into
+    * an m-bit Bloom filter DISTRIBUTIVELY (k double-hashed positions →
+    * explode → bit_or per 64-bit word), and only the resulting dense
+    * word array — m/8 bytes, KBs even for large eval suites — is
+    * collected and embedded as a plan literal (same posture as the IVF
+    * quantizer: a bounded sketch on the driver, never data).
+    *
+    * The corpus probe is pure codegen'd integer arithmetic
+    * (element_at + shiftright on the literal array): each corpus
+    * shingle pays k O(1) bit tests instead of a hash-join lookup
+    * against the full bench set, and the exact broadcast join that
+    * removes Bloom false positives only ever sees the surviving
+    * sliver (contamination volume + FP rate), not the corpus. That is
+    * the standard semi-join reduction that keeps the shuffle-side
+    * input proportional to matches at 100 TB.
+    *
+    * Bit positions use portable double hashing
+    * (pos_j = h1 + j·h2 mod m, both hashes mod 1e9+7), so the filter
+    * is deterministic across engines and partitionings.
+    */
+  def decontaminationOverlapBloom(docs: DataFrame, benchPred: Column,
+                                  idCol: String = "doc_id", textCol: String = "text",
+                                  n: Int = 3, mBits: Int = 1 << 20,
+                                  kProbes: Int = 4): DataFrame = {
+    require(mBits % 64 == 0 && mBits > 0, s"mBits must be a positive multiple of 64, got $mBits")
+    val bench = withShingles(docs.filter(benchPred).select(col(idCol).as("bench_id"), col(textCol)),
+        textCol, n)
+      .select(col("bench_id"), explode(col("sh")).as("h"))
+    // Distributed bitset build: sparse (word -> bits) via bit_or, then
+    // densify the KB-sized result on the driver.
+    val posCols = bloomPositions(col("h"), mBits, kProbes)
+    val sparse = bench.select(explode(array(posCols: _*)).as("pos"))
+      .select(expr("CAST(pos DIV 64 AS INT)").as("word"),
+        expr("shiftleft(1L, CAST(pos % 64 AS INT))").as("bit"))
+      .groupBy(col("word")).agg(expr("bit_or(bit)").as("bits"))
+    val words = new Array[Long](mBits / 64)
+    sparse.collect().foreach(r => words(r.getInt(0)) = r.getLong(1))
+    // Probe: stage h1/h2 once, then k literal-array bit tests.
+    val corpus = withShingles(docs.filter(!benchPred).select(col(idCol), col(textCol)),
+        textCol, n)
+      .select(col(idCol), explode(col("sh")).as("h"))
+      .withColumn("__bf", typedLit(words))
+      .withColumn("__h1", pmod(col("h") * 2654435761L + 17L, lit(P)))
+      .withColumn("__h2", pmod(col("h") * 40503L + 2147483647L, lit(P)).bitwiseOR(lit(1L)))
+    val hit = (0 until kProbes).map { j =>
+      expr(s"""((shiftright(element_at(__bf, CAST(pmod(__h1 + $j * __h2, $mBits) DIV 64 AS INT) + 1),
+                            CAST(pmod(__h1 + $j * __h2, $mBits) % 64 AS INT))) & 1) = 1""")
+    }.reduce(_ && _)
+    corpus.filter(hit).drop("__bf", "__h1", "__h2")
+      .join(broadcast(bench), Seq("h")) // exact: removes Bloom false positives
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("h")).as("n_overlap"),
+        countDistinct(col("bench_id")).as("n_bench_docs"))
+  }
+
+  /** The k Bloom bit positions of a shingle hash (build side). */
+  private def bloomPositions(h: Column, mBits: Int, kProbes: Int): Seq[Column] = {
+    val h1 = pmod(h * 2654435761L + 17L, lit(P))
+    val h2 = pmod(h * 40503L + 2147483647L, lit(P)).bitwiseOR(lit(1L))
+    (0 until kProbes).map(j => pmod(h1 + lit(j.toLong) * h2, lit(mBits.toLong)))
+  }
+
   /** Exact dedup stats per group: total docs, distinct normalized
     * contents, and surviving representative count (min id per
     * fingerprint) — the hash-groupBy exact dedup.

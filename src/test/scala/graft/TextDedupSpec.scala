@@ -172,6 +172,28 @@ class TextDedupSpec extends SparkSpecBase {
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
   }
 
+  test("bloom decontamination equals the exact form, even when saturated") {
+    val shared = "alpha beta gamma delta epsilon"
+    val df = docsDf(Seq(
+      (97L, shared + " zeta"),
+      (1L, shared + " omega"),
+      (2L, "totally different words here entirely"),
+      (194L, "another benchmark doc with its own phrasing style")))
+    val pred = pmod(col("doc_id"), lit(97)) === 0
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    val exact = graft.operators.Dedup.decontaminationOverlap(df, pred)
+      .collect().map(key).toSet
+    val bloom = graft.operators.Dedup.decontaminationOverlapBloom(df, pred)
+      .collect().map(key).toSet
+    assert(bloom === exact)
+    // A deliberately saturated filter (64 bits for dozens of shingles)
+    // floods the probe with false positives — the exact verify join
+    // must still reduce to the same answer.
+    val saturated = graft.operators.Dedup.decontaminationOverlapBloom(
+      df, pred, mBits = 64, kProbes = 2).collect().map(key).toSet
+    assert(saturated === exact)
+  }
+
   test("minhash LSH finds the exact duplicate pair") {
     val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val df = docsDf(Seq((1L, text), (2L, text), (3L, "totally different content with many other words present")))
