@@ -106,6 +106,29 @@ object PipelineQueries {
   def repetitionStats(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.repetitionStats(docs(s, dir))
 
+  /** T6 — PII scan over a corpus with deterministically planted PII
+    * (the raw synthetic docs carry none, which would make the oracle
+    * vacuous): doc_id-derived email/IP/SSN/phone suffixes appended
+    * in-plan, identically on both sides. The md5 of the redacted text
+    * pins the full replacement output, not just the counts.
+    */
+  def piiScan(s: SparkSession, dir: String): DataFrame = {
+    val planted = docs(s, dir).select(col("doc_id"),
+      concat(col("text"),
+        when(pmod(col("doc_id"), lit(7)) === 0,
+          concat(lit(" contact u"), pmod(col("doc_id"), lit(100)).cast("string"),
+            lit("@example.com"))).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(11)) === 0,
+          concat(lit(" host 10."), pmod(col("doc_id"), lit(256)).cast("string"),
+            lit(".0.1"))).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(13)) === 0, lit(" ssn 123-45-6789")).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(17)) === 0, lit(" tel +01 555 123 4567")).otherwise(lit("")))
+        .as("text"))
+    TextAnalysis.piiStats(planted)
+      .select(col("doc_id"), col("n_email"), col("n_ipv4"), col("n_ssn"),
+        col("n_phone"), col("pii_total"), col("redacted_md5"))
+  }
+
   /** D8 — decontamination overlap vs the doc_id % 97 == 0 "benchmark"
     * slice (a deterministic ~1% stand-in for an eval suite).
     */
@@ -523,6 +546,42 @@ object PipelineQueries {
               THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS repetitive
   FROM fr"""
 
+  /** T6 oracle: the same planted-PII derivation, RE2 counterparts of
+    * the Java regexes (both restricted to a dialect-neutral subset),
+    * and the 'g' flag on every replace (DuckDB defaults to
+    * first-match-only where Spark replaces all).
+    */
+  val piiSql: String = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ip = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+    val ssn = "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"
+    val phone = "\\+[0-9]{2} [0-9]{3} [0-9]{3} [0-9]{4}"
+    s"""WITH p6 AS (
+    SELECT doc_id, text
+      || CASE WHEN doc_id % 7 = 0
+              THEN ' contact u' || CAST(doc_id % 100 AS VARCHAR) || '@example.com'
+              ELSE '' END
+      || CASE WHEN doc_id % 11 = 0
+              THEN ' host 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1'
+              ELSE '' END
+      || CASE WHEN doc_id % 13 = 0 THEN ' ssn 123-45-6789' ELSE '' END
+      || CASE WHEN doc_id % 17 = 0 THEN ' tel +01 555 123 4567' ELSE '' END AS text
+    FROM documents
+  )
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '$email')) AS BIGINT) AS n_email,
+         CAST(len(regexp_extract_all(text, '$ip')) AS BIGINT) AS n_ipv4,
+         CAST(len(regexp_extract_all(text, '$ssn')) AS BIGINT) AS n_ssn,
+         CAST(len(regexp_extract_all(text, '$phone')) AS BIGINT) AS n_phone,
+         CAST(len(regexp_extract_all(text, '$email')) + len(regexp_extract_all(text, '$ip'))
+            + len(regexp_extract_all(text, '$ssn')) + len(regexp_extract_all(text, '$phone'))
+            AS BIGINT) AS pii_total,
+         md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+             '$email', '[EMAIL]', 'g'), '$ip', '[IP]', 'g'),
+             '$ssn', '[ID]', 'g'), '$phone', '[PHONE]', 'g')) AS redacted_md5
+  FROM p6"""
+  }
+
   /** Mirrors Dedup.decontaminationOverlap (3-gram shingle overlap vs
     * the doc_id % 97 = 0 benchmark slice).
     */
@@ -545,6 +604,7 @@ object PipelineQueries {
     "t3_fingerprints" -> (fingerprintStats _),
     "t4_doc_features" -> (docFeatures _),
     "t5_repetition" -> (repetitionStats _),
+    "t6_pii" -> (piiScan _),
     "d1_exact_dedup" -> (exactDedupStats _),
     "d8_decontamination" -> (decontamination _),
     "d10_decontam_bloom" -> (decontaminationBloom _),
@@ -570,6 +630,7 @@ object PipelineQueries {
     "t3_fingerprints" -> fingerprintSql,
     "t4_doc_features" -> docFeaturesSql,
     "t5_repetition" -> repetitionSql,
+    "t6_pii" -> piiSql,
     "d1_exact_dedup" -> exactDedupSql,
     "d8_decontamination" -> decontaminationSql,
     "d10_decontam_bloom" -> decontaminationSql,

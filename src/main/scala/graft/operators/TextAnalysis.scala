@@ -143,6 +143,42 @@ object TextAnalysis {
           col("top_bigram_frac_e6") > topBigramThresholdE6, 1L).otherwise(0L))
   }
 
+  /** PII patterns — deliberately simple expressions that parse and
+    * match identically under Java regex (Spark) and RE2 (DuckDB,
+    * re2/Go): plain character classes and counted repetition only, no
+    * lookarounds, no backreferences.
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val SsnPattern = "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"
+  val PhonePattern = "\\+[0-9]{2} [0-9]{3} [0-9]{3} [0-9]{4}"
+
+  /** Per-document PII scan: match counts per category plus an md5 of
+    * the redacted text (emails → [EMAIL], IPs → [IP], SSNs → [ID],
+    * phones → [PHONE], applied in that fixed order). A pure scan-side
+    * projection — no shuffle, no UDF; the regexes run inside codegen —
+    * so the scan cost is the only cost at any corpus size.
+    */
+  def piiStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val redacted =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(t, EmailPattern, "[EMAIL]"),
+            Ipv4Pattern, "[IP]"),
+          SsnPattern, "[ID]"),
+        PhonePattern, "[PHONE]")
+    docs
+      .withColumn("n_email", regexp_count(t, lit(EmailPattern)).cast("long"))
+      .withColumn("n_ipv4", regexp_count(t, lit(Ipv4Pattern)).cast("long"))
+      .withColumn("n_ssn", regexp_count(t, lit(SsnPattern)).cast("long"))
+      .withColumn("n_phone", regexp_count(t, lit(PhonePattern)).cast("long"))
+      .withColumn("pii_total",
+        col("n_email") + col("n_ipv4") + col("n_ssn") + col("n_phone"))
+      .withColumn("redacted_md5", md5(redacted.cast("binary")))
+  }
+
   /** Full per-document feature projection. */
   def features(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

@@ -194,6 +194,30 @@ class TextDedupSpec extends SparkSpecBase {
     assert(saturated === exact)
   }
 
+  test("pii scan counts and redacts each category, leaves clean text alone") {
+    val df = docsDf(Seq(
+      (1L, "write to bob.smith+x@corp.example.org or sue@ex.io today"),
+      (2L, "server 192.168.1.254 and 10.0.0.1 are up; ssn 987-65-4321"),
+      (3L, "call +01 555 123 4567 about the 123-45-6789 record"),
+      (4L, "no sensitive content here at all")))
+    val out = graft.operators.TextAnalysis.piiStats(df)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("n_email") === 2L)
+    assert(out(1L).getAs[Long]("pii_total") === 2L)
+    assert(out(2L).getAs[Long]("n_ipv4") === 2L)
+    assert(out(2L).getAs[Long]("n_ssn") === 1L)
+    assert(out(3L).getAs[Long]("n_phone") === 1L)
+    assert(out(3L).getAs[Long]("n_ssn") === 1L)
+    assert(out(4L).getAs[Long]("pii_total") === 0L)
+    // Redaction: a clean doc's md5 equals the md5 of its original text;
+    // a dirty doc's differs.
+    import org.apache.spark.sql.functions.{col, md5}
+    val orig = df.select(col("doc_id"), md5(col("text").cast("binary")).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(4L).getAs[String]("redacted_md5") === orig(4L))
+    assert(out(2L).getAs[String]("redacted_md5") !== orig(2L))
+  }
+
   test("minhash LSH finds the exact duplicate pair") {
     val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val df = docsDf(Seq((1L, text), (2L, text), (3L, "totally different content with many other words present")))
