@@ -13,7 +13,8 @@ import graft.streaming.{Sinks, TradeStreams}
   *
   * Usage:
   *   graft.App --source kafka --brokers host:9092 --topic trades_raw \
-  *     --layers bronze,silver,gold5m,gold1h --out /data/market \
+  *     --layers bronze,silver,gold5m,gold1h,indicators,deadletter \
+  *     --out /data/market \
   *     --checkpoint /data/ckp --trigger "10 seconds" --watermark "10 minutes" \
   *     --offsets latest
   *   graft.App --source file --in /data/raw --out /data/market ...
@@ -157,6 +158,22 @@ object App {
     }
     if (cfg.layers("gold5m")) goldSink("gold5m", "5 minutes")
     if (cfg.layers("gold1h")) goldSink("gold1h", "1 hour")
+    if (cfg.layers("indicators")) {
+      // Streaming per-symbol EMA/RSI (the recursive indicators a
+      // window cannot express) over the clean deduped feed. Runs on
+      // transformWithState — requires the RocksDB state store
+      // provider main() configures.
+      import spark.implicits._
+      val clean = TradeStreams.dedupWithinWatermark(
+        TradeStreams.toSilverStreaming(watermarked))
+      val ticks = clean.select(col("symbol"), col("price"), col("event_time"))
+        .as[graft.streaming.IndicatorStream.TradeTick]
+      val ind = graft.streaming.IndicatorStream.updates(spark, ticks)
+        .toDF().withColumn("trade_date", to_date(col("event_time")))
+      mgr.start("indicators", Sinks.fileSink(ind, s"${cfg.out}/indicators",
+        s"${cfg.checkpoint}/indicators", partitionBy = Seq("trade_date"),
+        trigger = trigger, queryName = "indicators"))
+    }
     if (cfg.layers("deadletter")) {
       // K5 — validation split: rows failing the rule bundle (including
       // schema-level parse nulls) land in the dead-letter store with
