@@ -74,6 +74,10 @@ object PipelineQueries {
         minJaccardE6 = 100000L)
       .select(col("doc_id"), col("lang"), col("source"))
 
+  /** T7 — vocabulary head: top-50 tokens by corpus frequency. */
+  def vocabTopK(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.vocabTopK(docs(s, dir), k = 50)
+
   /** D9 — near-dup CLUSTER assignment (connected components over
     * LSH-verified pairs). The raw sf slices carry no organic near-dup
     * pairs, so the query derives a deterministic duplicate family per
@@ -546,6 +550,14 @@ object PipelineQueries {
               THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS repetitive
   FROM fr"""
 
+  val vocabTopKSql: String = s"""WITH tok AS (
+    SELECT doc_id, unnest($toksSql) AS token FROM documents
+  )
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS tf,
+         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+  FROM tok GROUP BY token
+  ORDER BY tf DESC, token LIMIT 50"""
+
   /** T6 oracle: the same planted-PII derivation, RE2 counterparts of
     * the Java regexes (both restricted to a dialect-neutral subset),
     * and the 'g' flag on every replace (DuckDB defaults to
@@ -605,6 +617,7 @@ object PipelineQueries {
     "t4_doc_features" -> (docFeatures _),
     "t5_repetition" -> (repetitionStats _),
     "t6_pii" -> (piiScan _),
+    "t7_vocab_topk" -> (vocabTopK _),
     "d1_exact_dedup" -> (exactDedupStats _),
     "d8_decontamination" -> (decontamination _),
     "d10_decontam_bloom" -> (decontaminationBloom _),
@@ -631,6 +644,7 @@ object PipelineQueries {
     "t4_doc_features" -> docFeaturesSql,
     "t5_repetition" -> repetitionSql,
     "t6_pii" -> piiSql,
+    "t7_vocab_topk" -> vocabTopKSql,
     "d1_exact_dedup" -> exactDedupSql,
     "d8_decontamination" -> decontaminationSql,
     "d10_decontam_bloom" -> decontaminationSql,

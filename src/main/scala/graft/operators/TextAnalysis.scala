@@ -143,6 +143,21 @@ object TextAnalysis {
           col("top_bigram_frac_e6") > topBigramThresholdE6, 1L).otherwise(0L))
   }
 
+  /** Corpus vocabulary head: top-k tokens by total frequency, with
+    * document frequency. explode → one hash aggregate keyed by token
+    * (map-side partials make shuffle volume O(distinct tokens per
+    * partition), not O(token instances)), then a TakeOrderedAndProject
+    * top-k — per-partition heads merge on the driver, no global sort.
+    * Ties break on the token string so the cut is deterministic.
+    */
+  def vocabTopK(docs: DataFrame, k: Int = 50, idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame =
+    docs.select(col(idCol), explode(tokens(lower(col(textCol)))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("tf"), countDistinct(col(idCol)).as("df"))
+      .orderBy(col("tf").desc, col("token"))
+      .limit(k)
+
   /** PII patterns — deliberately simple expressions that parse and
     * match identically under Java regex (Spark) and RE2 (DuckDB,
     * re2/Go): plain character classes and counted repetition only, no

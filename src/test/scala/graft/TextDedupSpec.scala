@@ -194,6 +194,19 @@ class TextDedupSpec extends SparkSpecBase {
     assert(saturated === exact)
   }
 
+  test("vocab top-k: deterministic tf/df head with a top-k plan, not a global sort") {
+    val df = docsDf(Seq(
+      (1L, "apple banana apple cherry"),
+      (2L, "apple banana"),
+      (3L, "banana date")))
+    val out = graft.operators.TextAnalysis.vocabTopK(df, k = 3)
+    val rows = out.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // apple tf=3 df=2; banana tf=3 df=3 — tie broken by token string.
+    assert(rows === Array(("apple", 3L, 2L), ("banana", 3L, 3L), ("cherry", 1L, 1L)))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"expected top-k plan:\n$plan")
+  }
+
   test("pii scan counts and redacts each category, leaves clean text alone") {
     val df = docsDf(Seq(
       (1L, "write to bob.smith+x@corp.example.org or sue@ex.io today"),
