@@ -78,6 +78,13 @@ object PipelineQueries {
   def vocabTopK(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.vocabTopK(docs(s, dir), k = 50)
 
+  /** C1 — deterministic integer-arithmetic k-means over the embedding
+    * corpus (8 clusters, 3 Lloyd iterations), oracle-checked through
+    * the full iterative fit.
+    */
+  def kmeans(s: SparkSession, dir: String): DataFrame =
+    KMeans.assignments(embs(s, dir), k = 8, iters = 3)
+
   /** D9 — near-dup CLUSTER assignment (connected components over
     * LSH-verified pairs). The raw sf slices carry no organic near-dup
     * pairs, so the query derives a deterministic duplicate family per
@@ -558,6 +565,49 @@ object PipelineQueries {
   FROM tok GROUP BY token
   ORDER BY tf DESC, token LIMIT 50"""
 
+  /** C1 oracle: the k-means recurrence unrolled — one assign CTE per
+    * iteration (argmin by (d2, c) via row_number) and one sums/means
+    * CTE pair between iterations, with the identical exact integer
+    * arithmetic (e6 micro-units, order-free integer sums, floor-div
+    * means via the subtract-pmod identity, empty clusters keeping the
+    * previous centroid through the LEFT JOIN coalesce).
+    */
+  private def kmeansSql(k: Int, iters: Int, dim: Int): String = {
+    def assign(t: Int) = s"""a$t AS (
+    SELECT id, v, c, d2 FROM (
+      SELECT id, v, c, d2,
+             row_number() OVER (PARTITION BY id ORDER BY d2, c) AS rn
+      FROM (SELECT id, v, c,
+              CAST(list_sum(list_transform(generate_series(1, $dim),
+                     i -> (v[i] - cv[i]) * (v[i] - cv[i]))) AS BIGINT) AS d2
+            FROM v, c${t - 1}))
+    WHERE rn = 1
+  )"""
+    def update(t: Int) = s"""s$t AS (
+    SELECT c, i, CAST(SUM(v[i]) AS BIGINT) AS s, COUNT(*) AS n
+    FROM a$t, UNNEST(generate_series(1, $dim)) AS u(i)
+    GROUP BY c, i
+  ), c$t AS (
+    SELECT p.c, CASE WHEN q.cv2 IS NULL THEN p.cv ELSE q.cv2 END AS cv
+    FROM c${t - 1} p LEFT JOIN (
+      SELECT c, list((s - ((s % n + n) % n)) // n ORDER BY i) AS cv2
+      FROM s$t GROUP BY c) q USING (c)
+  )"""
+    val steps = (1 until iters).map(t => assign(t) + ",\n  " + update(t)) :+ assign(iters)
+    s"""WITH v AS (
+    SELECT vec_id AS id,
+           list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+    FROM embeddings
+  ), c0 AS (
+    SELECT row_number() OVER (ORDER BY id) - 1 AS c, v AS cv
+    FROM (SELECT id, v FROM v ORDER BY id LIMIT $k)
+  ), ${steps.mkString(",\n  ")}
+  SELECT id AS vec_id, CAST(c AS INT) AS cluster, d2 AS dist2_e12
+  FROM a$iters"""
+  }
+
+  val kmeansOracleSql: String = kmeansSql(k = 8, iters = 3, dim = 64)
+
   /** T6 oracle: the same planted-PII derivation, RE2 counterparts of
     * the Java regexes (both restricted to a dialect-neutral subset),
     * and the 'g' flag on every replace (DuckDB defaults to
@@ -621,6 +671,7 @@ object PipelineQueries {
     "d1_exact_dedup" -> (exactDedupStats _),
     "d8_decontamination" -> (decontamination _),
     "d10_decontam_bloom" -> (decontaminationBloom _),
+    "c1_kmeans" -> (kmeans _),
     "d2_jaccard_pairs" -> (jaccardPairs _),
     "d3_minhash_sigs" -> (minhashSignatures _),
     "d4_minhash_candidates" -> (minhashCandidates _),
@@ -648,6 +699,7 @@ object PipelineQueries {
     "d1_exact_dedup" -> exactDedupSql,
     "d8_decontamination" -> decontaminationSql,
     "d10_decontam_bloom" -> decontaminationSql,
+    "c1_kmeans" -> kmeansOracleSql,
     "d2_jaccard_pairs" -> jaccardPairsSql,
     "d3_minhash_sigs" -> minhashSigSql,
     "d4_minhash_candidates" -> minhashCandSql,
