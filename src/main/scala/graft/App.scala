@@ -94,6 +94,33 @@ object App {
     */
   def start(spark: SparkSession, raw: DataFrame, cfg: Config): Sinks.SinkManager = {
     val trigger = Trigger.ProcessingTime(cfg.trigger)
+    // The indicators layer runs on transformWithState, which only the
+    // RocksDB state store provider supports — configure it here (as
+    // main() does for the whole app) so callers building their own
+    // session don't hit a mid-start state-store error that kills one
+    // query while the other layers keep running.
+    if (cfg.layers("indicators"))
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // MIGRATION NOTE: bronze/silver/dead-letter layers write through
+    // the native file sink, whose _spark_metadata commit log defines
+    // what readers see. Pointing a NEW checkpoint at a directory that
+    // already holds parquet written some other way (e.g. a pre-file-
+    // sink deployment) silently hides that history from sink-log-aware
+    // readers — surface it loudly instead of letting gold silently
+    // recompute from post-upgrade data only.
+    for (layer <- Seq("bronze", "silver") if cfg.layers(layer)) {
+      val dir = new org.apache.hadoop.fs.Path(s"${cfg.out}/$layer")
+      val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val hasData = fs.exists(dir) && fs.listStatus(dir).nonEmpty
+      val hasLog = fs.exists(new org.apache.hadoop.fs.Path(dir, "_spark_metadata"))
+      if (hasData && !hasLog)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"$dir holds data but no _spark_metadata sink log: files written " +
+            "before this stream's first commit will be INVISIBLE to " +
+            "sink-log-aware readers (including the chained gold source). " +
+            "Migrate the history or use a fresh output directory.")
+    }
     val parsed = cfg.format match {
       case "json" => TradeStreams.parseTrades(raw)
       case "avro" => TradeStreams.parseTradesAvro(raw)
@@ -131,25 +158,30 @@ object App {
     // the gold grains instead stream FROM the silver output directory
     // (already deduped and quality-filtered), so the parse+dedup
     // state exists exactly once regardless of grain count.
+    // Clean deduped upstream for every silver-derived layer (gold
+    // grains, indicators): in chained mode it streams FROM the silver
+    // output directory, so the parse+dedup state exists exactly once
+    // regardless of how many layers consume it.
+    def cleanUpstream(consumer: String): DataFrame =
+      if (cfg.chained) {
+        require(cfg.layers("silver"),
+          s"chained $consumer reads the silver output — enable the silver layer")
+        // The file source requires the directory to exist at stream
+        // start; silver's first commit would otherwise race it.
+        // Hadoop FS API, not java.io.File — the output may be
+        // hdfs:// or s3a://, where File.mkdirs is a silent no-op
+        // and the stream would fail at start.
+        val silverPath = new org.apache.hadoop.fs.Path(s"${cfg.out}/silver")
+        silverPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .mkdirs(silverPath)
+        TradeStreams.withWatermark(
+          spark.readStream.schema(silverSchema).parquet(s"${cfg.out}/silver"),
+          cfg.watermark)
+      } else
+        TradeStreams.dedupWithinWatermark(TradeStreams.toSilverStreaming(watermarked))
+
     def goldSink(name: String, duration: String): Unit = {
-      val upstream =
-        if (cfg.chained) {
-          require(cfg.layers("silver"),
-            "chained gold grains read the silver output — enable the silver layer")
-          // The file source requires the directory to exist at stream
-          // start; silver's first commit would otherwise race it.
-          // Hadoop FS API, not java.io.File — the output may be
-          // hdfs:// or s3a://, where File.mkdirs is a silent no-op
-          // and the gold stream would fail at start.
-          val silverPath = new org.apache.hadoop.fs.Path(s"${cfg.out}/silver")
-          silverPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-            .mkdirs(silverPath)
-          TradeStreams.withWatermark(
-            spark.readStream.schema(silverSchema).parquet(s"${cfg.out}/silver"),
-            cfg.watermark)
-        } else
-          TradeStreams.dedupWithinWatermark(TradeStreams.toSilverStreaming(watermarked))
-      val grain = Ohlcv.bars(upstream.withColumn("event_id", col("timestamp")), duration)
+      val grain = Ohlcv.bars(cleanUpstream(name).withColumn("event_id", col("timestamp")), duration)
         .withColumn("window_date", to_date(col("window_start")))
       mgr.start(name, Sinks.parquetSink(grain, s"${cfg.out}/$name",
         s"${cfg.checkpoint}/$name", partitionBy = Seq("window_date"),
@@ -160,13 +192,12 @@ object App {
     if (cfg.layers("gold1h")) goldSink("gold1h", "1 hour")
     if (cfg.layers("indicators")) {
       // Streaming per-symbol EMA/RSI (the recursive indicators a
-      // window cannot express) over the clean deduped feed. Runs on
-      // transformWithState — requires the RocksDB state store
-      // provider main() configures.
+      // window cannot express) over the clean deduped feed — the
+      // chained form streams from the silver output like the gold
+      // grains, keeping parse+dedup state single-copy.
       import spark.implicits._
-      val clean = TradeStreams.dedupWithinWatermark(
-        TradeStreams.toSilverStreaming(watermarked))
-      val ticks = clean.select(col("symbol"), col("price"), col("event_time"))
+      val ticks = cleanUpstream("indicators")
+        .select(col("symbol"), col("price"), col("event_time"))
         .as[graft.streaming.IndicatorStream.TradeTick]
       val ind = graft.streaming.IndicatorStream.updates(spark, ticks)
         .toDF().withColumn("trade_date", to_date(col("event_time")))

@@ -52,7 +52,7 @@ case class ShingleHashes(child: Expression, n: Int)
   override def nullable: Boolean = child.nullable || elementsNullable
 
   override def nullSafeEval(input: Any): Any =
-    ShingleFunctions.compute(input.asInstanceOf[ArrayData], n)
+    ShingleFunctions.compute(input.asInstanceOf[ArrayData], n, elementsNullable)
 
   // The whole kernel lives in the static helper (plain JVM-compiled
   // primitive loops — same machine code the inline template would
@@ -67,7 +67,7 @@ case class ShingleHashes(child: Expression, n: Int)
         if (elementsNullable) s"if (${ev.value} == null) { ${ev.isNull} = true; }"
         else ""
       s"""
-        ${ev.value} = graft.functions.ShingleFunctions.compute($th, $n);
+        ${ev.value} = graft.functions.ShingleFunctions.compute($th, $n, $elementsNullable);
         $propagate
       """
     })
@@ -86,14 +86,18 @@ object ShingleFunctions {
 
   /** Distinct rolling n-gram hashes, first-occurrence order. Called
     * from both the interpreted and generated paths. Returns null if
-    * any token hash is null (null-element propagation).
+    * any token hash is null (null-element propagation); the null scan
+    * is gated on the input type's containsNull so the common
+    * non-nullable corpus path doesn't pay an extra O(m) sweep.
     */
-  def compute(th: ArrayData, n: Int): GenericArrayData = {
+  def compute(th: ArrayData, n: Int, elementsNullable: Boolean): GenericArrayData = {
     val m = th.numElements()
-    var s = 0
-    while (s < m) {
-      if (th.isNullAt(s)) return null
-      s += 1
+    if (elementsNullable) {
+      var s = 0
+      while (s < m) {
+        if (th.isNullAt(s)) return null
+        s += 1
+      }
     }
     if (m < n) return new GenericArrayData(Array.emptyLongArray)
     val cnt = m - n + 1

@@ -72,12 +72,23 @@ object GraphOps {
         .distinct()
     }
 
+    // The backing RDD of an eager localCheckpoint, so the PREVIOUS
+    // round's cached copy can be freed once the next one is
+    // materialized — without this, O(log n) rounds pin O(log n) full
+    // edge-set copies in executor storage for the session lifetime.
+    // (The final round's copy stays pinned: the returned plan reads it.)
+    def backingRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+      df.queryExecution.analyzed.collectFirst {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+      }
+
     var sig = signature(e)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
       val next = smallStar(largeStar(e)).localCheckpoint(true)
       val nextSig = signature(next)
+      backingRdd(e).foreach(_.unpersist(blocking = false))
       converged = nextSig == sig
       e = next
       sig = nextSig

@@ -61,19 +61,18 @@ object KMeans {
           col("__best")("i").as("cluster"), col("__best")("d").as("dist2_e12"))
     }
 
-    for (t <- 1 to iters) {
-      val a = assign()
-      if (t < iters) {
-        val sums = a.select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
-          .groupBy(col("cluster"), col("pos"))
-          .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
-          .collect()
-        val next = Array.tabulate(k)(c => cents(c).toArray)
-        sums.foreach { r =>
-          next(r.getInt(0))(r.getInt(1)) = Math.floorDiv(r.getLong(2), r.getLong(3))
-        }
-        cents = next.toIndexedSeq.map(_.toIndexedSeq)
+    // iters-1 update rounds, then the final assignment is the result.
+    for (_ <- 1 until iters) {
+      val sums = assign()
+        .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val next = Array.tabulate(k)(c => cents(c).toArray)
+      sums.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) = Math.floorDiv(r.getLong(2), r.getLong(3))
       }
+      cents = next.toIndexedSeq.map(_.toIndexedSeq)
     }
     assign().select(col("id").as(idCol), col("cluster"), col("dist2_e12"))
   }

@@ -27,10 +27,11 @@ class AppSpec extends SparkSpecBase {
     val cfg = App.Config(out = s"$dir/out", checkpoint = s"$dir/ckp",
       layers = Set("bronze", "silver", "gold5m", "deadletter", "indicators"),
       trigger = "0 seconds")
-    // The indicators layer runs on transformWithState, which App.main
-    // configures RocksDB state for; mirror that here.
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // start() itself configures the RocksDB provider the indicators
+    // layer needs — this test also pins that behavior. The finally
+    // restores the shared session's default for later suites even if
+    // an assertion below throws.
+    try {
     val mgr = App.start(spark, mem.toDF(), cfg)
     mem.addData(
       s"""{"symbol":"AAPL","price":10.5,"volume":3,"timestamp":$t0,"conditions":[],"ingestion_time":$t0}""",
@@ -51,12 +52,12 @@ class AppSpec extends SparkSpecBase {
     assert(dead.length === 1)
     assert(dead.head.getAs[String]("symbol") === "BAD")
     assert(dead.head.getAs[String]("errors").contains("price_out_of_range"))
-    spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     val ind = spark.read.parquet(s"$dir/out/indicators")
       .orderBy("event_time").collect()
     assert(ind.length === 2) // clean AAPL ticks only; BAD never reaches it
     assert(ind.head.getAs[Double]("ema") === 10.5)
     assert(math.abs(ind.last.getAs[Double]("ema") - (10.5 + 1.0 * 2.0 / 15.0)) < 1e-12)
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
   test("chained topology: gold streams from the silver output, same bars") {
