@@ -94,14 +94,38 @@ object App {
     */
   def start(spark: SparkSession, raw: DataFrame, cfg: Config): Sinks.SinkManager = {
     val trigger = Trigger.ProcessingTime(cfg.trigger)
+    // Validate the whole config BEFORE any query starts: a failure
+    // mid-wiring would strand already-started queries with no manager
+    // handle to stop them.
+    if (cfg.chained) {
+      val silverConsumers = Seq("gold5m", "gold1h", "indicators").filter(cfg.layers)
+      require(silverConsumers.isEmpty || cfg.layers("silver"),
+        s"chained ${silverConsumers.mkString("/")} read the silver output — " +
+          "enable the silver layer")
+    }
     // The indicators layer runs on transformWithState, which only the
     // RocksDB state store provider supports — configure it here (as
     // main() does for the whole app) so callers building their own
     // session don't hit a mid-start state-store error that kills one
-    // query while the other layers keep running.
-    if (cfg.layers("indicators"))
-      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // query while the other layers keep running. Never clobber a
+    // caller's explicit non-default choice; fail fast instead.
+    if (cfg.layers("indicators")) {
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val rocks = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+      spark.conf.getOption(key) match {
+        case Some(p) if p == rocks => ()
+        // The stock default (getOption reports it even when never set
+        // explicitly) cannot run transformWithState — switch it. New
+        // queries pick this up; queries already running, or restarting
+        // from a checkpoint, keep the provider recorded in their
+        // offset log (Spark restores it from checkpoint metadata).
+        case None | Some(_)
+            if spark.conf.getOption(key).forall(_.endsWith("HDFSBackedStateStoreProvider")) =>
+          spark.conf.set(key, rocks)
+        case Some(p) => throw new IllegalArgumentException(
+          s"the indicators layer needs $rocks, but the session pins $key=$p")
+      }
+    }
     // MIGRATION NOTE: bronze/silver/dead-letter layers write through
     // the native file sink, whose _spark_metadata commit log defines
     // what readers see. Pointing a NEW checkpoint at a directory that
@@ -109,8 +133,10 @@ object App {
     // sink deployment) silently hides that history from sink-log-aware
     // readers — surface it loudly instead of letting gold silently
     // recompute from post-upgrade data only.
-    for (layer <- Seq("bronze", "silver") if cfg.layers(layer)) {
-      val dir = new org.apache.hadoop.fs.Path(s"${cfg.out}/$layer")
+    for ((layer, dirName) <- Seq("bronze" -> "bronze", "silver" -> "silver",
+           "deadletter" -> "dead_letters", "indicators" -> "indicators")
+         if cfg.layers(layer)) {
+      val dir = new org.apache.hadoop.fs.Path(s"${cfg.out}/$dirName")
       val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val hasData = fs.exists(dir) && fs.listStatus(dir).nonEmpty
       val hasLog = fs.exists(new org.apache.hadoop.fs.Path(dir, "_spark_metadata"))
@@ -164,8 +190,8 @@ object App {
     // regardless of how many layers consume it.
     def cleanUpstream(consumer: String): DataFrame =
       if (cfg.chained) {
-        require(cfg.layers("silver"),
-          s"chained $consumer reads the silver output — enable the silver layer")
+        // Config validity (silver enabled) was checked up front,
+        // before any query started.
         // The file source requires the directory to exist at stream
         // start; silver's first commit would otherwise race it.
         // Hadoop FS API, not java.io.File — the output may be

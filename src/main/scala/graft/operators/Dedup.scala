@@ -308,13 +308,14 @@ object Dedup {
     require(mBits % 64 == 0 && mBits > 0, s"mBits must be a positive multiple of 64, got $mBits")
     require(kProbes > 0, s"kProbes must be positive, got $kProbes — a zero-probe " +
       "filter would match nothing, silently inverting the FP-only contract")
-    // The bench side is bounded by construction (an eval suite), so
-    // materialize its exploded shingles once — both the bitset build
-    // and the exact verify join read it.
+    // The bench side is bounded by construction (an eval suite); the
+    // bitset build and the verify join each derive it from the plan —
+    // recomputing the small scan twice beats pinning an eager
+    // checkpoint in executor storage for the session lifetime (the
+    // returned plan would keep it referenced forever).
     val bench = withShingles(docs.filter(benchPred).select(col(idCol).as("bench_id"), col(textCol)),
         textCol, n)
       .select(col("bench_id"), explode(col("sh")).as("h"))
-      .localCheckpoint(true)
     // Distributed bitset build: sparse (word -> bits) via bit_or, then
     // densify the KB-sized result on the driver.
     val posCols = bloomPositions(col("h"), mBits, kProbes)
@@ -324,29 +325,27 @@ object Dedup {
       .groupBy(col("word")).agg(expr("bit_or(bit)").as("bits"))
     val words = new Array[Long](mBits / 64)
     sparse.collect().foreach(r => words(r.getInt(0)) = r.getLong(1))
-    // Probe: stage h1/h2 and the k word/bit indices as cheap scalar
-    // columns, but keep the bitset a plain inline Literal inside
-    // element_at — a literal referenced by an expression is evaluated
-    // by reference, whereas staging it as a column would copy the
+    // Probe: the bitset stays a plain inline Literal inside element_at
+    // — a literal referenced by an expression is evaluated by
+    // reference, whereas projecting it as a column would copy the
     // whole m/8-byte array into every row's UnsafeRow (measured 3x on
-    // the d10 bench before this was inlined).
+    // the d10 bench). The k bit tests are ordinary codegen'd integer
+    // arithmetic built with call_function for the variable-shift ops
+    // the DSL lacks.
     val bf = typedLit(words)
-    val staged = withShingles(docs.filter(!benchPred).select(col(idCol), col(textCol)),
+    def probe(h1: Column, h2: Column, j: Int): Column = {
+      val pos = pmod(h1 + lit(j.toLong) * h2, lit(mBits.toLong))
+      val word = shiftright(pos, 6).cast("int")
+      val bit = pmod(pos, lit(64L)).cast("int")
+      call_function("shiftright", element_at(bf, word + 1), bit)
+        .bitwiseAND(lit(1L)) === 1L
+    }
+    val h1 = pmod(col("h") * 2654435761L + 17L, lit(P))
+    val h2 = pmod(col("h") * 40503L + 2147483647L, lit(P)).bitwiseOR(lit(1L))
+    val corpus = withShingles(docs.filter(!benchPred).select(col(idCol), col(textCol)),
         textCol, n)
       .select(col(idCol), explode(col("sh")).as("h"))
-      .withColumn("__h1", pmod(col("h") * 2654435761L + 17L, lit(P)))
-      .withColumn("__h2", pmod(col("h") * 40503L + 2147483647L, lit(P)).bitwiseOR(lit(1L)))
-    val corpus = (0 until kProbes).foldLeft(staged) { (df, j) =>
-      df.withColumn(s"__w$j", expr(s"CAST(pmod(__h1 + $j * __h2, $mBits) DIV 64 AS INT)"))
-        .withColumn(s"__b$j", expr(s"CAST(pmod(__h1 + $j * __h2, $mBits) % 64 AS INT)"))
-        .withColumn(s"__e$j", element_at(bf, col(s"__w$j") + 1))
-    }
-    val hit = (0 until kProbes).map { j =>
-      expr(s"((shiftright(__e$j, __b$j)) & 1) = 1")
-    }.reduce(_ && _)
-    corpus.filter(hit)
-      .drop("__h1" +: "__h2" +: (0 until kProbes).flatMap(j =>
-        Seq(s"__w$j", s"__b$j", s"__e$j")): _*)
+    corpus.filter((0 until kProbes).map(probe(h1, h2, _)).reduce(_ && _))
       .join(broadcast(bench), Seq("h")) // exact: removes Bloom false positives
       .groupBy(col(idCol))
       .agg(countDistinct(col("h")).as("n_overlap"),

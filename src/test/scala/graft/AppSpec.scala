@@ -29,17 +29,17 @@ class AppSpec extends SparkSpecBase {
       trigger = "0 seconds")
     // start() itself configures the RocksDB provider the indicators
     // layer needs — this test also pins that behavior. The finally
-    // restores the shared session's default for later suites even if
-    // an assertion below throws.
+    // stops any still-running queries and restores the shared
+    // session's default for later suites even if an assertion throws.
+    var mgr: graft.streaming.Sinks.SinkManager = null
     try {
-    val mgr = App.start(spark, mem.toDF(), cfg)
+    mgr = App.start(spark, mem.toDF(), cfg)
     mem.addData(
       s"""{"symbol":"AAPL","price":10.5,"volume":3,"timestamp":$t0,"conditions":[],"ingestion_time":$t0}""",
       s"""{"symbol":"AAPL","price":11.5,"volume":2,"timestamp":${t0 + 60000},"conditions":[],"ingestion_time":$t0}""",
       // invalid: negative price -> dead letter, never silver/gold
       s"""{"symbol":"BAD","price":-1.0,"volume":9,"timestamp":${t0 + 1000},"conditions":[],"ingestion_time":$t0}""")
     mgr.processAllAvailable()
-    mgr.stopAll()
     assert(spark.read.parquet(s"$dir/out/bronze").count() === 3)
     assert(spark.read.parquet(s"$dir/out/silver").count() === 2)
     val gold = spark.read.parquet(s"$dir/out/gold5m")
@@ -57,7 +57,10 @@ class AppSpec extends SparkSpecBase {
     assert(ind.length === 2) // clean AAPL ticks only; BAD never reaches it
     assert(ind.head.getAs[Double]("ema") === 10.5)
     assert(math.abs(ind.last.getAs[Double]("ema") - (10.5 + 1.0 * 2.0 / 15.0)) < 1e-12)
-    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    } finally {
+      if (mgr != null) mgr.stopAll()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
   }
 
   test("chained topology: gold streams from the silver output, same bars") {
