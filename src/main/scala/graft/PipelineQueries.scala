@@ -97,8 +97,14 @@ object PipelineQueries {
     * large-star/small-star contraction agree with a transitive-closure
     * ground truth.
     */
-  def dupClusters(s: SparkSession, dir: String): DataFrame = {
-    val base = docs(s, dir).filter(pmod(col("doc_id"), lit(10)) === 0)
+  def dupClusters(s: SparkSession, dir: String): DataFrame =
+    dupClustersOver(docs(s, dir))
+
+  /** The d9 derivation over an arbitrary documents frame (ScaleBench
+    * feeds it k× replicas).
+    */
+  def dupClustersOver(allDocs: DataFrame): DataFrame = {
+    val base = allDocs.filter(pmod(col("doc_id"), lit(10)) === 0)
       .select(col("doc_id"), col("text"))
     // Perturb BEFORE renaming the id (see embeddingDups note).
     val c1 = base

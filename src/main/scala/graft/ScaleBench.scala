@@ -40,6 +40,12 @@ object ScaleBench {
         .withColumn("doc_id", col("doc_id") + lit(i.toLong * 1000000000L))
     }.reduce(_ unionByName _)
 
+  private def scaledEmbs(s: SparkSession, dir: String, k: Int): DataFrame =
+    (0 until k).map { i =>
+      Tables.embeddings(s, dir)
+        .withColumn("vec_id", col("vec_id") + lit(i.toLong * 1000000000L))
+    }.reduce(_ unionByName _)
+
   /** Future-timestamp cutoff for the silver quality filter, derived
     * from k: base max event_time + k*40 days (the furthest copy is
     * shifted (k-1)*40 days, leaving one full stride of headroom). A
@@ -92,6 +98,15 @@ object ScaleBench {
           size(operators.TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
         Sampling.packByTokenBudget(docs, "doc_id", "n_tokens", budget = 5000L)
           .groupBy(col("shard_id")).agg(count(lit(1))).count()
+      },
+      // Iterative operators: rounds must stay O(log n) / O(iters) as
+      // the input grows, so wall-clock should scale with the per-round
+      // shuffle, not the round count.
+      "d9_dup_clusters" -> { kk: Int =>
+        PipelineQueries.dupClustersOver(scaledDocs(spark, sfDir, kk)).count()
+      },
+      "c1_kmeans" -> { kk: Int =>
+        operators.KMeans.assignments(scaledEmbs(spark, sfDir, kk), k = 8, iters = 3).count()
       })
 
     val results = cases.map { case (name, run) =>

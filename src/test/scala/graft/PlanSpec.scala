@@ -83,4 +83,32 @@ class PlanSpec extends SparkSpecBase {
     val df = SparkEntry.queries("h5_region_revenue")(spark, Sf)
     assert(df.queryExecution.analyzed.toString.contains("min(r_name"))
   }
+
+  test("near-dup pair generation stays on equi-joins — no nested loop over the corpus") {
+    // The CC input (LSH candidates -> exact verify) must never regress
+    // to an all-pairs self-join; the quadratic term lives only inside
+    // band buckets.
+    val p = graft.operators.Dedup.verifiedPairs(
+      graft.sources.Tables.documents(spark, Sf), minJaccardE6 = 500000L)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "verifiedPairs regressed to an all-pairs join")
+  }
+
+  test("bloom decontamination probes before any join touches the corpus side") {
+    val p = plan("d10_decontam_bloom")
+    // The bitset probe is a Filter (shiftright bit tests), and the
+    // only join is the broadcast FP-removal join — same as d8.
+    assert(p.contains("shiftright"), "bloom bit-test filter missing from the plan")
+    assert(p.contains("BroadcastHashJoin"), "exact FP-removal join must broadcast the bench side")
+    assert(!p.contains("SortMergeJoin"), "corpus side must not shuffle for the verify join")
+  }
+
+  test("k-means assignment is a projection — no join, window, or extra shuffle per iteration") {
+    val p = graft.operators.KMeans.assignments(
+      graft.sources.Tables.embeddings(spark, Sf), k = 4, iters = 1)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Join") && !p.contains("Window ["),
+      s"assignment stage should be scan+project only:\n$p")
+  }
 }
