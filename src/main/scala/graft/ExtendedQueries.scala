@@ -265,6 +265,29 @@ object ExtendedQueries {
     SELECT doc_id, lang, source FROM documents
     WHERE (((doc_id % 1000000007) * 2654435761) % 1000000007 * 40503) % 1000000007 % 10000 < 1000"""
 
+  /** X18 — mixture resampling: the largest corpus at exactly
+    * 40/30/20/10% of four sources, selected deterministically (the
+    * two-phase boundary-bucket exact-k path — no per-source global
+    * sort; the oracle states the same set as a row_number).
+    */
+  def mixtureSample(s: SparkSession, dir: String): DataFrame =
+    operators.Sampling.mixtureSample(
+      Tables.documents(s, dir), "source", "doc_id",
+      Map("src0" -> 4000L, "src1" -> 3000L, "src2" -> 2000L, "src3" -> 1000L))
+      .select(col("doc_id"), col("source"))
+
+  val mixtureSampleSql: String = """
+    WITH w(source, w) AS (VALUES ('src0', 4000), ('src1', 3000), ('src2', 2000), ('src3', 1000)),
+    n AS (SELECT source, COUNT(*) AS n FROM documents JOIN w USING (source) GROUP BY source),
+    t AS (SELECT MIN(n * 10000 // w) AS t FROM n JOIN w USING (source)),
+    k AS (SELECT source, w * (SELECT t FROM t) // 10000 AS k FROM w),
+    r AS (SELECT doc_id, source,
+            ROW_NUMBER() OVER (PARTITION BY source
+              ORDER BY (((doc_id % 1000000007) * 2654435761) % 1000000007 * 40503) % 1000000007 % 10000,
+                       doc_id) AS rn
+          FROM documents JOIN w USING (source))
+    SELECT doc_id, source FROM r JOIN k USING (source) WHERE rn <= k"""
+
   /** X7 — deterministic stratified sample: 5 docs per language. */
   def stratifiedSample(s: SparkSession, dir: String): DataFrame =
     operators.Sampling.stratifiedSample(
@@ -382,6 +405,7 @@ object ExtendedQueries {
     "x15_range_join" -> (rangeBandJoin _),
     "x16_semi_anti" -> (semiAntiUsers _),
     "x6_deterministic_sample" -> (docSample _),
+    "x18_mixture" -> (mixtureSample _),
     "x7_stratified_sample" -> (stratifiedSample _),
     "x8_percentiles" -> (percentiles _),
     "x9_histogram" -> (priceHistogram _),
@@ -403,6 +427,7 @@ object ExtendedQueries {
     "x15_range_join" -> rangeBandJoinSql,
     "x16_semi_anti" -> semiAntiUsersSql,
     "x6_deterministic_sample" -> docSampleSql,
+    "x18_mixture" -> mixtureSampleSql,
     "x7_stratified_sample" -> stratifiedSampleSql,
     "x8_percentiles" -> percentilesSql,
     "x9_histogram" -> priceHistogramSql,

@@ -78,6 +78,10 @@ object PipelineQueries {
   def vocabTopK(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.vocabTopK(docs(s, dir), k = 50)
 
+  /** T8 — token-window chunking (128-token chunks, 32-token overlap). */
+  def chunking(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.chunkByTokens(docs(s, dir), chunkTokens = 128, overlap = 32)
+
   /** C1 — deterministic integer-arithmetic k-means over the embedding
     * corpus (8 clusters, 3 Lloyd iterations), oracle-checked through
     * the full iterative fit.
@@ -563,6 +567,24 @@ object PipelineQueries {
               THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS repetitive
   FROM fr"""
 
+  /** T8 oracle: same windows via generate_series starts (chunk_idx =
+    * start // step, exact — starts are multiples of step), DuckDB's
+    * clamping 1-based list slice matching Spark's slice, md5 of the
+    * space-joined window.
+    */
+  val chunkingSql: String = s"""WITH tk AS (
+    SELECT doc_id, $toksSql AS toks FROM documents
+  ), st AS (
+    SELECT doc_id, toks, unnest(
+             CASE WHEN len(toks) > 0 THEN generate_series(0, len(toks) - 1, 96)
+                  ELSE [] END) AS s
+    FROM tk
+  )
+  SELECT doc_id, CAST(s // 96 AS INT) AS chunk_idx, CAST(s AS INT) AS start_tok,
+         CAST(len(toks[s + 1 : s + 128]) AS BIGINT) AS n_tok,
+         md5(array_to_string(toks[s + 1 : s + 128], ' ')) AS chunk_md5
+  FROM st"""
+
   val vocabTopKSql: String = s"""WITH tok AS (
     SELECT doc_id, unnest($toksSql) AS token FROM documents
   )
@@ -674,6 +696,7 @@ object PipelineQueries {
     "t5_repetition" -> (repetitionStats _),
     "t6_pii" -> (piiScan _),
     "t7_vocab_topk" -> (vocabTopK _),
+    "t8_chunking" -> (chunking _),
     "d1_exact_dedup" -> (exactDedupStats _),
     "d8_decontamination" -> (decontamination _),
     "d10_decontam_bloom" -> (decontaminationBloom _),
@@ -702,6 +725,7 @@ object PipelineQueries {
     "t5_repetition" -> repetitionSql,
     "t6_pii" -> piiSql,
     "t7_vocab_topk" -> vocabTopKSql,
+    "t8_chunking" -> chunkingSql,
     "d1_exact_dedup" -> exactDedupSql,
     "d8_decontamination" -> decontaminationSql,
     "d10_decontam_bloom" -> decontaminationSql,

@@ -42,6 +42,74 @@ object Sampling {
       .drop("__rn")
   }
 
+  /** Mixture resampling: the largest corpus achievable at EXACTLY the
+    * target source proportions. Weights are e4 integers summing to
+    * 10000 (exact arithmetic end to end); the achievable total is
+    * T = min_s floor(n_s · 10000 / w_s), and each source keeps its
+    * k_s = w_s · T div 10000 rows with the smallest (hashBucket, id) —
+    * a deterministic, partition-invariant selection.
+    *
+    * Exact-k selection WITHOUT a per-source global sort (a row_number
+    * over a whole source serializes that source through one task at
+    * corpus scale — the x10 anti-pattern): two-phase boundary-bucket
+    * selection instead.
+    *   1. One hash aggregate keyed by (source, bucket) — at most
+    *      sources × 10000 rows — collected to the driver, where the
+    *      cumulative histogram locates each source's cutoff bucket b*
+    *      and the residual m_s rows needed from it.
+    *   2. Rows strictly below b* pass by a broadcast-joined filter;
+    *      only the boundary bucket's rows (~n_s/10000 of the source)
+    *      are ranked by id to take the residual m_s.
+    * The kept set equals "the k_s smallest by (bucket, id)" — which is
+    * what the oracle's row_number formulation states directly.
+    */
+  def mixtureSample(df: DataFrame, groupCol: String, idCol: String,
+                    weightsE4: Map[String, Long]): DataFrame = {
+    require(weightsE4.nonEmpty && weightsE4.values.forall(_ > 0),
+      "every mixture weight must be positive")
+    require(weightsE4.values.sum == 10000L,
+      s"weights must sum to 10000 (e4 proportions), got ${weightsE4.values.sum}")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bucketed = df.withColumn("__hb", hashBucket(col(idCol)))
+    val hist = bucketed.filter(col(groupCol).isin(weightsE4.keys.toSeq: _*))
+      .groupBy(col(groupCol), col("__hb")).agg(count(lit(1)).as("__c"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val bySource = hist.groupBy(_._1).map { case (s, rows) =>
+      s -> rows.map(r => (r._2, r._3)).sortBy(_._1)
+    }
+    require(weightsE4.keySet.subsetOf(bySource.keySet),
+      s"sources absent from the data: ${weightsE4.keySet -- bySource.keySet}")
+    val totals = bySource.map { case (s, rows) => s -> rows.map(_._2).sum }
+    // Largest total hitting the exact mixture, then per-source quotas.
+    val t = weightsE4.map { case (s, w) => totals(s) * 10000L / w }.min
+    val cuts: Seq[(String, Long, Long)] = weightsE4.toSeq.map { case (s, w) =>
+      val k = w * t / 10000L
+      // Walk the cumulative histogram to the boundary bucket b* and
+      // the residual rows to take from it. k == 0 leaves b* = -1,
+      // which matches nothing downstream.
+      var remaining = k
+      var bStar = -1L
+      var resid = 0L
+      val it = bySource(s).iterator
+      while (bStar < 0 && remaining > 0 && it.hasNext) {
+        val (b, c) = it.next()
+        if (c >= remaining) { bStar = b; resid = remaining }
+        else remaining -= c
+      }
+      (s, bStar, resid)
+    }
+    val cutDf = cuts.toDF(groupCol, "__bstar", "__m")
+    val joined = bucketed.join(broadcast(cutDf), groupCol)
+    val below = joined.filter(col("__hb") < col("__bstar"))
+    val wB = Window.partitionBy(col(groupCol)).orderBy(col(idCol))
+    val boundary = joined.filter(col("__hb") === col("__bstar"))
+      .withColumn("__rn", row_number().over(wB))
+      .filter(col("__rn") <= col("__m"))
+      .drop("__rn")
+    below.unionByName(boundary).drop("__hb", "__bstar", "__m")
+  }
+
   /** Pack rows into training shards under a token budget: rows are
     * laid out in a deterministic order (id hash, then id) and cut into
     * shards whenever the running token count would exceed `budget`.

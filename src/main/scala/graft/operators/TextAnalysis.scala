@@ -143,6 +143,38 @@ object TextAnalysis {
           col("top_bigram_frac_e6") > topBigramThresholdE6, 1L).otherwise(0L))
   }
 
+  /** Token-window chunking — the training-prep step that turns
+    * documents into fixed-budget model inputs: windows of
+    * `chunkTokens` whitespace tokens, advancing by
+    * `chunkTokens - overlap`, so consecutive chunks share `overlap`
+    * tokens of context. Pure projection + generator: the token array
+    * is staged once, starts come from `sequence`, and each chunk is a
+    * `slice` — no shuffle, no UDF; chunk cardinality is
+    * ceil(tokens/step) per doc regardless of corpus size.
+    *
+    * Emits (id, chunk_idx, start_tok, n_tok, chunk_md5) — the md5 of
+    * the space-joined window pins the exact chunk text without
+    * shipping it. Docs with no tokens produce no chunks.
+    */
+  def chunkByTokens(docs: DataFrame, chunkTokens: Int = 128, overlap: Int = 32,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(overlap >= 0 && chunkTokens > overlap,
+      s"need chunkTokens > overlap >= 0, got chunkTokens=$chunkTokens overlap=$overlap")
+    val step = chunkTokens - overlap
+    docs.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .withColumn("__n", size(col("__toks")))
+      .withColumn("__starts",
+        when(col("__n") > 0, sequence(lit(0), col("__n") - 1, lit(step)))
+          .otherwise(array().cast("array<int>")))
+      .select(col(idCol), col("__toks"),
+        posexplode(col("__starts")).as(Seq("chunk_idx", "start_tok")))
+      .select(col(idCol), col("chunk_idx"), col("start_tok"),
+        slice(col("__toks"), col("start_tok") + 1, lit(chunkTokens)).as("__chunk"))
+      .select(col(idCol), col("chunk_idx"), col("start_tok"),
+        size(col("__chunk")).cast("long").as("n_tok"),
+        md5(array_join(col("__chunk"), " ").cast("binary")).as("chunk_md5"))
+  }
+
   /** Corpus vocabulary head: top-k tokens by total frequency, with
     * document frequency. explode → one hash aggregate keyed by token
     * (map-side partials make shuffle volume O(distinct tokens per

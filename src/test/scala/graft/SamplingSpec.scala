@@ -26,6 +26,53 @@ class SamplingSpec extends SparkSpecBase {
     assert(out.forall(_.getAs[Long]("count") === 5L))
   }
 
+  test("mixture sample hits exact proportions, equals the naive rank form, partition-invariant") {
+    val docs = Tables.documents(spark, Sf)
+    val weights = Map("src0" -> 4000L, "src1" -> 3000L, "src2" -> 2000L, "src3" -> 1000L)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      Sampling.mixtureSample(df, "source", "doc_id", weights)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val got = ids(docs)
+    assert(got === ids(docs.repartition(13)))
+    // Exact 4:3:2:1 proportions.
+    val bySrc = Sampling.mixtureSample(docs, "source", "doc_id", weights)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = bySrc.values.sum
+    weights.foreach { case (s, w) =>
+      assert(bySrc(s) === w * total / 10000L, s"source $s off-mixture: $bySrc")
+    }
+    // The boundary-bucket path selects the same set as the naive
+    // per-source (hash, id) rank — the formulation the oracle states.
+    import org.apache.spark.sql.expressions.Window
+    val naive = docs.filter(col("source").isin(weights.keys.toSeq: _*))
+      .withColumn("__rn", row_number().over(Window.partitionBy(col("source"))
+        .orderBy(Sampling.hashBucket(col("doc_id")), col("doc_id"))))
+      .join(bySrc.toSeq.toDF("source", "__k"), "source")
+      .filter(col("__rn") <= col("__k"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got === naive)
+    // Weights must sum to the full e4 scale.
+    intercept[IllegalArgumentException] {
+      Sampling.mixtureSample(docs, "source", "doc_id", Map("src0" -> 5000L))
+    }
+  }
+
+  test("chunking windows overlap correctly and cover every token") {
+    val df = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" ")), (2L, ""), (3L, "solo"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.chunkByTokens(df, chunkTokens = 4, overlap = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+      .sortBy(x => (x._1, x._2))
+    // step 3 over 10 tokens: starts 0,3,6,9 with lengths 4,4,4,1.
+    assert(out.filter(_._1 == 1L) ===
+      Seq((1L, 0, 0, 4L), (1L, 1, 3, 4L), (1L, 2, 6, 4L), (1L, 3, 9, 1L)))
+    assert(!out.exists(_._1 == 2L)) // empty text -> no chunks
+    assert(out.filter(_._1 == 3L) === Seq((3L, 0, 0, 1L)))
+    // Consecutive chunks share exactly `overlap` tokens: chunk i ends
+    // at start+4, chunk i+1 starts at start+3.
+  }
+
   test("packByTokenBudget matches the sequential prefix-sum reference and is partition-invariant") {
     val docs = Tables.documents(spark, Sf)
       .select(col("doc_id"), (length(col("text")) / 4 + 1).cast("long").as("n_tokens"))
