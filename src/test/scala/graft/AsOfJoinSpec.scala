@@ -83,6 +83,44 @@ class AsOfJoinSpec extends SparkSpecBase {
     assert(closed.head.getAs[Double]("sum_value") === 3.0)
   }
 
+  test("a later micro-batch bridges two open sessions into one") {
+    // The nontrivial streaming-session behavior: state MERGE across
+    // micro-batches, not just accumulation into one open window.
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, String, Double)]
+    val events = mem.toDF().toDF("user_id", "ts", "value")
+      .withColumn("event_time", col("ts").cast("timestamp"))
+      .withWatermark("event_time", "1 hour")
+    val q = Sessions.sessionStats(events, "user_id", "event_time", "value", "30 minutes")
+      .writeStream.format("memory").queryName("sess_merge_out").outputMode("append").start()
+    // Batch 1: two sessions 50 minutes apart (gap 30m keeps them open
+    // and separate).
+    mem.addData(("u1", "2024-01-01 00:00:00", 1.0), ("u1", "2024-01-01 00:50:00", 2.0))
+    q.processAllAvailable()
+    // Batch 2: a bridge at 00:25 — within 30m of both — must merge
+    // them into ONE session 00:00..01:20.
+    mem.addData(("u1", "2024-01-01 00:25:00", 4.0))
+    q.processAllAvailable()
+    // Batch 3: advance the watermark far enough to close and emit.
+    mem.addData(("u2", "2024-01-01 09:00:00", 8.0))
+    q.processAllAvailable()
+    q.stop()
+    val closed = spark.table("sess_merge_out").filter(col("user_id") === "u1").collect()
+    assert(closed.length === 1)
+    assert(closed.head.getAs[Long]("n_events") === 3)
+    assert(closed.head.getAs[Double]("sum_value") === 7.0)
+    assert(closed.head.getAs[Long]("session_end_ms") ===
+      java.sql.Timestamp.valueOf("2024-01-01 01:20:00").getTime)
+    // And it matches the batch run over the same events.
+    val batch = Sessions.sessionStats(
+      Seq(("u1", "2024-01-01 00:00:00", 1.0), ("u1", "2024-01-01 00:50:00", 2.0),
+        ("u1", "2024-01-01 00:25:00", 4.0))
+        .toDF("user_id", "ts", "value")
+        .withColumn("event_time", col("ts").cast("timestamp")),
+      "user_id", "event_time", "value", "30 minutes").collect()
+    assert(batch.length === 1 && batch.head.getAs[Long]("n_events") === 3)
+  }
+
   test("session windows merge within gap and split beyond it") {
     val events = Seq(
       ("u1", "2024-01-01 00:00:00", 1.0),
