@@ -279,7 +279,9 @@ object ExtendedQueries {
   val mixtureSampleSql: String = """
     WITH w(source, w) AS (VALUES ('src0', 4000), ('src1', 3000), ('src2', 2000), ('src3', 1000)),
     n AS (SELECT source, COUNT(*) AS n FROM documents JOIN w USING (source) GROUP BY source),
-    t AS (SELECT MIN(n * 10000 // w) AS t FROM n JOIN w USING (source)),
+    -- t floored to a multiple of 10000/gcd(weights) = 10, so each
+    -- quota w*t//10000 is exact (mirrors Sampling.mixtureSample).
+    t AS (SELECT (MIN(n * 10000 // w) // 10) * 10 AS t FROM n JOIN w USING (source)),
     k AS (SELECT source, w * (SELECT t FROM t) // 10000 AS k FROM w),
     r AS (SELECT doc_id, source,
             ROW_NUMBER() OVER (PARTITION BY source

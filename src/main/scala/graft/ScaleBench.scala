@@ -34,10 +34,23 @@ object ScaleBench {
         .withColumn("trade_date", to_date(col("event_time")))
     }.reduce(_ unionByName _)
 
+  /** k disjoint copies of the documents — ids offset AND every token
+    * prefixed with the copy index, for the same reason scaledTrades
+    * day-shifts event times: identical (or near-identical) texts
+    * across copies would put every replica group into the same
+    * MinHash buckets, growing candidate pairs ~k² and collapsing all
+    * copies into one giant near-dup cluster — a structurally
+    * different dedup workload, not k× the 1× shape. Prefixing every
+    * token drives cross-copy Jaccard to zero while keeping each
+    * copy's internal structure (and the d9 derivation's planted
+    * families) intact. Copy 0 is transformed too, so 1× and k× stay
+    * comparable.
+    */
   private def scaledDocs(s: SparkSession, dir: String, k: Int): DataFrame =
     (0 until k).map { i =>
       Tables.documents(s, dir)
         .withColumn("doc_id", col("doc_id") + lit(i.toLong * 1000000000L))
+        .withColumn("text", regexp_replace(col("text"), "(\\S+)", s"c$i$$1"))
     }.reduce(_ unionByName _)
 
   private def scaledEmbs(s: SparkSession, dir: String, k: Int): DataFrame =

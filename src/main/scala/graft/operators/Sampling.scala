@@ -82,7 +82,15 @@ object Sampling {
       s"sources absent from the data: ${weightsE4.keySet -- bySource.keySet}")
     val totals = bySource.map { case (s, rows) => s -> rows.map(_._2).sum }
     // Largest total hitting the exact mixture, then per-source quotas.
-    val t = weightsE4.map { case (s, w) => totals(s) * 10000L / w }.min
+    // t is rounded DOWN to a multiple of 10000/gcd(weights) so every
+    // quota w_s*t/1e4 is exact — otherwise floor() quotas drift off
+    // the stated proportions for counts that aren't well-aligned
+    // (e.g. counts (26,19,13,7) at 4:3:2:1 would give 25/61 ≈ 41%).
+    @annotation.tailrec
+    def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+    val unit = 10000L / weightsE4.values.foldLeft(10000L)(gcd)
+    val tRaw = weightsE4.map { case (s, w) => totals(s) * 10000L / w }.min
+    val t = tRaw - tRaw % unit
     val cuts: Seq[(String, Long, Long)] = weightsE4.toSeq.map { case (s, w) =>
       val k = w * t / 10000L
       // Walk the cumulative histogram to the boundary bucket b* and

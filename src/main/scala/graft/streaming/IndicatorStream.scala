@@ -20,12 +20,14 @@ import org.apache.spark.sql.{streaming => ss}
   * groupBy key, immune to data volume.
   *
   * Ordering: within a micro-batch events fold in event-time order
-  * (price tie-break); an event older than the state's time is DROPPED
-  * — a recursive indicator cannot be rewound, and the stream's
-  * watermark already bounds how late such rows can be. The batch
-  * adapter applies the same rule, so replaying a day batch-wise and
-  * streaming it in any micro-batch slicing converge to identical
-  * final values (spec-pinned).
+  * (price tie-break); an event at or before the state's time is
+  * DROPPED — a recursive indicator cannot be rewound, the strict
+  * bound makes re-delivered rows idempotent, and the stream's
+  * watermark already bounds how late such rows can be. Inputs carry
+  * at most one tick per (symbol, event_time) — the silver dedup
+  * invariant — under which replaying a day batch-wise and streaming
+  * it in any micro-batch slicing converge to identical final values
+  * (spec-pinned).
   */
 object IndicatorStream {
 
@@ -38,15 +40,23 @@ object IndicatorStream {
                              ema: Double, rsi: Option[Double])
 
   /** One step of the recursion: absorb a single tick into the carried
-    * state. Returns None (state unchanged) when the tick is older than
-    * the state's time — a recursion cannot be rewound.
+    * state. Returns None (state unchanged) when the tick is not
+    * STRICTLY newer than the state's time — a recursion cannot be
+    * rewound, and the strict bound makes at-least-once re-delivery of
+    * a tick idempotent (a replayed row is dropped, not folded twice).
+    *
+    * Contract: at most one tick per (symbol, event_time) — what the
+    * silver feed's dedup guarantees. With duplicate timestamps the
+    * batch form keeps the (time, price)-sorted first while a
+    * cross-batch stream keeps the first to arrive, so equivalence is
+    * only defined under the uniqueness contract.
     */
   private[graft] def step(symbol: String, st: Option[IndicatorState],
                           t: TradeTick, n: Int)
       : Option[(IndicatorState, IndicatorUpdate)] = {
     val alpha = 2.0 / (n + 1)
     val tMs = t.event_time.getTime
-    if (!st.forall(_.timeMs <= tMs)) None
+    if (!st.forall(_.timeMs < tMs)) None
     else {
       val next = st match {
         case None =>

@@ -109,8 +109,10 @@ class AsOfJoinSpec extends SparkSpecBase {
     assert(closed.length === 1)
     assert(closed.head.getAs[Long]("n_events") === 3)
     assert(closed.head.getAs[Double]("sum_value") === 7.0)
+    // Session tz is UTC; build the expected epoch tz-independently
+    // (Timestamp.valueOf would use the JVM default zone).
     assert(closed.head.getAs[Long]("session_end_ms") ===
-      java.sql.Timestamp.valueOf("2024-01-01 01:20:00").getTime)
+      java.time.Instant.parse("2024-01-01T01:20:00Z").toEpochMilli)
     // And it matches the batch run over the same events.
     val batch = Sessions.sessionStats(
       Seq(("u1", "2024-01-01 00:00:00", 1.0), ("u1", "2024-01-01 00:50:00", 2.0),

@@ -79,6 +79,15 @@ class IndicatorStreamSpec extends SparkSpecBase {
     }
   }
 
+  test("re-delivered ticks are idempotent: a replayed row never folds twice") {
+    // At-least-once delivery can hand the processor the same tick in a
+    // later micro-batch; the strict time bound must drop it.
+    val (st1, u1) = IndicatorStream.fold("AAPL", Seq(tick(10.0, 0), tick(12.0, 1)), None, 3)
+    val (st2, u2) = IndicatorStream.fold("AAPL", Seq(tick(12.0, 1)), st1, 3)
+    assert(u1.length === 2 && u2.isEmpty)
+    assert(st2 === st1)
+  }
+
   test("late out-of-order ticks are dropped, not folded backwards") {
     val ticks = Seq(tick(10.0, 0), tick(12.0, 2), tick(11.0, 1))
     val out = IndicatorStream.updatesBatch(spark, ticks.toDS(), n = 3)

@@ -58,6 +58,22 @@ class SamplingSpec extends SparkSpecBase {
     }
   }
 
+  test("mixture proportions stay exact for misaligned source counts") {
+    // Counts (26,19,13,7) at 4:3:2:1 — raw t = 63 would give quotas
+    // (25,18,12,6) = 41%/29.5%/19.7%/9.8%; flooring t to the weight
+    // unit (60) restores exactly (24,18,12,6).
+    val rows = Seq.tabulate(26)(i => (100L + i, "a")) ++
+      Seq.tabulate(19)(i => (200L + i, "b")) ++
+      Seq.tabulate(13)(i => (300L + i, "c")) ++
+      Seq.tabulate(7)(i => (400L + i, "d"))
+    val df = rows.toDF("doc_id", "source")
+    val got = Sampling.mixtureSample(df, "source", "doc_id",
+        Map("a" -> 4000L, "b" -> 3000L, "c" -> 2000L, "d" -> 1000L))
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("a" -> 24L, "b" -> 18L, "c" -> 12L, "d" -> 6L))
+  }
+
   test("chunking windows overlap correctly and cover every token") {
     val df = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" ")), (2L, ""), (3L, "solo"))
       .toDF("doc_id", "text")
