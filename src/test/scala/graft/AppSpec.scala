@@ -69,7 +69,7 @@ class AppSpec extends SparkSpecBase {
     val mem = MemoryStream[String]
     val t0 = 1705312800000L
     val cfg = App.parseArgs(Array(
-      "--chained", "true", "--layers", "silver,gold5m",
+      "--chained", "true", "--layers", "silver,gold5m,indicators",
       "--out", s"$dir/out", "--checkpoint", s"$dir/ckp", "--trigger", "0 seconds"))
     assert(cfg.chained)
     val mgr = App.start(spark, mem.toDF(), cfg)
@@ -77,11 +77,19 @@ class AppSpec extends SparkSpecBase {
       s"""{"symbol":"AAPL","price":10.5,"volume":3,"timestamp":$t0,"conditions":[],"ingestion_time":$t0}""",
       s"""{"symbol":"AAPL","price":11.5,"volume":2,"timestamp":${t0 + 60000},"conditions":[],"ingestion_time":$t0}""")
     // Two drains: the first commits silver files, the second lets the
-    // chained gold file-source discover and process them.
-    mgr.processAllAvailable()
-    mgr.processAllAvailable()
-    mgr.stopAll()
+    // chained gold/indicator file-sources discover and process them.
+    try {
+      mgr.processAllAvailable()
+      mgr.processAllAvailable()
+    } finally {
+      mgr.stopAll()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
     assert(spark.read.parquet(s"$dir/out/silver").count() === 2)
+    // The chained indicators layer consumed the same silver output.
+    val ind = spark.read.parquet(s"$dir/out/indicators").orderBy("event_time").collect()
+    assert(ind.length === 2)
+    assert(ind.head.getAs[Double]("ema") === 10.5)
     // Silver is written by the native file sink: its _spark_metadata
     // commit log is what makes the chained read exactly-once (a
     // replayed micro-batch commits the same batch id once, and the

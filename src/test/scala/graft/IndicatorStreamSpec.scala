@@ -79,6 +79,36 @@ class IndicatorStreamSpec extends SparkSpecBase {
     }
   }
 
+  test("state survives a checkpointed stop/restart: the recursion continues, not restarts") {
+    withRocksDb {
+      implicit val sqlCtx = spark.sqlContext
+      val dir = java.nio.file.Files.createTempDirectory("graft_ind_restart").toString
+      val mem = MemoryStream[TradeTick]
+      // Memory sinks can't recover from a checkpoint — use the file
+      // sink, whose _spark_metadata log supports restart (same sink
+      // the App's indicators layer uses).
+      def startQuery() = IndicatorStream.updates(spark, mem.toDS(), n = 3)
+        .writeStream.format("parquet").option("path", s"$dir/out")
+        .option("checkpointLocation", s"$dir/ckp").outputMode("append").start()
+      val prices = Seq(10.0, 11.0, 12.0, 11.0, 13.0)
+      val q1 = startQuery()
+      mem.addData(prices.take(2).zipWithIndex.map { case (p, i) => tick(p, i) }: _*)
+      q1.processAllAvailable()
+      q1.stop()
+      // New query, same checkpoint: the ValueState must resume where
+      // the recursion left off (ema carried from the first run).
+      val q2 = startQuery()
+      mem.addData(prices.drop(2).zipWithIndex.map { case (p, i) => tick(p, i + 2) }: _*)
+      q2.processAllAvailable()
+      q2.stop()
+      val got = spark.read.parquet(s"$dir/out").orderBy("event_time")
+        .collect().map(_.getAs[Double]("ema"))
+      val want = refEma(prices, 3)
+      assert(got.length === want.length)
+      got.zip(want).foreach { case (g, w) => assert(math.abs(g - w) < 1e-12) }
+    }
+  }
+
   test("re-delivered ticks are idempotent: a replayed row never folds twice") {
     // At-least-once delivery can hand the processor the same tick in a
     // later micro-batch; the strict time bound must drop it.
