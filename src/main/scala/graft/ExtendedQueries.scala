@@ -290,6 +290,26 @@ object ExtendedQueries {
           FROM documents JOIN w USING (source))
     SELECT doc_id, source FROM r JOIN k USING (source) WHERE rn <= k"""
 
+  /** X19 — deterministic 90/5/5 train/val/test split with per-split
+    * counts (the projection itself is labeledSplit; the aggregate
+    * makes the oracle row set small and order-free).
+    */
+  def labeledSplit(s: SparkSession, dir: String): DataFrame =
+    operators.Sampling.labeledSplit(Tables.documents(s, dir), "doc_id",
+        Seq("train" -> 9000L, "val" -> 500L, "test" -> 500L))
+      .groupBy(col("split"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc_id"))
+
+  val labeledSplitSql: String = """
+    WITH s AS (
+      SELECT doc_id, source,
+             CASE WHEN (((doc_id % 1000000007) * 2654435761) % 1000000007 * 40503) % 1000000007 % 10000 < 9000 THEN 'train'
+                  WHEN (((doc_id % 1000000007) * 2654435761) % 1000000007 * 40503) % 1000000007 % 10000 < 9500 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents)
+    SELECT split, source, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc_id
+    FROM s GROUP BY split, source"""
+
   /** X7 — deterministic stratified sample: 5 docs per language. */
   def stratifiedSample(s: SparkSession, dir: String): DataFrame =
     operators.Sampling.stratifiedSample(
@@ -408,6 +428,7 @@ object ExtendedQueries {
     "x16_semi_anti" -> (semiAntiUsers _),
     "x6_deterministic_sample" -> (docSample _),
     "x18_mixture" -> (mixtureSample _),
+    "x19_split" -> (labeledSplit _),
     "x7_stratified_sample" -> (stratifiedSample _),
     "x8_percentiles" -> (percentiles _),
     "x9_histogram" -> (priceHistogram _),
@@ -430,6 +451,7 @@ object ExtendedQueries {
     "x16_semi_anti" -> semiAntiUsersSql,
     "x6_deterministic_sample" -> docSampleSql,
     "x18_mixture" -> mixtureSampleSql,
+    "x19_split" -> labeledSplitSql,
     "x7_stratified_sample" -> stratifiedSampleSql,
     "x8_percentiles" -> percentilesSql,
     "x9_histogram" -> priceHistogramSql,

@@ -104,10 +104,10 @@ object PipelineQueries {
   def dupClusters(s: SparkSession, dir: String): DataFrame =
     dupClustersOver(docs(s, dir))
 
-  /** The d9 derivation over an arbitrary documents frame (ScaleBench
-    * feeds it k× replicas).
+  /** The derived duplicate-triple corpus shared by d9/d11 (and
+    * ScaleBench's k× replicas).
     */
-  def dupClustersOver(allDocs: DataFrame): DataFrame = {
+  private[graft] def derivedTriples(allDocs: DataFrame): DataFrame = {
     val base = allDocs.filter(pmod(col("doc_id"), lit(10)) === 0)
       .select(col("doc_id"), col("text"))
     // Perturb BEFORE renaming the id (see embeddingDups note).
@@ -120,8 +120,19 @@ object PipelineQueries {
         concat(col("text"), lit(" q"), pmod(col("doc_id"), lit(89)).cast("string"),
           lit(" r"), pmod(col("doc_id"), lit(83)).cast("string")).as("text"))
       .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
-    Dedup.dupClusters(base.unionByName(c1).unionByName(c2), minJaccardE6 = 500000L)
+    base.unionByName(c1).unionByName(c2)
   }
+
+  def dupClustersOver(allDocs: DataFrame): DataFrame =
+    Dedup.dupClusters(derivedTriples(allDocs), minJaccardE6 = 500000L)
+
+  /** D11 — transitive-correct dedup: the derived corpus reduced to
+    * cluster minima + singletons via connected components. Oracle =
+    * the d9 closure's complement.
+    */
+  def nearDedupCC(s: SparkSession, dir: String): DataFrame =
+    Dedup.nearDedupCC(derivedTriples(docs(s, dir)), minJaccardE6 = 500000L)
+      .select(col("doc_id"))
 
   /** T5 — Gopher-style repetition quality stats. */
   def repetitionStats(s: SparkSession, dir: String): DataFrame =
@@ -398,7 +409,7 @@ object PipelineQueries {
     * closure the tiny cluster sizes keep cheap) — ground truth for the
     * distributed star-contraction CC.
     */
-  val dupClustersSql: String = s"""WITH RECURSIVE docs9 AS (
+  private val dupGraphCtes: String = s"""WITH RECURSIVE docs9 AS (
     SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
     UNION ALL
     SELECT doc_id + 1000000,
@@ -436,10 +447,19 @@ object PipelineQueries {
     SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
   ), comp AS (
     SELECT id, MIN(lbl) AS cluster_id FROM reach GROUP BY id
-  )
+  )"""
+
+  val dupClustersSql: String = s"""$dupGraphCtes
     SELECT c.id AS doc_id, c.cluster_id,
            CAST(COUNT(*) OVER (PARTITION BY c.cluster_id) AS BIGINT) AS cluster_size
     FROM comp c"""
+
+  /** D11 oracle: the closure's complement — every derived doc that is
+    * not a non-minimal member of some component.
+    */
+  val nearDedupCCSql: String = s"""$dupGraphCtes
+    SELECT doc_id FROM docs9
+    WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> cluster_id)"""
 
   val simhashSql: String = s"""WITH th AS (
     SELECT doc_id,
@@ -707,6 +727,7 @@ object PipelineQueries {
     "d5_simhash" -> (simhashFingerprints _),
     "d7_near_dedup" -> (nearDedup _),
     "d9_dup_clusters" -> (dupClusters _),
+    "d11_near_dedup_cc" -> (nearDedupCC _),
     "d6_embedding_dups" -> (embeddingDups _),
     "s1_knn_brute" -> (knnBrute _),
     "s2_knn_lsh" -> (knnLsh _),
@@ -736,6 +757,7 @@ object PipelineQueries {
     "d5_simhash" -> simhashSql,
     "d7_near_dedup" -> nearDedupSql,
     "d9_dup_clusters" -> dupClustersSql,
+    "d11_near_dedup_cc" -> nearDedupCCSql,
     "d6_embedding_dups" -> embeddingDupsSql,
     "s1_knn_brute" -> knnBruteSql,
     "mm1_modality_stats" -> modalityStatsSql,

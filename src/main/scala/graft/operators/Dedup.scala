@@ -433,6 +433,24 @@ object Dedup {
         col("cluster_size"))
   }
 
+  /** Transitive-correct near-dedup: connected components over the
+    * verified pair graph, keeping each cluster's minimum id (and every
+    * singleton). Where [[nearDedup]]'s pairwise survivor rule only
+    * names pairs, this names the CLUSTER: chains a~b, b~c resolve to
+    * one canonical representative even when a~c was never emitted, and
+    * the kept id is the component minimum rather than an artifact of
+    * pair iteration order.
+    */
+  def nearDedupCC(docs: DataFrame, minJaccardE6: Long,
+                  idCol: String = "doc_id", textCol: String = "text",
+                  shingleN: Int = 3, k: Int = 16, bands: Int = 8): DataFrame = {
+    val cc = GraphOps.connectedComponents(
+      verifiedPairs(docs, minJaccardE6, idCol, textCol, shingleN, k, bands),
+      "doc_a", "doc_b")
+    val drop = cc.filter(col("id") =!= col("component")).select(col("id").as(idCol))
+    docs.join(drop, Seq(idCol), "left_anti")
+  }
+
   /** Embedding near-duplicates, all-pairs baseline: pairs with cosine
     * >= minCos over a BOUNDED vector set. O(n²) by design — guarded,
     * test/verification use only; the scale path is

@@ -42,6 +42,26 @@ object Sampling {
       .drop("__rn")
   }
 
+  /** Deterministic train/val/test split: the id hash partitions the
+    * corpus into labeled fractions (e4 proportions). Pure projection —
+    * the split is a property of the row, not of a shuffle or RNG, so
+    * it is stable across runs, partitionings, and cluster sizes, and
+    * a document keeps its split when the corpus around it grows (the
+    * property that prevents silent train/test leakage across dataset
+    * versions).
+    */
+  def labeledSplit(df: DataFrame, idCol: String,
+                   splitsE4: Seq[(String, Long)]): DataFrame = {
+    require(splitsE4.nonEmpty && splitsE4.forall(_._2 > 0) && splitsE4.map(_._2).sum == 10000L,
+      s"split fractions must be positive e4 values summing to 10000, got $splitsE4")
+    val bounds = splitsE4.scanLeft(0L)(_ + _._2).tail
+    val hb = hashBucket(col(idCol))
+    val label = splitsE4.zip(bounds).foldRight(lit(splitsE4.last._1): org.apache.spark.sql.Column) {
+      case (((name, _), hi), rest) => when(hb < hi, lit(name)).otherwise(rest)
+    }
+    df.withColumn("split", label)
+  }
+
   /** Mixture resampling: the largest corpus achievable at EXACTLY the
     * target source proportions. Weights are e4 integers summing to
     * 10000 (exact arithmetic end to end); the achievable total is

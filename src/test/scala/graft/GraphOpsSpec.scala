@@ -28,6 +28,22 @@ class GraphOpsSpec extends SparkSpecBase {
     assert(got === Map(1L -> 1L, 2L -> 1L))
   }
 
+  test("nearDedupCC keeps exactly one representative per duplicate chain") {
+    import org.apache.spark.sql.functions._
+    // a~b and b~c are near-dups (one-token deltas over a long text);
+    // a and c share less. CC must keep only doc 1 of {1,2,3}, plus
+    // the unrelated singleton.
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val df = Seq(
+      (1L, base),
+      (2L, base + " xa"),
+      (3L, base + " xa xb"),
+      (9L, "a completely different tiny document here")).toDF("doc_id", "text")
+    val kept = graft.operators.Dedup.nearDedupCC(df, minJaccardE6 = 500000L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 9L))
+  }
+
   test("star and long-path topologies converge to the same labels at any partitioning") {
     val star = (2L to 40L).map(i => (1L, i))
     val path = (1L until 40L).map(i => (i, i + 1))

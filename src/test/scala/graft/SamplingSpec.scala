@@ -89,6 +89,26 @@ class SamplingSpec extends SparkSpecBase {
     // at start+4, chunk i+1 starts at start+3.
   }
 
+  test("labeled split is exhaustive, disjoint, stable under corpus growth") {
+    val small = (0L until 500L).toDF("doc_id")
+    val splits = Seq("train" -> 9000L, "val" -> 500L, "test" -> 500L)
+    def labels(df: org.apache.spark.sql.DataFrame) =
+      Sampling.labeledSplit(df, "doc_id", splits)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val l1 = labels(small)
+    assert(l1.size === 500 && l1.values.toSet.subsetOf(Set("train", "val", "test")))
+    // A doc keeps its split when the corpus doubles — no re-shuffling
+    // of membership across dataset versions.
+    val l2 = labels((0L until 1000L).toDF("doc_id"))
+    l1.foreach { case (id, s) => assert(l2(id) === s) }
+    // Roughly the right fractions.
+    val frac = l2.values.groupBy(identity).view.mapValues(_.size / 1000.0).toMap
+    assert(frac("train") > 0.85 && frac("train") < 0.95)
+    intercept[IllegalArgumentException] {
+      Sampling.labeledSplit(small, "doc_id", Seq("a" -> 5000L))
+    }
+  }
+
   test("packByTokenBudget matches the sequential prefix-sum reference and is partition-invariant") {
     val docs = Tables.documents(spark, Sf)
       .select(col("doc_id"), (length(col("text")) / 4 + 1).cast("long").as("n_tokens"))
