@@ -30,16 +30,71 @@ object Sampling {
   def deterministicSample(df: DataFrame, idCol: String, perMyriad: Int): DataFrame =
     df.filter(hashBucket(col(idCol)) < perMyriad)
 
-  /** Exactly-n-per-stratum sample, ordered inside each stratum by the
-    * id hash (then id): a deterministic stratified sample.
+  /** Exactly-n-per-stratum sample: each stratum keeps its n rows with
+    * the smallest (id hash, id). Selection goes through the two-phase
+    * boundary-bucket path ([[smallestKPerGroup]]) — a row_number over
+    * whole strata would serialize each stratum through one task at
+    * corpus scale.
     */
   def stratifiedSample(df: DataFrame, strataCol: String, idCol: String,
                        nPerStratum: Int): DataFrame = {
-    val w = Window.partitionBy(col(strataCol))
-      .orderBy(hashBucket(col(idCol)), col(idCol))
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= nPerStratum)
+    val strata = df.select(col(strataCol)).distinct().collect().map(_.getString(0))
+    smallestKPerGroup(df, strataCol, idCol,
+      strata.map(_ -> nPerStratum.toLong).toMap)
+  }
+
+  /** The k_g rows with the smallest (hashBucket(id), id) per group,
+    * WITHOUT a per-group global sort: one (group, bucket) hash
+    * aggregate (≤ groups × 10000 rows) locates each group's cutoff
+    * bucket on the driver; rows strictly below it pass by a broadcast
+    * filter, and only the cutoff bucket's sliver (~1/10000 of the
+    * group) is ranked for the residual. Groups absent from `quotas`
+    * are dropped. Group column must be string-typed (the driver-side
+    * cut table is rebuilt as literals).
+    */
+  private[graft] def smallestKPerGroup(df: DataFrame, groupCol: String,
+                                       idCol: String,
+                                       quotas: Map[String, Long]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(df.schema(groupCol).dataType == org.apache.spark.sql.types.StringType,
+      s"smallestKPerGroup needs a string group column, got ${df.schema(groupCol).dataType}")
+    if (quotas.isEmpty) return df.limit(0)
+    val bucketed = df.filter(col(groupCol).isin(quotas.keys.toSeq: _*))
+      .withColumn("__hb", hashBucket(col(idCol)))
+    val hist = bucketed.groupBy(col(groupCol), col("__hb")).agg(count(lit(1)).as("__c"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val bySource = hist.groupBy(_._1).map { case (g, rows) =>
+      g -> rows.map(r => (r._2, r._3)).sortBy(_._1)
+    }
+    val cuts: Seq[(String, Long, Long)] = quotas.toSeq.map { case (g, k) =>
+      val buckets = bySource.getOrElse(g, Array.empty[(Long, Long)])
+      val total = buckets.map(_._2).sum
+      if (k <= 0 || buckets.isEmpty) (g, -1L, 0L) // keep nothing
+      else if (total <= k) (g, 10000L, 0L)        // quota covers the group: keep all
+      else {
+        // total > k guarantees the walk lands on a cutoff bucket.
+        var remaining = k
+        var bStar = -1L
+        var resid = 0L
+        val it = buckets.iterator
+        while (bStar < 0 && it.hasNext) {
+          val (b, c) = it.next()
+          if (c >= remaining) { bStar = b; resid = remaining }
+          else remaining -= c
+        }
+        (g, bStar, resid)
+      }
+    }
+    val cutDf = cuts.toDF(groupCol, "__bstar", "__m")
+    val joined = bucketed.join(broadcast(cutDf), groupCol)
+    val below = joined.filter(col("__hb") < col("__bstar"))
+    val wB = Window.partitionBy(col(groupCol)).orderBy(col(idCol))
+    val boundary = joined.filter(col("__hb") === col("__bstar"))
+      .withColumn("__rn", row_number().over(wB))
+      .filter(col("__rn") <= col("__m"))
       .drop("__rn")
+    below.unionByName(boundary).drop("__hb", "__bstar", "__m")
   }
 
   /** Deterministic train/val/test split: the id hash partitions the
@@ -89,18 +144,11 @@ object Sampling {
       "every mixture weight must be positive")
     require(weightsE4.values.sum == 10000L,
       s"weights must sum to 10000 (e4 proportions), got ${weightsE4.values.sum}")
-    val spark = df.sparkSession
-    import spark.implicits._
-    val bucketed = df.withColumn("__hb", hashBucket(col(idCol)))
-    val hist = bucketed.filter(col(groupCol).isin(weightsE4.keys.toSeq: _*))
-      .groupBy(col(groupCol), col("__hb")).agg(count(lit(1)).as("__c"))
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-    val bySource = hist.groupBy(_._1).map { case (s, rows) =>
-      s -> rows.map(r => (r._2, r._3)).sortBy(_._1)
-    }
-    require(weightsE4.keySet.subsetOf(bySource.keySet),
-      s"sources absent from the data: ${weightsE4.keySet -- bySource.keySet}")
-    val totals = bySource.map { case (s, rows) => s -> rows.map(_._2).sum }
+    val totals = df.filter(col(groupCol).isin(weightsE4.keys.toSeq: _*))
+      .groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(weightsE4.keySet.subsetOf(totals.keySet),
+      s"sources absent from the data: ${weightsE4.keySet -- totals.keySet}")
     // Largest total hitting the exact mixture, then per-source quotas.
     // t is rounded DOWN to a multiple of 10000/gcd(weights) so every
     // quota w_s*t/1e4 is exact — otherwise floor() quotas drift off
@@ -111,31 +159,8 @@ object Sampling {
     val unit = 10000L / weightsE4.values.foldLeft(10000L)(gcd)
     val tRaw = weightsE4.map { case (s, w) => totals(s) * 10000L / w }.min
     val t = tRaw - tRaw % unit
-    val cuts: Seq[(String, Long, Long)] = weightsE4.toSeq.map { case (s, w) =>
-      val k = w * t / 10000L
-      // Walk the cumulative histogram to the boundary bucket b* and
-      // the residual rows to take from it. k == 0 leaves b* = -1,
-      // which matches nothing downstream.
-      var remaining = k
-      var bStar = -1L
-      var resid = 0L
-      val it = bySource(s).iterator
-      while (bStar < 0 && remaining > 0 && it.hasNext) {
-        val (b, c) = it.next()
-        if (c >= remaining) { bStar = b; resid = remaining }
-        else remaining -= c
-      }
-      (s, bStar, resid)
-    }
-    val cutDf = cuts.toDF(groupCol, "__bstar", "__m")
-    val joined = bucketed.join(broadcast(cutDf), groupCol)
-    val below = joined.filter(col("__hb") < col("__bstar"))
-    val wB = Window.partitionBy(col(groupCol)).orderBy(col(idCol))
-    val boundary = joined.filter(col("__hb") === col("__bstar"))
-      .withColumn("__rn", row_number().over(wB))
-      .filter(col("__rn") <= col("__m"))
-      .drop("__rn")
-    below.unionByName(boundary).drop("__hb", "__bstar", "__m")
+    smallestKPerGroup(df, groupCol, idCol,
+      weightsE4.map { case (s, w) => s -> w * t / 10000L })
   }
 
   /** Pack rows into training shards under a token budget: rows are
