@@ -32,69 +32,100 @@ object Sampling {
 
   /** Exactly-n-per-stratum sample: each stratum keeps its n rows with
     * the smallest (id hash, id). Selection goes through the two-phase
-    * boundary-bucket path ([[smallestKPerGroup]]) — a row_number over
-    * whole strata would serialize each stratum through one task at
-    * corpus scale.
+    * boundary-bucket path — a row_number over whole strata serializes
+    * each stratum through one task when strata are few and huge (the
+    * regime this operator targets). Quotas come from the histogram's
+    * own group set, so this is ONE scan plus the boundary pass; null
+    * strata are kept as their own stratum (matching the windowed
+    * form and the SQL PARTITION BY semantics).
+    *
+    * Driver memory holds the (stratum, occupied-bucket) histogram —
+    * fine up to ~10⁵ strata. For ultra-high-cardinality strata with
+    * small groups use [[stratifiedSampleWindowed]]: with strata ≫
+    * cores the per-stratum sort is already partition-parallel and
+    * needs no driver state.
     */
   def stratifiedSample(df: DataFrame, strataCol: String, idCol: String,
-                       nPerStratum: Int): DataFrame = {
-    val strata = df.select(col(strataCol)).distinct().collect().map(_.getString(0))
-    smallestKPerGroup(df, strataCol, idCol,
-      strata.map(_ -> nPerStratum.toLong).toMap)
+                       nPerStratum: Int): DataFrame =
+    selectSmallestK(df, strataCol, idCol, None,
+      totals => totals.keys.map(_ -> nPerStratum.toLong).toMap)
+
+  /** The window formulation of [[stratifiedSample]] — any stratum
+    * type, no driver state; right for many small strata, wrong for few
+    * huge ones. Identical output.
+    */
+  def stratifiedSampleWindowed(df: DataFrame, strataCol: String, idCol: String,
+                               nPerStratum: Int): DataFrame = {
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(hashBucket(col(idCol)), col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= nPerStratum)
+      .drop("__rn")
   }
 
-  /** The k_g rows with the smallest (hashBucket(id), id) per group,
-    * WITHOUT a per-group global sort: one (group, bucket) hash
-    * aggregate (≤ groups × 10000 rows) locates each group's cutoff
-    * bucket on the driver; rows strictly below it pass by a broadcast
+  /** Two-phase smallest-(hashBucket, id) selection per group, one
+    * scan: a (group, bucket) hash aggregate (≤ groups × 10000 rows)
+    * collected to the driver locates each group's cutoff bucket;
+    * rows strictly below it pass by a null-safe broadcast-joined
     * filter, and only the cutoff bucket's sliver (~1/10000 of the
-    * group) is ranked for the residual. Groups absent from `quotas`
-    * are dropped. Group column must be string-typed (the driver-side
-    * cut table is rebuilt as literals).
+    * group) is ranked for the residual. `quotas` receives per-group
+    * totals FROM THE SAME histogram scan (no second pass, no two-scan
+    * consistency window) and returns each group's quota — groups it
+    * omits keep nothing; null groups are real strata. `restrictTo`,
+    * when set, drops groups outside it before the histogram. Group
+    * column must be string-typed (the driver-side cut table is
+    * rebuilt as literals).
     */
-  private[graft] def smallestKPerGroup(df: DataFrame, groupCol: String,
-                                       idCol: String,
-                                       quotas: Map[String, Long]): DataFrame = {
+  private[graft] def selectSmallestK(df: DataFrame, groupCol: String,
+                                     idCol: String,
+                                     restrictTo: Option[Set[String]],
+                                     quotas: Map[Option[String], Long] => Map[Option[String], Long]): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     require(df.schema(groupCol).dataType == org.apache.spark.sql.types.StringType,
-      s"smallestKPerGroup needs a string group column, got ${df.schema(groupCol).dataType}")
-    if (quotas.isEmpty) return df.limit(0)
-    val bucketed = df.filter(col(groupCol).isin(quotas.keys.toSeq: _*))
-      .withColumn("__hb", hashBucket(col(idCol)))
+      s"selectSmallestK needs a string group column, got ${df.schema(groupCol).dataType}")
+    val restricted = restrictTo match {
+      case Some(keys) => df.filter(col(groupCol).isin(keys.toSeq: _*))
+      case None => df
+    }
+    val bucketed = restricted.withColumn("__hb", hashBucket(col(idCol)))
     val hist = bucketed.groupBy(col(groupCol), col("__hb")).agg(count(lit(1)).as("__c"))
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-    val bySource = hist.groupBy(_._1).map { case (g, rows) =>
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1), r.getLong(2)))
+    val byGroup = hist.groupBy(_._1).map { case (g, rows) =>
       g -> rows.map(r => (r._2, r._3)).sortBy(_._1)
     }
-    val cuts: Seq[(String, Long, Long)] = quotas.toSeq.map { case (g, k) =>
-      val buckets = bySource.getOrElse(g, Array.empty[(Long, Long)])
+    val q = quotas(byGroup.map { case (g, b) => g -> b.map(_._2).sum })
+    val cuts: Seq[(String, Long, Long)] = byGroup.toSeq.map { case (g, buckets) =>
+      val k = q.getOrElse(g, 0L)
       val total = buckets.map(_._2).sum
-      if (k <= 0 || buckets.isEmpty) (g, -1L, 0L) // keep nothing
-      else if (total <= k) (g, 10000L, 0L)        // quota covers the group: keep all
-      else {
-        // total > k guarantees the walk lands on a cutoff bucket.
-        var remaining = k
-        var bStar = -1L
-        var resid = 0L
-        val it = buckets.iterator
-        while (bStar < 0 && it.hasNext) {
-          val (b, c) = it.next()
-          if (c >= remaining) { bStar = b; resid = remaining }
-          else remaining -= c
+      val (bStar, resid) =
+        if (k <= 0) (-1L, 0L)       // keep nothing
+        else if (total <= k) (10000L, 0L) // quota covers the group: keep all
+        else {
+          // total > k guarantees the walk lands on a cutoff bucket.
+          var remaining = k
+          var b = -1L
+          var r = 0L
+          val it = buckets.iterator
+          while (b < 0 && it.hasNext) {
+            val (bkt, c) = it.next()
+            if (c >= remaining) { b = bkt; r = remaining }
+            else remaining -= c
+          }
+          (b, r)
         }
-        (g, bStar, resid)
-      }
+      (g.orNull, bStar, resid)
     }
-    val cutDf = cuts.toDF(groupCol, "__bstar", "__m")
-    val joined = bucketed.join(broadcast(cutDf), groupCol)
+    val cutDf = cuts.toDF("__grp", "__bstar", "__m")
+    // Null-safe join: a null group is a real stratum, not a dropped row.
+    val joined = bucketed.join(broadcast(cutDf), col(groupCol) <=> col("__grp"))
     val below = joined.filter(col("__hb") < col("__bstar"))
     val wB = Window.partitionBy(col(groupCol)).orderBy(col(idCol))
     val boundary = joined.filter(col("__hb") === col("__bstar"))
       .withColumn("__rn", row_number().over(wB))
       .filter(col("__rn") <= col("__m"))
       .drop("__rn")
-    below.unionByName(boundary).drop("__hb", "__bstar", "__m")
+    below.unionByName(boundary).drop("__hb", "__grp", "__bstar", "__m")
   }
 
   /** Deterministic train/val/test split: the id hash partitions the
@@ -144,23 +175,23 @@ object Sampling {
       "every mixture weight must be positive")
     require(weightsE4.values.sum == 10000L,
       s"weights must sum to 10000 (e4 proportions), got ${weightsE4.values.sum}")
-    val totals = df.filter(col(groupCol).isin(weightsE4.keys.toSeq: _*))
-      .groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    require(weightsE4.keySet.subsetOf(totals.keySet),
-      s"sources absent from the data: ${weightsE4.keySet -- totals.keySet}")
-    // Largest total hitting the exact mixture, then per-source quotas.
-    // t is rounded DOWN to a multiple of 10000/gcd(weights) so every
-    // quota w_s*t/1e4 is exact — otherwise floor() quotas drift off
-    // the stated proportions for counts that aren't well-aligned
-    // (e.g. counts (26,19,13,7) at 4:3:2:1 would give 25/61 ≈ 41%).
-    @annotation.tailrec
-    def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
-    val unit = 10000L / weightsE4.values.foldLeft(10000L)(gcd)
-    val tRaw = weightsE4.map { case (s, w) => totals(s) * 10000L / w }.min
-    val t = tRaw - tRaw % unit
-    smallestKPerGroup(df, groupCol, idCol,
-      weightsE4.map { case (s, w) => s -> w * t / 10000L })
+    selectSmallestK(df, groupCol, idCol, Some(weightsE4.keySet), { observed =>
+      val totals = observed.collect { case (Some(s), n) => s -> n }
+      require(weightsE4.keySet.subsetOf(totals.keySet),
+        s"sources absent from the data: ${weightsE4.keySet -- totals.keySet}")
+      // Largest total hitting the exact mixture, then per-source
+      // quotas — all from the one histogram scan. t is rounded DOWN
+      // to a multiple of 10000/gcd(weights) so every quota w_s*t/1e4
+      // is exact — otherwise floor() quotas drift off the stated
+      // proportions for counts that aren't well-aligned (e.g. counts
+      // (26,19,13,7) at 4:3:2:1 would give 25/61 ≈ 41%).
+      @annotation.tailrec
+      def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+      val unit = 10000L / weightsE4.values.foldLeft(10000L)(gcd)
+      val tRaw = weightsE4.map { case (s, w) => totals(s) * 10000L / w }.min
+      val t = tRaw - tRaw % unit
+      weightsE4.map { case (s, w) => (Some(s): Option[String]) -> w * t / 10000L }
+    })
   }
 
   /** Pack rows into training shards under a token budget: rows are

@@ -30,7 +30,10 @@ class AppSpec extends SparkSpecBase {
     // start() itself configures the RocksDB provider the indicators
     // layer needs — this test also pins that behavior. The finally
     // stops any still-running queries and restores the shared
-    // session's default for later suites even if an assertion throws.
+    // session's previous setting for later suites even if an
+    // assertion throws.
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(providerKey)
     var mgr: graft.streaming.Sinks.SinkManager = null
     try {
     mgr = App.start(spark, mem.toDF(), cfg)
@@ -59,7 +62,10 @@ class AppSpec extends SparkSpecBase {
     assert(math.abs(ind.last.getAs[Double]("ema") - (10.5 + 1.0 * 2.0 / 15.0)) < 1e-12)
     } finally {
       if (mgr != null) mgr.stopAll()
-      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      prevProvider match {
+        case Some(p) => spark.conf.set(providerKey, p)
+        case None => spark.conf.unset(providerKey)
+      }
     }
   }
 
@@ -72,6 +78,8 @@ class AppSpec extends SparkSpecBase {
       "--chained", "true", "--layers", "silver,gold5m,indicators",
       "--out", s"$dir/out", "--checkpoint", s"$dir/ckp", "--trigger", "0 seconds"))
     assert(cfg.chained)
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(providerKey)
     val mgr = App.start(spark, mem.toDF(), cfg)
     mem.addData(
       s"""{"symbol":"AAPL","price":10.5,"volume":3,"timestamp":$t0,"conditions":[],"ingestion_time":$t0}""",
@@ -83,7 +91,10 @@ class AppSpec extends SparkSpecBase {
       mgr.processAllAvailable()
     } finally {
       mgr.stopAll()
-      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      prevProvider match {
+        case Some(p) => spark.conf.set(providerKey, p)
+        case None => spark.conf.unset(providerKey)
+      }
     }
     assert(spark.read.parquet(s"$dir/out/silver").count() === 2)
     // The chained indicators layer consumed the same silver output.

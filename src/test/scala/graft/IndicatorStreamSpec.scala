@@ -21,20 +21,8 @@ class IndicatorStreamSpec extends SparkSpecBase {
     prices.tail.scanLeft(prices.head)((e, x) => a * x + (1 - a) * e)
   }
 
-  private def withRocksDb[T](body: => T): T = {
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try body
-    finally prev match {
-      case Some(p) => spark.conf.set(key, p)
-      case None => spark.conf.unset(key)
-    }
-  }
-
   test("streaming EMA continues across micro-batches and matches the reference") {
-    withRocksDb {
+    withRocksDbState {
       implicit val sqlCtx = spark.sqlContext
       val mem = MemoryStream[TradeTick]
       val q = IndicatorStream.updates(spark, mem.toDS(), n = 3)
@@ -54,7 +42,7 @@ class IndicatorStreamSpec extends SparkSpecBase {
   }
 
   test("streaming equals batch regardless of micro-batch slicing") {
-    withRocksDb {
+    withRocksDbState {
       implicit val sqlCtx = spark.sqlContext
       val prices = (1 to 40).map(i => 100.0 + (i % 7) - (i % 3) * 2)
       val ticks = prices.zipWithIndex.map { case (p, i) => tick(p, i) }
@@ -80,7 +68,7 @@ class IndicatorStreamSpec extends SparkSpecBase {
   }
 
   test("state survives a checkpointed stop/restart: the recursion continues, not restarts") {
-    withRocksDb {
+    withRocksDbState {
       implicit val sqlCtx = spark.sqlContext
       val dir = java.nio.file.Files.createTempDirectory("graft_ind_restart").toString
       val mem = MemoryStream[TradeTick]

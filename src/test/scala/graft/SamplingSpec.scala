@@ -26,6 +26,19 @@ class SamplingSpec extends SparkSpecBase {
     assert(out.forall(_.getAs[Long]("count") === 5L))
   }
 
+  test("stratified sample: null strata survive; boundary path equals the windowed form") {
+    val rows = (0L until 40L).map(i =>
+      (i, if (i % 4 == 0) null else s"g${i % 3}"))
+    val df = rows.toDF("doc_id", "lang")
+    def keyset(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+    val fast = keyset(Sampling.stratifiedSample(df, "lang", "doc_id", 3))
+    val windowed = keyset(Sampling.stratifiedSampleWindowed(df, "lang", "doc_id", 3))
+    assert(fast === windowed)
+    // The null stratum keeps its quota like any other.
+    assert(fast.count(_._2.isEmpty) === 3)
+  }
+
   test("mixture sample hits exact proportions, equals the naive rank form, partition-invariant") {
     val docs = Tables.documents(spark, Sf)
     val weights = Map("src0" -> 4000L, "src1" -> 3000L, "src2" -> 2000L, "src3" -> 1000L)

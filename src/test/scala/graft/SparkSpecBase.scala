@@ -21,4 +21,20 @@ object TestSpark {
 abstract class SparkSpecBase extends AnyFunSuite {
   lazy val spark: SparkSession = TestSpark.spark
   val Sf: String = "/root/testdata/sf0.001"
+
+  /** Run `body` with the RocksDB state store provider, restoring the
+    * session's previous setting afterwards (set-back, not blind unset
+    * — the shared session may carry a deliberate choice).
+    */
+  def withRocksDbState[T](body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None => spark.conf.unset(key)
+    }
+  }
 }
