@@ -52,7 +52,13 @@ object App {
         * Halves stateful work per extra grain — the posture for
         * state-constrained deployments; requires the silver layer.
         */
-      chained: Boolean = false)
+      chained: Boolean = false,
+      /** Catch-up bound for the chained file sources: max silver files
+        * per micro-batch. After downtime an unbounded file source
+        * hands one batch the whole backlog — each stateful consumer
+        * then buffers its groups' rows for that batch in memory.
+        */
+      maxFilesPerTrigger: Int = 1000)
 
   def parseArgs(args: Array[String]): Config =
     args.sliding(2, 2).foldLeft(Config()) {
@@ -66,6 +72,7 @@ object App {
       case (c, Array("--layers", v)) => c.copy(layers = v.split(",").map(_.trim).toSet)
       case (c, Array("--trigger", v)) => c.copy(trigger = v)
       case (c, Array("--watermark", v)) => c.copy(watermark = v)
+      case (c, Array("--max-files-per-trigger", v)) => c.copy(maxFilesPerTrigger = v.toInt)
       case (c, Array("--master", v)) => c.copy(master = v)
       case (c, Array("--format", v)) => c.copy(format = v)
       case (c, Array("--chained", v)) => c.copy(chained = v.toBoolean)
@@ -201,7 +208,9 @@ object App {
         silverPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
           .mkdirs(silverPath)
         TradeStreams.withWatermark(
-          spark.readStream.schema(silverSchema).parquet(s"${cfg.out}/silver"),
+          spark.readStream.schema(silverSchema)
+            .option("maxFilesPerTrigger", cfg.maxFilesPerTrigger)
+            .parquet(s"${cfg.out}/silver"),
           cfg.watermark)
       } else
         TradeStreams.dedupWithinWatermark(TradeStreams.toSilverStreaming(watermarked))

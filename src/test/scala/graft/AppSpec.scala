@@ -11,11 +11,13 @@ class AppSpec extends SparkSpecBase {
     val cfg = App.parseArgs(Array(
       "--source", "kafka", "--brokers", "b:9092", "--topic", "t",
       "--offsets", "earliest", "--layers", "bronze,gold1h",
-      "--trigger", "5 seconds", "--watermark", "2 minutes"))
+      "--trigger", "5 seconds", "--watermark", "2 minutes",
+      "--max-files-per-trigger", "250"))
     assert(cfg.source === "kafka" && cfg.brokers === "b:9092")
     assert(cfg.layers === Set("bronze", "gold1h"))
     assert(cfg.trigger === "5 seconds" && cfg.watermark === "2 minutes")
     assert(cfg.offsets === "earliest")
+    assert(cfg.maxFilesPerTrigger === 250)
     intercept[RuntimeException](App.parseArgs(Array("--bogus", "x")))
   }
 
