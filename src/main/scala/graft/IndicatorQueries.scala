@@ -58,20 +58,20 @@ object IndicatorQueries {
       SELECT symbol, event_time, price,
              COUNT(*) OVER w AS cnt,
              CAST(SUM(px) OVER w AS BIGINT) AS s1,
-             CAST(SUM(px * px) OVER w AS BIGINT) AS s2
+             SUM(CAST(px AS HUGEINT) * px) OVER w AS s2
       FROM ind
       WINDOW w AS (PARTITION BY symbol ORDER BY event_time
                    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
     )
     SELECT symbol, epoch_ms(event_time) AS ts_ms, price, cnt,
            CAST((s1 * 100) // cnt AS BIGINT) AS sma_e6,
-           CAST(cnt * s2 - s1 * s1 AS BIGINT) AS var_num,
+           CAST(cnt * s2 - CAST(s1 AS HUGEINT) * s1 AS BIGINT) AS var_num,
            CAST(s1 AS DOUBLE) / CAST(cnt * 10000 AS DOUBLE) AS sma,
            CAST(s1 AS DOUBLE) / CAST(cnt * 10000 AS DOUBLE)
-             + 2.0 * sqrt(CAST(cnt * s2 - s1 * s1 AS DOUBLE)
+             + 2.0 * sqrt(CAST(cnt * s2 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)
                           / CAST(cnt * cnt * 100000000 AS DOUBLE)) AS bb_upper,
            CAST(s1 AS DOUBLE) / CAST(cnt * 10000 AS DOUBLE)
-             - 2.0 * sqrt(CAST(cnt * s2 - s1 * s1 AS DOUBLE)
+             - 2.0 * sqrt(CAST(cnt * s2 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)
                           / CAST(cnt * cnt * 100000000 AS DOUBLE)) AS bb_lower
     FROM wnd"""),
 
@@ -113,13 +113,13 @@ object IndicatorQueries {
       SELECT symbol, trade_date, px,
              COUNT(*) OVER w AS cnt,
              CAST(SUM(px) OVER w AS BIGINT) AS s1,
-             CAST(SUM(px * px) OVER w AS BIGINT) AS s2
+             SUM(CAST(px AS HUGEINT) * px) OVER w AS s2
       FROM ind
       WINDOW w AS (PARTITION BY symbol ORDER BY event_time
                    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
     )
     SELECT symbol, trade_date, COUNT(*) AS n_windows,
-           CAST(SUM(CASE WHEN dev * dev > 9 * (cnt * s2 - s1 * s1)
+           CAST(SUM(CASE WHEN CAST(dev AS HUGEINT) * dev > 9 * (cnt * s2 - CAST(s1 AS HUGEINT) * s1)
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_spikes
     FROM (SELECT symbol, trade_date, cnt, s1, s2, cnt * px - s1 AS dev
           FROM wnd WHERE cnt = 20)

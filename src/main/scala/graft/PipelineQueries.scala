@@ -593,7 +593,7 @@ object PipelineQueries {
     * space-joined window.
     */
   val chunkingSql: String = s"""WITH tk AS (
-    SELECT doc_id, $toksSql AS toks FROM documents
+    SELECT doc_id, $rawToksSql AS toks FROM documents
   ), st AS (
     SELECT doc_id, toks, unnest(
              CASE WHEN len(toks) > 0 THEN generate_series(0, len(toks) - 1, 96)

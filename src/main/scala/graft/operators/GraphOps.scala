@@ -19,8 +19,10 @@ import org.apache.spark.sql.functions._
   * stars, and the round count is O(log n) rather than O(diameter), so
   * a 100 TB pair list converges in a dozen rounds even for chain-shaped
   * duplicate families. The driver loop carries no data — only a
-  * (count, hash-sum) convergence signature per round; every round's
-  * frame is eagerly checkpointed so lineage stays flat.
+  * (count, hash-sum) convergence signature per round (re-confirmed
+  * structurally at the end, so a signature collision cannot produce a
+  * silent wrong answer); every round's frame is eagerly checkpointed
+  * so lineage stays flat.
   */
 object GraphOps {
 
@@ -95,6 +97,17 @@ object GraphOps {
       iter += 1
     }
     require(converged, s"connectedComponents did not converge in $maxIter rounds")
+
+    // The signature is a (count, xor-of-hashes) proxy: two DIFFERENT
+    // consecutive edge sets could collide (~2⁻⁶⁴) and stop the loop
+    // early — a silent wrong answer. Rule it out by confirming the
+    // fixpoint directly: one more contraction round must reproduce e
+    // exactly (both frames are distinct+canonical, so an empty
+    // symmetric difference means set equality). Costs one extra round
+    // out of O(log n) — cheap insurance against a silent failure mode.
+    val confirm = smallStar(largeStar(e))
+    require(confirm.exceptAll(e).union(e.exceptAll(confirm)).isEmpty,
+      "convergence signature collided: edge set was not a fixpoint")
 
     // At the fixpoint E is a forest of stars: each non-root's minimum
     // neighbor is its root; each root's neighbors are all larger.

@@ -36,6 +36,22 @@ object Indicators {
   private def ticksE4(price: Column): Column =
     (price.cast("decimal(18,4)") * 10000).cast("long")
 
+  /** Second-moment window sum Σx² computed in decimal so the
+    * intermediate never overflows Long: px² alone exceeds 2⁶³ for
+    * prices above ~$96M-e4, and n·Σx²−(Σx)² exceeds it above ~$15k —
+    * far below real crypto prices. decimal(38,0) holds 20·(1e18)²
+    * comfortably; only the final variance NUMERATOR (a difference of
+    * near-equal moments, ~n²·var(x)) is cast back to long, which under
+    * ANSI fails loudly iff the within-window tick variance itself
+    * tops 2⁶³ — σ(price) > ~$340k inside one 20-trade window.
+    */
+  private def sumSqDec(px: Column, w: org.apache.spark.sql.expressions.WindowSpec): Column =
+    sum(px.cast("decimal(19,0)") * px).over(w)
+
+  /** Exact variance numerator cnt·Σx² − (Σx)² in decimal. */
+  private def varNumDec(cnt: Column, s1: Column, s2: Column): Column =
+    cnt * s2 - s1.cast("decimal(19,0)") * s1
+
   private def bySymbolTime = Window.partitionBy(col("symbol")).orderBy(col("event_time"))
 
   /** Rolling SMA + Bollinger bands over the last `n` trades.
@@ -50,7 +66,7 @@ object Indicators {
       .withColumn("px", ticksE4(col("price")))
       .withColumn("cnt", count(lit(1)).over(w))
       .withColumn("s1", sum(col("px")).over(w))
-      .withColumn("s2", sum(col("px") * col("px")).over(w))
+      .withColumn("s2", sumSqDec(col("px"), w))
       .select(
         col("symbol"),
         unix_millis(col("event_time")).as("ts_ms"),
@@ -60,7 +76,7 @@ object Indicators {
         // Both operands nonnegative, so truncating and flooring
         // division agree (Spark div vs DuckDB // differ on negatives).
         expr("(s1 * 100) div cnt").as("sma_e6"),
-        (col("cnt") * col("s2") - col("s1") * col("s1")).as("var_num"),
+        varNumDec(col("cnt"), col("s1"), col("s2")).cast("long").as("var_num"),
         smaD(col("s1"), col("cnt")).as("sma"),
         (smaD(col("s1"), col("cnt")) + lit(2.0) * sigmaD(col("cnt"), col("s1"), col("s2")))
           .as("bb_upper"),
@@ -73,10 +89,12 @@ object Indicators {
     s1.cast("double") / (cnt * 10000).cast("double")
 
   /** Population σ in price units from the exact integer sums: one
-    * division + one sqrt, both correctly rounded.
+    * division + one sqrt, both correctly rounded. The decimal→double
+    * cast of the exact numerator is also correctly rounded (as is
+    * DuckDB's HUGEINT→DOUBLE), so the oracle stays bit-identical.
     */
   private def sigmaD(cnt: Column, s1: Column, s2: Column): Column =
-    sqrt((cnt * s2 - s1 * s1).cast("double") /
+    sqrt(varNumDec(cnt, s1, s2).cast("double") /
       (cnt * cnt * lit(100000000L)).cast("double"))
 
   /** Per-trade simple returns + the day's top-k movers by |return|.
@@ -142,11 +160,12 @@ object Indicators {
       .withColumn("px", ticksE4(col("price")))
       .withColumn("cnt", count(lit(1)).over(w))
       .withColumn("s1", sum(col("px")).over(w))
-      .withColumn("s2", sum(col("px") * col("px")).over(w))
+      .withColumn("s2", sumSqDec(col("px"), w))
       .filter(col("cnt") === n)
       .withColumn("dev", col("cnt") * col("px") - col("s1"))
       .withColumn("spike",
-        (col("dev") * col("dev")) > lit(z.toLong * z) * (col("cnt") * col("s2") - col("s1") * col("s1")))
+        (col("dev").cast("decimal(19,0)") * col("dev")) >
+          lit(z.toLong * z) * varNumDec(col("cnt"), col("s1"), col("s2")))
       .groupBy(col("symbol"), col("trade_date"))
       .agg(count(lit(1)).as("n_windows"),
         sum(when(col("spike"), 1L).otherwise(0L)).as("n_spikes"))

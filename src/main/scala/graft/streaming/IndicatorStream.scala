@@ -113,6 +113,13 @@ object IndicatorStream {
 
     override def handleInputRows(symbol: String, rows: Iterator[TradeTick],
                                  timerValues: TimerValues): Iterator[IndicatorUpdate] = {
+      // The materialize-then-sort is per (key, micro-batch) and is
+      // bounded by the source's per-trigger cap (the file source's
+      // maxFilesPerTrigger; Kafka's default maxOffsetsPerTrigger in
+      // TradeStreams.kafkaOptions) — a catch-up backlog arrives as a
+      // sequence of bounded batches, never one unbounded buffer. The
+      // sort itself is unavoidable: rows within a micro-batch carry
+      // no order, and the recursion is order-sensitive.
       val (next, updates) = fold(symbol, rows.toSeq, Option(state.get()), n)
       next.foreach(state.update)
       updates.iterator

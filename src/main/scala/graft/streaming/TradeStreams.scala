@@ -38,6 +38,15 @@ object TradeStreams {
     val All: Seq[String] = Seq(TradesRaw, QuotesRaw, CryptoRaw, DeadLetters)
   }
 
+  /** Default per-trigger offset cap. Without one, the first batch
+    * after downtime reads the WHOLE backlog, and every per-key
+    * stateful stage downstream (IndicatorProcessor sorts a key's
+    * micro-batch slice in memory) sees an unbounded buffer. The cap
+    * makes catch-up a sequence of bounded batches instead — the Kafka
+    * analog of the file source's maxFilesPerTrigger bound.
+    */
+  val DefaultMaxOffsetsPerTrigger: Long = 1000000L
+
   /** S1 — Kafka streaming scan (read_from_kafka,
     * spark_processor.py:116-133): subscribe, latest offsets, tolerate
     * data loss. Returns the raw (key, value, topic, ...) frame.
@@ -50,21 +59,28 @@ object TradeStreams {
 
   def kafkaSource(spark: SparkSession, bootstrap: String, topics: Seq[String],
                   startingOffsets: String): DataFrame =
+    kafkaSource(spark, bootstrap, topics, startingOffsets, DefaultMaxOffsetsPerTrigger)
+
+  def kafkaSource(spark: SparkSession, bootstrap: String, topics: Seq[String],
+                  startingOffsets: String, maxOffsetsPerTrigger: Long): DataFrame =
     spark.readStream
       .format("kafka")
-      .options(kafkaOptions(bootstrap, topics, startingOffsets))
+      .options(kafkaOptions(bootstrap, topics, startingOffsets, maxOffsetsPerTrigger))
       .load()
 
   /** Reader options for a subscribe-list scan — exposed so the config
     * contract is testable without a broker (none in this sandbox).
     */
   def kafkaOptions(bootstrap: String, topics: Seq[String],
-                   startingOffsets: String): Map[String, String] = {
+                   startingOffsets: String,
+                   maxOffsetsPerTrigger: Long = DefaultMaxOffsetsPerTrigger): Map[String, String] = {
     require(topics.nonEmpty, "at least one topic")
+    require(maxOffsetsPerTrigger > 0, "maxOffsetsPerTrigger must be positive")
     Map(
       "kafka.bootstrap.servers" -> bootstrap,
       "subscribe" -> topics.mkString(","),
       "startingOffsets" -> startingOffsets,
+      "maxOffsetsPerTrigger" -> maxOffsetsPerTrigger.toString,
       "failOnDataLoss" -> "false")
   }
 
@@ -72,12 +88,14 @@ object TradeStreams {
     * topics without a restart).
     */
   def kafkaSourcePattern(spark: SparkSession, bootstrap: String, pattern: String,
-                         startingOffsets: String = "latest"): DataFrame =
+                         startingOffsets: String = "latest",
+                         maxOffsetsPerTrigger: Long = DefaultMaxOffsetsPerTrigger): DataFrame =
     spark.readStream
       .format("kafka")
       .option("kafka.bootstrap.servers", bootstrap)
       .option("subscribePattern", pattern)
       .option("startingOffsets", startingOffsets)
+      .option("maxOffsetsPerTrigger", maxOffsetsPerTrigger.toString)
       .option("failOnDataLoss", "false")
       .load()
 

@@ -133,6 +133,9 @@ class AvroIngestSpec extends SparkSpecBase {
     assert(opts("kafka.bootstrap.servers") === "localhost:9092")
     assert(opts("startingOffsets") === "earliest")
     assert(opts("failOnDataLoss") === "false")
+    // Catch-up after downtime must arrive in bounded batches: the
+    // per-trigger offset cap is on by default, not opt-in.
+    assert(opts("maxOffsetsPerTrigger").toLong > 0)
     intercept[IllegalArgumentException] {
       TradeStreams.kafkaOptions("localhost:9092", Nil, "latest")
     }

@@ -72,6 +72,22 @@ class IndicatorsSpec extends SparkSpecBase {
     assert(out(1).getAs[Double]("ret") === -0.5)
   }
 
+  test("crypto-scale prices survive the variance path (no Long overflow)") {
+    // BTC-scale ticks: px ~ 1e9 e4-units, so (Σpx)² ~ 4e20 — past 2⁶³.
+    // The decimal intermediates must absorb that; the final var_num
+    // (a difference of near-equal moments) still fits a Long.
+    val prices = (0 until 25).map(i => 97000.0 + (i % 7) * 13.37)
+    val out = Indicators.smaBollinger(feed(prices), n = 20)
+      .orderBy(col("ts_ms")).collect()
+    assert(out.length === 25)
+    assert(out.forall(_.getAs[Long]("var_num") >= 0L))
+    assert(out.forall(r => r.getAs[Double]("bb_upper") >= r.getAs[Double]("bb_lower")))
+    val spikes = Indicators.spikeCounts(
+      feed((0 until 39).map(i => 97000.0 + (i % 5) * 0.5) :+ 150000.0), n = 20, z = 3)
+      .collect()
+    assert(spikes.head.getAs[Long]("n_spikes") === 1L)
+  }
+
   test("plans contain no partition-less window") {
     val silver = SparkEntry.silverDf(spark, Sf)
     Seq(Indicators.smaBollinger(silver), Indicators.rsi(silver),

@@ -102,6 +102,14 @@ class SamplingSpec extends SparkSpecBase {
     // at start+4, chunk i+1 starts at start+3.
   }
 
+  test("chunking preserves case: the chunk fingerprint is over the raw text") {
+    val df = Seq((1L, "Hello World"), (2L, "hello world")).toDF("doc_id", "text")
+    val md5s = graft.operators.TextAnalysis.chunkByTokens(df, chunkTokens = 4, overlap = 1)
+      .collect().map(r => r.getLong(0) -> r.getString(4)).toMap
+    assert(md5s(1L) === org.apache.commons.codec.digest.DigestUtils.md5Hex("Hello World"))
+    assert(md5s(1L) !== md5s(2L))
+  }
+
   test("labeled split is exhaustive, disjoint, stable under corpus growth") {
     val small = (0L until 500L).toDF("doc_id")
     val splits = Seq("train" -> 9000L, "val" -> 500L, "test" -> 500L)
