@@ -24,8 +24,13 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/events.parquet").limit(1).count()
     // Stable iteration order so per-query numbers are comparable
-    // across rounds.
+    // across rounds. SPARK_GRAFT_ONLY=a1,d9 restricts the run while
+    // iterating on one query's plan (dev convenience; the driver's
+    // per-round bench leaves it unset and times everything).
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     // A failing query reports -1.0, never a fake wall-clock figure —
     // totals must not silently absorb broken queries.
     val results = names.map { name =>

@@ -19,10 +19,10 @@ import org.apache.spark.sql.functions._
   * stars, and the round count is O(log n) rather than O(diameter), so
   * a 100 TB pair list converges in a dozen rounds even for chain-shaped
   * duplicate families. The driver loop carries no data — only a
-  * (count, hash-sum) convergence signature per round (re-confirmed
-  * structurally at the end, so a signature collision cannot produce a
-  * silent wrong answer); every round's frame is eagerly checkpointed
-  * so lineage stays flat.
+  * per-round star-forest convergence bit (a structural fixpoint test,
+  * so there is no fingerprint-collision failure mode and the loop
+  * stops the round the fixpoint is reached, not one round later);
+  * every round's frame is eagerly checkpointed so lineage stays flat.
   */
 object GraphOps {
 
@@ -41,14 +41,27 @@ object GraphOps {
       .distinct()
       .localCheckpoint(true)
 
-    // Order-independent edge-set fingerprint: XOR of row hashes never
-    // overflows (sum would raise under ANSI) and edges are distinct,
-    // so no pair can self-cancel.
-    def signature(df: DataFrame): (Long, Long) = {
-      val r = df.agg(count(lit(1)),
-        coalesce(expr("bit_xor(xxhash64(s, d))"), lit(0L))).head()
-      (r.getLong(0), r.getLong(1))
-    }
+    // Convergence test: a canonical (s<d, distinct) edge set is a
+    // fixpoint of the smallStar∘largeStar round IFF it is a star
+    // forest — no node is both a parent and a child, and every child
+    // has exactly one parent. (A star forest with min-roots maps to
+    // itself under both stars, case by case; any violation changes the
+    // set, so the first star-forest round IS the fixpoint.) Checking
+    // structure directly is both exact — no hash-collision failure
+    // mode, unlike a fingerprint compare — and one round cheaper: a
+    // fingerprint only detects the fixpoint after a second round
+    // reproduces it. One union + hash-aggregate per round, same cost
+    // class as computing a fingerprint.
+    def isStarForest(df: DataFrame): Boolean =
+      df.select(col("s").as("node"), lit(1).as("par"), lit(0).as("chi"),
+          lit(null).cast(df.schema("s").dataType).as("parent"))
+        .union(df.select(col("d").as("node"), lit(0).as("par"), lit(1).as("chi"),
+          col("s").as("parent")))
+        .groupBy("node")
+        .agg(max(col("par")).as("p"), max(col("chi")).as("c"),
+          countDistinct(col("parent")).as("np"))
+        .filter((col("p") === 1 && col("c") === 1) || col("np") > 1)
+        .isEmpty
 
     // large-star: every neighbor v > u links to m(u) = min(N(u) ∪ {u}).
     def largeStar(cur: DataFrame): DataFrame = {
@@ -84,30 +97,16 @@ object GraphOps {
         case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
       }
 
-    var sig = signature(e)
-    var converged = false
+    var converged = isStarForest(e)
     var iter = 0
     while (!converged && iter < maxIter) {
       val next = smallStar(largeStar(e)).localCheckpoint(true)
-      val nextSig = signature(next)
+      converged = isStarForest(next)
       backingRdd(e).foreach(_.unpersist(blocking = false))
-      converged = nextSig == sig
       e = next
-      sig = nextSig
       iter += 1
     }
     require(converged, s"connectedComponents did not converge in $maxIter rounds")
-
-    // The signature is a (count, xor-of-hashes) proxy: two DIFFERENT
-    // consecutive edge sets could collide (~2⁻⁶⁴) and stop the loop
-    // early — a silent wrong answer. Rule it out by confirming the
-    // fixpoint directly: one more contraction round must reproduce e
-    // exactly (both frames are distinct+canonical, so an empty
-    // symmetric difference means set equality). Costs one extra round
-    // out of O(log n) — cheap insurance against a silent failure mode.
-    val confirm = smallStar(largeStar(e))
-    require(confirm.exceptAll(e).union(e.exceptAll(confirm)).isEmpty,
-      "convergence signature collided: edge set was not a fixpoint")
 
     // At the fixpoint E is a forest of stars: each non-root's minimum
     // neighbor is its root; each root's neighbors are all larger.
