@@ -255,6 +255,28 @@ object ExtendedQueries {
       .groupBy(col("symbol"))
       .agg(approx_count_distinct(col("event_id"), rsd = 0.02).as("approx_trades"))
 
+  /** X20 — exact heavy hitters: every token holding ≥ 3% of all token
+    * occurrences, found by a mergeable Misra-Gries sketch pass and
+    * counted exactly in a bounded second pass. The output is exact, so
+    * it gets a full hash oracle (plain GROUP BY + HAVING in DuckDB)
+    * even though the scale path goes through a sketch.
+    */
+  def heavyHitterTokens(s: SparkSession, dir: String): DataFrame =
+    operators.HeavyHitters.exactHeavyHitters(
+      Tables.documents(s, dir)
+        .select(explode(operators.TextAnalysis.tokens(lower(col("text")))).as("token")),
+      "token", phiE6 = 30000L)
+
+  val heavyHitterTokensSql: String = """
+    WITH tok AS (
+      SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x != '')) AS token
+      FROM documents
+    ), tot AS (SELECT COUNT(*) AS n FROM tok)
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM tok, tot
+    GROUP BY token, n
+    HAVING COUNT(*) * 1000000 >= n * 30000"""
+
   /** X6 — deterministic Bernoulli sample (10%) of documents. */
   def docSample(s: SparkSession, dir: String): DataFrame =
     operators.Sampling.deterministicSample(
@@ -426,6 +448,7 @@ object ExtendedQueries {
     "x14_pivot" -> (pivotVolume _),
     "x15_range_join" -> (rangeBandJoin _),
     "x16_semi_anti" -> (semiAntiUsers _),
+    "x20_heavy_hitters" -> (heavyHitterTokens _),
     "x6_deterministic_sample" -> (docSample _),
     "x18_mixture" -> (mixtureSample _),
     "x19_split" -> (labeledSplit _),
@@ -449,6 +472,7 @@ object ExtendedQueries {
     "x14_pivot" -> pivotVolumeSql,
     "x15_range_join" -> rangeBandJoinSql,
     "x16_semi_anti" -> semiAntiUsersSql,
+    "x20_heavy_hitters" -> heavyHitterTokensSql,
     "x6_deterministic_sample" -> docSampleSql,
     "x18_mixture" -> mixtureSampleSql,
     "x19_split" -> labeledSplitSql,

@@ -29,6 +29,11 @@ object IndicatorQueries {
     "b4_spike_counts" -> ((s, dir) =>
       Indicators.spikeCounts(SparkEntry.silverDf(s, dir), n = 20, z = 3)),
 
+    // B6 — per-symbol/day max drawdown vs running peak + cumulative
+    // return, exact e6 integer fractions.
+    "b6_drawdown" -> ((s, dir) =>
+      Indicators.drawdown(SparkEntry.silverDf(s, dir))),
+
     // B5 — end-of-day EMA-14 per symbol, the recursion running
     // continuously from sequence start (streaming/IndicatorStream's
     // batch adapter — the one indicator a row-frame window cannot
@@ -123,6 +128,26 @@ object IndicatorQueries {
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_spikes
     FROM (SELECT symbol, trade_date, cnt, s1, s2, cnt * px - s1 AS dev
           FROM wnd WHERE cnt = 20)
+    GROUP BY symbol, trade_date"""),
+
+    // B6: the running peak / first price as ordered-window aggregates,
+    // drawdown + cumulative return in the same exact e4/e6 integer
+    // arithmetic ("//" floor vs Spark "div" truncation agree — every
+    // operand here is non-negative).
+    "b6_drawdown" -> (SparkEntry.P + s""", $ind, wnd AS (
+      SELECT symbol, trade_date, event_time, event_id, px,
+             MAX(px) OVER w AS peak,
+             first_value(px) OVER w AS first_px
+      FROM ind
+      WINDOW w AS (PARTITION BY symbol ORDER BY event_time
+                   ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT symbol, trade_date,
+           CAST(MAX((peak - px) * 1000000 // peak) AS BIGINT) AS max_drawdown_e6,
+           arg_max(px, event_time) AS close_px,
+           CAST(MAX(peak) AS BIGINT) AS peak_px,
+           CAST(arg_max(px, event_time) * 1000000 // MIN(first_px) - 1000000 AS BIGINT) AS cum_ret_e6
+    FROM wnd
     GROUP BY symbol, trade_date"""),
 
     // The EMA recursion as a literal left fold over the per-symbol

@@ -134,6 +134,14 @@ object PipelineQueries {
     Dedup.nearDedupCC(derivedTriples(docs(s, dir)), minJaccardE6 = 500000L)
       .select(col("doc_id"))
 
+  /** D12 — substring-level duplication over the derived triple corpus
+    * (each copy shares every base window except the boundary ones its
+    * appended suffix perturbs, so shared fractions are high but
+    * distinct per family — a real gradient for the oracle to pin).
+    */
+  def substringDup(s: SparkSession, dir: String): DataFrame =
+    Dedup.substringDupStats(derivedTriples(docs(s, dir)), k = 8)
+
   /** T5 — Gopher-style repetition quality stats. */
   def repetitionStats(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.repetitionStats(docs(s, dir))
@@ -159,6 +167,24 @@ object PipelineQueries {
     TextAnalysis.piiStats(planted)
       .select(col("doc_id"), col("n_email"), col("n_ipv4"), col("n_ssn"),
         col("n_phone"), col("pii_total"), col("redacted_md5"))
+  }
+
+  /** T9 — charset composition stats over a corpus with deterministic
+    * planted non-ASCII and digit/case noise (the raw synthetic docs
+    * are pure lowercase ASCII, which would leave the non-ASCII and
+    * uppercase columns vacuously zero).
+    */
+  def charsetStats(s: SparkSession, dir: String): DataFrame = {
+    val planted = docs(s, dir).select(col("doc_id"),
+      concat(col("text"),
+        when(pmod(col("doc_id"), lit(5)) === 0, lit(" déjà vu Ünïcode ©2024"))
+          .otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(9)) === 0, lit(" 12 345 MIXED Case"))
+          .otherwise(lit(""))).as("text"))
+    TextAnalysis.charsetStats(planted)
+      .select(col("doc_id"), col("n_cp"), col("n_alpha"), col("n_digit"),
+        col("n_upper"), col("n_space"), col("n_non_ascii"),
+        col("alpha_frac_e6"), col("non_ascii_frac_e6"))
   }
 
   /** D8 — decontamination overlap vs the doc_id % 97 == 0 "benchmark"
@@ -409,7 +435,7 @@ object PipelineQueries {
     * closure the tiny cluster sizes keep cheap) — ground truth for the
     * distributed star-contraction CC.
     */
-  private val dupGraphCtes: String = s"""WITH RECURSIVE docs9 AS (
+  private val docs9Sql: String = """docs9 AS (
     SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
     UNION ALL
     SELECT doc_id + 1000000,
@@ -419,7 +445,9 @@ object PipelineQueries {
     SELECT doc_id + 2000000,
            text || ' q' || CAST(doc_id % 89 AS VARCHAR) || ' r' || CAST(doc_id % 83 AS VARCHAR)
     FROM documents WHERE doc_id % 10 = 0
-  ), ${shingleSql(3, "1=1", src = "docs9")}, $sigSql,
+  )"""
+
+  private val dupGraphCtes: String = s"""WITH RECURSIVE $docs9Sql, ${shingleSql(3, "1=1", src = "docs9")}, $sigSql,
   banded AS (
     SELECT doc_id, b,
            list_reduce(list_prepend(CAST(b AS BIGINT), sig[b*2 + 1 : b*2 + 2]),
@@ -448,6 +476,38 @@ object PipelineQueries {
   ), comp AS (
     SELECT id, MIN(lbl) AS cluster_id FROM reach GROUP BY id
   )"""
+
+  /** D12 oracle: same derived corpus, same raw-token windows, same
+    * md5-of-joined-slice window identity (DuckDB's 1-based inclusive
+    * list slice `toks[s+1 : s+8]` = Spark's `slice(toks, s+1, 8)`),
+    * aggregated the relational way.
+    */
+  val substringDupSql: String = s"""WITH $docs9Sql,
+  tk AS (
+    SELECT doc_id, $rawToksSql AS toks FROM docs9
+  ), wn AS (
+    SELECT doc_id, toks,
+           CAST(CASE WHEN len(toks) >= 8 THEN len(toks) - 7 ELSE 0 END AS BIGINT) AS n_windows
+    FROM tk
+  ), w AS (
+    SELECT DISTINCT doc_id, md5(array_to_string(toks[s + 1 : s + 8], ' ')) AS wh
+    FROM (SELECT doc_id, toks,
+                 unnest(CASE WHEN len(toks) >= 8
+                        THEN generate_series(0, len(toks) - 8) ELSE [] END) AS s
+          FROM wn)
+  ), g AS (
+    SELECT wh, COUNT(*) AS ndocs FROM w GROUP BY wh
+  ), pd AS (
+    SELECT w.doc_id, CAST(COUNT(*) AS BIGINT) AS nd,
+           CAST(SUM(CASE WHEN g.ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS ns
+    FROM w JOIN g USING (wh) GROUP BY w.doc_id
+  )
+  SELECT wn.doc_id, wn.n_windows,
+         CAST(coalesce(pd.nd, 0) AS BIGINT) AS n_distinct_windows,
+         CAST(coalesce(pd.ns, 0) AS BIGINT) AS n_shared_windows,
+         CASE WHEN coalesce(pd.nd, 0) = 0 THEN CAST(0 AS BIGINT)
+              ELSE CAST(pd.ns * 1000000 // pd.nd AS BIGINT) END AS shared_frac_e6
+  FROM wn LEFT JOIN pd USING (doc_id)"""
 
   val dupClustersSql: String = s"""$dupGraphCtes
     SELECT c.id AS doc_id, c.cluster_id,
@@ -692,6 +752,32 @@ object PipelineQueries {
   FROM p6"""
   }
 
+  /** T9 oracle: same planted text, same RE2/Java-neutral character
+    * classes; both engines' `length` counts code points, and the
+    * planted literals are precomposed (one code point per accented
+    * char) so the counts agree byte-for-byte.
+    */
+  val charsetSql: String = """WITH p9 AS (
+    SELECT doc_id, text
+      || CASE WHEN doc_id % 5 = 0 THEN ' déjà vu Ünïcode ©2024' ELSE '' END
+      || CASE WHEN doc_id % 9 = 0 THEN ' 12 345 MIXED Case' ELSE '' END AS text
+    FROM documents
+  )
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS n_cp,
+         CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS n_alpha,
+         CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digit,
+         CAST(len(regexp_extract_all(text, '[A-Z]')) AS BIGINT) AS n_upper,
+         CAST(len(regexp_extract_all(text, '[ \t\n\r]')) AS BIGINT) AS n_space,
+         CAST(len(regexp_extract_all(text, '[^\x00-\x7f]')) AS BIGINT) AS n_non_ascii,
+         CASE WHEN length(text) = 0 THEN CAST(0 AS BIGINT)
+              ELSE CAST(len(regexp_extract_all(text, '[A-Za-z]')) * 1000000 // length(text) AS BIGINT)
+         END AS alpha_frac_e6,
+         CASE WHEN length(text) = 0 THEN CAST(0 AS BIGINT)
+              ELSE CAST(len(regexp_extract_all(text, '[^\x00-\x7f]')) * 1000000 // length(text) AS BIGINT)
+         END AS non_ascii_frac_e6
+  FROM p9"""
+
   /** Mirrors Dedup.decontaminationOverlap (3-gram shingle overlap vs
     * the doc_id % 97 = 0 benchmark slice).
     */
@@ -717,6 +803,7 @@ object PipelineQueries {
     "t6_pii" -> (piiScan _),
     "t7_vocab_topk" -> (vocabTopK _),
     "t8_chunking" -> (chunking _),
+    "t9_charset" -> (charsetStats _),
     "d1_exact_dedup" -> (exactDedupStats _),
     "d8_decontamination" -> (decontamination _),
     "d10_decontam_bloom" -> (decontaminationBloom _),
@@ -728,6 +815,7 @@ object PipelineQueries {
     "d7_near_dedup" -> (nearDedup _),
     "d9_dup_clusters" -> (dupClusters _),
     "d11_near_dedup_cc" -> (nearDedupCC _),
+    "d12_substring_dup" -> (substringDup _),
     "d6_embedding_dups" -> (embeddingDups _),
     "s1_knn_brute" -> (knnBrute _),
     "s2_knn_lsh" -> (knnLsh _),
@@ -747,6 +835,7 @@ object PipelineQueries {
     "t6_pii" -> piiSql,
     "t7_vocab_topk" -> vocabTopKSql,
     "t8_chunking" -> chunkingSql,
+    "t9_charset" -> charsetSql,
     "d1_exact_dedup" -> exactDedupSql,
     "d8_decontamination" -> decontaminationSql,
     "d10_decontam_bloom" -> decontaminationSql,
@@ -758,6 +847,7 @@ object PipelineQueries {
     "d7_near_dedup" -> nearDedupSql,
     "d9_dup_clusters" -> dupClustersSql,
     "d11_near_dedup_cc" -> nearDedupCCSql,
+    "d12_substring_dup" -> substringDupSql,
     "d6_embedding_dups" -> embeddingDupsSql,
     "s1_knn_brute" -> knnBruteSql,
     "mm1_modality_stats" -> modalityStatsSql,

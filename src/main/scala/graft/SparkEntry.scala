@@ -99,6 +99,10 @@ object SparkEntry {
     // A6 — latest-price snapshot with change vs previous trade.
     "a6_latest_prices" -> ((s, dir) => LatestPrices.snapshot(silverDf(s, dir))),
 
+    // A7 — hierarchical grain cascade: 1h bars re-aggregated from 5m
+    // bars (shuffles bars, not trades; exact via pv_ticks carry).
+    "a7_ohlcv_rollup" -> ((s, dir) => goldMs(Ohlcv.rollup(gold5m(s, dir), "1 hour"))),
+
     // Q1 — count for one day.
     "q1_count_day" -> ((s, dir) => MarketQueries.countForDay(silverDf(s, dir), Day)),
 
@@ -164,7 +168,8 @@ object SparkEntry {
            CAST(SUM(volume) AS BIGINT) AS volume, COUNT(*) AS trade_count,
            CASE WHEN SUM(volume) = 0 THEN NULL ELSE
              CAST(SUM(CAST(CAST(price AS DECIMAL(18,4)) * volume * 10000 AS BIGINT)) * 100
-                  // SUM(volume) AS BIGINT) END AS vwap_e6
+                  // SUM(volume) AS BIGINT) END AS vwap_e6,
+           SUM(CAST(CAST(price AS DECIMAL(18,4)) * volume * 10000 AS BIGINT)) AS pv
     FROM (SELECT *, epoch_ms(event_time) - epoch_ms(event_time) % 300000 AS ws_ms FROM silver)
     GROUP BY symbol, ws_ms
   ), gold_1h AS (
@@ -264,6 +269,21 @@ object SparkEntry {
         FROM silver
         WINDOW w AS (PARTITION BY symbol ORDER BY event_time DESC, event_id DESC)
       ) WHERE rn = 1"""),
+
+    // A7 oracle: re-aggregate the gold_5m CTE itself — open/close from
+    // the finest window's open/close ordered by window start, VWAP
+    // re-derived from the exact integer pv sums (not the floored
+    // vwap_e6). Equals gold_1h by construction; computed independently.
+    "a7_ohlcv_rollup" -> (P + """
+      SELECT symbol, hs_ms AS window_start_ms, hs_ms + 3600000 AS window_end_ms,
+             arg_min(open, ws_ms) AS open, MAX(high) AS high, MIN(low) AS low,
+             arg_max(close, ws_ms) AS close,
+             CAST(SUM(volume) AS BIGINT) AS volume,
+             CAST(SUM(trade_count) AS BIGINT) AS trade_count,
+             CASE WHEN SUM(volume) = 0 THEN NULL ELSE
+               CAST(SUM(pv) * 100 // SUM(volume) AS BIGINT) END AS vwap_e6
+      FROM (SELECT *, ws_ms - ws_ms % 3600000 AS hs_ms FROM gold_5m)
+      GROUP BY symbol, hs_ms"""),
 
     "q1_count_day" -> (P +
       s"SELECT COUNT(*) AS n_trades FROM silver WHERE trade_date = DATE '$Day'"),

@@ -253,6 +253,62 @@ object Dedup {
       .withColumn(out, simhash32FromTokenHashes(col("__th")))
       .drop("__th")
 
+  /** D12 — substring-level duplication stats (the Lee et al.
+    * "Deduplicating Training Data Makes Language Models Better"
+    * granularity): for every document, how many of its k-token
+    * windows also occur in at least one OTHER document. Catches the
+    * boilerplate/quotation duplication that document-level MinHash
+    * misses — two long documents sharing one paragraph Jaccard ≈ 0,
+    * yet that paragraph is exactly what substring dedup must find.
+    *
+    * Windows are identified by the md5 of the raw (case-preserving,
+    * un-normalized) space-joined k-token slice — 128 bits, so "same
+    * hash" IS "same substring" for any realistic corpus, unlike the
+    * 30-bit polynomial shingle space which is fine for candidate
+    * generation but would birthday-collide as ground truth at corpus
+    * scale. Intra-document repetition is deliberately NOT counted as
+    * duplication here (repetitionStats owns that signal): windows are
+    * de-duplicated per document before the cross-document count.
+    *
+    * Shape at scale: explode is O(tokens) rows; the per-(doc, window)
+    * distinct, the window-frequency aggregate, the equi-join back,
+    * and the per-doc roll-up are all hash shuffles keyed by window
+    * hash or doc id — aggregates run BEFORE the join, so nothing
+    * quadratic and nothing driver-side anywhere. The frequency table
+    * a window joins against is itself aggregated (one row per
+    * distinct window), so skew is bounded by the most-duplicated
+    * window's doc count, which AQE's skew-join handles.
+    */
+  def substringDupStats(docs: DataFrame, k: Int = 8, idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    val base = docs
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .withColumn("__n", size(col("__toks")))
+      .withColumn("n_windows", greatest(col("__n") - (k - 1), lit(0)).cast("long"))
+    // Distinct k-token windows per document.
+    val wins = base.filter(col("__n") >= k)
+      .select(col(idCol), col("__toks"), explode(sequence(lit(0), col("__n") - k)).as("__s"))
+      .select(col(idCol),
+        md5(array_join(slice(col("__toks"), col("__s") + 1, lit(k)), " ")
+          .cast("binary")).as("wh"))
+      .distinct()
+    // Window frequency in documents (aggregated before the join).
+    val freq = wins.groupBy(col("wh")).agg(count(lit(1)).as("__ndocs"))
+    val perDoc = wins.join(freq, "wh")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("__nd"),
+        sum(when(col("__ndocs") > 1, 1L).otherwise(0L)).as("__ns"))
+    base.select(col(idCol), col("n_windows"))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), col("n_windows"),
+        coalesce(col("__nd"), lit(0L)).as("n_distinct_windows"),
+        coalesce(col("__ns"), lit(0L)).as("n_shared_windows"))
+      .withColumn("shared_frac_e6",
+        expr("CASE WHEN n_distinct_windows = 0 THEN 0L " +
+          "ELSE n_shared_windows * 1000000L div n_distinct_windows END"))
+  }
+
   /** D8 — benchmark decontamination: for every corpus document, the
     * count of distinct word n-gram shingles it shares with a
     * benchmark/eval set, and how many benchmark documents it touches.

@@ -154,6 +154,33 @@ object Indicators {
     * — no float, no sqrt, no rounding ambiguity. Windows still
     * warming up (cnt < n) are excluded.
     */
+  /** B6 — per-symbol/day maximum drawdown versus the running all-time
+    * peak, plus cumulative return from sequence start. Pure exact
+    * integer arithmetic in e4 ticks / e6 fractions: the running peak
+    * and first price are ordinary ordered-window aggregates (shuffle
+    * key = symbol, like every indicator here), the drawdown is a
+    * per-row integer expression, and the daily roll-up is one hash
+    * aggregate. peak ≥ px > 0 always, so the divisions are total.
+    */
+  def drawdown(silver: DataFrame): DataFrame = {
+    val wAll = bySymbolTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    silver
+      .withColumn("px", ticksE4(col("price")))
+      .withColumn("peak", max(col("px")).over(wAll))
+      .withColumn("first_px", first(col("px")).over(wAll))
+      .withColumn("dd_e6", expr("(peak - px) * 1000000L div peak"))
+      .groupBy(col("symbol"), col("trade_date"))
+      .agg(
+        max(col("dd_e6")).as("max_drawdown_e6"),
+        graft.functions.OrderedExtremum.maxByOrd2(col("px"),
+          unix_micros(col("event_time")), col("event_id")).as("close_px"),
+        max(col("peak")).as("peak_px"),
+        min(col("first_px")).as("first_px"))
+      .withColumn("cum_ret_e6",
+        expr("close_px * 1000000L div first_px - 1000000L"))
+      .drop("first_px")
+  }
+
   def spikeCounts(silver: DataFrame, n: Int = 20, z: Int = 3): DataFrame = {
     val w = bySymbolTime.rowsBetween(-(n - 1), Window.currentRow)
     silver

@@ -55,23 +55,32 @@ object Ohlcv {
         sum(col("volume")).as("volume"),
         count(lit(1)).as("trade_count"),
         sum(pvTicks).as("pv_ticks"))
-      .select(
-        col("symbol"),
-        col("w.start").as("window_start"),
-        col("w.end").as("window_end"),
-        col("open"), col("high"), col("low"), col("close"),
-        col("volume"), col("trade_count"),
-        // A4 — VWAP in integer micro-units (floor(1e6 * Σpv / Σv)):
-        // float rounding at the x.xxxxxx5 boundary differs between
-        // engines, so the canonical form stays in integer arithmetic.
-        when(col("volume") === 0, lit(null))
-          .otherwise(expr("(pv_ticks * 100) div volume"))
-          .as("vwap_e6"),
-        // Human-facing double VWAP (not oracle-compared).
-        when(col("volume") === 0, lit(null))
-          .otherwise(col("pv_ticks").cast("double") / 10000.0 / col("volume").cast("double"))
-          .as("vwap"))
+      .transform(finishBars)
   }
+
+  /** Shared bar finalization: flatten the window struct and derive
+    * VWAP from the exact integer pv sum. `pv_ticks` stays in the
+    * output so bars can be re-aggregated losslessly ([[rollup]]) —
+    * vwap_e6 alone cannot be, the floor division is not invertible.
+    */
+  private def finishBars(aggregated: DataFrame): DataFrame =
+    aggregated.select(
+      col("symbol"),
+      col("w.start").as("window_start"),
+      col("w.end").as("window_end"),
+      col("open"), col("high"), col("low"), col("close"),
+      col("volume"), col("trade_count"),
+      // A4 — VWAP in integer micro-units (floor(1e6 * Σpv / Σv)):
+      // float rounding at the x.xxxxxx5 boundary differs between
+      // engines, so the canonical form stays in integer arithmetic.
+      when(col("volume") === 0, lit(null))
+        .otherwise(expr("(pv_ticks * 100) div volume"))
+        .as("vwap_e6"),
+      // Human-facing double VWAP (not oracle-compared).
+      when(col("volume") === 0, lit(null))
+        .otherwise(col("pv_ticks").cast("double") / 10000.0 / col("volume").cast("double"))
+        .as("vwap"),
+      col("pv_ticks"))
 
   def bars5m(trades: DataFrame): DataFrame = bars(trades, "5 minutes")
   def bars1h(trades: DataFrame): DataFrame = bars(trades, "1 hour")
@@ -79,4 +88,34 @@ object Ohlcv {
   /** Sliding 5-minute windows advancing every minute (A3). */
   def barsSliding(trades: DataFrame): DataFrame =
     bars(trades, "5 minutes", Some("1 minute"))
+
+  /** A7 — hierarchical re-aggregation: coarser bars from finer ones
+    * (1h from 5m), without touching raw trades. At 100 TB this is the
+    * grain cascade that matters: the 5m layer is O(symbols × windows),
+    * orders of magnitude smaller than the trade stream, so every
+    * coarser grain costs a shuffle over BARS, not trades — and the
+    * answer is exactly what direct aggregation over trades produces
+    * (OhlcvSpec pins rollup(bars5m) === bars1h bar-for-bar), because
+    * open/close re-derive from the finest window's own open/close
+    * ordered by window start and VWAP re-sums the exact integer
+    * pv_ticks rather than the floored vwap_e6.
+    *
+    * Requires tumbling input bars whose duration divides `duration`
+    * (window starts are epoch-aligned, so finer tumbling windows nest
+    * exactly).
+    */
+  def rollup(bars: DataFrame, duration: String): DataFrame = {
+    val ordTs = unix_micros(col("window_start"))
+    bars
+      .groupBy(col("symbol"), window(col("window_start"), duration).as("w"))
+      .agg(
+        graft.functions.OrderedExtremum.minByOrd2(col("open"), ordTs, lit(0L)).as("open"),
+        max(col("high")).as("high"),
+        min(col("low")).as("low"),
+        graft.functions.OrderedExtremum.maxByOrd2(col("close"), ordTs, lit(0L)).as("close"),
+        sum(col("volume")).as("volume"),
+        sum(col("trade_count")).as("trade_count"),
+        sum(col("pv_ticks")).as("pv_ticks"))
+      .transform(finishBars)
+  }
 }

@@ -226,6 +226,31 @@ object TextAnalysis {
       .withColumn("redacted_md5", md5(redacted.cast("binary")))
   }
 
+  /** T9 — character-class composition stats, the C4/Gopher-style
+    * quality gates (alphabetic ratio, digit/uppercase load, non-ASCII
+    * share) expressed as exact integer counts + e6 fractions. Pure
+    * scan-side projection like piiStats: the per-char regex counts run
+    * inside codegen, no shuffle, no UDF — scan cost is the only cost
+    * at any corpus size. Character classes are restricted to forms
+    * Java regex and RE2 interpret identically (explicit ranges, no
+    * POSIX classes, no properties).
+    */
+  def charsetStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    def cnt(pattern: String) = regexp_count(t, lit(pattern)).cast("long")
+    docs
+      .withColumn("n_cp", length(t).cast("long"))
+      .withColumn("n_alpha", cnt("[A-Za-z]"))
+      .withColumn("n_digit", cnt("[0-9]"))
+      .withColumn("n_upper", cnt("[A-Z]"))
+      .withColumn("n_space", cnt("[ \\t\\n\\r]"))
+      .withColumn("n_non_ascii", cnt("[^\\x00-\\x7f]"))
+      .withColumn("alpha_frac_e6",
+        expr("CASE WHEN n_cp = 0 THEN 0L ELSE n_alpha * 1000000L div n_cp END"))
+      .withColumn("non_ascii_frac_e6",
+        expr("CASE WHEN n_cp = 0 THEN 0L ELSE n_non_ascii * 1000000L div n_cp END"))
+  }
+
   /** Full per-document feature projection. */
   def features(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

@@ -62,6 +62,28 @@ class OhlcvSpec extends SparkSpecBase {
     assert(Ohlcv.barsSliding(df).count() === 5)
   }
 
+  test("rollup(bars5m, 1 hour) equals bars1h bar-for-bar (seeded random trades)") {
+    val rng = new scala.util.Random(7)
+    val rows = (0 until 500).map { i =>
+      val sec = rng.nextInt(4 * 3600)
+      (i.toLong, if (i % 3 == 0) "A" else "B",
+        (1 + rng.nextInt(100000)) / 100.0, 1L + rng.nextInt(1000),
+        f"2024-01-01 ${sec / 3600}%02d:${sec / 60 % 60}%02d:${sec % 60}%02d")
+    }
+    val df = tradesDf(rows)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[String]("symbol"), r.getAs[java.sql.Timestamp]("window_start").getTime)
+    def vals(r: org.apache.spark.sql.Row) = Seq[Any](
+      r.getAs[Double]("open"), r.getAs[Double]("high"), r.getAs[Double]("low"),
+      r.getAs[Double]("close"), r.getAs[Long]("volume"), r.getAs[Long]("trade_count"),
+      r.getAs[Long]("vwap_e6"), r.getAs[Long]("pv_ticks"))
+    val direct = Ohlcv.bars1h(df).collect().map(r => key(r) -> vals(r)).toMap
+    val rolled = Ohlcv.rollup(Ohlcv.bars5m(df), "1 hour")
+      .collect().map(r => key(r) -> vals(r)).toMap
+    assert(rolled.keySet === direct.keySet)
+    rolled.foreach { case (k, v) => assert(v === direct(k), s"bar $k") }
+  }
+
   test("property: OHLC invariants hold on random trade sets (seeded)") {
     val rng = new scala.util.Random(42)
     (1 to 10).foreach { _ =>

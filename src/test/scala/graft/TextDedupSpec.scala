@@ -263,6 +263,61 @@ class TextDedupSpec extends SparkSpecBase {
     assert(m(1L) >= 0 && m(1L) < (1L << 32))
   }
 
+  test("substring dup stats: shared windows across docs, intra-doc repeats don't count") {
+    // k=3 windows. Docs 1 and 2 share the 5-token run "a b c d e"
+    // (3 windows); doc 2's tail is unique. Doc 3 is pure intra-doc
+    // repetition — its windows occur nowhere else, so nothing is
+    // "shared" even though the doc repeats itself. Doc 4 is too short
+    // to have any window.
+    val df = docsDf(Seq(
+      (1L, "a b c d e"),
+      (2L, "a b c d e x y z"),
+      (3L, "p q p q p q p q"),
+      (4L, "u v")))
+    val out = Dedup.substringDupStats(df, k = 3).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_windows"), r.getAs[Long]("n_distinct_windows"),
+          r.getAs[Long]("n_shared_windows"), r.getAs[Long]("shared_frac_e6")))).toMap
+    assert(out(1L) === ((3L, 3L, 3L, 1000000L)))
+    // Doc 2: 6 windows, all distinct; the 3 from the shared run count.
+    assert(out(2L) === ((6L, 6L, 3L, 500000L)))
+    // Doc 3: 6 windows but only 2 distinct ("p q p", "q p q"); none shared.
+    assert(out(3L) === ((6L, 2L, 0L, 0L)))
+    assert(out(4L) === ((0L, 0L, 0L, 0L)))
+  }
+
+  test("chunking is case-preserving: mixed-case variants chunk to different md5s") {
+    // Guards the operator/oracle tokenizer agreement: both sides
+    // tokenize RAW text, so case must flow through to chunk_md5.
+    val df = docsDf(Seq((1L, "Alpha beta GAMMA delta"), (2L, "alpha beta gamma delta")))
+    val chunks = TextAnalysis.chunkByTokens(df, chunkTokens = 3, overlap = 1)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("chunk_idx")) -> r.getAs[String]("chunk_md5"))
+      .toMap
+    assert(chunks((1L, 0)) !== chunks((2L, 0)))
+    // Same doc re-chunked is stable.
+    assert(chunks((1L, 0)) === chunks((1L, 0)))
+    // Window arithmetic: 4 tokens, step 2 -> starts 0 and 2.
+    assert(chunks.keys.count(_._1 == 1L) === 2)
+  }
+
+  test("charset stats: exact per-class counts and e6 fractions") {
+    val df = docsDf(Seq((1L, "Ab c1 é!"), (2L, "")))
+    val out = TextAnalysis.charsetStats(df).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val r1 = out(1L)
+    assert(r1.getAs[Long]("n_cp") === 8L)
+    assert(r1.getAs[Long]("n_alpha") === 3L)
+    assert(r1.getAs[Long]("n_digit") === 1L)
+    assert(r1.getAs[Long]("n_upper") === 1L)
+    assert(r1.getAs[Long]("n_space") === 2L)
+    assert(r1.getAs[Long]("n_non_ascii") === 1L) // é; '!' is ASCII
+    assert(r1.getAs[Long]("alpha_frac_e6") === 375000L)
+    val r2 = out(2L)
+    assert(r2.getAs[Long]("n_cp") === 0L)
+    assert(r2.getAs[Long]("alpha_frac_e6") === 0L)
+  }
+
   test("streaming dedup drops exact and near duplicates within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, String)]
