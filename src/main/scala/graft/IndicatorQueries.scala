@@ -34,6 +34,10 @@ object IndicatorQueries {
     "b6_drawdown" -> ((s, dir) =>
       Indicators.drawdown(SparkEntry.silverDf(s, dir))),
 
+    // B7 — MACD(12,26,9) end state per symbol over daily closes.
+    "b7_macd" -> ((s, dir) =>
+      Indicators.macdDaily(SparkEntry.silverDf(s, dir))),
+
     // B5 — end-of-day EMA-14 per symbol, the recursion running
     // continuously from sequence start (streaming/IndicatorStream's
     // batch adapter — the one indicator a row-frame window cannot
@@ -149,6 +153,43 @@ object IndicatorQueries {
            CAST(arg_max(px, event_time) * 1000000 // MIN(first_px) - 1000000 AS BIGINT) AS cum_ret_e6
     FROM wnd
     GROUP BY symbol, trade_date"""),
+
+    // B7: the EMA folds as plain-double list_reduce (the b5-proven
+    // path — this DuckDB's list_reduce with a STRUCT accumulator
+    // miscomputes fields that read sibling accumulator fields, found
+    // live by this oracle's first form). The macd series comes from
+    // prefix folds (O(days²) per symbol — an oracle can afford naive),
+    // and the signal is one more double fold over it; each prefix
+    // fold replays exactly the operator's per-step IEEE ops, so
+    // equality stays bit-exact. list_reduce seeds from the first
+    // element: macds[1] = 0 = the operator's signal seed.
+    "b7_macd" -> (SparkEntry.P + """, daily AS (
+      SELECT symbol, trade_date, arg_max(price, event_time) AS close
+      FROM silver GROUP BY symbol, trade_date
+    ), seq AS (
+      SELECT symbol, list(close ORDER BY trade_date) AS cs FROM daily GROUP BY symbol
+    ), pre AS (
+      SELECT symbol, CAST(len(cs) AS BIGINT) AS n_days,
+             list_reduce(cs, (acc, x) -> (2::DOUBLE / 13::DOUBLE) * x
+                         + (1::DOUBLE - 2::DOUBLE / 13::DOUBLE) * acc) AS e12,
+             list_reduce(cs, (acc, x) -> (2::DOUBLE / 27::DOUBLE) * x
+                         + (1::DOUBLE - 2::DOUBLE / 27::DOUBLE) * acc) AS e26,
+             list_transform(generate_series(1, len(cs)), i ->
+               list_reduce(cs[1:i], (acc, x) -> (2::DOUBLE / 13::DOUBLE) * x
+                           + (1::DOUBLE - 2::DOUBLE / 13::DOUBLE) * acc)
+               - list_reduce(cs[1:i], (acc, x) -> (2::DOUBLE / 27::DOUBLE) * x
+                             + (1::DOUBLE - 2::DOUBLE / 27::DOUBLE) * acc)) AS macds
+      FROM seq
+    ), sg AS (
+      SELECT symbol, n_days, e12, e26,
+             list_reduce(macds, (acc, x) -> (2::DOUBLE / 10::DOUBLE) * x
+                         + (1::DOUBLE - 2::DOUBLE / 10::DOUBLE) * acc) AS sig
+      FROM pre
+    )
+    SELECT symbol, n_days, e12 AS ema12, e26 AS ema26,
+           e12 - e26 AS macd, sig AS signal,
+           e12 - e26 - sig AS histogram
+    FROM sg"""),
 
     // The EMA recursion as a literal left fold over the per-symbol
     // price sequence: acc' = α·x + (1−α)·acc with α = 2/15 — the same

@@ -181,6 +181,48 @@ object Indicators {
       .drop("first_px")
   }
 
+  /** B7 — MACD(12, 26, 9) end-state over the per-symbol daily-close
+    * series, as one `aggregate` fold carrying (ema12, ema26, signal):
+    * both EMAs seed from the first close, the signal from the first
+    * MACD (= 0). Every step is the same IEEE double expression tree
+    * the DuckDB oracle folds with `list_reduce`, so equality is
+    * bit-exact, not approximate (the b5 contract).
+    *
+    * Shape at scale: daily closes are one hash aggregate over trades;
+    * the fold then runs over a per-symbol array of DAYS — thousands of
+    * elements after decades — so `collect_list` here is bounded by the
+    * calendar, not the trade count, and the shuffle key is the symbol
+    * like every indicator in this module.
+    */
+  def macdDaily(silver: DataFrame): DataFrame = {
+    val daily = silver
+      .groupBy(col("symbol"), col("trade_date"))
+      .agg(graft.functions.OrderedExtremum.maxByOrd2(col("price"),
+        unix_micros(col("event_time")), col("event_id")).as("close"))
+    val fold = """aggregate(
+      slice(days, 2, size(days) - 1),
+      named_struct(
+        'e12', CAST(days[0].close AS DOUBLE),
+        'e26', CAST(days[0].close AS DOUBLE),
+        'sig', CAST(0.0 AS DOUBLE)),
+      (acc, d) -> named_struct(
+        'e12', (2D / 13D) * d.close + (1D - 2D / 13D) * acc.e12,
+        'e26', (2D / 27D) * d.close + (1D - 2D / 27D) * acc.e26,
+        'sig', (2D / 10D) * (((2D / 13D) * d.close + (1D - 2D / 13D) * acc.e12)
+                 - ((2D / 27D) * d.close + (1D - 2D / 27D) * acc.e26))
+               + (1D - 2D / 10D) * acc.sig))"""
+    daily
+      .groupBy(col("symbol"))
+      .agg(sort_array(collect_list(struct(col("trade_date"), col("close")))).as("days"))
+      .select(col("symbol"), size(col("days")).cast("long").as("n_days"),
+        expr(fold).as("m"))
+      .select(col("symbol"), col("n_days"),
+        col("m.e12").as("ema12"), col("m.e26").as("ema26"),
+        (col("m.e12") - col("m.e26")).as("macd"),
+        col("m.sig").as("signal"),
+        (col("m.e12") - col("m.e26") - col("m.sig")).as("histogram"))
+  }
+
   def spikeCounts(silver: DataFrame, n: Int = 20, z: Int = 3): DataFrame = {
     val w = bySymbolTime.rowsBetween(-(n - 1), Window.currentRow)
     silver

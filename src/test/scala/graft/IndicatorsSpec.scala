@@ -88,10 +88,61 @@ class IndicatorsSpec extends SparkSpecBase {
     assert(spikes.head.getAs[Long]("n_spikes") === 1L)
   }
 
+  /** Two-day, two-symbol silver-shaped frame for the daily operators. */
+  private def twoDayFeed: DataFrame = Seq(
+    (1L, "A", 10.0, 10L, ts("2024-01-15 10:00:00"), d("2024-01-15")),
+    (2L, "A", 12.0, 10L, ts("2024-01-15 11:00:00"), d("2024-01-15")),
+    (3L, "A", 8.0, 10L, ts("2024-01-16 10:00:00"), d("2024-01-16")),
+    (4L, "A", 11.0, 10L, ts("2024-01-16 11:00:00"), d("2024-01-16")),
+    (5L, "B", 50.0, 10L, ts("2024-01-15 10:00:00"), d("2024-01-15"))
+  ).toDF("event_id", "symbol", "price", "volume", "event_time", "trade_date")
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+  private def d(s: String) = java.sql.Date.valueOf(s)
+
+  test("drawdown: running-peak dips and cumulative return, exact e6") {
+    val out = Indicators.drawdown(twoDayFeed).collect()
+      .map(r => (r.getAs[String]("symbol"), r.getAs[java.sql.Date]("trade_date").toString) -> r)
+      .toMap
+    val d1 = out(("A", "2024-01-15"))
+    assert(d1.getAs[Long]("max_drawdown_e6") === 0L) // 10 then 12: never below peak... except first row dd=0
+    assert(d1.getAs[Long]("close_px") === 120000L)
+    assert(d1.getAs[Long]("cum_ret_e6") === 200000L) // 12/10 - 1
+    val d2 = out(("A", "2024-01-16"))
+    // Peak stays 12 from day 1; trough 8 -> (120000-80000)*1e6 div 120000.
+    assert(d2.getAs[Long]("max_drawdown_e6") === 333333L)
+    assert(d2.getAs[Long]("peak_px") === 120000L)
+    assert(d2.getAs[Long]("cum_ret_e6") === 100000L) // 11/10 - 1
+    assert(out(("B", "2024-01-15")).getAs[Long]("max_drawdown_e6") === 0L)
+  }
+
+  test("MACD fold: seeds from first close, steps with the exact IEEE recurrence") {
+    val out = Indicators.macdDaily(twoDayFeed).collect()
+      .map(r => r.getAs[String]("symbol") -> r).toMap
+    // B has one day: both EMAs = close, macd = signal = histogram = 0.
+    val b = out("B")
+    assert(b.getAs[Long]("n_days") === 1L)
+    assert(b.getAs[Double]("ema12") === 50.0 && b.getAs[Double]("ema26") === 50.0)
+    assert(b.getAs[Double]("macd") === 0.0 && b.getAs[Double]("signal") === 0.0)
+    // A: closes 12 (day1), 11 (day2) — replicate the recurrence in
+    // the same operation order and require bit equality.
+    val (c1, c2) = (12.0, 11.0)
+    val e12 = (2d / 13d) * c2 + (1d - 2d / 13d) * c1
+    val e26 = (2d / 27d) * c2 + (1d - 2d / 27d) * c1
+    val sig = (2d / 10d) * (e12 - e26) + (1d - 2d / 10d) * 0.0
+    val a = out("A")
+    assert(a.getAs[Long]("n_days") === 2L)
+    assert(a.getAs[Double]("ema12") === e12)
+    assert(a.getAs[Double]("ema26") === e26)
+    assert(a.getAs[Double]("macd") === e12 - e26)
+    assert(a.getAs[Double]("signal") === sig)
+    assert(a.getAs[Double]("histogram") === e12 - e26 - sig)
+  }
+
   test("plans contain no partition-less window") {
     val silver = SparkEntry.silverDf(spark, Sf)
     Seq(Indicators.smaBollinger(silver), Indicators.rsi(silver),
-      Indicators.topMovers(silver), Indicators.spikeCounts(silver)).foreach { df =>
+      Indicators.topMovers(silver), Indicators.spikeCounts(silver),
+      Indicators.drawdown(silver)).foreach { df =>
       val plan = df.queryExecution.executedPlan.toString
       // Every Window operator must carry a partition spec: a global
       // window would serialize the whole feed through one task.
