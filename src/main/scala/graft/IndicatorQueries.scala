@@ -38,6 +38,10 @@ object IndicatorQueries {
     "b7_macd" -> ((s, dir) =>
       Indicators.macdDaily(SparkEntry.silverDf(s, dir))),
 
+    // B8 — pairwise daily-return covariance/correlation.
+    "b8_return_cov" -> ((s, dir) =>
+      Indicators.returnCovariance(SparkEntry.silverDf(s, dir))),
+
     // B5 — end-of-day EMA-14 per symbol, the recursion running
     // continuously from sequence start (streaming/IndicatorStream's
     // batch adapter — the one indicator a row-frame window cannot
@@ -190,6 +194,39 @@ object IndicatorQueries {
            e12 - e26 AS macd, sig AS signal,
            e12 - e26 - sig AS histogram
     FROM sg"""),
+
+    // B8: integer // truncates toward zero here exactly like Spark's
+    // div (so negative returns agree); the moment sums widen through
+    // HUGEINT and land back in BIGINT.
+    "b8_return_cov" -> (SparkEntry.P + """, daily AS (
+      SELECT symbol, trade_date,
+             arg_max(CAST(CAST(price AS DECIMAL(18,4)) * 10000 AS BIGINT), event_time) AS close_px
+      FROM silver GROUP BY symbol, trade_date
+    ), rets AS (
+      SELECT symbol, trade_date,
+             (close_px - prev_px) * 1000000 // prev_px AS ret_e6
+      FROM (SELECT *, lag(close_px) OVER (PARTITION BY symbol ORDER BY trade_date) AS prev_px
+            FROM daily)
+      WHERE prev_px IS NOT NULL
+    ), pairs AS (
+      SELECT a.symbol AS sym_a, b.symbol AS sym_b, a.ret_e6 AS ra, b.ret_e6 AS rb
+      FROM rets a JOIN rets b ON a.trade_date = b.trade_date AND a.symbol < b.symbol
+    ), m AS (
+      SELECT sym_a, sym_b, COUNT(*) AS n_days,
+             CAST(COUNT(*) * SUM(CAST(ra AS HUGEINT) * rb)
+                  - SUM(CAST(ra AS HUGEINT)) * SUM(CAST(rb AS HUGEINT)) AS BIGINT) AS cov_num,
+             CAST(COUNT(*) * SUM(CAST(ra AS HUGEINT) * ra)
+                  - SUM(CAST(ra AS HUGEINT)) * SUM(CAST(ra AS HUGEINT)) AS BIGINT) AS var_a_num,
+             CAST(COUNT(*) * SUM(CAST(rb AS HUGEINT) * rb)
+                  - SUM(CAST(rb AS HUGEINT)) * SUM(CAST(rb AS HUGEINT)) AS BIGINT) AS var_b_num
+      FROM pairs GROUP BY sym_a, sym_b
+    )
+    SELECT sym_a, sym_b, n_days, cov_num, var_a_num, var_b_num,
+           CASE WHEN var_a_num > 0 AND var_b_num > 0
+                THEN CAST(cov_num AS DOUBLE)
+                     / sqrt(CAST(var_a_num AS DOUBLE) * CAST(var_b_num AS DOUBLE))
+           END AS corr
+    FROM m"""),
 
     // The EMA recursion as a literal left fold over the per-symbol
     // price sequence: acc' = α·x + (1−α)·acc with α = 2/15 — the same

@@ -223,6 +223,58 @@ object Indicators {
         (col("m.e12") - col("m.e26") - col("m.sig")).as("histogram"))
   }
 
+  /** B8 — pairwise daily-return covariance/correlation across
+    * symbols, the first cross-series statistic (everything else in
+    * this module is per-symbol). Returns are exact e6 integers,
+    * (close − prev)·1e6 div prev: returns go negative, and BOTH
+    * engines' integer division truncates toward zero (Spark `div`,
+    * DuckDB integer `//` — verified: -7 // 2 = -3 there, not -4), so
+    * plain division is the portable form — a floor-division identity
+    * here would DIVERGE on every down day, not protect against it.
+    * Covariance/variance numerators are the
+    * n·Σxy − Σx·Σy form in decimal intermediates (the b1 posture),
+    * emitted as BIGINT; `corr` is derived from those exact integers
+    * with single IEEE ops.
+    *
+    * Shape at scale: daily returns are one hash aggregate + a lag
+    * over O(symbols × days) rows; the pair frame is a self equi-join
+    * on trade_date — quadratic in SYMBOLS, not trades, i.e. bounded
+    * by portfolio size (10³–10⁴ symbols ⇒ ≤ 10⁸ pair-days over a
+    * year), with the join shuffling only the tiny daily-return frame.
+    */
+  def returnCovariance(silver: DataFrame): DataFrame = {
+    val daily = silver
+      .groupBy(col("symbol"), col("trade_date"))
+      .agg(graft.functions.OrderedExtremum.maxByOrd2(ticksE4(col("price")),
+        unix_micros(col("event_time")), col("event_id")).as("close_px"))
+    val wd = Window.partitionBy(col("symbol")).orderBy(col("trade_date"))
+    val rets = daily
+      .withColumn("prev_px", lag(col("close_px"), 1).over(wd))
+      .filter(col("prev_px").isNotNull)
+      .withColumn("ret_e6",
+        expr("(close_px - prev_px) * 1000000L div prev_px"))
+      .select(col("symbol"), col("trade_date"), col("ret_e6"))
+    val a = rets.select(col("symbol").as("sym_a"), col("trade_date"), col("ret_e6").as("ra"))
+    val b = rets.select(col("symbol").as("sym_b"), col("trade_date"), col("ret_e6").as("rb"))
+    def dec(c: Column) = c.cast("decimal(19,0)")
+    a.join(b, Seq("trade_date"))
+      .filter(col("sym_a") < col("sym_b"))
+      .groupBy(col("sym_a"), col("sym_b"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(dec(col("ra"))).as("sa"), sum(dec(col("rb"))).as("sb"),
+        sum(dec(col("ra")) * col("rb")).as("sab"),
+        sum(dec(col("ra")) * col("ra")).as("saa"),
+        sum(dec(col("rb")) * col("rb")).as("sbb"))
+      .select(col("sym_a"), col("sym_b"), col("n_days"),
+        (col("n_days") * col("sab") - col("sa") * col("sb")).cast("long").as("cov_num"),
+        (col("n_days") * col("saa") - col("sa") * col("sa")).cast("long").as("var_a_num"),
+        (col("n_days") * col("sbb") - col("sb") * col("sb")).cast("long").as("var_b_num"))
+      .withColumn("corr",
+        when(col("var_a_num") > 0 && col("var_b_num") > 0,
+          col("cov_num").cast("double") /
+            sqrt(col("var_a_num").cast("double") * col("var_b_num").cast("double"))))
+  }
+
   def spikeCounts(silver: DataFrame, n: Int = 20, z: Int = 3): DataFrame = {
     val w = bySymbolTime.rowsBetween(-(n - 1), Window.currentRow)
     silver

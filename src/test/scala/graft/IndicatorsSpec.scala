@@ -138,6 +138,25 @@ class IndicatorsSpec extends SparkSpecBase {
     assert(a.getAs[Double]("histogram") === e12 - e26 - sig)
   }
 
+  test("return covariance: proportional series correlate to ~1, exact moments") {
+    // Y = 2X tick-for-tick: both return series are identical integers
+    // (ratios survive the scaling), so cov_num == var_a_num ==
+    // var_b_num and corr ~ 1.
+    val rows = Seq(10.0, 11.0, 12.0).zipWithIndex.flatMap { case (p, i) =>
+      Seq((i * 2 + 1L, "X", p, 1L, ts(s"2024-01-1${i + 5} 10:00:00"), d(s"2024-01-1${i + 5}")),
+          (i * 2 + 2L, "Y", p * 2, 1L, ts(s"2024-01-1${i + 5} 10:00:00"), d(s"2024-01-1${i + 5}")))
+    }.toDF("event_id", "symbol", "price", "volume", "event_time", "trade_date")
+    val out = Indicators.returnCovariance(rows).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert((r.getAs[String]("sym_a"), r.getAs[String]("sym_b")) === (("X", "Y")))
+    assert(r.getAs[Long]("n_days") === 2L)
+    assert(r.getAs[Long]("cov_num") === r.getAs[Long]("var_a_num"))
+    assert(r.getAs[Long]("var_a_num") === r.getAs[Long]("var_b_num"))
+    assert(r.getAs[Long]("var_a_num") > 0L)
+    assert(math.abs(r.getAs[Double]("corr") - 1.0) < 1e-12)
+  }
+
   test("plans contain no partition-less window") {
     val silver = SparkEntry.silverDf(spark, Sf)
     Seq(Indicators.smaBollinger(silver), Indicators.rsi(silver),
