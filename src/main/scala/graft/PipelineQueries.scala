@@ -142,6 +142,24 @@ object PipelineQueries {
   def substringDup(s: SparkSession, dir: String): DataFrame =
     Dedup.substringDupStats(derivedTriples(docs(s, dir)), k = 8)
 
+  /** D13 — window-level decontamination over a corpus with a planted
+    * 10-token canary: every benchmark doc (% 97) and a deterministic
+    * slice of corpus docs (% 7 == 3) get the same appended phrase, so
+    * contaminated docs share its three 8-token windows verbatim with
+    * the bench side (raw docs share 3-gram hashes but essentially no
+    * verbatim 8-token runs, which would leave this oracle vacuous).
+    */
+  private val CanaryPhrase =
+    " shared benchmark canary sequence alpha beta gamma delta epsilon zeta"
+
+  def windowDecontam(s: SparkSession, dir: String): DataFrame = {
+    val planted = docs(s, dir).select(col("doc_id"),
+      concat(col("text"),
+        when(pmod(col("doc_id"), lit(97)) === 0 || pmod(col("doc_id"), lit(7)) === 3,
+          lit(CanaryPhrase)).otherwise(lit(""))).as("text"))
+    Dedup.windowDecontamination(planted, pmod(col("doc_id"), lit(97)) === 0, k = 8)
+  }
+
   /** T5 — Gopher-style repetition quality stats. */
   def repetitionStats(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.repetitionStats(docs(s, dir))
@@ -509,6 +527,36 @@ object PipelineQueries {
               ELSE CAST(pd.ns * 1000000 // pd.nd AS BIGINT) END AS shared_frac_e6
   FROM wn LEFT JOIN pd USING (doc_id)"""
 
+  /** D13 oracle: same planted canary, same raw-token md5 windows,
+    * bench and corpus window sets kept DISTINCT per side before the
+    * overlap join — mirrors the operator's distinct-then-join shape.
+    */
+  val windowDecontamSql: String = s"""WITH p13 AS (
+    SELECT doc_id, text
+      || CASE WHEN doc_id % 97 = 0 OR doc_id % 7 = 3 THEN '$CanaryPhrase' ELSE '' END AS text
+    FROM documents
+  ), tk13 AS (
+    SELECT doc_id, doc_id % 97 = 0 AS is_bench, $rawToksSql AS toks FROM p13
+  ), wn13 AS (
+    SELECT doc_id, is_bench, toks,
+           CAST(CASE WHEN len(toks) >= 8 THEN len(toks) - 7 ELSE 0 END AS BIGINT) AS n_windows
+    FROM tk13
+  ), w13 AS (
+    SELECT DISTINCT doc_id, is_bench, md5(array_to_string(toks[s + 1 : s + 8], ' ')) AS wh
+    FROM (SELECT doc_id, is_bench, toks,
+                 unnest(CASE WHEN len(toks) >= 8
+                        THEN generate_series(0, len(toks) - 8) ELSE [] END) AS s
+          FROM wn13)
+  ), wb13 AS (
+    SELECT DISTINCT wh FROM w13 WHERE is_bench
+  )
+  SELECT w.doc_id, MIN(n.n_windows) AS n_windows,
+         CAST(COUNT(*) AS BIGINT) AS n_contaminated_windows,
+         CAST(COUNT(*) * 1000000 // MIN(n.n_windows) AS BIGINT) AS contam_frac_e6
+  FROM w13 w JOIN wb13 USING (wh) JOIN wn13 n ON n.doc_id = w.doc_id
+  WHERE NOT w.is_bench
+  GROUP BY w.doc_id"""
+
   val dupClustersSql: String = s"""$dupGraphCtes
     SELECT c.id AS doc_id, c.cluster_id,
            CAST(COUNT(*) OVER (PARTITION BY c.cluster_id) AS BIGINT) AS cluster_size
@@ -816,6 +864,7 @@ object PipelineQueries {
     "d9_dup_clusters" -> (dupClusters _),
     "d11_near_dedup_cc" -> (nearDedupCC _),
     "d12_substring_dup" -> (substringDup _),
+    "d13_window_decontam" -> (windowDecontam _),
     "d6_embedding_dups" -> (embeddingDups _),
     "s1_knn_brute" -> (knnBrute _),
     "s2_knn_lsh" -> (knnLsh _),
@@ -848,6 +897,7 @@ object PipelineQueries {
     "d9_dup_clusters" -> dupClustersSql,
     "d11_near_dedup_cc" -> nearDedupCCSql,
     "d12_substring_dup" -> substringDupSql,
+    "d13_window_decontam" -> windowDecontamSql,
     "d6_embedding_dups" -> embeddingDupsSql,
     "s1_knn_brute" -> knnBruteSql,
     "mm1_modality_stats" -> modalityStatsSql,

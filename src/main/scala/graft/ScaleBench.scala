@@ -112,6 +112,24 @@ object ScaleBench {
         Sampling.packByTokenBudget(docs, "doc_id", "n_tokens", budget = 5000L)
           .groupBy(col("shard_id")).agg(count(lit(1))).count()
       },
+      // Substring dedup: window explosion is O(tokens); the shared-
+      // window aggregate/join must scale with distinct windows, and
+      // the token prefixing keeps cross-copy windows disjoint so the
+      // frequency table grows k× instead of deepening.
+      "d12_substring_dup" -> { kk: Int =>
+        operators.Dedup.substringDupStats(scaledDocs(spark, sfDir, kk), k = 8).count()
+      },
+      // Heavy hitters: pass 1 is one scan with k counters per
+      // partition; pass 2 counts a bounded candidate set — wall-clock
+      // should track the scan, staying well under k×.
+      "x20_heavy_hitters" -> { kk: Int =>
+        // Strip the per-copy token prefix so the heavy tokens stay
+        // heavy across copies (the hitter set is scale-invariant).
+        val toks = scaledDocs(spark, sfDir, kk)
+          .select(explode(operators.TextAnalysis.tokens(
+            regexp_replace(lower(col("text")), "c\\d+", ""))).as("token"))
+        operators.HeavyHitters.exactHeavyHitters(toks, "token", phiE6 = 30000L).count()
+      },
       // Iterative operators: rounds must stay O(log n) / O(iters) as
       // the input grows, so wall-clock should scale with the per-round
       // shuffle, not the round count.

@@ -253,6 +253,28 @@ object Dedup {
       .withColumn(out, simhash32FromTokenHashes(col("__th")))
       .drop("__th")
 
+  /** Per-doc tokenization staged for window extraction: raw tokens,
+    * token count, and the k-window count (0 for short docs).
+    */
+  private def windowBase(docs: DataFrame, k: Int, idCol: String,
+                         textCol: String): DataFrame =
+    docs
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .withColumn("__n", size(col("__toks")))
+      .withColumn("n_windows", greatest(col("__n") - (k - 1), lit(0)).cast("long"))
+
+  /** Distinct k-token windows per document, identified by the md5 of
+    * the raw space-joined slice (128 bits — "same hash" IS "same
+    * substring" at any realistic corpus size).
+    */
+  private def distinctWindows(base: DataFrame, k: Int, idCol: String): DataFrame =
+    base.filter(col("__n") >= k)
+      .select(col(idCol), col("__toks"), explode(sequence(lit(0), col("__n") - k)).as("__s"))
+      .select(col(idCol),
+        md5(array_join(slice(col("__toks"), col("__s") + 1, lit(k)), " ")
+          .cast("binary")).as("wh"))
+      .distinct()
+
   /** D12 — substring-level duplication stats (the Lee et al.
     * "Deduplicating Training Data Makes Language Models Better"
     * granularity): for every document, how many of its k-token
@@ -282,17 +304,8 @@ object Dedup {
   def substringDupStats(docs: DataFrame, k: Int = 8, idCol: String = "doc_id",
                         textCol: String = "text"): DataFrame = {
     require(k >= 1, s"need k >= 1, got $k")
-    val base = docs
-      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
-      .withColumn("__n", size(col("__toks")))
-      .withColumn("n_windows", greatest(col("__n") - (k - 1), lit(0)).cast("long"))
-    // Distinct k-token windows per document.
-    val wins = base.filter(col("__n") >= k)
-      .select(col(idCol), col("__toks"), explode(sequence(lit(0), col("__n") - k)).as("__s"))
-      .select(col(idCol),
-        md5(array_join(slice(col("__toks"), col("__s") + 1, lit(k)), " ")
-          .cast("binary")).as("wh"))
-      .distinct()
+    val base = windowBase(docs, k, idCol, textCol)
+    val wins = distinctWindows(base, k, idCol)
     // Window frequency in documents (aggregated before the join).
     val freq = wins.groupBy(col("wh")).agg(count(lit(1)).as("__ndocs"))
     val perDoc = wins.join(freq, "wh")
@@ -307,6 +320,43 @@ object Dedup {
       .withColumn("shared_frac_e6",
         expr("CASE WHEN n_distinct_windows = 0 THEN 0L " +
           "ELSE n_shared_windows * 1000000L div n_distinct_windows END"))
+  }
+
+  /** D13 — window-level benchmark decontamination: for every corpus
+    * document, how many of its k-token windows appear verbatim in the
+    * benchmark/eval slice — the n-gram-window overlap recipe
+    * production LLM pipelines actually run (d8's shingle form counts
+    * 3-gram hash overlap in a 30-bit space; this one is exact: md5
+    * window identity, so a hit IS a verbatim k-token substring match).
+    * Emits (doc, n_windows, n_contaminated_windows, contam_frac_e6)
+    * for contaminated documents only — absent means clean, like d8.
+    *
+    * Same broadcast shape as d8: the benchmark's distinct window set
+    * is eval-suite-sized (MBs) however big the corpus is, so the
+    * corpus side is one scan + broadcast hash join — it never
+    * shuffles; only matched rows (bounded by contamination volume)
+    * shuffle for the per-doc count.
+    */
+  def windowDecontamination(docs: DataFrame, benchPred: Column, k: Int = 8,
+                            idCol: String = "doc_id",
+                            textCol: String = "text"): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    val base = windowBase(docs.filter(!benchPred), k, idCol, textCol)
+    val corpusWins = distinctWindows(base, k, idCol)
+    val benchWins = distinctWindows(
+      windowBase(docs.filter(benchPred), k, idCol, textCol), k, idCol)
+      .select(col("wh")).distinct()
+    val contam = corpusWins.join(broadcast(benchWins), "wh")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_contaminated_windows"))
+    // contam is bounded by contamination volume (the regime this
+    // operator exists for: eval leakage is rare) — broadcast it so
+    // the corpus-sized base side never shuffles for the stats join.
+    base.select(col(idCol), col("n_windows"))
+      .join(broadcast(contam), Seq(idCol))
+      .select(col(idCol), col("n_windows"), col("n_contaminated_windows"))
+      .withColumn("contam_frac_e6",
+        expr("n_contaminated_windows * 1000000L div n_windows"))
   }
 
   /** D8 — benchmark decontamination: for every corpus document, the

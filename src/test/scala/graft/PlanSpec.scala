@@ -104,6 +104,32 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("SortMergeJoin"), "corpus side must not shuffle for the verify join")
   }
 
+  test("bar rollup re-aggregates bars with the hash-aggregate path, no raw-trade rescan") {
+    val p = plan("a7_ohlcv_rollup")
+    assert(p.contains("min_by_ord2") && p.contains("max_by_ord2"))
+    assert(!p.contains("SortAggregate"), "rollup fell back to SortAggregate")
+  }
+
+  test("substring dedup is hash aggregates + one equi-join — nothing quadratic") {
+    val p = plan("d12_substring_dup")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "substring dedup regressed to an all-pairs shape")
+    val windowLines = p.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(windowLines.isEmpty, s"unexpected window stage:\n${windowLines.mkString("\n")}")
+  }
+
+  test("heavy hitters pass 2 filters with an In predicate, no join against the corpus") {
+    val p = ExtendedQueries.heavyHitterTokens(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), "candidate filter should be a broadcast-free In predicate")
+  }
+
+  test("return covariance: daily frame aggregates before the pair join") {
+    val p = plan("b8_return_cov")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "pair generation must stay an equi-join on trade_date")
+  }
+
   test("k-means assignment is a projection — no join, window, or extra shuffle per iteration") {
     val p = graft.operators.KMeans.assignments(
       graft.sources.Tables.embeddings(spark, Sf), k = 4, iters = 1)

@@ -286,6 +286,23 @@ class TextDedupSpec extends SparkSpecBase {
     assert(out(4L) === ((0L, 0L, 0L, 0L)))
   }
 
+  test("window decontamination: verbatim k-run hits, clean docs absent") {
+    // Bench doc 1 = "q w e r t". Corpus doc 2 embeds that run (3 of
+    // its 5 k=3 windows match); doc 3 shares no window; doc 4 shares
+    // tokens but no 3-run.
+    val df = docsDf(Seq(
+      (1L, "q w e r t"),
+      (2L, "a b q w e r t"),
+      (3L, "completely different text here"),
+      (4L, "q a w b e c r")))
+    val out = Dedup.windowDecontamination(df, col("doc_id") === 1L, k = 3).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_windows"), r.getAs[Long]("n_contaminated_windows"),
+          r.getAs[Long]("contam_frac_e6")))).toMap
+    assert(out.keySet === Set(2L))
+    assert(out(2L) === ((5L, 3L, 600000L)))
+  }
+
   test("chunking is case-preserving: mixed-case variants chunk to different md5s") {
     // Guards the operator/oracle tokenizer agreement: both sides
     // tokenize RAW text, so case must flow through to chunk_md5.
