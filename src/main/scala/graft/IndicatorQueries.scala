@@ -214,17 +214,16 @@ object IndicatorQueries {
     ), m AS (
       SELECT sym_a, sym_b, COUNT(*) AS n_days,
              CAST(COUNT(*) * SUM(CAST(ra AS HUGEINT) * rb)
-                  - SUM(CAST(ra AS HUGEINT)) * SUM(CAST(rb AS HUGEINT)) AS BIGINT) AS cov_num,
+                  - SUM(CAST(ra AS HUGEINT)) * SUM(CAST(rb AS HUGEINT)) AS DOUBLE) AS cov_num,
              CAST(COUNT(*) * SUM(CAST(ra AS HUGEINT) * ra)
-                  - SUM(CAST(ra AS HUGEINT)) * SUM(CAST(ra AS HUGEINT)) AS BIGINT) AS var_a_num,
+                  - SUM(CAST(ra AS HUGEINT)) * SUM(CAST(ra AS HUGEINT)) AS DOUBLE) AS var_a_num,
              CAST(COUNT(*) * SUM(CAST(rb AS HUGEINT) * rb)
-                  - SUM(CAST(rb AS HUGEINT)) * SUM(CAST(rb AS HUGEINT)) AS BIGINT) AS var_b_num
+                  - SUM(CAST(rb AS HUGEINT)) * SUM(CAST(rb AS HUGEINT)) AS DOUBLE) AS var_b_num
       FROM pairs GROUP BY sym_a, sym_b
     )
     SELECT sym_a, sym_b, n_days, cov_num, var_a_num, var_b_num,
            CASE WHEN var_a_num > 0 AND var_b_num > 0
-                THEN CAST(cov_num AS DOUBLE)
-                     / sqrt(CAST(var_a_num AS DOUBLE) * CAST(var_b_num AS DOUBLE))
+                THEN cov_num / sqrt(var_a_num * var_b_num)
            END AS corr
     FROM m"""),
 

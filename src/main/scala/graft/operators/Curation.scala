@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The end-to-end curation pipeline a training-data run actually
+  * executes, composed from the library's verified operators in their
+  * canonical order:
+  *
+  *   quality gate → exact dedup → near dedup (LSH → verify → CC
+  *   survivors) → benchmark decontamination → per-source caps →
+  *   token-budget shard packing
+  *
+  * Each stage is individually oracle-checked (t1/d1/d7/d11/d13/x7/
+  * x10); this composition exists so the LIBRARY-level contract is
+  * tested too: the whole chain is deterministic under any
+  * partitioning (CurationSpec re-runs it at different parallelism and
+  * requires identical shard assignments), stages only ever shrink the
+  * doc set, and nothing in the chain introduces a driver-side
+  * collect or a corpus-wide quadratic step beyond what the stage
+  * operators already bound (LSH buckets, broadcast bench windows).
+  */
+object Curation {
+
+  /** Tuning knobs, defaulted to the canonical small-corpus values
+    * used in specs. At production scale the same fields apply — only
+    * magnitudes change.
+    */
+  case class Config(
+      minTokens: Long = 5,
+      maxDupTokenFracE6: Long = 700000L,
+      minJaccardE6: Long = 500000L,
+      benchWindowK: Int = 8,
+      maxContamFracE6: Long = 200000L,
+      perSourceCap: Int = Int.MaxValue,
+      shardTokenBudget: Long = 5000L)
+
+  /** Runs the pipeline over `docs` (doc_id, text, source, ...);
+    * `benchPred` marks the held-out eval slice to decontaminate
+    * against (those rows are excluded from the output corpus).
+    * Returns (doc_id, source, n_tokens, shard_id).
+    */
+  def curate(docs: DataFrame, benchPred: Column,
+             cfg: Config = Config()): DataFrame = {
+    // 1. Quality gate — scan-side projections only.
+    val featured = TextAnalysis.repetitionStats(docs.filter(!benchPred))
+      .join(docs.select(col("doc_id"), col("text"), col("source")), Seq("doc_id"))
+      .filter(col("n_tokens") >= cfg.minTokens &&
+        col("dup_token_frac_e6") <= cfg.maxDupTokenFracE6)
+      .select(col("doc_id"), col("text"), col("source"), col("n_tokens"))
+
+    // 2. Exact dedup, then transitive-correct near dedup.
+    val exact = Dedup.exactDedup(featured)
+    val near = Dedup.nearDedupCC(exact, minJaccardE6 = cfg.minJaccardE6)
+
+    // 3. Window-level decontamination vs the benchmark slice.
+    val contaminated = Dedup.windowDecontamination(
+        docs, benchPred, k = cfg.benchWindowK)
+      .filter(col("contam_frac_e6") > cfg.maxContamFracE6)
+      .select(col("doc_id"))
+    val clean = near.join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+
+    // 4. Per-source caps (deterministic smallest-hash-k per stratum).
+    val capped =
+      if (cfg.perSourceCap == Int.MaxValue) clean
+      else Sampling.stratifiedSample(clean, "source", "doc_id", cfg.perSourceCap)
+
+    // 5. Token-budget shard packing.
+    Sampling.packByTokenBudget(
+        capped.select(col("doc_id"), col("source"), col("n_tokens")),
+        "doc_id", "n_tokens", budget = cfg.shardTokenBudget)
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("shard_id"))
+  }
+}

@@ -231,10 +231,13 @@ object Indicators {
     * DuckDB integer `//` — verified: -7 // 2 = -3 there, not -4), so
     * plain division is the portable form — a floor-division identity
     * here would DIVERGE on every down day, not protect against it.
-    * Covariance/variance numerators are the
-    * n·Σxy − Σx·Σy form in decimal intermediates (the b1 posture),
-    * emitted as BIGINT; `corr` is derived from those exact integers
-    * with single IEEE ops.
+    * Covariance/variance numerators are the n·Σxy − Σx·Σy form,
+    * computed EXACTLY in decimal and emitted as double (the h1
+    * posture: exact associative arithmetic internally, one correctly-
+    * rounded cast at the boundary — n·Σr² tops 2⁶³ for volatile
+    * series, found live at sf0.1, so BIGINT is not a safe output
+    * type here); `corr` is derived from the same exact decimals with
+    * single IEEE ops.
     *
     * Shape at scale: daily returns are one hash aggregate + a lag
     * over O(symbols × days) rows; the pair frame is a self equi-join
@@ -266,13 +269,15 @@ object Indicators {
         sum(dec(col("ra")) * col("ra")).as("saa"),
         sum(dec(col("rb")) * col("rb")).as("sbb"))
       .select(col("sym_a"), col("sym_b"), col("n_days"),
-        (col("n_days") * col("sab") - col("sa") * col("sb")).cast("long").as("cov_num"),
-        (col("n_days") * col("saa") - col("sa") * col("sa")).cast("long").as("var_a_num"),
-        (col("n_days") * col("sbb") - col("sb") * col("sb")).cast("long").as("var_b_num"))
+        (col("n_days") * col("sab") - col("sa") * col("sb"))
+          .cast("double").as("cov_num"),
+        (col("n_days") * col("saa") - col("sa") * col("sa"))
+          .cast("double").as("var_a_num"),
+        (col("n_days") * col("sbb") - col("sb") * col("sb"))
+          .cast("double").as("var_b_num"))
       .withColumn("corr",
         when(col("var_a_num") > 0 && col("var_b_num") > 0,
-          col("cov_num").cast("double") /
-            sqrt(col("var_a_num").cast("double") * col("var_b_num").cast("double"))))
+          col("cov_num") / sqrt(col("var_a_num") * col("var_b_num"))))
   }
 
   def spikeCounts(silver: DataFrame, n: Int = 20, z: Int = 3): DataFrame = {

@@ -151,9 +151,9 @@ class IndicatorsSpec extends SparkSpecBase {
     val r = out.head
     assert((r.getAs[String]("sym_a"), r.getAs[String]("sym_b")) === (("X", "Y")))
     assert(r.getAs[Long]("n_days") === 2L)
-    assert(r.getAs[Long]("cov_num") === r.getAs[Long]("var_a_num"))
-    assert(r.getAs[Long]("var_a_num") === r.getAs[Long]("var_b_num"))
-    assert(r.getAs[Long]("var_a_num") > 0L)
+    assert(r.getAs[Double]("cov_num") === r.getAs[Double]("var_a_num"))
+    assert(r.getAs[Double]("var_a_num") === r.getAs[Double]("var_b_num"))
+    assert(r.getAs[Double]("var_a_num") > 0.0)
     assert(math.abs(r.getAs[Double]("corr") - 1.0) < 1e-12)
   }
 

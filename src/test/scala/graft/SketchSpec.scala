@@ -39,6 +39,35 @@ class SketchSpec extends SparkSpecBase {
     assert(mg.counters("h0") <= 3000L && mg.counters("h0") >= 3000L - 1000L)
   }
 
+  test("MG sketch aggregates per group, batch and streaming update mode alike") {
+    import spark.implicits._
+    val sk = graft.operators.HeavyHitters.sketch(4)
+    // Batch per-group form.
+    val batch = Seq(("g1", "a"), ("g1", "a"), ("g1", "b"), ("g2", "x"))
+      .toDS().groupByKey(_._1).mapValues(_._2).agg(sk.toColumn)
+      .collect().toMap
+    assert(batch("g1").counters === Map("a" -> 2L, "b" -> 1L))
+    assert(batch("g1").total === 3L && batch("g2").total === 1L)
+    // Streaming: same aggregation over a MemoryStream in update mode —
+    // the buffer must round-trip the state store encoder.
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, String)]
+    val q = mem.toDS().groupByKey(_._1).mapValues(_._2).agg(sk.toColumn)
+      .toDF("group", "mg")
+      .writeStream.format("memory").queryName("mg_out").outputMode("update").start()
+    mem.addData(("g1", "a"), ("g1", "b"))
+    q.processAllAvailable()
+    mem.addData(("g1", "a"), ("g2", "x"))
+    q.processAllAvailable()
+    q.stop()
+    val fin = spark.table("mg_out").collect()
+      .map(r => r.getAs[String]("group") -> r.getAs[org.apache.spark.sql.Row]("mg"))
+      .toMap // update mode: last emission per group wins in the collect-by-key map
+    val g1 = fin("g1")
+    assert(g1.getAs[Long]("total") === 3L)
+    assert(g1.getAs[Map[String, Long]]("counters") === Map("a" -> 2L, "b" -> 1L))
+  }
+
   test("exactHeavyHitters returns exact thresholded counts despite the sketch pass") {
     import spark.implicits._
     val rows = (0 until 500).map(_ => "big") ++ (0 until 120).map(_ => "mid") ++
