@@ -277,6 +277,40 @@ object ExtendedQueries {
     GROUP BY token, n
     HAVING COUNT(*) * 1000000 >= n * 30000"""
 
+  /** X21 — quote spread metrics through the QuoteStreams projection
+    * (mid/spread/bps/imbalance — the quote surface the reference
+    * declares but never consumes). Quotes derive deterministically
+    * from the trade feed (single IEEE ops both sides), so the batch
+    * oracle covers the same arithmetic the streaming path runs.
+    */
+  def spreadMetrics(s: SparkSession, dir: String): DataFrame = {
+    val quotes = Tables.trades(s, dir).filter(col("event_id") < 2000)
+      .select(col("event_id"), col("symbol"),
+        (col("price") * 0.9995).as("bid_price"),
+        (col("price") * 1.0005).as("ask_price"),
+        (pmod(col("event_id"), lit(100)) + 1).as("bid_size"),
+        (pmod(col("event_id"), lit(97)) + 1).as("ask_size"))
+    graft.streaming.QuoteStreams.withSpreadMetrics(quotes)
+      .select(col("event_id"), col("symbol"), col("bid_price"), col("ask_price"),
+        col("mid"), col("spread"), col("spread_bps"), col("imbalance"))
+  }
+
+  val spreadMetricsSql: String = SparkEntry.P + """
+    SELECT event_id, symbol, bid_price, ask_price,
+           (bid_price + ask_price) / 2 AS mid,
+           ask_price - bid_price AS spread,
+           CASE WHEN (bid_price + ask_price) / 2 > 0
+                THEN (ask_price - bid_price) / ((bid_price + ask_price) / 2) * 10000
+           END AS spread_bps,
+           CASE WHEN bid_size + ask_size > 0
+                THEN CAST(bid_size - ask_size AS DOUBLE) / (bid_size + ask_size)
+           END AS imbalance
+    FROM (
+      SELECT event_id, symbol,
+             price * 0.9995 AS bid_price, price * 1.0005 AS ask_price,
+             event_id % 100 + 1 AS bid_size, event_id % 97 + 1 AS ask_size
+      FROM trades WHERE event_id < 2000)"""
+
   /** X6 — deterministic Bernoulli sample (10%) of documents. */
   def docSample(s: SparkSession, dir: String): DataFrame =
     operators.Sampling.deterministicSample(
@@ -449,6 +483,7 @@ object ExtendedQueries {
     "x15_range_join" -> (rangeBandJoin _),
     "x16_semi_anti" -> (semiAntiUsers _),
     "x20_heavy_hitters" -> (heavyHitterTokens _),
+    "x21_spread_metrics" -> (spreadMetrics _),
     "x6_deterministic_sample" -> (docSample _),
     "x18_mixture" -> (mixtureSample _),
     "x19_split" -> (labeledSplit _),
@@ -473,6 +508,7 @@ object ExtendedQueries {
     "x15_range_join" -> rangeBandJoinSql,
     "x16_semi_anti" -> semiAntiUsersSql,
     "x20_heavy_hitters" -> heavyHitterTokensSql,
+    "x21_spread_metrics" -> spreadMetricsSql,
     "x6_deterministic_sample" -> docSampleSql,
     "x18_mixture" -> mixtureSampleSql,
     "x19_split" -> labeledSplitSql,

@@ -38,6 +38,28 @@ class EdgeCaseSpec extends SparkSpecBase {
     assert(Dedup.nearDedup(docs, 500000L).count() === 3)
   }
 
+  test("round-4 operators on empty and degenerate input") {
+    val et = emptyTrades.withColumn("trade_date", col("event_time").cast("date"))
+    assert(Ohlcv.rollup(Ohlcv.bars5m(emptyTrades), "1 hour").count() === 0)
+    assert(Indicators.drawdown(et).count() === 0)
+    assert(Indicators.macdDaily(et).count() === 0)
+    assert(Indicators.returnCovariance(et).count() === 0)
+    val docs = Seq((1L, ""), (2L, "   "), (3L, "x y")).toDF("doc_id", "text")
+    // Docs shorter than the window: zero windows, zero fractions, no crash.
+    val ss = Dedup.substringDupStats(docs, k = 3).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_windows"), r.getAs[Long]("shared_frac_e6")))).toMap
+    assert(ss === Map(1L -> ((0L, 0L)), 2L -> ((0L, 0L)), 3L -> ((0L, 0L))))
+    assert(Dedup.windowDecontamination(docs, col("doc_id") === 1L, k = 3).count() === 0)
+    // Heavy hitters over an empty frame: empty sketch, empty result.
+    val emptyDocs = docs.filter(col("doc_id") < 0)
+    assert(HeavyHitters.exactHeavyHitters(
+      emptyDocs.select(col("text").as("token")), "token", phiE6 = 100000L).count() === 0)
+    assert(TextAnalysis.charsetStats(docs).count() === 3)
+    assert(Curation.curate(
+      emptyDocs.withColumn("source", lit("s")), lit(false)).count() === 0)
+  }
+
   test("similarity with empty query set and zero vectors") {
     val vecs = Seq((1L, Seq(0f, 0f)), (2L, Seq(1f, 0f))).toDF("vec_id", "embedding")
     // Zero vector: cosine guard returns 0, no NaN.
