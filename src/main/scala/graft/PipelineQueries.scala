@@ -255,6 +255,22 @@ object PipelineQueries {
       .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rank"))
   }
 
+  /** S4/X22 — metadata-filtered exact ANN: restrict the corpus by a
+    * document attribute (here lang = 'en' via the embeddings↔documents
+    * id join), THEN score and rank. Pre-filtering is the semantically
+    * correct order for filtered vector search — post-filtering a
+    * global top-k under-fills k whenever the filter is selective. The
+    * filter is an equi-join the optimizer is free to broadcast either
+    * way; the scoring stage is s1's broadcast-queries shape unchanged.
+    */
+  def filteredKnn(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val allowed = docs(s, dir).filter(col("lang") === "en")
+      .select(col("doc_id").as("vec_id"))
+    Similarity.bruteForceTopK(e.filter(col("vec_id") < 3), e.join(allowed, "vec_id"), k = 5)
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rank"))
+  }
+
   def knnIvf(s: SparkSession, dir: String): DataFrame = {
     val e = embs(s, dir)
     Ivf.ivfTopK(e.filter(col("vec_id") < 5), e, k = 5, nCentroids = 16, nProbe = 4)
@@ -619,6 +635,18 @@ object PipelineQueries {
       WHERE q.vec_id < 5 AND q.vec_id != c.vec_id)
     WHERE rank <= 5"""
 
+  val filteredKnnSql: String = s"""
+    SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROUND(${cosSql("q.embedding", "c.embedding")}, 6) AS cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY q.vec_id
+               ORDER BY ROUND(${cosSql("q.embedding", "c.embedding")}, 6) DESC, c.vec_id) AS rank
+      FROM embeddings q,
+           (SELECT e.* FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+            WHERE d.lang = 'en') c
+      WHERE q.vec_id < 3 AND q.vec_id != c.vec_id)
+    WHERE rank <= 5"""
+
   /** total_bytes is the UTF-8 octet length of the payload; the decode
     * metadata (dims, frames, checksum) is codepoint-based — mirrors
     * Multimodal.decodeStub exactly, ASCII or not.
@@ -867,6 +895,7 @@ object PipelineQueries {
     "d13_window_decontam" -> (windowDecontam _),
     "d6_embedding_dups" -> (embeddingDups _),
     "s1_knn_brute" -> (knnBrute _),
+    "s4_filtered_knn" -> (filteredKnn _),
     "s2_knn_lsh" -> (knnLsh _),
     "s3_knn_ivf" -> (knnIvf _),
     "mm1_modality_stats" -> (modalityStats _),
@@ -900,6 +929,7 @@ object PipelineQueries {
     "d13_window_decontam" -> windowDecontamSql,
     "d6_embedding_dups" -> embeddingDupsSql,
     "s1_knn_brute" -> knnBruteSql,
+    "s4_filtered_knn" -> filteredKnnSql,
     "mm1_modality_stats" -> modalityStatsSql,
     "mm2_frame_sample" -> frameSampleSql,
     "mm3_resize_plan" -> resizePlanSql

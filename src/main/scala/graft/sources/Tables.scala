@@ -2,6 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 /** Table loaders over the driver-provided parquet test data
   * (TESTDATA.md), plus the canonical "trades" view that maps the
@@ -40,6 +41,29 @@ object Tables {
   def events(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "events")
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+
+  /** The documents schema, for non-parquet ingestion paths. */
+  val documentsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("lang", StringType), StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** JSONL document corpus — the format web-scale text corpora
+    * actually arrive in (one JSON object per line, possibly gzipped;
+    * Spark's json source handles .gz transparently and splits plain
+    * files by line). The schema is passed explicitly: schema inference
+    * would scan the corpus once BEFORE the real read — at 100 TB that
+    * is a full extra pass, and a heterogeneous corpus would widen
+    * types under you. Unparseable lines surface in
+    * `_corrupt_record`-free PERMISSIVE mode as all-null rows; pass
+    * `strict = true` to fail fast instead (FAILFAST).
+    */
+  def documentsJsonl(spark: SparkSession, path: String,
+                     strict: Boolean = false): DataFrame =
+    spark.read
+      .schema(documentsSchema)
+      .option("mode", if (strict) "FAILFAST" else "PERMISSIVE")
+      .json(path)
 
   /** Canonical trade view: the batch analog of the reference's parsed
     * Kafka trade stream (transformations.py:51-83 — P1 JSON decode +

@@ -54,6 +54,26 @@ class ServingStoreSpec extends SparkSpecBase {
     }
   }
 
+  test("JSONL document ingest round-trips the corpus; corrupt lines degrade per mode") {
+    val docs = graft.sources.Tables.documents(spark, Sf)
+    val dir = Files.createTempDirectory("graft_jsonl").toString + "/docs"
+    docs.write.mode("overwrite").json(dir)
+    val back = graft.sources.Tables.documentsJsonl(spark, dir)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text"),
+        r.getAs[String]("lang"), r.getAs[String]("source"), r.getAs[Long]("n_chars")))
+      .toSet
+    assert(key(back) === key(docs))
+    // A corrupt line: PERMISSIVE yields a null row, strict fails fast.
+    Files.writeString(java.nio.file.Paths.get(dir, "part-corrupt.json"), "not json at all\n")
+    val permissive = graft.sources.Tables.documentsJsonl(spark, dir)
+    assert(permissive.count() === docs.count() + 1)
+    assert(permissive.filter(col("doc_id").isNull).count() === 1)
+    intercept[org.apache.spark.SparkException] {
+      graft.sources.Tables.documentsJsonl(spark, dir, strict = true).count()
+    }
+  }
+
   test("console sink runs a streaming query to completion (K2)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
