@@ -100,7 +100,17 @@ object App {
     * every selected sink. Returns the manager holding the handles.
     */
   def start(spark: SparkSession, raw: DataFrame, cfg: Config): Sinks.SinkManager = {
-    val trigger = Trigger.ProcessingTime(cfg.trigger)
+    // Trigger modes per the reference's documented set: micro-batch
+    // processing-time (default), "available-now" (drain the backlog
+    // in bounded batches, then stop — the batch-catchup/backfill
+    // posture), and legacy "once" (one batch, no backlog bound).
+    // Continuous mode is deliberately NOT offered: it supports no
+    // aggregations, so every layer except bronze would reject it.
+    val trigger = cfg.trigger.trim.toLowerCase match {
+      case "available-now" | "availablenow" => Trigger.AvailableNow()
+      case "once" => Trigger.Once()
+      case t => Trigger.ProcessingTime(t)
+    }
     // Validate the whole config BEFORE any query starts: a failure
     // mid-wiring would strand already-started queries with no manager
     // handle to stop them.

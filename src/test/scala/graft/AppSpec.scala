@@ -71,6 +71,29 @@ class AppSpec extends SparkSpecBase {
     }
   }
 
+  test("available-now trigger drains the backlog and the queries stop on their own") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_app_an").toString
+    val mem = MemoryStream[String]
+    val t0 = 1705312800000L
+    // Backlog exists BEFORE start — available-now's contract is to
+    // consume exactly what is present at query start, then terminate.
+    mem.addData(
+      s"""{"symbol":"AAPL","price":10.5,"volume":3,"timestamp":$t0,"conditions":[],"ingestion_time":$t0}""",
+      s"""{"symbol":"MSFT","price":20.0,"volume":1,"timestamp":${t0 + 1000},"conditions":[],"ingestion_time":$t0}""")
+    val cfg = App.Config(out = s"$dir/out", checkpoint = s"$dir/ckp",
+      layers = Set("bronze", "silver"), trigger = "available-now")
+    val mgr = App.start(spark, mem.toDF(), cfg)
+    try {
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      while (mgr.status.values.exists(identity) && System.nanoTime() < deadline)
+        Thread.sleep(100)
+      assert(mgr.status.values.forall(!_), s"queries still active: ${mgr.status}")
+      assert(spark.read.parquet(s"$dir/out/bronze").count() === 2)
+      assert(spark.read.parquet(s"$dir/out/silver").count() === 2)
+    } finally mgr.stopAll()
+  }
+
   test("chained topology: gold streams from the silver output, same bars") {
     implicit val sqlCtx = spark.sqlContext
     val dir = Files.createTempDirectory("graft_app_chain").toString
