@@ -34,6 +34,59 @@ class StreamingSpec extends SparkSpecBase {
       typed.conditions === Seq("1") && typed.event_time.getTime === t0)
   }
 
+  test("streaming grain cascade: 1h bars roll up from the FINALIZED 5m bar stream") {
+    // Stage 1 writes append-mode 5m bars (emitted once, when the
+    // watermark closes the window — immutable files, so a chained
+    // file source is safe; the upsert gold store is NOT, its buckets
+    // rewrite). Stage 2 streams those bars and re-aggregates with
+    // Ohlcv.rollup under a watermark on window_start — the streaming
+    // form of the a7 grain cascade: state and input are O(bars).
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_cascade").toString
+    val mem = MemoryStream[String]
+    val trades = TradeStreams.parseTrades(mem.toDF())
+      .withColumn("event_id", col("timestamp"))
+    val bars5 = Ohlcv.bars5m(TradeStreams.withWatermark(trades, "1 minute"))
+    val q1 = bars5.writeStream.format("parquet")
+      .option("path", s"$dir/bars5m").option("checkpointLocation", s"$dir/ckp5")
+      .outputMode("append").start()
+    // 150 minutes of trades + a pusher event far ahead so the
+    // watermark closes every 5m window below it. Stage 2's own
+    // watermark advances only to max(window_start) − 1 min = t0+149,
+    // so exactly the first two 1h windows can close there.
+    val rows = (0 until 30).map(i => tradeJson("AAPL", 10.0 + i, 1, t0 + i * 300000L))
+    mem.addData(rows: _*)
+    mem.addData(tradeJson("AAPL", 99.0, 1, t0 + 10 * 3600000L)) // watermark pusher
+    q1.processAllAvailable()
+    q1.stop()
+
+    val barStream = spark.readStream.schema(spark.read.parquet(s"$dir/bars5m").schema)
+      .parquet(s"$dir/bars5m")
+      .withWatermark("window_start", "1 minute")
+    val q2 = Ohlcv.rollup(barStream, "1 hour").writeStream.format("parquet")
+      .option("path", s"$dir/bars1h").option("checkpointLocation", s"$dir/ckp1h")
+      .outputMode("append").start()
+    q2.processAllAvailable()
+    q2.stop()
+
+    // The cascade's CLOSED 1h windows equal the batch rollup of the
+    // same finalized 5m bars, bar-for-bar (the last 1h window stays
+    // open in the stream — compare on the closed range only).
+    val streamed = spark.read.parquet(s"$dir/bars1h").collect()
+      .map(r => r.getAs[Timestamp]("window_start").getTime ->
+        ((r.getAs[Double]("open"), r.getAs[Double]("close"), r.getAs[Long]("volume"),
+          r.getAs[Long]("trade_count"), r.getAs[Long]("vwap_e6")))).toMap
+    assert(streamed.nonEmpty, "no 1h windows closed in the cascade")
+    val batch = Ohlcv.rollup(spark.read.parquet(s"$dir/bars5m"), "1 hour")
+      .filter(col("symbol") === "AAPL").collect()
+      .map(r => r.getAs[Timestamp]("window_start").getTime ->
+        ((r.getAs[Double]("open"), r.getAs[Double]("close"), r.getAs[Long]("volume"),
+          r.getAs[Long]("trade_count"), r.getAs[Long]("vwap_e6")))).toMap
+    streamed.foreach { case (ws, v) => assert(batch(ws) === v, s"window $ws") }
+    // The two full hours of the dense range must have closed.
+    assert(streamed.keySet.count(ws => ws >= t0 - 3600000L && ws <= t0 + 7200000L) >= 2)
+  }
+
   test("streaming OHLCV over MemoryStream: watermark + dedup + windows") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[String]
