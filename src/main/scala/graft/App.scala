@@ -111,6 +111,10 @@ object App {
       case "once" => Trigger.Once()
       case t => Trigger.ProcessingTime(t)
     }
+    def boundedTrigger(t: String): Boolean = t.trim.toLowerCase match {
+      case "available-now" | "availablenow" | "once" => true
+      case _ => false
+    }
     // Validate the whole config BEFORE any query starts: a failure
     // mid-wiring would strand already-started queries with no manager
     // handle to stop them.
@@ -119,6 +123,18 @@ object App {
       require(silverConsumers.isEmpty || cfg.layers("silver"),
         s"chained ${silverConsumers.mkString("/")} read the silver output — " +
           "enable the silver layer")
+      // Bounded-drain triggers snapshot each source's offsets AT
+      // QUERY START; the chained gold/indicator file sources would
+      // snapshot the silver directory before silver has committed its
+      // first backlog batch, drain ~nothing, and self-terminate
+      // "successfully" with the gold store silently empty. Backfill a
+      // chained topology in two invocations instead (silver first,
+      // then the downstream layers).
+      require(silverConsumers.isEmpty || !boundedTrigger(cfg.trigger),
+        s"chained ${silverConsumers.mkString("/")} cannot run under " +
+          s"--trigger ${cfg.trigger}: the downstream file source snapshots " +
+          "the silver directory at start, before silver drains. Run silver " +
+          "to completion first, then the chained layers.")
     }
     // The indicators layer runs on transformWithState, which only the
     // RocksDB state store provider supports — configure it here (as
@@ -225,6 +241,13 @@ object App {
       } else
         TradeStreams.dedupWithinWatermark(TradeStreams.toSilverStreaming(watermarked))
 
+    // Schema note for existing stores: bars() output gained a
+    // `pv_ticks` column (the exact VWAP carry that makes grain
+    // rollups lossless). A gold directory written by an earlier build
+    // holds files without it; reading the mixed directory resolves
+    // the schema from a subset of footers unless
+    // spark.read.option("mergeSchema", true) is set — do that once
+    // and rewrite, or start a fresh store directory.
     def goldSink(name: String, duration: String): Unit = {
       val grain = Ohlcv.bars(cleanUpstream(name).withColumn("event_id", col("timestamp")), duration)
         .withColumn("window_date", to_date(col("window_start")))

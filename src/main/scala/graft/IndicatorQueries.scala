@@ -140,8 +140,9 @@ object IndicatorQueries {
 
     // B6: the running peak / first price as ordered-window aggregates,
     // drawdown + cumulative return in the same exact e4/e6 integer
-    // arithmetic ("//" floor vs Spark "div" truncation agree — every
-    // operand here is non-negative).
+    // arithmetic. Integer "//" TRUNCATES toward zero exactly like
+    // Spark's div (see b8's note; it is not floor) — and every
+    // operand here is non-negative anyway, where the two coincide.
     "b6_drawdown" -> (SparkEntry.P + s""", $ind, wnd AS (
       SELECT symbol, trade_date, event_time, event_id, px,
              MAX(px) OVER w AS peak,

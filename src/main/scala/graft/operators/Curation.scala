@@ -53,9 +53,17 @@ object Curation {
     val exact = Dedup.exactDedup(featured)
     val near = Dedup.nearDedupCC(exact, minJaccardE6 = cfg.minJaccardE6)
 
-    // 3. Window-level decontamination vs the benchmark slice.
+    // 3. Window-level decontamination vs the benchmark slice — run
+    // over the SURVIVORS plus the bench rows, not the raw corpus:
+    // tokenizing and window-exploding documents the gate or dedup
+    // already dropped would be a full wasted pass in the normal
+    // regime where those stages remove a large fraction. (benchPred
+    // must therefore be expressible over doc_id/text — true of any
+    // id-keyed eval slice.)
+    val decontamInput = near.select(col("doc_id"), col("text"))
+      .unionByName(docs.filter(benchPred).select(col("doc_id"), col("text")))
     val contaminated = Dedup.windowDecontamination(
-        docs, benchPred, k = cfg.benchWindowK)
+        decontamInput, benchPred, k = cfg.benchWindowK)
       .filter(col("contam_frac_e6") > cfg.maxContamFracE6)
       .select(col("doc_id"))
     val clean = near.join(broadcast(contaminated), Seq("doc_id"), "left_anti")

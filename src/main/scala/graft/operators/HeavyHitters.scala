@@ -90,16 +90,26 @@ object HeavyHitters {
     // Guarantee needs undercount bound n/(kk+1) < threshold φn.
     require((kk + 1).toLong * phiE6 > 1000000L,
       s"sketch k=$kk too small for phiE6=$phiE6 (needs k+1 > 1e6/phiE6)")
+    // The "metadata-sized driver collect" contract is only true if k
+    // is actually metadata-sized: a tiny φ (or an explicit huge k)
+    // would turn the sketch into a multi-million-entry driver Map and
+    // a same-sized In predicate. Fail loudly instead.
+    require(kk <= 1000000,
+      s"sketch k=$kk exceeds the 1e6 bound — phiE6=$phiE6 is too small " +
+        "for an exact heavy-hitter pass; use a plain groupBy for that regime")
     val spark = df.sparkSession
     import spark.implicits._
     val items = df.select(col(itemCol).cast("string")).na.drop().as[String]
     val mg = items.select(sketch(kk).toColumn).head()
-    val threshold = mg.total * phiE6 // compare against tf * 1e6
+    // tf·1e6 ≥ total·φE6  ⟺  tf ≥ ⌈total·φE6 / 1e6⌉ — computed in
+    // BigInt so web-scale totals (total·φE6 > 2⁶³) cannot wrap (the
+    // b8 overflow class; tf itself is bounded by total, a Long).
+    val minTf = ((BigInt(mg.total) * phiE6 + 999999) / 1000000).toLong
     df.filter(col(itemCol).isInCollection(
         if (mg.counters.isEmpty) Seq("") else mg.counters.keys.toSeq))
       .groupBy(col(itemCol))
       .agg(count(lit(1)).as("tf"))
-      .filter(col("tf") * 1000000L >= threshold)
+      .filter(col("tf") >= minTf)
       .orderBy(col("tf").desc, col(itemCol))
   }
 }

@@ -102,11 +102,27 @@ object Ohlcv {
     *
     * Requires tumbling input bars whose duration divides `duration`
     * (window starts are epoch-aligned, so finer tumbling windows nest
-    * exactly).
+    * exactly). The precondition is ENFORCED per row, not just
+    * documented: sliding bars (window_start not a multiple of the
+    * bar's own span) or a non-dividing duration (90m from 1h) would
+    * otherwise double-count volume and mix overlapping windows with
+    * no error — same schema, so it would type-check fine. The check
+    * is two integer ops per row inside codegen; `assert_true` keeps
+    * it alive through optimization (a dropped validation column would
+    * be pruned before it ever ran).
     */
   def rollup(bars: DataFrame, duration: String): DataFrame = {
+    // to_timestamp(0) is the epoch instant in any session timezone;
+    // a timestamp literal would shift with the session zone.
+    val targetUs = expr(s"unix_micros(to_timestamp(0) + INTERVAL $duration)")
+    val barUs = unix_micros(col("window_end")) - unix_micros(col("window_start"))
+    val nested = barUs > 0 && pmod(targetUs, barUs) === 0 &&
+      pmod(unix_micros(col("window_start")), barUs) === 0
     val ordTs = unix_micros(col("window_start"))
     bars
+      .filter(assert_true(nested,
+        lit(s"rollup: input must be epoch-aligned tumbling bars whose " +
+          s"duration divides $duration")).isNull)
       .groupBy(col("symbol"), window(col("window_start"), duration).as("w"))
       .agg(
         graft.functions.OrderedExtremum.minByOrd2(col("open"), ordTs, lit(0L)).as("open"),

@@ -71,6 +71,17 @@ class AppSpec extends SparkSpecBase {
     }
   }
 
+  test("chained layers refuse bounded-drain triggers (backlog would be silently lost)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val cfg = App.Config(out = "/tmp/never", checkpoint = "/tmp/never_ckp",
+      chained = true, layers = Set("silver", "gold5m"), trigger = "available-now")
+    val ex = intercept[IllegalArgumentException] {
+      App.start(spark, mem.toDF(), cfg)
+    }
+    assert(ex.getMessage.contains("snapshots the silver directory"))
+  }
+
   test("available-now trigger drains the backlog and the queries stop on their own") {
     implicit val sqlCtx = spark.sqlContext
     val dir = Files.createTempDirectory("graft_app_an").toString

@@ -84,6 +84,21 @@ class OhlcvSpec extends SparkSpecBase {
     rolled.foreach { case (k, v) => assert(v === direct(k), s"bar $k") }
   }
 
+  test("rollup rejects non-nesting input: sliding bars and non-dividing durations") {
+    val df = tradesDf((0 until 20).map(i =>
+      (i.toLong, "A", 10.0 + i, 1L, f"2024-01-01 00:${i * 3}%02d:00")))
+    // Sliding 5m/1m bars: window_start not aligned to the bar span.
+    intercept[Exception] {
+      Ohlcv.rollup(Ohlcv.barsSliding(df), "1 hour").collect()
+    }
+    // 90 minutes is not a multiple of 1h bars.
+    intercept[Exception] {
+      Ohlcv.rollup(Ohlcv.bars1h(df), "90 minutes").collect()
+    }
+    // The nesting case still works.
+    assert(Ohlcv.rollup(Ohlcv.bars5m(df), "1 hour").count() === 1)
+  }
+
   test("property: OHLC invariants hold on random trade sets (seeded)") {
     val rng = new scala.util.Random(42)
     (1 to 10).foreach { _ =>
