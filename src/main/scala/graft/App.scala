@@ -106,35 +106,41 @@ object App {
     // posture), and legacy "once" (one batch, no backlog bound).
     // Continuous mode is deliberately NOT offered: it supports no
     // aggregations, so every layer except bronze would reject it.
-    val trigger = cfg.trigger.trim.toLowerCase match {
-      case "available-now" | "availablenow" => Trigger.AvailableNow()
-      case "once" => Trigger.Once()
-      case t => Trigger.ProcessingTime(t)
-    }
-    def boundedTrigger(t: String): Boolean = t.trim.toLowerCase match {
-      case "available-now" | "availablenow" | "once" => true
-      case _ => false
+    // One match yields both the trigger and its boundedness — a
+    // second string-parse could silently desync on a new alias and
+    // turn off the chained-drain validation below.
+    val (trigger, boundedDrain) = cfg.trigger.trim.toLowerCase match {
+      case "available-now" | "availablenow" => (Trigger.AvailableNow(), true)
+      case "once" => (Trigger.Once(), true)
+      case t => (Trigger.ProcessingTime(t), false)
     }
     // Validate the whole config BEFORE any query starts: a failure
     // mid-wiring would strand already-started queries with no manager
     // handle to stop them.
     if (cfg.chained) {
       val silverConsumers = Seq("gold5m", "gold1h", "indicators").filter(cfg.layers)
-      require(silverConsumers.isEmpty || cfg.layers("silver"),
-        s"chained ${silverConsumers.mkString("/")} read the silver output — " +
-          "enable the silver layer")
-      // Bounded-drain triggers snapshot each source's offsets AT
-      // QUERY START; the chained gold/indicator file sources would
-      // snapshot the silver directory before silver has committed its
-      // first backlog batch, drain ~nothing, and self-terminate
-      // "successfully" with the gold store silently empty. Backfill a
-      // chained topology in two invocations instead (silver first,
-      // then the downstream layers).
-      require(silverConsumers.isEmpty || !boundedTrigger(cfg.trigger),
-        s"chained ${silverConsumers.mkString("/")} cannot run under " +
-          s"--trigger ${cfg.trigger}: the downstream file source snapshots " +
-          "the silver directory at start, before silver drains. Run silver " +
-          "to completion first, then the chained layers.")
+      if (boundedDrain) {
+        // Bounded-drain triggers snapshot each source's offsets AT
+        // QUERY START; chained downstream file sources started in the
+        // same invocation as silver would snapshot the silver
+        // directory before silver commits its first backlog batch,
+        // drain ~nothing, and self-terminate "successfully" with the
+        // gold store silently empty. The valid backfill is TWO
+        // invocations — silver alone first, then the downstream
+        // layers alone over the committed directory — so here the
+        // downstream layers may run WITHOUT silver (unlike the
+        // continuous case), but never together with it.
+        require(silverConsumers.isEmpty || !cfg.layers("silver"),
+          s"chained ${silverConsumers.mkString("/")} cannot drain in the " +
+            s"same --trigger ${cfg.trigger} invocation as silver: the " +
+            "downstream file source snapshots the silver directory at " +
+            "start, before silver drains. Backfill in two invocations — " +
+            "silver first, then the downstream layers.")
+      } else {
+        require(silverConsumers.isEmpty || cfg.layers("silver"),
+          s"chained ${silverConsumers.mkString("/")} read the silver output — " +
+            "enable the silver layer")
+      }
     }
     // The indicators layer runs on transformWithState, which only the
     // RocksDB state store provider supports — configure it here (as

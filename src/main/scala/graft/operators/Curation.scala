@@ -37,7 +37,10 @@ object Curation {
 
   /** Runs the pipeline over `docs` (doc_id, text, source, ...);
     * `benchPred` marks the held-out eval slice to decontaminate
-    * against (those rows are excluded from the output corpus).
+    * against (those rows are excluded from the output corpus) and
+    * must reference only (doc_id, text, source) — the columns every
+    * internal stage carries; a predicate over other input columns
+    * fails resolution at the decontamination stage.
     * Returns (doc_id, source, n_tokens, shard_id).
     */
   def curate(docs: DataFrame, benchPred: Column,
@@ -49,19 +52,25 @@ object Curation {
         col("dup_token_frac_e6") <= cfg.maxDupTokenFracE6)
       .select(col("doc_id"), col("text"), col("source"), col("n_tokens"))
 
-    // 2. Exact dedup, then transitive-correct near dedup.
+    // 2. Exact dedup, then transitive-correct near dedup. The
+    // survivor frame feeds TWO plan branches (decontamination input
+    // and the final anti-join); an eager localCheckpoint materializes
+    // it once so the gate scan + tokenization + dedup subtree does
+    // not execute twice per action (ReuseExchange only dedupes from
+    // the first shuffle down — the Dedup.scala:196 rationale).
     val exact = Dedup.exactDedup(featured)
     val near = Dedup.nearDedupCC(exact, minJaccardE6 = cfg.minJaccardE6)
+      .localCheckpoint(true)
 
     // 3. Window-level decontamination vs the benchmark slice — run
     // over the SURVIVORS plus the bench rows, not the raw corpus:
     // tokenizing and window-exploding documents the gate or dedup
     // already dropped would be a full wasted pass in the normal
-    // regime where those stages remove a large fraction. (benchPred
-    // must therefore be expressible over doc_id/text — true of any
-    // id-keyed eval slice.)
-    val decontamInput = near.select(col("doc_id"), col("text"))
-      .unionByName(docs.filter(benchPred).select(col("doc_id"), col("text")))
+    // regime where those stages remove a large fraction. benchPred
+    // sees (doc_id, text, source) here, the documented input schema.
+    val decontamInput = near.select(col("doc_id"), col("text"), col("source"))
+      .unionByName(docs.filter(benchPred)
+        .select(col("doc_id"), col("text"), col("source")))
     val contaminated = Dedup.windowDecontamination(
         decontamInput, benchPred, k = cfg.benchWindowK)
       .filter(col("contam_frac_e6") > cfg.maxContamFracE6)

@@ -102,14 +102,19 @@ object Ohlcv {
     *
     * Requires tumbling input bars whose duration divides `duration`
     * (window starts are epoch-aligned, so finer tumbling windows nest
-    * exactly). The precondition is ENFORCED per row, not just
-    * documented: sliding bars (window_start not a multiple of the
-    * bar's own span) or a non-dividing duration (90m from 1h) would
+    * exactly). The precondition is enforced, not just documented —
+    * sliding bars or a non-dividing duration (90m from 1h) would
     * otherwise double-count volume and mix overlapping windows with
-    * no error — same schema, so it would type-check fine. The check
-    * is two integer ops per row inside codegen; `assert_true` keeps
-    * it alive through optimization (a dropped validation column would
-    * be pruned before it ever ran).
+    * no error, same schema, type-checks fine. Two layers: a per-row
+    * check (span > 0, divides the target, window_start aligned to its
+    * own span — two integer ops inside codegen; `assert_true` keeps
+    * it alive through optimization) catches sliding/non-dividing
+    * input, and a per-output-group min==max span check catches MIXED
+    * grains (a glob over `gold*` directories unioning 5m and 1h bars
+    * passes every per-row test yet double-counts — the group check
+    * costs two primitive agg slots). Two sources of the SAME grain
+    * remain indistinguishable from duplicate data, which no schema
+    * check can see.
     */
   def rollup(bars: DataFrame, duration: String): DataFrame = {
     // to_timestamp(0) is the epoch instant in any session timezone;
@@ -123,6 +128,7 @@ object Ohlcv {
       .filter(assert_true(nested,
         lit(s"rollup: input must be epoch-aligned tumbling bars whose " +
           s"duration divides $duration")).isNull)
+      .withColumn("__bar_us", barUs)
       .groupBy(col("symbol"), window(col("window_start"), duration).as("w"))
       .agg(
         graft.functions.OrderedExtremum.minByOrd2(col("open"), ordTs, lit(0L)).as("open"),
@@ -131,7 +137,11 @@ object Ohlcv {
         graft.functions.OrderedExtremum.maxByOrd2(col("close"), ordTs, lit(0L)).as("close"),
         sum(col("volume")).as("volume"),
         sum(col("trade_count")).as("trade_count"),
-        sum(col("pv_ticks")).as("pv_ticks"))
+        sum(col("pv_ticks")).as("pv_ticks"),
+        min(col("__bar_us")).as("__span_min"),
+        max(col("__bar_us")).as("__span_max"))
+      .filter(assert_true(col("__span_min") === col("__span_max"),
+        lit("rollup: mixed input bar grains in one output window")).isNull)
       .transform(finishBars)
   }
 }

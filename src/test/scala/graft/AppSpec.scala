@@ -82,6 +82,35 @@ class AppSpec extends SparkSpecBase {
     assert(ex.getMessage.contains("snapshots the silver directory"))
   }
 
+  test("two-invocation chained backfill: bounded downstream drain over committed silver") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_app_backfill").toString
+    val t0 = 1705312800000L
+    // Invocation-1 analog: a fully committed silver store.
+    val rows = Seq(
+      org.apache.spark.sql.Row("AAPL", 10.5, 3L, t0, Seq("1"), t0,
+        new java.sql.Timestamp(t0), java.sql.Date.valueOf("2024-01-15")),
+      org.apache.spark.sql.Row("AAPL", 11.5, 2L, t0 + 60000L, Seq("1"), t0,
+        new java.sql.Timestamp(t0 + 60000L), java.sql.Date.valueOf("2024-01-15")))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows), App.silverSchema)
+      .write.mode("overwrite").parquet(s"$dir/out/silver")
+    // Invocation 2: the chained gold layer ALONE under available-now
+    // (valid precisely because silver is not draining concurrently).
+    val mem = MemoryStream[String]
+    val cfg = App.Config(out = s"$dir/out", checkpoint = s"$dir/ckp",
+      chained = true, layers = Set("gold5m"), trigger = "available-now")
+    val mgr = App.start(spark, mem.toDF(), cfg)
+    try {
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      while (mgr.status.values.exists(identity) && System.nanoTime() < deadline)
+        Thread.sleep(100)
+      assert(mgr.status.values.forall(!_), s"queries still active: ${mgr.status}")
+      val gold = spark.read.parquet(s"$dir/out/gold5m")
+      assert(gold.count() === 1)
+      assert(gold.collect().head.getAs[Long]("volume") === 5L)
+    } finally mgr.stopAll()
+  }
+
   test("available-now trigger drains the backlog and the queries stop on their own") {
     implicit val sqlCtx = spark.sqlContext
     val dir = Files.createTempDirectory("graft_app_an").toString

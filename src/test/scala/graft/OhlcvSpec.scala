@@ -95,6 +95,11 @@ class OhlcvSpec extends SparkSpecBase {
     intercept[Exception] {
       Ohlcv.rollup(Ohlcv.bars1h(df), "90 minutes").collect()
     }
+    // Mixed grains: each row passes the per-row test (5m and 1h both
+    // nest in 1h) but one output window holds both spans.
+    intercept[Exception] {
+      Ohlcv.rollup(Ohlcv.bars5m(df).unionByName(Ohlcv.bars1h(df)), "1 hour").collect()
+    }
     // The nesting case still works.
     assert(Ohlcv.rollup(Ohlcv.bars5m(df), "1 hour").count() === 1)
   }
