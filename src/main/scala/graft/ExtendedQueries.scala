@@ -311,6 +311,38 @@ object ExtendedQueries {
              event_id % 100 + 1 AS bid_size, event_id % 97 + 1 AS ask_size
       FROM trades WHERE event_id < 2000)"""
 
+  /** X22 — purged walk-forward CV folds over the trade feed (5 folds,
+    * 1-day embargo), aggregated to per-(fold, role) counts + an
+    * event-id checksum so the oracle pins every row's assignment.
+    */
+  def purgedFolds(s: SparkSession, dir: String): DataFrame =
+    operators.Sampling.purgedFolds(SparkEntry.silverDf(s, dir), "event_time",
+        nFolds = 5, embargoMs = 86400000L)
+      .groupBy(col("test_fold"), col("role"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("event_id")).as("sum_event_id"))
+
+  val purgedFoldsSql: String = SparkEntry.P + """, b AS (
+      SELECT epoch_ms(MIN(event_time)) AS tmin,
+             epoch_ms(MAX(event_time)) - epoch_ms(MIN(event_time)) + 1 AS span
+      FROM silver
+    ), e AS (
+      SELECT s.event_id, epoch_ms(s.event_time) AS t, b.tmin, b.span,
+             LEAST((epoch_ms(s.event_time) - b.tmin) * 5 // b.span, 4) AS fold,
+             unnest([0, 1, 2, 3, 4]) AS test_fold
+      FROM silver s, b
+    ), r AS (
+      SELECT event_id, test_fold,
+             CASE WHEN fold = test_fold THEN 'test'
+                  WHEN t >= tmin + (test_fold * span + 4) // 5 - 86400000
+                   AND t <= tmin + ((test_fold + 1) * span + 4) // 5 - 1 + 86400000
+                  THEN 'embargo'
+                  ELSE 'train' END AS role
+      FROM e
+    )
+    SELECT CAST(test_fold AS INT) AS test_fold, role, COUNT(*) AS n_rows,
+           CAST(SUM(event_id) AS BIGINT) AS sum_event_id
+    FROM r GROUP BY test_fold, role"""
+
   /** X6 — deterministic Bernoulli sample (10%) of documents. */
   def docSample(s: SparkSession, dir: String): DataFrame =
     operators.Sampling.deterministicSample(
@@ -484,6 +516,7 @@ object ExtendedQueries {
     "x16_semi_anti" -> (semiAntiUsers _),
     "x20_heavy_hitters" -> (heavyHitterTokens _),
     "x21_spread_metrics" -> (spreadMetrics _),
+    "x22_purged_folds" -> (purgedFolds _),
     "x6_deterministic_sample" -> (docSample _),
     "x18_mixture" -> (mixtureSample _),
     "x19_split" -> (labeledSplit _),
@@ -509,6 +542,7 @@ object ExtendedQueries {
     "x16_semi_anti" -> semiAntiUsersSql,
     "x20_heavy_hitters" -> heavyHitterTokensSql,
     "x21_spread_metrics" -> spreadMetricsSql,
+    "x22_purged_folds" -> purgedFoldsSql,
     "x6_deterministic_sample" -> docSampleSql,
     "x18_mixture" -> mixtureSampleSql,
     "x19_split" -> labeledSplitSql,

@@ -148,6 +148,52 @@ object Sampling {
     df.withColumn("split", label)
   }
 
+  /** Purged walk-forward folds for time-series cross-validation: the
+    * event-time range is cut into `nFolds` equal spans; for each fold
+    * taken as the test window, every row is labeled `test` (inside the
+    * window), `embargo` (outside it but within `embargoMs` of its
+    * edges — the leakage zone where features computed from windows
+    * that OVERLAP the test range would let the model peek), or
+    * `train`. A plain random split leaks mercilessly on financial
+    * series (any rolling indicator spans the cut); the purge/embargo
+    * discipline is the standard fix.
+    *
+    * Emits one row per (input row × test fold) — the exploded form a
+    * CV harness consumes directly. All boundary arithmetic is exact
+    * integer epoch-ms (fold f covers
+    * [tmin + ⌈f·span/n⌉, tmin + ⌈(f+1)·span/n⌉ − 1]; a row's own fold
+    * is ((t − tmin)·n) div span, the same cut expressed without
+    * division rounding drift), so fold assignment is bit-identical
+    * at any parallelism and in the DuckDB oracle. The min/max time
+    * bounds are the only driver-side materialization — two longs.
+    */
+  def purgedFolds(df: DataFrame, timeCol: String, nFolds: Int,
+                  embargoMs: Long): DataFrame = {
+    require(nFolds >= 2, s"need nFolds >= 2, got $nFolds")
+    require(embargoMs >= 0, s"need embargoMs >= 0, got $embargoMs")
+    val tMs = unix_millis(col(timeCol))
+    val bounds = df.agg(min(tMs).as("lo"), max(tMs).as("hi")).head()
+    if (bounds.isNullAt(0)) return df.sparkSession.createDataFrame(
+      df.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      df.schema.add("test_fold", "int").add("role", "string"))
+    val tmin = bounds.getLong(0)
+    val span = bounds.getLong(1) - tmin + 1
+    df.withColumn("__t", tMs)
+      .withColumn("__fold",
+        least(expr(s"(__t - ${tmin}L) * $nFolds div ${span}L"), lit(nFolds - 1)))
+      .withColumn("test_fold", explode(sequence(lit(0), lit(nFolds - 1))))
+      .withColumn("__lo",
+        expr(s"${tmin}L + (test_fold * ${span}L + ${nFolds - 1}) div $nFolds"))
+      .withColumn("__hi",
+        expr(s"${tmin}L + ((test_fold + 1) * ${span}L + ${nFolds - 1}) div $nFolds - 1"))
+      .withColumn("role",
+        when(col("__fold") === col("test_fold"), lit("test"))
+          .when(col("__t") >= col("__lo") - embargoMs &&
+            col("__t") <= col("__hi") + embargoMs, lit("embargo"))
+          .otherwise(lit("train")))
+      .drop("__t", "__fold", "__lo", "__hi")
+  }
+
   /** Mixture resampling: the largest corpus achievable at EXACTLY the
     * target source proportions. Weights are e4 integers summing to
     * 10000 (exact arithmetic end to end); the achievable total is

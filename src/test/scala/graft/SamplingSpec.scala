@@ -87,6 +87,29 @@ class SamplingSpec extends SparkSpecBase {
     assert(got === Map("a" -> 24L, "b" -> 18L, "c" -> 12L, "d" -> 6L))
   }
 
+  test("purged folds: test window exact, embargo hugs its edges, rest trains") {
+    // 10 events at ms 0..9, 2 folds, 1 ms embargo. Fold 0 = [0,4],
+    // fold 1 = [5,9]; each fold's embargo zone is one adjacent ms.
+    val df = (0L until 10L).map(t => (t, t)).toDF("event_id", "ms")
+      .withColumn("event_time", timestamp_millis(col("ms")))
+    val out = Sampling.purgedFolds(df, "event_time", nFolds = 2, embargoMs = 1L)
+      .collect()
+      .map(r => (r.getAs[Int]("test_fold"), r.getAs[Long]("event_id")) -> r.getAs[String]("role"))
+      .toMap
+    (0L to 4L).foreach(t => assert(out((0, t)) === "test", s"t=$t"))
+    assert(out((0, 5L)) === "embargo")
+    (6L to 9L).foreach(t => assert(out((0, t)) === "train", s"t=$t"))
+    (5L to 9L).foreach(t => assert(out((1, t)) === "test", s"t=$t"))
+    assert(out((1, 4L)) === "embargo")
+    (0L to 3L).foreach(t => assert(out((1, t)) === "train", s"t=$t"))
+    // Partition invariance (the determinism contract).
+    val again = Sampling.purgedFolds(df.repartition(7), "event_time", 2, 1L)
+      .collect()
+      .map(r => (r.getAs[Int]("test_fold"), r.getAs[Long]("event_id")) -> r.getAs[String]("role"))
+      .toMap
+    assert(again === out)
+  }
+
   test("chunking windows overlap correctly and cover every token") {
     val df = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" ")), (2L, ""), (3L, "solo"))
       .toDF("doc_id", "text")
