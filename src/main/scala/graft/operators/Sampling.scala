@@ -171,27 +171,40 @@ object Sampling {
                   embargoMs: Long): DataFrame = {
     require(nFolds >= 2, s"need nFolds >= 2, got $nFolds")
     require(embargoMs >= 0, s"need embargoMs >= 0, got $embargoMs")
+    val clash = Seq("test_fold", "role", "__pf_t", "__pf_fold", "__pf_lo", "__pf_hi")
+      .filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"purgedFolds writes columns ${clash.mkString(", ")} — rename them in the input first")
     val tMs = unix_millis(col(timeCol))
-    val bounds = df.agg(min(tMs).as("lo"), max(tMs).as("hi")).head()
-    if (bounds.isNullAt(0)) return df.sparkSession.createDataFrame(
+    val bounds = df.agg(min(tMs).as("lo"), max(tMs).as("hi"),
+      count(lit(1)).as("n")).head()
+    if (bounds.getLong(2) == 0) return df.sparkSession.createDataFrame(
       df.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       df.schema.add("test_fold", "int").add("role", "string"))
+    // A null time cannot be fold-assigned, and silently labeling it
+    // 'train' in every fold is precisely the leakage this operator
+    // exists to prevent — fail loudly instead, both when every row is
+    // undated (bounds are null) and per row in the main plan.
+    require(!bounds.isNullAt(0),
+      s"purgedFolds: $timeCol is null on every row — nothing to fold-assign")
     val tmin = bounds.getLong(0)
     val span = bounds.getLong(1) - tmin + 1
-    df.withColumn("__t", tMs)
-      .withColumn("__fold",
-        least(expr(s"(__t - ${tmin}L) * $nFolds div ${span}L"), lit(nFolds - 1)))
+    df.filter(assert_true(tMs.isNotNull,
+        lit(s"purgedFolds: null $timeCol — undated rows cannot be fold-assigned")).isNull)
+      .withColumn("__pf_t", tMs)
+      .withColumn("__pf_fold",
+        least(expr(s"(__pf_t - ${tmin}L) * $nFolds div ${span}L"), lit(nFolds - 1)))
       .withColumn("test_fold", explode(sequence(lit(0), lit(nFolds - 1))))
-      .withColumn("__lo",
+      .withColumn("__pf_lo",
         expr(s"${tmin}L + (test_fold * ${span}L + ${nFolds - 1}) div $nFolds"))
-      .withColumn("__hi",
+      .withColumn("__pf_hi",
         expr(s"${tmin}L + ((test_fold + 1) * ${span}L + ${nFolds - 1}) div $nFolds - 1"))
       .withColumn("role",
-        when(col("__fold") === col("test_fold"), lit("test"))
-          .when(col("__t") >= col("__lo") - embargoMs &&
-            col("__t") <= col("__hi") + embargoMs, lit("embargo"))
+        when(col("__pf_fold") === col("test_fold"), lit("test"))
+          .when(col("__pf_t") >= col("__pf_lo") - embargoMs &&
+            col("__pf_t") <= col("__pf_hi") + embargoMs, lit("embargo"))
           .otherwise(lit("train")))
-      .drop("__t", "__fold", "__lo", "__hi")
+      .drop("__pf_t", "__pf_fold", "__pf_lo", "__pf_hi")
   }
 
   /** Mixture resampling: the largest corpus achievable at EXACTLY the

@@ -110,6 +110,27 @@ class SamplingSpec extends SparkSpecBase {
     assert(again === out)
   }
 
+  test("purged folds fail loudly on null timestamps and column collisions") {
+    val base = Seq((1L, 100L), (2L, 200L)).toDF("event_id", "ms")
+      .withColumn("event_time", timestamp_millis(col("ms")))
+    // Partial nulls: the per-row assert fires (never silently 'train').
+    val withNull = base.unionByName(
+      Seq((3L, 0L)).toDF("event_id", "ms")
+        .withColumn("event_time", lit(null).cast("timestamp")))
+    intercept[Exception] {
+      Sampling.purgedFolds(withNull, "event_time", 2, 0L).collect()
+    }
+    // All nulls: rejected up front, not an empty result.
+    intercept[IllegalArgumentException] {
+      Sampling.purgedFolds(
+        base.withColumn("event_time", lit(null).cast("timestamp")), "event_time", 2, 0L)
+    }
+    // Output-column collision: rejected, not silently overwritten.
+    intercept[IllegalArgumentException] {
+      Sampling.purgedFolds(base.withColumn("role", lit("x")), "event_time", 2, 0L)
+    }
+  }
+
   test("chunking windows overlap correctly and cover every token") {
     val df = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" ")), (2L, ""), (3L, "solo"))
       .toDF("doc_id", "text")
