@@ -34,6 +34,37 @@ class StreamingSpec extends SparkSpecBase {
       typed.conditions === Seq("1") && typed.event_time.getTime === t0)
   }
 
+  test("monitoring listener records per-batch metrics; SLO filter flags slow batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val listener = graft.streaming.Monitoring.attach(spark, capacity = 8)
+    try {
+      val mem = MemoryStream[String]
+      val q = TradeStreams.parseTrades(mem.toDF())
+        .writeStream.format("memory").queryName("mon_out")
+        .outputMode("append").start()
+      mem.addData(tradeJson("AAPL", 10.0, 1, t0))
+      q.processAllAvailable()
+      mem.addData(tradeJson("AAPL", 11.0, 2, t0 + 1000))
+      q.processAllAvailable()
+      q.stop()
+      // The bus is asynchronous; wait briefly for the progress events.
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (listener.snapshot.count(_.input_rows > 0) < 2 && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      val got = listener.snapshot.filter(_.input_rows > 0)
+      assert(got.size >= 2, s"recorded: ${listener.snapshot}")
+      assert(got.map(_.input_rows).sum === 2L)
+      assert(got.forall(_.query == "mon_out"))
+      // DataFrame surface + SLO filter: threshold 0 flags everything,
+      // the 10 s reference envelope flags nothing in this tiny run.
+      val df = listener.metrics(spark)
+      assert(df.filter(col("input_rows") > 0).count() >= 2)
+      assert(listener.slowBatches(thresholdMs = 0L).nonEmpty)
+      // Capacity bound holds.
+      assert(listener.snapshot.size <= 8)
+    } finally spark.streams.removeListener(listener)
+  }
+
   test("streaming grain cascade: 1h bars roll up from the FINALIZED 5m bar stream") {
     // Stage 1 writes append-mode 5m bars (emitted once, when the
     // watermark closes the window — immutable files, so a chained
