@@ -25,7 +25,10 @@ def canon(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{v:.9g}"
+        # %.17g round-trips doubles uniquely: the driver's gate is
+        # bit-exact, and %.9g once green-lit a 1-ulp miss (b8, r4)
+        # that the driver then rejected.
+        return f"{v:.17g}"
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(canon(x) for x in v) + "]"
     return str(v)

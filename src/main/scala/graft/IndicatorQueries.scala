@@ -146,16 +146,18 @@ object IndicatorQueries {
     "b6_drawdown" -> (SparkEntry.P + s""", $ind, wnd AS (
       SELECT symbol, trade_date, event_time, event_id, px,
              MAX(px) OVER w AS peak,
-             first_value(px) OVER w AS first_px
+             first_value(px) OVER w AS first_px,
+             ROW_NUMBER() OVER (PARTITION BY symbol, trade_date
+                                ORDER BY event_time DESC, event_id DESC) AS rn
       FROM ind
-      WINDOW w AS (PARTITION BY symbol ORDER BY event_time
+      WINDOW w AS (PARTITION BY symbol ORDER BY event_time, event_id
                    ROWS UNBOUNDED PRECEDING)
     )
     SELECT symbol, trade_date,
            CAST(MAX((peak - px) * 1000000 // peak) AS BIGINT) AS max_drawdown_e6,
-           arg_max(px, event_time) AS close_px,
+           MAX(CASE WHEN rn = 1 THEN px END) AS close_px,
            CAST(MAX(peak) AS BIGINT) AS peak_px,
-           CAST(arg_max(px, event_time) * 1000000 // MIN(first_px) - 1000000 AS BIGINT) AS cum_ret_e6
+           CAST(MAX(CASE WHEN rn = 1 THEN px END) * 1000000 // MIN(first_px) - 1000000 AS BIGINT) AS cum_ret_e6
     FROM wnd
     GROUP BY symbol, trade_date"""),
 
@@ -169,8 +171,12 @@ object IndicatorQueries {
     // equality stays bit-exact. list_reduce seeds from the first
     // element: macds[1] = 0 = the operator's signal seed.
     "b7_macd" -> (SparkEntry.P + """, daily AS (
-      SELECT symbol, trade_date, arg_max(price, event_time) AS close
-      FROM silver GROUP BY symbol, trade_date
+      SELECT symbol, trade_date, price AS close
+      FROM (SELECT symbol, trade_date, price,
+                   ROW_NUMBER() OVER (PARTITION BY symbol, trade_date
+                                      ORDER BY event_time DESC, event_id DESC) AS rn
+            FROM silver)
+      WHERE rn = 1
     ), seq AS (
       SELECT symbol, list(close ORDER BY trade_date) AS cs FROM daily GROUP BY symbol
     ), pre AS (
@@ -197,12 +203,24 @@ object IndicatorQueries {
     FROM sg"""),
 
     // B8: integer // truncates toward zero here exactly like Spark's
-    // div (so negative returns agree); the moment sums widen through
-    // HUGEINT and land back in BIGINT.
+    // div (so negative returns agree). The moment numerators exceed
+    // 2^53, so they ship as DECIMAL(38,0) — exact and hash-stable at
+    // any magnitude (this DuckDB's direct HUGEINT→DOUBLE cast
+    // double-rounds negatives: 1-ulp miss found live in round 4).
+    // `corr` needs the numerators as doubles; the VARCHAR-mediated
+    // cast IS correctly rounded here (fast_float strtod — verified
+    // against Python's correctly-rounded float() over 4000 random
+    // >2^53 integers: direct cast missed 56, via-string missed 0),
+    // matching Spark's correctly-rounded decimal→double, so corr is
+    // bit-identical with no ROUND needed.
     "b8_return_cov" -> (SparkEntry.P + """, daily AS (
       SELECT symbol, trade_date,
-             arg_max(CAST(CAST(price AS DECIMAL(18,4)) * 10000 AS BIGINT), event_time) AS close_px
-      FROM silver GROUP BY symbol, trade_date
+             CAST(CAST(price AS DECIMAL(18,4)) * 10000 AS BIGINT) AS close_px
+      FROM (SELECT symbol, trade_date, price,
+                   ROW_NUMBER() OVER (PARTITION BY symbol, trade_date
+                                      ORDER BY event_time DESC, event_id DESC) AS rn
+            FROM silver)
+      WHERE rn = 1
     ), rets AS (
       SELECT symbol, trade_date,
              (close_px - prev_px) * 1000000 // prev_px AS ret_e6
@@ -214,17 +232,22 @@ object IndicatorQueries {
       FROM rets a JOIN rets b ON a.trade_date = b.trade_date AND a.symbol < b.symbol
     ), m AS (
       SELECT sym_a, sym_b, COUNT(*) AS n_days,
-             CAST(COUNT(*) * SUM(CAST(ra AS HUGEINT) * rb)
-                  - SUM(CAST(ra AS HUGEINT)) * SUM(CAST(rb AS HUGEINT)) AS DOUBLE) AS cov_num,
-             CAST(COUNT(*) * SUM(CAST(ra AS HUGEINT) * ra)
-                  - SUM(CAST(ra AS HUGEINT)) * SUM(CAST(ra AS HUGEINT)) AS DOUBLE) AS var_a_num,
-             CAST(COUNT(*) * SUM(CAST(rb AS HUGEINT) * rb)
-                  - SUM(CAST(rb AS HUGEINT)) * SUM(CAST(rb AS HUGEINT)) AS DOUBLE) AS var_b_num
+             COUNT(*) * SUM(CAST(ra AS HUGEINT) * rb)
+                  - SUM(CAST(ra AS HUGEINT)) * SUM(CAST(rb AS HUGEINT)) AS cov_h,
+             COUNT(*) * SUM(CAST(ra AS HUGEINT) * ra)
+                  - SUM(CAST(ra AS HUGEINT)) * SUM(CAST(ra AS HUGEINT)) AS var_a_h,
+             COUNT(*) * SUM(CAST(rb AS HUGEINT) * rb)
+                  - SUM(CAST(rb AS HUGEINT)) * SUM(CAST(rb AS HUGEINT)) AS var_b_h
       FROM pairs GROUP BY sym_a, sym_b
     )
-    SELECT sym_a, sym_b, n_days, cov_num, var_a_num, var_b_num,
-           CASE WHEN var_a_num > 0 AND var_b_num > 0
-                THEN cov_num / sqrt(var_a_num * var_b_num)
+    SELECT sym_a, sym_b, n_days,
+           CAST(cov_h AS DECIMAL(38,0)) AS cov_num,
+           CAST(var_a_h AS DECIMAL(38,0)) AS var_a_num,
+           CAST(var_b_h AS DECIMAL(38,0)) AS var_b_num,
+           CASE WHEN var_a_h > 0 AND var_b_h > 0
+                THEN CAST(CAST(cov_h AS VARCHAR) AS DOUBLE)
+                     / sqrt(CAST(CAST(var_a_h AS VARCHAR) AS DOUBLE)
+                            * CAST(CAST(var_b_h AS VARCHAR) AS DOUBLE))
            END AS corr
     FROM m"""),
 

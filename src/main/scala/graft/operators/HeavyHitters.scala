@@ -105,8 +105,13 @@ object HeavyHitters {
     // BigInt so web-scale totals (total·φE6 > 2⁶³) cannot wrap (the
     // b8 overflow class; tf itself is bounded by total, a Long).
     val minTf = ((BigInt(mg.total) * phiE6 + 999999) / 1000000).toLong
-    df.filter(col(itemCol).isInCollection(
-        if (mg.counters.isEmpty) Seq("") else mg.counters.keys.toSeq))
+    // Empty sketch ⇒ the MG bound already proves no item can reach
+    // the threshold: emit the empty result without a sentinel probe
+    // (lit(false) folds to an empty LocalRelation — no second scan).
+    val survivors =
+      if (mg.counters.isEmpty) df.filter(lit(false))
+      else df.filter(col(itemCol).isInCollection(mg.counters.keys.toSeq))
+    survivors
       .groupBy(col(itemCol))
       .agg(count(lit(1)).as("tf"))
       .filter(col("tf") >= minTf)

@@ -163,7 +163,13 @@ object Indicators {
     * aggregate. peak ≥ px > 0 always, so the divisions are total.
     */
   def drawdown(silver: DataFrame): DataFrame = {
-    val wAll = bySymbolTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // event_id tie-break: silver is deduped on (symbol, event_time),
+    // but a running ROWS window must stay deterministic even if a
+    // caller feeds undeduped trades — ties in event_time would
+    // otherwise make peak/first_px depend on partition scan order.
+    val wAll = Window.partitionBy(col("symbol"))
+      .orderBy(col("event_time"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     silver
       .withColumn("px", ticksE4(col("price")))
       .withColumn("peak", max(col("px")).over(wAll))
@@ -232,12 +238,20 @@ object Indicators {
     * plain division is the portable form — a floor-division identity
     * here would DIVERGE on every down day, not protect against it.
     * Covariance/variance numerators are the n·Σxy − Σx·Σy form,
-    * computed EXACTLY in decimal and emitted as double (the h1
-    * posture: exact associative arithmetic internally, one correctly-
-    * rounded cast at the boundary — n·Σr² tops 2⁶³ for volatile
-    * series, found live at sf0.1, so BIGINT is not a safe output
-    * type here); `corr` is derived from the same exact decimals with
-    * single IEEE ops.
+    * computed EXACTLY in decimal and EMITTED as DECIMAL(38,0): the h1
+    * "exact inside, one double cast at the boundary" posture is
+    * unsafe here because the numerators top 2⁵³ (measured ~2.1e16 at
+    * sf0.01), where a double no longer represents the integer exactly
+    * and the two engines' int→double casts are free to disagree —
+    * DuckDB v1.0.0's HUGEINT→DOUBLE double-rounds negative values
+    * (it rounds `lower` to double before combining with upper·2⁶⁴)
+    * while Spark's decimal→double is correctly rounded, a 1-ulp
+    * divergence found live in round 4. Decimals compare exactly at
+    * any magnitude. `corr` IS emitted as double, derived from the
+    * exact decimals via correctly-rounded casts and single IEEE ops
+    * (/, *, sqrt), so it is bit-identical as long as the oracle's
+    * int→double casts are also correctly rounded (it routes them
+    * through VARCHAR for exactly that reason).
     *
     * Shape at scale: daily returns are one hash aggregate + a lag
     * over O(symbols × days) rows; the pair frame is a self equi-join
@@ -270,14 +284,15 @@ object Indicators {
         sum(dec(col("rb")) * col("rb")).as("sbb"))
       .select(col("sym_a"), col("sym_b"), col("n_days"),
         (col("n_days") * col("sab") - col("sa") * col("sb"))
-          .cast("double").as("cov_num"),
+          .cast("decimal(38,0)").as("cov_num"),
         (col("n_days") * col("saa") - col("sa") * col("sa"))
-          .cast("double").as("var_a_num"),
+          .cast("decimal(38,0)").as("var_a_num"),
         (col("n_days") * col("sbb") - col("sb") * col("sb"))
-          .cast("double").as("var_b_num"))
+          .cast("decimal(38,0)").as("var_b_num"))
       .withColumn("corr",
         when(col("var_a_num") > 0 && col("var_b_num") > 0,
-          col("cov_num") / sqrt(col("var_a_num") * col("var_b_num"))))
+          col("cov_num").cast("double") /
+            sqrt(col("var_a_num").cast("double") * col("var_b_num").cast("double"))))
   }
 
   def spikeCounts(silver: DataFrame, n: Int = 20, z: Int = 3): DataFrame = {

@@ -121,8 +121,11 @@ object Ohlcv {
     // a timestamp literal would shift with the session zone.
     val targetUs = expr(s"unix_micros(to_timestamp(0) + INTERVAL $duration)")
     val barUs = unix_micros(col("window_end")) - unix_micros(col("window_start"))
-    val nested = barUs > 0 && pmod(targetUs, barUs) === 0 &&
-      pmod(unix_micros(col("window_start")), barUs) === 0
+    // coalesce: null window bounds make the conjunction NULL, and
+    // assert_true only throws on FALSE — without it a null-bounded
+    // bar would slip past the guard into a null output window.
+    val nested = coalesce(barUs > 0 && pmod(targetUs, barUs) === 0 &&
+      pmod(unix_micros(col("window_start")), barUs) === 0, lit(false))
     val ordTs = unix_micros(col("window_start"))
     bars
       .filter(assert_true(nested,

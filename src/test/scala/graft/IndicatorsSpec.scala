@@ -151,10 +151,50 @@ class IndicatorsSpec extends SparkSpecBase {
     val r = out.head
     assert((r.getAs[String]("sym_a"), r.getAs[String]("sym_b")) === (("X", "Y")))
     assert(r.getAs[Long]("n_days") === 2L)
-    assert(r.getAs[Double]("cov_num") === r.getAs[Double]("var_a_num"))
-    assert(r.getAs[Double]("var_a_num") === r.getAs[Double]("var_b_num"))
-    assert(r.getAs[Double]("var_a_num") > 0.0)
+    // Numerators ship as exact DECIMAL(38,0) (> 2^53-safe, r4 fix).
+    assert(r.getAs[java.math.BigDecimal]("cov_num") === r.getAs[java.math.BigDecimal]("var_a_num"))
+    assert(r.getAs[java.math.BigDecimal]("var_a_num") === r.getAs[java.math.BigDecimal]("var_b_num"))
+    assert(r.getAs[java.math.BigDecimal]("var_a_num").signum === 1)
     assert(math.abs(r.getAs[Double]("corr") - 1.0) < 1e-12)
+  }
+
+  test("return covariance: >2^53 numerators stay exact (the r4 1-ulp class)") {
+    // Volatile integer prices over ~300 days push the n·Σxy − Σx·Σy
+    // numerators past 2^53 — the regime where a DOUBLE output column
+    // no longer represents the exact integer and engines' int→double
+    // casts can legally disagree (found live in round 4: DuckDB's
+    // HUGEINT→DOUBLE double-rounds negatives). The operator must emit
+    // the numerators EXACTLY; this replays its arithmetic in BigInt
+    // and requires decimal equality, not closeness.
+    val n = 300
+    // Y tracks 2X with a small perturbation: the return series stay
+    // strongly correlated, so cov_num grows like the variances
+    // (independent series would cancel toward zero and never cross
+    // the boundary this fixture exists to exercise).
+    def pxX(i: Int): Long = 100000L + ((i.toLong * 7919L) % 9973L) * 37L
+    def pxY(i: Int): Long = 2L * pxX(i) + ((i.toLong * 104729L) % 977L)
+    val rows = (0 until n).flatMap { i =>
+      val day = java.sql.Date.valueOf(java.time.LocalDate.of(2023, 1, 1).plusDays(i))
+      val t = new java.sql.Timestamp(1672531200000L + i * 86400000L)
+      Seq((i * 2 + 1L, "X", pxX(i).toDouble, 1L, t, day),
+          (i * 2 + 2L, "Y", pxY(i).toDouble, 1L, t, day))
+    }.toDF("event_id", "symbol", "price", "volume", "event_time", "trade_date")
+    val r = Indicators.returnCovariance(rows).collect().head
+    // Replay: ticks are e4, returns truncate toward zero (Long /).
+    def rets(px: Int => Long): Seq[Long] = (1 until n).map { i =>
+      val (prev, cur) = (px(i - 1) * 10000L, px(i) * 10000L)
+      (cur - prev) * 1000000L / prev
+    }
+    val (ra, rb) = (rets(pxX), rets(pxY))
+    val days = BigInt(n - 1)
+    def num(u: Seq[Long], v: Seq[Long]): BigInt =
+      days * u.zip(v).map { case (x, y) => BigInt(x) * BigInt(y) }.sum -
+        u.map(BigInt(_)).sum * v.map(BigInt(_)).sum
+    val expCov = num(ra, rb)
+    assert(expCov.abs > BigInt(2).pow(53), "fixture must exceed 2^53 to exercise the boundary")
+    assert(BigInt(r.getAs[java.math.BigDecimal]("cov_num").toBigInteger) === expCov)
+    assert(BigInt(r.getAs[java.math.BigDecimal]("var_a_num").toBigInteger) === num(ra, ra))
+    assert(BigInt(r.getAs[java.math.BigDecimal]("var_b_num").toBigInteger) === num(rb, rb))
   }
 
   test("plans contain no partition-less window") {
