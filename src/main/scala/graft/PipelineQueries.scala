@@ -647,6 +647,105 @@ object PipelineQueries {
       WHERE q.vec_id < 3 AND q.vec_id != c.vec_id)
     WHERE rank <= 5"""
 
+  /** Strict left-fold sum, the SQL twin of Similarity.foldSum —
+    * accumulation order fixed by the list, so doubles agree bitwise.
+    */
+  private def foldSql(l: String): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), $l), (x, y) -> x + y)"
+
+  /** S2 oracle: the full sign-LSH pipeline replayed in SQL. The
+    * plane-weight hash (LshWeights.component) is pure 32-bit integer
+    * mixing — reproduced with HUGEINT intermediates for the two
+    * wrap-around multiplies ((a·b) mod 2³² needs only a mod 2³², so
+    * masking before the multiply matches Scala's 64-bit wrap) — and
+    * the weight itself is h/2³¹ − 1: a dyadic rational, exact in
+    * both engines. Projections replay the operator's strict left
+    * fold, so even a projection landing within 1 ulp of zero gets
+    * the same sign bit; the candidate set, scores and ranks are then
+    * deterministic, making the "approximate" operator hash-checkable
+    * (approximate refers to recall vs brute force, not to any
+    * nondeterminism).
+    */
+  val knnLshSql: String = s"""
+    WITH wraw AS (
+      SELECT t, p, d, (t * 64 + p) * 2654435761 + d * 40503 + 12345 AS h0
+      FROM generate_series(0, 7) tt(t), generate_series(0, 5) pp(p),
+           generate_series(0, 63) dd(d)
+    ), w2 AS (
+      SELECT t, p, d,
+             CAST((CAST(xor(h0, h0 >> 16) AS HUGEINT) % 4294967296 * 2246822507)
+                  % 4294967296 AS BIGINT) AS h2
+      FROM wraw
+    ), w4 AS (
+      SELECT t, p, d,
+             CAST((CAST(xor(h2, h2 >> 13) AS HUGEINT) * 3266489909)
+                  % 4294967296 AS BIGINT) AS h3
+      FROM w2
+    ), wv AS (
+      SELECT t, p, list(CAST(xor(h3, h3 >> 16) AS DOUBLE) / 2147483648.0 - 1.0
+                        ORDER BY d) AS w
+      FROM w4 GROUP BY t, p
+    ), vk AS (
+      SELECT e.vec_id, w.t,
+             SUM(CASE WHEN ${foldSql("list_transform(generate_series(1, least(len(e.embedding), 64)), i -> CAST(e.embedding[i] AS DOUBLE) * w.w[i])")} >= 0
+                 THEN 1 << w.p ELSE 0 END) AS bkt
+      FROM embeddings e, wv w
+      GROUP BY e.vec_id, w.t
+    ), cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM vk q JOIN vk c ON q.t = c.t AND q.bkt = c.bkt
+      WHERE q.vec_id < 5 AND q.vec_id != c.vec_id
+    ), scored AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             ROUND(${cosSql("qe.embedding", "ce.embedding")}, 6) AS cos_sim
+      FROM cand JOIN embeddings qe ON qe.vec_id = cand.query_id
+                JOIN embeddings ce ON ce.vec_id = cand.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored)
+    WHERE rank <= 5"""
+
+  /** S3 oracle: IVF replayed in SQL — same deterministic centroid
+    * pick (16 smallest (id-hash, id) candidates, indexed in id
+    * order), same (rounded-cosine desc, index asc) cell assignment
+    * (top-1 per candidate, top-4 probe cells per query), same final
+    * scoring and ranking. Joining on centroid_id equals joining on
+    * the cell index because centroid ids are distinct by
+    * construction.
+    */
+  val knnIvfSql: String = s"""
+    WITH cents AS (
+      SELECT vec_id AS centroid_id, embedding AS cv,
+             ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS ci
+      FROM (SELECT * FROM embeddings
+            ORDER BY (((vec_id % 1000000007) * 2654435761) % 1000000007 * 40503)
+                     % 1000000007 % 10000, vec_id
+            LIMIT 16)
+    ), assign AS (
+      SELECT e.vec_id, e.embedding, c.centroid_id,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+               ORDER BY ROUND(${cosSql("e.embedding", "c.cv")}, 6) DESC, c.ci) AS r
+      FROM embeddings e, cents c
+    ), ca AS (
+      SELECT vec_id AS neighbor_id, embedding AS nv, centroid_id
+      FROM assign WHERE r = 1
+    ), qa AS (
+      SELECT vec_id AS query_id, embedding AS qv, centroid_id
+      FROM assign WHERE vec_id < 5 AND r <= 4
+    ), scored AS (
+      SELECT qa.query_id, ca.neighbor_id,
+             ROUND(${cosSql("qa.qv", "ca.nv")}, 6) AS cos_sim
+      FROM ca JOIN qa ON ca.centroid_id = qa.centroid_id
+      WHERE qa.query_id != ca.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored)
+    WHERE rank <= 5"""
+
   /** total_bytes is the UTF-8 octet length of the payload; the decode
     * metadata (dims, frames, checksum) is codepoint-based — mirrors
     * Multimodal.decodeStub exactly, ASCII or not.
@@ -903,7 +1002,6 @@ object PipelineQueries {
     "mm3_resize_plan" -> (resizePlan _)
   )
 
-  /** s2_knn_lsh is approximate (no SQL oracle; rows-only check). */
   val oracles: Map[String, String] = Map(
     "t1_text_stats" -> textStatsSql,
     "t2_lang_id" -> langIdSql,
@@ -930,6 +1028,8 @@ object PipelineQueries {
     "d6_embedding_dups" -> embeddingDupsSql,
     "s1_knn_brute" -> knnBruteSql,
     "s4_filtered_knn" -> filteredKnnSql,
+    "s2_knn_lsh" -> knnLshSql,
+    "s3_knn_ivf" -> knnIvfSql,
     "mm1_modality_stats" -> modalityStatsSql,
     "mm2_frame_sample" -> frameSampleSql,
     "mm3_resize_plan" -> resizePlanSql
