@@ -51,6 +51,9 @@ object App {
         * pipeline with their own copy of the watermark/dedup state.
         * Halves stateful work per extra grain — the posture for
         * state-constrained deployments; requires the silver layer.
+        * With the gold5m_final layer also enabled, gold1h goes one
+        * level further and rolls up from the finalized 5m BAR stream
+        * (O(bars) state instead of a second trade-level window).
         */
       chained: Boolean = false,
       /** Catch-up bound for the chained file sources: max silver files
@@ -58,7 +61,18 @@ object App {
         * hands one batch the whole backlog — each stateful consumer
         * then buffers its groups' rows for that batch in memory.
         */
-      maxFilesPerTrigger: Int = 1000)
+      maxFilesPerTrigger: Int = 1000,
+      /** Where the per-micro-batch metrics + SLO alerts export to:
+        * "" derives `<out>/_metrics` (on by default — the underscore
+        * prefix hides it from parquet readers globbing <out>), "none"
+        * disables the export. The listener itself always attaches.
+        */
+      metricsOut: String = "",
+      /** Batch-latency SLO in ms — the reference's 10 s ingest→silver
+        * alert. Batches slower than this land in `_metrics/alerts`
+        * and log a WARN.
+        */
+      sloMs: Long = 10000L)
 
   def parseArgs(args: Array[String]): Config =
     args.sliding(2, 2).foldLeft(Config()) {
@@ -76,6 +90,8 @@ object App {
       case (c, Array("--master", v)) => c.copy(master = v)
       case (c, Array("--format", v)) => c.copy(format = v)
       case (c, Array("--chained", v)) => c.copy(chained = v.toBoolean)
+      case (c, Array("--metrics-out", v)) => c.copy(metricsOut = v)
+      case (c, Array("--slo-ms", v)) => c.copy(sloMs = v.toLong)
       case (c, other) => sys.error(s"unknown argument: ${other.mkString(" ")}")
     }
 
@@ -94,6 +110,28 @@ object App {
       StructField("ingestion_time", LongType),
       StructField("event_time", TimestampType),
       StructField("trade_date", DateType)))
+  }
+
+  /** Schema of the finalized-bar layer (what the chained gold1h
+    * cascade streams): Ohlcv.bars output plus the window_date
+    * partition column.
+    */
+  val barsSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("symbol", StringType),
+      StructField("window_start", TimestampType),
+      StructField("window_end", TimestampType),
+      StructField("open", DoubleType),
+      StructField("high", DoubleType),
+      StructField("low", DoubleType),
+      StructField("close", DoubleType),
+      StructField("volume", LongType),
+      StructField("trade_count", LongType),
+      StructField("vwap_e6", LongType),
+      StructField("vwap", DoubleType),
+      StructField("pv_ticks", LongType),
+      StructField("window_date", DateType)))
   }
 
   /** Build the full branch graph over a raw source frame and start
@@ -118,8 +156,23 @@ object App {
     // mid-wiring would strand already-started queries with no manager
     // handle to stop them.
     if (cfg.chained) {
-      val silverConsumers = Seq("gold5m", "gold1h", "indicators").filter(cfg.layers)
+      // In the cascade topology (gold5m_final present) gold1h is a
+      // BAR consumer, not a silver consumer — it streams the
+      // finalized-bar directory, one chain level further down.
+      val cascade = cfg.layers("gold5m_final") && cfg.layers("gold1h")
+      val silverConsumers = Seq("gold5m", "gold5m_final", "gold1h", "indicators")
+        .filter(cfg.layers).filterNot(l => cascade && l == "gold1h")
       if (boundedDrain) {
+        // Same offset-snapshot hazard one level down: a draining
+        // gold1h would snapshot the gold5m_final directory before the
+        // bar layer commits its backlog. Backfill the cascade in
+        // THREE invocations — silver, then gold5m_final, then gold1h.
+        require(!cascade,
+          s"chained gold1h cascades from gold5m_final and cannot drain in " +
+            s"the same --trigger ${cfg.trigger} invocation: the downstream " +
+            "file source snapshots the bar directory at start, before the " +
+            "bar layer drains. Backfill in separate invocations — silver, " +
+            "then gold5m_final, then gold1h.")
         // Bounded-drain triggers snapshot each source's offsets AT
         // QUERY START; chained downstream file sources started in the
         // same invocation as silver would snapshot the silver
@@ -194,6 +247,26 @@ object App {
     val watermarked = TradeStreams.withWatermark(parsed, cfg.watermark)
     val mgr = new Sinks.SinkManager
 
+    // Operational visibility (the reference's Prometheus/Grafana
+    // analog): a bounded per-batch progress listener always attaches;
+    // unless disabled, its ring + the evaluated latency SLO export to
+    // a _metrics layer on a 10 s cadence (matching the reference's
+    // alert evaluation interval), with a final flush on stopAll so
+    // bounded runs keep their last batches.
+    val listener = graft.streaming.Monitoring.attach(spark)
+    mgr.monitor = Some(listener)
+    mgr.onStop(() => spark.streams.removeListener(listener))
+    val metricsDir = cfg.metricsOut match {
+      case "none" => None
+      case "" => Some(s"${cfg.out}/_metrics")
+      case d => Some(d)
+    }
+    metricsDir.foreach { d =>
+      val exporter = new graft.streaming.Monitoring.MetricsExporter(
+        spark, listener, d, sloMs = cfg.sloMs).start()
+      mgr.onStop(() => exporter.stop())
+    }
+
     if (cfg.layers("bronze")) {
       val bronze = Medallion.withAuditTimestamps(
         Medallion.toBronze(parsed.withColumn("trade_date", to_date(col("event_time")))))
@@ -263,7 +336,44 @@ object App {
         trigger = trigger, queryName = name))
     }
     if (cfg.layers("gold5m")) goldSink("gold5m", "5 minutes")
-    if (cfg.layers("gold1h")) goldSink("gold1h", "1 hour")
+    // Finalized-bar variant of the 5m grain: append output mode, so a
+    // bar is emitted exactly once — when the watermark closes its
+    // window — through the exactly-once file sink (immutable files +
+    // _spark_metadata commit log). That makes the directory a safe
+    // upstream for a chained file source, which the upsert gold store
+    // is not (its buckets rewrite). The upsert store remains the
+    // serving layer (live partial bars); this layer is the cascade
+    // feed and the archival bar log.
+    if (cfg.layers("gold5m_final")) {
+      val bars = Ohlcv.bars(cleanUpstream("gold5m_final")
+          .withColumn("event_id", col("timestamp")), "5 minutes")
+        .withColumn("window_date", to_date(col("window_start")))
+      mgr.start("gold5m_final", Sinks.fileSink(bars, s"${cfg.out}/gold5m_final",
+        s"${cfg.checkpoint}/gold5m_final", partitionBy = Seq("window_date"),
+        trigger = trigger, queryName = "gold5m_final"))
+    }
+    if (cfg.layers("gold1h")) {
+      if (cfg.chained && cfg.layers("gold5m_final")) {
+        // A7 as a stream: 1h bars roll up from the FINALIZED 5m bar
+        // stream instead of re-aggregating trades — state and input
+        // are O(bars), not O(trades), and the parse+dedup+trade-window
+        // state exists exactly once in the whole topology. Watermark
+        // on window_start: finalized bars arrive in near-monotone
+        // window order (a bar is emitted only once its window closed
+        // upstream), so one bar-span of slack is already conservative.
+        val barsPath = new org.apache.hadoop.fs.Path(s"${cfg.out}/gold5m_final")
+        barsPath.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(barsPath)
+        val barStream = spark.readStream.schema(barsSchema)
+          .option("maxFilesPerTrigger", cfg.maxFilesPerTrigger)
+          .parquet(s"${cfg.out}/gold5m_final")
+          .withWatermark("window_start", "5 minutes")
+        val grain = Ohlcv.rollup(barStream, "1 hour")
+          .withColumn("window_date", to_date(col("window_start")))
+        mgr.start("gold1h", Sinks.fileSink(grain, s"${cfg.out}/gold1h",
+          s"${cfg.checkpoint}/gold1h", partitionBy = Seq("window_date"),
+          trigger = trigger, queryName = "gold1h"))
+      } else goldSink("gold1h", "1 hour")
+    }
     if (cfg.layers("indicators")) {
       // Streaming per-symbol EMA/RSI (the recursive indicators a
       // window cannot express) over the clean deduped feed — the

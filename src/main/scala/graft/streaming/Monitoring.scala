@@ -90,4 +90,56 @@ object Monitoring {
     spark.streams.addListener(l)
     l
   }
+
+  /** Periodic parquet export of the metric ring plus SLO evaluation —
+    * the runtime analog of the reference's Prometheus scrape +
+    * alert rule. Writes `dir/batches` (full ring) and `dir/alerts`
+    * (batches over `sloMs`, the reference's 10 s ingest→silver
+    * latency alert) on a fixed cadence, logging a WARN whenever the
+    * alert set is non-empty; `stop()` flushes one final export so a
+    * bounded run (available-now backfill, tests) never loses its
+    * last batches to the cadence. Overwrite-mode single-directory
+    * writes: the export is a dashboard snapshot, not a history — the
+    * ring itself bounds retention.
+    */
+  final class MetricsExporter(spark: SparkSession, listener: ProgressListener,
+                              dir: String, sloMs: Long = 10000L,
+                              periodMs: Long = 10000L) {
+    require(periodMs > 0, s"need periodMs > 0, got $periodMs")
+    private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+    private val exec = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
+      (r: Runnable) => {
+        val t = new Thread(r, "graft-metrics-exporter"); t.setDaemon(true); t
+      })
+
+    def start(): this.type = {
+      exec.scheduleWithFixedDelay(() => exportOnce(), periodMs, periodMs,
+        java.util.concurrent.TimeUnit.MILLISECONDS)
+      this
+    }
+
+    /** One export pass. Never throws: an export failure (e.g. the
+      * output FS hiccuping) must not cancel the schedule or take the
+      * pipeline down — monitoring outlives its own bad writes.
+      */
+    def exportOnce(): Unit = synchronized {
+      try {
+        import spark.implicits._
+        listener.metrics(spark).write.mode("overwrite").parquet(s"$dir/batches")
+        val alerts = listener.slowBatches(sloMs)
+        alerts.toDF().write.mode("overwrite").parquet(s"$dir/alerts")
+        if (alerts.nonEmpty)
+          log.warn(s"SLO: ${alerts.size} micro-batch(es) over ${sloMs} ms " +
+            s"(slowest ${alerts.map(_.batch_duration_ms).max} ms, " +
+            s"query ${alerts.maxBy(_.batch_duration_ms).query})")
+      } catch {
+        case e: Exception => log.warn(s"metrics export to $dir failed", e)
+      }
+    }
+
+    def stop(): Unit = {
+      exec.shutdown()
+      exportOnce()
+    }
+  }
 }

@@ -256,12 +256,24 @@ object Sinks {
     */
   final class SinkManager {
     private val queries = mutable.LinkedHashMap[String, StreamingQuery]()
+    private val stopHooks = mutable.ArrayBuffer.empty[() => Unit]
+
+    /** Operational metrics for the managed queries, when the owner
+      * attached one (App.start always does).
+      */
+    @volatile var monitor: Option[Monitoring.ProgressListener] = None
 
     def start(name: String, writer: DataStreamWriter[Row]): StreamingQuery = {
       val q = writer.start()
       queries(name) = q
       q
     }
+
+    /** Cleanup to run after the queries stop (listener removal,
+      * metrics-export flush). Hooks run in registration order; one
+      * failing hook must not starve the rest.
+      */
+    def onStop(hook: () => Unit): Unit = stopHooks += hook
 
     def status: Map[String, Boolean] =
       queries.map { case (n, q) => n -> q.isActive }.toMap
@@ -271,6 +283,14 @@ object Sinks {
     def awaitAnyTermination(): Unit =
       queries.values.headOption.foreach(_.sparkSession.streams.awaitAnyTermination())
 
-    def stopAll(): Unit = queries.values.foreach(_.stop())
+    def stopAll(): Unit = {
+      queries.values.foreach(_.stop())
+      stopHooks.foreach { h =>
+        try h() catch {
+          case e: Exception => org.slf4j.LoggerFactory.getLogger(getClass)
+            .warn("stop hook failed", e)
+        }
+      }
+    }
   }
 }

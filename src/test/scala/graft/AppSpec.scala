@@ -3,6 +3,7 @@ package graft
 import java.nio.file.Files
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 
 class AppSpec extends SparkSpecBase {
   import spark.implicits._
@@ -71,6 +72,36 @@ class AppSpec extends SparkSpecBase {
     }
   }
 
+  test("monitoring: metric rows flow to the _metrics layer and the SLO alert fires") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_app_metrics").toString
+    val mem = MemoryStream[String]
+    val t0 = 1705312800000L
+    // sloMs = 1: a real micro-batch (plan + file-sink commit) always
+    // exceeds 1 ms, so the threshold turns every batch into the
+    // "stalled" case and proves the alert path end-to-end without a
+    // 10 s sleep. The production default (10 000) is the reference's
+    // ingest→silver alert threshold.
+    val cfg = App.Config(out = s"$dir/out", checkpoint = s"$dir/ckp",
+      layers = Set("silver"), trigger = "0 seconds", sloMs = 1L)
+    val mgr = App.start(spark, mem.toDF(), cfg)
+    try {
+      mem.addData(
+        s"""{"symbol":"AAPL","price":10.5,"volume":3,"timestamp":$t0,"conditions":[],"ingestion_time":$t0}""")
+      mgr.processAllAvailable()
+      val listener = mgr.monitor.getOrElse(fail("App.start attached no monitor"))
+      assert(listener.snapshot.nonEmpty, "no batch metrics recorded")
+      assert(listener.slowBatches(thresholdMs = 1L).nonEmpty,
+        "no batch exceeded the 1 ms SLO")
+    } finally mgr.stopAll() // flushes the final metrics export
+    val batches = spark.read.parquet(s"$dir/out/_metrics/batches")
+    assert(batches.filter(col("query") === "silver")
+      .filter(col("input_rows") > 0).count() > 0,
+      "silver's data-carrying batch missing from the exported metrics")
+    val alerts = spark.read.parquet(s"$dir/out/_metrics/alerts")
+    assert(alerts.count() > 0, "SLO alert did not fire in the export")
+  }
+
   test("chained layers refuse bounded-drain triggers (backlog would be silently lost)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[String]
@@ -109,6 +140,63 @@ class AppSpec extends SparkSpecBase {
       assert(gold.count() === 1)
       assert(gold.collect().head.getAs[Long]("volume") === 5L)
     } finally mgr.stopAll()
+  }
+
+  test("chained grain cascade: gold1h streams from finalized 5m bars, equals batch rollup") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_app_cascade").toString
+    val mem = MemoryStream[String]
+    val t0 = 1705312800000L // aligned to the hour
+    val cfg = App.Config(out = s"$dir/out", checkpoint = s"$dir/ckp",
+      chained = true, layers = Set("silver", "gold5m_final", "gold1h"),
+      trigger = "0 seconds", watermark = "1 minute")
+    val mgr = App.start(spark, mem.toDF(), cfg)
+    try {
+      // 150 minutes of trades + a pusher far ahead so the upstream
+      // watermark closes every dense 5m window; the cascade's own
+      // watermark then closes the first two 1h windows.
+      val rows = (0 until 30).map { i =>
+        val ts = t0 + i * 300000L
+        s"""{"symbol":"AAPL","price":${10.0 + i},"volume":1,"timestamp":$ts,"conditions":[],"ingestion_time":$ts}"""
+      }
+      mem.addData(rows: _*)
+      val push = t0 + 10L * 3600000L
+      mem.addData(s"""{"symbol":"AAPL","price":99.0,"volume":1,"timestamp":$push,"conditions":[],"ingestion_time":$push}""")
+      // Insertion order is silver -> gold5m_final -> gold1h, so one
+      // manager pass drains each chain level over the files the
+      // previous level just committed; a second pass picks up
+      // anything emitted by a trailing no-data watermark batch.
+      mgr.processAllAvailable()
+      mgr.processAllAvailable()
+      val bars5 = spark.read.parquet(s"$dir/out/gold5m_final")
+      assert(bars5.count() > 0, "no finalized 5m bars were committed")
+      val key = Seq("open", "high", "low", "close", "volume", "trade_count",
+        "vwap_e6", "pv_ticks")
+      def byWindow(df: org.apache.spark.sql.DataFrame) = df.collect().map { r =>
+        r.getAs[java.sql.Timestamp]("window_start").getTime ->
+          key.map(c => r.getAs[Any](c)).toList
+      }.toMap
+      val streamed = byWindow(spark.read.parquet(s"$dir/out/gold1h"))
+      assert(streamed.nonEmpty, "no 1h windows closed in the cascade")
+      // Every streamed 1h bar equals the batch rollup of the same
+      // finalized 5m bars, field for field.
+      val batch = byWindow(graft.operators.Ohlcv.rollup(bars5, "1 hour"))
+      streamed.foreach { case (ws, v) => assert(batch(ws) === v, s"window $ws") }
+      // The dense range's two full hours must have closed.
+      assert(streamed.keySet.count(ws => ws >= t0 && ws < t0 + 7200000L) >= 2,
+        s"closed windows: ${streamed.keySet.toSeq.sorted}")
+    } finally mgr.stopAll()
+  }
+
+  test("chained cascade refuses bounded-drain triggers (bar backlog would be lost)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val cfg = App.Config(out = "/tmp/never2", checkpoint = "/tmp/never2_ckp",
+      chained = true, layers = Set("gold5m_final", "gold1h"), trigger = "once")
+    val ex = intercept[IllegalArgumentException] {
+      App.start(spark, mem.toDF(), cfg)
+    }
+    assert(ex.getMessage.contains("snapshots the bar directory"))
   }
 
   test("available-now trigger drains the backlog and the queries stop on their own") {
