@@ -42,6 +42,10 @@ object IndicatorQueries {
     "b8_return_cov" -> ((s, dir) =>
       Indicators.returnCovariance(SparkEntry.silverDf(s, dir))),
 
+    // B9 — market beta per symbol vs the equal-weight index.
+    "b9_market_beta" -> ((s, dir) =>
+      Indicators.marketBeta(SparkEntry.silverDf(s, dir))),
+
     // B5 — end-of-day EMA-14 per symbol, the recursion running
     // continuously from sequence start (streaming/IndicatorStream's
     // batch adapter — the one indicator a row-frame window cannot
@@ -250,6 +254,49 @@ object IndicatorQueries {
                             * CAST(CAST(var_b_h AS VARCHAR) AS DOUBLE))
            END AS corr
     FROM m"""),
+
+    // B9: b8's daily-return frame joined to the equal-weight market
+    // mean (floored integer division of a possibly-negative sum —
+    // DuckDB SUM(BIGINT) widens to HUGEINT, whose // also truncates
+    // toward zero like Spark's div). Moment numerators ship as
+    // DECIMAL(38,0) and beta divides VARCHAR-mediated correctly-
+    // rounded doubles — the b8 >2^53 posture.
+    "b9_market_beta" -> (SparkEntry.P + """, daily AS (
+      SELECT symbol, trade_date,
+             CAST(CAST(price AS DECIMAL(18,4)) * 10000 AS BIGINT) AS close_px
+      FROM (SELECT symbol, trade_date, price,
+                   ROW_NUMBER() OVER (PARTITION BY symbol, trade_date
+                                      ORDER BY event_time DESC, event_id DESC) AS rn
+            FROM silver)
+      WHERE rn = 1
+    ), rets AS (
+      SELECT symbol, trade_date,
+             (close_px - prev_px) * 1000000 // prev_px AS ret_e6
+      FROM (SELECT *, lag(close_px) OVER (PARTITION BY symbol ORDER BY trade_date) AS prev_px
+            FROM daily)
+      WHERE prev_px IS NOT NULL
+    ), mkt AS (
+      SELECT trade_date, CAST(SUM(ret_e6) // COUNT(*) AS BIGINT) AS mret_e6
+      FROM rets GROUP BY trade_date
+    ), j AS (
+      SELECT r.symbol, r.ret_e6, m.mret_e6
+      FROM rets r JOIN mkt m ON r.trade_date = m.trade_date
+    ), m2 AS (
+      SELECT symbol, COUNT(*) AS n_days,
+             COUNT(*) * SUM(CAST(ret_e6 AS HUGEINT) * mret_e6)
+                  - SUM(CAST(ret_e6 AS HUGEINT)) * SUM(CAST(mret_e6 AS HUGEINT)) AS cov_h,
+             COUNT(*) * SUM(CAST(mret_e6 AS HUGEINT) * mret_e6)
+                  - SUM(CAST(mret_e6 AS HUGEINT)) * SUM(CAST(mret_e6 AS HUGEINT)) AS var_h
+      FROM j GROUP BY symbol
+    )
+    SELECT symbol, n_days,
+           CAST(cov_h AS DECIMAL(38,0)) AS cov_num,
+           CAST(var_h AS DECIMAL(38,0)) AS var_m_num,
+           CASE WHEN var_h > 0
+                THEN CAST(CAST(cov_h AS VARCHAR) AS DOUBLE)
+                     / CAST(CAST(var_h AS VARCHAR) AS DOUBLE)
+           END AS beta
+    FROM m2"""),
 
     // The EMA recursion as a literal left fold over the per-symbol
     // price sequence: acc' = α·x + (1−α)·acc with α = 2/15 — the same

@@ -74,6 +74,23 @@ object PipelineQueries {
         minJaccardE6 = 100000L)
       .select(col("doc_id"), col("lang"), col("source"))
 
+  /** D14 — containment dedup over a corpus with planted TRUNCATED
+    * copies (doc_id+1e6 carries the first half of the original's
+    * text): the canonical asymmetric-dup case, prefix ⊂ whole.
+    * Prefix shingles are a near-subset of the original's (only the
+    * cut-boundary token can differ), so containment runs high while
+    * symmetric Jaccard sits near 0.5 — exactly the signal split this
+    * operator exists for. Character halving is code-point-based in
+    * both engines (t9 pins the length parity).
+    */
+  def containment(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir).filter(pmod(col("doc_id"), lit(7)) === 0)
+      .select(col("doc_id"), col("text"))
+    val truncated = base.select((col("doc_id") + 1000000L).as("doc_id"),
+      expr("substring(text, 1, greatest(length(text) div 2, 1))").as("text"))
+    Dedup.containmentPairs(base.unionByName(truncated), minContainE6 = 500000L)
+  }
+
   /** T7 — vocabulary head: top-50 tokens by corpus frequency. */
   def vocabTopK(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.vocabTopK(docs(s, dir), k = 50)
@@ -440,6 +457,39 @@ object PipelineQueries {
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM banded a, banded b
     WHERE a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id"""
+
+  /** D14 oracle: same derived base+truncated-copy corpus, same LSH
+    * candidate stage as d4/d7, exact containment in e6 integers.
+    */
+  val containmentSql: String = s"""WITH corpus AS (
+    SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0
+    UNION ALL
+    SELECT doc_id + 1000000, substring(text, 1, greatest(length(text) // 2, 1))
+    FROM documents WHERE doc_id % 7 = 0
+  ), ${shingleSql(3, "TRUE", "sh", "corpus")}, $sigSql,
+  banded AS (
+    SELECT doc_id, b,
+           list_reduce(list_prepend(CAST(b AS BIGINT), sig[b*2 + 1 : b*2 + 2]),
+                       (a, x) -> (a * 131 + x) % 1000000007) AS key
+    FROM sigs, UNNEST([0, 1, 2, 3, 4, 5, 6, 7]) AS t(b)
+  ), cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM banded a, banded b
+    WHERE a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id
+  )
+  SELECT doc_a, doc_b, n_common, n_a, n_b,
+         CAST(n_common * 1000000 // n_a AS BIGINT) AS contain_ab_e6,
+         CAST(n_common * 1000000 // n_b AS BIGINT) AS contain_ba_e6
+  FROM (
+    SELECT c.doc_a, c.doc_b,
+           CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS n_common,
+           CAST(len(sa.sh) AS BIGINT) AS n_a,
+           CAST(len(sb.sh) AS BIGINT) AS n_b
+    FROM cand c
+    JOIN sh sa ON sa.doc_id = c.doc_a
+    JOIN sh sb ON sb.doc_id = c.doc_b)
+  WHERE n_a > 0 AND n_b > 0
+    AND greatest(n_common * 1000000 // n_a, n_common * 1000000 // n_b) >= 500000"""
 
   val nearDedupSql: String = s"""WITH ${shingleSql(3, "doc_id % 10 = 0")}, $sigSql,
   banded AS (
@@ -992,6 +1042,7 @@ object PipelineQueries {
     "d11_near_dedup_cc" -> (nearDedupCC _),
     "d12_substring_dup" -> (substringDup _),
     "d13_window_decontam" -> (windowDecontam _),
+    "d14_containment" -> (containment _),
     "d6_embedding_dups" -> (embeddingDups _),
     "s1_knn_brute" -> (knnBrute _),
     "s4_filtered_knn" -> (filteredKnn _),
@@ -1025,6 +1076,7 @@ object PipelineQueries {
     "d11_near_dedup_cc" -> nearDedupCCSql,
     "d12_substring_dup" -> substringDupSql,
     "d13_window_decontam" -> windowDecontamSql,
+    "d14_containment" -> containmentSql,
     "d6_embedding_dups" -> embeddingDupsSql,
     "s1_knn_brute" -> knnBruteSql,
     "s4_filtered_knn" -> filteredKnnSql,

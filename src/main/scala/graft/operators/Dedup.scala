@@ -522,6 +522,45 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"))
   }
 
+  /** D14 — asymmetric near-dup via Jaccard CONTAINMENT over LSH
+    * candidate pairs: C(A→B) = |sh(A) ∩ sh(B)| / |sh(A)|. Symmetric
+    * Jaccard dilutes with |B| and misses "A is (mostly) inside B" —
+    * truncated copies, quoted passages, boilerplate-expanded
+    * rewrites — the dup class a training-data pipeline prunes to stop
+    * a document leaking twice at different lengths. Emits both
+    * directions in exact e6 integers (all operands non-negative, so
+    * truncating and flooring division agree across engines) for every
+    * candidate pair whose larger direction clears `minContainE6`.
+    *
+    * Scale shape: identical to [[verifiedPairs]] — candidates come
+    * from the banded MinHash buckets (never all-pairs), the exact
+    * intersection is a codegen'd merge walk over the pre-sorted
+    * shingle sets, and everything shuffles on doc ids. Note the LSH
+    * recall floor is Jaccard-driven: a tiny A inside a huge B has
+    * high containment but low Jaccard, so band collisions fade as
+    * |B|/|A| grows — callers hunting extreme-ratio containment should
+    * widen `bands` (the standard recall dial) rather than trust the
+    * defaults.
+    */
+  def containmentPairs(docs: DataFrame, minContainE6: Long,
+                       idCol: String = "doc_id", textCol: String = "text",
+                       shingleN: Int = 3, k: Int = 16, bands: Int = 8): DataFrame = {
+    val cands = minhashCandidates(docs, idCol, textCol, shingleN, k, bands)
+    val sh = withShingles(docs.select(col(idCol).as("id"), col(textCol)), textCol, shingleN)
+      .select(col("id"), array_sort(col("sh")).as("sh"))
+    cands
+      .join(sh.select(col("id").as("doc_a"), col("sh").as("sha")), "doc_a")
+      .join(sh.select(col("id").as("doc_b"), col("sh").as("shb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        graft.functions.ArrayFunctions.sortedIntersectSize(col("sha"), col("shb")).as("n_common"),
+        size(col("sha")).cast("long").as("n_a"),
+        size(col("shb")).cast("long").as("n_b"))
+      .filter(col("n_a") > 0 && col("n_b") > 0)
+      .withColumn("contain_ab_e6", expr("n_common * 1000000L div n_a"))
+      .withColumn("contain_ba_e6", expr("n_common * 1000000L div n_b"))
+      .filter(greatest(col("contain_ab_e6"), col("contain_ba_e6")) >= minContainE6)
+  }
+
   /** Near-dup cluster assignment: LSH-verified pairs resolved into
     * transitive clusters. Returns (doc_id, cluster_id, cluster_size)
     * for every document with at least one verified near-duplicate;

@@ -259,18 +259,26 @@ object Indicators {
     * by portfolio size (10³–10⁴ symbols ⇒ ≤ 10⁸ pair-days over a
     * year), with the join shuffling only the tiny daily-return frame.
     */
-  def returnCovariance(silver: DataFrame): DataFrame = {
+  /** Per-symbol daily returns in exact e6 integers — the shared input
+    * frame of the cross-series statistics (B8 covariance, B9 beta):
+    * one hash aggregate for daily closes, one per-symbol lag.
+    */
+  private def dailyReturns(silver: DataFrame): DataFrame = {
     val daily = silver
       .groupBy(col("symbol"), col("trade_date"))
       .agg(graft.functions.OrderedExtremum.maxByOrd2(ticksE4(col("price")),
         unix_micros(col("event_time")), col("event_id")).as("close_px"))
     val wd = Window.partitionBy(col("symbol")).orderBy(col("trade_date"))
-    val rets = daily
+    daily
       .withColumn("prev_px", lag(col("close_px"), 1).over(wd))
       .filter(col("prev_px").isNotNull)
       .withColumn("ret_e6",
         expr("(close_px - prev_px) * 1000000L div prev_px"))
       .select(col("symbol"), col("trade_date"), col("ret_e6"))
+  }
+
+  def returnCovariance(silver: DataFrame): DataFrame = {
+    val rets = dailyReturns(silver)
     val a = rets.select(col("symbol").as("sym_a"), col("trade_date"), col("ret_e6").as("ra"))
     val b = rets.select(col("symbol").as("sym_b"), col("trade_date"), col("ret_e6").as("rb"))
     def dec(c: Column) = c.cast("decimal(19,0)")
@@ -293,6 +301,43 @@ object Indicators {
         when(col("var_a_num") > 0 && col("var_b_num") > 0,
           col("cov_num").cast("double") /
             sqrt(col("var_a_num").cast("double") * col("var_b_num").cast("double"))))
+  }
+
+  /** B9 — market beta per symbol: the regression slope of a symbol's
+    * daily returns against the equal-weight market return,
+    * β = cov(r, m) / var(m). The market return is the floored integer
+    * mean of all symbols' e6 returns that day (truncating division —
+    * Spark `div` = DuckDB `//` on the possibly-negative sum), so the
+    * whole input stays exact integers and the moment numerators
+    * follow b8's >2⁵³ posture: exact DECIMAL(38,0) out, `beta` as one
+    * double division of correctly-rounded casts (the oracle routes
+    * its casts through VARCHAR for the same correct rounding).
+    *
+    * Shape at scale: returns are O(symbols × days); the market frame
+    * is O(days) and broadcast-joins back; one hash aggregate per
+    * symbol. Nothing quadratic — beta against ONE index needs no
+    * pair frame, unlike b8's full covariance matrix.
+    */
+  def marketBeta(silver: DataFrame): DataFrame = {
+    val rets = dailyReturns(silver)
+    val mkt = rets.groupBy(col("trade_date"))
+      .agg(sum(col("ret_e6")).as("mkt_sum"), count(lit(1)).as("n_sym"))
+      .select(col("trade_date"), expr("mkt_sum div n_sym").as("mret_e6"))
+    def dec(c: Column) = c.cast("decimal(19,0)")
+    rets.join(broadcast(mkt), Seq("trade_date"))
+      .groupBy(col("symbol"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(dec(col("ret_e6"))).as("sr"), sum(dec(col("mret_e6"))).as("sm"),
+        sum(dec(col("ret_e6")) * col("mret_e6")).as("srm"),
+        sum(dec(col("mret_e6")) * col("mret_e6")).as("smm"))
+      .select(col("symbol"), col("n_days"),
+        (col("n_days") * col("srm") - col("sr") * col("sm"))
+          .cast("decimal(38,0)").as("cov_num"),
+        (col("n_days") * col("smm") - col("sm") * col("sm"))
+          .cast("decimal(38,0)").as("var_m_num"))
+      .withColumn("beta",
+        when(col("var_m_num") > 0,
+          col("cov_num").cast("double") / col("var_m_num").cast("double")))
   }
 
   def spikeCounts(silver: DataFrame, n: Int = 20, z: Int = 3): DataFrame = {

@@ -158,6 +158,25 @@ class IndicatorsSpec extends SparkSpecBase {
     assert(math.abs(r.getAs[Double]("corr") - 1.0) < 1e-12)
   }
 
+  test("market beta: proportional symbols have beta exactly 1") {
+    // Y = 2X tick-for-tick: identical e6 return series (the *2 cancels
+    // in the ratio before truncation), so the equal-weight market mean
+    // IS each series — (r + r) div 2 = r exactly, negatives included —
+    // and beta = cov/var = 1.0 with cov_num == var_m_num.
+    val rows = Seq(10.0, 11.0, 9.0, 12.0).zipWithIndex.flatMap { case (p, i) =>
+      Seq((i * 2 + 1L, "X", p, 1L, ts(s"2024-01-1${i + 3} 10:00:00"), d(s"2024-01-1${i + 3}")),
+          (i * 2 + 2L, "Y", p * 2, 1L, ts(s"2024-01-1${i + 3} 10:00:00"), d(s"2024-01-1${i + 3}")))
+    }.toDF("event_id", "symbol", "price", "volume", "event_time", "trade_date")
+    val out = Indicators.marketBeta(rows).collect()
+    assert(out.length === 2)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_days") === 3L)
+      assert(r.getAs[java.math.BigDecimal]("cov_num") ===
+        r.getAs[java.math.BigDecimal]("var_m_num"), r.getAs[String]("symbol"))
+      assert(r.getAs[Double]("beta") === 1.0)
+    }
+  }
+
   test("return covariance: >2^53 numerators stay exact (the r4 1-ulp class)") {
     // Volatile integer prices over ~300 days push the n·Σxy − Σx·Σy
     // numerators past 2^53 — the regime where a DOUBLE output column

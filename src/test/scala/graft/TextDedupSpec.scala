@@ -40,6 +40,25 @@ class TextDedupSpec extends SparkSpecBase {
     assert(pairs((1L, 3L)) === 0L)
   }
 
+  test("containment: a token-prefix doc is fully contained, direction matters") {
+    // Doc 2 is a token-level prefix of doc 1: every prefix shingle is
+    // a contiguous window of the full doc, so containment(2→1) is
+    // exactly 1e6 while the reverse direction dilutes with doc 1's
+    // extra shingles — the asymmetry symmetric Jaccard cannot see.
+    val full = (0 until 20).map(i => s"tok$i").mkString(" ")   // 18 3-shingles
+    val prefix = (0 until 17).map(i => s"tok$i").mkString(" ") // 15, all ⊂ full
+    val df = docsDf(Seq((1L, full), (2L, prefix),
+      (3L, "entirely unrelated words appear here today")))
+    val rows = Dedup.containmentPairs(df, minContainE6 = 500000L)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        ((r.getAs[Long]("contain_ab_e6"), r.getAs[Long]("contain_ba_e6")))).toMap
+    assert(rows.contains((1L, 2L)), s"prefix pair missed: $rows")
+    val (ab, ba) = rows((1L, 2L))
+    assert(ba === 1000000L)            // prefix fully inside the full doc
+    assert(ab === 15L * 1000000L / 18L) // 833333: diluted direction
+    assert(!rows.keySet.exists(p => p._1 === 3L || p._2 === 3L))
+  }
+
   test("minhash estimate approximates exact jaccard for near-dups") {
     val base = (1 to 60).map(i => s"tok$i").mkString(" ")
     val nearDup = (1 to 57).map(i => s"tok$i").mkString(" ") + " x y z"
