@@ -95,6 +95,22 @@ class PlanSpec extends SparkSpecBase {
       "verifiedPairs regressed to an all-pairs join")
   }
 
+  test("containment pairs stay on equi-joins — quadratic work only inside LSH buckets") {
+    val p = graft.operators.Dedup.containmentPairs(
+      graft.sources.Tables.documents(spark, Sf), minContainE6 = 500000L)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "containmentPairs regressed to an all-pairs join")
+  }
+
+  test("market beta broadcasts the O(days) market frame, never shuffles returns for it") {
+    val p = graft.operators.Indicators.marketBeta(SparkEntry.silverDf(spark, Sf))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      "market-mean join must broadcast the tiny per-day frame")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("bloom decontamination probes before any join touches the corpus side") {
     val p = plan("d10_decontam_bloom")
     // The bitset probe is a Filter (shiftright bit tests), and the
