@@ -143,6 +143,15 @@ object PipelineQueries {
   def dupClustersOver(allDocs: DataFrame): DataFrame =
     Dedup.dupClusters(derivedTriples(allDocs), minJaccardE6 = 500000L)
 
+  /** D15 — quality-aware survivor selection over the d9 corpus: the
+    * derived triples grow monotonically (base < +q < +q+r suffixes),
+    * so the kept member is the LONGEST variant — the opposite of the
+    * min-id rule, which keeps the shortest here. A real curation
+    * policy choice made visible.
+    */
+  def qualityDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.keepBestPerCluster(derivedTriples(docs(s, dir)), minJaccardE6 = 500000L)
+
   /** D11 — transitive-correct dedup: the derived corpus reduced to
     * cluster minima + singletons via connected components. Oracle =
     * the d9 closure's complement.
@@ -628,6 +637,19 @@ object PipelineQueries {
            CAST(COUNT(*) OVER (PARTITION BY c.cluster_id) AS BIGINT) AS cluster_size
     FROM comp c"""
 
+  /** D15 oracle: the d9 closure joined to exact token counts, kept =
+    * rank-1 by (n_tokens desc, id) within the cluster.
+    */
+  val qualityDedupSql: String = s"""$dupGraphCtes
+    SELECT c.id AS doc_id, c.cluster_id,
+           CAST(COUNT(*) OVER (PARTITION BY c.cluster_id) AS BIGINT) AS cluster_size,
+           q.n_tokens,
+           (ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                               ORDER BY q.n_tokens DESC, c.id) = 1) AS kept
+    FROM comp c
+    JOIN (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens FROM docs9) q
+      ON q.doc_id = c.id"""
+
   /** D11 oracle: the closure's complement — every derived doc that is
     * not a non-minimal member of some component.
     */
@@ -1043,6 +1065,7 @@ object PipelineQueries {
     "d12_substring_dup" -> (substringDup _),
     "d13_window_decontam" -> (windowDecontam _),
     "d14_containment" -> (containment _),
+    "d15_quality_dedup" -> (qualityDedup _),
     "d6_embedding_dups" -> (embeddingDups _),
     "s1_knn_brute" -> (knnBrute _),
     "s4_filtered_knn" -> (filteredKnn _),
@@ -1077,6 +1100,7 @@ object PipelineQueries {
     "d12_substring_dup" -> substringDupSql,
     "d13_window_decontam" -> windowDecontamSql,
     "d14_containment" -> containmentSql,
+    "d15_quality_dedup" -> qualityDedupSql,
     "d6_embedding_dups" -> embeddingDupsSql,
     "s1_knn_brute" -> knnBruteSql,
     "s4_filtered_knn" -> filteredKnnSql,

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines: exact,
@@ -576,6 +577,39 @@ object Dedup {
     cc.join(sizes, "component")
       .select(col("id").as(idCol), col("component").as("cluster_id"),
         col("cluster_size"))
+  }
+
+  /** D15 — quality-aware canonical selection: near-dup clusters with
+    * the SURVIVOR chosen by quality, not by id. Production curation
+    * keeps the best member of each duplicate family — the longest /
+    * least-truncated variant — where a min-id rule keeps whichever
+    * copy happened to be crawled first. Quality here is the exact
+    * token count (the same house tokenizer every text operator uses,
+    * so the rule is portable and deterministic), tie-broken by id.
+    * Emits every clustered doc with its cluster, size, quality and a
+    * `kept` flag; singletons are trivially kept and omitted, like
+    * [[dupClusters]].
+    *
+    * Shape at scale: verifiedPairs + connectedComponents as d9/d11;
+    * the ranking window partitions by cluster_id — cluster-sized
+    * groups, never a global window.
+    */
+  def keepBestPerCluster(docs: DataFrame, minJaccardE6: Long,
+                         idCol: String = "doc_id", textCol: String = "text",
+                         shingleN: Int = 3, k: Int = 16, bands: Int = 8): DataFrame = {
+    val cc = GraphOps.connectedComponents(
+      verifiedPairs(docs, minJaccardE6, idCol, textCol, shingleN, k, bands),
+      "doc_a", "doc_b")
+    val quality = docs.select(col(idCol).as("id"),
+      size(tokenHashes(col(textCol))).cast("long").as("n_tokens"))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("n_tokens").desc, col("id"))
+    cc.join(quality, "id")
+      .select(col("id"), col("component").as("cluster_id"), col("n_tokens"))
+      .withColumn("cluster_size", count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+      .withColumn("kept", row_number().over(w) === 1)
+      .select(col("id").as(idCol), col("cluster_id"), col("cluster_size"),
+        col("n_tokens"), col("kept"))
   }
 
   /** Transitive-correct near-dedup: connected components over the

@@ -59,6 +59,28 @@ class TextDedupSpec extends SparkSpecBase {
     assert(!rows.keySet.exists(p => p._1 === 3L || p._2 === 3L))
   }
 
+  test("quality-aware survivor: the longest cluster member is kept, not the min id") {
+    // Doc 1 (min id) is the SHORT variant; docs 2 and 3 append
+    // suffixes. The min-id rule would keep 1; the quality rule must
+    // keep 3, the longest.
+    val base = (0 until 30).map(i => s"tok$i").mkString(" ")
+    val df = docsDf(Seq(
+      (1L, base),
+      (2L, base + " extra1"),
+      (3L, base + " extra1 extra2"),
+      (9L, "entirely unrelated words appear here today and tomorrow")))
+    val rows = Dedup.keepBestPerCluster(df, minJaccardE6 = 500000L)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("cluster_id"), r.getAs[Long]("cluster_size"),
+          r.getAs[Long]("n_tokens"), r.getAs[Boolean]("kept")))).toMap
+    assert(rows.keySet === Set(1L, 2L, 3L), s"clustered: ${rows.keySet}")
+    assert(rows.values.map(_._1).toSet.size === 1, "one cluster expected")
+    assert(rows.values.forall(_._2 === 3L))
+    assert(rows(3L)._4 === true, "longest member must be kept")
+    assert(rows(1L)._4 === false && rows(2L)._4 === false)
+    assert(rows(3L)._3 === 32L && rows(1L)._3 === 30L)
+  }
+
   test("minhash estimate approximates exact jaccard for near-dups") {
     val base = (1 to 60).map(i => s"tok$i").mkString(" ")
     val nearDup = (1 to 57).map(i => s"tok$i").mkString(" ") + " x y z"
