@@ -318,6 +318,16 @@ object PipelineQueries {
       Multimodal.extractFeatures(s, Multimodal.asMediaTable(
         docs(s, dir).filter(col("doc_id") < 300))), stride = 2)
 
+  /** MM4 — exact media dedup over a corpus with planted byte-identical
+    * copies (doc_id+1e6 carries the same text-derived payload).
+    */
+  def mediaDedup(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir).filter(pmod(col("doc_id"), lit(5)) === 0)
+      .select(col("doc_id"), col("text"))
+    val copies = base.select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    Multimodal.mediaDedup(Multimodal.asMediaTable(base.unionByName(copies)))
+  }
+
   def resizePlan(s: SparkSession, dir: String): DataFrame =
     Multimodal.withResize(
       Multimodal.extractFeatures(s, Multimodal.asMediaTable(
@@ -846,6 +856,23 @@ object PipelineQueries {
            (cs + frame_idx * 2654435761) % 1000000007 AS frame_checksum
     FROM (SELECT *, UNNEST(generate_series(0, n_frames - 1, 2)) AS frame_idx FROM f)"""
 
+  /** MM4 oracle: md5 of the text IS md5 of the payload — the payload
+    * is the text's UTF-8 bytes and both engines hash UTF-8 (this
+    * DuckDB's md5 doesn't take BLOB; the t6 redacted_md5 precedent
+    * already pins VARCHAR-md5 parity). Planted copies collapse to
+    * n_copies = 2 (more when base texts naturally coincide).
+    */
+  val mediaDedupSql: String = """
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 5 = 0
+    )
+    SELECT md5(text) AS payload_md5,
+           CAST(COUNT(*) AS BIGINT) AS n_copies,
+           MIN(doc_id) AS kept_doc_id
+    FROM corpus GROUP BY 1"""
+
   val resizePlanSql: String = """
     WITH f AS (
       SELECT doc_id,
@@ -1073,7 +1100,8 @@ object PipelineQueries {
     "s3_knn_ivf" -> (knnIvf _),
     "mm1_modality_stats" -> (modalityStats _),
     "mm2_frame_sample" -> (frameSample _),
-    "mm3_resize_plan" -> (resizePlan _)
+    "mm3_resize_plan" -> (resizePlan _),
+    "mm4_media_dedup" -> (mediaDedup _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1108,6 +1136,7 @@ object PipelineQueries {
     "s3_knn_ivf" -> knnIvfSql,
     "mm1_modality_stats" -> modalityStatsSql,
     "mm2_frame_sample" -> frameSampleSql,
-    "mm3_resize_plan" -> resizePlanSql
+    "mm3_resize_plan" -> resizePlanSql,
+    "mm4_media_dedup" -> mediaDedupSql
   )
 }

@@ -112,4 +112,17 @@ object Multimodal {
         sum(col("height")).as("sum_height"),
         sum(col("n_frames")).as("sum_frames"),
         sum(col("checksum") % 1000L).as("checksum_probe"))
+
+  /** MM4 — exact media dedup: identical binary payloads collapse to
+    * one kept asset (min doc_id) regardless of modality tag or where
+    * the bytes were crawled. The media twin of the text exact-dedup:
+    * one hash aggregate keyed on the payload digest, no decode step
+    * needed — content-addressing works on bytes. At 100 TB the md5
+    * runs scan-side and only digests (16 B/row) shuffle, never the
+    * payloads themselves.
+    */
+  def mediaDedup(media: DataFrame): DataFrame =
+    media.groupBy(md5(col("payload")).as("payload_md5"))
+      .agg(count(lit(1)).as("n_copies"),
+        min(col("doc_id")).as("kept_doc_id"))
 }

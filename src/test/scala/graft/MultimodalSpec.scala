@@ -15,6 +15,19 @@ class MultimodalSpec extends SparkSpecBase {
     assert(f1 === 1 + payload.length % 8)
   }
 
+  test("media dedup collapses byte-identical payloads across modality tags") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // Ids 1 and 2 carry identical bytes but different modality tags
+    // (1%3 vs 2%3) — content addressing must still collapse them.
+    val docs = Seq((1L, "same bytes"), (2L, "same bytes"), (5L, "different"))
+      .toDF("doc_id", "text")
+    val out = Multimodal.mediaDedup(Multimodal.asMediaTable(docs))
+      .collect().map(r => r.getAs[Long]("kept_doc_id") ->
+        r.getAs[Long]("n_copies")).toMap
+    assert(out === Map(1L -> 2L, 5L -> 1L))
+  }
+
   test("media table + mapPartitions feature extraction preserves rows and modality split") {
     val docs = Tables.documents(spark, Sf)
     val media = Multimodal.asMediaTable(docs)
