@@ -103,6 +103,13 @@ object SparkEntry {
     // bars (shuffles bars, not trades; exact via pv_ticks carry).
     "a7_ohlcv_rollup" -> ((s, dir) => goldMs(Ohlcv.rollup(gold5m(s, dir), "1 hour"))),
 
+    // A8 — three-level grain cascade: 1d bars from the 1h rollup of
+    // the 5m bars, all in one plan. Proves rollup composes: each
+    // level re-aggregates O(bars) with the exact pv_ticks carry, so
+    // the daily bar equals direct aggregation over trades.
+    "a8_ohlcv_daily" -> ((s, dir) =>
+      goldMs(Ohlcv.rollup(Ohlcv.rollup(gold5m(s, dir), "1 hour"), "1 day"))),
+
     // Q1 — count for one day.
     "q1_count_day" -> ((s, dir) => MarketQueries.countForDay(silverDf(s, dir), Day)),
 
@@ -284,6 +291,22 @@ object SparkEntry {
                CAST(SUM(pv) * 100 // SUM(volume) AS BIGINT) END AS vwap_e6
       FROM (SELECT *, ws_ms - ws_ms % 3600000 AS hs_ms FROM gold_5m)
       GROUP BY symbol, hs_ms"""),
+
+    // A8 oracle: the daily re-aggregation of gold_5m directly —
+    // independent of the intermediate 1h level, so a hash match
+    // proves the 5m→1h→1d cascade is lossless end-to-end (exactness
+    // rides the integer pv carry; a vwap_e6-based rollup would not
+    // round-trip the floor).
+    "a8_ohlcv_daily" -> (P + """
+      SELECT symbol, ds_ms AS window_start_ms, ds_ms + 86400000 AS window_end_ms,
+             arg_min(open, ws_ms) AS open, MAX(high) AS high, MIN(low) AS low,
+             arg_max(close, ws_ms) AS close,
+             CAST(SUM(volume) AS BIGINT) AS volume,
+             CAST(SUM(trade_count) AS BIGINT) AS trade_count,
+             CASE WHEN SUM(volume) = 0 THEN NULL ELSE
+               CAST(SUM(pv) * 100 // SUM(volume) AS BIGINT) END AS vwap_e6
+      FROM (SELECT *, ws_ms - ws_ms % 86400000 AS ds_ms FROM gold_5m)
+      GROUP BY symbol, ds_ms"""),
 
     "q1_count_day" -> (P +
       s"SELECT COUNT(*) AS n_trades FROM silver WHERE trade_date = DATE '$Day'"),

@@ -82,6 +82,13 @@ class OhlcvSpec extends SparkSpecBase {
       .collect().map(r => key(r) -> vals(r)).toMap
     assert(rolled.keySet === direct.keySet)
     rolled.foreach { case (k, v) => assert(v === direct(k), s"bar $k") }
+    // Three-level composition: rollup is associative through the
+    // exact pv carry — 5m→1h→1d equals direct 1d aggregation.
+    val daily = Ohlcv.bars(df, "1 day").collect().map(r => key(r) -> vals(r)).toMap
+    val cascaded = Ohlcv.rollup(Ohlcv.rollup(Ohlcv.bars5m(df), "1 hour"), "1 day")
+      .collect().map(r => key(r) -> vals(r)).toMap
+    assert(cascaded.keySet === daily.keySet)
+    cascaded.foreach { case (k, v) => assert(v === daily(k), s"daily bar $k") }
   }
 
   test("rollup rejects non-nesting input: sliding bars and non-dividing durations") {
