@@ -65,6 +65,50 @@ class StreamingSpec extends SparkSpecBase {
     } finally spark.streams.removeListener(listener)
   }
 
+  test("session windows run streaming: closed sessions equal the batch sessionization") {
+    // The same session_window aggregate x2 runs in batch, under a
+    // watermark — sessions close (and their state evicts) once the
+    // watermark passes the gap, so state is bounded by ACTIVE
+    // sessions, not uptime.
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Long, Timestamp)]
+    val events = mem.toDF().toDF("user_id", "value", "event_time")
+      .withWatermark("event_time", "1 minute")
+    val q = graft.operators.Sessions.sessionStats(
+        events, keyCol = "user_id", timeCol = "event_time",
+        valueCol = "value", gap = "30 minutes")
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    val rows = Seq(
+      ("u1", 5L, new Timestamp(t0)),            // session 1...
+      ("u1", 7L, new Timestamp(t0 + 600000L)),  // ...extends (10 min gap)
+      ("u1", 11L, new Timestamp(t0 + 7200000L)),// new session (2 h gap)
+      ("u2", 1L, new Timestamp(t0 + 60000L)),
+      ("u1", 0L, new Timestamp(t0 + 36000000L))) // watermark pusher (10 h)
+    mem.addData(rows: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("sess_out").collect()
+      .map(r => (r.getAs[String]("user_id"), r.getAs[Long]("session_start_ms")) ->
+        ((r.getAs[Long]("session_end_ms"), r.getAs[Long]("n_events"),
+          r.getAs[Double]("sum_value")))).toMap
+    assert(streamed.nonEmpty, "no sessions closed")
+    val batch = graft.operators.Sessions.sessionStats(
+        rows.toDF("user_id", "value", "event_time"),
+        keyCol = "user_id", timeCol = "event_time",
+        valueCol = "value", gap = "30 minutes")
+      .collect()
+      .map(r => (r.getAs[String]("user_id"), r.getAs[Long]("session_start_ms")) ->
+        ((r.getAs[Long]("session_end_ms"), r.getAs[Long]("n_events"),
+          r.getAs[Double]("sum_value")))).toMap
+    // Every CLOSED streaming session equals the batch result; the
+    // pusher's own session stays open and is absent from append output.
+    streamed.foreach { case (k, v) => assert(batch(k) === v, s"session $k") }
+    assert(streamed.contains(("u1", t0)) && streamed.contains(("u1", t0 + 7200000L)))
+    assert(streamed(("u1", t0)) === ((t0 + 600000L + 1800000L, 2L, 12.0)))
+    assert(streamed.contains(("u2", t0 + 60000L)))
+  }
+
   test("streaming grain cascade: 1h bars roll up from the FINALIZED 5m bar stream") {
     // Stage 1 writes append-mode 5m bars (emitted once, when the
     // watermark closes the window — immutable files, so a chained
