@@ -427,6 +427,36 @@ object ExtendedQueries {
            quantile_disc(price, 0.95) AS p95, COUNT(*) AS n
     FROM trades GROUP BY symbol"""
 
+  /** X23 — exact quantiles via distribution compression (the scale
+    * path for order statistics: per-key sort over DISTINCT values,
+    * not rows; answers stay exact, unlike a sketch).
+    */
+  def distQuantiles(s: SparkSession, dir: String): DataFrame =
+    operators.Sampling.distQuantiles(
+      Tables.trades(s, dir), keyCol = "symbol", valueCol = "price",
+      qsPerMyriad = Seq(2500, 5000, 9500, 9900))
+
+  /** X23 oracle: the same compressed-distribution walk with the same
+    * integer rank rule ⌈n·q/10000⌉ — quantile values are data values,
+    * never computed, so they hash bit-identically.
+    */
+  val distQuantilesSql: String = """
+    WITH trades AS (SELECT event_type AS symbol, value AS price FROM events),
+    hist AS (SELECT symbol, price AS v, COUNT(*) AS c FROM trades GROUP BY 1, 2),
+    cum AS (
+      SELECT symbol, v, c,
+             SUM(c) OVER (PARTITION BY symbol ORDER BY v
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(c) OVER (PARTITION BY symbol) AS n
+      FROM hist)
+    SELECT symbol,
+           MIN(CASE WHEN cum >= (n * 2500 + 9999) // 10000 THEN v END) AS p2500,
+           MIN(CASE WHEN cum >= (n * 5000 + 9999) // 10000 THEN v END) AS p5000,
+           MIN(CASE WHEN cum >= (n * 9500 + 9999) // 10000 THEN v END) AS p9500,
+           MIN(CASE WHEN cum >= (n * 9900 + 9999) // 10000 THEN v END) AS p9900,
+           CAST(MAX(n) AS BIGINT) AS n
+    FROM cum GROUP BY symbol"""
+
   /** X9 — fixed-width price histogram (40 bins over [0, 200)). */
   def priceHistogram(s: SparkSession, dir: String): DataFrame =
     operators.Sampling.histogram(Tables.trades(s, dir), "price", 0.0, 200.0, 40)
@@ -522,6 +552,7 @@ object ExtendedQueries {
     "x19_split" -> (labeledSplit _),
     "x7_stratified_sample" -> (stratifiedSample _),
     "x8_percentiles" -> (percentiles _),
+    "x23_dist_quantiles" -> (distQuantiles _),
     "x9_histogram" -> (priceHistogram _),
     "x1_asof_join" -> (asofJoin _),
     "x2_sessions" -> (sessions _),
@@ -548,6 +579,7 @@ object ExtendedQueries {
     "x19_split" -> labeledSplitSql,
     "x7_stratified_sample" -> stratifiedSampleSql,
     "x8_percentiles" -> percentilesSql,
+    "x23_dist_quantiles" -> distQuantilesSql,
     "x9_histogram" -> priceHistogramSql,
     "x1_asof_join" -> asofJoinSql,
     "x2_sessions" -> sessionsSql,

@@ -131,6 +131,35 @@ class SamplingSpec extends SparkSpecBase {
     }
   }
 
+  test("dist quantiles: exact picks on a hand-built distribution; equals percentile_disc") {
+    import spark.implicits._
+    // [1,1,2,3,100]: median rank ⌈5·0.5⌉ = 3 → first value with cum ≥ 3
+    // is 2; p99 rank ⌈4.95⌉ = 5 → 100. The outlier must not smear picks.
+    val tiny = Seq(("A", 1.0), ("A", 1.0), ("A", 2.0), ("A", 3.0), ("A", 100.0))
+      .toDF("symbol", "price")
+    val r = Sampling.distQuantiles(tiny, "symbol", "price", Seq(5000, 9900))
+      .collect().head
+    assert(r.getAs[Double]("p5000") === 2.0)
+    assert(r.getAs[Double]("p9900") === 100.0)
+    assert(r.getAs[Long]("n") === 5L)
+    // Property: the compressed-distribution walk equals the sort-based
+    // percentile_disc for every key and rank on seeded random data
+    // (same lower-discrete-percentile rule, different plan shape).
+    val rng = new scala.util.Random(11)
+    val big = (0 until 1000).map(i =>
+      (s"S${i % 7}", (1 + rng.nextInt(50)) / 4.0)).toDF("symbol", "price")
+    val viaDist = Sampling.distQuantiles(big, "symbol", "price", Seq(2500, 5000, 9500))
+      .collect().map(r => r.getAs[String]("symbol") ->
+        ((r.getAs[Double]("p2500"), r.getAs[Double]("p5000"), r.getAs[Double]("p9500")))).toMap
+    val viaSort = big.groupBy(col("symbol"))
+      .agg(expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY price)").as("a"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY price)").as("b"),
+        expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY price)").as("c"))
+      .collect().map(r => r.getAs[String]("symbol") ->
+        ((r.getAs[Double]("a"), r.getAs[Double]("b"), r.getAs[Double]("c")))).toMap
+    assert(viaDist === viaSort)
+  }
+
   test("chunking windows overlap correctly and cover every token") {
     val df = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" ")), (2L, ""), (3L, "solo"))
       .toDF("doc_id", "text")
