@@ -48,27 +48,32 @@ object Bench {
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
-    // A failing query reports -1.0, never a fake wall-clock figure —
-    // totals must not silently absorb broken queries.
-    val results = names.map { name =>
+    // A failing query reports -1.0 in the per-query map (visible, not
+    // a fake wall-clock figure) and is EXCLUDED from the total, which
+    // instead flags it in an explicit "failed" list — summing the
+    // sentinel would silently SHRINK the headline number.
+    val results: Seq[(String, Option[Double])] = names.map { name =>
       val fn = SparkEntry.queries(name)
-      val times = (1 to repeats).map { _ =>
+      val times: Seq[Option[Double]] = (1 to repeats).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
         catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-            -1.0
+            None
         }
       }
-      name -> (if (times.contains(-1.0)) -1.0 else times.min)
+      name -> (if (times.exists(_.isEmpty)) None else Some(times.flatten.min))
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    val qs = results
+      .map { case (k, v) => "\"" + k + "\":" + f"${v.getOrElse(-1.0)}%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val failed = results.collect { case (k, None) => "\"" + k + "\"" }
+    val total = results.flatMap(_._2).sum
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""sf":"$sfDir","repeats":$repeats,"stat":"min"}"""
+        s""""sf":"$sfDir","repeats":$repeats,"stat":"min",""" +
+        s""""failed":${failed.mkString("[", ",", "]")}}"""
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
         (line + "\n").getBytes("UTF-8"))

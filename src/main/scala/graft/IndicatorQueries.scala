@@ -208,15 +208,18 @@ object IndicatorQueries {
 
     // B8: integer // truncates toward zero here exactly like Spark's
     // div (so negative returns agree). The moment numerators exceed
-    // 2^53, so they ship as DECIMAL(38,0) — exact and hash-stable at
-    // any magnitude (this DuckDB's direct HUGEINT→DOUBLE cast
-    // double-rounds negatives: 1-ulp miss found live in round 4).
-    // `corr` needs the numerators as doubles; the VARCHAR-mediated
-    // cast IS correctly rounded here (fast_float strtod — verified
-    // against Python's correctly-rounded float() over 4000 random
-    // >2^53 integers: direct cast missed 56, via-string missed 0),
-    // matching Spark's correctly-rounded decimal→double, so corr is
-    // bit-identical with no ROUND needed.
+    // 2^53, so they ship as VARCHAR — exact text survives every
+    // reader identically, whereas a DECIMAL(38,0) output column is
+    // read exactly (pyarrow decimal.Decimal) on the Spark side but
+    // collapsed to float64 by DuckDB's .df() on the oracle side and
+    // can never hash-match above 2^53 (round-5 driver finding; the
+    // round-4 direct HUGEINT→DOUBLE cast before that double-rounded
+    // negatives by 1 ulp). `corr` needs the numerators as doubles;
+    // the VARCHAR-mediated cast IS correctly rounded here (fast_float
+    // strtod — verified against Python's correctly-rounded float()
+    // over 4000 random >2^53 integers: direct cast missed 56,
+    // via-string missed 0), matching Spark's correctly-rounded
+    // decimal→double, so corr is bit-identical with no ROUND needed.
     "b8_return_cov" -> (SparkEntry.P + """, daily AS (
       SELECT symbol, trade_date,
              CAST(CAST(price AS DECIMAL(18,4)) * 10000 AS BIGINT) AS close_px
@@ -245,9 +248,9 @@ object IndicatorQueries {
       FROM pairs GROUP BY sym_a, sym_b
     )
     SELECT sym_a, sym_b, n_days,
-           CAST(cov_h AS DECIMAL(38,0)) AS cov_num,
-           CAST(var_a_h AS DECIMAL(38,0)) AS var_a_num,
-           CAST(var_b_h AS DECIMAL(38,0)) AS var_b_num,
+           CAST(cov_h AS VARCHAR) AS cov_num,
+           CAST(var_a_h AS VARCHAR) AS var_a_num,
+           CAST(var_b_h AS VARCHAR) AS var_b_num,
            CASE WHEN var_a_h > 0 AND var_b_h > 0
                 THEN CAST(CAST(cov_h AS VARCHAR) AS DOUBLE)
                      / sqrt(CAST(CAST(var_a_h AS VARCHAR) AS DOUBLE)
@@ -259,8 +262,8 @@ object IndicatorQueries {
     // mean (floored integer division of a possibly-negative sum —
     // DuckDB SUM(BIGINT) widens to HUGEINT, whose // also truncates
     // toward zero like Spark's div). Moment numerators ship as
-    // DECIMAL(38,0) and beta divides VARCHAR-mediated correctly-
-    // rounded doubles — the b8 >2^53 posture.
+    // VARCHAR and beta divides VARCHAR-mediated correctly-rounded
+    // doubles — the b8 >2^53 posture.
     "b9_market_beta" -> (SparkEntry.P + """, daily AS (
       SELECT symbol, trade_date,
              CAST(CAST(price AS DECIMAL(18,4)) * 10000 AS BIGINT) AS close_px
@@ -290,8 +293,8 @@ object IndicatorQueries {
       FROM j GROUP BY symbol
     )
     SELECT symbol, n_days,
-           CAST(cov_h AS DECIMAL(38,0)) AS cov_num,
-           CAST(var_h AS DECIMAL(38,0)) AS var_m_num,
+           CAST(cov_h AS VARCHAR) AS cov_num,
+           CAST(var_h AS VARCHAR) AS var_m_num,
            CASE WHEN var_h > 0
                 THEN CAST(CAST(cov_h AS VARCHAR) AS DOUBLE)
                      / CAST(CAST(var_h AS VARCHAR) AS DOUBLE)

@@ -1,9 +1,32 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+
+  /** Output-schema whitelist: the correctness comparer reads the Spark
+    * side natively (pyarrow) and the oracle side through DuckDB's
+    * pandas conversion, and these are the only types BOTH render
+    * identically. DECIMAL is the proven trap (round 5: pyarrow keeps
+    * exact decimal.Decimal, DuckDB .df() collapses to float64 — >2⁵³
+    * values can never hash-match); raw timestamps were banned earlier
+    * (epoch-ms long convention); nested types don't canonicalize
+    * portably. Violations fail `sbt test` (EdgeCaseSpec) before they
+    * can fail a driver round.
+    */
+  val AllowedOutputTypes: Set[DataType] =
+    Set(StringType, IntegerType, LongType, DoubleType, BooleanType, DateType)
+
+  def lintSchema(name: String, df: DataFrame): Seq[String] =
+    df.schema.fields.toSeq.collect {
+      case f if !AllowedOutputTypes.contains(f.dataType) =>
+        s"$name.${f.name}: ${f.dataType.sql} not in " +
+          "{STRING,INT,BIGINT,DOUBLE,BOOLEAN,DATE} — ship exact >2^53 " +
+          "integers as STRING, timestamps as epoch-ms BIGINT"
+    }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -19,9 +42,17 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        val lint = lintSchema(name, df)
+        // A banned type is a hard failure, not a warning: writing the
+        // parquet anyway would hand the driver a guaranteed-mismatch
+        // column (the round-4/5 b8 lesson, twice).
+        if (lint.nonEmpty)
+          throw new IllegalStateException(
+            "banned output column type(s): " + lint.mkString("; "))
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

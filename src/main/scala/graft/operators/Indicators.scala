@@ -301,6 +301,18 @@ object Indicators {
         when(col("var_a_num") > 0 && col("var_b_num") > 0,
           col("cov_num").cast("double") /
             sqrt(col("var_a_num").cast("double") * col("var_b_num").cast("double"))))
+      // The exact >2^53 numerators SHIP AS STRINGS: the correctness
+      // comparer reads Spark parquet natively (exact decimal.Decimal)
+      // but collapses the oracle's DECIMAL(38,0) to float64, so a
+      // decimal OUTPUT column can never hash-match above 2^53 (round-5
+      // finding). Decimal stays the internal arithmetic type; only the
+      // boundary is text. `corr` stays double — the correctly-rounded
+      // decimal->double casts are bit-identical on both engines.
+      .select(col("sym_a"), col("sym_b"), col("n_days"),
+        col("cov_num").cast("string").as("cov_num"),
+        col("var_a_num").cast("string").as("var_a_num"),
+        col("var_b_num").cast("string").as("var_b_num"),
+        col("corr"))
   }
 
   /** B9 — market beta per symbol: the regression slope of a symbol's
@@ -309,9 +321,10 @@ object Indicators {
     * mean of all symbols' e6 returns that day (truncating division —
     * Spark `div` = DuckDB `//` on the possibly-negative sum), so the
     * whole input stays exact integers and the moment numerators
-    * follow b8's >2⁵³ posture: exact DECIMAL(38,0) out, `beta` as one
-    * double division of correctly-rounded casts (the oracle routes
-    * its casts through VARCHAR for the same correct rounding).
+    * follow b8's >2⁵³ posture: decimal arithmetic inside, STRING at
+    * the output boundary, `beta` as one double division of
+    * correctly-rounded casts (the oracle routes its casts through
+    * VARCHAR for the same correct rounding).
     *
     * Shape at scale: returns are O(symbols × days); the market frame
     * is O(days) and broadcast-joins back; one hash aggregate per
@@ -338,6 +351,12 @@ object Indicators {
       .withColumn("beta",
         when(col("var_m_num") > 0,
           col("cov_num").cast("double") / col("var_m_num").cast("double")))
+      // Same >2^53 boundary rule as b8: exact numerators out as text,
+      // beta as the already-bit-identical double.
+      .select(col("symbol"), col("n_days"),
+        col("cov_num").cast("string").as("cov_num"),
+        col("var_m_num").cast("string").as("var_m_num"),
+        col("beta"))
   }
 
   def spikeCounts(silver: DataFrame, n: Int = 20, z: Int = 3): DataFrame = {

@@ -354,7 +354,11 @@ object Sampling {
                     qsPerMyriad: Seq[Int]): DataFrame = {
     require(qsPerMyriad.nonEmpty && qsPerMyriad.forall(q => q > 0 && q <= 10000),
       s"quantiles must be per-myriad in (0, 10000], got $qsPerMyriad")
+    // NULLs are excluded from the distribution outright: the engines
+    // disagree on NULL sort position (Spark NULLS FIRST ascending,
+    // DuckDB NULLS LAST), which would shift every cumulative count.
     val hist = df.select(col(keyCol), col(valueCol).as("__v"))
+      .filter(col("__v").isNotNull)
       .groupBy(col(keyCol), col("__v")).agg(count(lit(1)).as("__c"))
     val wCum = Window.partitionBy(col(keyCol)).orderBy(col("__v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

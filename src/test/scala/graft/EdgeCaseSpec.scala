@@ -84,4 +84,17 @@ class EdgeCaseSpec extends SparkSpecBase {
       .withColumn("event_time", lit(null).cast("timestamp"))
     assert(Validation.validate(df, 0L).count() === 0)
   }
+
+  test("every query's output schema passes the comparer type whitelist") {
+    // Build-time form of the Verify lint: the correctness comparer
+    // reads Spark parquet natively and the oracle via DuckDB->pandas,
+    // and only {string,int,long,double,boolean,date} canonicalize
+    // identically on both paths. DECIMAL survived two rounds of local
+    // green / driver red (r4 1-ulp, r5 float64 collapse) before this
+    // became a hard rule.
+    val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) => Verify.lintSchema(name, fn(spark, Sf))
+    }
+    assert(violations.isEmpty, violations.mkString("\n"))
+  }
 }

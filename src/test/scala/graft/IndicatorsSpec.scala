@@ -151,10 +151,12 @@ class IndicatorsSpec extends SparkSpecBase {
     val r = out.head
     assert((r.getAs[String]("sym_a"), r.getAs[String]("sym_b")) === (("X", "Y")))
     assert(r.getAs[Long]("n_days") === 2L)
-    // Numerators ship as exact DECIMAL(38,0) (> 2^53-safe, r4 fix).
-    assert(r.getAs[java.math.BigDecimal]("cov_num") === r.getAs[java.math.BigDecimal]("var_a_num"))
-    assert(r.getAs[java.math.BigDecimal]("var_a_num") === r.getAs[java.math.BigDecimal]("var_b_num"))
-    assert(r.getAs[java.math.BigDecimal]("var_a_num").signum === 1)
+    // Numerators ship as exact integer STRINGS (decimal inside, text
+    // at the boundary — the r5 fix: a decimal output column can never
+    // hash-match the comparer above 2^53).
+    assert(r.getAs[String]("cov_num") === r.getAs[String]("var_a_num"))
+    assert(r.getAs[String]("var_a_num") === r.getAs[String]("var_b_num"))
+    assert(BigInt(r.getAs[String]("var_a_num")).signum === 1)
     assert(math.abs(r.getAs[Double]("corr") - 1.0) < 1e-12)
   }
 
@@ -171,8 +173,8 @@ class IndicatorsSpec extends SparkSpecBase {
     assert(out.length === 2)
     out.foreach { r =>
       assert(r.getAs[Long]("n_days") === 3L)
-      assert(r.getAs[java.math.BigDecimal]("cov_num") ===
-        r.getAs[java.math.BigDecimal]("var_m_num"), r.getAs[String]("symbol"))
+      assert(r.getAs[String]("cov_num") ===
+        r.getAs[String]("var_m_num"), r.getAs[String]("symbol"))
       assert(r.getAs[Double]("beta") === 1.0)
     }
   }
@@ -185,35 +187,54 @@ class IndicatorsSpec extends SparkSpecBase {
     // HUGEINT→DOUBLE double-rounds negatives). The operator must emit
     // the numerators EXACTLY; this replays its arithmetic in BigInt
     // and requires decimal equality, not closeness.
-    val n = 300
     // Y tracks 2X with a small perturbation: the return series stay
     // strongly correlated, so cov_num grows like the variances
     // (independent series would cancel toward zero and never cross
-    // the boundary this fixture exists to exercise).
+    // the boundary this fixture exists to exercise). Run at two sizes
+    // so the outputs land in BOTH regimes with live breakpoints:
+    // n=300 puts all numerators in (2^53, 1e17) — float64 loses
+    // integer exactness; n=450 pushes them past 1e17 — pandas' %g
+    // additionally switches to scientific TEXT. A regression in
+    // either regime fails here before it fails a driver round.
     def pxX(i: Int): Long = 100000L + ((i.toLong * 7919L) % 9973L) * 37L
     def pxY(i: Int): Long = 2L * pxX(i) + ((i.toLong * 104729L) % 977L)
-    val rows = (0 until n).flatMap { i =>
-      val day = java.sql.Date.valueOf(java.time.LocalDate.of(2023, 1, 1).plusDays(i))
-      val t = new java.sql.Timestamp(1672531200000L + i * 86400000L)
-      Seq((i * 2 + 1L, "X", pxX(i).toDouble, 1L, t, day),
-          (i * 2 + 2L, "Y", pxY(i).toDouble, 1L, t, day))
-    }.toDF("event_id", "symbol", "price", "volume", "event_time", "trade_date")
-    val r = Indicators.returnCovariance(rows).collect().head
-    // Replay: ticks are e4, returns truncate toward zero (Long /).
-    def rets(px: Int => Long): Seq[Long] = (1 until n).map { i =>
-      val (prev, cur) = (px(i - 1) * 10000L, px(i) * 10000L)
-      (cur - prev) * 1000000L / prev
+    def numerators(n: Int): Seq[BigInt] = {
+      val rows = (0 until n).flatMap { i =>
+        val day = java.sql.Date.valueOf(java.time.LocalDate.of(2023, 1, 1).plusDays(i))
+        val t = new java.sql.Timestamp(1672531200000L + i * 86400000L)
+        Seq((i * 2 + 1L, "X", pxX(i).toDouble, 1L, t, day),
+            (i * 2 + 2L, "Y", pxY(i).toDouble, 1L, t, day))
+      }.toDF("event_id", "symbol", "price", "volume", "event_time", "trade_date")
+      val r = Indicators.returnCovariance(rows).collect().head
+      // Replay: ticks are e4, returns truncate toward zero (Long /).
+      def rets(px: Int => Long): Seq[Long] = (1 until n).map { i =>
+        val (prev, cur) = (px(i - 1) * 10000L, px(i) * 10000L)
+        (cur - prev) * 1000000L / prev
+      }
+      val (ra, rb) = (rets(pxX), rets(pxY))
+      val days = BigInt(n - 1)
+      def num(u: Seq[Long], v: Seq[Long]): BigInt =
+        days * u.zip(v).map { case (x, y) => BigInt(x) * BigInt(y) }.sum -
+          u.map(BigInt(_)).sum * v.map(BigInt(_)).sum
+      Seq("cov_num" -> num(ra, rb), "var_a_num" -> num(ra, ra),
+        "var_b_num" -> num(rb, rb)).map { case (c, exp) =>
+        val s = r.getAs[String](c)
+        // The boundary is TEXT now (r5): exact plain digits, never
+        // scientific notation or a trailing ".0" — both live failure
+        // modes of the float64 collapse this encoding exists to dodge.
+        assert(!s.exists(ch => ch == 'e' || ch == 'E' || ch == '.'),
+          s"$c not plain digits at n=$n: $s")
+        assert(BigInt(s) === exp, s"$c at n=$n")
+        exp
+      }
     }
-    val (ra, rb) = (rets(pxX), rets(pxY))
-    val days = BigInt(n - 1)
-    def num(u: Seq[Long], v: Seq[Long]): BigInt =
-      days * u.zip(v).map { case (x, y) => BigInt(x) * BigInt(y) }.sum -
-        u.map(BigInt(_)).sum * v.map(BigInt(_)).sum
-    val expCov = num(ra, rb)
-    assert(expCov.abs > BigInt(2).pow(53), "fixture must exceed 2^53 to exercise the boundary")
-    assert(BigInt(r.getAs[java.math.BigDecimal]("cov_num").toBigInteger) === expCov)
-    assert(BigInt(r.getAs[java.math.BigDecimal]("var_a_num").toBigInteger) === num(ra, ra))
-    assert(BigInt(r.getAs[java.math.BigDecimal]("var_b_num").toBigInteger) === num(rb, rb))
+    val mid = numerators(300)
+    assert(mid.forall(v => v.abs > BigInt(2).pow(53) &&
+      v.abs < BigInt("100000000000000000")),
+      s"n=300 numerators must sit in (2^53, 1e17), got $mid")
+    val big = numerators(450)
+    assert(big.forall(_.abs > BigInt("100000000000000000")),
+      s"n=450 numerators must exceed 1e17, got $big")
   }
 
   test("plans contain no partition-less window") {
