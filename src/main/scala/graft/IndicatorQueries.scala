@@ -46,6 +46,18 @@ object IndicatorQueries {
     "b9_market_beta" -> ((s, dir) =>
       Indicators.marketBeta(SparkEntry.silverDf(s, dir))),
 
+    // B10 — on-balance volume per symbol (exact longs end to end).
+    "b10_obv" -> ((s, dir) =>
+      Indicators.obv(SparkEntry.silverDf(s, dir))),
+
+    // B11 — 14-day Average True Range over daily bars.
+    "b11_atr" -> ((s, dir) =>
+      Indicators.atr(SparkEntry.silverDf(s, dir), n = 14)),
+
+    // B12 — stochastic oscillator %K/%D (14, 3) over daily bars.
+    "b12_stochastic" -> ((s, dir) =>
+      Indicators.stochastic(SparkEntry.silverDf(s, dir), n = 14)),
+
     // B5 — end-of-day EMA-14 per symbol, the recursion running
     // continuously from sequence start (streaming/IndicatorStream's
     // batch adapter — the one indicator a row-frame window cannot
@@ -70,7 +82,87 @@ object IndicatorQueries {
     FROM silver
   )"""
 
+  /** Shared daily-bar CTE for the bar-level indicator oracles
+    * (mirrors Indicators.dailyBars): deterministic close via
+    * ROW_NUMBER over (event_time DESC, event_id DESC), extrema and
+    * volume as exact integers.
+    */
+  private def dailyb: String = """dailyb AS (
+    SELECT symbol, trade_date,
+           MAX(px) AS high, MIN(px) AS low,
+           MAX(CASE WHEN rn = 1 THEN px END) AS close,
+           CAST(SUM(volume) AS BIGINT) AS day_volume
+    FROM (SELECT symbol, trade_date, volume,
+                 CAST(CAST(price AS DECIMAL(18,4)) * 10000 AS BIGINT) AS px,
+                 ROW_NUMBER() OVER (PARTITION BY symbol, trade_date
+                                    ORDER BY event_time DESC, event_id DESC) AS rn
+          FROM silver)
+    GROUP BY symbol, trade_date
+  )"""
+
   def oracleSql: Map[String, String] = Map(
+    // B10: integer-only signed cumulative volume; the window ordering
+    // (symbol, trade_date) is total after the daily aggregate.
+    "b10_obv" -> (SparkEntry.P + s""", $dailyb, sv AS (
+      SELECT symbol, trade_date, close, day_volume,
+             LAG(close) OVER (PARTITION BY symbol ORDER BY trade_date) AS prev_close
+      FROM dailyb
+    ), sgn AS (
+      SELECT symbol, trade_date, close, day_volume,
+             CASE WHEN prev_close IS NULL OR close = prev_close THEN CAST(0 AS BIGINT)
+                  WHEN close > prev_close THEN day_volume
+                  ELSE -day_volume END AS signed_vol
+      FROM sv
+    )
+    SELECT symbol, trade_date, close AS close_px, day_volume, signed_vol,
+           CAST(SUM(signed_vol) OVER (PARTITION BY symbol ORDER BY trade_date
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS obv
+    FROM sgn"""),
+
+    // B11: true range as exact integers; atr is one division of two
+    // exact integers (correctly rounded, hence bit-equal to Spark).
+    "b11_atr" -> (SparkEntry.P + s""", $dailyb, sv AS (
+      SELECT symbol, trade_date, high, low, close,
+             LAG(close) OVER (PARTITION BY symbol ORDER BY trade_date) AS prev_close
+      FROM dailyb
+    ), trr AS (
+      SELECT symbol, trade_date,
+             CASE WHEN prev_close IS NULL THEN high - low
+                  ELSE GREATEST(high - low, ABS(high - prev_close),
+                                ABS(low - prev_close)) END AS tr
+      FROM sv
+    )
+    SELECT symbol, trade_date, tr,
+           CAST(SUM(tr) OVER w AS BIGINT) AS tr_sum,
+           COUNT(*) OVER w AS n_tr,
+           CAST(CAST(SUM(tr) OVER w AS BIGINT) AS DOUBLE)
+             / CAST(COUNT(*) OVER w AS DOUBLE) AS atr
+    FROM trr
+    WINDOW w AS (PARTITION BY symbol ORDER BY trade_date
+                 ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)"""),
+
+    // B12: %K is the literal (cast*100.0)/cast tree, %D the literal
+    // ((k + lag1) + lag2)/3.0 tree — both mirror the Spark operator
+    // op for op, so the doubles are bit-exact; NULLs (flat windows,
+    // first two %D days) propagate identically.
+    "b12_stochastic" -> (SparkEntry.P + s""", $dailyb, ext AS (
+      SELECT symbol, trade_date, close,
+             MAX(high) OVER w AS hh, MIN(low) OVER w AS ll
+      FROM dailyb
+      WINDOW w AS (PARTITION BY symbol ORDER BY trade_date
+                   ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    ), k AS (
+      SELECT symbol, trade_date,
+             close - ll AS k_num, hh - ll AS k_den,
+             CASE WHEN hh - ll > 0 THEN
+               CAST(close - ll AS DOUBLE) * 100.0 / CAST(hh - ll AS DOUBLE)
+             END AS pct_k
+      FROM ext
+    )
+    SELECT symbol, trade_date, k_num, k_den, pct_k,
+           ((pct_k + LAG(pct_k, 1) OVER ws) + LAG(pct_k, 2) OVER ws) / 3.0 AS pct_d
+    FROM k
+    WINDOW ws AS (PARTITION BY symbol ORDER BY trade_date)"""),
     "b1_sma_bollinger" -> (SparkEntry.P + s""", $ind, wnd AS (
       SELECT symbol, event_time, price,
              COUNT(*) OVER w AS cnt,

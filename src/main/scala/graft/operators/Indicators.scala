@@ -359,6 +359,108 @@ object Indicators {
         col("beta"))
   }
 
+  /** Shared daily-bar frame for the bar-level indicators (B10–B12):
+    * one hash aggregate over silver — high/low are plain extrema in
+    * e4 ticks, close is the deterministic last trade by
+    * (event_time, event_id), day volume an exact long sum. Output is
+    * O(symbols × days) rows; every downstream window partitions by
+    * symbol and orders by trade_date (unique per symbol after this
+    * aggregate, so the ordering is total and the windows
+    * deterministic at any parallelism).
+    */
+  private def dailyBars(silver: DataFrame): DataFrame =
+    silver
+      .withColumn("px", ticksE4(col("price")))
+      .groupBy(col("symbol"), col("trade_date"))
+      .agg(
+        max(col("px")).as("high"),
+        min(col("px")).as("low"),
+        graft.functions.OrderedExtremum.maxByOrd2(col("px"),
+          unix_micros(col("event_time")), col("event_id")).as("close"),
+        sum(col("volume")).as("day_volume"))
+
+  private def bySymbolDate =
+    Window.partitionBy(col("symbol")).orderBy(col("trade_date"))
+
+  /** B10 — on-balance volume per symbol: the running sum of each
+    * day's volume signed by the close-to-close direction (flat days
+    * and the first day contribute zero). Pure exact integer
+    * arithmetic end to end — longs only, no floats anywhere — so the
+    * result is order-independent and bit-identical on any engine.
+    *
+    * Shape at scale: one hash aggregate over trades to daily bars,
+    * then per-symbol lag + running sum over O(days) rows. The shuffle
+    * key is the symbol, like every indicator in this module.
+    */
+  def obv(silver: DataFrame): DataFrame = {
+    val w = bySymbolDate
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dailyBars(silver)
+      .withColumn("prev_close", lag(col("close"), 1).over(w))
+      .withColumn("signed_vol",
+        when(col("prev_close").isNull || col("close") === col("prev_close"), lit(0L))
+          .when(col("close") > col("prev_close"), col("day_volume"))
+          .otherwise(-col("day_volume")))
+      .withColumn("obv", sum(col("signed_vol")).over(cum))
+      .select(col("symbol"), col("trade_date"), col("close").as("close_px"),
+        col("day_volume"), col("signed_vol"), col("obv"))
+  }
+
+  /** B11 — Average True Range over the daily bars: true range is
+    * max(high−low, |high−prevClose|, |low−prevClose|) in e4 ticks
+    * (first day: high−low, the standard Wilder convention when no
+    * prior close exists), ATR-n its rolling n-day mean. The range
+    * arithmetic and rolling sum are exact longs; `atr` is the single
+    * IEEE division of those two exact integers, so it is correctly
+    * rounded and bit-identical across engines.
+    */
+  def atr(silver: DataFrame, n: Int = 14): DataFrame = {
+    val w = bySymbolDate
+    val wN = w.rowsBetween(-(n - 1), Window.currentRow)
+    dailyBars(silver)
+      .withColumn("prev_close", lag(col("close"), 1).over(w))
+      .withColumn("tr",
+        when(col("prev_close").isNull, col("high") - col("low"))
+          .otherwise(greatest(col("high") - col("low"),
+            abs(col("high") - col("prev_close")),
+            abs(col("low") - col("prev_close")))))
+      .withColumn("tr_sum", sum(col("tr")).over(wN))
+      .withColumn("n_tr", count(lit(1)).over(wN))
+      .withColumn("atr", col("tr_sum").cast("double") / col("n_tr").cast("double"))
+      .select(col("symbol"), col("trade_date"), col("tr"),
+        col("tr_sum"), col("n_tr"), col("atr"))
+  }
+
+  /** B12 — stochastic oscillator %K/%D over the daily bars:
+    * %K = 100·(close − lowestLow_n)/(highestHigh_n − lowestLow_n),
+    * %D the 3-day mean of %K. The numerator and denominator are
+    * exact tick integers (emitted as `k_num`/`k_den` so the exact
+    * form is also on the output); %K is the two-IEEE-op expression
+    * (cast·100.0)/cast — multiplication by 100 of a <2⁴⁶ integer is
+    * exact, the division correctly rounded — and %D is the explicit
+    * left-parenthesised tree ((k + lag₁k) + lag₂k)/3.0, both
+    * mirrored literally in the DuckDB oracle, so equality is
+    * bit-exact, not approximate. Flat windows (k_den = 0) and the
+    * first two days of %D are NULL on both engines by the same
+    * NULL-propagation rules.
+    */
+  def stochastic(silver: DataFrame, n: Int = 14): DataFrame = {
+    val w = bySymbolDate
+    val wN = w.rowsBetween(-(n - 1), Window.currentRow)
+    dailyBars(silver)
+      .withColumn("hh", max(col("high")).over(wN))
+      .withColumn("ll", min(col("low")).over(wN))
+      .withColumn("k_num", col("close") - col("ll"))
+      .withColumn("k_den", col("hh") - col("ll"))
+      .withColumn("pct_k",
+        when(col("k_den") > 0,
+          col("k_num").cast("double") * 100.0 / col("k_den").cast("double")))
+      .withColumn("pct_d",
+        (col("pct_k") + lag(col("pct_k"), 1).over(w) + lag(col("pct_k"), 2).over(w)) / 3.0)
+      .select(col("symbol"), col("trade_date"), col("k_num"), col("k_den"),
+        col("pct_k"), col("pct_d"))
+  }
+
   def spikeCounts(silver: DataFrame, n: Int = 20, z: Int = 3): DataFrame = {
     val w = bySymbolTime.rowsBetween(-(n - 1), Window.currentRow)
     silver

@@ -237,11 +237,61 @@ class IndicatorsSpec extends SparkSpecBase {
       s"n=450 numerators must exceed 1e17, got $big")
   }
 
+  /** Multi-day feed: per day a list of (price, volume) trades, in
+    * event-time order within the day.
+    */
+  private def feedDays(days: Seq[(String, Seq[(Double, Long)])],
+                       symbol: String = "AAPL"): DataFrame =
+    days.zipWithIndex.flatMap { case ((d, trades), di) =>
+      trades.zipWithIndex.map { case ((p, v), ti) =>
+        ((di * 100 + ti).toLong, symbol, p, v,
+          new java.sql.Timestamp(java.sql.Date.valueOf(d).getTime + 36000000L + ti * 60000L),
+          java.sql.Date.valueOf(d))
+      }
+    }.toDF("event_id", "symbol", "price", "volume", "event_time", "trade_date")
+
+  test("OBV signs each day's volume by close direction, flat and first days zero") {
+    val out = Indicators.obv(feedDays(Seq(
+      "2024-01-01" -> Seq((10.0, 5L)),
+      "2024-01-02" -> Seq((12.0, 7L)),
+      "2024-01-03" -> Seq((11.0, 3L), (12.0, 11L)), // close 12 — flat day
+      "2024-01-04" -> Seq((9.0, 13L))))).orderBy(col("trade_date")).collect()
+    assert(out.map(_.getAs[Long]("signed_vol")).toSeq === Seq(0L, 7L, 0L, -13L))
+    assert(out.map(_.getAs[Long]("obv")).toSeq === Seq(0L, 7L, 7L, -6L))
+    assert(out(2).getAs[Long]("day_volume") === 14L) // 3 + 11
+  }
+
+  test("ATR: first day is high-low, later days the Wilder max against prev close") {
+    val out = Indicators.atr(feedDays(Seq(
+      "2024-01-01" -> Seq((10.0, 1L), (20.0, 1L)), // hi 20 lo 10 close 20
+      "2024-01-02" -> Seq((5.0, 1L), (6.0, 1L)))), n = 14) // hi 6 lo 5, prev close 20
+      .orderBy(col("trade_date")).collect()
+    // e4 ticks: day1 TR = 100000; day2 TR = max(10000, 140000, 150000).
+    assert(out.map(_.getAs[Long]("tr")).toSeq === Seq(100000L, 150000L))
+    assert(out(1).getAs[Long]("tr_sum") === 250000L)
+    assert(out(1).getAs[Double]("atr") === 125000.0)
+  }
+
+  test("stochastic: %K is 100 at a window high, null on flat windows; %D needs 3 days") {
+    val rising = feedDays((1 to 5).map(i => f"2024-01-0$i" -> Seq((i.toDouble, 1L))))
+    val out = Indicators.stochastic(rising, n = 14).orderBy(col("trade_date")).collect()
+    // Day 1: den 0 -> null; later days close == rolling high -> 100.
+    assert(out(0).isNullAt(out(0).fieldIndex("pct_k")))
+    assert((1 to 4).forall(i => out(i).getAs[Double]("pct_k") === 100.0))
+    // %D: null until two prior %K values exist (day-1 %K is null too).
+    assert((0 to 2).forall(i => out(i).isNullAt(out(i).fieldIndex("pct_d"))))
+    assert(out(4).getAs[Double]("pct_d") === 100.0)
+    val flat = Indicators.stochastic(feedDays(
+      (1 to 3).map(i => f"2024-01-0$i" -> Seq((7.0, 1L)))), n = 14).collect()
+    assert(flat.forall(r => r.isNullAt(r.fieldIndex("pct_k"))))
+  }
+
   test("plans contain no partition-less window") {
     val silver = SparkEntry.silverDf(spark, Sf)
     Seq(Indicators.smaBollinger(silver), Indicators.rsi(silver),
       Indicators.topMovers(silver), Indicators.spikeCounts(silver),
-      Indicators.drawdown(silver)).foreach { df =>
+      Indicators.drawdown(silver), Indicators.obv(silver),
+      Indicators.atr(silver), Indicators.stochastic(silver)).foreach { df =>
       val plan = df.queryExecution.executedPlan.toString
       // Every Window operator must carry a partition spec: a global
       // window would serialize the whole feed through one task.
