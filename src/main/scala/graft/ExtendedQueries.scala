@@ -537,6 +537,8 @@ object ExtendedQueries {
     "x17_market_hours" -> (marketHoursSessions _),
     "h5_region_revenue" -> ((s: SparkSession, dir: String) => TpchQueries.regionRevenue(s, dir)),
     "h14_promo_revenue" -> ((s: SparkSession, dir: String) => TpchQueries.promoRevenue(s, dir)),
+    "h10_returned_items" -> ((s: SparkSession, dir: String) => TpchQueries.returnedItems(s, dir)),
+    "h12_late_shipments" -> ((s: SparkSession, dir: String) => TpchQueries.lateShipments(s, dir)),
     "x10_token_packing" -> (tokenPacking _),
     "x11_approx_distinct" -> (approxDistinct _),
     "x12_subquery_daily_high" -> (dailyHighTrades _),
@@ -565,6 +567,8 @@ object ExtendedQueries {
     "x17_market_hours" -> marketHoursSessionsSql,
     "h5_region_revenue" -> TpchQueries.regionRevenueSql,
     "h14_promo_revenue" -> TpchQueries.promoRevenueSql,
+    "h10_returned_items" -> TpchQueries.returnedItemsSql,
+    "h12_late_shipments" -> TpchQueries.lateShipmentsSql,
     "x10_token_packing" -> tokenPackingSql,
     "x12_subquery_daily_high" -> dailyHighTradesSql,
     "x13_cube" -> cubeVolumeSql,

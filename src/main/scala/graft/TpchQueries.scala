@@ -157,6 +157,85 @@ object TpchQueries {
       AND l_shipdate >= TIMESTAMP '1997-06-01 00:00:00'
       AND l_shipdate < TIMESTAMP '1997-07-01 00:00:00'"""
 
+  /** TPC-H Q10 shape: returned-item customer ranking. The one big
+    * shuffle is lineitem |><| orders on orderkey (the returnflag and
+    * quarter filters push to both scans first); customer joins on the
+    * already-aggregated per-customer frame would be ideal but the
+    * rank needs name/acctbal/nation, so customer rides the shuffle
+    * join and nation broadcasts. Top-20 via TakeOrderedAndProject —
+    * no global sort. Revenue is the exact DECIMAL sum cast once.
+    */
+  def returnedItems(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1997-10-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val l = Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
+    val c = Tables.customer(s, dir)
+    val n = Tables.nation(s, dir)
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(sum(dec("l_extendedprice") * (lit(1) - dec("l_discount"))).cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  val returnedItemsSql: String = """
+    SELECT c_custkey, c_name, c_acctbal, n_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem, orders, customer, nation
+    WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+      AND c_nationkey = n_nationkey
+      AND l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1997-10-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey LIMIT 20"""
+
+  /** TPC-H Q12 shape re-expressed over this schema (no
+    * commit/receipt dates or shipmode in the synthetic lineitem):
+    * conditional priority counts over the orders |><| lineitem join,
+    * bucketed by shipping lateness (shipped more than 90 days after
+    * the order date) instead of by shipmode. Same plan skeleton as
+    * Q12 — one big equi-join, map-side CASE counts, a two-row result
+    * — and everything is exact integer date/count arithmetic.
+    */
+  def lateShipments(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+    val o = Tables.orders(s, dir)
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .withColumn("delay_days",
+        datediff(col("l_shipdate").cast("date"), col("o_orderdate").cast("date")))
+      .withColumn("bucket",
+        when(col("delay_days") > 90, lit("LATE")).otherwise(lit("ONTIME")))
+      .groupBy(col("bucket"))
+      .agg(
+        sum(when(col("o_orderpriority") === "1-URGENT" ||
+          col("o_orderpriority") === "2-HIGH", 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(col("o_orderpriority") =!= "1-URGENT" &&
+          col("o_orderpriority") =!= "2-HIGH", 1L).otherwise(0L)).as("low_line_count"),
+        count(lit(1)).as("n_lines"),
+        max(col("delay_days")).cast("long").as("max_delay_days"))
+  }
+
+  val lateShipmentsSql: String = """
+    SELECT CASE WHEN date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) > 90
+                THEN 'LATE' ELSE 'ONTIME' END AS bucket,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count,
+           COUNT(*) AS n_lines,
+           CAST(MAX(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))) AS BIGINT) AS max_delay_days
+    FROM lineitem, orders
+    WHERE l_orderkey = o_orderkey
+      AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY 1"""
+
   val regionRevenueSql: String = """
     SELECT n_name,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
