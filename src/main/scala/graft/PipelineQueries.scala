@@ -91,6 +91,26 @@ object PipelineQueries {
     Dedup.containmentPairs(base.unionByName(truncated), minContainE6 = 500000L)
   }
 
+  /** D16 — incremental batch-vs-corpus dedup. Corpus = docs with
+    * id % 4 = 0; the incoming batch mixes genuinely-fresh docs
+    * (id % 4 = 1), byte-exact copies of corpus docs (re-id'd +1e6),
+    * and 3/4-prefix truncations of corpus docs (+2e6) — so all three
+    * verdicts are exercised and the planted copies are known.
+    */
+  def incrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val corpus = d.filter(pmod(col("doc_id"), lit(4)) === 0).select(col("doc_id"), col("text"))
+    val fresh = d.filter(pmod(col("doc_id"), lit(4)) === 1).select(col("doc_id"), col("text"))
+    val exactCopies = d.filter(pmod(col("doc_id"), lit(8)) === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val nearCopies = d.filter(pmod(col("doc_id"), lit(8)) === 4)
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        expr("substring(text, 1, greatest(3 * length(text) div 4, 1))").as("text"))
+    Dedup.incrementalDedup(
+      fresh.unionByName(exactCopies).unionByName(nearCopies), corpus,
+      minJaccardE6 = 500000L)
+  }
+
   /** T7 — vocabulary head: top-50 tokens by corpus frequency. */
   def vocabTopK(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.vocabTopK(docs(s, dir), k = 50)
@@ -509,6 +529,82 @@ object PipelineQueries {
     JOIN sh sb ON sb.doc_id = c.doc_b)
   WHERE n_a > 0 AND n_b > 0
     AND greatest(n_common * 1000000 // n_a, n_common * 1000000 // n_b) >= 500000"""
+
+  /** D16 oracle: same derived corpus/batch split as the operator
+    * (planted exact and 3/4-prefix near copies), the d4 LSH stages on
+    * each side separately, cross-side candidates only, exact Jaccard
+    * verify, and the exact/near/new verdict cascade.
+    */
+  val incrementalDedupSql: String = s"""WITH corpus AS (
+    SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0
+  ), batch AS (
+    SELECT doc_id, text FROM documents WHERE doc_id % 4 = 1
+    UNION ALL
+    SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 8 = 0
+    UNION ALL
+    SELECT doc_id + 2000000, substring(text, 1, greatest(3 * length(text) // 4, 1))
+    FROM documents WHERE doc_id % 8 = 4
+  ), ${shingleSql(3, "TRUE", "shc", "corpus")}, ${shingleSql(3, "TRUE", "shb", "batch")},
+  sigc AS (
+    SELECT doc_id,
+           list_transform(generate_series(1, 16), p ->
+             CASE WHEN len(sh) > 0 THEN
+               list_min(list_transform(sh, x ->
+                 (x * ((2654435761 * p + 1) % 1000000007)
+                  + (40503 * p * p + 17) % 1000000007) % 1000000007))
+             ELSE 1000000007 END) AS sig
+    FROM shc WHERE len(sh) > 0
+  ), sigb AS (
+    SELECT doc_id,
+           list_transform(generate_series(1, 16), p ->
+             CASE WHEN len(sh) > 0 THEN
+               list_min(list_transform(sh, x ->
+                 (x * ((2654435761 * p + 1) % 1000000007)
+                  + (40503 * p * p + 17) % 1000000007) % 1000000007))
+             ELSE 1000000007 END) AS sig
+    FROM shb WHERE len(sh) > 0
+  ), bandc AS (
+    SELECT doc_id, b,
+           list_reduce(list_prepend(CAST(b AS BIGINT), sig[b*2 + 1 : b*2 + 2]),
+                       (a, x) -> (a * 131 + x) % 1000000007) AS key
+    FROM sigc, UNNEST([0, 1, 2, 3, 4, 5, 6, 7]) AS t(b)
+  ), bandb AS (
+    SELECT doc_id, b,
+           list_reduce(list_prepend(CAST(b AS BIGINT), sig[b*2 + 1 : b*2 + 2]),
+                       (a, x) -> (a * 131 + x) % 1000000007) AS key
+    FROM sigb, UNNEST([0, 1, 2, 3, 4, 5, 6, 7]) AS t(b)
+  ), cand AS (
+    SELECT DISTINCT a.doc_id AS batch_id, c.doc_id AS corpus_id
+    FROM bandb a, bandc c WHERE a.b = c.b AND a.key = c.key
+  ), near AS (
+    SELECT batch_id, MIN(corpus_id) AS near_dup_of,
+           CAST(MAX(j_e6) AS BIGINT) AS near_j_e6
+    FROM (
+      SELECT c.batch_id, c.corpus_id,
+             len(list_intersect(sa.sh, sb.sh)) * 1000000
+               // (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS j_e6
+      FROM cand c
+      JOIN shb sa ON sa.doc_id = c.batch_id
+      JOIN shc sb ON sb.doc_id = c.corpus_id
+      WHERE (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) > 0)
+    WHERE j_e6 >= 500000
+    GROUP BY batch_id
+  ), cfp AS (
+    SELECT $normSql AS norm, md5($normSql) AS fp, MIN(doc_id) AS exact_dup_of
+    FROM corpus GROUP BY 1, 2
+  ), cfp2 AS (
+    SELECT fp, MIN(exact_dup_of) AS exact_dup_of FROM cfp GROUP BY fp
+  ), bfp AS (
+    SELECT doc_id, md5($normSql) AS fp FROM batch
+  )
+  SELECT b.doc_id,
+         CASE WHEN e.exact_dup_of IS NOT NULL THEN 'exact_dup'
+              WHEN n.near_dup_of IS NOT NULL THEN 'near_dup'
+              ELSE 'new' END AS verdict,
+         e.exact_dup_of, n.near_dup_of, n.near_j_e6
+  FROM bfp b
+  LEFT JOIN cfp2 e USING (fp)
+  LEFT JOIN near n ON n.batch_id = b.doc_id"""
 
   val nearDedupSql: String = s"""WITH ${shingleSql(3, "doc_id % 10 = 0")}, $sigSql,
   banded AS (
@@ -1092,6 +1188,7 @@ object PipelineQueries {
     "d12_substring_dup" -> (substringDup _),
     "d13_window_decontam" -> (windowDecontam _),
     "d14_containment" -> (containment _),
+    "d16_incremental_dedup" -> (incrementalDedup _),
     "d15_quality_dedup" -> (qualityDedup _),
     "d6_embedding_dups" -> (embeddingDups _),
     "s1_knn_brute" -> (knnBrute _),
@@ -1128,6 +1225,7 @@ object PipelineQueries {
     "d12_substring_dup" -> substringDupSql,
     "d13_window_decontam" -> windowDecontamSql,
     "d14_containment" -> containmentSql,
+    "d16_incremental_dedup" -> incrementalDedupSql,
     "d15_quality_dedup" -> qualityDedupSql,
     "d6_embedding_dups" -> embeddingDupsSql,
     "s1_knn_brute" -> knnBruteSql,

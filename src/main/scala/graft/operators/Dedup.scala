@@ -562,6 +562,81 @@ object Dedup {
       .filter(greatest(col("contain_ab_e6"), col("contain_ba_e6")) >= minContainE6)
   }
 
+  /** D16 — incremental (batch-vs-corpus) dedup: the admission
+    * decision a continuously-growing training corpus runs on every
+    * new crawl slice. Each batch document gets a verdict:
+    * `exact_dup` (normalized-md5 fingerprint already in the corpus),
+    * `near_dup` (a verified n-gram-Jaccard near-duplicate of some
+    * corpus document), or `new`. The matched corpus doc rides along
+    * (`exact_dup_of` / `near_dup_of` = lowest matching corpus id,
+    * `near_j_e6` = the highest verified similarity) so the caller
+    * can audit or link instead of drop.
+    *
+    * Scale shape — the point of the operator: the corpus NEVER
+    * self-joins and never re-processes. The exact stage joins batch
+    * fingerprints against the corpus fingerprint set (per-fp min id —
+    * in steady state a precomputed, bucketed table the batch probes);
+    * the near stage LSH-bands BOTH sides but only joins batch buckets
+    * against corpus buckets, so candidate count scales with the
+    * batch, not the corpus, and the quadratic verify touches only
+    * same-bucket cross pairs. Per-increment cost is O(|batch|) work
+    * plus hash-joins against corpus-side indexes that an incremental
+    * deployment materializes once and appends to.
+    */
+  def incrementalDedup(batch: DataFrame, corpus: DataFrame, minJaccardE6: Long,
+                       idCol: String = "doc_id", textCol: String = "text",
+                       shingleN: Int = 3, k: Int = 16, bands: Int = 8): DataFrame = {
+    require(k % bands == 0,
+      s"signature length k=$k must be divisible by bands=$bands")
+    val rows = k / bands
+    val b = batch.select(col(idCol).as("id"), col(textCol).as("text"))
+    val c = corpus.select(col(idCol).as("id"), col(textCol).as("text"))
+    // Exact stage: corpus fingerprints collapse to (fp, min id) —
+    // the probe side is only the batch.
+    val cFp = c.select(col("id"), TextAnalysis.fingerprintMd5(col("text")).as("fp"))
+      .groupBy(col("fp")).agg(min(col("id")).as("exact_dup_of"))
+    val bFp = b.select(col("id"), TextAnalysis.fingerprintMd5(col("text")).as("fp"))
+    // Near stage: same eligibility + banding discipline as
+    // minhashCandidates (short docs can't near-match and would share
+    // the sentinel signature), but banded batch joins banded corpus —
+    // no self-join on either side.
+    def sigFrame(df: DataFrame): DataFrame = {
+      val eligible = df.filter(size(TextAnalysis.tokens(col("text"))) >= shingleN)
+      withShingles(eligible, "text", shingleN)
+        .select(col("id"), array_sort(col("sh")).as("sh"),
+          minhashSignature(col("sh"), k).as("sig"))
+    }
+    def banded(df: DataFrame): DataFrame = df
+      .select(col("id"), posexplode(bandKeys(col("sig"), bands, rows)).as(Seq("band", "key")))
+      .select(col("id"), col("band"), col("key"))
+    val bs = sigFrame(b)
+    val cs = sigFrame(c)
+    val cand = banded(bs).as("a")
+      .join(banded(cs).as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key"))
+      .select(col("a.id").as("batch_id"), col("b.id").as("corpus_id"))
+      .distinct()
+    val near = cand
+      .join(bs.select(col("id").as("batch_id"), col("sh").as("sha")), "batch_id")
+      .join(cs.select(col("id").as("corpus_id"), col("sh").as("shb")), "corpus_id")
+      .withColumn("inter",
+        graft.functions.ArrayFunctions.sortedIntersectSize(col("sha"), col("shb")))
+      .withColumn("uni",
+        size(col("sha")).cast("long") + size(col("shb")).cast("long") - col("inter"))
+      .filter(col("uni") > 0)
+      .withColumn("j_e6", expr("inter * 1000000L div uni"))
+      .filter(col("j_e6") >= minJaccardE6)
+      .groupBy(col("batch_id"))
+      .agg(min(col("corpus_id")).as("near_dup_of"), max(col("j_e6")).as("near_j_e6"))
+    bFp.join(cFp, Seq("fp"), "left")
+      .join(near, col("id") === col("batch_id"), "left")
+      .select(col("id").as(idCol),
+        when(col("exact_dup_of").isNotNull, lit("exact_dup"))
+          .when(col("near_dup_of").isNotNull, lit("near_dup"))
+          .otherwise(lit("new")).as("verdict"),
+        col("exact_dup_of"), col("near_dup_of"), col("near_j_e6"))
+  }
+
   /** Near-dup cluster assignment: LSH-verified pairs resolved into
     * transitive clusters. Returns (doc_id, cluster_id, cluster_size)
     * for every document with at least one verified near-duplicate;

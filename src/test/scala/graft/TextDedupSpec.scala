@@ -292,6 +292,28 @@ class TextDedupSpec extends SparkSpecBase {
     assert(kept === Set(2L, 9L))
   }
 
+  test("incremental dedup: exact beats near, near links lowest corpus id, fresh is new") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val nearTxt = (1 to 36).map(i => s"tok$i").mkString(" ")
+    val corpus = docsDf(Seq((10L, base), (20L, base), // 10/20 duplicate each other
+      (30L, "completely different corpus material nothing shared here at all")))
+    val batch = docsDf(Seq(
+      (101L, "  " + base.toUpperCase + "  "), // exact after normalization
+      (102L, nearTxt), // 90% prefix — near-dup of 10 AND 20
+      (103L, "entirely fresh words never seen in any stored document before")))
+    val out = Dedup.incrementalDedup(batch, corpus, minJaccardE6 = 500000L)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("verdict"),
+          Option(r.getAs[java.lang.Long]("exact_dup_of")).map(_.toLong),
+          Option(r.getAs[java.lang.Long]("near_dup_of")).map(_.toLong))).toMap
+    assert(out(101L)._1 === "exact_dup")
+    assert(out(101L)._2 === Some(10L)) // lowest matching corpus id
+    assert(out(102L) === (("near_dup", None, Some(10L))))
+    assert(out(103L) === (("new", None, None)))
+    // The corpus is never admitted or re-emitted: output ids = batch ids.
+    assert(out.keySet === Set(101L, 102L, 103L))
+  }
+
   test("simhash: identical texts collide, unrelated texts differ") {
     val df = docsDf(Seq(
       (1L, "spark engine window aggregate shuffle partition"),
