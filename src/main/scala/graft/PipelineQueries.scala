@@ -111,6 +111,19 @@ object PipelineQueries {
       minJaccardE6 = 500000L)
   }
 
+  /** X24 — per-domain quota cap: top-40 docs per source by the
+    * quality score, deterministic tie-break on doc_id.
+    */
+  def domainCap(s: SparkSession, dir: String): DataFrame =
+    Sampling.capPerDomain(TextAnalysis.features(docs(s, dir)),
+        domainCol = "source", idCol = "doc_id",
+        qualityCol = "quality_e6", cap = 40)
+      .select(col("source"), col("doc_id"), col("quality_e6"), col("rank_in_domain"))
+
+  /** X25 — deterministic content-hash training shards (8 shards). */
+  def trainShards(s: SparkSession, dir: String): DataFrame =
+    Sampling.trainShards(docs(s, dir), nShards = 8)
+
   /** T7 — vocabulary head: top-50 tokens by corpus frequency. */
   def vocabTopK(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.vocabTopK(docs(s, dir), k = 50)
@@ -434,6 +447,22 @@ object PipelineQueries {
     SELECT lang, COUNT(*) AS n_docs, COUNT(DISTINCT fp_md5) AS n_unique,
            COUNT(*) - COUNT(DISTINCT fp_md5) AS n_dups
     FROM feat2 GROUP BY lang"""
+
+  val domainCapSql: String = featSql + """
+    SELECT source, doc_id, quality_e6, rank_in_domain FROM (
+      SELECT source, doc_id, quality_e6,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY quality_e6 DESC, doc_id) AS rank_in_domain
+      FROM feat2)
+    WHERE rank_in_domain <= 40"""
+
+  val trainShardsSql: String = s"""WITH fp AS (
+    SELECT doc_id, ${polySql(normSql, 31, Pm)} AS fp_poly FROM documents
+  )
+  SELECT doc_id, fp_poly, fp_poly % 8 AS shard,
+         CAST(ROW_NUMBER() OVER (PARTITION BY fp_poly % 8
+                                 ORDER BY fp_poly, doc_id) - 1 AS BIGINT) AS pos
+  FROM fp"""
 
   /** Shingle CTE: token hashes then word n-gram polynomial shingles.
     * `filter` bounds the doc set; recurrence matches
@@ -1189,6 +1218,8 @@ object PipelineQueries {
     "d13_window_decontam" -> (windowDecontam _),
     "d14_containment" -> (containment _),
     "d16_incremental_dedup" -> (incrementalDedup _),
+    "x24_domain_cap" -> (domainCap _),
+    "x25_train_shards" -> (trainShards _),
     "d15_quality_dedup" -> (qualityDedup _),
     "d6_embedding_dups" -> (embeddingDups _),
     "s1_knn_brute" -> (knnBrute _),
@@ -1226,6 +1257,8 @@ object PipelineQueries {
     "d13_window_decontam" -> windowDecontamSql,
     "d14_containment" -> containmentSql,
     "d16_incremental_dedup" -> incrementalDedupSql,
+    "x24_domain_cap" -> domainCapSql,
+    "x25_train_shards" -> trainShardsSql,
     "d15_quality_dedup" -> qualityDedupSql,
     "d6_embedding_dups" -> embeddingDupsSql,
     "s1_knn_brute" -> knnBruteSql,

@@ -372,4 +372,51 @@ object Sampling {
     cum.groupBy(col(keyCol))
       .agg(picks.head, picks.tail :+ max(col("__n")).as("n"): _*)
   }
+
+  /** Per-domain quota cap: keep at most `cap` documents per domain,
+    * ranked by a caller-supplied quality column descending with the
+    * id as the deterministic tie-break — the curation rule that stops
+    * one mega-domain from dominating a training mixture while keeping
+    * its best pages.
+    *
+    * Shape at scale: one hash partition on the domain plus a
+    * per-domain sort — parallelism = domain count (web corpora have
+    * millions). For the degenerate few-huge-domains regime the
+    * boundary-bucket two-phase trick of [[stratifiedSample]] applies
+    * (histogram quality into buckets, cut, rank only the boundary
+    * sliver); this window form is the right default.
+    */
+  def capPerDomain(df: DataFrame, domainCol: String, idCol: String,
+                   qualityCol: String, cap: Int): DataFrame = {
+    require(cap > 0, s"cap must be positive, got $cap")
+    val w = Window.partitionBy(col(domainCol))
+      .orderBy(col(qualityCol).desc, col(idCol))
+    df.withColumn("rank_in_domain", row_number().over(w).cast("long"))
+      .filter(col("rank_in_domain") <= cap)
+  }
+
+  /** Deterministic training shards: every document lands in shard
+    * `fp mod nShards` of its content fingerprint, positioned within
+    * the shard by (fp, id). Content-hash sharding IS the "global
+    * shuffle" a training run wants — it decorrelates crawl/source
+    * order by construction, is stable under re-partitioning and
+    * re-crawl re-ids (same bytes → same shard), and any engine can
+    * reproduce the assignment.
+    *
+    * Shape at scale: the fingerprint is a scan-side projection; the
+    * only shuffle is the hash partition on `shard`, whose per-shard
+    * sort is O(N/nShards) and fully parallel. A 100 TB writer runs
+    * exactly this plan into `partitionBy(shard)` +
+    * `sortWithinPartitions(fp, id)` parquet.
+    */
+  def trainShards(docs: DataFrame, nShards: Int,
+                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    docs
+      .select(col(idCol), TextAnalysis.fingerprintPoly(col(textCol)).as("fp_poly"))
+      .withColumn("shard", pmod(col("fp_poly"), lit(nShards.toLong)))
+      .withColumn("pos",
+        (row_number().over(Window.partitionBy(col("shard"))
+          .orderBy(col("fp_poly"), col(idCol))) - 1).cast("long"))
+  }
 }
