@@ -10,10 +10,16 @@ import org.apache.spark.sql.SparkSession
   * 2–7× swings on queries whose code and plans had not changed):
   *   - queries run in sorted-name order, so per-query numbers are
   *     comparable across rounds;
-  *   - each query runs SPARK_GRAFT_BENCH_REPEATS times (default 2)
-  *     and reports the MINIMUM — the best estimator of plan cost
-  *     under transient co-tenant load, and the first run doubles as
-  *     the query's own warm-up (file-index listing, codegen cache);
+  *   - each query runs SPARK_GRAFT_BENCH_REPEATS times (default 5 —
+  *     raised from 2 in round 8 after three rounds of noise episodes:
+  *     r4 q10 7×, r5 shingle family ~2×, r7 d7/d8 ~5× — all on
+  *     byte-identical jars; min-of-2 cannot separate a real 2× plan
+  *     regression from one loaded interval, min-of-5 keeps the whole
+  *     101-query run under ~5 min while giving each query five
+  *     chances to land on a quiet core) and reports the MINIMUM —
+  *     the best estimator of plan cost under transient co-tenant
+  *     load, and the first run doubles as the query's own warm-up
+  *     (file-index listing, codegen cache);
   *   - the full JSON is ALSO written to SPARK_GRAFT_BENCH_OUT
   *     (default BENCH_LOCAL.json in the cwd): round 4's stdout tail
   *     capture truncated the head of the one JSON line and lost the
@@ -25,7 +31,7 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val repeats = math.max(1,
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "2").toInt)
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "5").toInt)
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -246,14 +246,37 @@ object ExtendedQueries {
   /** X11 — HLL sketch: approximate distinct trade count per symbol
     * (approx_count_distinct, rsd 2%). Sketches are mergeable partial
     * aggregates — at 100 TB the shuffle carries one ~kB sketch per
-    * group instead of the key set; the price is approximation, so this
-    * query gets the rows-only check (error bound asserted vs the exact
-    * count in SketchSpec).
+    * group instead of the key set; the price is approximation.
+    *
+    * Oracle design (round 8 — this was the one `no_oracle` row for
+    * two rounds): the HLL estimate itself can never hash-match a
+    * different engine's sketch, so the SHIPPED columns are the exact
+    * per-group distinct count plus `approx_ok`, a deterministic
+    * boolean asserting the estimate landed within 10 % of exact
+    * (5× the 2 % rsd — far outside any plausible HLL excursion, so
+    * it is TRUE on healthy code and flips the hash the moment the
+    * sketch path breaks). DuckDB's side is COUNT(DISTINCT) + literal
+    * TRUE: the whole row is now hash-checked while the Spark plan
+    * still exercises the sketch aggregate. The exact count is a
+    * per-group distinct — at scale it shuffles (symbol, event_id)
+    * pairs once, which is the standard two-phase distinct-agg plan,
+    * and the HLL column rides the same shuffle as a partial sketch.
     */
   def approxDistinct(s: SparkSession, dir: String): DataFrame =
     Tables.trades(s, dir)
       .groupBy(col("symbol"))
-      .agg(approx_count_distinct(col("event_id"), rsd = 0.02).as("approx_trades"))
+      .agg(
+        countDistinct(col("event_id")).as("n_distinct"),
+        approx_count_distinct(col("event_id"), rsd = 0.02).as("approx"))
+      .select(col("symbol"), col("n_distinct"),
+        (abs(col("approx") - col("n_distinct")) <=
+          col("n_distinct").cast("double") * 0.1).as("approx_ok"))
+
+  val approxDistinctSql: String = """
+    SELECT event_type AS symbol,
+           CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct,
+           TRUE AS approx_ok
+    FROM events GROUP BY 1"""
 
   /** X20 — exact heavy hitters: every token holding ≥ 3% of all token
     * occurrences, found by a mergeable Misra-Gries sketch pass and
@@ -539,6 +562,7 @@ object ExtendedQueries {
     "h14_promo_revenue" -> ((s: SparkSession, dir: String) => TpchQueries.promoRevenue(s, dir)),
     "h10_returned_items" -> ((s: SparkSession, dir: String) => TpchQueries.returnedItems(s, dir)),
     "h12_late_shipments" -> ((s: SparkSession, dir: String) => TpchQueries.lateShipments(s, dir)),
+    "h13_cust_order_dist" -> ((s: SparkSession, dir: String) => TpchQueries.custOrderDistribution(s, dir)),
     "x10_token_packing" -> (tokenPacking _),
     "x11_approx_distinct" -> (approxDistinct _),
     "x12_subquery_daily_high" -> (dailyHighTrades _),
@@ -569,7 +593,9 @@ object ExtendedQueries {
     "h14_promo_revenue" -> TpchQueries.promoRevenueSql,
     "h10_returned_items" -> TpchQueries.returnedItemsSql,
     "h12_late_shipments" -> TpchQueries.lateShipmentsSql,
+    "h13_cust_order_dist" -> TpchQueries.custOrderDistributionSql,
     "x10_token_packing" -> tokenPackingSql,
+    "x11_approx_distinct" -> approxDistinctSql,
     "x12_subquery_daily_high" -> dailyHighTradesSql,
     "x13_cube" -> cubeVolumeSql,
     "x14_pivot" -> pivotVolumeSql,

@@ -236,6 +236,47 @@ object TpchQueries {
       AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
     GROUP BY 1"""
 
+  /** TPC-H Q13 shape: customer order-count distribution — the one
+    * common join topology the suite had not yet oracle-checked: a
+    * LEFT OUTER join whose filter lives on the join's right side
+    * (customers with zero qualifying orders must survive with
+    * count 0), followed by a count-of-counts re-aggregation. The
+    * synthetic orders table has no o_comment, so the classic
+    * NOT LIKE '%special%requests%' predicate becomes its analog
+    * here: exclude '1-URGENT' orders before the join.
+    *
+    * Scale: the outer join shuffles both sides on custkey once; the
+    * per-customer COUNT reuses that same hash partitioning (no second
+    * shuffle — the aggregate's required distribution is satisfied by
+    * the join output), and the count-of-counts aggregate is map-side
+    * partial over ~tens of distinct counts, so the final shuffle
+    * carries O(distinct counts × partitions) rows. Nothing here
+    * broadcasts: at 100 TB both customer and orders are fact-sized,
+    * and the plan is the canonical sort-merge outer join.
+    */
+  def custOrderDistribution(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir).select(col("c_custkey"))
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .select(col("o_custkey"), col("o_orderkey"))
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  val custOrderDistributionSql: String = """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+      FROM customer LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey) c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC"""
+
   val regionRevenueSql: String = """
     SELECT n_name,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,

