@@ -368,7 +368,7 @@ object Indicators {
     * aggregate, so the ordering is total and the windows
     * deterministic at any parallelism).
     */
-  private def dailyBars(silver: DataFrame): DataFrame =
+  private[graft] def dailyBars(silver: DataFrame): DataFrame =
     silver
       .withColumn("px", ticksE4(col("price")))
       .groupBy(col("symbol"), col("trade_date"))
