@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
 import graft.operators.{Medallion, Ohlcv}
+import graft.sources.Tables
 import graft.streaming.{Sinks, TradeStreams}
 
 /** Streaming application entry — the Scala analog of the reference
@@ -18,6 +19,8 @@ import graft.streaming.{Sinks, TradeStreams}
   *     --checkpoint /data/ckp --trigger "10 seconds" --watermark "10 minutes" \
   *     --offsets latest
   *   graft.App --source file --in /data/raw --out /data/market ...
+  *   graft.App --layers admission --docs-in /data/crawl_slices \
+  *     --corpus /data/corpus --min-jaccard-e6 500000 --out /data/market ...
   *
   * Pipeline (spark_processor.py:135-183): source -> parse (P1,P2) ->
   * watermark (A5) -> bronze (P3) / silver (P4,F1,F2) / gold (A1-A4)
@@ -72,7 +75,21 @@ object App {
         * alert. Batches slower than this land in `_metrics/alerts`
         * and log a WARN.
         */
-      sloMs: Long = 10000L)
+      sloMs: Long = 10000L,
+      /** Admission layer (d16): directory of incoming document
+        * batches as JSONL crawl slices (Tables.documentsSchema), read
+        * as a streaming json source.
+        */
+      docsIn: String = "",
+      /** Admission layer: the existing corpus as a parquet directory
+        * of (doc_id, text, ...) — indexed ONCE at stream start
+        * (Dedup.corpusIndex), probed per micro-batch.
+        */
+      corpus: String = "",
+      /** Admission layer: verified n-gram-Jaccard threshold (e6
+        * micro-units) above which a batch doc is a near-dup.
+        */
+      minJaccardE6: Long = 500000L)
 
   def parseArgs(args: Array[String]): Config =
     args.sliding(2, 2).foldLeft(Config()) {
@@ -92,6 +109,9 @@ object App {
       case (c, Array("--chained", v)) => c.copy(chained = v.toBoolean)
       case (c, Array("--metrics-out", v)) => c.copy(metricsOut = v)
       case (c, Array("--slo-ms", v)) => c.copy(sloMs = v.toLong)
+      case (c, Array("--docs-in", v)) => c.copy(docsIn = v)
+      case (c, Array("--corpus", v)) => c.copy(corpus = v)
+      case (c, Array("--min-jaccard-e6", v)) => c.copy(minJaccardE6 = v.toLong)
       case (c, other) => sys.error(s"unknown argument: ${other.mkString(" ")}")
     }
 
@@ -195,6 +215,10 @@ object App {
             "enable the silver layer")
       }
     }
+    if (cfg.layers("admission"))
+      require(cfg.docsIn.nonEmpty && cfg.corpus.nonEmpty,
+        "the admission layer needs --docs-in (incoming JSONL batches) " +
+          "and --corpus (existing corpus parquet)")
     // The indicators layer runs on transformWithState, which only the
     // RocksDB state store provider supports — configure it here (as
     // main() does for the whole app) so callers building their own
@@ -401,6 +425,42 @@ object App {
       mgr.start("deadletter", Sinks.deadLetterSink(
         dead.withColumn("errors", to_json(col("errors"))),
         s"${cfg.out}/dead_letters", s"${cfg.checkpoint}/deadletter", trigger))
+    }
+    if (cfg.layers("admission")) {
+      // D16 as a stream: classify each incoming crawl slice against
+      // the existing corpus (exact_dup / near_dup / new + the matched
+      // corpus doc). The corpus side is indexed ONCE here — fingerprint
+      // set, shingle signatures, banded LSH keys — and persisted, so a
+      // micro-batch pays only its own hashing plus hash-joins against
+      // the index: per-batch cost scales with the batch, never the
+      // corpus. foreachBatch (not a stream-static join) because the
+      // probe is a multi-stage batch plan (aggregations on both sides
+      // of an equi-join chain) that streaming joins cannot express.
+      val index = graft.operators.Dedup.corpusIndex(
+        spark.read.parquet(cfg.corpus)).persist()
+      mgr.onStop(() => index.unpersist())
+      val docs = spark.readStream.schema(Tables.documentsSchema)
+        .option("maxFilesPerTrigger", cfg.maxFilesPerTrigger)
+        .json(cfg.docsIn)
+      mgr.start("admission", docs.writeStream
+        .queryName("admission")
+        .outputMode("append")
+        .option("checkpointLocation", s"${cfg.checkpoint}/admission")
+        .trigger(trigger)
+        .foreachBatch { (batch: DataFrame, epochId: Long) =>
+          // Idempotent replay: verdicts land in a batch_id partition
+          // replaced wholesale via dynamic overwrite — a micro-batch
+          // replayed after a crash rewrites its own partition and
+          // nothing else (the K1 upsert argument, one partition per
+          // epoch).
+          graft.operators.Dedup
+            .incrementalDedupAgainst(batch, index, cfg.minJaccardE6)
+            .withColumn("batch_id", lit(epochId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(s"${cfg.out}/admission")
+        })
     }
     mgr
   }

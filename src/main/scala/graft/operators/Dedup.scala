@@ -583,36 +583,71 @@ object Dedup {
     * plus hash-joins against corpus-side indexes that an incremental
     * deployment materializes once and appends to.
     */
-  def incrementalDedup(batch: DataFrame, corpus: DataFrame, minJaccardE6: Long,
-                       idCol: String = "doc_id", textCol: String = "text",
-                       shingleN: Int = 3, k: Int = 16, bands: Int = 8): DataFrame = {
+  /** Precomputed corpus side of [[incrementalDedupAgainst]]: the
+    * exact-fingerprint set (`fp` → min corpus id), the shingle/
+    * signature frame, and its banded LSH keys. An incremental
+    * deployment builds this ONCE per corpus version — persisted
+    * (`persist()`) or materialized as bucketed tables — and every
+    * admitted batch probes the same index, so per-batch cost never
+    * re-reads or re-hashes corpus text. The App's `admission` layer
+    * does exactly this: one index at stream start, one probe per
+    * micro-batch.
+    */
+  case class CorpusIndex(fp: DataFrame, sigs: DataFrame, banded: DataFrame) {
+    def persist(): CorpusIndex = { fp.persist(); sigs.persist(); banded.persist(); this }
+    def unpersist(): Unit = { fp.unpersist(); sigs.unpersist(); banded.unpersist(); () }
+  }
+
+  /** Shingle + minhash-signature frame over eligible docs (short docs
+    * can't near-match and would share the sentinel signature — same
+    * eligibility discipline as minhashCandidates).
+    */
+  private def admissionSigFrame(df: DataFrame, shingleN: Int, k: Int): DataFrame = {
+    val eligible = df.filter(size(TextAnalysis.tokens(col("text"))) >= shingleN)
+    withShingles(eligible, "text", shingleN)
+      .select(col("id"), array_sort(col("sh")).as("sh"),
+        minhashSignature(col("sh"), k).as("sig"))
+  }
+
+  private def admissionBanded(df: DataFrame, bands: Int, rows: Int): DataFrame = df
+    .select(col("id"), posexplode(bandKeys(col("sig"), bands, rows)).as(Seq("band", "key")))
+    .select(col("id"), col("band"), col("key"))
+
+  /** Build the corpus-side index for incremental admission. */
+  def corpusIndex(corpus: DataFrame,
+                  idCol: String = "doc_id", textCol: String = "text",
+                  shingleN: Int = 3, k: Int = 16, bands: Int = 8): CorpusIndex = {
     require(k % bands == 0,
       s"signature length k=$k must be divisible by bands=$bands")
-    val rows = k / bands
-    val b = batch.select(col(idCol).as("id"), col(textCol).as("text"))
     val c = corpus.select(col(idCol).as("id"), col(textCol).as("text"))
     // Exact stage: corpus fingerprints collapse to (fp, min id) —
     // the probe side is only the batch.
     val cFp = c.select(col("id"), TextAnalysis.fingerprintMd5(col("text")).as("fp"))
       .groupBy(col("fp")).agg(min(col("id")).as("exact_dup_of"))
+    val cs = admissionSigFrame(c, shingleN, k)
+    CorpusIndex(cFp, cs, admissionBanded(cs, bands, k / bands))
+  }
+
+  /** D16 probe stage: classify one batch against a prebuilt
+    * [[CorpusIndex]]. Same semantics as [[incrementalDedup]]; split
+    * out so a streaming admission pipeline amortizes the corpus side
+    * across micro-batches.
+    */
+  def incrementalDedupAgainst(batch: DataFrame, index: CorpusIndex, minJaccardE6: Long,
+                              idCol: String = "doc_id", textCol: String = "text",
+                              shingleN: Int = 3, k: Int = 16, bands: Int = 8): DataFrame = {
+    require(k % bands == 0,
+      s"signature length k=$k must be divisible by bands=$bands")
+    val rows = k / bands
+    val b = batch.select(col(idCol).as("id"), col(textCol).as("text"))
+    val cFp = index.fp
     val bFp = b.select(col("id"), TextAnalysis.fingerprintMd5(col("text")).as("fp"))
-    // Near stage: same eligibility + banding discipline as
-    // minhashCandidates (short docs can't near-match and would share
-    // the sentinel signature), but banded batch joins banded corpus —
-    // no self-join on either side.
-    def sigFrame(df: DataFrame): DataFrame = {
-      val eligible = df.filter(size(TextAnalysis.tokens(col("text"))) >= shingleN)
-      withShingles(eligible, "text", shingleN)
-        .select(col("id"), array_sort(col("sh")).as("sh"),
-          minhashSignature(col("sh"), k).as("sig"))
-    }
-    def banded(df: DataFrame): DataFrame = df
-      .select(col("id"), posexplode(bandKeys(col("sig"), bands, rows)).as(Seq("band", "key")))
-      .select(col("id"), col("band"), col("key"))
-    val bs = sigFrame(b)
-    val cs = sigFrame(c)
-    val cand = banded(bs).as("a")
-      .join(banded(cs).as("b"),
+    // Near stage: banded batch joins banded corpus — no self-join on
+    // either side, so candidates scale with the batch.
+    val bs = admissionSigFrame(b, shingleN, k)
+    val cs = index.sigs
+    val cand = admissionBanded(bs, bands, rows).as("a")
+      .join(index.banded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key"))
       .select(col("a.id").as("batch_id"), col("b.id").as("corpus_id"))
       .distinct()
@@ -636,6 +671,18 @@ object Dedup {
           .otherwise(lit("new")).as("verdict"),
         col("exact_dup_of"), col("near_dup_of"), col("near_j_e6"))
   }
+
+  /** One-shot form: build the corpus index and probe in a single
+    * call (the d16 oracle query's shape). Streaming admission uses
+    * [[corpusIndex]] + [[incrementalDedupAgainst]] instead so the
+    * corpus side is computed once, not per micro-batch.
+    */
+  def incrementalDedup(batch: DataFrame, corpus: DataFrame, minJaccardE6: Long,
+                       idCol: String = "doc_id", textCol: String = "text",
+                       shingleN: Int = 3, k: Int = 16, bands: Int = 8): DataFrame =
+    incrementalDedupAgainst(batch,
+      corpusIndex(corpus, idCol, textCol, shingleN, k, bands),
+      minJaccardE6, idCol, textCol, shingleN, k, bands)
 
   /** Near-dup cluster assignment: LSH-verified pairs resolved into
     * transitive clusters. Returns (doc_id, cluster_id, cluster_size)

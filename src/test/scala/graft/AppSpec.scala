@@ -271,4 +271,54 @@ class AppSpec extends SparkSpecBase {
         out = s"$dir/out2", checkpoint = s"$dir/ckp2"))
     }
   }
+
+  test("admission layer classifies a replayed doc batch against a seeded corpus") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft_app_adm").toString
+    val d = graft.sources.Tables.documents(spark, Sf)
+    // Seeded corpus: every doc_id % 4 == 0 (the d16 oracle recipe).
+    d.filter(pmod(col("doc_id"), lit(4)) === 0)
+      .write.parquet(s"$dir/corpus")
+    // Incoming crawl slice: genuinely-fresh docs, byte-exact copies of
+    // corpus docs (re-id'd +1e6), and 3/4-prefix truncations (+2e6) —
+    // all three verdicts exercised, planted copies known.
+    val batch = d.filter(pmod(col("doc_id"), lit(4)) === 1)
+      .select(col("doc_id"), col("text"))
+      .unionByName(d.filter(pmod(col("doc_id"), lit(8)) === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      .unionByName(d.filter(pmod(col("doc_id"), lit(8)) === 4)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          expr("substring(text, 1, greatest(3 * length(text) div 4, 1))").as("text")))
+    batch.write.json(s"$dir/in")
+    val cfg = App.Config(out = s"$dir/out", checkpoint = s"$dir/ckp",
+      layers = Set("admission"), trigger = "available-now",
+      docsIn = s"$dir/in", corpus = s"$dir/corpus")
+    val mem = MemoryStream[String] // unused raw source (admission-only run)
+    val mgr = App.start(spark, mem.toDF(), cfg)
+    try {
+      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      while (mgr.status.values.exists(identity) && System.nanoTime() < deadline)
+        Thread.sleep(100)
+      assert(mgr.status.values.forall(!_), s"queries still active: ${mgr.status}")
+    } finally mgr.stopAll()
+    def key(r: org.apache.spark.sql.Row) = (
+      r.getAs[Long]("doc_id"), r.getAs[String]("verdict"),
+      Option(r.getAs[java.lang.Long]("exact_dup_of")).map(_.toLong),
+      Option(r.getAs[java.lang.Long]("near_dup_of")).map(_.toLong),
+      Option(r.getAs[java.lang.Long]("near_j_e6")).map(_.toLong))
+    val got = spark.read.parquet(s"$dir/out/admission").collect().map(key).toSet
+    val want = graft.operators.Dedup.incrementalDedup(
+        batch, spark.read.parquet(s"$dir/corpus"), minJaccardE6 = 500000L)
+      .collect().map(key).toSet
+    assert(got === want,
+      s"stream-only: ${(got -- want).take(3)}; batch-only: ${(want -- got).take(3)}")
+    // All three verdicts actually occur on the planted slice.
+    assert(Set("new", "exact_dup", "near_dup").subsetOf(got.map(_._2)))
+    // The admission layer also refuses a config without its inputs.
+    intercept[IllegalArgumentException] {
+      App.start(spark, mem.toDF(), cfg.copy(docsIn = "",
+        out = s"$dir/out2", checkpoint = s"$dir/ckp2"))
+    }
+  }
 }
