@@ -628,6 +628,28 @@ object Dedup {
     CorpusIndex(cFp, cs, admissionBanded(cs, bands, k / bands))
   }
 
+  /** LSH candidate pairs of a batch signature frame against the
+    * corpus index: (batch_id, corpus_id), distinct. Public so
+    * ScaleBench can measure the operator's central scale property
+    * directly — candidate count tracks the BATCH, not the corpus
+    * (a k× corpus whose content is disjoint from the batch adds ~0
+    * candidates, because banding only pairs equal band keys).
+    */
+  private[graft] def admissionCandidates(batchSigs: DataFrame, index: CorpusIndex,
+                                         bands: Int, rows: Int): DataFrame =
+    admissionBanded(batchSigs, bands, rows).as("a")
+      .join(index.banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key"))
+      .select(col("a.id").as("batch_id"), col("b.id").as("corpus_id"))
+      .distinct()
+
+  /** Batch-side signature frame for [[admissionCandidates]]. */
+  private[graft] def admissionSigs(batch: DataFrame,
+                                   idCol: String = "doc_id", textCol: String = "text",
+                                   shingleN: Int = 3, k: Int = 16): DataFrame =
+    admissionSigFrame(
+      batch.select(col(idCol).as("id"), col(textCol).as("text")), shingleN, k)
+
   /** D16 probe stage: classify one batch against a prebuilt
     * [[CorpusIndex]]. Same semantics as [[incrementalDedup]]; split
     * out so a streaming admission pipeline amortizes the corpus side
@@ -646,11 +668,7 @@ object Dedup {
     // either side, so candidates scale with the batch.
     val bs = admissionSigFrame(b, shingleN, k)
     val cs = index.sigs
-    val cand = admissionBanded(bs, bands, rows).as("a")
-      .join(index.banded.as("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key"))
-      .select(col("a.id").as("batch_id"), col("b.id").as("corpus_id"))
-      .distinct()
+    val cand = admissionCandidates(bs, index, bands, rows)
     val near = cand
       .join(bs.select(col("id").as("batch_id"), col("sh").as("sha")), "batch_id")
       .join(cs.select(col("id").as("corpus_id"), col("sh").as("shb")), "corpus_id")
