@@ -563,6 +563,8 @@ object ExtendedQueries {
     "h10_returned_items" -> ((s: SparkSession, dir: String) => TpchQueries.returnedItems(s, dir)),
     "h12_late_shipments" -> ((s: SparkSession, dir: String) => TpchQueries.lateShipments(s, dir)),
     "h13_cust_order_dist" -> ((s: SparkSession, dir: String) => TpchQueries.custOrderDistribution(s, dir)),
+    "h2_min_cost_supplier" -> ((s: SparkSession, dir: String) => TpchQueries.minCostSupplier(s, dir)),
+    "h18_big_orders" -> ((s: SparkSession, dir: String) => TpchQueries.bigOrders(s, dir)),
     "x10_token_packing" -> (tokenPacking _),
     "x11_approx_distinct" -> (approxDistinct _),
     "x12_subquery_daily_high" -> (dailyHighTrades _),
@@ -594,6 +596,8 @@ object ExtendedQueries {
     "h10_returned_items" -> TpchQueries.returnedItemsSql,
     "h12_late_shipments" -> TpchQueries.lateShipmentsSql,
     "h13_cust_order_dist" -> TpchQueries.custOrderDistributionSql,
+    "h2_min_cost_supplier" -> TpchQueries.minCostSupplierSql,
+    "h18_big_orders" -> TpchQueries.bigOrdersSql,
     "x10_token_packing" -> tokenPackingSql,
     "x11_approx_distinct" -> approxDistinctSql,
     "x12_subquery_daily_high" -> dailyHighTradesSql,

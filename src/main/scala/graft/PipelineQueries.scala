@@ -379,7 +379,7 @@ object PipelineQueries {
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(generate_series(1, length($sExpr)), i -> CAST(ord(substr($sExpr, i, 1)) AS BIGINT))), (a, b) -> (a * $mult + b) % $m)"
 
   /** Tokens CTE fragment: lowercase whitespace tokens. */
-  private val toksSql = "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x != '')"
+  private[graft] val toksSql = "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x != '')"
   private val rawToksSql = "list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')"
 
   private val allStop = TextAnalysis.Stopwords.values.flatten.toSeq
@@ -1079,7 +1079,12 @@ object PipelineQueries {
     * means via the subtract-pmod identity, empty clusters keeping the
     * previous centroid through the LEFT JOIN coalesce).
     */
-  private def kmeansSql(k: Int, iters: Int, dim: Int): String = {
+  /** The unrolled Lloyd CTE chain (v → c0 → a1/s1/c1 → … → a`iters`),
+    * over a parameterizable (vec_id, embedding) source — shared by the
+    * c1 oracle and RetrievalQueries' d17 SemDeDup oracle.
+    */
+  private[graft] def kmeansCtes(k: Int, iters: Int, dim: Int,
+      srcSql: String = "SELECT vec_id, embedding FROM embeddings"): String = {
     def assign(t: Int) = s"""a$t AS (
     SELECT id, v, c, d2 FROM (
       SELECT id, v, c, d2,
@@ -1101,17 +1106,20 @@ object PipelineQueries {
       FROM s$t GROUP BY c) q USING (c)
   )"""
     val steps = (1 until iters).map(t => assign(t) + ",\n  " + update(t)) :+ assign(iters)
-    s"""WITH v AS (
+    s"""v AS (
     SELECT vec_id AS id,
            list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
-    FROM embeddings
+    FROM ($srcSql)
   ), c0 AS (
     SELECT row_number() OVER (ORDER BY id) - 1 AS c, v AS cv
     FROM (SELECT id, v FROM v ORDER BY id LIMIT $k)
-  ), ${steps.mkString(",\n  ")}
+  ), ${steps.mkString(",\n  ")}"""
+  }
+
+  private def kmeansSql(k: Int, iters: Int, dim: Int): String =
+    s"""WITH ${kmeansCtes(k, iters, dim)}
   SELECT id AS vec_id, CAST(c AS INT) AS cluster, d2 AS dist2_e12
   FROM a$iters"""
-  }
 
   val kmeansOracleSql: String = kmeansSql(k = 8, iters = 3, dim = 64)
 

@@ -1,0 +1,223 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Retrieval, SemDedup}
+import graft.sources.Tables
+
+/** Lexical-retrieval and semantic-dedup queries over the documents /
+  * embeddings tables, with generated DuckDB oracle SQL. Scores quantize
+  * to integers before any aggregation (see [[graft.operators.Retrieval]]),
+  * so even the ln()-based ones hash-match the oracle exactly.
+  */
+object RetrievalQueries {
+
+  private def docs(s: SparkSession, dir: String) = Tables.documents(s, dir)
+  private def embs(s: SparkSession, dir: String) = Tables.embeddings(s, dir)
+
+  /** X26 — top-3 TF-IDF terms per document (first 100 docs). */
+  def tfIdf(s: SparkSession, dir: String): DataFrame =
+    Retrieval.tfIdfTopK(docs(s, dir).filter(col("doc_id") < 100), topK = 3)
+
+  private val QueryTerms = Seq("spark", "join", "window")
+
+  /** X27 — BM25 top-20 docs for a fixed three-term query. */
+  def bm25(s: SparkSession, dir: String): DataFrame =
+    Retrieval.bm25TopK(docs(s, dir), QueryTerms, topK = 20)
+
+  /** X28 — capped inverted index over the whole corpus. */
+  def invertedIndex(s: SparkSession, dir: String): DataFrame =
+    Retrieval.invertedIndex(docs(s, dir), maxPostings = 15)
+
+  private val TargetSources = Seq("src0", "src1", "src2", "src3", "src4")
+
+  /** X29 — DSIR-style importance weights: target = the first five
+    * sources, raw = the whole corpus.
+    */
+  def importance(s: SparkSession, dir: String): DataFrame =
+    Retrieval.importanceWeights(docs(s, dir),
+      col("source").isin(TargetSources: _*))
+
+  /** X30 — document-level PMI over co-occurring term pairs. */
+  def pmi(s: SparkSession, dir: String): DataFrame =
+    Retrieval.pmiPairs(docs(s, dir), minPairCount = 25)
+
+  /** D17 — SemDeDup over a pinned 500-vector embedding slice plus
+    * planted perturbed copies (d6's derivation: vec_id % 5 == 0 gets a
+    * ±3% per-dim perturbed twin at id + 1e6). The slice is pinned so
+    * n = 600 → k = ⌈600/64⌉ = 10 at EVERY scale factor, matching the
+    * static oracle's unrolled Lloyd chain; the operator's dynamic-k
+    * rule (cluster count grows with the corpus, keeping pairwise work
+    * O(n·64)) is exercised by SemDedupSpec and documented in SCALE.md.
+    */
+  def semanticDedup(s: SparkSession, dir: String): DataFrame = {
+    val slice = embs(s, dir).filter(col("vec_id") < 500)
+    val base = slice.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("embedding"))
+    // Perturb BEFORE renaming the id (see embeddingDups note in
+    // PipelineQueries): with both in one select the lambda's
+    // col("vec_id") resolves to the shifted alias.
+    val copies = slice.filter(pmod(col("vec_id"), lit(5)) === 0)
+      .select(col("vec_id"),
+        transform(col("embedding"), (x, d) =>
+          x.cast("double") *
+            (lit(1.0) + (pmod(col("vec_id") + d, lit(7)) - 3).cast("double") / 100.0))
+          .as("embedding"))
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    SemDedup.dedup(base.unionByName(copies),
+      targetClusterSize = 64, kMin = 8, iters = 3, minCos = 0.9)
+  }
+
+  // ---------------------------------------------------------------
+  // DuckDB oracles
+  // ---------------------------------------------------------------
+
+  private val toks = PipelineQueries.toksSql
+
+  /** (doc_id [, extra cols], dl, term, tf) over `srcSql`, the SQL twin
+    * of Retrieval.termFreqs.
+    */
+  private def tfSql(srcSql: String, extra: String = ""): String = {
+    val ex = if (extra.isEmpty) "" else s"$extra, "
+    s"""tf AS (
+    SELECT doc_id, ${ex}dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM (SELECT doc_id, ${ex}CAST(len(toks) AS BIGINT) AS dl, unnest(toks) AS term
+          FROM ($srcSql))
+    GROUP BY doc_id, ${ex}dl, term
+  ), df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term)"""
+  }
+
+  val tfIdfSql: String = s"""
+    WITH d AS (SELECT doc_id, $toks AS toks FROM documents WHERE doc_id < 100),
+    ${tfSql("SELECT doc_id, toks FROM d")},
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM d),
+    scored AS (
+      SELECT doc_id, term, tf, df,
+             CAST(floor(CAST(tf AS DOUBLE) / CAST(dl AS DOUBLE)
+                        * ln(n.n / CAST(df AS DOUBLE)) * 1000000.0) AS BIGINT) AS tfidf_e6
+      FROM tf JOIN df USING (term), n)
+    SELECT doc_id, CAST(rank AS INT) AS rank, term, tf, df, tfidf_e6 FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                  ORDER BY tfidf_e6 DESC, term) AS rank
+      FROM scored)
+    WHERE rank <= 3"""
+
+  val bm25Sql: String = {
+    val terms = QueryTerms.map(t => s"'$t'").mkString(", ")
+    s"""
+    WITH d AS (SELECT doc_id, $toks AS toks FROM documents),
+    ${tfSql("SELECT doc_id, toks FROM d")},
+    st AS (SELECT CAST(CAST(SUM(len(toks)) AS BIGINT) AS DOUBLE)
+                    / CAST(COUNT(*) AS DOUBLE) AS avgdl,
+                  CAST(COUNT(*) AS DOUBLE) AS n FROM d),
+    sc AS (
+      SELECT doc_id,
+             CAST(floor(ln(1.0 + (st.n - CAST(df AS DOUBLE) + 0.5)
+                                 / (CAST(df AS DOUBLE) + 0.5))
+                        * (CAST(tf AS DOUBLE) * 2.2
+                           / (CAST(tf AS DOUBLE)
+                              + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / st.avgdl))))
+                        * 1000000000.0) AS BIGINT) AS part_e9
+      FROM tf JOIN df USING (term), st
+      WHERE term IN ($terms))
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+           CAST(SUM(part_e9) AS BIGINT) AS bm25_e9
+    FROM sc GROUP BY doc_id
+    ORDER BY bm25_e9 DESC, doc_id LIMIT 20"""
+  }
+
+  val invertedIndexSql: String = s"""
+    WITH d AS (SELECT doc_id, $toks AS toks FROM documents),
+    ${tfSql("SELECT doc_id, toks FROM d")},
+    r AS (SELECT doc_id, term, tf,
+                 ROW_NUMBER() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+          FROM tf)
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS df, CAST(SUM(tf) AS BIGINT) AS total_tf,
+           COALESCE(string_agg(CASE WHEN rn <= 15 THEN CAST(doc_id AS VARCHAR) END,
+                               ',' ORDER BY doc_id), '') AS postings
+    FROM r GROUP BY term"""
+
+  val importanceSql: String = {
+    val srcs = TargetSources.map(t => s"'$t'").mkString(", ")
+    s"""
+    WITH d AS (SELECT doc_id, source IN ($srcs) AS tgt, $toks AS toks FROM documents),
+    ${tfSql("SELECT doc_id, tgt, toks FROM d", extra = "tgt")},
+    c AS (SELECT term,
+                 CAST(SUM(CASE WHEN tgt THEN tf ELSE 0 END) AS BIGINT) AS ct,
+                 CAST(SUM(tf) AS BIGINT) AS cr
+          FROM tf GROUP BY term),
+    t AS (SELECT CAST(SUM(ct) AS BIGINT) + CAST(COUNT(*) AS BIGINT) AS tgtv,
+                 CAST(SUM(cr) AS BIGINT) + CAST(COUNT(*) AS BIGINT) AS rawv FROM c),
+    w AS (SELECT term,
+                 CAST(floor(ln(CAST((ct + 1) * t.rawv AS DOUBLE)
+                               / CAST((cr + 1) * t.tgtv AS DOUBLE))
+                            * 1000000.0) AS BIGINT) AS w_e6
+          FROM c, t)
+    SELECT doc_id, dl AS n_tokens, CAST(SUM(tf * w_e6) AS BIGINT) AS importance_e6
+    FROM tf JOIN w USING (term) GROUP BY doc_id, dl"""
+  }
+
+  val pmiSql: String = s"""
+    WITH d AS (SELECT doc_id, $toks AS toks FROM documents),
+    dt AS (SELECT DISTINCT doc_id, unnest(toks) AS term FROM d),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d),
+    tc AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS n_t FROM dt GROUP BY term),
+    p AS (SELECT a.term AS term_a, b.term AS term_b, CAST(COUNT(*) AS BIGINT) AS n_ab
+          FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.term < b.term
+          GROUP BY a.term, b.term HAVING COUNT(*) >= 25)
+    SELECT term_a, term_b, ta.n_t AS n_a, tb.n_t AS n_b, n_ab,
+           CAST(floor(ln(CAST(n_ab * n.n AS DOUBLE)
+                         / CAST(ta.n_t * tb.n_t AS DOUBLE)) * 1000000.0) AS BIGINT) AS pmi_e6
+    FROM p JOIN tc ta ON ta.term = p.term_a
+           JOIN tc tb ON tb.term = p.term_b, n"""
+
+  /** D17 oracle: the planted union feeds the shared unrolled-Lloyd CTE
+    * chain (k = 10 = ⌈600/64⌉, matching the Spark side's dynamic k at
+    * the driver-checked SFs), then intra-cluster exact-integer cosine
+    * pairs resolve dup_of = min matching lower id.
+    */
+  val semanticDedupSql: String = {
+    val src = """SELECT vec_id, embedding FROM embeddings WHERE vec_id < 500
+      UNION ALL
+      SELECT vec_id + 1000000,
+             list_transform(generate_series(1, len(embedding)), i ->
+               CAST(embedding[i] AS DOUBLE)
+                 * (1 + CAST(((vec_id + i - 1) % 7) - 3 AS DOUBLE) / 100.0))
+      FROM embeddings WHERE vec_id < 500 AND vec_id % 5 = 0"""
+    s"""
+    WITH ${PipelineQueries.kmeansCtes(k = 10, iters = 3, dim = 64, srcSql = src)},
+    m AS (
+      SELECT id, v, c, CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS n2
+      FROM a3),
+    dup AS (
+      SELECT idb AS vid, MIN(ida) AS dup_of FROM (
+        SELECT a.id AS ida, b.id AS idb, a.n2 AS n2a, b.n2 AS n2b,
+               CAST(list_sum(list_transform(generate_series(1, 64), i ->
+                 a.v[i] * b.v[i])) AS BIGINT) AS dot
+        FROM m a JOIN m b ON a.c = b.c AND a.id < b.id)
+      WHERE dot > 0
+        AND CAST(dot AS DOUBLE) / sqrt(CAST(n2a AS DOUBLE))
+              / sqrt(CAST(n2b AS DOUBLE)) >= 0.9
+      GROUP BY idb)
+    SELECT m.id AS vec_id, CAST(m.c AS INT) AS cluster,
+           COALESCE(d.dup_of, -1) AS dup_of
+    FROM m LEFT JOIN dup d ON d.vid = m.id"""
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x26_tfidf_topk" -> (tfIdf _),
+    "x27_bm25_search" -> (bm25 _),
+    "x28_inverted_index" -> (invertedIndex _),
+    "x29_importance_weights" -> (importance _),
+    "x30_pmi_cooccur" -> (pmi _),
+    "d17_semantic_dedup" -> (semanticDedup _))
+
+  val oracles: Map[String, String] = Map(
+    "x26_tfidf_topk" -> tfIdfSql,
+    "x27_bm25_search" -> bm25Sql,
+    "x28_inverted_index" -> invertedIndexSql,
+    "x29_importance_weights" -> importanceSql,
+    "x30_pmi_cooccur" -> pmiSql,
+    "d17_semantic_dedup" -> semanticDedupSql)
+}

@@ -150,7 +150,8 @@ object SparkEntry {
 
     // H3 — TPC-H-style shipping priority (3-way join + top-k).
     "h3_shipping_priority" -> ((s, dir) => TpchQueries.shippingPriority(s, dir))
-  ) ++ PipelineQueries.queries ++ ExtendedQueries.queries ++ IndicatorQueries.queries
+  ) ++ PipelineQueries.queries ++ ExtendedQueries.queries ++ IndicatorQueries.queries ++
+    RetrievalQueries.queries
 
   /** Shared DuckDB CTE prelude: trades view + medallion layers.
     * Mirrors Tables.trades / Medallion / Ohlcv exactly.
@@ -351,5 +352,6 @@ object SparkEntry {
 
     "h1_pricing_summary" -> TpchQueries.pricingSummarySql,
     "h3_shipping_priority" -> TpchQueries.shippingPrioritySql
-  ) ++ PipelineQueries.oracles ++ ExtendedQueries.oracles ++ IndicatorQueries.oracleSql
+  ) ++ PipelineQueries.oracles ++ ExtendedQueries.oracles ++ IndicatorQueries.oracleSql ++
+    RetrievalQueries.oracles
 }

@@ -289,4 +289,83 @@ object TpchQueries {
       AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
       AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
     GROUP BY n_name"""
+
+  /** TPC-H Q2 shape over this schema (no partsupp table, so lineitem
+    * plays the offer list): for each small part, the supplier that
+    * sold it cheapest — the per-group-argmin-then-join-back topology
+    * Q2's correlated MIN subquery decorrelates into. Exact DECIMAL
+    * min, ties broken on the lowest suppkey.
+    *
+    * Scale: part is filtered then broadcast into the lineitem scan, so
+    * the only shuffle key is p_partkey — and the min aggregate, the
+    * join-back, and the tie-break aggregate ALL hash on it, letting
+    * AQE reuse one exchange. Supplier attributes broadcast at the end
+    * onto the part-sized (not lineitem-sized) winner set.
+    */
+  def minCostSupplier(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir).filter(col("p_size") <= 5)
+    val offers = Tables.lineitem(s, dir)
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .select(col("p_partkey"), col("p_name"), col("p_size"),
+        col("l_suppkey"), dec("l_extendedprice").as("price"))
+    val minPrice = offers.groupBy(col("p_partkey"))
+      .agg(min(col("price")).as("min_price"))
+    offers.join(minPrice, Seq("p_partkey"))
+      .filter(col("price") === col("min_price"))
+      .groupBy(col("p_partkey"), col("p_name"), col("p_size"), col("min_price"))
+      .agg(min(col("l_suppkey")).as("s_suppkey"))
+      .join(broadcast(Tables.supplier(s, dir)), Seq("s_suppkey"))
+      .select(col("p_partkey"), col("p_name"), col("p_size"),
+        col("min_price").cast("double").as("min_price"),
+        col("s_suppkey"), col("s_name"), col("s_acctbal"))
+  }
+
+  val minCostSupplierSql: String = """
+    WITH offers AS (
+      SELECT p.p_partkey, p.p_name, p.p_size, l.l_suppkey,
+             CAST(l_extendedprice AS DECIMAL(18,2)) AS price
+      FROM lineitem l, part p
+      WHERE l.l_partkey = p.p_partkey AND p.p_size <= 5),
+    m AS (SELECT p_partkey, MIN(price) AS min_price FROM offers GROUP BY 1),
+    best AS (
+      SELECT o.p_partkey, o.p_name, o.p_size, m.min_price,
+             MIN(o.l_suppkey) AS s_suppkey
+      FROM offers o JOIN m ON o.p_partkey = m.p_partkey AND o.price = m.min_price
+      GROUP BY 1, 2, 3, 4)
+    SELECT b.p_partkey, b.p_name, b.p_size, CAST(b.min_price AS DOUBLE) AS min_price,
+           b.s_suppkey, s.s_name, s.s_acctbal
+    FROM best b JOIN supplier s ON s.s_suppkey = b.s_suppkey"""
+
+  /** TPC-H Q18 shape: large-volume orders — the semi-join-on-an-
+    * aggregate topology (orderkeys whose summed quantity clears a
+    * threshold), joined back to orders and customer. Written as a
+    * direct join against the filtered aggregate (the standard Q18
+    * decorrelation), not a second lineitem re-scan.
+    *
+    * Scale: the quantity aggregate is map-side partial on l_orderkey;
+    * after the > 300 filter the surviving key set is tiny, so AQE
+    * plans the orders join as a runtime broadcast — the selective-
+    * aggregate-becomes-broadcast pattern. Customer joins on the
+    * already-small result.
+    */
+  def bigOrders(s: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(s, dir).groupBy(col("l_orderkey"))
+      .agg(sum(dec("l_quantity")).as("sum_qty"))
+      .filter(col("sum_qty") > 300)
+    Tables.orders(s, dir).join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate").cast("date").as("o_orderdate"),
+        col("o_totalprice"), col("sum_qty").cast("double").as("sum_qty"))
+  }
+
+  val bigOrdersSql: String = """
+    WITH big AS (
+      SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 300)
+    SELECT c_custkey, c_name, o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+           o_totalprice, CAST(sum_qty AS DOUBLE) AS sum_qty
+    FROM orders JOIN big ON o_orderkey = l_orderkey
+         JOIN customer ON o_custkey = c_custkey"""
 }

@@ -153,4 +153,43 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("Join") && !p.contains("Window ["),
       s"assignment stage should be scan+project only:\n$p")
   }
+
+  test("tf-idf and bm25 broadcast the vocab-sized df stats") {
+    for (q <- Seq("x26_tfidf_topk", "x27_bm25_search")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q: df stats not broadcast")
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"$q: term join degenerated")
+    }
+  }
+
+  test("bm25 top-k avoids a global sort") {
+    assert(plan("x27_bm25_search").contains("TakeOrderedAndProject"))
+  }
+
+  test("pmi pair generation is an equi-join on doc_id, term totals broadcast") {
+    val p = plan("x30_pmi_cooccur")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "co-occurrence must never be an all-pairs product")
+  }
+
+  test("semantic dedup pairs join on the cluster key, never cross-cluster") {
+    val p = plan("d17_semantic_dedup")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "intra-cluster pairing degenerated to an all-pairs shape")
+  }
+
+  test("min-cost supplier broadcasts part and supplier; argmin join-back stays equi") {
+    val p = plan("h2_min_cost_supplier")
+    assert(p.contains("BroadcastHashJoin"), "dimension sides not broadcast")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("big orders: quantity aggregate is map-side partial before the joins") {
+    val p = plan("h18_big_orders")
+    assert(p.contains("HashAggregate") && p.contains("partial_sum"),
+      "lost map-side partial aggregation on l_orderkey")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
 }

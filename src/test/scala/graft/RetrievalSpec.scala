@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Retrieval
+
+class RetrievalSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  // 4 docs, hand-countable term stats. "rare" appears only in doc 3;
+  // "the" appears everywhere (idf = 0).
+  private def corpus = Seq(
+    (0L, "the cat sat on the mat"),
+    (1L, "the dog sat"),
+    (2L, "the cat and the dog"),
+    (3L, "rare the")).toDF("doc_id", "text")
+
+  test("termFreqs counts tf and dl per doc") {
+    val m = Retrieval.termFreqs(corpus).collect()
+      .map(r => (r.getLong(0), r.getString(2)) -> (r.getLong(3), r.getLong(1))).toMap
+    assert(m((0L, "the")) === ((2L, 6L)))
+    assert(m((3L, "rare")) === ((1L, 2L)))
+    assert(!m.contains((1L, "cat")))
+  }
+
+  test("tfIdf ranks the distinctive term first and zeroes ubiquitous terms") {
+    val rows = Retrieval.tfIdfTopK(corpus, topK = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getString(2), r.getLong(5))).toMap
+    // doc 3: "rare" (df=1, tf=1, dl=2) beats "the" (idf = ln(1) = 0).
+    val (term, score) = rows((3L, 1))
+    assert(term === "rare")
+    assert(score === math.floor(0.5 * math.log(4.0) * 1e6).toLong)
+    assert(rows((3L, 2))._1 === "the")
+    assert(rows((3L, 2))._2 === 0L)
+  }
+
+  test("bm25 puts the only doc containing a query term first") {
+    val top = Retrieval.bm25TopK(corpus, Seq("rare", "cat"), topK = 4).collect()
+    assert(top.head.getLong(0) === 3L) // "rare" is rarest → highest idf
+    // every returned doc matched at least one query term
+    assert(top.map(_.getLong(0)).toSet === Set(0L, 2L, 3L))
+  }
+
+  test("invertedIndex caps postings and keeps full df/total_tf") {
+    val byTerm = Retrieval.invertedIndex(corpus, maxPostings = 2).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(byTerm("the") === ((4L, 6L, "0,1"))) // df=4 docs, Σtf=6, capped at 2 ids
+    assert(byTerm("rare") === ((1L, 1L, "3")))
+  }
+
+  test("importanceWeights scores target-distinctive docs above raw-typical ones") {
+    val scores = Retrieval
+      .importanceWeights(corpus, targetPred = col("doc_id") === 3L)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // doc 3 IS the target slice: its tokens ("rare", "the") are
+    // over-represented in target vs raw → positive importance; doc 0
+    // shares no distinctive token mass → negative.
+    assert(scores(3L) > 0L)
+    assert(scores(0L) < 0L)
+  }
+
+  test("pmi is positive for always-co-occurring pair, lower for independent one") {
+    val m = Retrieval.pmiPairs(corpus, minPairCount = 1).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(5)).toMap
+    // cat+mat co-occur in the only mat doc: pmi = ln(1·4/(2·1)) = ln 2.
+    assert(m(("cat", "mat")) === math.floor(math.log(2.0) * 1e6).toLong)
+    // the+cat: ln(2·4/(4·2)) = 0.
+    assert(m(("cat", "the")) === 0L)
+  }
+
+  test("tfidf/bm25 selection is invariant to partitioning") {
+    def run(parts: Int) = {
+      val d = corpus.repartition(parts)
+      (Retrieval.tfIdfTopK(d, topK = 2).collect().map(_.toSeq).sortBy(_.toString),
+        Retrieval.bm25TopK(d, Seq("cat", "dog"), topK = 4).collect().map(_.toSeq).toSeq)
+    }
+    assert(run(1)._1 === run(7)._1)
+    assert(run(1)._2 === run(7)._2)
+  }
+}
