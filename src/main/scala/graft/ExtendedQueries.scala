@@ -565,6 +565,8 @@ object ExtendedQueries {
     "h13_cust_order_dist" -> ((s: SparkSession, dir: String) => TpchQueries.custOrderDistribution(s, dir)),
     "h2_min_cost_supplier" -> ((s: SparkSession, dir: String) => TpchQueries.minCostSupplier(s, dir)),
     "h18_big_orders" -> ((s: SparkSession, dir: String) => TpchQueries.bigOrders(s, dir)),
+    "h4_priority_late" -> ((s: SparkSession, dir: String) => TpchQueries.priorityLateOrders(s, dir)),
+    "h22_idle_rich" -> ((s: SparkSession, dir: String) => TpchQueries.idleRichCustomers(s, dir)),
     "x10_token_packing" -> (tokenPacking _),
     "x11_approx_distinct" -> (approxDistinct _),
     "x12_subquery_daily_high" -> (dailyHighTrades _),
@@ -598,6 +600,8 @@ object ExtendedQueries {
     "h13_cust_order_dist" -> TpchQueries.custOrderDistributionSql,
     "h2_min_cost_supplier" -> TpchQueries.minCostSupplierSql,
     "h18_big_orders" -> TpchQueries.bigOrdersSql,
+    "h4_priority_late" -> TpchQueries.priorityLateOrdersSql,
+    "h22_idle_rich" -> TpchQueries.idleRichCustomersSql,
     "x10_token_packing" -> tokenPackingSql,
     "x11_approx_distinct" -> approxDistinctSql,
     "x12_subquery_daily_high" -> dailyHighTradesSql,

@@ -43,6 +43,12 @@ object RetrievalQueries {
   def pmi(s: SparkSession, dir: String): DataFrame =
     Retrieval.pmiPairs(docs(s, dir), minPairCount = 25)
 
+  /** X31 — CCNet-style unigram-LM quality: mean token logprob per doc,
+    * bucketed head/middle/tail at corpus terciles.
+    */
+  def lmQuality(s: SparkSession, dir: String): DataFrame =
+    Retrieval.unigramQualityBuckets(docs(s, dir))
+
   /** D17 — SemDeDup over a pinned 500-vector embedding slice plus
     * planted perturbed copies (d6's derivation: vec_id % 5 == 0 gets a
     * ±3% per-dim perturbed twin at id + 1e6). The slice is pinned so
@@ -158,6 +164,30 @@ object RetrievalQueries {
     FROM tf JOIN w USING (term) GROUP BY doc_id, dl"""
   }
 
+  val lmQualitySql: String = s"""
+    WITH d AS (SELECT doc_id, $toks AS toks FROM documents),
+    ${tfSql("SELECT doc_id, toks FROM d")},
+    cnts AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS cnt FROM tf GROUP BY term),
+    t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM cnts),
+    lp AS (SELECT term,
+                  CAST(floor(ln(CAST(cnt AS DOUBLE) / CAST(t.total AS DOUBLE))
+                             * 1000000.0) AS BIGINT) AS lp_e6
+           FROM cnts, t),
+    sc AS (SELECT doc_id, dl, s_e6, s_e6 // dl AS avg_lp_e6 FROM (
+             SELECT doc_id, dl, CAST(SUM(tf * lp_e6) AS BIGINT) AS s_e6
+             FROM tf JOIN lp USING (term) GROUP BY doc_id, dl)),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM sc),
+    cum AS (SELECT v, SUM(c) OVER (ORDER BY v) AS cum FROM (
+              SELECT avg_lp_e6 AS v, COUNT(*) AS c FROM sc GROUP BY 1)),
+    th AS (SELECT MIN(CASE WHEN cum >= (n.n + 2) // 3 THEN v END) AS p33,
+                  MIN(CASE WHEN cum >= (2 * n.n + 2) // 3 THEN v END) AS p66
+           FROM cum, n)
+    SELECT doc_id, dl AS n_tokens, avg_lp_e6,
+           CASE WHEN avg_lp_e6 > th.p66 THEN 'head'
+                WHEN avg_lp_e6 > th.p33 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM sc, th"""
+
   val pmiSql: String = s"""
     WITH d AS (SELECT doc_id, $toks AS toks FROM documents),
     dt AS (SELECT DISTINCT doc_id, unnest(toks) AS term FROM d),
@@ -211,6 +241,7 @@ object RetrievalQueries {
     "x28_inverted_index" -> (invertedIndex _),
     "x29_importance_weights" -> (importance _),
     "x30_pmi_cooccur" -> (pmi _),
+    "x31_lm_quality" -> (lmQuality _),
     "d17_semantic_dedup" -> (semanticDedup _))
 
   val oracles: Map[String, String] = Map(
@@ -219,5 +250,6 @@ object RetrievalQueries {
     "x28_inverted_index" -> invertedIndexSql,
     "x29_importance_weights" -> importanceSql,
     "x30_pmi_cooccur" -> pmiSql,
+    "x31_lm_quality" -> lmQualitySql,
     "d17_semantic_dedup" -> semanticDedupSql)
 }

@@ -368,4 +368,70 @@ object TpchQueries {
            o_totalprice, CAST(sum_qty AS DOUBLE) AS sum_qty
     FROM orders JOIN big ON o_orderkey = l_orderkey
          JOIN customer ON o_custkey = c_custkey"""
+
+  /** TPC-H Q4 shape: order-priority checking — the correlated-EXISTS
+    * topology, planned as a LEFT SEMI join whose condition references
+    * BOTH sides (shipped more than 90 days after the order date; the
+    * synthetic lineitem has no commit/receipt dates). The semi join
+    * deduplicates multi-lineitem matches for free — no DISTINCT stage.
+    */
+  def priorityLateOrders(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val l = Tables.lineitem(s, dir)
+    o.join(l, col("o_orderkey") === col("l_orderkey") &&
+        datediff(col("l_shipdate").cast("date"), col("o_orderdate").cast("date")) > 90,
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+  }
+
+  val priorityLateOrdersSql: String = """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND date_diff('day', CAST(o.o_orderdate AS DATE),
+                                  CAST(l.l_shipdate AS DATE)) > 90)
+    GROUP BY o_orderpriority"""
+
+  /** TPC-H Q22 shape: idle rich customers — the scalar-aggregate-
+    * subquery-plus-ANTI-join topology: customers whose balance clears
+    * the positive-balance average AND who placed no order since 2000,
+    * rolled up per nation. The average never becomes a float: the
+    * comparison cross-multiplies exact DECIMAL sums
+    * (bal·n > Σbal ⇔ bal > Σbal/n), so partition order cannot flip a
+    * boundary row; the one-row stats frame joins in-plan (broadcast),
+    * the h5 scalar-aggregate posture — no driver collect.
+    */
+  def idleRichCustomers(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val stats = c.filter(col("c_acctbal") > 0)
+      .agg(sum(dec("c_acctbal")).as("s"), count(lit(1)).as("n"))
+    val recent = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+      .select(col("o_custkey"))
+    c.crossJoin(broadcast(stats))
+      .filter(dec("c_acctbal") * col("n") > col("s"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("numcust"),
+        sum(dec("c_acctbal")).cast("double").as("totacctbal"))
+  }
+
+  val idleRichCustomersSql: String = """
+    WITH stats AS (
+      SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS s, COUNT(*) AS n
+      FROM customer WHERE c_acctbal > 0)
+    SELECT c_nationkey, COUNT(*) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+    FROM customer c, stats
+    WHERE CAST(c_acctbal AS DECIMAL(18,2)) * stats.n > stats.s
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+    GROUP BY c_nationkey"""
 }

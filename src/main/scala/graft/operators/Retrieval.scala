@@ -154,6 +154,47 @@ object Retrieval {
       .select(col("doc_id"), col("dl").as("n_tokens"), col("importance_e6"))
   }
 
+  /** CCNet-style unigram-LM quality scoring with corpus-relative
+    * bucketing: each doc's mean token logprob under the corpus unigram
+    * model (MLE — the model corpus IS the scored corpus, so nothing is
+    * unseen), bucketed head/middle/tail at the corpus terciles. Higher
+    * mean logprob = lower perplexity = more typical text = head, the
+    * CCNet convention.
+    *
+    * Determinism/scale: per-token logprobs quantize to e6 BEFORE the
+    * per-doc sum (exact longs); the mean uses truncating integer
+    * division (Spark `div` ≡ DuckDB `//`); terciles come from the
+    * COMPRESSED score distribution (cumulative counts over DISTINCT
+    * e6 scores — the x23 posture: sort distinct values, never rows),
+    * and the two thresholds broadcast back as a one-row frame.
+    */
+  def unigramQualityBuckets(docs: DataFrame, idCol: String = "doc_id",
+                            textCol: String = "text"): DataFrame = {
+    val tfs = termFreqs(docs, idCol, textCol)
+    val counts = tfs.groupBy(col("term")).agg(sum(col("tf")).as("cnt"))
+    val total = counts.agg(sum(col("cnt"))).head().getLong(0)
+    val lps = counts.withColumn("lp_e6",
+      floor(log(col("cnt").cast("double") / lit(total.toDouble)) *
+        lit(1000000.0)).cast("long"))
+    val scored = tfs.join(broadcast(lps.select(col("term"), col("lp_e6"))), "term")
+      .groupBy(col("doc_id"), col("dl"))
+      .agg(sum(col("tf") * col("lp_e6")).as("lp_sum_e6"))
+      .withColumn("avg_lp_e6", expr("lp_sum_e6 div dl"))
+    val n = scored.count()
+    val (r1, r2) = ((n + 2) / 3, (2 * n + 2) / 3)
+    val cum = scored.groupBy(col("avg_lp_e6").as("v"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(Window.orderBy(col("v"))))
+    val th = cum.agg(
+      min(when(col("cum") >= lit(r1), col("v"))).as("p33"),
+      min(when(col("cum") >= lit(r2), col("v"))).as("p66"))
+    scored.crossJoin(broadcast(th))
+      .select(col("doc_id"), col("dl").as("n_tokens"), col("avg_lp_e6"),
+        when(col("avg_lp_e6") > col("p66"), lit("head"))
+          .when(col("avg_lp_e6") > col("p33"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+  }
+
   /** Document-level PMI for co-occurring term pairs (a < b), counted
     * over DISTINCT terms per doc. pmi_e6 = floor(ln(n_ab·N / (n_a·n_b))
     * ·1e6). The per-doc self-join is bounded by per-doc distinct vocab

@@ -192,4 +192,19 @@ class PlanSpec extends SparkSpecBase {
       "lost map-side partial aggregation on l_orderkey")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
   }
+
+  test("priority-late orders plan a semi join, not a distinct over an inner join") {
+    val p = plan("h4_priority_late")
+    assert(p.contains("LeftSemi"), "EXISTS did not plan as a semi join")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("idle-rich customers: anti join on orders, one-row stats broadcast in-plan") {
+    val p = plan("h22_idle_rich")
+    assert(p.contains("LeftAnti"), "NOT EXISTS did not plan as an anti join")
+    // the 1-row scalar stats frame may legitimately join as a
+    // broadcast nested loop; what must NOT appear is a collect-based
+    // literal (the filter still references the aggregate columns).
+    assert(p.contains("c_acctbal"))
+  }
 }

@@ -68,6 +68,21 @@ class RetrievalSpec extends SparkSpecBase {
     assert(m(("cat", "the")) === 0L)
   }
 
+  test("unigram quality terciles: typical docs head, singleton-token docs tail") {
+    val tiers = (0L until 9L).map { i =>
+      val text =
+        if (i < 3) "the the the the"          // only the commonest token
+        else if (i < 6) "the cat"             // one common + one mid token
+        else s"z$i q$i w$i"                   // three corpus-singletons
+      (i, text)
+    }.toDF("doc_id", "text")
+    val out = Retrieval.unigramQualityBuckets(tiers).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    (0L until 3L).foreach(i => assert(out(i) === "head", s"doc $i"))
+    (3L until 6L).foreach(i => assert(out(i) === "middle", s"doc $i"))
+    (6L until 9L).foreach(i => assert(out(i) === "tail", s"doc $i"))
+  }
+
   test("tfidf/bm25 selection is invariant to partitioning") {
     def run(parts: Int) = {
       val d = corpus.repartition(parts)
