@@ -130,6 +130,78 @@ object ExtendedQueries {
      INTERSECT SELECT DISTINCT user_id FROM e WHERE event_type = 'purchase')
     EXCEPT SELECT DISTINCT user_id FROM e WHERE event_type = 'signup'"""
 
+  /** X32 — sequential conversion funnel (view → click → purchase, each
+    * stage strictly after the user's first event of the previous one):
+    * the MATCH_RECOGNIZE-lite pattern every product-analytics engine
+    * ships, expressed as nested first-event aggregates — each stage is
+    * a filtered min(ts) keyed on user_id, so the three joins reuse one
+    * hash partitioning and nothing ever sorts event history.
+    * Conversion ratios are exact integer e6 (`div`).
+    */
+  def funnel(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).select(col("user_id"), col("event_type"), col("ts"))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+    val c = e.filter(col("event_type") === "click").join(v, "user_id")
+      .filter(col("ts") > col("t_view"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+    val p = e.filter(col("event_type") === "purchase").join(c, "user_id")
+      .filter(col("ts") > col("t_click"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+    def stage(df: DataFrame, name: String) =
+      df.agg(count(lit(1)).as("users")).select(lit(name).as("stage"), col("users"))
+    val frame = stage(v, "1_view").unionByName(stage(c, "2_click"))
+      .unionByName(stage(p, "3_purchase"))
+    frame.withColumn("prev_users",
+        lag(col("users"), 1).over(Window.orderBy(col("stage"))))
+      .withColumn("conv_from_prev_e6",
+        when(col("prev_users").isNull || col("prev_users") === 0, lit(1000000L))
+          .otherwise(expr("users * 1000000 div prev_users")))
+      .select(col("stage"), col("users"), col("conv_from_prev_e6"))
+  }
+
+  val funnelSql: String = """
+    WITH v AS (SELECT user_id, MIN(ts) AS t_view FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, MIN(e.ts) AS t_click
+          FROM events e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY e.user_id),
+    p AS (SELECT e.user_id, MIN(e.ts) AS t_purchase
+          FROM events e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY e.user_id),
+    frame AS (
+      SELECT '1_view' AS stage, CAST(COUNT(*) AS BIGINT) AS users FROM v
+      UNION ALL SELECT '2_click', CAST(COUNT(*) AS BIGINT) FROM c
+      UNION ALL SELECT '3_purchase', CAST(COUNT(*) AS BIGINT) FROM p)
+    SELECT stage, users,
+           CASE WHEN prev_users IS NULL OR prev_users = 0 THEN 1000000
+                ELSE users * 1000000 // prev_users END AS conv_from_prev_e6
+    FROM (SELECT stage, users, LAG(users, 1) OVER (ORDER BY stage) AS prev_users
+          FROM frame)"""
+
+  /** X33 — retention cohorts: users grouped by first-seen date, active
+    * user counts per (cohort, day offset) — the first-event aggregate
+    * joins back on user_id (one partitioning), then a two-phase
+    * count-distinct per cohort cell.
+    */
+  def retentionCohorts(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), to_date(expr("timestamp_micros(ts div 1000)")).as("d"))
+    val first = e.groupBy(col("user_id")).agg(min(col("d")).as("cohort_date"))
+    e.join(first, "user_id")
+      .groupBy(col("cohort_date"),
+        datediff(col("d"), col("cohort_date")).as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("active_users"))
+  }
+
+  val retentionCohortsSql: String = """
+    WITH ue AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+    f AS (SELECT user_id, MIN(d) AS cohort_date FROM ue GROUP BY user_id)
+    SELECT cohort_date, CAST(date_diff('day', cohort_date, d) AS INT) AS day_offset,
+           CAST(COUNT(DISTINCT ue.user_id) AS BIGINT) AS active_users
+    FROM ue JOIN f USING (user_id)
+    GROUP BY cohort_date, date_diff('day', cohort_date, d)"""
+
   /** X12 — correlated scalar subquery through the SQL surface: trades
     * that are their (symbol, day) high. Exercises Spark's subquery
     * decorrelation (rewritten to an aggregate + join under the hood).
@@ -588,7 +660,9 @@ object ExtendedQueries {
     "x2_sessions" -> (sessions _),
     "x3_rollup" -> (rollupVolume _),
     "x4_rank_windows" -> (topPricesRanked _),
-    "x5_set_ops" -> (setOps _)
+    "x5_set_ops" -> (setOps _),
+    "x32_funnel" -> (funnel _),
+    "x33_retention_cohorts" -> (retentionCohorts _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -623,6 +697,8 @@ object ExtendedQueries {
     "x2_sessions" -> sessionsSql,
     "x3_rollup" -> rollupVolumeSql,
     "x4_rank_windows" -> topPricesRankedSql,
-    "x5_set_ops" -> setOpsSql
+    "x5_set_ops" -> setOpsSql,
+    "x32_funnel" -> funnelSql,
+    "x33_retention_cohorts" -> retentionCohortsSql
   )
 }

@@ -33,7 +33,8 @@ object Curation {
       benchWindowK: Int = 8,
       maxContamFracE6: Long = 200000L,
       perSourceCap: Int = Int.MaxValue,
-      shardTokenBudget: Long = 5000L)
+      shardTokenBudget: Long = 5000L,
+      dropLmTail: Boolean = false)
 
   /** Runs the pipeline over `docs` (doc_id, text, source, ...);
     * `benchPred` marks the held-out eval slice to decontaminate
@@ -52,13 +53,25 @@ object Curation {
         col("dup_token_frac_e6") <= cfg.maxDupTokenFracE6)
       .select(col("doc_id"), col("text"), col("source"), col("n_tokens"))
 
+    // 1b. Optional corpus-relative LM-quality gate (x31): drop the
+    // bottom tercile by mean unigram logprob under the corpus's own
+    // unigram model — the CCNet-style perplexity filter. The tail set
+    // is corpus/3-sized, so this is a plain shuffle anti-join, NOT a
+    // broadcast (unlike the contamination set below).
+    val gated =
+      if (!cfg.dropLmTail) featured
+      else featured.join(
+        Retrieval.unigramQualityBuckets(featured)
+          .filter(col("bucket") === "tail").select(col("doc_id")),
+        Seq("doc_id"), "left_anti")
+
     // 2. Exact dedup, then transitive-correct near dedup. The
     // survivor frame feeds TWO plan branches (decontamination input
     // and the final anti-join); an eager localCheckpoint materializes
     // it once so the gate scan + tokenization + dedup subtree does
     // not execute twice per action (ReuseExchange only dedupes from
     // the first shuffle down — the Dedup.scala:196 rationale).
-    val exact = Dedup.exactDedup(featured)
+    val exact = Dedup.exactDedup(gated)
     val near = Dedup.nearDedupCC(exact, minJaccardE6 = cfg.minJaccardE6)
       .localCheckpoint(true)
 

@@ -30,6 +30,24 @@ class CurationSpec extends SparkSpecBase {
     assert(a === b)
   }
 
+  test("optional LM-quality gate shrinks the corpus and stays deterministic") {
+    // Uncapped on both sides: under a per-source cap (or when the gate
+    // drops a dup cluster's min-id survivor) the gated run can admit
+    // docs the ungated run capped out, so set-inclusion of final
+    // outputs is NOT an invariant — corpus shrinkage is.
+    def runWith(parts: Int, drop: Boolean) =
+      Curation.curate(Tables.documents(spark, Sf).repartition(parts), bench,
+          Curation.Config(shardTokenBudget = 2000L, dropLmTail = drop))
+        .collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("shard_id"))).toSet
+    val gated = runWith(3, drop = true)
+    assert(gated === runWith(11, drop = true)) // still partitioning-invariant
+    assert(gated.nonEmpty)
+    // The tail tercile is nonempty by construction (≥ ⌈n/3⌉ docs score
+    // ≤ p33), so the gated corpus must be strictly smaller.
+    assert(gated.size < runWith(3, drop = false).size)
+  }
+
   test("composed invariants: bench excluded, caps respected, shards budget-bounded") {
     val out = run(7)
     // The held-out eval slice never reaches the corpus.

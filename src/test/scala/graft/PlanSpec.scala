@@ -199,6 +199,16 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("funnel stages are equi-joins on user_id; cohorts count-distinct is two-phase") {
+    val pf = plan("x32_funnel")
+    assert(!pf.contains("CartesianProduct"),
+      "funnel stage joins degenerated")
+    val pc = plan("x33_retention_cohorts")
+    assert(pc.contains("partial_count(distinct"),
+      "cohort count-distinct lost its partial phase")
+    assert(!pc.contains("CartesianProduct"))
+  }
+
   test("idle-rich customers: anti join on orders, one-row stats broadcast in-plan") {
     val p = plan("h22_idle_rich")
     assert(p.contains("LeftAnti"), "NOT EXISTS did not plan as an anti join")
