@@ -75,7 +75,11 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + f"${v.getOrElse(-1.0)}%.3f" }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, None) => "\"" + k + "\"" }
-    val total = results.flatMap(_._2).sum
+    // With any failure the green-subset sum is NOT a comparable
+    // headline (round 8: 53 failures read as a "41% speedup" to any
+    // consumer ignoring the failed list) — report null instead.
+    val total =
+      if (failed.nonEmpty) "null" else results.flatMap(_._2).sum.toString
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""sf":"$sfDir","repeats":$repeats,"stat":"min",""" +

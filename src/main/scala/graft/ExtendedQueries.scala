@@ -13,12 +13,13 @@ import graft.operators.{AsOfJoin, Sessions}
   */
 object ExtendedQueries {
 
-  /** Events with the raw nanosecond timestamp kept as the ordering key
-    * (full precision — no truncation ties against the oracle).
+  /** Events with the normalized micros ordering key `ts_us` (full
+    * source precision — no truncation ties against the oracle; all
+    * `ts` encoding handling lives in Tables.normalizeEventTime).
     */
   private def ev(s: SparkSession, dir: String): DataFrame =
-    Tables.events(s, dir).select(col("event_id"), col("user_id"),
-      col("event_type"), col("value"), col("ts"))
+    Tables.eventsNorm(s, dir).select(col("event_id"), col("user_id"),
+      col("event_type"), col("value"), col("ts_us"))
 
   /** X1 — as-of join: each purchase enriched with the user's latest
     * prior view (trade-vs-quote shape).
@@ -27,12 +28,12 @@ object ExtendedQueries {
     val e = ev(s, dir)
     val t = e.filter(col("event_type") === "purchase").drop("event_type")
     val q = e.filter(col("event_type") === "view").drop("event_type")
-      .select(col("user_id"), col("ts"), col("value"))
-    AsOfJoin.asOf(t, q, keys = Seq("user_id"), leftTime = "ts", rightTime = "ts",
+      .select(col("user_id"), col("ts_us"), col("value"))
+    AsOfJoin.asOf(t, q, keys = Seq("user_id"), leftTime = "ts_us", rightTime = "ts_us",
         rightPayload = Seq("value"))
       .select(col("event_id"), col("user_id"),
-        expr("ts div 1000000").as("ts_ms"), col("value"),
-        col("asof_value"), expr("asof_time div 1000000").as("asof_ts_ms"))
+        expr("ts_us div 1000").as("ts_ms"), col("value"),
+        col("asof_value"), expr("asof_time div 1000").as("asof_ts_ms"))
   }
 
   val asofJoinSql: String = """
@@ -45,8 +46,8 @@ object ExtendedQueries {
   /** X2 — session windows: 30-minute-gap user activity sessions. */
   def sessions(s: SparkSession, dir: String): DataFrame =
     Sessions.sessionStats(
-      Tables.events(s, dir).select(col("user_id"), col("value"),
-        expr("timestamp_micros(ts div 1000)").as("event_time")),
+      Tables.eventsNorm(s, dir).select(col("user_id"), col("value"),
+        col("event_time")),
       keyCol = "user_id", timeCol = "event_time", valueCol = "value",
       gap = "30 minutes")
 
@@ -117,8 +118,8 @@ object ExtendedQueries {
     * minus those who signed up that day (INTERSECT + EXCEPT).
     */
   def setOps(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.events(s, dir)
-      .withColumn("d", to_date(expr("timestamp_micros(ts div 1000)")))
+    val e = Tables.eventsNorm(s, dir)
+      .withColumn("d", to_date(col("event_time")))
       .filter(col("d") === lit("2024-01-15").cast("date"))
     def users(t: String) = e.filter(col("event_type") === t).select(col("user_id")).distinct()
     users("error").intersect(users("purchase")).except(users("signup"))
@@ -139,15 +140,15 @@ object ExtendedQueries {
     * Conversion ratios are exact integer e6 (`div`).
     */
   def funnel(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.events(s, dir).select(col("user_id"), col("event_type"), col("ts"))
+    val e = Tables.eventsNorm(s, dir).select(col("user_id"), col("event_type"), col("ts_us"))
     val v = e.filter(col("event_type") === "view")
-      .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("t_view"))
     val c = e.filter(col("event_type") === "click").join(v, "user_id")
-      .filter(col("ts") > col("t_view"))
-      .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+      .filter(col("ts_us") > col("t_view"))
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("t_click"))
     val p = e.filter(col("event_type") === "purchase").join(c, "user_id")
-      .filter(col("ts") > col("t_click"))
-      .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+      .filter(col("ts_us") > col("t_click"))
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("t_purchase"))
     def stage(df: DataFrame, name: String) =
       df.agg(count(lit(1)).as("users")).select(lit(name).as("stage"), col("users"))
     val frame = stage(v, "1_view").unionByName(stage(c, "2_click"))
@@ -185,8 +186,8 @@ object ExtendedQueries {
     * count-distinct per cohort cell.
     */
   def retentionCohorts(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.events(s, dir)
-      .select(col("user_id"), to_date(expr("timestamp_micros(ts div 1000)")).as("d"))
+    val e = Tables.eventsNorm(s, dir)
+      .select(col("user_id"), to_date(col("event_time")).as("d"))
     val first = e.groupBy(col("user_id")).agg(min(col("d")).as("cohort_date"))
     e.join(first, "user_id")
       .groupBy(col("cohort_date"),
@@ -291,8 +292,8 @@ object ExtendedQueries {
     * errored that day.
     */
   def semiAntiUsers(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.events(s, dir)
-      .withColumn("d", to_date(expr("timestamp_micros(ts div 1000)")))
+    val e = Tables.eventsNorm(s, dir)
+      .withColumn("d", to_date(col("event_time")))
       .filter(col("d") === lit("2024-01-15").cast("date"))
     val purchases = e.filter(col("event_type") === "purchase")
     val errors = e.filter(col("event_type") === "error").select(col("user_id").as("eu"))

@@ -12,8 +12,9 @@ import graft.operators._
   * inventory (names carry the operator id); `oracleSql` holds the
   * equivalent DuckDB SQL over the same parquet tables. Column names and
   * types are aligned pair-wise: timestamps are emitted as epoch-millis
-  * BIGINTs (the source `events.ts` is nanosecond-precision, which the
-  * two engines truncate differently at sub-microsecond resolution),
+  * BIGINTs (the source `events.ts` physical encoding has drifted across
+  * testdata generations — Tables.normalizeEventTime absorbs that; the
+  * epoch-ms convention sidesteps engine-specific timestamp rendering),
   * long sums are CAST to BIGINT on the DuckDB side (whose SUM widens to
   * HUGEINT), and float aggregates go through exact DECIMAL sums before
   * one deterministic double division, so results are bit-identical at

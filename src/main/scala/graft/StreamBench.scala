@@ -49,13 +49,13 @@ object StreamBench {
     // dropped — real replay feeds the stream in time order. (The
     // no-partition ntile window is one-time bench STAGING over a
     // bounded table, outside the timed region.)
-    val base = graft.sources.Tables.events(spark, sfDir).select(
+    val base = graft.sources.Tables.eventsNorm(spark, sfDir).select(
       col("event_type").as("symbol"),
       col("value").as("price"),
       get_json_object(col("props"), "$.k").cast("long").as("volume"),
-      expr("ts div 1000000").as("timestamp"),
+      expr("ts_us div 1000").as("timestamp"),
       array().cast("array<string>").as("conditions"),
-      expr("ts div 1000000").as("ingestion_time"))
+      expr("ts_us div 1000").as("ingestion_time"))
     val withWave =
       if (waves == 1) base.withColumn("__wave", lit(0))
       else base.withColumn("__wave",

@@ -35,12 +35,25 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
-      // events.parquet carries TIMESTAMP(NANOS); read as epoch-nanos longs.
+      // Legacy events.parquet generations carried TIMESTAMP(NANOS);
+      // with this flag they surface as epoch-nanos longs, which
+      // Tables.normalizeEventTime converts (current timestamp[us]
+      // data is unaffected by the flag).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Pre-flight (round-8 lesson): print every table's physical schema
+    // and fail fast — one readable line, not 53 opaque query failures —
+    // if the events time column drifted to an encoding the normalizer
+    // doesn't know. normalizeEventTime itself throws the readable
+    // message; this just forces the check before any query runs.
+    graft.sources.Tables.tableNames.foreach { t =>
+      val schema = graft.sources.Tables.table(spark, sfDir, t).schema
+      println(s"[verify] schema $t: ${schema.map(f => s"${f.name}:${f.dataType.simpleString}").mkString(", ")}")
+    }
+    graft.sources.Tables.eventsNorm(spark, sfDir).schema
     // Per-query wall-time ceiling (round 8): a real plan regression —
     // an accidental cartesian, a lost pushdown, an all-pairs join —
     // should fail ITS query's correctness check, not hide inside a

@@ -30,11 +30,22 @@ import scala.jdk.CollectionConverters._
   * design (the reference registers none); the schema parser rejects
   * them up front rather than failing per-row.
   */
-case class AvroDecode(child: Expression, schemaJson: String)
+case class AvroDecode(child: Expression, schemaJson: String,
+                      writerSchemaJson: Option[String] = None)
     extends UnaryExpression with CodegenFallback with Serializable {
 
   @transient private lazy val schema: Schema =
     new Schema.Parser().parse(schemaJson)
+
+  // Registry-style evolution: when the bytes on the wire were written
+  // under a DIFFERENT registered schema version, Avro schema
+  // resolution bridges the two — reader fields absent from the writer
+  // are filled from their defaults (BACKWARD compat, the mode the
+  // reference registers: register_schemas.py:122), writer fields
+  // absent from the reader are skipped (FORWARD reads). The output
+  // type is always the READER schema's.
+  @transient private lazy val writerSchema: Schema =
+    writerSchemaJson.map(new Schema.Parser().parse(_)).getOrElse(schema)
 
   override lazy val dataType: DataType = AvroFunctions.toSqlType(schema)
   override def nullable: Boolean = true
@@ -51,7 +62,8 @@ case class AvroDecode(child: Expression, schemaJson: String)
   @transient private lazy val local =
     new ThreadLocal[(GenericDatumReader[GenericRecord], Array[BinaryDecoder])] {
       override def initialValue() =
-        (new GenericDatumReader[GenericRecord](schema), new Array[BinaryDecoder](1))
+        (new GenericDatumReader[GenericRecord](writerSchema, schema),
+          new Array[BinaryDecoder](1))
     }
 
   override def nullSafeEval(input: Any): Any = {
@@ -137,4 +149,14 @@ object AvroFunctions {
   /** from_avro analog over the bundled Avro runtime. */
   def fromAvro(data: Column, schemaJson: String): Column =
     ColumnBridge.column(AvroDecode(ColumnBridge.expression(data), schemaJson))
+
+  /** Evolution form: decode bytes written under `writerSchemaJson`
+    * (an older/newer registered version) into `readerSchemaJson`'s
+    * shape via Avro schema resolution — the data-plane half of the
+    * registry's BACKWARD-compat contract.
+    */
+  def fromAvroEvolved(data: Column, readerSchemaJson: String,
+                      writerSchemaJson: String): Column =
+    ColumnBridge.column(AvroDecode(ColumnBridge.expression(data),
+      readerSchemaJson, Some(writerSchemaJson)))
 }

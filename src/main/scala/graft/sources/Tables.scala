@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType, TimestampNTZType, TimestampType}
 
 /** Table loaders over the driver-provided parquet test data
   * (TESTDATA.md), plus the canonical "trades" view that maps the
@@ -23,9 +23,12 @@ object Tables {
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
-      // The events table carries TIMESTAMP(NANOS) parquet timestamps,
-      // which Spark does not support natively; read them as epoch-nanos
-      // longs and convert explicitly (see trades()).
+      // Older testdata generations carried TIMESTAMP(NANOS) parquet
+      // timestamps, which Spark cannot read natively; with this flag
+      // they surface as epoch-nanos longs and eventsNorm() converts
+      // them. Current generations carry timestamp[us], which the flag
+      // does not touch. Either physical encoding lands on the same
+      // normalized view.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     }
     spark.read.parquet(s"$dir/$name.parquet")
@@ -65,25 +68,73 @@ object Tables {
       .option("mode", if (strict) "FAILFAST" else "PERMISSIVE")
       .json(path)
 
+  /** Schema-drift-tolerant event-time normalization — THE single place
+    * `ts` arithmetic lives (round-8 lesson: the driver regenerated the
+    * testdata from TIMESTAMP(NANOS) to timestamp[us] and every scattered
+    * `ts div 1000` site failed at analysis time; the reference survives
+    * the same class of drift by delegating to Schema Registry BACKWARD
+    * compat, register_schemas.py:122).
+    *
+    * Accepts any of the physical encodings a producer might hand us:
+    *   - LongType           — epoch NANOS (legacy TIMESTAMP(NANOS)
+    *                          surfaced via nanosAsLong). `div` is
+    *                          integer long division — going through
+    *                          double would lose precision above 2^53 ns.
+    *   - TimestampNTZType   — parquet timestamp[us] isAdjustedToUTC=false
+    *                          (the current testdata). Sessions run UTC,
+    *                          so the cast to TIMESTAMP is wall-clock
+    *                          identity.
+    *   - TimestampType      — parquet timestamp[us/ms] UTC-adjusted.
+    * and emits the one canonical pair every consumer uses:
+    *   event_time TIMESTAMP   — for windowing / calendar logic
+    *   ts_us      BIGINT      — epoch micros, for ordinal comparisons
+    *                            and exact integer arithmetic
+    * The raw `ts` column is dropped so no downstream code can re-grow
+    * an encoding assumption. All three branches are plain column
+    * expressions — codegen'd, pushdown-transparent, zero extra passes.
+    */
+  def normalizeEventTime(df: DataFrame, tsCol: String = "ts"): DataFrame = {
+    val normalized = df.schema(tsCol).dataType match {
+      case LongType =>
+        df.withColumn("ts_us", expr(s"$tsCol div 1000"))
+          .withColumn("event_time", timestamp_micros(col("ts_us")))
+      case TimestampType | TimestampNTZType =>
+        df.withColumn("event_time", col(tsCol).cast(TimestampType))
+          .withColumn("ts_us", unix_micros(col("event_time")))
+      case other =>
+        throw new IllegalArgumentException(
+          s"events.$tsCol has unsupported physical type $other — expected " +
+            "epoch-nanos BIGINT, TIMESTAMP, or TIMESTAMP_NTZ. The parquet " +
+            "schema likely drifted; extend Tables.normalizeEventTime.")
+    }
+    // Canonical column order regardless of which branch ran (the two
+    // withColumn chains append in different orders).
+    val passthrough = df.columns.filterNot(_ == tsCol).map(col)
+    normalized.select(passthrough :+ col("event_time") :+ col("ts_us"): _*)
+  }
+
+  /** The events table with normalized time columns (see
+    * normalizeEventTime): `event_time` + `ts_us` replace raw `ts`.
+    */
+  def eventsNorm(spark: SparkSession, dir: String): DataFrame =
+    normalizeEventTime(events(spark, dir))
+
   /** Canonical trade view: the batch analog of the reference's parsed
     * Kafka trade stream (transformations.py:51-83 — P1 JSON decode +
     * P2 event-time derivation). Mapping:
     *   symbol     <- event_type
     *   price      <- value
     *   volume     <- props JSON field "k"   (exercises from_json path)
-    *   event_time <- ts (epoch nanos -> microsecond timestamp)
+    *   event_time <- normalized event time (micros resolution)
     *   trade_date <- to_date(event_time)    (P3 bronze date component)
-    *
-    * `ts div 1000` is integer division on longs — going through double
-    * would lose precision above 2^53 ns (~1970+104 days).
     */
   def trades(spark: SparkSession, dir: String): DataFrame = {
-    events(spark, dir).select(
+    eventsNorm(spark, dir).select(
       col("event_id"),
       col("event_type").as("symbol"),
       col("value").as("price"),
       get_json_object(col("props"), "$.k").cast("long").as("volume"),
-      expr("timestamp_micros(ts div 1000)").as("event_time")
+      col("event_time")
     ).withColumn("trade_date", to_date(col("event_time")))
   }
 }

@@ -94,6 +94,60 @@ class AvroIngestSpec extends SparkSpecBase {
     assert(TradeStreams.Topics.All.size === 4)
   }
 
+  /** trade.avsc + an added field with a default — "version 2" of the
+    * registered contract. Mirrors the evolution the registry's
+    * BACKWARD mode permits (register_schemas.py:122): consumers
+    * compiled against v2 keep reading v1 bytes.
+    */
+  private def tradeSchemaV2: String = {
+    val v1 = TradeStreams.tradeAvroSchema
+    val insertAt = v1.lastIndexOf("]}")
+    v1.substring(0, insertAt) +
+      """,{"name":"venue","type":"string","default":"UNKNOWN"}]}"""
+  }
+
+  test("BACKWARD evolution: v2 reader (added field w/ default) decodes v1-writer bytes") {
+    val v1Bytes = Seq(
+      encodeTrade("AAPL", 150.25, 100L, 1705312800000L, Seq("regular"), 1705312801000L))
+      .toDF("value")
+    val decoded = v1Bytes.select(graft.functions.AvroFunctions
+        .fromAvroEvolved(col("value"), tradeSchemaV2, TradeStreams.tradeAvroSchema)
+        .as("trade"))
+      .select(col("trade.*")).collect().head
+    assert(decoded.getAs[String]("symbol") === "AAPL")
+    assert(decoded.getAs[Double]("price") === 150.25)
+    assert(decoded.getAs[Long]("timestamp") === 1705312800000L)
+    // The v2-only field materializes from its schema default.
+    assert(decoded.getAs[String]("venue") === "UNKNOWN")
+  }
+
+  test("FORWARD read: v1 reader skips the extra field in v2-writer bytes") {
+    // Encode with the v2 writer schema (venue present on the wire).
+    val schema = new Schema.Parser().parse(tradeSchemaV2)
+    val rec: GenericRecord = new GenericData.Record(schema)
+    rec.put("symbol", "MSFT")
+    rec.put("price", 388.5)
+    rec.put("volume", 42L)
+    rec.put("timestamp", 1705312860000L)
+    rec.put("conditions", new java.util.ArrayList[CharSequence]())
+    rec.put("ingestion_time", 1705312861000L)
+    rec.put("venue", "XNAS")
+    val out = new ByteArrayOutputStream()
+    val enc = EncoderFactory.get().binaryEncoder(out, null)
+    new GenericDatumWriter[GenericRecord](schema).write(rec, enc)
+    enc.flush()
+    val decoded = Seq(out.toByteArray).toDF("value")
+      .select(graft.functions.AvroFunctions
+        .fromAvroEvolved(col("value"), TradeStreams.tradeAvroSchema, tradeSchemaV2)
+        .as("trade"))
+      .select(col("trade.*"))
+    assert(!decoded.columns.contains("venue"))
+    val row = decoded.collect().head
+    assert(row.getAs[String]("symbol") === "MSFT")
+    assert(row.getAs[Double]("price") === 388.5)
+    assert(row.getAs[Long]("ingestion_time") === 1705312861000L)
+  }
+
   test("nested-record Avro schemas are rejected at parse time, not per row") {
     val nested = """{"type":"record","name":"Outer","fields":[
       {"name":"inner","type":{"type":"record","name":"Inner","fields":[

@@ -32,14 +32,14 @@ class BatchStreamEquivalenceSpec extends SparkSpecBase {
     val dir = Files.createTempDirectory("graft_equiv").toString
 
     // Kafka-shaped JSON replay input from the real events table.
-    Tables.events(spark, Sf).select(
+    Tables.eventsNorm(spark, Sf).select(
       to_json(struct(
         col("event_type").as("symbol"),
         col("value").as("price"),
         get_json_object(col("props"), "$.k").cast("long").as("volume"),
-        expr("ts div 1000000").as("timestamp"),
+        expr("ts_us div 1000").as("timestamp"),
         array().cast("array<string>").as("conditions"),
-        expr("ts div 1000000").as("ingestion_time"))).as("value"))
+        expr("ts_us div 1000").as("ingestion_time"))).as("value"))
       .write.parquet(s"$dir/in")
 
     // Streaming path: the production graph.
@@ -61,11 +61,11 @@ class BatchStreamEquivalenceSpec extends SparkSpecBase {
     // Batch path over the same events. The streaming side collapsed
     // ms-truncated timestamps, so feed batch the same ms-granularity
     // trades (the streaming wire format is epoch-ms by contract).
-    val batchTrades = Tables.events(spark, Sf).select(
+    val batchTrades = Tables.eventsNorm(spark, Sf).select(
       col("event_type").as("symbol"),
       col("value").as("price"),
       get_json_object(col("props"), "$.k").cast("long").as("volume"),
-      expr("timestamp_millis(ts div 1000000)").as("event_time"))
+      expr("timestamp_millis(ts_us div 1000)").as("event_time"))
       .withColumn("event_id", unix_millis(col("event_time")))
     val batch = Ohlcv.bars5m(Medallion.dedupAgg(
         Medallion.clean(batchTrades)

@@ -8,8 +8,19 @@ package graft
   */
 class PlanSpec extends SparkSpecBase {
 
-  private def plan(name: String): String =
-    SparkEntry.queries(name)(spark, Sf).queryExecution.executedPlan.toString
+  private def plan(name: String): String = {
+    // Default maxMetadataStringLength (100) truncates the PushedFilters
+    // list mid-entry once the normalized events read pushes the ts
+    // bounds too — the very pushdown these tests assert on.
+    val key = "spark.sql.maxMetadataStringLength"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "1000")
+    try SparkEntry.queries(name)(spark, Sf).queryExecution.executedPlan.toString
+    finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None => spark.conf.unset(key)
+    }
+  }
 
   test("OHLCV aggregates hash, not sort (custom min_by_ord2)") {
     val p = plan("a1_ohlcv_5m")

@@ -1,0 +1,106 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+
+import graft.sources.Tables
+
+/** Schema-drift regression (the test that would have caught round 8
+  * before the driver did): the same logical events data written under
+  * the two physical `ts` encodings the testdata generator has produced
+  * — epoch-nanos int64 (legacy TIMESTAMP(NANOS) surfaced via
+  * nanosAsLong) and parquet timestamp[us] (TIMESTAMP_NTZ) — must read
+  * through Tables.normalizeEventTime to IDENTICAL normalized frames,
+  * and downstream queries (an a-family OHLCV aggregate and an x-family
+  * events query) must produce row-identical results on both.
+  */
+class SchemaDriftSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  // Micros timestamps over a few 5-minute windows, two event types,
+  // including values that exercise sub-ms precision (non-zero micros).
+  private val rows = Seq(
+    (1L, 1705312800000001L, 10L, "view", 50.0, """{"k":"3"}"""),
+    (2L, 1705312800123456L, 10L, "click", 51.5, """{"k":"4"}"""),
+    (3L, 1705312937000000L, 11L, "view", 49.25, """{"k":"5"}"""),
+    (4L, 1705313100999999L, 11L, "purchase", 52.0, """{"k":"2"}"""),
+    (5L, 1705313400000000L, 12L, "view", 48.0, """{"k":"7"}"""),
+    (6L, 1705316700500000L, 12L, "purchase", 53.75, """{"k":"1"}"""))
+
+  private def base = rows.toDF("event_id", "ts_us_src", "user_id", "event_type", "value", "props")
+
+  private lazy val dirs: (String, String) = {
+    val root = Files.createTempDirectory("graft_drift").toString
+    // Fixture 1: ts as plain int64 epoch-NANOS — byte-wise what the
+    // legacy TIMESTAMP(NANOS) files look like to Spark under
+    // nanosAsLong=true (the annotation only changes how the reader
+    // surfaces the same int64 column, so LongType-with-nanos IS the
+    // legacy read path normalizeEventTime sees).
+    base.select(col("event_id"), (col("ts_us_src") * 1000).as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .write.parquet(s"$root/nanos/events.parquet")
+    // Fixture 2: ts as TIMESTAMP_NTZ — written by Spark as parquet
+    // timestamp[us] isAdjustedToUTC=false, the current testdata shape.
+    base.select(col("event_id"),
+        timestamp_micros(col("ts_us_src")).cast(TimestampNTZType).as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .write.parquet(s"$root/ntz/events.parquet")
+    (s"$root/nanos", s"$root/ntz")
+  }
+
+  private def collectSorted(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).toSeq.sorted
+
+  test("fixtures read back with the two distinct physical ts types") {
+    val tNanos = Tables.events(spark, dirs._1).schema("ts").dataType
+    val tNtz = Tables.events(spark, dirs._2).schema("ts").dataType
+    assert(tNanos === LongType, s"nanos fixture read as $tNanos")
+    assert(tNtz === TimestampNTZType || tNtz === TimestampType,
+      s"ntz fixture read as $tNtz")
+  }
+
+  test("normalizeEventTime yields identical (event_time, ts_us) on both encodings") {
+    val n = Tables.eventsNorm(spark, dirs._1)
+    val z = Tables.eventsNorm(spark, dirs._2)
+    assert(n.schema("event_time").dataType === TimestampType)
+    assert(z.schema("event_time").dataType === TimestampType)
+    assert(n.schema("ts_us").dataType === LongType)
+    assert(!n.columns.contains("ts") && !z.columns.contains("ts"),
+      "raw ts must be dropped so no consumer can re-grow an encoding assumption")
+    assert(collectSorted(n) === collectSorted(z))
+    // And the values are right, not just equal: micros round-trip.
+    assert(n.select("ts_us").as[Long].collect().sorted ===
+      rows.map(_._2).sorted.toArray)
+  }
+
+  test("trades view is row-identical on both encodings") {
+    assert(collectSorted(Tables.trades(spark, dirs._1)) ===
+      collectSorted(Tables.trades(spark, dirs._2)))
+    assert(Tables.trades(spark, dirs._1).count() === rows.size.toLong)
+  }
+
+  test("a-family OHLCV bars are row-identical on both encodings") {
+    def bars(dir: String) = operators.Ohlcv.bars5m(Tables.trades(spark, dir))
+    assert(collectSorted(bars(dirs._1)) === collectSorted(bars(dirs._2)))
+    assert(bars(dirs._1).count() > 0)
+  }
+
+  test("x-family funnel and retention cohorts are row-identical on both encodings") {
+    assert(collectSorted(ExtendedQueries.funnel(spark, dirs._1)) ===
+      collectSorted(ExtendedQueries.funnel(spark, dirs._2)))
+    assert(collectSorted(ExtendedQueries.retentionCohorts(spark, dirs._1)) ===
+      collectSorted(ExtendedQueries.retentionCohorts(spark, dirs._2)))
+    assert(ExtendedQueries.retentionCohorts(spark, dirs._1).count() > 0)
+  }
+
+  test("an unsupported ts encoding fails fast with a readable message") {
+    val bad = base.select(col("event_id"), col("ts_us_src").cast("string").as("ts"))
+    val e = intercept[IllegalArgumentException] {
+      Tables.normalizeEventTime(bad)
+    }
+    assert(e.getMessage.contains("unsupported physical type"))
+  }
+}
