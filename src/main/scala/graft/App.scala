@@ -472,6 +472,12 @@ object App {
       .appName("graft-market-engine")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // HotSpot refuses to JIT methods >8000 bytecodes (DontCompileHuge
+      // Methods): a whole-stage-codegen'd multi-level aggregate cascade
+      // can exceed that and run INTERPRETED (~3.5x slower on a8's fused
+      // stage, round 9). At 8000 Spark falls back to per-operator
+      // execution for oversized stages, which the JIT does compile.
+      .config("spark.sql.codegen.hugeMethodLimit", "8000")
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       // RocksDB-backed state: dedup + window state stays off-heap and

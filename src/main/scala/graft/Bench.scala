@@ -38,6 +38,12 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // HotSpot refuses to JIT methods >8000 bytecodes (DontCompileHuge
+      // Methods): a whole-stage-codegen'd multi-level aggregate cascade
+      // can exceed that and run INTERPRETED (~3.5x slower on a8's fused
+      // stage, round 9). At 8000 Spark falls back to per-operator
+      // execution for oversized stages, which the JIT does compile.
+      .config("spark.sql.codegen.hugeMethodLimit", "8000")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

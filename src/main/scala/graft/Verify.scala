@@ -35,6 +35,12 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // HotSpot refuses to JIT methods >8000 bytecodes (DontCompileHuge
+      // Methods): a whole-stage-codegen'd multi-level aggregate cascade
+      // can exceed that and run INTERPRETED (~3.5x slower on a8's fused
+      // stage, round 9). At 8000 Spark falls back to per-operator
+      // execution for oversized stages, which the JIT does compile.
+      .config("spark.sql.codegen.hugeMethodLimit", "8000")
       // Legacy events.parquet generations carried TIMESTAMP(NANOS);
       // with this flag they surface as epoch-nanos longs, which
       // Tables.normalizeEventTime converts (current timestamp[us]

@@ -14,6 +14,9 @@ object TestSpark {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Match the mains: oversized codegen'd stages fall back to
+    // per-operator execution instead of running interpreted (r9).
+    .config("spark.sql.codegen.hugeMethodLimit", "8000")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 }
