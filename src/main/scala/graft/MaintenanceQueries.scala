@@ -1,0 +1,187 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.ZOrderFunctions.morton
+import graft.operators.Incremental
+
+/** Warehouse-maintenance family: incremental materialized-view merge,
+  * MERGE upsert, SCD2 history, Z-order layout clustering. The
+  * reference recomputes every touched window from scratch and serves
+  * latest-only state (spark_processor.py, keyspace.cql) — at 100 TB
+  * the re-load path has to be incremental and the layout has to prune,
+  * so these are first-class operators here, each with a DuckDB oracle.
+  */
+object MaintenanceQueries {
+
+  private val Day = "2024-01-15"
+
+  /** Mid-window split instant: 12:02:30 falls INSIDE the 12:00–12:05
+    * bar, so base and delta produce partial bars for the same
+    * (symbol, window) key and the merge's open/close ordering carries
+    * are actually exercised — a midnight split would never collide.
+    */
+  private val SplitTs = "2024-01-15 12:02:30"
+
+  /** V1 — incremental OHLCV maintenance: partial bars of the base
+    * slice merged with partial bars of the delta slice. Oracle is the
+    * from-scratch gold_5m — a hash match proves the merge is lossless
+    * even across a mid-window boundary.
+    */
+  def incrementalOhlcv(s: SparkSession, dir: String): DataFrame = {
+    val silver = SparkEntry.silverDf(s, dir)
+    val split = lit(SplitTs).cast("timestamp")
+    val base = Incremental.partialBars(silver.filter(col("event_time") < split), "5 minutes")
+    val delta = Incremental.partialBars(silver.filter(col("event_time") >= split), "5 minutes")
+    Incremental.mergeBars(base.unionByName(delta))
+      .select(col("symbol"),
+        unix_millis(col("window_start")).as("window_start_ms"),
+        unix_millis(col("window_end")).as("window_end_ms"),
+        col("open"), col("high"), col("low"), col("close"),
+        col("volume"), col("trade_count"), col("vwap_e6"))
+  }
+
+  val incrementalOhlcvSql: String = SparkEntry.P +
+    """SELECT symbol, ws_ms AS window_start_ms, we_ms AS window_end_ms,
+              open, high, low, close, volume, trade_count, vwap_e6
+       FROM gold_5m"""
+
+  /** V2 — MERGE INTO upsert: the standing pre-Day latest-price
+    * snapshot updated with Day-onward trades; delta wins on collision,
+    * untouched base rows survive.
+    */
+  def mergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    val silver = SparkEntry.silverDf(s, dir)
+    def snap(df: DataFrame): DataFrame =
+      graft.operators.LatestPrices.snapshot(df)
+        .select(col("symbol"), col("last_price"), col("last_volume"),
+          col("last_trade_time_ms"))
+    val day = lit(Day).cast("date")
+    Incremental.mergeUpsert(
+      snap(silver.filter(col("trade_date") < day)),
+      snap(silver.filter(col("trade_date") >= day)),
+      key = "symbol")
+  }
+
+  val mergeUpsertSql: String = SparkEntry.P + s"""
+    , b AS (
+      SELECT symbol, price, volume, epoch_ms(event_time) AS ms FROM silver
+      WHERE trade_date < DATE '$Day'
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY symbol ORDER BY event_time DESC, event_id DESC) = 1
+    ), d AS (
+      SELECT symbol, price, volume, epoch_ms(event_time) AS ms FROM silver
+      WHERE trade_date >= DATE '$Day'
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY symbol ORDER BY event_time DESC, event_id DESC) = 1
+    )
+    SELECT COALESCE(d.symbol, b.symbol) AS symbol,
+           COALESCE(d.price, b.price) AS last_price,
+           COALESCE(d.volume, b.volume) AS last_volume,
+           COALESCE(d.ms, b.ms) AS last_trade_time_ms,
+           CASE WHEN d.symbol IS NOT NULL THEN 'delta' ELSE 'base' END AS src
+    FROM b FULL OUTER JOIN d ON b.symbol = d.symbol"""
+
+  /** V3 — SCD2 dimension history over the per-(symbol, day) close:
+    * consecutive equal closes collapse into one validity interval with
+    * from/to bounds, version, is_current.
+    */
+  def scd2History(s: SparkSession, dir: String): DataFrame = {
+    val silver = SparkEntry.silverDf(s, dir)
+    val byDay = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("symbol"), col("trade_date"))
+      .orderBy(col("event_time").desc, col("event_id").desc)
+    val snapshots = silver
+      .withColumn("__rn", row_number().over(byDay))
+      .filter(col("__rn") === 1)
+      .select(col("symbol"), col("trade_date"), col("price").as("close"))
+    Incremental.scd2(snapshots, key = "symbol", dateCol = "trade_date",
+        valueCol = "close")
+      .select(col("symbol"), col("close"), col("version"),
+        col("effective_from"), col("effective_to"), col("is_current"))
+  }
+
+  val scd2HistorySql: String = SparkEntry.P + """
+    , snap AS (
+      SELECT symbol, trade_date, price AS close FROM silver
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY symbol, trade_date
+                                 ORDER BY event_time DESC, event_id DESC) = 1
+    ), runs AS (
+      SELECT symbol, close, trade_date,
+             ROW_NUMBER() OVER (PARTITION BY symbol ORDER BY trade_date)
+           - ROW_NUMBER() OVER (PARTITION BY symbol, close ORDER BY trade_date) AS run
+      FROM snap
+    ), grouped AS (
+      SELECT symbol, close, run, MIN(trade_date) AS run_start
+      FROM runs GROUP BY symbol, close, run
+    )
+    SELECT symbol, close,
+           CAST(ROW_NUMBER() OVER w AS INT) AS version,
+           run_start AS effective_from,
+           LEAD(run_start, 1) OVER w - 1 AS effective_to,
+           LEAD(run_start, 1) OVER w IS NULL AS is_current
+    FROM grouped
+    WINDOW w AS (PARTITION BY symbol ORDER BY run_start)"""
+
+  /** Z1 — Z-order layout clustering: 16-bit quantized (price, minute)
+    * interleaved through the native `morton` expression, rows bucketed
+    * by Z-range into 256 layout cells, per-cell min/max rectangles
+    * reported in both dimensions. Small per-cell extents in BOTH
+    * columns are exactly what per-file min/max stats need to prune a
+    * scan on either predicate — the measurable effect of Z-ordering a
+    * 100 TB rewrite.
+    */
+  def zorderCluster(s: SparkSession, dir: String): DataFrame = {
+    val silver = SparkEntry.silverDf(s, dir)
+    // DECIMAL before the scale-up: price*10000 in doubles lands on
+    // x.9999 for 4-dp prices and truncates one tick low.
+    val px = pmod((col("price").cast("decimal(18,4)") * 10000).cast("long"), lit(65536L))
+    // `div`, not `/`: Column./ on longs is DOUBLE division.
+    val ty = pmod(expr("unix_millis(event_time) div 60000"), lit(65536L))
+    silver
+      .withColumn("z", morton(px, ty))
+      .withColumn("cell", expr("z div 16777216"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(px).as("min_px"), max(px).as("max_px"),
+        min(ty).as("min_ty"), max(ty).as("max_ty"))
+  }
+
+  val zorderClusterSql: String = SparkEntry.P + """
+    , q AS (
+      SELECT CAST(CAST(price AS DECIMAL(18,4)) * 10000 AS BIGINT) % 65536 AS px,
+             (epoch_ms(event_time) // 60000) % 65536 AS ty
+      FROM silver
+    ), sx AS (
+      SELECT px, ty,
+             (px | (px << 8)) & 16711935 AS x1, (ty | (ty << 8)) & 16711935 AS y1
+      FROM q
+    ), s2 AS (
+      SELECT px, ty,
+             (x1 | (x1 << 4)) & 252645135 AS x2, (y1 | (y1 << 4)) & 252645135 AS y2
+      FROM sx
+    ), s3 AS (
+      SELECT px, ty,
+             (x2 | (x2 << 2)) & 858993459 AS x3, (y2 | (y2 << 2)) & 858993459 AS y3
+      FROM s2
+    ), s4 AS (
+      SELECT px, ty,
+             (x3 | (x3 << 1)) & 1431655765 AS x4, (y3 | (y3 << 1)) & 1431655765 AS y4
+      FROM s3
+    )
+    SELECT (x4 | (y4 << 1)) // 16777216 AS cell, COUNT(*) AS n_rows,
+           MIN(px) AS min_px, MAX(px) AS max_px,
+           MIN(ty) AS min_ty, MAX(ty) AS max_ty
+    FROM s4 GROUP BY 1"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v1_incremental_ohlcv" -> (incrementalOhlcv _),
+    "v2_merge_upsert" -> (mergeUpsert _),
+    "v3_scd2_history" -> (scd2History _),
+    "z1_zorder_cluster" -> (zorderCluster _))
+
+  val oracles: Map[String, String] = Map(
+    "v1_incremental_ohlcv" -> incrementalOhlcvSql,
+    "v2_merge_upsert" -> mergeUpsertSql,
+    "v3_scd2_history" -> scd2HistorySql,
+    "z1_zorder_cluster" -> zorderClusterSql)
+}

@@ -63,7 +63,7 @@ object Ohlcv {
     * output so bars can be re-aggregated losslessly ([[rollup]]) —
     * vwap_e6 alone cannot be, the floor division is not invertible.
     */
-  private def finishBars(aggregated: DataFrame): DataFrame =
+  private[operators] def finishBars(aggregated: DataFrame): DataFrame =
     aggregated.select(
       col("symbol"),
       col("w.start").as("window_start"),
