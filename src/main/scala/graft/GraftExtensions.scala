@@ -52,7 +52,10 @@ object GraftExtensions {
     ("sign_lsh_keys",
       info("sign_lsh_keys", "sign_lsh_keys(vec, planes, tables, dim) - multi-table sign-LSH bucket keys"),
       (es: Seq[Expression]) => SignLshKeys(es(0), litInt(es(1), "planes"),
-        litInt(es(2), "tables"), litInt(es(3), "dim")))
+        litInt(es(2), "tables"), litInt(es(3), "dim"))),
+    ("morton",
+      info("morton", "morton(x, y) - Z-order interleave of the low 32 bits of two bigints"),
+      (es: Seq[Expression]) => MortonInterleave(es(0), es(1)))
   )
 
   /** Register on an existing session (functions + the intersect-size

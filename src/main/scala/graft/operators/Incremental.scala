@@ -66,17 +66,19 @@ object Incremental {
         col("open_ts_us"), col("open_id"), col("close_ts_us"), col("close_id"))
   }
 
-  /** Merge partial bars (a union of [[partialBars]] outputs over
-    * disjoint trade slices at the SAME grain) into finished bars —
-    * identical, hash-for-hash, to [[Ohlcv.bars]] over the unioned
-    * trades. One shuffle over O(bars) keyed on (symbol, window): with
-    * the gold table partitioned the same way, AQE turns a daily merge
-    * into touched-partition work only.
+  /** Combine partial bars (a union of [[partialBars]] outputs over
+    * disjoint trade slices at the SAME grain) into one partial bar per
+    * (symbol, window), carries included — the monoid operation itself,
+    * closed over the partial schema so combines CHAIN (batch ∘ batch ∘
+    * compaction…). One shuffle over O(bars) keyed on (symbol, window).
+    *
+    * The merged open carry is (min open_ts, id at that min) — the id
+    * needs its own min_by ordered by (ts, id), because each input's
+    * open_id is only the tie-break AT ITS OWN open_ts.
     */
-  def mergeBars(partials: DataFrame): DataFrame =
+  def combinePartials(partials: DataFrame): DataFrame =
     partials
-      .groupBy(col("symbol"),
-        struct(col("window_start").as("start"), col("window_end").as("end")).as("w"))
+      .groupBy(col("symbol"), col("window_start"), col("window_end"))
       .agg(
         minByOrd2(col("open"), col("open_ts_us"), col("open_id")).as("open"),
         max(col("high")).as("high"),
@@ -84,7 +86,26 @@ object Incremental {
         maxByOrd2(col("close"), col("close_ts_us"), col("close_id")).as("close"),
         sum(col("volume")).as("volume"),
         sum(col("trade_count")).as("trade_count"),
-        sum(col("pv_ticks")).as("pv_ticks"))
+        sum(col("pv_ticks")).as("pv_ticks"),
+        min(col("open_ts_us")).as("open_ts_us"),
+        minByOrd2(col("open_id"), col("open_ts_us"), col("open_id")).as("open_id"),
+        max(col("close_ts_us")).as("close_ts_us"),
+        maxByOrd2(col("close_id"), col("close_ts_us"), col("close_id")).as("close_id"))
+      .select(col("symbol"), col("window_start"), col("window_end"), col("open"),
+        col("high"), col("low"), col("close"), col("volume"), col("trade_count"),
+        col("pv_ticks"), col("open_ts_us"), col("open_id"), col("close_ts_us"),
+        col("close_id"))
+
+  /** Merge partial bars into FINISHED bars — identical, hash-for-hash,
+    * to [[Ohlcv.bars]] over the unioned trades. With the gold table
+    * partitioned on the same key, AQE turns a daily merge into
+    * touched-partition work only.
+    */
+  def mergeBars(partials: DataFrame): DataFrame =
+    combinePartials(partials)
+      .withColumn("w", struct(col("window_start").as("start"), col("window_end").as("end")))
+      .drop("window_start", "window_end", "open_ts_us", "open_id",
+        "close_ts_us", "close_id")
       .transform(Ohlcv.finishBars)
 
   /** MERGE INTO (upsert) semantics: `base` is the standing snapshot

@@ -8,10 +8,14 @@ class ExtensionsSpec extends SparkSpecBase {
     val r = spark.sql("""
       SELECT cosine_sim(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
                         array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS c,
-             sorted_intersect_size(array(1L, 2L, 3L), array(2L, 3L, 9L)) AS i
+             sorted_intersect_size(array(1L, 2L, 3L), array(2L, 3L, 9L)) AS i,
+             morton(3L, 5L) AS z
     """).collect().head
     assert(math.abs(r.getAs[Double]("c") - 1.0) < 1e-12)
     assert(r.getAs[Long]("i") === 2L)
+    // x=3 spreads to even bits (0b000101=5), y=5 to odd bits
+    // (0b100010=34); 5|34 = 39
+    assert(r.getAs[Long]("z") === 39L)
   }
 
   test("aggregate expressions work in SQL GROUP BY") {
