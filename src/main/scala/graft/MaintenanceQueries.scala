@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.ZOrderFunctions.morton
-import graft.operators.Incremental
+import graft.operators.{Incremental, Ohlcv, Resample}
 
 /** Warehouse-maintenance family: incremental materialized-view merge,
   * MERGE upsert, SCD2 history, Z-order layout clustering. The
@@ -100,7 +100,10 @@ object MaintenanceQueries {
         col("effective_from"), col("effective_to"), col("is_current"))
   }
 
-  val scd2HistorySql: String = SparkEntry.P + """
+  /** The SCD2 derivation as a reusable CTE chain (shared by the v3
+    * history dump and the v4 point-in-time join oracle).
+    */
+  private val Scd2Cte: String = """
     , snap AS (
       SELECT symbol, trade_date, price AS close FROM silver
       QUALIFY ROW_NUMBER() OVER (PARTITION BY symbol, trade_date
@@ -113,14 +116,70 @@ object MaintenanceQueries {
     ), grouped AS (
       SELECT symbol, close, run, MIN(trade_date) AS run_start
       FROM runs GROUP BY symbol, close, run
+    ), scd2 AS (
+      SELECT symbol, close,
+             CAST(ROW_NUMBER() OVER w AS INT) AS version,
+             run_start AS effective_from,
+             LEAD(run_start, 1) OVER w - 1 AS effective_to,
+             LEAD(run_start, 1) OVER w IS NULL AS is_current
+      FROM grouped
+      WINDOW w AS (PARTITION BY symbol ORDER BY run_start)
+    )"""
+
+  val scd2HistorySql: String = SparkEntry.P + Scd2Cte + """
+    SELECT symbol, close, version, effective_from, effective_to, is_current
+    FROM scd2"""
+
+  /** V4 — point-in-time enrichment: each trade joined to the close
+    * version that was current ENTERING its day (as-of trade_date − 1)
+    * — the backtest-safe temporal join; first-day trades get nulls.
+    */
+  def pitJoin(s: SparkSession, dir: String): DataFrame = {
+    val facts = SparkEntry.silverDf(s, dir)
+      .select(col("event_id"), col("symbol"), col("trade_date"), col("price"))
+      .withColumn("as_of", date_sub(col("trade_date"), 1))
+    Incremental.pitJoin(facts, scd2History(s, dir), key = "symbol",
+        asOfCol = "as_of", dimPayload = Seq("close", "version"))
+      .select(col("event_id"), col("symbol"), col("trade_date"), col("price"),
+        col("close").as("prior_close"), col("version").as("prior_version"))
+  }
+
+  val pitJoinSql: String = SparkEntry.P + Scd2Cte + """
+    SELECT f.event_id, f.symbol, f.trade_date, f.price,
+           d.close AS prior_close, d.version AS prior_version
+    FROM silver f LEFT JOIN scd2 d
+      ON f.symbol = d.symbol
+     AND f.trade_date - 1 >= d.effective_from
+     AND (d.effective_to IS NULL OR f.trade_date - 1 <= d.effective_to)"""
+
+  /** G1 — regular-grid gap fill: one row per (symbol, hour) between
+    * each symbol's first and last 1h bar, close forward-filled across
+    * hours with no trades — the charting/feature op bars-only storage
+    * cannot answer.
+    */
+  def gapFill(s: SparkSession, dir: String): DataFrame = {
+    val bars = Ohlcv.bars1h(SparkEntry.silverDf(s, dir))
+      .select(col("symbol"), unix_millis(col("window_start")).as("ts_ms"),
+        col("close"))
+    Resample.gapFillForward(bars, keyCol = "symbol", timeMsCol = "ts_ms",
+      valueCol = "close", stepMs = 3600000L)
+  }
+
+  val gapFillSql: String = SparkEntry.P + """
+    , grid AS (
+      SELECT symbol, UNNEST(generate_series(lo, hi, 3600000)) AS ts_ms
+      FROM (SELECT symbol, MIN(ws_ms) AS lo, MAX(ws_ms) AS hi
+            FROM gold_1h GROUP BY symbol)
+    ), joined AS (
+      SELECT g.symbol, g.ts_ms, b.close,
+             COUNT(b.close) OVER (PARTITION BY g.symbol ORDER BY g.ts_ms) AS grp
+      FROM grid g LEFT JOIN gold_1h b
+        ON g.symbol = b.symbol AND g.ts_ms = b.ws_ms
     )
-    SELECT symbol, close,
-           CAST(ROW_NUMBER() OVER w AS INT) AS version,
-           run_start AS effective_from,
-           LEAD(run_start, 1) OVER w - 1 AS effective_to,
-           LEAD(run_start, 1) OVER w IS NULL AS is_current
-    FROM grouped
-    WINDOW w AS (PARTITION BY symbol ORDER BY run_start)"""
+    SELECT symbol, ts_ms, close,
+           MAX(close) OVER (PARTITION BY symbol, grp) AS close_filled,
+           close IS NULL AS is_gap
+    FROM joined"""
 
   /** Z1 — Z-order layout clustering: 16-bit quantized (price, minute)
     * interleaved through the native `morton` expression, rows bucketed
@@ -177,11 +236,15 @@ object MaintenanceQueries {
     "v1_incremental_ohlcv" -> (incrementalOhlcv _),
     "v2_merge_upsert" -> (mergeUpsert _),
     "v3_scd2_history" -> (scd2History _),
+    "v4_pit_join" -> (pitJoin _),
+    "g1_gap_fill" -> (gapFill _),
     "z1_zorder_cluster" -> (zorderCluster _))
 
   val oracles: Map[String, String] = Map(
     "v1_incremental_ohlcv" -> incrementalOhlcvSql,
     "v2_merge_upsert" -> mergeUpsertSql,
     "v3_scd2_history" -> scd2HistorySql,
+    "v4_pit_join" -> pitJoinSql,
+    "g1_gap_fill" -> gapFillSql,
     "z1_zorder_cluster" -> zorderClusterSql)
 }

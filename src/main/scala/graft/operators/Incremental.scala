@@ -135,6 +135,38 @@ object Incremental {
             .as("src"): _*)
   }
 
+  /** Point-in-time (as-of-date) enrichment of a fact stream against an
+    * SCD2 dimension ([[scd2]] output shape: key, value, effective_from,
+    * effective_to nullable-open, …): each fact row picks the version
+    * whose validity interval contains `asOfCol` — the join that makes
+    * temporal dimensions usable, and the one a naive equi-join cannot
+    * express (backtests silently read TODAY's attributes into
+    * yesterday's facts without it).
+    *
+    * Left join: facts before the key's first version survive with null
+    * dimension columns (day one has no yesterday).
+    *
+    * Scale shape: an SCD2 dimension is O(keys × versions) — orders of
+    * magnitude smaller than the fact stream — so the dimension side is
+    * broadcast and the range predicate evaluates map-side next to the
+    * scan: no shuffle of facts at all. (A dimension too big to
+    * broadcast wants the AsOfJoin union trick on effective_from
+    * instead; at that point it is not a dimension.)
+    */
+  def pitJoin(facts: DataFrame, dim: DataFrame, key: String,
+      asOfCol: String, dimPayload: Seq[String]): DataFrame = {
+    val f = facts.as("f")
+    val d = dim.as("d")
+    f.join(broadcast(d),
+        col(s"f.$key") === col(s"d.$key") &&
+          col(s"f.$asOfCol") >= col("d.effective_from") &&
+          (col("d.effective_to").isNull ||
+            col(s"f.$asOfCol") <= col("d.effective_to")),
+        "left")
+      .select(facts.columns.map(c => col(s"f.$c")) ++
+        dimPayload.map(c => col(s"d.$c")): _*)
+  }
+
   /** SCD type-2 history of a per-key daily attribute: one row per
     * (key, change), with effective_from/effective_to date bounds, a
     * dense version number, and an is_current flag. The warehouse

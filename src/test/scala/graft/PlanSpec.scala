@@ -228,4 +228,31 @@ class PlanSpec extends SparkSpecBase {
     // literal (the filter still references the aggregate columns).
     assert(p.contains("c_acctbal"))
   }
+
+  test("incremental bar merge: both levels hash-aggregate with map-side partials") {
+    val p = plan("v1_incremental_ohlcv")
+    // Two partial aggregations (base/delta slices) + the O(bars)
+    // merge must all stay HashAggregate with partial min_by_ord2 —
+    // a SortAggregate fallback would mean the carries grew a
+    // non-primitive buffer.
+    assert(p.contains("HashAggregate") && !p.contains("SortAggregate"),
+      "partial-bar merge fell back to SortAggregate")
+    assert(p.contains("partial_min_by_ord2"), "lost map-side partial aggregation")
+  }
+
+  test("merge upsert is one full-outer join on the key — no window re-sort") {
+    val p = plan("v2_merge_upsert")
+    assert(p.contains("FullOuter"), "MERGE semantics lost the full-outer join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("z-order key is a native codegen'd projection — no UDF, no extra shuffle") {
+    val p = plan("z1_zorder_cluster")
+    assert(p.contains("morton"), "morton expression missing from the plan")
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+      "layout key fell off the codegen path")
+    // quantize+interleave+cell is scan-side: exactly the one
+    // aggregation exchange, nothing before it.
+    assert(p.contains("HashAggregate"))
+  }
 }
