@@ -6,7 +6,7 @@ import org.apache.spark.sql.streaming.Trigger
 
 import graft.operators.{Medallion, Ohlcv}
 import graft.sources.Tables
-import graft.streaming.{Sinks, TradeStreams}
+import graft.streaming.{IncrementalGoldStream, Sinks, TradeStreams}
 
 /** Streaming application entry — the Scala analog of the reference
   * consumer CLI (src/consumer/main.py:115-153): layer toggles, trigger
@@ -14,7 +14,7 @@ import graft.streaming.{Sinks, TradeStreams}
   *
   * Usage:
   *   graft.App --source kafka --brokers host:9092 --topic trades_raw \
-  *     --layers bronze,silver,gold5m,gold1h,indicators,deadletter \
+  *     --layers bronze,silver,gold5m,gold5m_mor,gold1h,indicators,deadletter \
   *     --out /data/market \
   *     --checkpoint /data/ckp --trigger "10 seconds" --watermark "10 minutes" \
   *     --offsets latest
@@ -180,7 +180,7 @@ object App {
       // BAR consumer, not a silver consumer — it streams the
       // finalized-bar directory, one chain level further down.
       val cascade = cfg.layers("gold5m_final") && cfg.layers("gold1h")
-      val silverConsumers = Seq("gold5m", "gold5m_final", "gold1h", "indicators")
+      val silverConsumers = Seq("gold5m", "gold5m_final", "gold5m_mor", "gold1h", "indicators")
         .filter(cfg.layers).filterNot(l => cascade && l == "gold1h")
       if (boundedDrain) {
         // Same offset-snapshot hazard one level down: a draining
@@ -360,6 +360,22 @@ object App {
         trigger = trigger, queryName = name))
     }
     if (cfg.layers("gold5m")) goldSink("gold5m", "5 minutes")
+    // Merge-on-read 5m gold: the STATELESS alternative to the
+    // watermarked aggregate above. Each micro-batch reduces to partial
+    // bars upserted by (symbol, window, batch_id); finished bars
+    // materialize at read time via IncrementalGoldStream.read. No
+    // watermark ⇒ a backfill batch of any age lands correctly (it
+    // adds one partial to an old window) where the gold5m aggregate
+    // would drop it. Serving reads pay the merge until `compact` folds
+    // partials — the deployment picks per store: watermarked upsert
+    // for hot serving, merge-on-read for backfill-heavy history.
+    if (cfg.layers("gold5m_mor")) {
+      val silverIn = cleanUpstream("gold5m_mor")
+        .withColumn("event_id", col("timestamp"))
+      mgr.start("gold5m_mor", IncrementalGoldStream.writer(silverIn,
+        s"${cfg.out}/gold5m_mor", s"${cfg.checkpoint}/gold5m_mor",
+        duration = "5 minutes", trigger = trigger))
+    }
     // Finalized-bar variant of the 5m grain: append output mode, so a
     // bar is emitted exactly once — when the watermark closes its
     // window — through the exactly-once file sink (immutable files +

@@ -72,6 +72,39 @@ class AppSpec extends SparkSpecBase {
     }
   }
 
+  test("gold5m_mor layer: merge-on-read store equals the watermarked gold aggregate") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_app_mor").toString
+    val mem = MemoryStream[String]
+    val t0 = 1705312800000L
+    val cfg = App.Config(out = s"$dir/out", checkpoint = s"$dir/ckp",
+      layers = Set("silver", "gold5m", "gold5m_mor"), trigger = "0 seconds")
+    var mgr: graft.streaming.Sinks.SinkManager = null
+    try {
+      mgr = App.start(spark, mem.toDF(), cfg)
+      mem.addData(
+        s"""{"symbol":"AAPL","price":10.5,"volume":3,"timestamp":$t0,"conditions":[],"ingestion_time":$t0}""",
+        s"""{"symbol":"AAPL","price":11.5,"volume":2,"timestamp":${t0 + 60000},"conditions":[],"ingestion_time":$t0}""")
+      mgr.processAllAvailable()
+      // A second delivery touching the SAME window: the stateless
+      // store merges a new partial where the stateful aggregate
+      // updates its window state — the two layers must still agree.
+      mem.addData(
+        s"""{"symbol":"AAPL","price":12.0,"volume":1,"timestamp":${t0 + 120000},"conditions":[],"ingestion_time":$t0}""")
+      mgr.processAllAvailable()
+      val stateful = spark.read.parquet(s"$dir/out/gold5m")
+        .select("symbol", "window_start", "open", "high", "low", "close",
+          "volume", "trade_count", "vwap_e6")
+        .collect().map(_.toSeq).toSet
+      val mor = graft.streaming.IncrementalGoldStream.read(spark, s"$dir/out/gold5m_mor")
+        .select("symbol", "window_start", "open", "high", "low", "close",
+          "volume", "trade_count", "vwap_e6")
+        .collect().map(_.toSeq).toSet
+      assert(mor == stateful)
+      assert(mor.head.contains(10.5) && mor.head.contains(12.0)) // open/close span deliveries
+    } finally if (mgr != null) mgr.stopAll()
+  }
+
   test("monitoring: metric rows flow to the _metrics layer and the SLO alert fires") {
     implicit val sqlCtx = spark.sqlContext
     val dir = Files.createTempDirectory("graft_app_metrics").toString
