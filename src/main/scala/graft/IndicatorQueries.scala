@@ -58,6 +58,11 @@ object IndicatorQueries {
     "b12_stochastic" -> ((s, dir) =>
       Indicators.stochastic(SparkEntry.silverDf(s, dir), n = 14)),
 
+    // B13 — TWAP per symbol/day (time-weighted average price, exact
+    // integer interval weighting; VWAP's execution-benchmark sibling).
+    "b13_twap" -> ((s, dir) =>
+      Indicators.twap(SparkEntry.silverDf(s, dir))),
+
     // B5 — end-of-day EMA-14 per symbol, the recursion running
     // continuously from sequence start (streaming/IndicatorStream's
     // batch adapter — the one indicator a row-frame window cannot
@@ -101,6 +106,25 @@ object IndicatorQueries {
   )"""
 
   def oracleSql: Map[String, String] = Map(
+    // B13: TWAP — integer millis weights (event_time unique per symbol
+    // after silver dedup), price_e4·duration summed as HUGEINT, one
+    // truncating integral division (`//` = Spark `div`).
+    "b13_twap" -> (SparkEntry.P + """
+      , wt AS (
+        SELECT symbol, trade_date,
+               CAST(CAST(price AS DECIMAL(18,4)) * 10000 AS BIGINT) AS px,
+               COALESCE(
+                 LEAD(epoch_ms(event_time)) OVER (PARTITION BY symbol, trade_date
+                                                  ORDER BY event_time),
+                 epoch_ms(CAST(trade_date AS TIMESTAMP)) + 86400000
+               ) - epoch_ms(event_time) AS dur_ms
+        FROM silver
+      )
+      SELECT symbol, trade_date, COUNT(*) AS n_trades,
+             CAST(SUM(dur_ms) AS BIGINT) AS span_ms,
+             CAST(SUM(px * dur_ms) * 100 // SUM(dur_ms) AS BIGINT) AS twap_e6
+      FROM wt GROUP BY symbol, trade_date"""),
+
     // B10: integer-only signed cumulative volume; the window ordering
     // (symbol, trade_date) is total after the daily aggregate.
     "b10_obv" -> (SparkEntry.P + s""", $dailyb, sv AS (

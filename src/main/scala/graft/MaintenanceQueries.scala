@@ -75,9 +75,9 @@ object MaintenanceQueries {
       QUALIFY ROW_NUMBER() OVER (PARTITION BY symbol ORDER BY event_time DESC, event_id DESC) = 1
     )
     SELECT COALESCE(d.symbol, b.symbol) AS symbol,
-           COALESCE(d.price, b.price) AS last_price,
-           COALESCE(d.volume, b.volume) AS last_volume,
-           COALESCE(d.ms, b.ms) AS last_trade_time_ms,
+           CASE WHEN d.symbol IS NOT NULL THEN d.price  ELSE b.price  END AS last_price,
+           CASE WHEN d.symbol IS NOT NULL THEN d.volume ELSE b.volume END AS last_volume,
+           CASE WHEN d.symbol IS NOT NULL THEN d.ms     ELSE b.ms     END AS last_trade_time_ms,
            CASE WHEN d.symbol IS NOT NULL THEN 'delta' ELSE 'base' END AS src
     FROM b FULL OUTER JOIN d ON b.symbol = d.symbol"""
 
@@ -181,6 +181,52 @@ object MaintenanceQueries {
            close IS NULL AS is_gap
     FROM joined"""
 
+  /** V5 — snapshot-diff CDC extraction: week-over-week per-user
+    * activity snapshots diffed into a changelog (insert = user became
+    * active, delete = went quiet, update = activity changed). Output
+    * is O(churned users), never O(users) — the property that lets a
+    * downstream replicate the snapshot by shipping diffs.
+    */
+  def snapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    def weekSnap(lo: String, hi: String): DataFrame =
+      graft.sources.Tables.eventsNorm(s, dir)
+        .filter(col("event_time") >= lit(lo).cast("timestamp") &&
+          col("event_time") < lit(hi).cast("timestamp"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          // Exact decimal sum -> one cast: order-independent double.
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+    Incremental.snapshotDiff(
+      weekSnap("2024-01-08", "2024-01-15"),
+      weekSnap("2024-01-15", "2024-01-22"),
+      key = "user_id")
+  }
+
+  val snapshotDiffSql: String = """
+    WITH b AS (
+      SELECT user_id, COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-15'
+      GROUP BY user_id
+    ), d AS (
+      SELECT user_id, COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-15' AND ts < TIMESTAMP '2024-01-22'
+      GROUP BY user_id
+    )
+    SELECT COALESCE(d.user_id, b.user_id) AS user_id,
+           CASE WHEN b.user_id IS NULL THEN 'insert'
+                WHEN d.user_id IS NULL THEN 'delete'
+                ELSE 'update' END AS op,
+           CASE WHEN d.user_id IS NULL THEN b.n_events ELSE d.n_events END AS n_events,
+           CASE WHEN d.user_id IS NULL THEN b.sum_value ELSE d.sum_value END AS sum_value
+    FROM b FULL OUTER JOIN d ON b.user_id = d.user_id
+    WHERE b.user_id IS NULL OR d.user_id IS NULL
+       OR b.n_events IS DISTINCT FROM d.n_events
+       OR b.sum_value IS DISTINCT FROM d.sum_value"""
+
   /** Z1 — Z-order layout clustering: 16-bit quantized (price, minute)
     * interleaved through the native `morton` expression, rows bucketed
     * by Z-range into 256 layout cells, per-cell min/max rectangles
@@ -237,6 +283,7 @@ object MaintenanceQueries {
     "v2_merge_upsert" -> (mergeUpsert _),
     "v3_scd2_history" -> (scd2History _),
     "v4_pit_join" -> (pitJoin _),
+    "v5_snapshot_diff" -> (snapshotDiff _),
     "g1_gap_fill" -> (gapFill _),
     "z1_zorder_cluster" -> (zorderCluster _))
 
@@ -245,6 +292,7 @@ object MaintenanceQueries {
     "v2_merge_upsert" -> mergeUpsertSql,
     "v3_scd2_history" -> scd2HistorySql,
     "v4_pit_join" -> pitJoinSql,
+    "v5_snapshot_diff" -> snapshotDiffSql,
     "g1_gap_fill" -> gapFillSql,
     "z1_zorder_cluster" -> zorderClusterSql)
 }

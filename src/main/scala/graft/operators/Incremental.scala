@@ -130,9 +130,53 @@ object Incremental {
     b.join(d, col(s"b.$key") === col(s"d.$key"), "full_outer")
       .select(
         coalesce(col(s"d.$key"), col(s"b.$key")).as(key) +:
-          payload.map(c => coalesce(col(s"d.$c"), col(s"b.$c")).as(c)) :+
+          // Side by MATCH, not coalesce per column: MERGE semantics
+          // take the whole matched delta row, so a delta column that
+          // is legitimately NULL must ship that NULL, not resurrect
+          // the base value (caught by the snapshotDiff round-trip).
+          payload.map(c => when(col(s"d.$key").isNotNull, col(s"d.$c"))
+            .otherwise(col(s"b.$c")).as(c)) :+
           when(col(s"d.$key").isNotNull, lit("delta")).otherwise(lit("base"))
             .as("src"): _*)
+  }
+
+  /** Snapshot diff — CDC extraction: compare two keyed snapshots of
+    * the same schema and emit the changelog that turns `base` into
+    * `delta`: one row per key with op ∈ {insert, update, delete},
+    * payload from the surviving side (delta for insert/update, base
+    * for delete). Unchanged keys are dropped — the changelog is
+    * O(churn), not O(snapshot), which is the whole point: downstream
+    * consumers replicate a 100 TB table by shipping diffs.
+    *
+    * The inverse of [[mergeUpsert]] (applying the emitted changelog to
+    * `base` reproduces `delta` exactly — spec-pinned). Same plan
+    * shape: one full-outer join on the key; update detection is a
+    * null-safe column comparison, so NULL→value and value→NULL edits
+    * are real updates, not false "unchanged".
+    */
+  def snapshotDiff(base: DataFrame, delta: DataFrame, key: String): DataFrame = {
+    require(delta.columns.sameElements(base.columns),
+      s"snapshotDiff: base/delta schema mismatch " +
+        s"(${base.columns.mkString(",")} vs ${delta.columns.mkString(",")})")
+    val payload = base.columns.filterNot(_ == key)
+    val b = base.as("b")
+    val d = delta.as("d")
+    val changed = payload.map(c => !(col(s"b.$c") <=> col(s"d.$c")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    b.join(d, col(s"b.$key") === col(s"d.$key"), "full_outer")
+      .withColumn("op",
+        when(col(s"b.$key").isNull, lit("insert"))
+          .when(col(s"d.$key").isNull, lit("delete"))
+          .when(changed, lit("update")))
+      .filter(col("op").isNotNull)
+      .select(
+        coalesce(col(s"d.$key"), col(s"b.$key")).as(key) +:
+          col("op") +:
+          // Side by OP, not coalesce per column: an update that sets a
+          // column to NULL must ship that NULL, not resurrect the base
+          // value.
+          payload.map(c => when(col("op") === "delete", col(s"b.$c"))
+            .otherwise(col(s"d.$c")).as(c)): _*)
   }
 
   /** Point-in-time (as-of-date) enrichment of a fact stream against an

@@ -461,6 +461,42 @@ object Indicators {
         col("pct_k"), col("pct_d"))
   }
 
+  /** B13 — TWAP (time-weighted average price) per symbol/day: each
+    * trade's price weighted by the interval it was the live price —
+    * until the next trade, or day end for the last one. VWAP's sibling
+    * (execution benchmarking weights by TIME, not volume; a single
+    * giant print moves VWAP but barely moves TWAP).
+    *
+    * Exactness: weights are integer millis (silver's dedup makes
+    * event_time unique per symbol, so lead() is total-order
+    * deterministic) and the price·duration numerator accumulates in
+    * decimal(38,0) — price_e4 × day_ms alone is ~8.6e17 per row, so a
+    * long Σ could overflow within one heavy day. `twap_e6 = ⌊num·100 /
+    * span⌋` is one exact integral division; span = day_end − first
+    * trade (the pre-open gap carries no price to weight).
+    */
+  def twap(silver: DataFrame): DataFrame = {
+    val w = bySymbolTime
+    val dayEndMs = unix_millis(col("trade_date").cast("timestamp")) + 86400000L
+    silver
+      .withColumn("px", ticksE4(col("price")))
+      .withColumn("ts_ms", unix_millis(col("event_time")))
+      // lead is within (symbol, day): partition by both, else the
+      // last trade of a day would weight into the NEXT day's first.
+      .withColumn("next_ms",
+        lead(col("ts_ms"), 1).over(Window.partitionBy(col("symbol"), col("trade_date"))
+          .orderBy(col("event_time"))))
+      .withColumn("dur_ms", coalesce(col("next_ms"), dayEndMs) - col("ts_ms"))
+      .groupBy(col("symbol"), col("trade_date"))
+      .agg(count(lit(1)).as("n_trades"),
+        sum(col("px").cast("decimal(38,0)") * col("dur_ms")).as("num"),
+        sum(col("dur_ms")).as("span_ms"))
+      .select(col("symbol"), col("trade_date"), col("n_trades"), col("span_ms"),
+        // integral divide (`div` = DuckDB `//`), NOT `/`: decimal
+        // division rounds at result scale before any cast could floor.
+        expr("(num * 100) div span_ms").as("twap_e6"))
+  }
+
   def spikeCounts(silver: DataFrame, n: Int = 20, z: Int = 3): DataFrame = {
     val w = bySymbolTime.rowsBetween(-(n - 1), Window.currentRow)
     silver

@@ -59,6 +59,30 @@ class IncrementalSpec extends SparkSpecBase {
     }
   }
 
+  test("snapshotDiff emits O(churn); applying the changelog reproduces delta") {
+    val base = Seq(("a", 1.0), ("b", 2.0), ("c", 3.0), ("e", 5.0)).toDF("k", "v")
+    val delta = Seq(("a", 1.0), ("b", 9.0), ("d", 4.0),
+      ("e", Double.NaN)).toDF("k", "v")
+      .select(col("k"), when(col("k") === "e", lit(null)).otherwise(col("v")).as("v"))
+    val diff = Incremental.snapshotDiff(base, delta, "k").collect()
+      .map(r => (r.getString(0), r.getString(1), Option(r.get(2)))).sortBy(_._1)
+    // a unchanged -> absent; e's value->NULL must surface as an update
+    // CARRYING the null (not resurrect 5.0).
+    assert(diff.toSeq == Seq(
+      ("b", "update", Some(9.0)), ("c", "delete", Some(3.0)),
+      ("d", "insert", Some(4.0)), ("e", "update", None)))
+
+    // Round trip: upsert the non-delete changelog rows into base, then
+    // anti-join out the deleted keys == delta.
+    val cl = Incremental.snapshotDiff(base, delta, "k")
+    val applied = Incremental.mergeUpsert(base,
+        cl.filter(col("op") =!= "delete").drop("op"), "k")
+      .drop("src")
+      .join(cl.filter(col("op") === "delete").select("k"), Seq("k"), "left_anti")
+    assert(applied.collect().map(r => (r.getString(0), Option(r.get(1)))).sortBy(_._1).toSeq ==
+      delta.collect().map(r => (r.getString(0), Option(r.get(1)))).sortBy(_._1).toSeq)
+  }
+
   test("scd2 collapses equal-value runs and bounds validity intervals") {
     val snaps = Seq(
       // k1: 5.0 for two days, 6.0 for one, back to 5.0 — the re-visit

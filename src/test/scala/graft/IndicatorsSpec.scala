@@ -301,4 +301,25 @@ class IndicatorsSpec extends SparkSpecBase {
       }
     }
   }
+
+  test("TWAP weights each price by its live interval; last trade carries to day end") {
+    // Day start 10:00: price 10 lives 30 min, price 20 lives until
+    // midnight (13.5 h). span = 14 h. Hand value:
+    //   num = 100000*1800000 + 200000*48600000 e4·ms
+    //   twap_e6 = num*100 / 50400000 = 19642857 (floored)
+    val t0 = 1705312800000L // 2024-01-15 10:00:00 UTC
+    val rows = Seq(
+      (1L, "AAPL", 10.0, 1L, new java.sql.Timestamp(t0), java.sql.Date.valueOf("2024-01-15")),
+      (2L, "AAPL", 20.0, 1L, new java.sql.Timestamp(t0 + 1800000L), java.sql.Date.valueOf("2024-01-15")))
+      .toDF("event_id", "symbol", "price", "volume", "event_time", "trade_date")
+    val out = Indicators.twap(rows).collect().head
+    assert(out.getAs[Long]("n_trades") === 2L)
+    assert(out.getAs[Long]("span_ms") === 50400000L)
+    val expect = (BigInt(100000L) * 1800000L + BigInt(200000L) * 48600000L) * 100 / 50400000L
+    assert(out.getAs[Long]("twap_e6") === expect.toLong)
+    // A volume-heavy print does not dominate: TWAP weighs TIME only —
+    // same result with volume 1 or 1e6 on either row (by construction:
+    // volume never enters the formula; asserted by schema absence).
+    assert(!Indicators.twap(rows).columns.contains("volume"))
+  }
 }
