@@ -74,8 +74,15 @@ object StreamBench {
     }
 
     Files.createDirectories(java.nio.file.Paths.get(s"$work/in"))
+    // SPARK_GRAFT_STREAM_MOR=1 adds the merge-on-read gold layer to
+    // the topology, so the run prices BOTH gold paths (stateful
+    // upsert + stateless partial-bar store) side by side. Off by
+    // default to keep the headline comparable across rounds.
+    val withMor = sys.env.get("SPARK_GRAFT_STREAM_MOR").exists(_ == "1")
     val cfg = App.Config(out = s"$work/out", checkpoint = s"$work/ckp",
-      layers = Set("bronze", "silver", "gold5m"), trigger = "0 seconds")
+      layers = Set("bronze", "silver", "gold5m") ++
+        (if (withMor) Set("gold5m_mor") else Set.empty),
+      trigger = "0 seconds")
     val raw = spark.readStream
       .schema("value STRING").parquet(s"$work/in")
     val mgr = App.start(spark, raw, cfg)
@@ -97,7 +104,18 @@ object StreamBench {
     val goldN = spark.read.parquet(s"$work/out/gold5m").count()
     val secs = waveSecs.sum
     val wavesJson = waveSecs.map(s => f"$s%.3f").mkString("[", ",", "]")
-    println(f"""{"metric":"stream_catchup","value":$secs%.3f,"unit":"sec","rows":$n,"rows_per_sec":${n / secs}%.0f,"waves":$wavesJson,"silver_rows":$silverN,"gold_bars":$goldN}""")
+    // Merge-on-read extras: partial-row count (the read amplification
+    // the store carries before compaction), merged bar count (must
+    // equal the stateful layer's), and the merge-at-read wall.
+    val morJson = if (withMor) {
+      val partials = spark.read.parquet(s"$work/out/gold5m_mor").count()
+      val t0 = System.nanoTime()
+      val morBars = graft.streaming.IncrementalGoldStream
+        .read(spark, s"$work/out/gold5m_mor").count()
+      val readSec = (System.nanoTime() - t0) / 1e9
+      f""","mor_partials":$partials,"mor_bars":$morBars,"mor_read_sec":$readSec%.3f"""
+    } else ""
+    println(f"""{"metric":"stream_catchup","value":$secs%.3f,"unit":"sec","rows":$n,"rows_per_sec":${n / secs}%.0f,"waves":$wavesJson,"silver_rows":$silverN,"gold_bars":$goldN$morJson}""")
     spark.stop()
   }
 }
