@@ -54,6 +54,19 @@ class ServingStoreSpec extends SparkSpecBase {
     }
   }
 
+  test("aggregation on the bucket key needs no exchange either") {
+    ServingStore.writeBucketed(
+      Tables.lineitem(spark, Sf).select("l_orderkey", "l_quantity"),
+      "li_bucketed_agg", Seq("l_orderkey"), 8)
+    try {
+      val agg = spark.table("li_bucketed_agg")
+        .groupBy(col("l_orderkey")).agg(sum(col("l_quantity")).as("qty"))
+      agg.collect()
+      assert(!agg.queryExecution.executedPlan.toString.contains("Exchange"),
+        "aggregation on the bucket key re-shuffled")
+    } finally spark.sql("DROP TABLE IF EXISTS li_bucketed_agg")
+  }
+
   test("JSONL document ingest round-trips the corpus; corrupt lines degrade per mode") {
     val docs = graft.sources.Tables.documents(spark, Sf)
     val dir = Files.createTempDirectory("graft_jsonl").toString + "/docs"
