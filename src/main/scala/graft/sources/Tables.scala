@@ -76,10 +76,20 @@ object Tables {
     * compat, register_schemas.py:122).
     *
     * Accepts any of the physical encodings a producer might hand us:
-    *   - LongType           — epoch NANOS (legacy TIMESTAMP(NANOS)
-    *                          surfaced via nanosAsLong). `div` is
-    *                          integer long division — going through
-    *                          double would lose precision above 2^53 ns.
+    *   - LongType           — a raw epoch integer. The UNIT is probed
+    *                          from one non-null value: plausible event
+    *                          epochs (1973–2100) occupy disjoint
+    *                          magnitude bands ~250× apart per unit
+    *                          (s ~1e8–4e9, ms ~1e11–4e12, µs ~1e14–
+    *                          4e15, ns ~1e17–4e18), so seconds/millis/
+    *                          micros/nanos are unambiguous — the
+    *                          round-8 drift class (nanos → micros)
+    *                          would otherwise be read 1000× off
+    *                          SILENTLY, the one failure mode worse
+    *                          than the analysis error it replaced.
+    *                          `div` is integer long division — going
+    *                          through double would lose precision
+    *                          above 2^53 ns.
     *   - TimestampNTZType   — parquet timestamp[us] isAdjustedToUTC=false
     *                          (the current testdata). Sessions run UTC,
     *                          so the cast to TIMESTAMP is wall-clock
@@ -96,7 +106,13 @@ object Tables {
   def normalizeEventTime(df: DataFrame, tsCol: String = "ts"): DataFrame = {
     val normalized = df.schema(tsCol).dataType match {
       case LongType =>
-        df.withColumn("ts_us", expr(s"$tsCol div 1000"))
+        val toUs = probeEpochUnit(df, tsCol) match {
+          case "s"  => col(tsCol) * 1000000L
+          case "ms" => col(tsCol) * 1000L
+          case "us" => col(tsCol)
+          case "ns" => expr(s"$tsCol div 1000")
+        }
+        df.withColumn("ts_us", toUs)
           .withColumn("event_time", timestamp_micros(col("ts_us")))
       case TimestampType | TimestampNTZType =>
         df.withColumn("event_time", col(tsCol).cast(TimestampType))
@@ -111,6 +127,30 @@ object Tables {
     // withColumn chains append in different orders).
     val passthrough = df.columns.filterNot(_ == tsCol).map(col)
     normalized.select(passthrough :+ col("event_time") :+ col("ts_us"): _*)
+  }
+
+  /** Infer the unit of a raw int64 epoch column from ONE non-null,
+    * positive value — `limit(1)` touches a single row group, a
+    * metadata-scale probe even on a 100 TB table, and every row of a
+    * sanely-produced table carries the same unit. Thresholds sit at
+    * the geometric gaps between the unit bands (which are ~250× wide
+    * for 1973–2100 epochs), so any in-band value classifies
+    * identically no matter which row the probe reads. An empty (or
+    * all-null/zero) slice defaults to nanos — the legacy encoding —
+    * which is vacuously correct on no rows.
+    */
+  private def probeEpochUnit(df: DataFrame, tsCol: String): String = {
+    val sample = df.select(col(tsCol))
+      .where(col(tsCol).isNotNull && col(tsCol) > 0L)
+      .limit(1).collect()
+    if (sample.isEmpty) "ns"
+    else {
+      val v = sample.head.getLong(0)
+      if (v < 100000000000L) "s" // < 1e11
+      else if (v < 100000000000000L) "ms" // < 1e14
+      else if (v < 100000000000000000L) "us" // < 1e17
+      else "ns"
+    }
   }
 
   /** The events table with normalized time columns (see

@@ -96,6 +96,34 @@ class SchemaDriftSpec extends SparkSpecBase {
     assert(ExtendedQueries.retentionCohorts(spark, dirs._1).count() > 0)
   }
 
+  test("raw int64 ts in MICROS or SECONDS normalizes by magnitude, not by assumption") {
+    // The next drift class after round 8: the generator switches the
+    // int64 unit. Nanos-assumed arithmetic would read a micros column
+    // 1000x off SILENTLY — magnitude probing must classify each band.
+    val root = Files.createTempDirectory("graft_drift_units").toString
+    base.select(col("event_id"), col("ts_us_src").as("ts"), col("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .write.parquet(s"$root/us/events.parquet")
+    assert(collectSorted(Tables.eventsNorm(spark, s"$root/us")) ===
+      collectSorted(Tables.eventsNorm(spark, dirs._2)))
+
+    // Seconds-encoded fixture: compare against an NTZ fixture built
+    // from the SAME second-truncated instants (sub-second precision is
+    // gone from the source data itself, not lost by the reader).
+    val secs = base.select(col("event_id"),
+      expr("ts_us_src div 1000000").as("ts_s"), col("user_id"),
+      col("event_type"), col("value"), col("props"))
+    secs.select(col("event_id"), col("ts_s").as("ts"), col("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .write.parquet(s"$root/s/events.parquet")
+    secs.select(col("event_id"),
+        timestamp_seconds(col("ts_s")).cast(TimestampNTZType).as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .write.parquet(s"$root/s_ntz/events.parquet")
+    assert(collectSorted(Tables.eventsNorm(spark, s"$root/s")) ===
+      collectSorted(Tables.eventsNorm(spark, s"$root/s_ntz")))
+  }
+
   test("an unsupported ts encoding fails fast with a readable message") {
     val bad = base.select(col("event_id"), col("ts_us_src").cast("string").as("ts"))
     val e = intercept[IllegalArgumentException] {
