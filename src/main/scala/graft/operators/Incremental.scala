@@ -134,8 +134,8 @@ object Incremental {
           // take the whole matched delta row, so a delta column that
           // is legitimately NULL must ship that NULL, not resurrect
           // the base value (caught by the snapshotDiff round-trip).
-          payload.map(c => when(col(s"d.$key").isNotNull, col(s"d.$c"))
-            .otherwise(col(s"b.$c")).as(c)) :+
+          payload.toIndexedSeq.map(c => when(col(s"d.$key").isNotNull,
+            col(s"d.$c")).otherwise(col(s"b.$c")).as(c)) :+
           when(col(s"d.$key").isNotNull, lit("delta")).otherwise(lit("base"))
             .as("src"): _*)
   }
@@ -175,8 +175,8 @@ object Incremental {
           // Side by OP, not coalesce per column: an update that sets a
           // column to NULL must ship that NULL, not resurrect the base
           // value.
-          payload.map(c => when(col("op") === "delete", col(s"b.$c"))
-            .otherwise(col(s"d.$c")).as(c)): _*)
+          payload.toIndexedSeq.map(c => when(col("op") === "delete",
+            col(s"b.$c")).otherwise(col(s"d.$c")).as(c)): _*)
   }
 
   /** Point-in-time (as-of-date) enrichment of a fact stream against an
@@ -207,7 +207,7 @@ object Incremental {
           (col("d.effective_to").isNull ||
             col(s"f.$asOfCol") <= col("d.effective_to")),
         "left")
-      .select(facts.columns.map(c => col(s"f.$c")) ++
+      .select(facts.columns.toIndexedSeq.map(c => col(s"f.$c")) ++
         dimPayload.map(c => col(s"d.$c")): _*)
   }
 

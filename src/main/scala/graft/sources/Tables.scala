@@ -125,7 +125,7 @@ object Tables {
     }
     // Canonical column order regardless of which branch ran (the two
     // withColumn chains append in different orders).
-    val passthrough = df.columns.filterNot(_ == tsCol).map(col)
+    val passthrough = df.columns.toIndexedSeq.filterNot(_ == tsCol).map(col)
     normalized.select(passthrough :+ col("event_time") :+ col("ts_us"): _*)
   }
 
