@@ -63,6 +63,15 @@ object IndicatorQueries {
     "b13_twap" -> ((s, dir) =>
       Indicators.twap(SparkEntry.silverDf(s, dir))),
 
+    // B14 — realized volatility per symbol/day from 5m close log
+    // returns (exact e6-quantized returns, long sum of squares).
+    "b14_realized_vol" -> ((s, dir) =>
+      Indicators.realizedVol(SparkEntry.silverDf(s, dir))),
+
+    // B15 — Parkinson + Garman-Klass range volatility from daily OHLC.
+    "b15_range_vol" -> ((s, dir) =>
+      Indicators.rangeVol(SparkEntry.silverDf(s, dir))),
+
     // B5 — end-of-day EMA-14 per symbol, the recursion running
     // continuously from sequence start (streaming/IndicatorStream's
     // batch adapter — the one indicator a row-frame window cannot
@@ -416,6 +425,75 @@ object IndicatorQueries {
                      / CAST(CAST(var_h AS VARCHAR) AS DOUBLE)
            END AS beta
     FROM m2"""),
+
+    // B14: 5m closes as deterministic last-by-(time,id) tick longs;
+    // each return = ONE ln() of a correctly-rounded quotient of exact
+    // doubles, floored to e6 BEFORE the (exact BIGINT) sum of squares.
+    // sqrt input goes HUGEINT→BIGINT→DOUBLE (the b8 posture: the
+    // direct HUGEINT→DOUBLE cast double-rounds).
+    "b14_realized_vol" -> (SparkEntry.P + """, cl AS (
+      SELECT symbol, trade_date, ws_ms,
+             MAX(CASE WHEN rn = 1 THEN px END) AS close
+      FROM (SELECT symbol, trade_date,
+                   epoch_ms(event_time) - epoch_ms(event_time) % 300000 AS ws_ms,
+                   CAST(CAST(price AS DECIMAL(18,4)) * 10000 AS BIGINT) AS px,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY symbol, trade_date,
+                       epoch_ms(event_time) - epoch_ms(event_time) % 300000
+                     ORDER BY event_time DESC, event_id DESC) AS rn
+            FROM silver)
+      GROUP BY symbol, trade_date, ws_ms
+    ), r AS (
+      SELECT symbol, trade_date,
+             CASE WHEN prev_close IS NOT NULL THEN
+               CAST(floor(ln(CAST(close AS DOUBLE) / CAST(prev_close AS DOUBLE))
+                          * 1000000.0) AS BIGINT)
+             END AS r_e6
+      FROM (SELECT *, LAG(close) OVER (PARTITION BY symbol, trade_date
+                                       ORDER BY ws_ms) AS prev_close
+            FROM cl)
+    )
+    SELECT symbol, trade_date,
+           COUNT(*) AS n_bars,
+           COUNT(r_e6) AS n_returns,
+           CAST(SUM(r_e6 * r_e6) AS BIGINT) AS rv_e12,
+           CASE WHEN SUM(r_e6 * r_e6) IS NOT NULL THEN
+             CAST(floor(sqrt(CAST(CAST(SUM(r_e6 * r_e6) AS BIGINT) AS DOUBLE))) AS BIGINT)
+           END AS day_vol_e6
+    FROM r GROUP BY symbol, trade_date"""),
+
+    // B15: daily OHLC as tick longs (open/close deterministic by the
+    // two row_number orderings); the Parkinson / Garman-Klass constants
+    // are decimal literals byte-identical to the Spark side, so both
+    // engines parse the same double and the IEEE trees match op-for-op.
+    "b15_range_vol" -> (SparkEntry.P + s""", $ind, dly AS (
+      SELECT symbol, trade_date,
+             MAX(CASE WHEN rn_a = 1 THEN px END) AS open,
+             MAX(px) AS high, MIN(px) AS low,
+             MAX(CASE WHEN rn_d = 1 THEN px END) AS close
+      FROM (SELECT symbol, trade_date, px,
+                   ROW_NUMBER() OVER (PARTITION BY symbol, trade_date
+                                      ORDER BY event_time ASC, event_id ASC) AS rn_a,
+                   ROW_NUMBER() OVER (PARTITION BY symbol, trade_date
+                                      ORDER BY event_time DESC, event_id DESC) AS rn_d
+            FROM ind)
+      GROUP BY symbol, trade_date
+    )
+    SELECT symbol, trade_date, open, high, low, close,
+           CAST(floor(ln(CAST(high AS DOUBLE) / CAST(low AS DOUBLE))
+                      * 1000000000.0) AS BIGINT) AS lhl_e9,
+           CAST(floor(ln(CAST(close AS DOUBLE) / CAST(open AS DOUBLE))
+                      * 1000000000.0) AS BIGINT) AS lco_e9,
+           CAST(floor(ln(CAST(high AS DOUBLE) / CAST(low AS DOUBLE))
+                      * ln(CAST(high AS DOUBLE) / CAST(low AS DOUBLE))
+                      * 0.36067376022224085 * 1000000000.0) AS BIGINT) AS park_e9,
+           CAST(floor((0.5 * (ln(CAST(high AS DOUBLE) / CAST(low AS DOUBLE))
+                              * ln(CAST(high AS DOUBLE) / CAST(low AS DOUBLE)))
+                       - 0.3862943611198906
+                         * (ln(CAST(close AS DOUBLE) / CAST(open AS DOUBLE))
+                            * ln(CAST(close AS DOUBLE) / CAST(open AS DOUBLE))))
+                      * 1000000000.0) AS BIGINT) AS gk_e9
+    FROM dly"""),
 
     // The EMA recursion as a literal left fold over the per-symbol
     // price sequence: acc' = α·x + (1−α)·acc with α = 2/15 — the same

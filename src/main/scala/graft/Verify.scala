@@ -70,9 +70,16 @@ object Verify {
     // parquet is deleted so exactly that query fails the driver's
     // compare; the rest of the round is unaffected.
     val maxSec = sys.env.getOrElse("SPARK_GRAFT_VERIFY_MAX_SEC", "60").toDouble
+    // Dev-only subset filter (comma-separated name prefixes): iterate
+    // on one query without paying the full 120+-query sweep. The
+    // driver never sets this — its runs always cover everything.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    def selected(name: String): Boolean =
+      only.forall(_.exists(name.startsWith))
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val breaches = scala.collection.mutable.ArrayBuffer[String]()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries.filter(kv => selected(kv._1)).foreach { case (name, fn) =>
       try {
         val t0 = System.nanoTime()
         val df = fn(spark, sfDir)
@@ -121,7 +128,7 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    val json = SparkEntry.oracleSql.filter(kv => selected(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

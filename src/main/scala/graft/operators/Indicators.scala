@@ -497,6 +497,97 @@ object Indicators {
         expr("(num * 100) div span_ms").as("twap_e6"))
   }
 
+  /** B14 — realized volatility per symbol/day from 5-minute close
+    * log returns: rv = Σ r², r = ln(close_t / close_{t−1}) over the
+    * day's consecutive 5m bars (the standard realized-variance
+    * estimator; Andersen & Bollerslev 1998). The reference's gold
+    * layer stops at the bars — this is the canonical risk query run
+    * on top of them.
+    *
+    * Exactness: 5m closes are exact e4 tick longs (deterministic
+    * last-trade-by-(time,id)); each return is ONE ln() of a
+    * correctly-rounded quotient of two exact doubles (ticks < 2⁵³),
+    * floor-quantized to e6 BEFORE the sum — so rv_e12 is an exact
+    * long Σ of (r_e6)² products, order-independent at any
+    * parallelism (|r_e6| ≤ ln(1e14)·1e6 ≈ 3.2e7, squared 1e15, ×288
+    * bars/day ≈ 3e17 < 2⁶³). day_vol_e6 = ⌊√rv⌋ is one IEEE sqrt of
+    * an exactly-cast long — bit-identical across engines.
+    *
+    * Scale: one hash aggregate trades→5m closes (O(bars) output),
+    * then a per-(symbol,day) lag + hash aggregate over O(bars) rows.
+    * The shuffle key is the symbol — nothing global, nothing
+    * quadratic; the trades scan dominates, exactly like a1.
+    */
+  def realizedVol(silver: DataFrame): DataFrame = {
+    val wsMs = unix_millis(col("event_time")) - unix_millis(col("event_time")) % 300000L
+    val closes = silver
+      .withColumn("px", ticksE4(col("price")))
+      .withColumn("ws_ms", wsMs)
+      .groupBy(col("symbol"), col("trade_date"), col("ws_ms"))
+      .agg(graft.functions.OrderedExtremum.maxByOrd2(col("px"),
+        unix_micros(col("event_time")), col("event_id")).as("close"))
+    val byDay = Window.partitionBy(col("symbol"), col("trade_date")).orderBy(col("ws_ms"))
+    closes
+      .withColumn("prev_close", lag(col("close"), 1).over(byDay))
+      .withColumn("r_e6",
+        when(col("prev_close").isNotNull,
+          floor(log(col("close").cast("double") / col("prev_close").cast("double"))
+            * lit(1000000.0)).cast("long")))
+      .groupBy(col("symbol"), col("trade_date"))
+      .agg(
+        count(lit(1)).as("n_bars"),
+        count(col("r_e6")).as("n_returns"),
+        sum(col("r_e6") * col("r_e6")).as("rv_e12"))
+      .withColumn("day_vol_e6",
+        when(col("rv_e12").isNotNull,
+          floor(sqrt(col("rv_e12").cast("double"))).cast("long")))
+  }
+
+  /** B15 — range-based volatility estimators per symbol/day from the
+    * daily OHLC bar: Parkinson (1980) `lhl²/(4·ln2)` and
+    * Garman–Klass (1980) `0.5·lhl² − (2·ln2 − 1)·lco²`, with
+    * lhl = ln(High/Low), lco = ln(Close/Open). Range estimators are
+    * 5–7× more efficient than close-to-close variance per bar — the
+    * estimator of choice when only bars (not ticks) survive
+    * retention, i.e. exactly the reference's gold store.
+    *
+    * Exactness: OHLC are exact e4 tick longs from one hash aggregate
+    * (open/close deterministic by (time, id)); each estimator is a
+    * fixed IEEE expression tree over two ln() values — the constants
+    * 1/(4ln2) and (2ln2−1) are written as decimal LITERALS mirrored
+    * byte-for-byte in the oracle so both engines parse the identical
+    * double — floor-quantized to e9 at the end. H ≥ L > 0 always
+    * (same aggregate), so no domain guards are needed.
+    *
+    * Scale: one trades→daily-bars hash aggregate (O(symbols·days)
+    * rows), then per-row scalar math. Shuffle key = (symbol, date).
+    */
+  def rangeVol(silver: DataFrame): DataFrame = {
+    val ordTs = unix_micros(col("event_time"))
+    val daily = silver
+      .withColumn("px", ticksE4(col("price")))
+      .groupBy(col("symbol"), col("trade_date"))
+      .agg(
+        graft.functions.OrderedExtremum.minByOrd2(col("px"), ordTs, col("event_id")).as("open"),
+        max(col("px")).as("high"),
+        min(col("px")).as("low"),
+        graft.functions.OrderedExtremum.maxByOrd2(col("px"), ordTs, col("event_id")).as("close"))
+    val lhl = log(col("high").cast("double") / col("low").cast("double"))
+    val lco = log(col("close").cast("double") / col("open").cast("double"))
+    daily
+      .withColumn("lhl_e9", floor(lhl * lit(1.0e9)).cast("long"))
+      .withColumn("lco_e9", floor(lco * lit(1.0e9)).cast("long"))
+      // 1/(4·ln2) and (2·ln2 − 1) as literal doubles (see Scaladoc).
+      .withColumn("park_e9",
+        floor(lhl * lhl * lit(0.36067376022224085) * lit(1.0e9)).cast("long"))
+      .withColumn("gk_e9",
+        floor((lit(0.5) * (lhl * lhl) - lit(0.3862943611198906) * (lco * lco))
+          * lit(1.0e9)).cast("long"))
+      .select(col("symbol"), col("trade_date"), col("open"), col("high"),
+        col("low"), col("close"), col("lhl_e9"), col("lco_e9"),
+        col("park_e9"), col("gk_e9"))
+  }
+
   def spikeCounts(silver: DataFrame, n: Int = 20, z: Int = 3): DataFrame = {
     val w = bySymbolTime.rowsBetween(-(n - 1), Window.currentRow)
     silver

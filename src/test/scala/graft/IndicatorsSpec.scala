@@ -291,7 +291,8 @@ class IndicatorsSpec extends SparkSpecBase {
     Seq(Indicators.smaBollinger(silver), Indicators.rsi(silver),
       Indicators.topMovers(silver), Indicators.spikeCounts(silver),
       Indicators.drawdown(silver), Indicators.obv(silver),
-      Indicators.atr(silver), Indicators.stochastic(silver)).foreach { df =>
+      Indicators.atr(silver), Indicators.stochastic(silver),
+      Indicators.realizedVol(silver), Indicators.rangeVol(silver)).foreach { df =>
       val plan = df.queryExecution.executedPlan.toString
       // Every Window operator must carry a partition spec: a global
       // window would serialize the whole feed through one task.
@@ -321,5 +322,55 @@ class IndicatorsSpec extends SparkSpecBase {
     // same result with volume 1 or 1e6 on either row (by construction:
     // volume never enters the formula; asserted by schema absence).
     assert(!Indicators.twap(rows).columns.contains("volume"))
+  }
+
+  test("realized vol sums squared e6 log returns of 5m closes within the day") {
+    // Minutes 0..9 → two 5m bars; closes = prices at minutes 4 and 9.
+    // One return ln(110/100): r_e6 = ⌊ln(1.1)·1e6⌋ = 95310,
+    // rv_e12 = 95310² = 9083996100, day_vol_e6 = ⌊√rv⌋ = 95310.
+    val prices = Seq(100.0, 101.0, 102.0, 103.0, 100.0,
+                     105.0, 106.0, 107.0, 108.0, 110.0)
+    val out = Indicators.realizedVol(feed(prices)).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_bars") === 2L)
+    assert(r.getAs[Long]("n_returns") === 1L)
+    assert(r.getAs[Long]("rv_e12") === 9083996100L)
+    assert(r.getAs[Long]("day_vol_e6") === 95310L)
+  }
+
+  test("realized vol: single-bar day has zero returns and NULL rv") {
+    val out = Indicators.realizedVol(feed(Seq(100.0, 101.0))).collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[Long]("n_returns") === 0L)
+    assert(out.head.isNullAt(out.head.fieldIndex("rv_e12")))
+    assert(out.head.isNullAt(out.head.fieldIndex("day_vol_e6")))
+  }
+
+  test("range vol: Parkinson/Garman-Klass from the daily OHLC, hand-computed") {
+    // O=100, H=120, L=90, C=105 (ticks 1e6, 1.2e6, 9e5, 1.05e6):
+    //   lhl = ln(4/3)  → lhl_e9 = 287682072
+    //   lco = ln(1.05) → lco_e9 = 48790164
+    //   park_e9 = ⌊lhl²·(1/(4ln2))·1e9⌋ = 29849711
+    //   gk_e9   = ⌊(0.5·lhl² − (2ln2−1)·lco²)·1e9⌋ = 40460921
+    val out = Indicators.rangeVol(feed(Seq(100.0, 120.0, 90.0, 105.0))).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Long]("open") === 1000000L)
+    assert(r.getAs[Long]("high") === 1200000L)
+    assert(r.getAs[Long]("low") === 900000L)
+    assert(r.getAs[Long]("close") === 1050000L)
+    assert(r.getAs[Long]("lhl_e9") === 287682072L)
+    assert(r.getAs[Long]("lco_e9") === 48790164L)
+    assert(r.getAs[Long]("park_e9") === 29849711L)
+    assert(r.getAs[Long]("gk_e9") === 40460921L)
+  }
+
+  test("range vol: flat day (one trade) gives zero estimators") {
+    val out = Indicators.rangeVol(feed(Seq(42.0))).collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[Long]("lhl_e9") === 0L)
+    assert(out.head.getAs[Long]("park_e9") === 0L)
+    assert(out.head.getAs[Long]("gk_e9") === 0L)
   }
 }
