@@ -629,7 +629,60 @@ object ExtendedQueries {
     )
     SELECT symbol, session, COUNT(*) AS n FROM cls GROUP BY symbol, session"""
 
+  /** X35 — per-column data census of the documents + normalized
+    * events tables ([[graft.operators.Profile]]): one single-pass
+    * aggregation per table (multi-column exact distincts via one
+    * Expand), unioned into one frame — q12's catalog health refined
+    * to column granularity.
+    */
+  def columnProfile(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.profile(Tables.documents(s, dir), "documents")
+      .unionByName(graft.operators.Profile.profile(Tables.eventsNorm(s, dir), "events"))
+
+  /** One oracle branch per profiled column (nNum = numeric extremum
+    * expression template, nStr = string branch).
+    */
+  private def profBranch(tbl: String, src: String, colName: String,
+                         kind: String): String = {
+    val (nd, minN, maxN, minS, maxS) = kind match {
+      case "str" => (s"COUNT(DISTINCT md5($colName))",
+        "CAST(NULL AS BIGINT)", "CAST(NULL AS BIGINT)",
+        s"SUBSTR(MIN($colName), 1, 64)", s"SUBSTR(MAX($colName), 1, 64)")
+      case "int" => (s"COUNT(DISTINCT $colName)",
+        s"CAST(MIN($colName) AS BIGINT)", s"CAST(MAX($colName) AS BIGINT)",
+        "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)")
+      case "dbl" => (s"COUNT(DISTINCT $colName)",
+        s"CAST(floor(MIN($colName) * 1000000.0) AS BIGINT)",
+        s"CAST(floor(MAX($colName) * 1000000.0) AS BIGINT)",
+        "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)")
+      case "ts" => (s"COUNT(DISTINCT $colName)",
+        s"epoch_ms(MIN($colName))", s"epoch_ms(MAX($colName))",
+        "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)")
+    }
+    s"""SELECT '$tbl' AS tbl, '$colName' AS col_name, COUNT(*) AS n_rows,
+       COUNT($colName) AS n_nonnull, $nd AS n_distinct,
+       $minN AS min_num, $maxN AS max_num, $minS AS min_str, $maxS AS max_str
+    FROM $src"""
+  }
+
+  private val columnProfileSql: String = {
+    val docCols = Seq("doc_id" -> "int", "text" -> "str", "lang" -> "str",
+      "source" -> "str", "n_chars" -> "int")
+    val evCols = Seq("event_id" -> "int", "user_id" -> "int",
+      "event_type" -> "str", "value" -> "dbl", "props" -> "str",
+      "event_time" -> "ts", "ts_us" -> "int")
+    val branches =
+      docCols.map { case (c, k) => profBranch("documents", "documents", c, k) } ++
+        evCols.map { case (c, k) => profBranch("events", "en", c, k) }
+    """WITH en AS (
+      SELECT event_id, user_id, event_type, value, props,
+             CAST(ts AS TIMESTAMP) AS event_time, epoch_us(ts) AS ts_us
+      FROM events
+    ) """ + branches.mkString("\n    UNION ALL\n    ")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x35_profile" -> (columnProfile _),
     "x17_market_hours" -> (marketHoursSessions _),
     "h5_region_revenue" -> ((s: SparkSession, dir: String) => TpchQueries.regionRevenue(s, dir)),
     "h14_promo_revenue" -> ((s: SparkSession, dir: String) => TpchQueries.promoRevenue(s, dir)),
@@ -667,6 +720,7 @@ object ExtendedQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "x35_profile" -> columnProfileSql,
     "x17_market_hours" -> marketHoursSessionsSql,
     "h5_region_revenue" -> TpchQueries.regionRevenueSql,
     "h14_promo_revenue" -> TpchQueries.promoRevenueSql,
