@@ -235,7 +235,48 @@ object RetrievalQueries {
     FROM m LEFT JOIN dup d ON d.vid = m.id"""
   }
 
+  /** X34 — add-one-smoothed bigram-LM mean logprob per doc. */
+  def bigramLm(s: SparkSession, dir: String): DataFrame =
+    Retrieval.bigramLmScores(docs(s, dir))
+
+  /** Bigram pairs via 1-based list indexing over range(1, len) — the
+    * SQL twin of the slice+transform generator; logprob = one ln() of
+    * exact-integer-derived doubles, e6-floored before the exact sum;
+    * `//` truncates toward zero like Spark's `div` (negative sums).
+    */
+  val bigramLmSql: String = s"""
+    WITH d AS (SELECT doc_id, $toks AS toks FROM documents),
+    bgw AS (
+      SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, pr[1] AS w1, pr[2] AS w2
+      FROM (SELECT doc_id, toks,
+                   unnest(list_transform(range(1, len(toks)),
+                                         i -> [toks[i], toks[i+1]])) AS pr
+            FROM d)
+    ),
+    btf AS (
+      SELECT doc_id, dl, w1, w2, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM bgw GROUP BY doc_id, dl, w1, w2
+    ),
+    c12 AS (SELECT w1, w2, CAST(SUM(tf) AS BIGINT) AS c12 FROM btf GROUP BY w1, w2),
+    c1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM c12 GROUP BY w1),
+    v AS (SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS v
+          FROM (SELECT unnest(toks) AS t FROM d)),
+    lp AS (
+      SELECT w1, w2,
+             CAST(floor(ln(CAST(c12 + 1 AS DOUBLE) / CAST(c1.c1 + v.v AS DOUBLE))
+                        * 1000000.0) AS BIGINT) AS lp_e6
+      FROM c12 JOIN c1 USING (w1) CROSS JOIN v
+    ),
+    sc AS (
+      SELECT doc_id, dl, CAST(SUM(tf * lp_e6) AS BIGINT) AS lp_sum_e6
+      FROM btf JOIN lp USING (w1, w2) GROUP BY doc_id, dl
+    )
+    SELECT doc_id, dl - 1 AS n_bigrams, lp_sum_e6,
+           CAST(lp_sum_e6 // (dl - 1) AS BIGINT) AS avg_lp_e6
+    FROM sc"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x34_bigram_lm" -> (bigramLm _),
     "x26_tfidf_topk" -> (tfIdf _),
     "x27_bm25_search" -> (bm25 _),
     "x28_inverted_index" -> (invertedIndex _),
@@ -245,6 +286,7 @@ object RetrievalQueries {
     "d17_semantic_dedup" -> (semanticDedup _))
 
   val oracles: Map[String, String] = Map(
+    "x34_bigram_lm" -> bigramLmSql,
     "x26_tfidf_topk" -> tfIdfSql,
     "x27_bm25_search" -> bm25Sql,
     "x28_inverted_index" -> invertedIndexSql,

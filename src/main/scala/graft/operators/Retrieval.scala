@@ -195,6 +195,51 @@ object Retrieval {
           .otherwise(lit("tail")).as("bucket"))
   }
 
+  /** X34 — bigram-LM quality scoring: each doc's mean bigram logprob
+    * under an add-one-smoothed corpus bigram model,
+    * p(w₂|w₁) = (C(w₁w₂)+1)/(C(w₁·)+|V|) — the natural refinement of
+    * x31's unigram scorer (a KenLM-style n-gram filter's first
+    * nontrivial order: word order starts to matter, so shuffled or
+    * boilerplate-heavy text scores low even when its unigrams are
+    * typical).
+    *
+    * Exactness: per-bigram-type logprobs are ONE ln() of a
+    * correctly-rounded quotient of exact-integer-derived doubles,
+    * floor-quantized to e6 BEFORE the per-doc exact long Σ tf·lp; the
+    * mean uses truncating integer division (`div` ≡ DuckDB `//`).
+    *
+    * Scale: bigrams come from one generator expression (slice +
+    * transform — no self-join on position), then hash aggregates; the
+    * model table is O(bigram TYPES) ≪ corpus tokens, equi-joined back
+    * on (w₁,w₂) — a plain shuffle join keyed on the bigram (unlike
+    * x31's vocab table it is NOT forced broadcast; AQE may still
+    * choose to). |V| is one bounded driver scalar (the x31/KMeans
+    * posture).
+    */
+  def bigramLmScores(docs: DataFrame, idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    val t = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+    val bg = t
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        explode(expr("transform(slice(toks, 1, greatest(size(toks)-1, 0)), " +
+          "(w, i) -> struct(w AS w1, element_at(toks, i + 2) AS w2))")).as("pr"))
+      .select(col("doc_id"), col("dl"), col("pr.w1"), col("pr.w2"))
+    val btf = bg.groupBy(col("doc_id"), col("dl"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("tf"))
+    val c12 = btf.groupBy(col("w1"), col("w2")).agg(sum(col("tf")).as("c12"))
+    val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val v = t.select(explode(col("toks")).as("term"))
+      .agg(count_distinct(col("term"))).head().getLong(0)
+    val lp = c12.join(c1, "w1").withColumn("lp_e6",
+      floor(log((col("c12") + lit(1L)).cast("double") /
+          (col("c1") + lit(v)).cast("double")) * lit(1000000.0)).cast("long"))
+    btf.join(lp.select(col("w1"), col("w2"), col("lp_e6")), Seq("w1", "w2"))
+      .groupBy(col("doc_id"), col("dl"))
+      .agg(sum(col("tf") * col("lp_e6")).as("lp_sum_e6"))
+      .select(col("doc_id"), (col("dl") - 1L).as("n_bigrams"), col("lp_sum_e6"),
+        expr("lp_sum_e6 div (dl - 1)").as("avg_lp_e6"))
+  }
+
   /** Document-level PMI for co-occurring term pairs (a < b), counted
     * over DISTINCT terms per doc. pmi_e6 = floor(ln(n_ab·N / (n_a·n_b))
     * ·1e6). The per-doc self-join is bounded by per-doc distinct vocab

@@ -83,6 +83,33 @@ class RetrievalSpec extends SparkSpecBase {
     (6L until 9L).foreach(i => assert(out(i) === "tail", s"doc $i"))
   }
 
+  test("bigram LM: add-one smoothed logprobs, hand-computed") {
+    // Corpus: doc 0 "a b a b", doc 1 "a b".
+    //   C(a,b)=3  C(b,a)=1  C(a·)=3  C(b·)=1  |V|=2
+    //   lp(a,b) = ⌊ln(4/5)·1e6⌋ = −223144
+    //   lp(b,a) = ⌊ln(2/3)·1e6⌋ = −405466
+    // doc 0: Σ = 2·(−223144) + (−405466) = −851754, avg over 3 = −283918
+    // doc 1: Σ = avg = −223144
+    val docs = Seq((0L, "a b a b"), (1L, "a b")).toDF("doc_id", "text")
+    val out = Retrieval.bigramLmScores(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Long]("lp_sum_e6"),
+          r.getAs[Long]("avg_lp_e6"))).toMap
+    assert(out(0L) === ((3L, -851754L, -283918L)))
+    assert(out(1L) === ((1L, -223144L, -223144L)))
+  }
+
+  test("bigram LM drops single-token docs and is partition-invariant") {
+    val docs = Seq((0L, "a b a b"), (1L, "a b"), (2L, "lonely"))
+      .toDF("doc_id", "text")
+    def run(parts: Int) =
+      Retrieval.bigramLmScores(docs.repartition(parts)).collect()
+        .map(_.toSeq).sortBy(_.toString).toSeq
+    val r1 = run(1)
+    assert(r1.map(_.head) === Seq(0L, 1L)) // doc 2 has no bigrams
+    assert(r1 === run(7))
+  }
+
   test("tfidf/bm25 selection is invariant to partitioning") {
     def run(parts: Int) = {
       val d = corpus.repartition(parts)
