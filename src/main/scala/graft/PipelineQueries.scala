@@ -1198,10 +1198,53 @@ object PipelineQueries {
   GROUP BY ce.doc_id"""
 
   // ---------------------------------------------------------------
+  // T10 — BPE pair statistics (the first tokenizer-training step)
+  // ---------------------------------------------------------------
+
+  /** T10 — corpus-weighted adjacent-char-pair frequencies, the merge
+    * the BPE trainer would pick first, and each candidate's
+    * compression gain ([[graft.operators.Bpe.pairStats]]).
+    */
+  def bpePairStats(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Bpe.pairStats(docs(s, dir), topK = 10)
+
+  /** Pair occurrences count OVERLAPPING adjacencies (the BPE count);
+    * merge_savings counts NON-overlapping left-to-right applications
+    * via replace() — semantics both engines share.
+    */
+  private val bpePairStatsSql: String = s"""
+    WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+    wc AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS wc
+           FROM (SELECT unnest(toks) AS word FROM d) GROUP BY word),
+    pc AS (
+      SELECT pair, CAST(SUM(wc) AS BIGINT) AS cnt
+      FROM (SELECT wc, unnest(CASE WHEN length(word) < 2 THEN []::VARCHAR[]
+                   ELSE list_transform(range(1, length(word)),
+                                       i -> substr(word, i, 2)) END) AS pair
+            FROM wc)
+      GROUP BY pair
+    ),
+    topk AS (
+      SELECT pair, cnt,
+             CAST(row_number() OVER (ORDER BY cnt DESC, pair ASC) AS INT) AS rnk
+      FROM pc ORDER BY cnt DESC, pair ASC LIMIT 10
+    ),
+    sv AS (
+      SELECT t.pair,
+             CAST(SUM(((length(w.word) - length(replace(w.word, t.pair, ''))) // 2)
+                      * w.wc) AS BIGINT) AS merge_savings
+      FROM topk t CROSS JOIN wc w
+      GROUP BY t.pair
+    )
+    SELECT t.pair, t.cnt, t.rnk, t.rnk = 1 AS is_selected, s.merge_savings
+    FROM topk t JOIN sv s ON s.pair = t.pair"""
+
+  // ---------------------------------------------------------------
   // Wiring
   // ---------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t10_bpe_pairs" -> (bpePairStats _),
     "t1_text_stats" -> (textStats _),
     "t2_lang_id" -> (langIdConfusion _),
     "t3_fingerprints" -> (fingerprintStats _),
@@ -1241,6 +1284,7 @@ object PipelineQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "t10_bpe_pairs" -> bpePairStatsSql,
     "t1_text_stats" -> textStatsSql,
     "t2_lang_id" -> langIdSql,
     "t3_fingerprints" -> fingerprintSql,
