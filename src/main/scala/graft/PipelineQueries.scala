@@ -308,6 +308,33 @@ object PipelineQueries {
     Dedup.embeddingDupPairsLsh(origs.unionByName(copies), minCos = 0.9, dim = 64)
   }
 
+  /** D18 — semantic decontamination against a derived eval set:
+    * contaminated members = d6-style ±3%-perturbed copies of the
+    * vec_id % 17 == 0 slice (cos ≈ 0.9995 to their corpus original),
+    * clean members = REVERSED vectors of the % 17 == 5 slice
+    * (deterministic, near-orthogonal to everything). The DuckDB
+    * oracle scores the SAME eval set ALL-PAIRS against the corpus, so
+    * a hash match measures 100% recall for the cross-corpus LSH
+    * route — and that no clean eval member false-positives.
+    */
+  def semanticDecontamQ(s: SparkSession, dir: String): DataFrame = {
+    val all = embs(s, dir)
+    val corpus = all.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("embedding"))
+    val contaminated = all.filter(pmod(col("vec_id"), lit(17)) === 0)
+      .select(col("vec_id"),
+        transform(col("embedding"), (x, d) =>
+          x.cast("double") *
+            (lit(1.0) + (pmod(col("vec_id") + d, lit(7)) - 3).cast("double") / 100.0))
+          .as("embedding"))
+      .select((col("vec_id") + 2000000L).as("vec_id"), col("embedding"))
+    val clean = all.filter(pmod(col("vec_id"), lit(17)) === 5)
+      .select((col("vec_id") + 3000000L).as("vec_id"),
+        transform(reverse(col("embedding")), x => x.cast("double")).as("embedding"))
+    Dedup.semanticDecontam(corpus, contaminated.unionByName(clean),
+      minCos = 0.9, dim = 64)
+  }
+
   def knnBrute(s: SparkSession, dir: String): DataFrame = {
     val e = embs(s, dir)
     Similarity.bruteForceTopK(e.filter(col("vec_id") < 5), e, k = 5)
@@ -832,6 +859,30 @@ object PipelineQueries {
     WHERE a.vec_id < b.vec_id
       AND ROUND(${cosSql("a.embedding", "b.embedding")}, 6) >= 0.9"""
 
+  val semanticDecontamSql: String = s"""
+    WITH c AS (
+      SELECT vec_id AS cid,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+      FROM embeddings),
+    e AS (
+      SELECT vec_id + 2000000 AS eid,
+             list_transform(generate_series(1, len(embedding)), i ->
+               CAST(embedding[i] AS DOUBLE) *
+                 (1 + CAST(((vec_id + i - 1) % 7) - 3 AS DOUBLE) / 100.0)) AS ev
+      FROM embeddings WHERE vec_id % 17 = 0
+      UNION ALL
+      SELECT vec_id + 3000000 AS eid,
+             list_transform(generate_series(1, len(embedding)), i ->
+               CAST(embedding[len(embedding) - i + 1] AS DOUBLE)) AS ev
+      FROM embeddings WHERE vec_id % 17 = 5),
+    p AS (
+      SELECT cid, eid, ROUND(${cosSql("cv", "ev")}, 6) AS cos_sim
+      FROM c, e)
+    SELECT cid AS corpus_id, CAST(COUNT(*) AS BIGINT) AS n_matches,
+           MIN(eid) AS min_eval_id, MAX(cos_sim) AS max_cos
+    FROM p WHERE cos_sim >= 0.9
+    GROUP BY cid"""
+
   val knnBruteSql: String = s"""
     SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank FROM (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -1273,6 +1324,7 @@ object PipelineQueries {
     "x25_train_shards" -> (trainShards _),
     "d15_quality_dedup" -> (qualityDedup _),
     "d6_embedding_dups" -> (embeddingDups _),
+    "d18_semantic_decontam" -> (semanticDecontamQ _),
     "s1_knn_brute" -> (knnBrute _),
     "s4_filtered_knn" -> (filteredKnn _),
     "s2_knn_lsh" -> (knnLsh _),
@@ -1313,6 +1365,7 @@ object PipelineQueries {
     "x25_train_shards" -> trainShardsSql,
     "d15_quality_dedup" -> qualityDedupSql,
     "d6_embedding_dups" -> embeddingDupsSql,
+    "d18_semantic_decontam" -> semanticDecontamSql,
     "s1_knn_brute" -> knnBruteSql,
     "s4_filtered_knn" -> filteredKnnSql,
     "s2_knn_lsh" -> knnLshSql,

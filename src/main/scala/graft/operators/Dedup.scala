@@ -832,4 +832,46 @@ object Dedup {
         round(Similarity.cosine(col("va"), col("vb")), 6).as("cos_sim"))
       .filter(col("cos_sim") >= minCos)
   }
+
+  /** D18 — SEMANTIC benchmark decontamination: flag corpus documents
+    * whose embedding is near-identical (cosine ≥ minCos) to any eval-
+    * set embedding — the paraphrase-robust complement of the n-gram
+    * recipes (d8/d10/d13 catch verbatim overlap; a reworded eval
+    * question slips past all of them but not past its embedding).
+    *
+    * Shape at scale — the d6 sign-LSH route, made CROSS-corpus: the
+    * eval side is a benchmark suite (thousands of rows, ≪ corpus), so
+    * its LSH keys AND vectors broadcast; the corpus streams by in one
+    * pass per join, candidates are (corpus×eval) bucket collisions
+    * only, and the exact cosine verify touches candidates, never the
+    * corpus². Aggregation to per-corpus-doc verdicts uses only exact
+    * aggregates (count / min id / max of the 6-dp score) — no argmax
+    * tie-break to go nondeterministic on.
+    */
+  def semanticDecontam(corpus: DataFrame, evalSet: DataFrame, minCos: Double,
+                       dim: Int, planes: Int = 8, tables: Int = 12,
+                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("cid"), col(vecCol).as("cv"))
+    val e = evalSet.select(col(idCol).as("eid"), col(vecCol).as("ev"))
+    val ck = c.select(col("cid"),
+      posexplode(graft.functions.LshFunctions.signLshKeys(col("cv"), planes, tables, dim))
+        .as(Seq("tbl", "bkt")))
+    val ek = e.select(col("eid"),
+      posexplode(graft.functions.LshFunctions.signLshKeys(col("ev"), planes, tables, dim))
+        .as(Seq("tbl", "bkt")))
+    val cands = ck.join(broadcast(ek), Seq("tbl", "bkt"))
+      .select(col("cid"), col("eid")).distinct()
+    cands
+      .join(c, "cid")
+      .join(broadcast(e), "eid")
+      .select(col("cid"), col("eid"),
+        round(Similarity.cosine(col("cv"), col("ev")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= minCos)
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_matches"),
+        min(col("eid")).as("min_eval_id"),
+        max(col("cos_sim")).as("max_cos"))
+      .select(col("cid").as("corpus_id"), col("n_matches"),
+        col("min_eval_id"), col("max_cos"))
+  }
 }

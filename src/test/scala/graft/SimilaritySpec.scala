@@ -98,6 +98,38 @@ class SimilaritySpec extends SparkSpecBase {
     assert(lsh.size === 50) // exactly the planted (orig, copy) pairs
   }
 
+  test("semantic decontamination flags planted contamination, not clean eval members") {
+    import graft.operators.Dedup
+    val base = Tables.embeddings(spark, Sf).filter(col("vec_id") < 60)
+    val corpus = base.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("embedding"))
+    // Contaminated eval rows: perturbed twins of corpus ids 0..9;
+    // clean eval rows: reversed vectors of ids 30..39.
+    val contaminated = base.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 100L).as("vec_id"),
+        transform(col("embedding"), (x, d) =>
+          x.cast("double") * (lit(1.0) + (pmod(col("vec_id") + d, lit(7)) - 3).cast("double") / 100.0))
+          .as("embedding"))
+    val clean = base.filter(col("vec_id") >= 30 && col("vec_id") < 40)
+      .select((col("vec_id") + 200L).as("vec_id"),
+        transform(reverse(col("embedding")), x => x.cast("double")).as("embedding"))
+    val out = Dedup.semanticDecontam(corpus, contaminated.unionByName(clean),
+        minCos = 0.9, dim = 64).collect()
+      .map(r => r.getAs[Long]("corpus_id") ->
+        (r.getAs[Long]("n_matches"), r.getAs[Long]("min_eval_id"))).toMap
+    // Exactly the 10 contaminated corpus docs flagged, each by its twin.
+    assert(out.keySet === (0L until 10L).toSet)
+    (0L until 10L).foreach { id =>
+      assert(out(id) === ((1L, id + 100L)), s"corpus doc $id")
+    }
+    // Plan shape: eval side broadcast, candidate join is an equi-join.
+    val plan = Dedup.semanticDecontam(corpus, contaminated, minCos = 0.9, dim = 64)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "decontamination must never go all-pairs over the corpus")
+  }
+
   test("parameter guards reject degenerate LSH/MinHash configs") {
     val e = Tables.embeddings(spark, Sf)
     intercept[IllegalArgumentException] {
