@@ -693,6 +693,14 @@ object ExtendedQueries {
     "h18_big_orders" -> ((s: SparkSession, dir: String) => TpchQueries.bigOrders(s, dir)),
     "h4_priority_late" -> ((s: SparkSession, dir: String) => TpchQueries.priorityLateOrders(s, dir)),
     "h22_idle_rich" -> ((s: SparkSession, dir: String) => TpchQueries.idleRichCustomers(s, dir)),
+    "h6_forecast_revenue" -> ((s: SparkSession, dir: String) => TpchQueries.forecastRevenue(s, dir)),
+    "h7_volume_shipping" -> ((s: SparkSession, dir: String) => TpchQueries.volumeShipping(s, dir)),
+    "h8_market_share" -> ((s: SparkSession, dir: String) => TpchQueries.marketShare(s, dir)),
+    "h15_top_supplier" -> ((s: SparkSession, dir: String) => TpchQueries.topSupplier(s, dir)),
+    "h16_part_supplier_cnt" -> ((s: SparkSession, dir: String) => TpchQueries.partSupplierCounts(s, dir)),
+    "h17_small_qty_revenue" -> ((s: SparkSession, dir: String) => TpchQueries.smallQtyRevenue(s, dir)),
+    "h19_branded_revenue" -> ((s: SparkSession, dir: String) => TpchQueries.brandedRevenue(s, dir)),
+    "h20_excess_suppliers" -> ((s: SparkSession, dir: String) => TpchQueries.excessSuppliers(s, dir)),
     "x10_token_packing" -> (tokenPacking _),
     "x11_approx_distinct" -> (approxDistinct _),
     "x12_subquery_daily_high" -> (dailyHighTrades _),
@@ -731,6 +739,14 @@ object ExtendedQueries {
     "h18_big_orders" -> TpchQueries.bigOrdersSql,
     "h4_priority_late" -> TpchQueries.priorityLateOrdersSql,
     "h22_idle_rich" -> TpchQueries.idleRichCustomersSql,
+    "h6_forecast_revenue" -> TpchQueries.forecastRevenueSql,
+    "h7_volume_shipping" -> TpchQueries.volumeShippingSql,
+    "h8_market_share" -> TpchQueries.marketShareSql,
+    "h15_top_supplier" -> TpchQueries.topSupplierSql,
+    "h16_part_supplier_cnt" -> TpchQueries.partSupplierCountsSql,
+    "h17_small_qty_revenue" -> TpchQueries.smallQtyRevenueSql,
+    "h19_branded_revenue" -> TpchQueries.brandedRevenueSql,
+    "h20_excess_suppliers" -> TpchQueries.excessSuppliersSql,
     "x10_token_packing" -> tokenPackingSql,
     "x11_approx_distinct" -> approxDistinctSql,
     "x12_subquery_daily_high" -> dailyHighTradesSql,

@@ -434,4 +434,307 @@ object TpchQueries {
                       WHERE o.o_custkey = c.c_custkey
                         AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
     GROUP BY c_nationkey"""
+
+  /** TPC-H Q6 shape: forecast revenue change — the pure scan-and-
+    * reduce query. Every predicate (date range, discount band,
+    * quantity cap) pushes into the parquet scan; the aggregate is one
+    * exact DECIMAL sum reduced map-side to a single row. At 100 TB
+    * this reads only the 4 referenced columns of the pruned row
+    * groups and ships ~nothing.
+    */
+  def forecastRevenue(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+        dec("l_discount").between(lit("0.05").cast("decimal(18,2)"),
+          lit("0.07").cast("decimal(18,2)")) &&
+        col("l_quantity") < 24)
+      .agg(sum(dec("l_extendedprice") * dec("l_discount")).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  val forecastRevenueSql: String = """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND CAST(l_discount AS DECIMAL(18,2)) BETWEEN CAST('0.05' AS DECIMAL(18,2))
+                                                AND CAST('0.07' AS DECIMAL(18,2))
+      AND l_quantity < 24"""
+
+  /** TPC-H Q7 shape: volume shipping between two nations, both
+    * directions, by ship year. The big join is lineitem ⋈ orders on
+    * orderkey; supplier/customer attach their nations (broadcast
+    * dims), and the 2×2 nation-pair filter evaluates map-side before
+    * the final O(years·4)-group aggregate.
+    */
+  def volumeShipping(s: SparkSession, dir: String): DataFrame = {
+    val (na, nb) = ("NATION_3", "NATION_2")
+    val n1 = Tables.nation(s, dir)
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(s, dir)
+      .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1999-01-01").cast("timestamp"))
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+      .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+      .filter((col("supp_nation") === na && col("cust_nation") === nb) ||
+        (col("supp_nation") === nb && col("cust_nation") === na))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(sum(dec("l_extendedprice") * (lit(1) - dec("l_discount")))
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_lineitems"))
+  }
+
+  val volumeShippingSql: String = """
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS INT) AS l_year,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lineitems
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1999-01-01 00:00:00'
+      AND ((sn.n_name = 'NATION_3' AND cn.n_name = 'NATION_2')
+        OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_3'))
+    GROUP BY sn.n_name, cn.n_name, year(l_shipdate)"""
+
+  /** TPC-H Q8 shape: national market share — one nation's fraction of
+    * a region's yearly revenue for one part type. Both the numerator
+    * (conditional sum) and denominator accumulate as exact DECIMALs
+    * in ONE aggregate; the share is a single correctly-rounded double
+    * division at the end, so the ratio is bit-stable at any
+    * parallelism.
+    */
+  def marketShare(s: SparkSession, dir: String): DataFrame = {
+    val asia = Tables.region(s, dir).filter(col("r_name") === "ASIA")
+    val cnation = Tables.nation(s, dir)
+      .join(broadcast(asia), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("c_nk"))
+    val snation = Tables.nation(s, dir)
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir).filter(col("p_type") === "ECONOMY")),
+        col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1999-01-01").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(cnation), col("c_nationkey") === col("c_nk"))
+      .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(snation), col("s_nationkey") === col("s_nk"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(
+        sum(when(col("supp_nation") === "NATION_2",
+          dec("l_extendedprice") * (lit(1) - dec("l_discount")))
+          .otherwise(lit(0).cast("decimal(18,2)"))).as("nation_rev"),
+        sum(dec("l_extendedprice") * (lit(1) - dec("l_discount"))).as("total_rev"))
+      .select(col("o_year"),
+        col("nation_rev").cast("double").as("nation_revenue"),
+        col("total_rev").cast("double").as("total_revenue"),
+        (col("nation_rev").cast("double") / col("total_rev").cast("double"))
+          .as("mkt_share"))
+  }
+
+  val marketShareSql: String = """
+    WITH j AS (
+      SELECT year(o_orderdate) AS o_year, sn.n_name AS supp_nation,
+             CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(18,2))) AS vol
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation cn ON c_nationkey = cn.n_nationkey
+      JOIN region ON cn.n_regionkey = r_regionkey AND r_name = 'ASIA'
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation sn ON s_nationkey = sn.n_nationkey
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00')
+    SELECT CAST(o_year AS INT) AS o_year,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_2' THEN vol
+                         ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS nation_revenue,
+           CAST(SUM(vol) AS DOUBLE) AS total_revenue,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_2' THEN vol
+                         ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+             / CAST(SUM(vol) AS DOUBLE) AS mkt_share
+    FROM j GROUP BY o_year"""
+
+  /** TPC-H Q15 shape: top supplier(s) by quarterly revenue. The
+    * per-supplier aggregate is computed ONCE; its maximum is a 1-row
+    * in-plan aggregate broadcast back (the h5/h22 scalar posture), so
+    * suppliers at the max — ties included, per spec — survive without
+    * a second scan of lineitem and without any window.
+    */
+  def topSupplier(s: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(dec("l_extendedprice") * (lit(1) - dec("l_discount"))).as("total_rev"))
+    val top = rev.agg(max(col("total_rev")).as("__max_rev"))
+    rev.crossJoin(broadcast(top))
+      .filter(col("total_rev") === col("__max_rev"))
+      .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("total_rev").cast("double").as("total_revenue"))
+  }
+
+  val topSupplierSql: String = """
+    WITH rev AS (
+      SELECT l_suppkey, SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+    FROM rev JOIN supplier ON l_suppkey = s_suppkey
+    WHERE total_rev = (SELECT MAX(total_rev) FROM rev)"""
+
+  /** TPC-H Q16 shape: supplier diversity per part segment — how many
+    * DISTINCT suppliers serve each (brand, type, size) bucket,
+    * excluding one brand, a size set, and a "complaints" supplier
+    * list (the NOT IN, expressed as a broadcast LEFT ANTI join —
+    * negative-acctbal suppliers stand in for the spec's complaint
+    * scan). The supplier-part pairs come from lineitem (the synthetic
+    * schema has no partsupp); count-distinct is two-phase hash, never
+    * a global sort.
+    */
+  def partSupplierCounts(s: SparkSession, dir: String): DataFrame = {
+    val excluded = Tables.supplier(s, dir).filter(col("s_acctbal") < 0)
+      .select(col("s_suppkey").as("x_suppkey"))
+    val p = Tables.part(s, dir)
+      .filter(col("p_brand") =!= "Brand#1" &&
+        col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
+    Tables.lineitem(s, dir)
+      .select(col("l_partkey"), col("l_suppkey"))
+      .join(broadcast(excluded), col("l_suppkey") === col("x_suppkey"), "left_anti")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(count_distinct(col("l_suppkey")).as("supplier_cnt"))
+  }
+
+  val partSupplierCountsSql: String = """
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size"""
+
+  /** TPC-H Q17 shape: small-quantity-order revenue — the correlated
+    * per-part average decorrelated into one per-part aggregate joined
+    * back on partkey (exchange reuse: both the stats build and the
+    * probe hash on l_partkey). The `qty < 0.2·avg(qty)` test is
+    * cross-multiplied to `5·qty·cnt < sum_qty` — exact DECIMAL
+    * integers, no float average anywhere.
+    */
+  def smallQtyRevenue(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir)
+    val p = Tables.part(s, dir).filter(col("p_brand") === "Brand#1")
+    val stats = l.groupBy(col("l_partkey").as("st_partkey"))
+      .agg(sum(dec("l_quantity")).as("sum_qty"), count(lit(1)).as("cnt_qty"))
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(stats, col("l_partkey") === col("st_partkey"))
+      .filter(dec("l_quantity") * lit(5) * col("cnt_qty") < col("sum_qty"))
+      .agg(sum(dec("l_extendedprice")).cast("double").as("total_extprice"),
+        count(lit(1)).as("n_small"),
+        round(sum(dec("l_extendedprice")).cast("double") / 7.0, 6).as("avg_yearly"))
+  }
+
+  val smallQtyRevenueSql: String = """
+    WITH stats AS (
+      SELECT l_partkey AS st_partkey,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+             COUNT(*) AS cnt_qty
+      FROM lineitem GROUP BY l_partkey)
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_extprice,
+           COUNT(*) AS n_small,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 6) AS avg_yearly
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey AND p_brand = 'Brand#1'
+    JOIN stats ON l_partkey = st_partkey
+    WHERE CAST(l_quantity AS DECIMAL(18,2)) * 5 * cnt_qty < sum_qty"""
+
+  /** TPC-H Q19 shape: discounted revenue under a DISJUNCTION of
+    * (brand, size-band, quantity-band) branches — the classic
+    * OR-of-conjunctions predicate. It lives in the JOIN condition, so
+    * Catalyst extracts the common `l_partkey = p_partkey` equi-key
+    * (hash join, NOT a nested loop) and evaluates the residual OR
+    * per matched row; the part side is a broadcast dimension.
+    */
+  def brandedRevenue(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir)
+    val p = Tables.part(s, dir)
+    val branch1 = col("p_brand") === "Brand#1" &&
+      col("p_size").between(1, 15) && col("l_quantity").between(1, 11)
+    val branch2 = col("p_brand") === "Brand#2" &&
+      col("p_size").between(1, 25) && col("l_quantity").between(10, 20)
+    val branch3 = col("p_brand") === "Brand#3" &&
+      col("p_size").between(1, 35) && col("l_quantity").between(20, 30)
+    l.join(broadcast(p),
+        col("l_partkey") === col("p_partkey") && (branch1 || branch2 || branch3))
+      .agg(sum(dec("l_extendedprice") * (lit(1) - dec("l_discount")))
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  val brandedRevenueSql: String = """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)"""
+
+  /** TPC-H Q20 shape: suppliers with excess shipments of a part
+    * family — the nested-semi-join topology. Inner: per (supp, part)
+    * shipped quantity of ECONOMY parts in 1997 above a threshold;
+    * outer: suppliers SEMI-joined against that set (each supplier
+    * emitted once no matter how many qualifying parts), nation
+    * attached broadcast.
+    */
+  def excessSuppliers(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir).filter(col("p_type") === "ECONOMY")
+      .select(col("p_partkey"))
+    val shipped = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_suppkey"), col("l_partkey"))
+      .agg(sum(dec("l_quantity")).as("qty"))
+      .filter(col("qty") > 50)
+    Tables.supplier(s, dir)
+      .join(shipped, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .join(broadcast(Tables.nation(s, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"))
+  }
+
+  val excessSuppliersSql: String = """
+    SELECT s_suppkey, s_name, n_name
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE s_suppkey IN (
+      SELECT l_suppkey FROM lineitem
+      JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY l_suppkey, l_partkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 50)"""
 }

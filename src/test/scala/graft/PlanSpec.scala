@@ -246,6 +246,33 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("h19 disjunctive predicate stays a hash join — Catalyst extracts the equi-key") {
+    val p = plan("h19_branded_revenue")
+    assert(p.contains("BroadcastHashJoin"), "part dimension should broadcast-hash-join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "the OR-of-conjunctions must ride the l_partkey = p_partkey equi-key")
+  }
+
+  test("h20 nested semi-join emits each supplier once via LeftSemi, no DISTINCT stage") {
+    val p = plan("h20_excess_suppliers")
+    assert(p.contains("LeftSemi"), "supplier membership test lost the semi join")
+    assert(!p.toLowerCase.contains("sortaggregate"))
+  }
+
+  test("h16 NOT IN is a broadcast anti join; distinct suppliers two-phase hash") {
+    val p = plan("h16_part_supplier_cnt")
+    assert(p.contains("LeftAnti"), "complaints exclusion should plan LeftAnti")
+    assert(p.contains("partial_count(distinct"),
+      "count distinct lost map-side partial aggregation")
+  }
+
+  test("h15 max revenue is an in-plan scalar broadcast back — no second lineitem scan") {
+    val p = plan("h15_top_supplier")
+    val scans = p.split('\n').count(l => l.contains("Scan parquet") && l.contains("lineitem"))
+    assert(scans <= 2, s"expected the rev aggregate reused/rebuilt at most twice, got $scans scans")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"))
+  }
+
   test("z-order key is a native codegen'd projection — no UDF, no extra shuffle") {
     val p = plan("z1_zorder_cluster")
     assert(p.contains("morton"), "morton expression missing from the plan")
