@@ -363,6 +363,75 @@ object PipelineQueries {
       .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rank"))
   }
 
+  /** T11 — hashed-n-gram linear quality classifier over the full
+    * corpus (TextAnalysis.hashedNgramScore).
+    */
+  def qualityClassifier(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.hashedNgramScore(docs(s, dir))
+
+  /** C2 — a CCNet-style curation chain, end-to-end ORACLE-CHECKED
+    * (complementing Curation.curate, the richer spec-pinned
+    * composition): exact dedup (lowest id per normalized fingerprint)
+    * -> language ID filter (en) -> hashed-ngram quality scoring ->
+    * head/middle/tail bucketing -> per-bucket deterministic
+    * downsampling (keep-all / 50% / 10% by id-hash). The output is
+    * the training-set manifest. Every stage is a scan projection or a
+    * hash-keyed aggregation the optimizer pipelines — the whole chain
+    * is ONE pass over the corpus plus the dedup shuffle; at 100 TB
+    * nothing in it is quadratic or driver-bound.
+    */
+  def curationPipeline(s: SparkSession, dir: String): DataFrame =
+    curationPipelineOn(docs(s, dir))
+
+  def curationPipelineOn(d: DataFrame): DataFrame = {
+    val unique = Dedup.exactDedup(d)
+    val en = unique.filter(TextAnalysis.langId(col("text")) === "en")
+    val bucketed = TextAnalysis.hashedNgramScore(en)
+      .withColumn("bucket",
+        when(col("score_milli") > 5000, lit("head"))
+          .when(col("score_milli") >= -2500, lit("middle"))
+          .otherwise(lit("tail")))
+    val quota = when(col("bucket") === "head", lit(10000L))
+      .when(col("bucket") === "middle", lit(5000L))
+      .otherwise(lit(1000L))
+    bucketed.filter(Sampling.hashBucket(col("doc_id")) < quota)
+      .select(col("doc_id"), col("n_grams"), col("score_milli"), col("bucket"))
+  }
+
+  /** S5 — PQ-compressed ANN (ADC): candidates are encoded to m=8
+    * 4-bit codes (64× smaller than the float32 vectors), queries score
+    * against the codebook reconstruction. Approximation quality vs s1
+    * is pinned in SimilaritySpec; the oracle replays codebook
+    * training, encoding, reconstruction, and ranking in SQL.
+    */
+  def knnPq(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    Pq.pqTopK(e.filter(col("vec_id") < 5), e, k = 5, m = 8, kCode = 16)
+      .select(col("query_id"), col("neighbor_id"), col("approx_cos"), col("rank"))
+  }
+
+  /** S6 — hard-negative mining over a corpus with planted near-dup
+    * positives (the d6 orig+perturbed-copy derivation): each query's
+    * ~0.999-cosine twin must be EXCLUDED by the positive threshold,
+    * and the returned negatives are the hardest sub-threshold
+    * candidates.
+    */
+  def hardNegativesQ(s: SparkSession, dir: String): DataFrame = {
+    val base = embs(s, dir)
+    val origs = base.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("embedding"))
+    // Perturb BEFORE renaming the id (the d6 gotcha: in one select the
+    // lambda's col("vec_id") resolves to the shifted output alias).
+    val copies = base.select(col("vec_id"),
+      transform(col("embedding"), (x, d) =>
+        x.cast("double") * (lit(1.0) + (pmod(col("vec_id") + d, lit(7)) - 3).cast("double") / 100.0))
+        .as("embedding"))
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    val v = origs.unionByName(copies)
+    Similarity.hardNegatives(v.filter(col("vec_id") < 5), v, k = 5, posThr = 0.9)
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rank"))
+  }
+
   def knnLsh(s: SparkSession, dir: String): DataFrame = {
     val e = embs(s, dir)
     Similarity.lshTopK(e.filter(col("vec_id") < 5), e, k = 5, dim = 64, planes = 6, tables = 8)
@@ -1004,6 +1073,138 @@ object PipelineQueries {
       FROM scored)
     WHERE rank <= 5"""
 
+  /** C2 oracle: the whole curation chain in SQL — featSql's fp_md5 +
+    * lang_pred drive dedup and the language gate; the t11 scoring CTE
+    * re-runs on the survivors; the sampling predicate is the
+    * hashBucket formula inline.
+    */
+  val curationPipelineSql: String = {
+    val w = s"((((${polySql("t", 31, Pm)} % 4096) * 2654435761 + 12345) % $Pm) % 2001) - 1000"
+    featSql + s"""
+    , uniq AS (
+      SELECT f.doc_id, f.lang_pred FROM feat2 f
+      JOIN (SELECT fp_md5, MIN(doc_id) AS doc_id FROM feat2 GROUP BY fp_md5) k
+        ON f.doc_id = k.doc_id
+    ), en AS (
+      SELECT u.doc_id, d.text FROM uniq u JOIN documents d ON d.doc_id = u.doc_id
+      WHERE u.lang_pred = 'en'
+    ), tk AS (
+      SELECT doc_id, $toksSql AS toks FROM en
+    ), g AS (
+      SELECT doc_id,
+             list_concat(toks, list_transform(generate_series(1, len(toks) - 1),
+               i -> toks[i] || ' ' || toks[i + 1])) AS grams
+      FROM tk
+    ), sc AS (
+      SELECT doc_id,
+             CAST(len(grams) AS BIGINT) AS n_grams,
+             CAST(coalesce(list_sum(list_transform(grams, t -> $w)), 0) AS BIGINT) AS score_milli
+      FROM g
+    ), b AS (
+      SELECT *, CASE WHEN score_milli > 5000 THEN 'head'
+                     WHEN score_milli >= -2500 THEN 'middle'
+                     ELSE 'tail' END AS bucket
+      FROM sc
+    )
+    SELECT doc_id, n_grams, score_milli, bucket FROM b
+    WHERE (((doc_id % 1000000007) * 2654435761) % 1000000007 * 40503) % 1000000007 % 10000 <
+          CASE bucket WHEN 'head' THEN 10000 WHEN 'middle' THEN 5000 ELSE 1000 END"""
+  }
+
+  /** S6 oracle: same derived orig+copy corpus as embeddingDupsSql,
+    * positives (rounded cos >= 0.9, incl. each query's planted twin)
+    * excluded BEFORE ranking.
+    */
+  val hardNegativesSql: String = s"""
+    WITH base AS (SELECT vec_id, embedding FROM embeddings),
+    v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding FROM base
+      UNION ALL
+      SELECT vec_id + 1000000,
+             list_transform(generate_series(1, len(embedding)), i ->
+               CAST(embedding[i] AS DOUBLE) *
+                 (1 + CAST(((vec_id + i - 1) % 7) - 3 AS DOUBLE) / 100.0))
+      FROM base)
+    SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROUND(${cosSql("q.embedding", "c.embedding")}, 6) AS cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY q.vec_id
+               ORDER BY ROUND(${cosSql("q.embedding", "c.embedding")}, 6) DESC, c.vec_id) AS rank
+      FROM v q, v c
+      WHERE q.vec_id < 5 AND q.vec_id != c.vec_id
+        AND ROUND(${cosSql("q.embedding", "c.embedding")}, 6) < 0.9)
+    WHERE rank <= 5"""
+
+  /** T11 oracle: same tokenization (lowercase whitespace), same
+    * uni+bigram expansion, same PolyHash(31) % 4096 bucketing, same
+    * Knuth-mix milli-weights, same exact integer sum.
+    */
+  val qualityClassifierSql: String = {
+    val w = s"((((${polySql("t", 31, Pm)} % 4096) * 2654435761 + 12345) % $Pm) % 2001) - 1000"
+    s"""
+    WITH tk AS (
+      SELECT doc_id, $toksSql AS toks FROM documents
+    ), g AS (
+      SELECT doc_id,
+             list_concat(toks, list_transform(generate_series(1, len(toks) - 1),
+               i -> toks[i] || ' ' || toks[i + 1])) AS grams
+      FROM tk
+    ), sc AS (
+      SELECT doc_id,
+             CAST(len(grams) AS BIGINT) AS n_grams,
+             CAST(coalesce(list_sum(list_transform(grams, t -> $w)), 0) AS BIGINT) AS score_milli
+      FROM g
+    )
+    SELECT doc_id, n_grams, score_milli,
+           CASE WHEN score_milli > 0 THEN 'keep' ELSE 'drop' END AS label
+    FROM sc"""
+  }
+
+  /** S5 oracle: the PQ pipeline replayed in SQL. Same codebook sample
+    * (16 smallest (id-hash, id) vectors, indexed in id order), same
+    * per-subspace nearest-codeword assignment ((rounded left-fold L2²,
+    * codeword index) — ROW_NUMBER mirrors Spark's array_min struct
+    * ordering), same codeword-concatenation reconstruction, same
+    * (rounded cos desc, neighbor asc) ranking.
+    */
+  val knnPqSql: String = {
+    def l2sqSql(a: String, b: String): String = {
+      def sq(e: String) = s"($e) * ($e)"
+      val diff = s"CAST($a AS DOUBLE) - CAST($b AS DOUBLE)"
+      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(generate_series(1, 8), i -> ${sq(diff)})), (x, y) -> x + y)"
+    }
+    s"""
+    WITH sample AS (
+      SELECT embedding AS sv, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS ci
+      FROM (SELECT * FROM embeddings
+            ORDER BY (((vec_id % 1000000007) * 2654435761) % 1000000007 * 40503)
+                     % 1000000007 % 10000, vec_id
+            LIMIT 16)
+    ), assign AS (
+      SELECT e.vec_id, mm.m, s.ci, s.sv,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id, mm.m
+               ORDER BY ROUND(${l2sqSql("e.embedding[mm.m * 8 + i]", "s.sv[mm.m * 8 + i]")}, 6), s.ci) AS r
+      FROM embeddings e
+      CROSS JOIN (SELECT UNNEST(generate_series(0, 7)) AS m) mm
+      CROSS JOIN sample s
+    ), recon AS (
+      SELECT vec_id AS neighbor_id,
+             flatten(list(sv[m * 8 + 1 : m * 8 + 8] ORDER BY m)) AS rv
+      FROM assign WHERE r = 1
+      GROUP BY vec_id
+    ), scored AS (
+      SELECT q.vec_id AS query_id, r.neighbor_id,
+             ROUND(${cosSql("q.embedding", "r.rv")}, 6) AS approx_cos
+      FROM embeddings q, recon r
+      WHERE q.vec_id < 5 AND q.vec_id != r.neighbor_id
+    )
+    SELECT query_id, neighbor_id, approx_cos, CAST(rank AS INT) AS rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY approx_cos DESC, neighbor_id) AS rank
+      FROM scored)
+    WHERE rank <= 5"""
+  }
+
   /** total_bytes is the UTF-8 octet length of the payload; the decode
     * metadata (dims, frames, checksum) is codepoint-based — mirrors
     * Multimodal.decodeStub exactly, ASCII or not.
@@ -1329,6 +1530,10 @@ object PipelineQueries {
     "s4_filtered_knn" -> (filteredKnn _),
     "s2_knn_lsh" -> (knnLsh _),
     "s3_knn_ivf" -> (knnIvf _),
+    "s5_knn_pq" -> (knnPq _),
+    "t11_quality_classifier" -> (qualityClassifier _),
+    "s6_hard_negatives" -> (hardNegativesQ _),
+    "c2_curation_pipeline" -> (curationPipeline _),
     "mm1_modality_stats" -> (modalityStats _),
     "mm2_frame_sample" -> (frameSample _),
     "mm3_resize_plan" -> (resizePlan _),
@@ -1370,6 +1575,10 @@ object PipelineQueries {
     "s4_filtered_knn" -> filteredKnnSql,
     "s2_knn_lsh" -> knnLshSql,
     "s3_knn_ivf" -> knnIvfSql,
+    "s5_knn_pq" -> knnPqSql,
+    "t11_quality_classifier" -> qualityClassifierSql,
+    "s6_hard_negatives" -> hardNegativesSql,
+    "c2_curation_pipeline" -> curationPipelineSql,
     "mm1_modality_stats" -> modalityStatsSql,
     "mm2_frame_sample" -> frameSampleSql,
     "mm3_resize_plan" -> resizePlanSql,

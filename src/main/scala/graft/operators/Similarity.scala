@@ -97,6 +97,35 @@ object Similarity {
   private def lshKeys(vec: Column, planes: Int, dim: Int, tables: Int): Column =
     graft.functions.LshFunctions.signLshKeys(vec, planes, tables, dim)
 
+  /** S6 — hard-negative mining for embedding-model training
+    * (DPR/contrastive-retrieval style): for each query, the top-k most
+    * similar candidates that are NOT positives. A candidate is a
+    * positive when its rounded cosine reaches `posThr` (near-dups,
+    * exact dups, the query itself) — those are what a contrastive loss
+    * must NOT see as negatives, and naive random negatives are too
+    * easy; the band just below the positive threshold is where the
+    * training signal lives. Same scale shape as bruteForceTopK: the
+    * query side broadcasts, the corpus is scanned once, the filter
+    * runs inside the scan projection, top-k is a per-query window. At
+    * production scale the scoring stage composes with lshTopK/ivfTopK/
+    * pqTopK unchanged — mine from the ANN candidate set instead of the
+    * full scan.
+    */
+  def hardNegatives(queries: DataFrame, candidates: DataFrame, k: Int,
+                    posThr: Double = 0.9,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = candidates.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qv"), col("cv")), 6).as("cos_sim"))
+      .filter(col("cos_sim") < posThr)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Approximate top-k via multi-table sign-LSH: a candidate is scored
     * iff it shares a bucket with the query in ANY of the `tables`
     * independent hash tables. One table of p planes finds a

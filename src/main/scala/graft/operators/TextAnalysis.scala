@@ -251,6 +251,45 @@ object TextAnalysis {
         expr("CASE WHEN n_cp = 0 THEN 0L ELSE n_non_ascii * 1000000L div n_cp END"))
   }
 
+  /** T11 — hashed-n-gram linear classifier inference: the
+    * fastText-style quality scorer of CCNet/LLaMA-era curation
+    * pipelines, run at corpus scale. The hashing trick maps token
+    * uni+bigrams into `nBuckets` feature buckets via the codegen'd
+    * PolyHash; the model is one weight per bucket; the score is the
+    * weight sum. Weights here are a deterministic pseudo-random
+    * stand-in (integer milli-units derived from the bucket id by a
+    * Knuth-multiplicative mix) — a trained model swaps in a broadcast
+    * weight array without touching the featurization. What the
+    * operator pins is the scale shape: inference is a pure scan-side
+    * projection (tokenize -> hash -> weight -> exact integer fold), no
+    * shuffle, no UDF, no model server, bit-identical on any partition
+    * count.
+    */
+  def hashedNgramScore(docs: DataFrame, nBuckets: Int = 4096,
+                       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val P = 1000000007L
+    def weight(b: Column): Column =
+      pmod(b * lit(2654435761L) + lit(12345L), lit(P)) % 2001L - 1000L
+    val staged = docs
+      .withColumn("__toks", tokens(lower(col(textCol))))
+      .withColumn("__grams", concat(
+        col("__toks"),
+        when(size(col("__toks")) < 2, array().cast("array<string>"))
+          .otherwise(zip_with(
+            slice(col("__toks"), lit(1), size(col("__toks")) - 1),
+            slice(col("__toks"), lit(2), size(col("__toks")) - 1),
+            (a, b) => concat(a, lit(" "), b)))))
+      .withColumn("__buckets", transform(col("__grams"), g =>
+        pmod(graft.functions.PolyHashFunctions.polyHash(g, 31L, P), lit(nBuckets.toLong))))
+      .withColumn("score_milli",
+        aggregate(col("__buckets"), lit(0L), (acc, b) => acc + weight(b)))
+    staged.select(
+      col(idCol),
+      size(col("__grams")).cast("long").as("n_grams"),
+      col("score_milli"),
+      when(col("score_milli") > 0, lit("keep")).otherwise(lit("drop")).as("label"))
+  }
+
   /** Full per-document feature projection. */
   def features(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

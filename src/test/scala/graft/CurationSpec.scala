@@ -23,6 +23,39 @@ class CurationSpec extends SparkSpecBase {
         r.getAs[Long]("n_tokens"), r.getAs[Long]("shard_id")))
       .toSet
 
+  test("c2 oracle-checked chain: dups collapse, non-en dropped, quotas bite, buckets monotone") {
+    import spark.implicits._
+    val base = Tables.documents(spark, Sf)
+    // Plant: a case-variant duplicate of doc 0 (id 90001, must lose to
+    // the lower id) and a German doc (stopword hits -> lang_pred=de,
+    // must be filtered).
+    val d0 = base.filter(col("doc_id") === 0).select(col("text")).collect().head.getString(0)
+    val planted = Seq(
+      (90001L, d0.toUpperCase, "en", "synth", d0.length.toLong),
+      (90002L, "der hund und die katze ist nicht ein tier", "de", "synth", 41L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = graft.PipelineQueries.curationPipelineOn(base.unionByName(planted))
+    val ids = out.select("doc_id").as[Long].collect().toSet
+    assert(!ids.contains(90001L), "case-variant duplicate must lose exact dedup to doc 0")
+    assert(!ids.contains(90002L), "German doc must not pass the en gate")
+    val rows = out.collect()
+    // Bucket thresholds are a pure function of the score.
+    assert(rows.forall { r =>
+      val (s, b) = (r.getAs[Long]("score_milli"), r.getAs[String]("bucket"))
+      (b == "head" && s > 5000) || (b == "middle" && s >= -2500 && s <= 5000) ||
+        (b == "tail" && s < -2500)
+    })
+    // Sampling quotas: head keeps every doc whose hash admits 10000/10000.
+    val quotas = Map("head" -> 10000L, "middle" -> 5000L, "tail" -> 1000L)
+    val hashOk = rows.forall { r =>
+      val id = r.getAs[Long]("doc_id")
+      val h = ((id % 1000000007L) * 2654435761L % 1000000007L * 40503L) % 1000000007L % 10000L
+      h < quotas(r.getAs[String]("bucket"))
+    }
+    assert(hashOk, "every surviving row must satisfy its bucket's hash quota")
+    assert(rows.nonEmpty)
+  }
+
   test("pipeline output is identical at different parallelism") {
     val a = run(3)
     val b = run(17)

@@ -273,6 +273,31 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"))
   }
 
+  test("t11 classifier inference is a pure scan projection — zero exchanges, no UDF") {
+    val p = plan("t11_quality_classifier")
+    assert(!p.contains("Exchange"), "hashed-ngram scoring must not shuffle")
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+      "scoring fell off the native-expression path")
+    assert(p.contains("poly_hash"), "native PolyHash missing from the plan")
+  }
+
+  test("s5 PQ: codebook is a literal; corpus side never shuffles — only the query set broadcasts") {
+    val p = plan("s5_knn_pq")
+    // The corpus scan flows scan -> encode/reconstruct projection ->
+    // broadcast join; the only exchanges allowed are the query-side
+    // broadcast and the final per-query top-k window shuffle (O(queries×k)).
+    assert(p.contains("BroadcastExchange"), "query side must broadcast")
+    val shuffles = p.split('\n').count(_.contains("Exchange hashpartitioning"))
+    assert(shuffles <= 1, s"expected at most the top-k window shuffle, got $shuffles")
+  }
+
+  test("c2 curation chain: one scan family, hash-keyed dedup, no window over the whole corpus") {
+    val p = plan("c2_curation_pipeline")
+    assert(!p.contains("CartesianProduct"), "curation chain must stay equi-join only")
+    val windowLines = p.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(windowLines.isEmpty, "no corpus-wide window expected in the curation chain")
+  }
+
   test("z-order key is a native codegen'd projection — no UDF, no extra shuffle") {
     val p = plan("z1_zorder_cluster")
     assert(p.contains("morton"), "morton expression missing from the plan")

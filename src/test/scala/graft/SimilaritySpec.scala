@@ -62,6 +62,45 @@ class SimilaritySpec extends SparkSpecBase {
     assert(top.getAs[Long]("neighbor_id") === 10000L)
   }
 
+  test("PQ: codes are compact, duplicate reconstructions collide, ADC recall is sane") {
+    import graft.operators.Pq
+    val e = Tables.embeddings(spark, Sf)
+    val books = Pq.codebooks(e, m = 8, kCode = 16)
+    assert(books.length === 8 && books.forall(_.length === 16) &&
+      books.forall(_.forall(_.length === 8)))
+    // The compressed index: 8 codes, each in [0, 16) — a nibble per
+    // subspace, 64x smaller than the 64-float vector.
+    val enc = Pq.encode(e, books).collect()
+    assert(enc.forall(_.getSeq[Int](1).length === 8))
+    assert(enc.flatMap(_.getSeq[Int](1)).forall(c => c >= 0 && c < 16))
+    // Byte-identical vectors encode to identical codes (quantization
+    // is a pure function of the vector), so an exact duplicate is
+    // always retrieved with the same approx score as its twin.
+    val dup = e.filter(col("vec_id") === 0)
+      .select(lit(10000L).as("vec_id"), col("embedding"), col("label"))
+    val encDup = Pq.encode(e.filter(col("vec_id") === 0).unionByName(dup), books)
+      .collect().map(_.getSeq[Int](1).toList).distinct
+    assert(encDup.length === 1)
+    // ADC ranking approximates the exact ranking: 16 codewords per
+    // 8-dim subspace is a coarse quantizer, but recall@5 must beat
+    // chance (~1%) by a wide margin on the 1000-vector corpus.
+    val queries = e.filter(col("vec_id") < 20)
+    val brute = Similarity.bruteForceTopK(queries, e, k = 5)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val pq = Pq.pqTopK(queries, e, k = 5, m = 8, kCode = 16)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (brute intersect pq).size.toDouble / brute.size
+    assert(recall > 0.10, s"recall=$recall")
+  }
+
+  test("PQ on an empty corpus returns an empty, correctly-shaped frame") {
+    import graft.operators.Pq
+    val e = Tables.embeddings(spark, Sf)
+    val out = Pq.pqTopK(e.filter(col("vec_id") < 5), e.limit(0), k = 5)
+    assert(out.columns.toSeq === Seq("query_id", "neighbor_id", "approx_cos", "rank"))
+    assert(out.count() === 0)
+  }
+
   test("LSH buckets preserve exact duplicates and recall is sane") {
     val e = Tables.embeddings(spark, Sf)
     val queries = e.filter(col("vec_id") < 20)

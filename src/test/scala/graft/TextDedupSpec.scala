@@ -442,6 +442,65 @@ class TextDedupSpec extends SparkSpecBase {
     }
   }
 
+  test("hashed-ngram classifier: exact score on a hand-built doc, degenerate inputs") {
+    // Reference computation of the same pipeline: lowercase whitespace
+    // tokens, uni+bigrams, PolyHash(31) % 4096 bucket, Knuth-mix
+    // milli-weight, exact integer sum.
+    val P = 1000000007L
+    def polyHash(s: String): Long =
+      s.codePoints().toArray.foldLeft(0L)((h, c) => (h * 31 + c) % P)
+    def weight(s: String): Long =
+      ((polyHash(s) % 4096) * 2654435761L + 12345L) % P % 2001L - 1000L
+    def expected(text: String): (Long, Long) = {
+      val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+      val grams = toks ++ toks.sliding(2).filter(_.length == 2).map(_.mkString(" "))
+      (grams.size.toLong, grams.map(weight).sum)
+    }
+    val docsDf = Seq(
+      (1L, "The quick Brown fox"),
+      (2L, "one"),
+      (3L, "   "),
+      (4L, "table scan table scan")).toDF("doc_id", "text")
+    val out = TextAnalysis.hashedNgramScore(docsDf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    for (id <- Seq(1L, 2L, 4L)) {
+      val text = Seq("", "The quick Brown fox", "one", "", "table scan table scan")(id.toInt)
+      val (n, s) = expected(text)
+      assert(out(id)._1 === n, s"doc $id n_grams")
+      assert(out(id)._2 === s, s"doc $id score")
+      assert(out(id)._3 === (if (s > 0) "keep" else "drop"))
+    }
+    // Whitespace-only text: zero grams, zero score, 'drop'.
+    assert(out(3L) === ((0L, 0L, "drop")))
+    // Single token: exactly one gram (no bigram underflow).
+    assert(out(2L)._1 === 1L)
+  }
+
+  test("hard negatives exclude the planted near-dup positive, keep sub-threshold top-k") {
+    import graft.operators.Similarity
+    val e = graft.sources.Tables.embeddings(spark, Sf)
+    val origs = e.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("embedding"))
+    val copies = e.select(col("vec_id"),
+      transform(col("embedding"), (x, d) =>
+        x.cast("double") * (lit(1.0) + (pmod(col("vec_id") + d, lit(7)) - 3).cast("double") / 100.0))
+        .as("embedding"))
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    val v = origs.unionByName(copies)
+    val q = v.filter(col("vec_id") < 5)
+    val negs = Similarity.hardNegatives(q, v, k = 5, posThr = 0.9).collect()
+    // The ~0.999-cosine twin (id + 1e6) is a positive — never mined.
+    assert(!negs.exists(r => r.getAs[Long]("neighbor_id") === r.getAs[Long]("query_id") + 1000000L))
+    assert(negs.forall(_.getAs[Double]("cos_sim") < 0.9))
+    // 5 queries x top-5 negatives, hardest-first.
+    assert(negs.length === 25)
+    // Without the threshold, each query's #1 IS the twin — proving the
+    // filter is what excluded it.
+    val unfiltered = Similarity.bruteForceTopK(q, v, k = 1).collect()
+    assert(unfiltered.forall(r =>
+      r.getAs[Long]("neighbor_id") === r.getAs[Long]("query_id") + 1000000L))
+  }
+
   test("langId picks the language with most stopword hits") {
     val df = Seq(
       (1L, "the cat and the dog in a house"),
