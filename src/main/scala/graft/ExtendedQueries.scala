@@ -701,6 +701,8 @@ object ExtendedQueries {
     "h17_small_qty_revenue" -> ((s: SparkSession, dir: String) => TpchQueries.smallQtyRevenue(s, dir)),
     "h19_branded_revenue" -> ((s: SparkSession, dir: String) => TpchQueries.brandedRevenue(s, dir)),
     "h20_excess_suppliers" -> ((s: SparkSession, dir: String) => TpchQueries.excessSuppliers(s, dir)),
+    "h21_waiting_suppliers" -> ((s: SparkSession, dir: String) => TpchQueries.waitingSuppliers(s, dir)),
+    "h9_product_profit" -> ((s: SparkSession, dir: String) => TpchQueries.productProfit(s, dir)),
     "x10_token_packing" -> (tokenPacking _),
     "x11_approx_distinct" -> (approxDistinct _),
     "x12_subquery_daily_high" -> (dailyHighTrades _),
@@ -747,6 +749,8 @@ object ExtendedQueries {
     "h17_small_qty_revenue" -> TpchQueries.smallQtyRevenueSql,
     "h19_branded_revenue" -> TpchQueries.brandedRevenueSql,
     "h20_excess_suppliers" -> TpchQueries.excessSuppliersSql,
+    "h21_waiting_suppliers" -> TpchQueries.waitingSuppliersSql,
+    "h9_product_profit" -> TpchQueries.productProfitSql,
     "x10_token_packing" -> tokenPackingSql,
     "x11_approx_distinct" -> approxDistinctSql,
     "x12_subquery_daily_high" -> dailyHighTradesSql,

@@ -33,6 +33,13 @@ object GraftExtensions {
       s"$what must be an integer literal, got $other")
   }
 
+  private def litLong(e: Expression, what: String): Long = e match {
+    case Literal(v: Long, _) => v
+    case Literal(v: Int, _) => v.toLong
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
   private def info(name: String, usage: String) =
     new ExpressionInfo("graft", "", name, usage, "", "", "", "", "", "", "built-in")
 
@@ -55,7 +62,16 @@ object GraftExtensions {
         litInt(es(2), "tables"), litInt(es(3), "dim"))),
     ("morton",
       info("morton", "morton(x, y) - Z-order interleave of the low 32 bits of two bigints"),
-      (es: Seq[Expression]) => MortonInterleave(es(0), es(1)))
+      (es: Seq[Expression]) => MortonInterleave(es(0), es(1))),
+    ("poly_hash",
+      info("poly_hash", "poly_hash(s, mult, mod) - polynomial codepoint hash of a string"),
+      (es: Seq[Expression]) => PolyHash(es(0), litLong(es(1), "mult"), litLong(es(2), "mod"))),
+    ("shingle_hashes",
+      info("shingle_hashes", "shingle_hashes(token_hashes, n) - distinct sorted word-n-gram hashes"),
+      (es: Seq[Expression]) => ShingleHashes(es(0), litInt(es(1), "n"))),
+    ("minhash_sig",
+      info("minhash_sig", "minhash_sig(shingles, k) - k-permutation MinHash signature"),
+      (es: Seq[Expression]) => MinHashSig(es(0), litInt(es(1), "k")))
   )
 
   /** Register on an existing session (functions + the intersect-size

@@ -438,6 +438,33 @@ object PipelineQueries {
       .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rank"))
   }
 
+  /** S7 — the ANN evaluation harness as a query: recall@5 of each
+    * approximate method (sign-LSH, IVF, PQ-ADC) against the exact
+    * brute-force top-5, over the same queries and corpus as s1/s2/s3/
+    * s5. "Measure, don't guess" made first-class: the number a
+    * production deployment tunes (tables/planes, nProbe, codebook
+    * size) against. Each method's pair set semi-joins the exact set —
+    * tiny frames (queries × k rows), so the report costs barely more
+    * than the searches themselves.
+    */
+  def annRecallReport(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val q = e.filter(col("vec_id") < 5)
+    val brute = Similarity.bruteForceTopK(q, e, k = 5)
+      .select(col("query_id"), col("neighbor_id"))
+    val methods: Seq[(String, DataFrame)] = Seq(
+      "ivf" -> Ivf.ivfTopK(q, e, k = 5, nCentroids = 16, nProbe = 4),
+      "lsh" -> Similarity.lshTopK(q, e, k = 5, dim = 64, planes = 6, tables = 8),
+      "pq" -> Pq.pqTopK(q, e, k = 5, m = 8, kCode = 16))
+    methods.map { case (name, df) =>
+      df.select(col("query_id"), col("neighbor_id"))
+        .join(brute, Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(name).as("method"), col("n_hits"),
+          (col("n_hits").cast("double") / 25.0).as("recall"))
+    }.reduce(_ unionByName _)
+  }
+
   def modalityStats(s: SparkSession, dir: String): DataFrame =
     Multimodal.modalityStats(
       Multimodal.extractFeatures(s, Multimodal.asMediaTable(docs(s, dir))))
@@ -1205,6 +1232,21 @@ object PipelineQueries {
     WHERE rank <= 5"""
   }
 
+  /** S7 oracle: each method's full SQL replay semi-joined against the
+    * brute-force replay — the recall computation itself is trivial;
+    * the strength is that all four pipelines re-run independently in
+    * DuckDB and must agree with Spark pair-for-pair.
+    */
+  val annRecallSql: String = {
+    def hits(name: String, sub: String) =
+      s"""SELECT '$name' AS method, CAST(COUNT(*) AS BIGINT) AS n_hits,
+             CAST(COUNT(*) AS DOUBLE) / 25.0 AS recall
+      FROM ($sub) m JOIN ($knnBruteSql) b
+        ON m.query_id = b.query_id AND m.neighbor_id = b.neighbor_id"""
+    Seq(hits("ivf", knnIvfSql), hits("lsh", knnLshSql), hits("pq", knnPqSql))
+      .mkString("\n    UNION ALL\n    ")
+  }
+
   /** total_bytes is the UTF-8 octet length of the payload; the decode
     * metadata (dims, frames, checksum) is codepoint-based — mirrors
     * Multimodal.decodeStub exactly, ASCII or not.
@@ -1534,6 +1576,7 @@ object PipelineQueries {
     "t11_quality_classifier" -> (qualityClassifier _),
     "s6_hard_negatives" -> (hardNegativesQ _),
     "c2_curation_pipeline" -> (curationPipeline _),
+    "s7_ann_recall" -> (annRecallReport _),
     "mm1_modality_stats" -> (modalityStats _),
     "mm2_frame_sample" -> (frameSample _),
     "mm3_resize_plan" -> (resizePlan _),
@@ -1579,6 +1622,7 @@ object PipelineQueries {
     "t11_quality_classifier" -> qualityClassifierSql,
     "s6_hard_negatives" -> hardNegativesSql,
     "c2_curation_pipeline" -> curationPipelineSql,
+    "s7_ann_recall" -> annRecallSql,
     "mm1_modality_stats" -> modalityStatsSql,
     "mm2_frame_sample" -> frameSampleSql,
     "mm3_resize_plan" -> resizePlanSql,

@@ -710,6 +710,95 @@ object TpchQueries {
     * emitted once no matter how many qualifying parts), nation
     * attached broadcast.
     */
+  /** TPC-H Q21 shape: suppliers who kept orders waiting. The testdata
+    * carries no receipt/commit dates, so "late" is l_shipdate more
+    * than 60 days after o_orderdate; the famous double correlation is
+    * intact — the supplier was late on a finished multi-supplier
+    * order (EXISTS another supplier's line) where NO other supplier
+    * was late (NOT EXISTS another late line). Both correlations are
+    * hash joins on l_orderkey with the supplier-inequality as a join
+    * filter (LeftSemi/LeftAnti — never a per-row subquery), the
+    * 10-row supplier dimension broadcasts, and the final top-k is
+    * TakeOrderedAndProject. At scale the l1/l2/l3 sides co-partition
+    * on orderkey, so the whole query is one shuffle family.
+    */
+  def waitingSuppliers(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val l = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+    val late = l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val others = l.select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2"))
+    val lateOthers = late.select(col("l_orderkey").as("o3"), col("l_suppkey").as("s3"))
+    val waiting = late
+      .join(others, col("l_orderkey") === col("o2") && col("l_suppkey") =!= col("s2"), "left_semi")
+      .join(lateOthers, col("l_orderkey") === col("o3") && col("l_suppkey") =!= col("s3"), "left_anti")
+    waiting
+      .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(10)
+  }
+
+  val waitingSuppliersSql: String = """
+    WITH late AS (
+      SELECT l.l_orderkey, l.l_suppkey
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderstatus = 'F'
+        AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+    )
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM late l1 JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+    WHERE EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM late l3
+                      WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey)
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 10"""
+
+  /** TPC-H Q9 shape: product-type profit by nation and year. The
+    * testdata has no partsupp, so supply cost is the deterministic
+    * proxy p_retailprice × quantity × 0.1 — the five-table join
+    * topology is the point: part (filtered, broadcast) prunes
+    * lineitem early, supplier→nation broadcast-chains onto it, and
+    * only the orders join shuffles (both sides on orderkey). Exact
+    * DECIMAL amounts keep the sum reduction-order-independent; cast
+    * to double once at the end.
+    */
+  def productProfit(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir).filter(col("p_name").contains("widget"))
+      .select(col("p_partkey"), col("p_retailprice"))
+    val sn = Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name"))
+    val amount = dec("l_extendedprice") * (lit(1) - dec("l_discount")) -
+      dec("p_retailprice") * dec("l_quantity") * lit(BigDecimal("0.1")).cast("decimal(2,1)")
+    Tables.lineitem(s, dir)
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(sum(amount).cast("double").as("sum_profit"))
+  }
+
+  val productProfitSql: String = """
+    SELECT n.n_name AS nation,
+           CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+                    - CAST(p.p_retailprice AS DECIMAL(18,2)) * CAST(l.l_quantity AS DECIMAL(18,2)) * CAST(0.1 AS DECIMAL(2,1)))
+                AS DOUBLE) AS sum_profit
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE p.p_name LIKE '%widget%'
+    GROUP BY n.n_name, EXTRACT(year FROM o.o_orderdate)"""
+
   def excessSuppliers(s: SparkSession, dir: String): DataFrame = {
     val p = Tables.part(s, dir).filter(col("p_type") === "ECONOMY")
       .select(col("p_partkey"))

@@ -18,6 +18,26 @@ class ExtensionsSpec extends SparkSpecBase {
     assert(r.getAs[Long]("z") === 39L)
   }
 
+  test("text-pipeline expressions are callable from SQL: poly_hash, shingle_hashes, minhash_sig") {
+    GraftExtensions.register(spark)
+    val r = spark.sql("""
+      SELECT poly_hash('ab', 31L, 1000000007L) AS h,
+             shingle_hashes(array(7L, 8L, 9L), 2) AS sh,
+             minhash_sig(array(42L), 4) AS sig
+    """).collect().head
+    // h = ('a'=97)*31 + ('b'=98) = 3105
+    assert(r.getAs[Long]("h") === 3105L)
+    // two distinct sorted 2-gram hashes from 3 token hashes
+    val sh = r.getSeq[Long](1)
+    assert(sh.length === 2 && sh === sh.sorted)
+    assert(r.getSeq[Long](2).length === 4)
+    // non-literal mult must be rejected at plan time
+    val err = intercept[Exception] {
+      spark.sql("SELECT poly_hash('x', id, 7L) FROM range(1)").collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("literal"))
+  }
+
   test("aggregate expressions work in SQL GROUP BY") {
     GraftExtensions.register(spark)
     Seq((1L, "A", 10.0, 100L), (2L, "A", 20.0, 50L))

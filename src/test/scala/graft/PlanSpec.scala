@@ -273,6 +273,22 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"))
   }
 
+  test("h21 double correlation is LeftSemi + LeftAnti hash joins on orderkey, supplier broadcast") {
+    val p = plan("h21_waiting_suppliers")
+    assert(p.contains("LeftSemi"), "EXISTS must plan as a semi join")
+    assert(p.contains("LeftAnti"), "NOT EXISTS must plan as an anti join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "correlations regressed to a non-equi join")
+    assert(p.contains("TakeOrderedAndProject"), "top-10 must avoid a global sort")
+  }
+
+  test("h9 five-table join: part and supplier->nation broadcast; only orders shuffles") {
+    val p = plan("h9_product_profit")
+    val bhj = p.split('\n').count(_.contains("BroadcastHashJoin"))
+    assert(bhj >= 3, s"expected part/supplier/nation broadcasts, got $bhj broadcast joins")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("t11 classifier inference is a pure scan projection — zero exchanges, no UDF") {
     val p = plan("t11_quality_classifier")
     assert(!p.contains("Exchange"), "hashed-ngram scoring must not shuffle")
