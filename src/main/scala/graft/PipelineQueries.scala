@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -396,6 +397,72 @@ object PipelineQueries {
       .otherwise(lit(1000L))
     bucketed.filter(Sampling.hashBucket(col("doc_id")) < quota)
       .select(col("doc_id"), col("n_grams"), col("score_milli"), col("bucket"))
+  }
+
+  /** T12 — n-gram novelty accounting: for each document (in doc_id
+    * ingest order), how many of its distinct 3-token shingles are
+    * FIRST occurrences corpus-wide, and the novelty fraction. The
+    * running aggregate of this curve is how corpus builders detect
+    * diminishing returns — when marginal novelty collapses, more of
+    * the same source stops adding information (the scaling-laws
+    * dedup argument). Computed without any ordered scan: a shingle's
+    * first owner is min(doc_id) over its postings — one shingle-keyed
+    * aggregation plus a join back, both equi on the shingle hash.
+    */
+  def ngramNovelty(s: SparkSession, dir: String): DataFrame =
+    ngramNoveltyOn(docs(s, dir))
+
+  def ngramNoveltyOn(d: DataFrame): DataFrame = {
+    val sh = d
+      .select(col("doc_id"), explode(Dedup.shingleHashes(col("text"), 3)).as("shv"))
+    val firstOwner = sh.groupBy(col("shv")).agg(min(col("doc_id")).as("first_doc"))
+    sh.join(firstOwner, Seq("shv"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty_e6", expr("n_novel * 1000000 div n_shingles"))
+  }
+
+  /** X36 — per-source quality-score calibration: the raw hashed-ngram
+    * score is rank-normalized WITHIN each source (percent_rank over a
+    * (score, doc_id) total order). Curation thresholds set on raw
+    * scores systematically starve domains whose score distribution
+    * sits lower (code vs prose, forum vs news); rank calibration is
+    * the standard fix — "keep the top 30% of each domain" becomes a
+    * single predicate on pct_rank. The window sorts per source
+    * partition, the same bounded shape as x24's domain cap.
+    */
+  def scoreCalibration(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val scored = TextAnalysis.hashedNgramScore(d)
+      .join(d.select(col("doc_id"), col("source")), Seq("doc_id"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("score_milli"), col("doc_id"))
+    scored.select(col("doc_id"), col("source"), col("score_milli"),
+      percent_rank().over(w).as("pct_rank"))
+  }
+
+  /** X37 — cross-source n-gram overlap matrix (the dataset-overlap
+    * report of Lee et al.-style dedup audits): for each source pair,
+    * the number of distinct 3-token shingles they share. Exact-dup
+    * matrices miss near-misses entirely; shingle overlap is the
+    * measure that catches templated/boilerplate bleed between
+    * datasets. The join is shingle-keyed (equi); per-shingle fan-out
+    * is bounded by sources², never corpus².
+    */
+  def sourceOverlap(s: SparkSession, dir: String): DataFrame =
+    sourceOverlapOn(docs(s, dir))
+
+  def sourceOverlapOn(d: DataFrame): DataFrame = {
+    val sh = d
+      .select(col("source"), explode(Dedup.shingleHashes(col("text"), 3)).as("shv"))
+      .distinct()
+    sh.select(col("source").as("source_a"), col("shv"))
+      .join(sh.select(col("source").as("source_b"), col("shv")), Seq("shv"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
   }
 
   /** S5 — PQ-compressed ANN (ADC): candidates are encoded to m=8
@@ -1138,6 +1205,60 @@ object PipelineQueries {
           CASE bucket WHEN 'head' THEN 10000 WHEN 'middle' THEN 5000 ELSE 1000 END"""
   }
 
+  /** X36 oracle: the t11 scoring CTE with source carried through; the
+    * same (score, doc_id) total order drives PERCENT_RANK.
+    */
+  val scoreCalibrationSql: String = {
+    val w = s"((((${polySql("t", 31, Pm)} % 4096) * 2654435761 + 12345) % $Pm) % 2001) - 1000"
+    s"""
+    WITH tk AS (
+      SELECT doc_id, source, $toksSql AS toks FROM documents
+    ), g AS (
+      SELECT doc_id, source,
+             list_concat(toks, list_transform(generate_series(1, len(toks) - 1),
+               i -> toks[i] || ' ' || toks[i + 1])) AS grams
+      FROM tk
+    ), sc AS (
+      SELECT doc_id, source,
+             CAST(coalesce(list_sum(list_transform(grams, t -> $w)), 0) AS BIGINT) AS score_milli
+      FROM g
+    )
+    SELECT doc_id, source, score_milli,
+           PERCENT_RANK() OVER (PARTITION BY source
+                                ORDER BY score_milli, doc_id) AS pct_rank
+    FROM sc"""
+  }
+
+  /** T12 oracle: same shingle recurrence; first owner via MIN over the
+    * postings; `//` truncation = Spark `div` on non-negative counts.
+    */
+  val ngramNoveltySql: String = s"""WITH ${shingleSql(3, "TRUE")},
+    posting AS (
+      SELECT doc_id, UNNEST(sh) AS shv FROM sh
+    ), first_owner AS (
+      SELECT shv, MIN(doc_id) AS first_doc FROM posting GROUP BY shv
+    )
+    SELECT p.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN f.first_doc = p.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+           CAST(SUM(CASE WHEN f.first_doc = p.doc_id THEN 1 ELSE 0 END) * 1000000
+                // COUNT(*) AS BIGINT) AS novelty_e6
+    FROM posting p JOIN first_owner f ON p.shv = f.shv
+    GROUP BY p.doc_id"""
+
+  /** X37 oracle: shingleSql's exact 3-gram recurrence, flattened to
+    * (source, shingle) pairs and self-joined.
+    */
+  val sourceOverlapSql: String = s"""WITH ${shingleSql(3, "TRUE")},
+    ss AS (
+      SELECT DISTINCT d.source, UNNEST(sh.sh) AS shv
+      FROM sh JOIN documents d ON sh.doc_id = d.doc_id
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM ss a JOIN ss b ON a.shv = b.shv AND a.source < b.source
+    GROUP BY 1, 2"""
+
   /** S6 oracle: same derived orig+copy corpus as embeddingDupsSql,
     * positives (rounded cos >= 0.9, incl. each query's planted twin)
     * excluded BEFORE ranking.
@@ -1577,6 +1698,9 @@ object PipelineQueries {
     "s6_hard_negatives" -> (hardNegativesQ _),
     "c2_curation_pipeline" -> (curationPipeline _),
     "s7_ann_recall" -> (annRecallReport _),
+    "x36_score_calibration" -> (scoreCalibration _),
+    "t12_ngram_novelty" -> (ngramNovelty _),
+    "x37_source_overlap" -> (sourceOverlap _),
     "mm1_modality_stats" -> (modalityStats _),
     "mm2_frame_sample" -> (frameSample _),
     "mm3_resize_plan" -> (resizePlan _),
@@ -1623,6 +1747,9 @@ object PipelineQueries {
     "s6_hard_negatives" -> hardNegativesSql,
     "c2_curation_pipeline" -> curationPipelineSql,
     "s7_ann_recall" -> annRecallSql,
+    "x36_score_calibration" -> scoreCalibrationSql,
+    "t12_ngram_novelty" -> ngramNoveltySql,
+    "x37_source_overlap" -> sourceOverlapSql,
     "mm1_modality_stats" -> modalityStatsSql,
     "mm2_frame_sample" -> frameSampleSql,
     "mm3_resize_plan" -> resizePlanSql,

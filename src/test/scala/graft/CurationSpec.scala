@@ -56,6 +56,53 @@ class CurationSpec extends SparkSpecBase {
     assert(rows.nonEmpty)
   }
 
+  test("score calibration: pct_rank spans [0,1] per source and is monotone in score") {
+    val rows = graft.PipelineQueries.scoreCalibration(spark, Sf)
+      .collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("score_milli"), r.getAs[Double]("pct_rank")))
+    rows.groupBy(_._1).foreach { case (src, rs) =>
+      val sorted = rs.sortBy(r => (r._2, r._3))
+      assert(sorted.head._3 === 0.0, s"$src: lowest score must rank 0")
+      assert(sorted.last._3 === 1.0, s"$src: highest score must rank 1")
+      assert(sorted.map(_._3).sliding(2).forall(p => p.length < 2 || p(0) <= p(1)),
+        s"$src: pct_rank must be monotone in score")
+    }
+  }
+
+  test("source overlap: planted cross-source copy yields exactly its shingle count") {
+    import spark.implicits._
+    val shared = "alpha beta gamma delta epsilon"
+    val d = Seq(
+      (1L, shared, "en", "srcA", 30L),
+      (2L, "zeta eta theta iota kappa", "en", "srcA", 25L),
+      (3L, shared, "en", "srcB", 30L),
+      (4L, "lambda mu nu xi omicron", "en", "srcB", 23L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = graft.PipelineQueries.sourceOverlapOn(d).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[String]("source_a") === "srcA" && r.getAs[String]("source_b") === "srcB")
+    // 5 tokens -> 3 distinct 3-gram shingles, all and only from the copy.
+    assert(r.getAs[Long]("n_shared") === 3L)
+  }
+
+  test("ngram novelty: duplicate doc scores 0, disjoint doc scores 1e6, first owner wins") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "alpha beta gamma delta", "en", "s", 22L),
+      (2L, "alpha beta gamma delta", "en", "s", 22L), // exact copy, higher id
+      (3L, "zeta eta theta iota", "en", "s", 19L),    // fully novel
+      (4L, "beta gamma delta zeta", "en", "s", 21L))  // 1 shared shingle of 2
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = graft.PipelineQueries.ngramNoveltyOn(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) === ((2L, 2L, 1000000L)), "first owner keeps full novelty")
+    assert(out(2L) === ((2L, 0L, 0L)), "exact copy is all re-seen")
+    assert(out(3L) === ((2L, 2L, 1000000L)), "disjoint doc is fully novel")
+    // doc 4: shingles (beta gamma delta) seen in doc 1, (gamma delta zeta) new.
+    assert(out(4L) === ((2L, 1L, 500000L)))
+  }
+
   test("pipeline output is identical at different parallelism") {
     val a = run(3)
     val b = run(17)
