@@ -703,6 +703,7 @@ object ExtendedQueries {
     "h20_excess_suppliers" -> ((s: SparkSession, dir: String) => TpchQueries.excessSuppliers(s, dir)),
     "h21_waiting_suppliers" -> ((s: SparkSession, dir: String) => TpchQueries.waitingSuppliers(s, dir)),
     "h9_product_profit" -> ((s: SparkSession, dir: String) => TpchQueries.productProfit(s, dir)),
+    "h11_important_parts" -> ((s: SparkSession, dir: String) => TpchQueries.importantParts(s, dir)),
     "x10_token_packing" -> (tokenPacking _),
     "x11_approx_distinct" -> (approxDistinct _),
     "x12_subquery_daily_high" -> (dailyHighTrades _),
@@ -751,6 +752,7 @@ object ExtendedQueries {
     "h20_excess_suppliers" -> TpchQueries.excessSuppliersSql,
     "h21_waiting_suppliers" -> TpchQueries.waitingSuppliersSql,
     "h9_product_profit" -> TpchQueries.productProfitSql,
+    "h11_important_parts" -> TpchQueries.importantPartsSql,
     "x10_token_packing" -> tokenPackingSql,
     "x11_approx_distinct" -> approxDistinctSql,
     "x12_subquery_daily_high" -> dailyHighTradesSql,

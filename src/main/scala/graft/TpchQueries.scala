@@ -760,6 +760,44 @@ object TpchQueries {
     ORDER BY numwait DESC, s.s_name
     LIMIT 10"""
 
+  /** TPC-H Q11 shape: important stock. No partsupp table in the
+    * testdata, so "inventory value" is proxied by each part's shipped
+    * revenue in lineitem — the topology is the point: a grouped
+    * aggregate filtered by HAVING sum > fraction × THE SAME aggregate
+    * computed globally. The global total is an in-plan scalar (one
+    * row) cross-joined onto the grouped frame — Spark broadcasts it;
+    * no second scan, no driver collect, no correlated re-evaluation.
+    * Q11's spec threshold is FRACTION = 0.0001/SF — it scales with
+    * the data so the result stays selective at every size. Same here,
+    * self-derived: keep parts above 1.5× the mean per-part share,
+    * written in the exact cross-multiplied integer form
+    * part_value × n_parts > total × 1.5 (no division, no rounding —
+    * the comparison is decimal-exact on both engines at any SF).
+    */
+  def importantParts(s: SparkSession, dir: String): DataFrame = {
+    val value = dec("l_extendedprice") * (lit(1) - dec("l_discount"))
+    val perPart = Tables.lineitem(s, dir)
+      .groupBy(col("l_partkey"))
+      .agg(sum(value).as("part_value"))
+    val total = perPart.agg(sum(col("part_value")).as("total_value"),
+      count(lit(1)).as("n_parts"))
+    perPart.join(broadcast(total))
+      .filter(col("part_value") * col("n_parts") >
+        col("total_value") * lit(BigDecimal("1.5")).cast("decimal(2,1)"))
+      .select(col("l_partkey"),
+        col("part_value").cast("double").as("part_value"))
+  }
+
+  val importantPartsSql: String = """
+    WITH pp AS (
+      SELECT l_partkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS part_value
+      FROM lineitem GROUP BY l_partkey
+    ), tot AS (SELECT SUM(part_value) AS total_value, COUNT(*) AS n_parts FROM pp)
+    SELECT l_partkey, CAST(part_value AS DOUBLE) AS part_value
+    FROM pp, tot
+    WHERE part_value * n_parts > total_value * CAST(1.5 AS DECIMAL(2,1))"""
+
   /** TPC-H Q9 shape: product-type profit by nation and year. The
     * testdata has no partsupp, so supply cost is the deterministic
     * proxy p_retailprice × quantity × 0.1 — the five-table join

@@ -265,24 +265,37 @@ object TextAnalysis {
     * shuffle, no UDF, no model server, bit-identical on any partition
     * count.
     */
-  def hashedNgramScore(docs: DataFrame, nBuckets: Int = 4096,
-                       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+  /** The uni+bigram feature expansion of a text column — shared by the
+    * batch scorer and the streaming admission gate.
+    */
+  def ngramFeatures(text: Column): Column = {
+    val toks = tokens(lower(text))
+    concat(toks,
+      when(size(toks) < 2, array().cast("array<string>"))
+        .otherwise(zip_with(
+          slice(toks, lit(1), size(toks) - 1),
+          slice(toks, lit(2), size(toks) - 1),
+          (a, b) => concat(a, lit(" "), b))))
+  }
+
+  /** The classifier score as a pure column expression over a grams
+    * array (hash → weight → exact integer fold) — usable in any batch
+    * or streaming projection.
+    */
+  def ngramScoreMilli(grams: Column, nBuckets: Int = 4096): Column = {
     val P = 1000000007L
     def weight(b: Column): Column =
       pmod(b * lit(2654435761L) + lit(12345L), lit(P)) % 2001L - 1000L
+    val buckets = transform(grams, g =>
+      pmod(graft.functions.PolyHashFunctions.polyHash(g, 31L, P), lit(nBuckets.toLong)))
+    aggregate(buckets, lit(0L), (acc, b) => acc + weight(b))
+  }
+
+  def hashedNgramScore(docs: DataFrame, nBuckets: Int = 4096,
+                       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val staged = docs
-      .withColumn("__toks", tokens(lower(col(textCol))))
-      .withColumn("__grams", concat(
-        col("__toks"),
-        when(size(col("__toks")) < 2, array().cast("array<string>"))
-          .otherwise(zip_with(
-            slice(col("__toks"), lit(1), size(col("__toks")) - 1),
-            slice(col("__toks"), lit(2), size(col("__toks")) - 1),
-            (a, b) => concat(a, lit(" "), b)))))
-      .withColumn("__buckets", transform(col("__grams"), g =>
-        pmod(graft.functions.PolyHashFunctions.polyHash(g, 31L, P), lit(nBuckets.toLong))))
-      .withColumn("score_milli",
-        aggregate(col("__buckets"), lit(0L), (acc, b) => acc + weight(b)))
+      .withColumn("__grams", ngramFeatures(col(textCol)))
+      .withColumn("score_milli", ngramScoreMilli(col("__grams"), nBuckets))
     staged.select(
       col(idCol),
       size(col("__grams")).cast("long").as("n_grams"),

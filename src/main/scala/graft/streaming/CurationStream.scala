@@ -1,0 +1,40 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextAnalysis
+
+/** Streaming corpus admission — the incremental form of the c2
+  * curation chain, for corpora that arrive continuously (crawl
+  * batches, upload queues) rather than as one frozen snapshot:
+  *
+  *   quality gate (stateless hashed-ngram score, the SAME column
+  *   expression as batch t11) -> watermark-bounded exact dedup
+  *   (one state entry per distinct fingerprint within the lateness
+  *   window — bounded state on an unbounded stream).
+  *
+  * Admission is deterministic per document (score is a pure function
+  * of the text), so replaying a batch through the stream admits
+  * exactly the docs the batch gate admits; only dedup survivor
+  * IDENTITY depends on arrival order (first-arrival wins in a stream,
+  * lowest-id wins in the batch form) — the spec pins both properties.
+  * At 100 TB/day this is a parse-project-filter over each micro-batch
+  * plus one hash-keyed state lookup: no shuffle beyond the dedup
+  * state partitioning, no model service on the hot path.
+  */
+object CurationStream {
+
+  /** Admit quality documents, dropping in-window duplicates.
+    * `df` is a streaming frame carrying (textCol, timeCol, ...).
+    */
+  def admit(df: DataFrame, minScoreMilli: Long,
+            textCol: String = "text", timeCol: String = "event_time",
+            delay: String = "10 minutes"): DataFrame = {
+    val gated = df
+      .withColumn("score_milli",
+        TextAnalysis.ngramScoreMilli(TextAnalysis.ngramFeatures(col(textCol))))
+      .filter(col("score_milli") > minScoreMilli)
+    StreamingDedup.exactWithinWatermark(gated, textCol, timeCol, delay)
+  }
+}

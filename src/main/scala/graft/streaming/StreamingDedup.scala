@@ -40,6 +40,28 @@ object StreamingDedup {
       .drop("__fp")
   }
 
+  /** Near-duplicate streaming dedup for EMBEDDING rows via product-
+    * quantization code collision: each arriving vector is encoded to
+    * its m nibble codes against an offline-trained codebook (the
+    * batch-side Pq.codebooks artifact, shipped as a literal), and
+    * `dropDuplicatesWithinWatermark` keys on the code tuple. Vectors
+    * that quantize identically — exact copies and near-copies within
+    * the codeword cells — collapse to the first arrival; state is one
+    * entry per distinct code tuple in the lateness window, bounded by
+    * kCode^m regardless of stream volume. This is the embedding
+    * analog of the SimHash text path below, with the quantization
+    * granularity tunable via (m, kCode) instead of hash bits.
+    */
+  def embeddingNearWithinWatermark(df: DataFrame, books: Seq[Seq[Seq[Double]]],
+                                   vecCol: String, timeCol: String,
+                                   delay: String = "10 minutes"): DataFrame = {
+    requireFree(df, "__pq")
+    df.withColumn("__pq", graft.operators.Pq.encodeExpr(col(vecCol), books))
+      .withWatermark(timeCol, delay)
+      .dropDuplicatesWithinWatermark(Seq("__pq"))
+      .drop("__pq")
+  }
+
   /** Near-duplicate streaming dedup via SimHash collision. */
   def nearWithinWatermark(df: DataFrame, textCol: String, timeCol: String,
                           delay: String = "10 minutes"): DataFrame = {

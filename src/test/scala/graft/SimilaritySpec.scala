@@ -101,6 +101,41 @@ class SimilaritySpec extends SparkSpecBase {
     assert(out.count() === 0)
   }
 
+  test("streaming embedding dedup: PQ-code collisions collapse to first arrival, batch-consistent") {
+    import graft.operators.Pq
+    implicit val sqlCtx = spark.sqlContext
+    val e = Tables.embeddings(spark, Sf)
+    val books = Pq.codebooks(e, m = 8, kCode = 16)
+    // Candidate stream rows: vec 0, its exact copy, its ±0.01% scaled
+    // near-copy, and a different base vector.
+    val v0 = e.filter(col("vec_id") === 0).select("embedding")
+      .collect().head.getSeq[Float](0).toList
+    val near = v0.map(x => (x * 1.0001f))
+    val v7 = e.filter(col("vec_id") === 7).select("embedding")
+      .collect().head.getSeq[Float](0).toList
+    val rows = Seq((1L, v0, "2024-01-01 00:00:00"), (2L, v0, "2024-01-01 00:01:00"),
+      (3L, near, "2024-01-01 00:02:00"), (4L, v7, "2024-01-01 00:03:00"))
+    // Batch-side expectation: which rows share a code tuple?
+    import spark.implicits._
+    val batchCodes = Pq.encode(
+        rows.toDF("vec_id", "embedding", "ts").select(col("vec_id"), col("embedding")), books)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toList).toMap
+    val expectedSurvivors = rows.map(_._1).groupBy(batchCodes).map(_._2.min).toSet
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, List[Float], String)]
+    val docs = mem.toDF().toDF("vec_id", "embedding", "ts")
+      .withColumn("event_time", col("ts").cast("timestamp"))
+    val q = graft.streaming.StreamingDedup
+      .embeddingNearWithinWatermark(docs, books, "embedding", "event_time", "1 hour")
+      .writeStream.format("memory").queryName("sembdedup_out").outputMode("append").start()
+    mem.addData(rows: _*)
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("sembdedup_out").collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(kept === expectedSurvivors, s"stream survivors must match batch code groups")
+    // The exact copy NEVER survives, and an unrelated vector always does.
+    assert(!kept.contains(2L) && kept.contains(4L) && kept.contains(1L))
+  }
+
   test("LSH buckets preserve exact duplicates and recall is sane") {
     val e = Tables.embeddings(spark, Sf)
     val queries = e.filter(col("vec_id") < 20)

@@ -418,6 +418,43 @@ class TextDedupSpec extends SparkSpecBase {
     assert((kept & Set(1L, 2L)).size === 1) // one survivor of the dup pair
   }
 
+  test("streaming curation admits exactly the batch gate's docs, dedups in-window copies") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, String)]
+    val docs = mem.toDF().toDF("doc_id", "text", "ts")
+      .withColumn("event_time", col("ts").cast("timestamp"))
+    val q = graft.streaming.CurationStream.admit(docs, minScoreMilli = 0L)
+      .writeStream.format("memory").queryName("scur_out").outputMode("append").start()
+    // Batch scores of the candidate texts decide the expectation — the
+    // stream must agree doc for doc because the gate is the same
+    // column expression.
+    val texts = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "lorem ipsum dolor sit amet consectetur",
+      3L -> "the quick brown fox jumps over the lazy dog", // dup of 1
+      4L -> "table scan hash join shuffle partition")
+    import spark.implicits._
+    val batchScores = TextAnalysis.hashedNgramScore(
+        texts.toDF("doc_id", "text")).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    mem.addData(texts.zipWithIndex.map { case ((id, t), i) =>
+      (id, t, f"2024-01-01 00:0$i%d:00")
+    }: _*)
+    q.processAllAvailable()
+    q.stop()
+    val admitted = spark.table("scur_out").collect().map(_.getAs[Long]("doc_id")).toSet
+    val passing = texts.collect { case (id, _) if batchScores(id) > 0 => id }.toSet
+    // Every admitted doc passed the batch gate; every passing text is
+    // represented by exactly one survivor (first arrival) per distinct
+    // content.
+    assert(admitted.subsetOf(passing))
+    val dupPair = Set(1L, 3L) & passing
+    if (dupPair.size == 2) assert((admitted & dupPair) === Set(1L))
+    assert((passing -- Set(3L)).subsetOf(admitted))
+    // Sub-threshold docs never reach the sink regardless of dedup.
+    assert((admitted & texts.collect { case (id, _) if batchScores(id) <= 0 => id }.toSet).isEmpty)
+  }
+
   test("streaming exact dedup collapses whitespace/case variants only") {
     implicit val sqlCtx = spark.sqlContext
     val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, String)]
