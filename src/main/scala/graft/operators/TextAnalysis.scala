@@ -293,8 +293,11 @@ object TextAnalysis {
 
   def hashedNgramScore(docs: DataFrame, nBuckets: Int = 4096,
                        textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    // NULL text scores like empty text (0 grams, score 0, 'drop') —
+    // without the coalesce, size(null grams) = -1 leaks a sentinel
+    // into n_grams and the label turns on null comparison semantics.
     val staged = docs
-      .withColumn("__grams", ngramFeatures(col(textCol)))
+      .withColumn("__grams", ngramFeatures(coalesce(col(textCol), lit(""))))
       .withColumn("score_milli", ngramScoreMilli(col("__grams"), nBuckets))
     staged.select(
       col(idCol),

@@ -38,6 +38,37 @@ class EdgeCaseSpec extends SparkSpecBase {
     assert(Dedup.nearDedup(docs, 500000L).count() === 3)
   }
 
+  test("round-9 operators on null, empty, and degenerate input") {
+    // Classifier: null text === empty text (0 grams, score 0, drop).
+    val docs = Seq((1L, null: String), (2L, ""), (3L, "one"), (4L, "  \t "))
+      .toDF("doc_id", "text")
+    val scored = TextAnalysis.hashedNgramScore(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(scored(1L) === ((0L, 0L, "drop")))
+    assert(scored(2L) === ((0L, 0L, "drop")))
+    assert(scored(4L) === ((0L, 0L, "drop")))
+    assert(scored(3L)._1 === 1L)
+    // Novelty/overlap: sub-shingle docs simply don't appear; a single
+    // source yields no pairs. No crashes, no sentinel rows.
+    assert(graft.PipelineQueries.ngramNoveltyOn(
+      docs.withColumn("source", lit("s"))).count() === 0)
+    assert(graft.PipelineQueries.sourceOverlapOn(
+      Seq((1L, "alpha beta gamma delta", "only")).toDF("doc_id", "text", "source")).count() === 0)
+    // Hard negatives: empty query set -> empty result, correct shape.
+    val e = graft.sources.Tables.embeddings(spark, Sf)
+    val hn = graft.operators.Similarity.hardNegatives(e.limit(0), e, k = 3)
+    assert(hn.columns.toSeq === Seq("query_id", "neighbor_id", "cos_sim", "rank"))
+    assert(hn.count() === 0)
+    // PQ: a zero vector encodes without crashing and scores cos 0.
+    import graft.operators.Pq
+    val books = Pq.codebooks(e, m = 8, kCode = 16)
+    val zero = Seq((99L, List.fill(64)(0f))).toDF("vec_id", "embedding")
+    val codes = Pq.encode(zero, books).collect().head.getSeq[Int](1)
+    assert(codes.length === 8)
+    val scoredZero = Pq.pqTopK(zero, e.limit(10), k = 3).collect()
+    assert(scoredZero.forall(_.getAs[Double]("approx_cos") === 0.0))
+  }
+
   test("round-4 operators on empty and degenerate input") {
     val et = emptyTrades.withColumn("trade_date", col("event_time").cast("date"))
     assert(Ohlcv.rollup(Ohlcv.bars5m(emptyTrades), "1 hour").count() === 0)
