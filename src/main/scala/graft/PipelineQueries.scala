@@ -424,6 +424,37 @@ object PipelineQueries {
       .withColumn("novelty_e6", expr("n_novel * 1000000 div n_shingles"))
   }
 
+  /** X38 — incremental novelty: the t12 metric in its production
+    * form — a NEW crawl increment measured against an EXISTING corpus
+    * shingle index (the d16 batch-vs-corpus pattern). The index is
+    * the distinct-shingle set a deployment maintains incrementally;
+    * the join is shingle-keyed and scales with the BATCH, not the
+    * corpus — the property that makes per-increment "is this crawl
+    * worth ingesting" decisions affordable at 100 TB. Here corpus =
+    * even doc_ids, batch = odd.
+    */
+  def incrementalNovelty(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    incrementalNoveltyOn(
+      d.filter(pmod(col("doc_id"), lit(2)) === 0),
+      d.filter(pmod(col("doc_id"), lit(2)) === 1))
+  }
+
+  def incrementalNoveltyOn(corpus: DataFrame, batch: DataFrame): DataFrame = {
+    val cIdx = corpus
+      .select(explode(Dedup.shingleHashes(col("text"), 3)).as("shv"))
+      .distinct()
+      .withColumn("__seen", lit(1))
+    batch
+      .select(col("doc_id"), explode(Dedup.shingleHashes(col("text"), 3)).as("shv"))
+      .join(cIdx, Seq("shv"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("__seen").isNull, 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty_e6", expr("n_novel * 1000000 div n_shingles"))
+  }
+
   /** X36 — per-source quality-score calibration: the raw hashed-ngram
     * score is rank-normalized WITHIN each source (percent_rank over a
     * (score, doc_id) total order). Curation thresholds set on raw
@@ -1246,6 +1277,23 @@ object PipelineQueries {
     FROM posting p JOIN first_owner f ON p.shv = f.shv
     GROUP BY p.doc_id"""
 
+  /** X38 oracle: one shingle CTE, parity-split into corpus index and
+    * batch postings; novelty via LEFT JOIN null-probe.
+    */
+  val incrementalNoveltySql: String = s"""WITH ${shingleSql(3, "TRUE")},
+    cidx AS (
+      SELECT DISTINCT UNNEST(sh) AS shv FROM sh WHERE doc_id % 2 = 0
+    ), bp AS (
+      SELECT doc_id, UNNEST(sh) AS shv FROM sh WHERE doc_id % 2 = 1
+    )
+    SELECT bp.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN c.shv IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+           CAST(SUM(CASE WHEN c.shv IS NULL THEN 1 ELSE 0 END) * 1000000
+                // COUNT(*) AS BIGINT) AS novelty_e6
+    FROM bp LEFT JOIN cidx c ON bp.shv = c.shv
+    GROUP BY bp.doc_id"""
+
   /** X37 oracle: shingleSql's exact 3-gram recurrence, flattened to
     * (source, shingle) pairs and self-joined.
     */
@@ -1700,6 +1748,7 @@ object PipelineQueries {
     "s7_ann_recall" -> (annRecallReport _),
     "x36_score_calibration" -> (scoreCalibration _),
     "t12_ngram_novelty" -> (ngramNovelty _),
+    "x38_incremental_novelty" -> (incrementalNovelty _),
     "x37_source_overlap" -> (sourceOverlap _),
     "mm1_modality_stats" -> (modalityStats _),
     "mm2_frame_sample" -> (frameSample _),
@@ -1749,6 +1798,7 @@ object PipelineQueries {
     "s7_ann_recall" -> annRecallSql,
     "x36_score_calibration" -> scoreCalibrationSql,
     "t12_ngram_novelty" -> ngramNoveltySql,
+    "x38_incremental_novelty" -> incrementalNoveltySql,
     "x37_source_overlap" -> sourceOverlapSql,
     "mm1_modality_stats" -> modalityStatsSql,
     "mm2_frame_sample" -> frameSampleSql,

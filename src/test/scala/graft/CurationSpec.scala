@@ -103,6 +103,25 @@ class CurationSpec extends SparkSpecBase {
     assert(out(4L) === ((2L, 1L, 500000L)))
   }
 
+  test("incremental novelty: batch measured against the corpus index only") {
+    import spark.implicits._
+    val corpus = Seq((0L, "alpha beta gamma delta", "en", "s", 22L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val batch = Seq(
+      (1L, "alpha beta gamma delta", "en", "s", 22L),  // fully indexed
+      (3L, "zeta eta theta iota", "en", "s", 19L),     // fully novel
+      (5L, "zeta eta theta iota", "en", "s", 19L))     // dup WITHIN batch: still novel vs corpus
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = graft.PipelineQueries.incrementalNoveltyOn(corpus, batch).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) === ((2L, 0L, 0L)))
+    assert(out(3L) === ((2L, 2L, 1000000L)))
+    // Incremental semantics: novelty is vs the CORPUS index — batch-
+    // internal dups don't consume each other's novelty (dedup within
+    // the batch is d16's job, run before or after by policy).
+    assert(out(5L) === ((2L, 2L, 1000000L)))
+  }
+
   test("pipeline output is identical at different parallelism") {
     val a = run(3)
     val b = run(17)
