@@ -27,17 +27,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftExtensions {
 
-  private def litInt(e: Expression, what: String): Int = e match {
-    case Literal(v: Int, _) => v
-    case other => throw new IllegalArgumentException(
-      s"$what must be an integer literal, got $other")
-  }
-
   private def litLong(e: Expression, what: String): Long = e match {
     case Literal(v: Long, _) => v
     case Literal(v: Int, _) => v.toLong
     case other => throw new IllegalArgumentException(
       s"$what must be an integer literal, got $other")
+  }
+
+  private def litInt(e: Expression, what: String): Int = {
+    val v = litLong(e, what)
+    require(v.isValidInt, s"$what must fit in Int, got $v")
+    v.toInt
   }
 
   private def info(name: String, usage: String) =

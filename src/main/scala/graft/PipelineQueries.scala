@@ -465,9 +465,12 @@ object PipelineQueries {
     * partition, the same bounded shape as x24's domain cap.
     */
   def scoreCalibration(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir)
-    val scored = TextAnalysis.hashedNgramScore(d)
-      .join(d.select(col("doc_id"), col("source")), Seq("doc_id"))
+    // Score inline as a projection keeping source — joining the t11
+    // output back to the corpus just to re-attach a column would cost
+    // a second scan plus a corpus-wide shuffle at scale.
+    val scored = docs(s, dir).select(col("doc_id"), col("source"),
+      TextAnalysis.ngramScoreMilli(
+        TextAnalysis.ngramFeatures(coalesce(col("text"), lit("")))).as("score_milli"))
     val w = Window.partitionBy(col("source"))
       .orderBy(col("score_milli"), col("doc_id"))
     scored.select(col("doc_id"), col("source"), col("score_milli"),
@@ -536,6 +539,16 @@ object PipelineQueries {
       .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rank"))
   }
 
+  /** S8 — IVF-PQ: cell pruning × code compression, the production ANN
+    * composition (Pq.ivfPqTopK).
+    */
+  def knnIvfPq(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    Pq.ivfPqTopK(e.filter(col("vec_id") < 5), e, k = 5,
+      nCentroids = 16, nProbe = 4, m = 8, kCode = 16)
+      .select(col("query_id"), col("neighbor_id"), col("approx_cos"), col("rank"))
+  }
+
   /** S7 — the ANN evaluation harness as a query: recall@5 of each
     * approximate method (sign-LSH, IVF, PQ-ADC) against the exact
     * brute-force top-5, over the same queries and corpus as s1/s2/s3/
@@ -550,6 +563,11 @@ object PipelineQueries {
     val q = e.filter(col("vec_id") < 5)
     val brute = Similarity.bruteForceTopK(q, e, k = 5)
       .select(col("query_id"), col("neighbor_id"))
+    // Denominator comes from the brute result itself, in-plan (a
+    // one-row broadcast) — a hard-coded queries×k constant would go
+    // stale the moment k or the query filter changed, and the oracle
+    // would agree with the wrong number.
+    val denom = brute.agg(count(lit(1)).as("n_total"))
     val methods: Seq[(String, DataFrame)] = Seq(
       "ivf" -> Ivf.ivfTopK(q, e, k = 5, nCentroids = 16, nProbe = 4),
       "lsh" -> Similarity.lshTopK(q, e, k = 5, dim = 64, planes = 6, tables = 8),
@@ -558,8 +576,9 @@ object PipelineQueries {
       df.select(col("query_id"), col("neighbor_id"))
         .join(brute, Seq("query_id", "neighbor_id"), "left_semi")
         .agg(count(lit(1)).as("n_hits"))
-        .select(lit(name).as("method"), col("n_hits"),
-          (col("n_hits").cast("double") / 25.0).as("recall"))
+        .join(broadcast(denom))
+        .select(lit(name).as("method"), col("n_hits"), col("n_total"),
+          (col("n_hits").cast("double") / col("n_total")).as("recall"))
     }.reduce(_ unionByName _)
   }
 
@@ -1198,13 +1217,20 @@ object PipelineQueries {
       FROM scored)
     WHERE rank <= 5"""
 
+  /** The t11 classifier's per-gram milli-weight in SQL — the single
+    * mirror of TextAnalysis.ngramScoreMilli's constants (bucket count,
+    * Knuth multiplier, weight range); every classifier-based oracle
+    * (t11, c2, x36) composes this one string.
+    */
+  private val ngramWeightSql: String =
+    s"((((${polySql("t", 31, Pm)} % 4096) * 2654435761 + 12345) % $Pm) % 2001) - 1000"
+
   /** C2 oracle: the whole curation chain in SQL — featSql's fp_md5 +
     * lang_pred drive dedup and the language gate; the t11 scoring CTE
     * re-runs on the survivors; the sampling predicate is the
     * hashBucket formula inline.
     */
   val curationPipelineSql: String = {
-    val w = s"((((${polySql("t", 31, Pm)} % 4096) * 2654435761 + 12345) % $Pm) % 2001) - 1000"
     featSql + s"""
     , uniq AS (
       SELECT f.doc_id, f.lang_pred FROM feat2 f
@@ -1223,7 +1249,7 @@ object PipelineQueries {
     ), sc AS (
       SELECT doc_id,
              CAST(len(grams) AS BIGINT) AS n_grams,
-             CAST(coalesce(list_sum(list_transform(grams, t -> $w)), 0) AS BIGINT) AS score_milli
+             CAST(coalesce(list_sum(list_transform(grams, t -> $ngramWeightSql)), 0) AS BIGINT) AS score_milli
       FROM g
     ), b AS (
       SELECT *, CASE WHEN score_milli > 5000 THEN 'head'
@@ -1240,7 +1266,6 @@ object PipelineQueries {
     * same (score, doc_id) total order drives PERCENT_RANK.
     */
   val scoreCalibrationSql: String = {
-    val w = s"((((${polySql("t", 31, Pm)} % 4096) * 2654435761 + 12345) % $Pm) % 2001) - 1000"
     s"""
     WITH tk AS (
       SELECT doc_id, source, $toksSql AS toks FROM documents
@@ -1251,7 +1276,7 @@ object PipelineQueries {
       FROM tk
     ), sc AS (
       SELECT doc_id, source,
-             CAST(coalesce(list_sum(list_transform(grams, t -> $w)), 0) AS BIGINT) AS score_milli
+             CAST(coalesce(list_sum(list_transform(grams, t -> $ngramWeightSql)), 0) AS BIGINT) AS score_milli
       FROM g
     )
     SELECT doc_id, source, score_milli,
@@ -1336,7 +1361,6 @@ object PipelineQueries {
     * Knuth-mix milli-weights, same exact integer sum.
     */
   val qualityClassifierSql: String = {
-    val w = s"((((${polySql("t", 31, Pm)} % 4096) * 2654435761 + 12345) % $Pm) % 2001) - 1000"
     s"""
     WITH tk AS (
       SELECT doc_id, $toksSql AS toks FROM documents
@@ -1348,7 +1372,7 @@ object PipelineQueries {
     ), sc AS (
       SELECT doc_id,
              CAST(len(grams) AS BIGINT) AS n_grams,
-             CAST(coalesce(list_sum(list_transform(grams, t -> $w)), 0) AS BIGINT) AS score_milli
+             CAST(coalesce(list_sum(list_transform(grams, t -> $ngramWeightSql)), 0) AS BIGINT) AS score_milli
       FROM g
     )
     SELECT doc_id, n_grams, score_milli,
@@ -1363,32 +1387,42 @@ object PipelineQueries {
     * ordering), same codeword-concatenation reconstruction, same
     * (rounded cos desc, neighbor asc) ranking.
     */
-  val knnPqSql: String = {
-    def l2sqSql(a: String, b: String): String = {
-      def sq(e: String) = s"($e) * ($e)"
-      val diff = s"CAST($a AS DOUBLE) - CAST($b AS DOUBLE)"
-      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(generate_series(1, 8), i -> ${sq(diff)})), (x, y) -> x + y)"
-    }
-    s"""
-    WITH sample AS (
+  /** Left-fold squared-L2 over one 8-dim subspace (elements a[m*8+i],
+    * b[m*8+i]) — the PQ assignment distance, shared by the s5 and s8
+    * oracles.
+    */
+  private def l2sqSql(a: String, b: String): String = {
+    def sq(e: String) = s"($e) * ($e)"
+    val diff = s"CAST($a AS DOUBLE) - CAST($b AS DOUBLE)"
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(generate_series(1, 8), i -> ${sq(diff)})), (x, y) -> x + y)"
+  }
+
+  /** The PQ codebook-sample/assign/reconstruct CTE chain (s5's
+    * pipeline through `recon`), shared verbatim by the s5 and s8
+    * oracles. Emits CTEs pqsample, pqassign, recon(neighbor_id, rv).
+    */
+  private val pqReconCtes: String = s"""pqsample AS (
       SELECT embedding AS sv, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS ci
       FROM (SELECT * FROM embeddings
             ORDER BY (((vec_id % 1000000007) * 2654435761) % 1000000007 * 40503)
                      % 1000000007 % 10000, vec_id
             LIMIT 16)
-    ), assign AS (
+    ), pqassign AS (
       SELECT e.vec_id, mm.m, s.ci, s.sv,
              ROW_NUMBER() OVER (PARTITION BY e.vec_id, mm.m
                ORDER BY ROUND(${l2sqSql("e.embedding[mm.m * 8 + i]", "s.sv[mm.m * 8 + i]")}, 6), s.ci) AS r
       FROM embeddings e
       CROSS JOIN (SELECT UNNEST(generate_series(0, 7)) AS m) mm
-      CROSS JOIN sample s
+      CROSS JOIN pqsample s
     ), recon AS (
       SELECT vec_id AS neighbor_id,
              flatten(list(sv[m * 8 + 1 : m * 8 + 8] ORDER BY m)) AS rv
-      FROM assign WHERE r = 1
+      FROM pqassign WHERE r = 1
       GROUP BY vec_id
-    ), scored AS (
+    )"""
+
+  val knnPqSql: String = s"""
+    WITH $pqReconCtes, scored AS (
       SELECT q.vec_id AS query_id, r.neighbor_id,
              ROUND(${cosSql("q.embedding", "r.rv")}, 6) AS approx_cos
       FROM embeddings q, recon r
@@ -1399,7 +1433,43 @@ object PipelineQueries {
                 ORDER BY approx_cos DESC, neighbor_id) AS rank
       FROM scored)
     WHERE rank <= 5"""
-  }
+
+  /** S8 oracle: the s3 cell chain and the s5 PQ chain composed — probe
+    * cells from the coarse quantizer, score PQ reconstructions within
+    * the probed cells only.
+    */
+  val knnIvfPqSql: String = s"""
+    WITH cents AS (
+      SELECT vec_id AS centroid_id, embedding AS cv,
+             ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS ci
+      FROM (SELECT * FROM embeddings
+            ORDER BY (((vec_id % 1000000007) * 2654435761) % 1000000007 * 40503)
+                     % 1000000007 % 10000, vec_id
+            LIMIT 16)
+    ), cellassign AS (
+      SELECT e.vec_id, e.embedding, c.centroid_id,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+               ORDER BY ROUND(${cosSql("e.embedding", "c.cv")}, 6) DESC, c.ci) AS r
+      FROM embeddings e, cents c
+    ), ca AS (
+      SELECT vec_id AS neighbor_id, centroid_id
+      FROM cellassign WHERE r = 1
+    ), qa AS (
+      SELECT vec_id AS query_id, embedding AS qv, centroid_id
+      FROM cellassign WHERE vec_id < 5 AND r <= 4
+    ), $pqReconCtes, scored AS (
+      SELECT qa.query_id, ca.neighbor_id,
+             ROUND(${cosSql("qa.qv", "rc.rv")}, 6) AS approx_cos
+      FROM ca
+      JOIN qa ON ca.centroid_id = qa.centroid_id
+      JOIN recon rc ON rc.neighbor_id = ca.neighbor_id
+      WHERE qa.query_id != ca.neighbor_id
+    )
+    SELECT query_id, neighbor_id, approx_cos, CAST(rank AS INT) AS rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY approx_cos DESC, neighbor_id) AS rank
+      FROM scored)
+    WHERE rank <= 5"""
 
   /** S7 oracle: each method's full SQL replay semi-joined against the
     * brute-force replay — the recall computation itself is trivial;
@@ -1409,7 +1479,8 @@ object PipelineQueries {
   val annRecallSql: String = {
     def hits(name: String, sub: String) =
       s"""SELECT '$name' AS method, CAST(COUNT(*) AS BIGINT) AS n_hits,
-             CAST(COUNT(*) AS DOUBLE) / 25.0 AS recall
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM ($knnBruteSql)) AS n_total,
+             CAST(COUNT(*) AS DOUBLE) / (SELECT COUNT(*) FROM ($knnBruteSql)) AS recall
       FROM ($sub) m JOIN ($knnBruteSql) b
         ON m.query_id = b.query_id AND m.neighbor_id = b.neighbor_id"""
     Seq(hits("ivf", knnIvfSql), hits("lsh", knnLshSql), hits("pq", knnPqSql))
@@ -1742,6 +1813,7 @@ object PipelineQueries {
     "s2_knn_lsh" -> (knnLsh _),
     "s3_knn_ivf" -> (knnIvf _),
     "s5_knn_pq" -> (knnPq _),
+    "s8_knn_ivfpq" -> (knnIvfPq _),
     "t11_quality_classifier" -> (qualityClassifier _),
     "s6_hard_negatives" -> (hardNegativesQ _),
     "c2_curation_pipeline" -> (curationPipeline _),
@@ -1792,6 +1864,7 @@ object PipelineQueries {
     "s2_knn_lsh" -> knnLshSql,
     "s3_knn_ivf" -> knnIvfSql,
     "s5_knn_pq" -> knnPqSql,
+    "s8_knn_ivfpq" -> knnIvfPqSql,
     "t11_quality_classifier" -> qualityClassifierSql,
     "s6_hard_negatives" -> hardNegativesSql,
     "c2_curation_pipeline" -> curationPipelineSql,

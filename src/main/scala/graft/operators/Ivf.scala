@@ -27,56 +27,63 @@ import org.apache.spark.sql.functions._
   */
 object Ivf {
 
-  def ivfTopK(queries: DataFrame, candidates: DataFrame, k: Int,
-              nCentroids: Int = 16, nProbe: Int = 4,
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    // Deterministic centroid pick: smallest id-hash candidates,
-    // ordered by id so ties in scoring break toward the smallest
-    // centroid id (same contract as the previous window form).
-    // The final `.sort(idCol)` runs IN Spark so id ordering follows
-    // the column's own type semantics — ids stay generic (long, int,
-    // string, ...) rather than assuming getLong.
-    val centRows = candidates
-      .withColumn("__h", Sampling.hashBucket(col(idCol)))
-      .orderBy(col("__h"), col(idCol))
-      .limit(nCentroids)
+  /** The deterministic centroid pick, exposed so compositions (IVF-PQ)
+    * train against the SAME quantizer: (ids, vectors) of the
+    * nCentroids smallest-(id-hash, id) candidates, in id order.
+    */
+  private[operators] def sampleCentroids(candidates: DataFrame, nCentroids: Int,
+                                         idCol: String, vecCol: String): (Seq[Any], Seq[Seq[Double]]) = {
+    val centRows = Sampling.smallestByHash(candidates, nCentroids, idCol)
       .select(col(idCol), col(vecCol))
       .sort(col(idCol))
       .collect()
-    if (centRows.isEmpty) {
-      return queries.select(col(idCol).as("query_id"), col(idCol).as("neighbor_id"),
-        lit(0.0).as("cos_sim"), lit(0).as("rank")).limit(0)
-    }
-    val centVecs: Seq[Seq[Double]] = centRows.map(_.getSeq[Any](1).map {
+    val vecs: Seq[Seq[Double]] = centRows.toIndexedSeq.map(_.getSeq[Any](1).map {
       case f: Float => f.toDouble
       case d: Double => d
       case other => throw new IllegalArgumentException(s"non-numeric vector element $other")
-    }.toSeq).toSeq
-    val nC = centRows.length
-    val cArr = typedLit(centVecs)
-    val idsArr = array(centRows.toIndexedSeq.map(r => lit(r.get(0))): _*)
+    }.toSeq)
+    (centRows.toIndexedSeq.map(_.get(0)), vecs)
+  }
 
-    // Top-n cells by (rounded cosine desc, centroid index asc), as a
-    // projection: score the centroid literal, sort the (score, index)
-    // structs descending (negated index makes ties resolve to the
-    // smallest centroid id). Staged through withColumn projections so
-    // the interpreted HOFs evaluate once per row (CollapseProject
-    // keeps multiply-referenced aliases materialized).
-    def withCells(df: DataFrame, vecC: String, n: Int): DataFrame =
-      df.withColumn("__scored",
-          zip_with(
-            transform(cArr, cv => round(Similarity.cosine(col(vecC), cv), 6)),
-            sequence(lit(0), lit(nC - 1)),
-            (s, i) => struct(s.as("s"), (-i).as("ni"), i.as("i"))))
-        .withColumn("__cells", slice(sort_array(col("__scored"), asc = false), 1, n))
+  /** Top-n probe cells of `vecC` against the centroid literal, as a
+    * `__cells` array column of (score, -idx, idx) structs — shared by
+    * ivfTopK and the IVF-PQ composition.
+    */
+  private[operators] def withCells(df: DataFrame, vecC: String, n: Int,
+                                   centVecs: Seq[Seq[Double]]): DataFrame = {
+    val nC = centVecs.length
+    val cArr = typedLit(centVecs)
+    df.withColumn("__scored",
+        zip_with(
+          transform(cArr, cv => round(Similarity.cosine(col(vecC), cv), 6)),
+          sequence(lit(0), lit(nC - 1)),
+          (s, i) => struct(s.as("s"), (-i).as("ni"), i.as("i"))))
+      .withColumn("__cells", slice(sort_array(col("__scored"), asc = false), 1, n))
+  }
+
+  def ivfTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+              nCentroids: Int = 16, nProbe: Int = 4,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // Deterministic centroid pick (sampleCentroids): smallest id-hash
+    // candidates in id order, so ties in scoring break toward the
+    // smallest centroid id. Cell assignment (withCells) is a staged
+    // projection — (rounded cosine desc, centroid index asc) struct
+    // sort; the interpreted HOFs evaluate once per row.
+    val (centIds, centVecs) = sampleCentroids(candidates, nCentroids, idCol, vecCol)
+    if (centVecs.isEmpty) {
+      return queries.select(col(idCol).as("query_id"), col(idCol).as("neighbor_id"),
+        lit(0.0).as("cos_sim"), lit(0).as("rank")).limit(0)
+    }
+    val nC = centVecs.length
+    val idsArr = array(centIds.map(lit): _*)
 
     val cAssigned = withCells(
-        candidates.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv")), "nv", 1)
+        candidates.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv")), "nv", 1, centVecs)
       .withColumn("centroid_id",
         element_at(idsArr, element_at(col("__cells"), 1)("i") + 1))
       .select("neighbor_id", "nv", "centroid_id")
     val qAssigned = withCells(
-        queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")), "qv", math.min(nProbe, nC))
+        queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")), "qv", math.min(nProbe, nC), centVecs)
       .withColumn("centroid_id",
         explode(transform(col("__cells"), c => element_at(idsArr, c("i") + 1))))
       .select("query_id", "qv", "centroid_id")

@@ -51,10 +51,7 @@ object Pq {
     */
   def codebooks(candidates: DataFrame, m: Int, kCode: Int,
                 idCol: String = "vec_id", vecCol: String = "embedding"): Seq[Seq[Seq[Double]]] = {
-    val rows = candidates
-      .withColumn("__h", Sampling.hashBucket(col(idCol)))
-      .orderBy(col("__h"), col(idCol))
-      .limit(kCode)
+    val rows = Sampling.smallestByHash(candidates, kCode, idCol)
       .select(col(idCol), col(vecCol))
       .sort(col(idCol))
       .collect()
@@ -107,6 +104,57 @@ object Pq {
   def encode(candidates: DataFrame, books: Seq[Seq[Seq[Double]]],
              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
     candidates.select(col(idCol), encodeExpr(col(vecCol), books).as("codes"))
+
+  /** IVF-PQ top-k — the FAISS IndexIVFPQ arrangement, composed from
+    * the library's own stages: Ivf's coarse quantizer prunes the
+    * probe set to nProbe of nCentroids cells, and within the probed
+    * cells the PQ codes stand in for the vectors (ADC against the
+    * codeword reconstruction). This is THE production ANN shape at
+    * 100 TB: cell pruning bounds how much is scanned, PQ bounds how
+    * much memory what's scanned occupies. Codebooks here encode raw
+    * vectors (IVFFlat+PQ) rather than cell residuals — residual
+    * encoding adds a per-cell codebook without changing any join
+    * shape, and raw-vector codes keep the DuckDB oracle a direct
+    * composition of the s3 and s5 replays. Both quantizers train on
+    * the same deterministic smallest-id-hash sample.
+    */
+  def ivfPqTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+                nCentroids: Int = 16, nProbe: Int = 4,
+                m: Int = 8, kCode: Int = 16,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val (centIds, centVecs) = Ivf.sampleCentroids(candidates, nCentroids, idCol, vecCol)
+    val books = codebooks(candidates, m, kCode, idCol, vecCol)
+    if (centVecs.isEmpty || books.isEmpty) {
+      return queries.select(col(idCol).as("query_id"), col(idCol).as("neighbor_id"),
+        lit(0.0).as("approx_cos"), lit(0).as("rank")).limit(0)
+    }
+    val idsArr = array(centIds.map(lit): _*)
+    // Candidate side: one scan computes both the cell and the codes;
+    // the exact vector is dropped — downstream only sees the index
+    // artifacts (cell id + m nibbles), exactly what a deployment
+    // persists.
+    val cAssigned = Ivf.withCells(
+        candidates.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv")), "nv", 1, centVecs)
+      .withColumn("centroid_id",
+        element_at(idsArr, element_at(col("__cells"), 1)("i") + 1))
+      .withColumn("codes", encodeExpr(col("nv"), books))
+      .select("neighbor_id", "centroid_id", "codes")
+      .withColumn("rv", reconstructExpr(col("codes"), books))
+    val qAssigned = Ivf.withCells(
+        queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")), "qv",
+        math.min(nProbe, centVecs.length), centVecs)
+      .withColumn("centroid_id",
+        explode(transform(col("__cells"), c => element_at(idsArr, c("i") + 1))))
+      .select("query_id", "qv", "centroid_id")
+    val scored = cAssigned.join(broadcast(qAssigned), Seq("centroid_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(Similarity.cosine(col("qv"), col("rv")), 6).as("approx_cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
 
   /** ADC top-k: exact query vector vs PQ-reconstructed candidates.
     * Output (query_id, neighbor_id, approx_cos, rank); approximation

@@ -30,6 +30,18 @@ object Sampling {
   def deterministicSample(df: DataFrame, idCol: String, perMyriad: Int): DataFrame =
     df.filter(hashBucket(col(idCol)) < perMyriad)
 
+  /** The n rows with the smallest (id-hash, id) — a deterministic
+    * sample of the data distribution. Both quantizer trainers (Ivf
+    * centroid pick, Pq codebook pick) and their DuckDB oracle replays
+    * rely on this recipe being IDENTICAL everywhere; it lives here so
+    * the invariant is expressed once.
+    */
+  def smallestByHash(df: DataFrame, n: Int, idCol: String): DataFrame =
+    df.withColumn("__h", hashBucket(col(idCol)))
+      .orderBy(col("__h"), col(idCol))
+      .limit(n)
+      .drop("__h")
+
   /** Exactly-n-per-stratum sample: each stratum keeps its n rows with
     * the smallest (id hash, id). Selection goes through the two-phase
     * boundary-bucket path — a row_number over whole strata serializes

@@ -31,9 +31,13 @@ object CurationStream {
   def admit(df: DataFrame, minScoreMilli: Long,
             textCol: String = "text", timeCol: String = "event_time",
             delay: String = "10 minutes"): DataFrame = {
+    // NULL text must score 0 exactly like the batch scorer's coalesce —
+    // a bare ngramFeatures(null) would yield a NULL score and silently
+    // drop the row regardless of threshold, breaking batch parity.
     val gated = df
       .withColumn("score_milli",
-        TextAnalysis.ngramScoreMilli(TextAnalysis.ngramFeatures(col(textCol))))
+        TextAnalysis.ngramScoreMilli(
+          TextAnalysis.ngramFeatures(coalesce(col(textCol), lit("")))))
       .filter(col("score_milli") > minScoreMilli)
     StreamingDedup.exactWithinWatermark(gated, textCol, timeCol, delay)
   }

@@ -307,6 +307,13 @@ class PlanSpec extends SparkSpecBase {
     assert(shuffles <= 1, s"expected at most the top-k window shuffle, got $shuffles")
   }
 
+  test("x36 calibration scores inline — no self-join to re-attach source, one window exchange") {
+    val p = plan("x36_score_calibration")
+    assert(!p.contains("Join"), "score must be a projection on the scan, not a join-back")
+    val shuffles = p.split('\n').count(_.contains("Exchange hashpartitioning"))
+    assert(shuffles === 1, s"expected exactly the per-source window exchange, got $shuffles")
+  }
+
   test("c2 curation chain: one scan family, hash-keyed dedup, no window over the whole corpus") {
     val p = plan("c2_curation_pipeline")
     assert(!p.contains("CartesianProduct"), "curation chain must stay equi-join only")

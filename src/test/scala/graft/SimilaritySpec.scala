@@ -93,6 +93,35 @@ class SimilaritySpec extends SparkSpecBase {
     assert(recall > 0.10, s"recall=$recall")
   }
 
+  test("IVF-PQ: results are the probed-cell subset of full-scan PQ; duplicate still found") {
+    import graft.operators.Pq
+    val e = Tables.embeddings(spark, Sf)
+    val queries = e.filter(col("vec_id") < 20)
+    // Composition invariant: every IVF-PQ pair must also appear in the
+    // full-scan PQ ranking's candidate scores (same codebooks, same
+    // ADC) — cell pruning can only REMOVE candidates, never re-score.
+    val ivfpq = Pq.ivfPqTopK(queries, e, k = 5)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Double]("approx_cos"))).toSet
+    val books = Pq.codebooks(e, m = 8, kCode = 16)
+    val recon = e.select(col("vec_id").as("neighbor_id"),
+      Pq.reconstructExpr(Pq.encodeExpr(col("embedding"), books), books).as("rv"))
+    val allScores = recon.join(
+        queries.select(col("vec_id").as("query_id"), col("embedding").as("qv")),
+        col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(Similarity.cosine(col("qv"), col("rv")), 6).as("approx_cos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(ivfpq.subsetOf(allScores), "IVF-PQ scores must agree with full-scan ADC")
+    // An exact duplicate quantizes to the same cell AND the same codes:
+    // retrieved first with the twin's own reconstruction score.
+    val dup = e.filter(col("vec_id") === 0)
+      .select(lit(10000L).as("vec_id"), col("embedding"), col("label"))
+    val top = Pq.ivfPqTopK(e.filter(col("vec_id") === 0), e.unionByName(dup), k = 1)
+      .collect().head
+    assert(top.getAs[Long]("neighbor_id") === 10000L)
+  }
+
   test("PQ on an empty corpus returns an empty, correctly-shaped frame") {
     import graft.operators.Pq
     val e = Tables.embeddings(spark, Sf)

@@ -423,7 +423,10 @@ class TextDedupSpec extends SparkSpecBase {
     val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, String)]
     val docs = mem.toDF().toDF("doc_id", "text", "ts")
       .withColumn("event_time", col("ts").cast("timestamp"))
-    val q = graft.streaming.CurationStream.admit(docs, minScoreMilli = 0L)
+    // Threshold -1 so a 0-scoring doc (incl. NULL text) must be
+    // ADMITTED — pins the batch-parity coalesce in the gate: a naive
+    // null score would silently drop the row instead.
+    val q = graft.streaming.CurationStream.admit(docs, minScoreMilli = -1L)
       .writeStream.format("memory").queryName("scur_out").outputMode("append").start()
     // Batch scores of the candidate texts decide the expectation — the
     // stream must agree doc for doc because the gate is the same
@@ -432,7 +435,8 @@ class TextDedupSpec extends SparkSpecBase {
       1L -> "the quick brown fox jumps over the lazy dog",
       2L -> "lorem ipsum dolor sit amet consectetur",
       3L -> "the quick brown fox jumps over the lazy dog", // dup of 1
-      4L -> "table scan hash join shuffle partition")
+      4L -> "table scan hash join shuffle partition",
+      5L -> (null: String)) // NULL text: scores 0 like the batch gate, never crashes
     import spark.implicits._
     val batchScores = TextAnalysis.hashedNgramScore(
         texts.toDF("doc_id", "text")).collect()
@@ -443,7 +447,7 @@ class TextDedupSpec extends SparkSpecBase {
     q.processAllAvailable()
     q.stop()
     val admitted = spark.table("scur_out").collect().map(_.getAs[Long]("doc_id")).toSet
-    val passing = texts.collect { case (id, _) if batchScores(id) > 0 => id }.toSet
+    val passing = texts.collect { case (id, _) if batchScores(id) > -1 => id }.toSet
     // Every admitted doc passed the batch gate; every passing text is
     // represented by exactly one survivor (first arrival) per distinct
     // content.
@@ -452,7 +456,9 @@ class TextDedupSpec extends SparkSpecBase {
     if (dupPair.size == 2) assert((admitted & dupPair) === Set(1L))
     assert((passing -- Set(3L)).subsetOf(admitted))
     // Sub-threshold docs never reach the sink regardless of dedup.
-    assert((admitted & texts.collect { case (id, _) if batchScores(id) <= 0 => id }.toSet).isEmpty)
+    assert((admitted & texts.collect { case (id, _) if batchScores(id) <= -1 => id }.toSet).isEmpty)
+    // The NULL-text doc scores 0 (> -1) and is unique content: admitted.
+    assert(admitted.contains(5L))
   }
 
   test("streaming exact dedup collapses whitespace/case variants only") {
