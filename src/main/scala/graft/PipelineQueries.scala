@@ -571,7 +571,8 @@ object PipelineQueries {
     val methods: Seq[(String, DataFrame)] = Seq(
       "ivf" -> Ivf.ivfTopK(q, e, k = 5, nCentroids = 16, nProbe = 4),
       "lsh" -> Similarity.lshTopK(q, e, k = 5, dim = 64, planes = 6, tables = 8),
-      "pq" -> Pq.pqTopK(q, e, k = 5, m = 8, kCode = 16))
+      "pq" -> Pq.pqTopK(q, e, k = 5, m = 8, kCode = 16),
+      "ivfpq" -> Pq.ivfPqTopK(q, e, k = 5, nCentroids = 16, nProbe = 4, m = 8, kCode = 16))
     methods.map { case (name, df) =>
       df.select(col("query_id"), col("neighbor_id"))
         .join(brute, Seq("query_id", "neighbor_id"), "left_semi")
@@ -1483,7 +1484,8 @@ object PipelineQueries {
              CAST(COUNT(*) AS DOUBLE) / (SELECT COUNT(*) FROM ($knnBruteSql)) AS recall
       FROM ($sub) m JOIN ($knnBruteSql) b
         ON m.query_id = b.query_id AND m.neighbor_id = b.neighbor_id"""
-    Seq(hits("ivf", knnIvfSql), hits("lsh", knnLshSql), hits("pq", knnPqSql))
+    Seq(hits("ivf", knnIvfSql), hits("lsh", knnLshSql), hits("pq", knnPqSql),
+        hits("ivfpq", knnIvfPqSql))
       .mkString("\n    UNION ALL\n    ")
   }
 
