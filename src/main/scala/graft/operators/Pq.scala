@@ -69,11 +69,21 @@ object Pq {
 
   /** Encode a vector column to its `m` codes: for each subspace, the
     * index of the codeword minimizing (rounded L2², index). A pure
-    * projection over the scan — array_min on (dist, idx) structs uses
-    * lexicographic struct ordering, so ties break to the smallest
-    * codeword index exactly like the oracle's ROW_NUMBER.
+    * projection over the scan, evaluated by the native codegen'd
+    * `PqCodes` expression — one fused loop per row instead of m*kCode
+    * interpreted lambda folds. `encodeExprFold` below is the original
+    * higher-order-function form, kept as the cross-checking reference
+    * (PqSpec pins native === fold on real data).
     */
-  def encodeExpr(vec: Column, books: Seq[Seq[Seq[Double]]]): Column = {
+  def encodeExpr(vec: Column, books: Seq[Seq[Seq[Double]]]): Column =
+    graft.functions.PqFunctions.pqCodes(vec, books)
+
+  /** Fold-form reference implementation of encodeExpr — array_min on
+    * (dist, idx) structs uses lexicographic struct ordering, so ties
+    * break to the smallest codeword index exactly like the oracle's
+    * ROW_NUMBER.
+    */
+  def encodeExprFold(vec: Column, books: Seq[Seq[Seq[Double]]]): Column = {
     val m = books.length
     val dsub = books.head.head.length
     val kCode = books.head.length
@@ -90,9 +100,14 @@ object Pq {
   }
 
   /** Reconstruct the quantized vector from its codes: concatenate the
-    * chosen codewords. Also a pure projection.
+    * chosen codewords. Also a pure projection; native `PqReconstruct`
+    * (single arraycopy per subspace).
     */
-  def reconstructExpr(codes: Column, books: Seq[Seq[Seq[Double]]]): Column = {
+  def reconstructExpr(codes: Column, books: Seq[Seq[Seq[Double]]]): Column =
+    graft.functions.PqFunctions.pqReconstruct(codes, books)
+
+  /** Fold-form reference implementation of reconstructExpr. */
+  def reconstructExprFold(codes: Column, books: Seq[Seq[Seq[Double]]]): Column = {
     val booksLit = typedLit(books)
     flatten(zip_with(codes, sequence(lit(0), lit(books.length - 1)),
       (c, mi) => element_at(element_at(booksLit, mi + 1), c + 1)))
