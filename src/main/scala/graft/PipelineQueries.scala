@@ -1776,11 +1776,82 @@ object PipelineQueries {
     FROM topk t JOIN sv s ON s.pair = t.pair"""
 
   // ---------------------------------------------------------------
+  // T13 — BPE encode (tokenizer application)
+  // ---------------------------------------------------------------
+
+  /** T13 — train 4 BPE merges on the corpus (Bpe.learnMerges) and
+    * ENCODE it with them: per-source word/char/subword-token counts
+    * and the chars-per-token compression ratio. Completes the t10
+    * story: t10 is the trainer's first counting pass, t13 is the
+    * trained tokenizer applied back to the corpus (the op every
+    * training pipeline runs to produce token budgets).
+    */
+  def bpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val merges = graft.operators.Bpe.learnMerges(d, n = 4)
+    graft.operators.Bpe.encodeStats(d, merges)
+  }
+
+  /** The oracle replays the 4 training rounds UNROLLED. Words are
+    * carried as a delimited string — every symbol wrapped
+    * chr(1)‖sym‖chr(2) — where one left-to-right non-overlapping
+    * `replace` of chr(1)s1 chr(2)chr(1)s2 chr(2) with
+    * chr(1)s1s2 chr(2) is EXACTLY the greedy BPE merge pass (the
+    * consumed region ends at s2's closing delimiter, so a following
+    * adjacent pair keeps its opening delimiter — "aaaaa" under (a,a)
+    * gives [aa,aa,a] in both engines), and the full wrapping makes a
+    * false match inside a multi-char symbol impossible. Pair counts
+    * per round come from re-splitting the string into the symbol
+    * list.
+    */
+  private def bpeRoundSql(k: Int): String = {
+    val prev = s"w${k - 1}"
+    s"""p$k AS (
+      SELECT pr.s1 AS s1, pr.s2 AS s2, CAST(SUM(wc) AS BIGINT) AS cnt FROM (
+        SELECT wc, unnest(list_transform(range(1, len(l)),
+                 i -> struct_pack(s1 := l[i], s2 := l[i+1]))) AS pr
+        FROM (SELECT wc, str_split(substr(s, 2, length(s) - 2), chr(2) || chr(1)) AS l
+              FROM $prev)
+      ) GROUP BY 1, 2
+    ),
+    m$k AS (SELECT s1, s2 FROM p$k ORDER BY cnt DESC, s1 ASC, s2 ASC LIMIT 1),
+    w$k AS (SELECT word, wc, replace(s,
+              chr(1) || (SELECT s1 FROM m$k) || chr(2) || chr(1) || (SELECT s2 FROM m$k) || chr(2),
+              chr(1) || (SELECT s1 FROM m$k) || (SELECT s2 FROM m$k) || chr(2)) AS s
+            FROM $prev)"""
+  }
+
+  private val bpeEncodeSql: String = s"""
+    WITH d AS (SELECT source, $toksSql AS toks FROM documents),
+    sw AS (SELECT source, unnest(toks) AS word FROM d),
+    swc AS (SELECT source, word, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM sw GROUP BY source, word),
+    wc AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS wc FROM sw GROUP BY word),
+    w0 AS (SELECT word, wc,
+             chr(1) || array_to_string(
+               list_transform(range(1, length(word) + 1), i -> substr(word, i, 1)),
+               chr(2) || chr(1)) || chr(2) AS s
+           FROM wc),
+    ${(1 to 4).map(bpeRoundSql).mkString(",\n")},
+    enc AS (SELECT word,
+              CAST(len(str_split(substr(s, 2, length(s) - 2), chr(2) || chr(1))) AS BIGINT) AS n_sym
+            FROM w4)
+    SELECT swc.source AS source,
+           CAST(SUM(swc.cnt) AS BIGINT) AS n_words,
+           CAST(SUM(length(swc.word) * swc.cnt) AS BIGINT) AS n_chars,
+           CAST(SUM(e.n_sym * swc.cnt) AS BIGINT) AS n_bpe_tokens,
+           CAST(SUM(length(swc.word) * swc.cnt) * 1000000
+                // SUM(e.n_sym * swc.cnt) AS BIGINT) AS compression_e6
+    FROM swc JOIN enc e ON e.word = swc.word
+    GROUP BY swc.source"""
+
+  // ---------------------------------------------------------------
   // Wiring
   // ---------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t10_bpe_pairs" -> (bpePairStats _),
+    "t13_bpe_encode" -> (bpeEncode _),
     "t1_text_stats" -> (textStats _),
     "t2_lang_id" -> (langIdConfusion _),
     "t3_fingerprints" -> (fingerprintStats _),
@@ -1832,6 +1903,7 @@ object PipelineQueries {
 
   val oracles: Map[String, String] = Map(
     "t10_bpe_pairs" -> bpePairStatsSql,
+    "t13_bpe_encode" -> bpeEncodeSql,
     "t1_text_stats" -> textStatsSql,
     "t2_lang_id" -> langIdSql,
     "t3_fingerprints" -> fingerprintSql,

@@ -111,16 +111,48 @@ object Bpe {
       .groupBy(col("pr.s1").as("s1"), col("pr.s2").as("s2"))
       .agg(sum(col("wc")).as("cnt"))
 
-  /** One greedy left-to-right merge pass: fold the symbol array,
+  /** One greedy left-to-right merge pass over a symbol array: fold,
     * joining a (s1, s2) adjacency into one token; the merged token is
     * not re-considered against the following symbol within this pass.
     */
+  private[graft] def mergeSyms(syms: Column, s1: String, s2: String): Column =
+    aggregate(syms, array().cast("array<string>"), (acc, x) =>
+      when(size(acc) > 0 &&
+          element_at(acc, -1) === lit(s1) && x === lit(s2),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(s1 + s2))))
+        .otherwise(concat(acc, array(x))))
+
   private[graft] def applyMerge(words: DataFrame, s1: String, s2: String): DataFrame =
-    words.select(
-      aggregate(col("syms"), array().cast("array<string>"), (acc, x) =>
-        when(size(acc) > 0 &&
-            element_at(acc, -1) === lit(s1) && x === lit(s2),
-          concat(slice(acc, lit(1), size(acc) - 1), array(lit(s1 + s2))))
-          .otherwise(concat(acc, array(x)))).as("syms"),
-      col("wc"))
+    words.select(mergeSyms(col("syms"), s1, s2).as("syms"), col("wc"))
+
+  /** Tokenizer APPLICATION — encode the corpus with a learned merge
+    * list and report per-source compression. The encode runs over the
+    * DISTINCT-WORD table (vocab-sized, the same trick the trainer
+    * uses: identical words share one encode), then joins back to the
+    * per-(source, word) counts — the corpus text is scanned once for
+    * tokenization and never again. compression_e6 is chars-per-token
+    * in exact integer micro-units.
+    */
+  def encodeStats(docs: DataFrame, merges: Seq[(String, String)],
+                  textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col("source"),
+      explode(Retrieval.tokens(col(textCol))).as("word"))
+    val swc = toks.groupBy(col("source"), col("word"))
+      .agg(count(lit(1)).as("cnt"))
+    var wenc = swc.select(col("word")).distinct()
+      .withColumn("syms",
+        expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
+    merges.foreach { case (s1, s2) =>
+      wenc = wenc.select(col("word"), mergeSyms(col("syms"), s1, s2).as("syms"))
+    }
+    val wsym = wenc.select(col("word"), size(col("syms")).cast("long").as("n_sym"))
+    swc.join(wsym, Seq("word"))
+      .groupBy(col("source"))
+      .agg(
+        sum(col("cnt")).as("n_words"),
+        sum(length(col("word")).cast("long") * col("cnt")).as("n_chars"),
+        sum(col("n_sym") * col("cnt")).as("n_bpe_tokens"))
+      .select(col("source"), col("n_words"), col("n_chars"), col("n_bpe_tokens"),
+        expr("n_chars * 1000000 div n_bpe_tokens").as("compression_e6"))
+  }
 }

@@ -59,4 +59,23 @@ class BpeSpec extends SparkSpecBase {
     val docs = Seq((0L, "a b c a b")).toDF("doc_id", "text")
     assert(Bpe.learnMerges(docs, n = 2) === Seq.empty)
   }
+
+  test("encodeStats: textbook merges give exact per-source token budgets") {
+    val docs = Seq((0L, "hug hug pug", "s1"), (1L, "hugs", "s2"))
+      .toDF("doc_id", "text", "source")
+    val merges = Bpe.learnMerges(docs, n = 2)
+    assert(merges === Seq(("u", "g"), ("h", "ug")))
+    // hug -> [hug] (1 sym), pug -> [p, ug] (2), hugs -> [hug, s] (2).
+    val r = Bpe.encodeStats(docs, merges).collect()
+      .map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4)))).toMap
+    assert(r("s1") === ((3L, 9L, 4L, 2250000L)))
+    assert(r("s2") === ((1L, 4L, 2L, 2000000L)))
+  }
+
+  test("encodeStats applies merges greedily left-to-right (aaaaa -> aa aa a)") {
+    val docs = Seq((0L, "aaaaa", "s")).toDF("doc_id", "text", "source")
+    val r = Bpe.encodeStats(docs, Seq(("a", "a"))).collect().head
+    assert(r.getAs[Long]("n_bpe_tokens") === 3L)
+    assert(r.getAs[Long]("n_chars") === 5L)
+  }
 }
