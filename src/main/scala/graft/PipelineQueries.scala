@@ -75,6 +75,23 @@ object PipelineQueries {
         minJaccardE6 = 100000L)
       .select(col("doc_id"), col("lang"), col("source"))
 
+  /** D19 — signature-estimate vs exact Jaccard, error stats per
+    * exact-Jaccard decile. The natural d2 slice alone puts every pair
+    * in the lowest decile, so the corpus plants half-truncations
+    * (+1e6, exact Jaccard ≈ 0.3–0.5) and byte-exact copies (+2e6,
+    * exact = estimate = 1.0) — the estimator is graded across the
+    * whole similarity range, not just on dissimilar pairs.
+    */
+  def jaccardEstQualityQ(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir).filter(pmod(col("doc_id"), lit(10)) === 0)
+      .select(col("doc_id"), col("text"))
+    val truncated = base.select((col("doc_id") + 1000000L).as("doc_id"),
+      expr("substring(text, 1, greatest(length(text) div 2, 1))").as("text"))
+    val copies = base.select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
+    Dedup.jaccardEstQuality(base.unionByName(truncated).unionByName(copies),
+      shingleN = 2, k = 16)
+  }
+
   /** D14 — containment dedup over a corpus with planted TRUNCATED
     * copies (doc_id+1e6 carries the first half of the original's
     * text): the canonical asymmetric-dup case, prefix ⊂ whole.
@@ -755,6 +772,42 @@ object PipelineQueries {
   val minhashSigSql: String = s"""WITH ${shingleSql(3, "doc_id < 100")}, $sigSql
     SELECT doc_id, CAST(perm AS BIGINT) AS perm, sig[perm] AS sig_value
     FROM sigs, UNNEST(generate_series(1, 16)) AS t(perm)"""
+
+  /** D19 oracle: pairs over the d2 slice (2-gram shingles, so the
+    * exact side matches d2's grain), estimate = matching signature
+    * positions × 1e6 // 16, exact via list_intersect; integer error
+    * stats per exact decile.
+    */
+  val jaccardEstSql: String = s"""WITH corpus AS (
+    SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+    UNION ALL
+    SELECT doc_id + 1000000, substring(text, 1, greatest(length(text) // 2, 1))
+    FROM documents WHERE doc_id % 10 = 0
+    UNION ALL
+    SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 10 = 0
+  ), ${shingleSql(2, "TRUE", "sh", "corpus")}, $sigSql,
+  pr AS (
+    SELECT len(list_intersect(ha.sh, hb.sh)) AS inter,
+           len(ha.sh) + len(hb.sh) AS szsum,
+           len(list_filter(generate_series(1, 16), i -> sa.sig[i] = sb.sig[i]))
+             * 1000000 // 16 AS est_e6
+    FROM sigs sa
+    JOIN sh ha ON ha.doc_id = sa.doc_id
+    JOIN sigs sb ON sb.doc_id > sa.doc_id
+    JOIN sh hb ON hb.doc_id = sb.doc_id
+  ),
+  px AS (
+    SELECT est_e6,
+           CASE WHEN szsum - inter = 0 THEN 0
+                ELSE inter * 1000000 // (szsum - inter) END AS exact_e6
+    FROM pr
+  )
+  SELECT CAST(exact_e6 // 100000 AS BIGINT) AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(SUM(ABS(est_e6 - exact_e6)) AS BIGINT) AS sum_abs_err_e6,
+         CAST(SUM(ABS(est_e6 - exact_e6)) // COUNT(*) AS BIGINT) AS mean_abs_err_e6,
+         CAST(MAX(ABS(est_e6 - exact_e6)) AS BIGINT) AS max_abs_err_e6
+  FROM px GROUP BY 1"""
 
   val minhashCandSql: String = s"""WITH ${shingleSql(3, "doc_id % 10 = 0")}, $sigSql,
   banded AS (
@@ -1870,6 +1923,7 @@ object PipelineQueries {
     "d4_minhash_candidates" -> (minhashCandidates _),
     "d5_simhash" -> (simhashFingerprints _),
     "d7_near_dedup" -> (nearDedup _),
+    "d19_jaccard_est" -> (jaccardEstQualityQ _),
     "d9_dup_clusters" -> (dupClusters _),
     "d11_near_dedup_cc" -> (nearDedupCC _),
     "d12_substring_dup" -> (substringDup _),
@@ -1922,6 +1976,7 @@ object PipelineQueries {
     "d4_minhash_candidates" -> minhashCandSql,
     "d5_simhash" -> simhashSql,
     "d7_near_dedup" -> nearDedupSql,
+    "d19_jaccard_est" -> jaccardEstSql,
     "d9_dup_clusters" -> dupClustersSql,
     "d11_near_dedup_cc" -> nearDedupCCSql,
     "d12_substring_dup" -> substringDupSql,

@@ -225,6 +225,55 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard_e6")
   }
 
+  /** D19 — MinHash estimator-quality harness: for every pair in a
+    * bounded slice, the signature-based Jaccard ESTIMATE
+    * (matching-positions/k — the number a 100 TB pipeline trusts at
+    * verify time, since it never re-touches raw text) against the
+    * exact shingle Jaccard, aggregated into error stats per
+    * exact-Jaccard decile. The all-pairs exact side exists only to
+    * GRADE the estimator and carries jaccardPairs' bounded-set guard;
+    * production reads the estimate straight off d3's signatures.
+    * Mirrors s7_ann_recall's posture: the evaluation harness is
+    * itself an oracle-checked operator.
+    */
+  def jaccardEstQuality(docs: DataFrame, shingleN: Int = 2, k: Int = 16,
+                        idCol: String = "doc_id", textCol: String = "text",
+                        maxRows: Long = 100000L): DataFrame = {
+    // Cheap token-count pre-filter, NOT a filter on `sh` (a shingle
+    // filter gets predicate-pushed below the staged projection and
+    // re-inlines the token-hash tree — see minhashCandidates).
+    val eligible = docs.select(col(idCol).as("id"), col(textCol))
+      .filter(size(TextAnalysis.tokens(col(textCol))) >= shingleN)
+    val sh = withShingles(eligible, textCol, shingleN)
+      .select(col("id"), array_sort(col("sh")).as("sh"),
+        minhashSignature(col("sh"), k).as("sig"))
+      .localCheckpoint(true)
+    val n = sh.count()
+    require(n <= maxRows,
+      s"jaccardEstQuality grades the estimator on a bounded slice; got $n rows " +
+        s"(max $maxRows). The production path reads estimates off signatures alone.")
+    val a = sh.as("a"); val b = sh.as("b")
+    val pairs = a.join(b, col("a.id") < col("b.id"))
+      .select(
+        graft.functions.ArrayFunctions.sortedIntersectSize(col("a.sh"), col("b.sh")).as("inter"),
+        (size(col("a.sh")) + size(col("b.sh"))).cast("long").as("szsum"),
+        minhashJaccardE6(col("a.sig"), col("b.sig"), k).as("est_e6"))
+      .withColumn("uni", col("szsum") - col("inter"))
+      .withColumn("exact_e6",
+        when(col("uni") === 0, lit(0L))
+          .otherwise(((col("inter") * 1000000L) - pmod(col("inter") * 1000000L, col("uni"))) / col("uni"))
+          .cast("long"))
+      .withColumn("abs_err_e6", abs(col("est_e6") - col("exact_e6")))
+    pairs.groupBy(expr("exact_e6 div 100000").as("bucket"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(col("abs_err_e6")).as("sum_abs_err_e6"),
+        max(col("abs_err_e6")).as("max_abs_err_e6"))
+      .select(col("bucket"), col("n_pairs"), col("sum_abs_err_e6"),
+        expr("sum_abs_err_e6 div n_pairs").as("mean_abs_err_e6"),
+        col("max_abs_err_e6"))
+  }
+
   /** 32-bit SimHash over token hashes: bit i of the fingerprint is the
     * sign of sum over tokens of (2*bit_i(token_hash) - 1). Portable
     * integer arithmetic throughout (token hash mod 2^32).

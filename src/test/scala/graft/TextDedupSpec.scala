@@ -97,6 +97,22 @@ class TextDedupSpec extends SparkSpecBase {
     assert(math.abs(est - exact) < 200000L, s"est=$est exact=$exact")
   }
 
+  test("jaccardEstQuality: identical docs land in bucket 10 with zero estimator error") {
+    val df = docsDf(Seq(
+      (0L, "alpha beta gamma delta epsilon"),
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "wholly different words over here")))
+    val r = Dedup.jaccardEstQuality(df, shingleN = 2, k = 16).collect()
+      .map(x => x.getAs[Long]("bucket") -> x).toMap
+    // The identical pair: exact = est = 1e6 exactly (same shingle set
+    // -> same signature), so bucket 10 carries zero error.
+    assert(r(10L).getAs[Long]("n_pairs") === 1L)
+    assert(r(10L).getAs[Long]("max_abs_err_e6") === 0L)
+    // The two dissimilar pairs share no shingles: exact 0, and any
+    // estimator error comes only from signature collisions.
+    assert(r(0L).getAs[Long]("n_pairs") === 2L)
+  }
+
   test("native ShingleHashes is bit-identical to the fold form, incl. degenerate docs") {
     val docs = graft.sources.Tables.documents(spark, Sf).limit(200)
       .select(col("doc_id"), col("text"))
