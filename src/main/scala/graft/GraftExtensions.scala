@@ -71,8 +71,46 @@ object GraftExtensions {
       (es: Seq[Expression]) => ShingleHashes(es(0), litInt(es(1), "n"))),
     ("minhash_sig",
       info("minhash_sig", "minhash_sig(shingles, k) - k-permutation MinHash signature"),
-      (es: Seq[Expression]) => MinHashSig(es(0), litInt(es(1), "k")))
+      (es: Seq[Expression]) => MinHashSig(es(0), litInt(es(1), "k"))),
+    ("pq_codes",
+      info("pq_codes", "pq_codes(vec, books) - product-quantization codes; books is a " +
+        "foldable array<array<array<double>>> codebook literal"),
+      (es: Seq[Expression]) => PqCodes(es(0), litBooks(es(1)))),
+    ("pq_reconstruct",
+      info("pq_reconstruct", "pq_reconstruct(codes, books) - concatenated codewords for PQ codes"),
+      (es: Seq[Expression]) => PqReconstruct(es(0), litBooks(es(1))))
   )
+
+  /** Evaluate a foldable nested-array expression into the PQ codebook
+    * shape books(subspace)(codeword)(dim). The codebook is index
+    * metadata (KBs), so a constant-foldable argument — `array(array(
+    * array(...)))` or a typed literal — is the natural SQL carrier.
+    */
+  private def litBooks(e: Expression): Seq[Seq[Seq[Double]]] = {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types._
+    require(e.foldable, s"books must be a foldable codebook literal, got $e")
+    val elemT = e.dataType match {
+      case ArrayType(ArrayType(ArrayType(t @ (DoubleType | FloatType | IntegerType | LongType), _), _), _) => t
+      case other => throw new IllegalArgumentException(
+        s"books must be array<array<array<numeric>>>, got $other")
+    }
+    val outer = e.eval().asInstanceOf[ArrayData]
+    (0 until outer.numElements()).map { i =>
+      val sub = outer.getArray(i)
+      (0 until sub.numElements()).map { j =>
+        val cw = sub.getArray(j)
+        (0 until cw.numElements()).map { d =>
+          elemT match {
+            case DoubleType => cw.getDouble(d)
+            case FloatType => cw.getFloat(d).toDouble
+            case IntegerType => cw.getInt(d).toDouble
+            case _ => cw.getLong(d).toDouble
+          }
+        }
+      }
+    }
+  }
 
   /** Register on an existing session (functions + the intersect-size
     * optimizer rule via experimental extraOptimizations).

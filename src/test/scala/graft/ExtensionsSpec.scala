@@ -77,4 +77,25 @@ class ExtensionsSpec extends SparkSpecBase {
     // kept. (Order-insensitive: repartition scrambles row order.)
     assert(df.collect().map(_.getInt(0)).toSet === Set(2, 0))
   }
+
+  test("pq_codes / pq_reconstruct are callable from SQL with a literal codebook") {
+    GraftExtensions.register(spark)
+    // m=2 subspaces, kCode=2, dsub=1. [0.9, 0.1] picks codeword 0 in
+    // both subspaces -> reconstruction [1.0, 0.0].
+    val books = "array(array(array(1.0D), array(0.0D)), array(array(0.0D), array(1.0D)))"
+    val r = spark.sql(s"""
+      SELECT pq_codes(array(0.9D, 0.1D), $books) AS codes,
+             pq_reconstruct(pq_codes(array(0.9D, 0.1D), $books), $books) AS rv
+    """).collect().head
+    assert(r.getSeq[Int](0) === Seq(0, 0))
+    assert(r.getSeq[Double](1) === Seq(1.0, 0.0))
+    // Non-foldable codebook must be rejected at plan time.
+    val err = intercept[Exception] {
+      spark.sql(
+        "SELECT pq_codes(array(0.5D), array(array(array(CAST(id AS DOUBLE))))) FROM range(1)"
+      ).collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("foldable") ||
+      err.getMessage.toLowerCase.contains("literal"))
+  }
 }
