@@ -275,7 +275,45 @@ object RetrievalQueries {
            CAST(lp_sum_e6 // (dl - 1) AS BIGINT) AS avg_lp_e6
     FROM sc"""
 
+  /** T14 — TextRank keyword importance over the co-occurrence graph. */
+  def textRankQ(s: SparkSession, dir: String): DataFrame =
+    Retrieval.textRank(docs(s, dir), minPairCount = 25, iters = 3)
+
+  /** T14 oracle: the x30 edge derivation made undirected, then 3
+    * damped PageRank rounds UNROLLED in exact e12 integer arithmetic
+    * (same truncating-division order as the Spark side).
+    */
+  private def textRankRoundSql(k: Int): String = {
+    val prev = s"r${k - 1}"
+    s"""c$k AS (
+      SELECT e.dst, CAST(SUM(r.pr * e.w // ow.wout) AS BIGINT) AS csum
+      FROM e JOIN ow ON ow.src = e.src JOIN $prev r ON r.term = e.src
+      GROUP BY e.dst
+    ),
+    r$k AS (
+      SELECT ow.src AS term,
+             (1000000 - 850000) * (1000000000000 // nn.n) // 1000000
+               + 850000 * COALESCE(c$k.csum, 0) // 1000000 AS pr
+      FROM ow LEFT JOIN c$k ON c$k.dst = ow.src, nn
+    )"""
+  }
+
+  val textRankSql: String = s"""
+    WITH d AS (SELECT doc_id, $toks AS toks FROM documents),
+    dt AS (SELECT DISTINCT doc_id, unnest(toks) AS term FROM d),
+    p AS (SELECT a.term AS ta, b.term AS tb, CAST(COUNT(*) AS BIGINT) AS w
+          FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.term < b.term
+          GROUP BY 1, 2 HAVING COUNT(*) >= 25),
+    e AS (SELECT ta AS src, tb AS dst, w FROM p
+          UNION ALL SELECT tb AS src, ta AS dst, w FROM p),
+    ow AS (SELECT src, CAST(SUM(w) AS BIGINT) AS wout FROM e GROUP BY src),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ow),
+    r0 AS (SELECT src AS term, 1000000000000 // nn.n AS pr FROM ow, nn),
+    ${(1 to 3).map(textRankRoundSql).mkString(",\n")}
+    SELECT term, CAST(pr AS BIGINT) AS pr_e12 FROM r3"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t14_textrank" -> (textRankQ _),
     "x34_bigram_lm" -> (bigramLm _),
     "x26_tfidf_topk" -> (tfIdf _),
     "x27_bm25_search" -> (bm25 _),
@@ -286,6 +324,7 @@ object RetrievalQueries {
     "d17_semantic_dedup" -> (semanticDedup _))
 
   val oracles: Map[String, String] = Map(
+    "t14_textrank" -> textRankSql,
     "x34_bigram_lm" -> bigramLmSql,
     "x26_tfidf_topk" -> tfIdfSql,
     "x27_bm25_search" -> bm25Sql,

@@ -254,6 +254,65 @@ object Retrieval {
         expr("lp_sum_e6 div (dl - 1)").as("avg_lp_e6"))
   }
 
+  /** T14 — TextRank (Mihalcea & Tarau 2004): weighted PageRank over
+    * the document-level term co-occurrence graph — corpus-scale
+    * keyword/concept importance, the link-analysis member of the text
+    * family. Edges are x30's co-occurrence pairs (count ≥
+    * minPairCount, undirected → both directions); `iters` damped
+    * rounds of r'(v) = (1-d)·r₀ + d·Σ_{u→v} r(u)·w(uv)/W(u).
+    *
+    * Exactness: ranks live in e12 integer units; every division is
+    * truncating (`div` ≡ DuckDB `//`), total rank mass only shrinks
+    * under truncation (so r ≤ 1e12 every round), and r·w stays below
+    * 2⁶³ while edge weights stay under ~9e6 (switch the product to
+    * DECIMAL(38,0) beyond that); 3 rounds replay bit-for-bit in the
+    * unrolled oracle.
+    *
+    * Scale: edge counting is the corpus-heavy stage (same bound as
+    * x30: pairs ≤ per-doc-vocab²/2); each round is then two equi-joins
+    * + one aggregate over the EDGE table — node and edge tables are
+    * vocab-shaped (≪ corpus), the same iterate-over-equi-joins posture
+    * as the d11 connected-components loop, with the edge table
+    * materialized once and reused across rounds.
+    */
+  def textRank(docs: DataFrame, minPairCount: Long = 25, iters: Int = 3,
+               dampingE6: Long = 850000L,
+               idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val dt = docs.select(col(idCol).as("doc_id"),
+      explode(array_distinct(tokens(col(textCol)))).as("term"))
+    val a = dt.select(col("doc_id"), col("term").as("term_a"))
+    val b = dt.select(col("doc_id"), col("term").as("term_b"))
+    val pairs = a.join(b, Seq("doc_id")).filter(col("term_a") < col("term_b"))
+      .groupBy(col("term_a"), col("term_b"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= minPairCount)
+    val edges = pairs.select(col("term_a").as("src"), col("term_b").as("dst"), col("w"))
+      .unionByName(pairs.select(col("term_b").as("src"), col("term_a").as("dst"), col("w")))
+      .localCheckpoint(true)
+    val outW = edges.groupBy(col("src")).agg(sum(col("w")).as("wout"))
+    // Every node of the undirected graph has outgoing weight; isolated
+    // terms (no qualifying pair) are not graph nodes.
+    val nodes = outW.select(col("src").as("term"))
+    val n = outW.count()
+    if (n == 0) {
+      return nodes.select(col("term"), lit(0L).as("pr_e12")).limit(0)
+    }
+    val r0 = 1000000000000L / n
+    val baseE12 = (1000000L - dampingE6) * r0 / 1000000L
+    var ranks = nodes.select(col("term"), lit(r0).as("pr_e12"))
+    for (_ <- 0 until iters) {
+      val contrib = edges.join(outW, "src")
+        .join(ranks.withColumnRenamed("term", "src"), "src")
+        .select(col("dst"), expr("(pr_e12 * w) div wout").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("csum"))
+      ranks = nodes.join(contrib.withColumnRenamed("dst", "term"), Seq("term"), "left")
+        .select(col("term"),
+          (lit(baseE12) +
+            expr(s"($dampingE6 * coalesce(csum, 0L)) div 1000000")).as("pr_e12"))
+    }
+    ranks.select(col("term"), col("pr_e12"))
+  }
+
   /** Document-level PMI for co-occurring term pairs (a < b), counted
     * over DISTINCT terms per doc. pmi_e6 = floor(ln(n_ab·N / (n_a·n_b))
     * ·1e6). The per-doc self-join is bounded by per-doc distinct vocab

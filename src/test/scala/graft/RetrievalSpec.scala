@@ -119,4 +119,25 @@ class RetrievalSpec extends SparkSpecBase {
     assert(run(1)._1 === run(7)._1)
     assert(run(1)._2 === run(7)._2)
   }
+
+  test("textRank: hand-computed one-round ranks on the a-b-c path graph") {
+    // 30 docs "a b", 30 docs "b c" -> undirected edges (a,b,30),
+    // (b,c,30); n=3, r0 = 1e12/3 = 333333333333, wout(b)=60.
+    // Round 1 (all divisions truncating):
+    //   base = 150000*r0 // 1e6                      = 49999999999
+    //   csum(a) = csum(c) = r0*30 // 60              = 166666666666
+    //   csum(b) = 2 * (r0*30 // 30)                  = 666666666666
+    //   r1(a) = r1(c) = base + 850000*csum(a) // 1e6 = 191666666665
+    //   r1(b) = base + 850000*csum(b) // 1e6         = 616666666665
+    val docsDf = ((0 until 30).map(i => (i.toLong, "a b")) ++
+      (30 until 60).map(i => (i.toLong, "b c"))).toDF("doc_id", "text")
+    val r = Retrieval.textRank(docsDf, minPairCount = 25, iters = 1).collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r === Map("a" -> 191666666665L, "b" -> 616666666665L, "c" -> 191666666665L))
+    // More rounds keep total mass bounded by 1e12 and the hub on top.
+    val r3 = Retrieval.textRank(docsDf, minPairCount = 25, iters = 3).collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r3.values.sum <= 1000000000000L)
+    assert(r3("b") > r3("a") && r3("a") === r3("c"))
+  }
 }
