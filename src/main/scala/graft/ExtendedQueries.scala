@@ -185,6 +185,44 @@ object ExtendedQueries {
     * joins back on user_id (one partitioning), then a two-phase
     * count-distinct per cohort cell.
     */
+  /** X39 — first-order Markov transition matrix over each user's
+    * event stream: P(next event type | current), the behavioral-model
+    * complement of x32's fixed view→click→purchase funnel (every
+    * observed transition, not one prescribed path). Deterministic
+    * successor order = (ts_us, event_id); probabilities in exact e6
+    * integers.
+    *
+    * Scale: one shuffle on user_id, per-user sort bounded by per-user
+    * event count (the x2/x32 posture); the transition matrix itself is
+    * |event_types|² rows — constant-sized output from any corpus.
+    */
+  def markovTransitions(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.eventsNorm(s, dir)
+      .select(col("user_id"), col("event_type"), col("ts_us"), col("event_id"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val tr = e.withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val fromTotals = tr.groupBy(col("from_type")).agg(sum(col("n")).as("n_from"))
+    tr.join(fromTotals, "from_type")
+      .select(col("from_type"), col("to_type"), col("n"), col("n_from"),
+        expr("n * 1000000 div n_from").as("p_e6"))
+  }
+
+  val markovTransitionsSql: String = """
+    WITH o AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      FROM events),
+    t AS (SELECT event_type AS from_type, next_type AS to_type,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM o WHERE next_type IS NOT NULL GROUP BY 1, 2),
+    f AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_from FROM t GROUP BY 1)
+    SELECT t.from_type, t.to_type, t.n, f.n_from,
+           CAST(t.n * 1000000 // f.n_from AS BIGINT) AS p_e6
+    FROM t JOIN f ON f.from_type = t.from_type"""
+
   def retentionCohorts(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.eventsNorm(s, dir)
       .select(col("user_id"), to_date(col("event_time")).as("d"))
@@ -727,6 +765,7 @@ object ExtendedQueries {
     "x4_rank_windows" -> (topPricesRanked _),
     "x5_set_ops" -> (setOps _),
     "x32_funnel" -> (funnel _),
+    "x39_markov_transitions" -> (markovTransitions _),
     "x33_retention_cohorts" -> (retentionCohorts _)
   )
 
@@ -776,6 +815,7 @@ object ExtendedQueries {
     "x4_rank_windows" -> topPricesRankedSql,
     "x5_set_ops" -> setOpsSql,
     "x32_funnel" -> funnelSql,
+    "x39_markov_transitions" -> markovTransitionsSql,
     "x33_retention_cohorts" -> retentionCohortsSql
   )
 }

@@ -96,6 +96,21 @@ class SchemaDriftSpec extends SparkSpecBase {
     assert(ExtendedQueries.retentionCohorts(spark, dirs._1).count() > 0)
   }
 
+  test("x39 markov transitions are row-identical on both encodings, rows sum to their from-state total") {
+    val a = ExtendedQueries.markovTransitions(spark, dirs._1)
+    val b = ExtendedQueries.markovTransitions(spark, dirs._2)
+    assert(collectSorted(a) === collectSorted(b))
+    val rowsA = a.collect()
+    assert(rowsA.nonEmpty)
+    // Per from_type: transition counts sum to n_from, and truncated
+    // probabilities sum to at most 1e6 (short by < #successors).
+    rowsA.groupBy(_.getAs[String]("from_type")).foreach { case (_, grp) =>
+      assert(grp.map(_.getAs[Long]("n")).sum === grp.head.getAs[Long]("n_from"))
+      val pSum = grp.map(_.getAs[Long]("p_e6")).sum
+      assert(pSum <= 1000000L && pSum > 1000000L - grp.length)
+    }
+  }
+
   test("raw int64 ts in MICROS or SECONDS normalizes by magnitude, not by assumption") {
     // The next drift class after round 8: the generator switches the
     // int64 unit. Nanos-assumed arithmetic would read a micros column
