@@ -135,6 +135,7 @@ case class PqCodes(child: Expression, books: Seq[Seq[Seq[Double]]])
     books.map(_.map(_.toArray).toArray).toArray
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "pq_codes"
 
   /** A NULL vector encodes to all-zero codes, not NULL: in the fold
     * form the outer `transform` runs over a constant `sequence(0,m-1)`

@@ -321,6 +321,40 @@ class PlanSpec extends SparkSpecBase {
     assert(windowLines.isEmpty, "no corpus-wide window expected in the curation chain")
   }
 
+  test("t13 encode runs on the vocab table: equi-joins only, native codegen expressions") {
+    val p = plan("t13_bpe_encode")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "encode join degenerated")
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"))
+  }
+
+  test("s5/s8 PQ encode is the native pq_codes projection, not interpreted HOF folds") {
+    val p = plan("s5_knn_pq")
+    assert(p.contains("pq_codes"), "native PqCodes missing — HOF fold came back")
+    assert(p.contains("pq_reconstruct"), "native PqReconstruct missing")
+    assert(!p.contains("CartesianProduct"))
+    val p8 = plan("s8_knn_ivfpq")
+    assert(p8.contains("pq_codes") && !p8.contains("CartesianProduct"))
+  }
+
+  test("t14 textrank rounds are equi-joins over the reused edge table — no cartesian, no UDF") {
+    val p = plan("t14_textrank")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "rank round joins degenerated")
+    assert(!p.contains("ScalaUDF"))
+    // The checkpointed edge table shows up as a reused scan, not a
+    // re-derivation: the corpus-side token explode appears at most
+    // once in the final-round plan.
+    assert(p.split('\n').count(_.contains("Generate explode")) <= 1,
+      "edge derivation re-inlined into the iteration")
+  }
+
+  test("x39 markov: one user window partitioning, constant-size output aggregate") {
+    val p = plan("x39_markov_transitions")
+    assert(p.contains("Window"), "lead window missing")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("z-order key is a native codegen'd projection — no UDF, no extra shuffle") {
     val p = plan("z1_zorder_cluster")
     assert(p.contains("morton"), "morton expression missing from the plan")
