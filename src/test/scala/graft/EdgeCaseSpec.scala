@@ -116,6 +116,37 @@ class EdgeCaseSpec extends SparkSpecBase {
     assert(Validation.validate(df, 0L).count() === 0)
   }
 
+  test("textRank with no qualifying pairs returns an empty frame with the right schema") {
+    val docs = Seq((0L, "a b"), (1L, "c d")).toDF("doc_id", "text")
+    val r = graft.operators.Retrieval.textRank(docs, minPairCount = 25, iters = 3)
+    assert(r.columns.toSeq === Seq("term", "pr_e12"))
+    assert(r.count() === 0)
+  }
+
+  test("encodeStats with an empty merge list degenerates to character counts") {
+    val docs = Seq((0L, "ab abc", "s")).toDF("doc_id", "text", "source")
+    val r = graft.operators.Bpe.encodeStats(docs, Seq.empty).collect().head
+    assert(r.getAs[Long]("n_bpe_tokens") === r.getAs[Long]("n_chars"))
+    assert(r.getAs[Long]("compression_e6") === 1000000L)
+  }
+
+  test("jaccardEstQuality on an all-too-short corpus yields zero buckets, crashes never") {
+    val docs = Seq((0L, "one"), (1L, "two")).toDF("doc_id", "text")
+    assert(graft.operators.Dedup.jaccardEstQuality(docs, shingleN = 2).count() === 0)
+  }
+
+  test("markov transitions on single-event users yield an empty matrix") {
+    import graft.streaming.FunnelStream.UserEvent
+    val one = Seq(UserEvent(1L, "view", 5L)).toDS()
+    // Batch derivation on the same shape: lead over one row is null.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"))
+    val batch = one.toDF()
+      .withColumn("nx", lead(col("event_type"), 1).over(w))
+      .filter(col("nx").isNotNull)
+    assert(batch.count() === 0)
+  }
+
   test("every query's output schema passes the comparer type whitelist") {
     // Build-time form of the Verify lint: the correctness comparer
     // reads Spark parquet natively and the oracle via DuckDB->pandas,
