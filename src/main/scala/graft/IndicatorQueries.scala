@@ -72,6 +72,11 @@ object IndicatorQueries {
     "b15_range_vol" -> ((s, dir) =>
       Indicators.rangeVol(SparkEntry.silverDf(s, dir))),
 
+    // B16 — tick-rule trade classification + per-day order-flow
+    // imbalance (Lee-Ready tick test with zero-tick inheritance).
+    "b16_order_flow" -> ((s, dir) =>
+      Indicators.orderFlow(SparkEntry.silverDf(s, dir))),
+
     // B5 — end-of-day EMA-14 per symbol, the recursion running
     // continuously from sequence start (streaming/IndicatorStream's
     // batch adapter — the one indicator a row-frame window cannot
@@ -494,6 +499,43 @@ object IndicatorQueries {
                             * ln(CAST(close AS DOUBLE) / CAST(open AS DOUBLE))))
                       * 1000000000.0) AS BIGINT) AS gk_e9
     FROM dly"""),
+
+    // B16: the zero-tick inheritance is last_value(... IGNORE NULLS)
+    // over the ordered per-day frame, not a recursion. silver is
+    // deduped on (symbol, event_time), so the ORDER BY is total.
+    // "//" truncates toward zero = Spark div (the numerator CAN be
+    // negative here).
+    "b16_order_flow" -> (SparkEntry.P + """, pxv AS (
+      SELECT symbol, trade_date, event_time, volume,
+             CAST(CAST(price AS DECIMAL(18,4)) * 10000 AS BIGINT) AS px
+      FROM silver
+    ), cls AS (
+      SELECT symbol, trade_date, volume,
+             LAST_VALUE(CASE WHEN prev_px IS NULL THEN NULL
+                             WHEN px > prev_px THEN 1
+                             WHEN px < prev_px THEN -1 END IGNORE NULLS)
+               OVER (PARTITION BY symbol, trade_date ORDER BY event_time
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sign
+      FROM (SELECT symbol, trade_date, event_time, volume, px,
+                   LAG(px, 1) OVER (PARTITION BY symbol, trade_date
+                                    ORDER BY event_time) AS prev_px
+            FROM pxv)
+    )
+    SELECT symbol, trade_date,
+           CAST(SUM(CASE WHEN sign = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_buy,
+           CAST(SUM(CASE WHEN sign = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_sell,
+           CAST(SUM(CASE WHEN sign IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unclassified,
+           CAST(SUM(CASE WHEN sign = 1 THEN volume ELSE 0 END) AS BIGINT) AS buy_vol,
+           CAST(SUM(CASE WHEN sign = -1 THEN volume ELSE 0 END) AS BIGINT) AS sell_vol,
+           CASE WHEN SUM(CASE WHEN sign = 1 THEN volume ELSE 0 END)
+                   + SUM(CASE WHEN sign = -1 THEN volume ELSE 0 END) = 0
+                THEN CAST(0 AS BIGINT)
+                ELSE CAST((SUM(CASE WHEN sign = 1 THEN volume ELSE 0 END)
+                           - SUM(CASE WHEN sign = -1 THEN volume ELSE 0 END)) * 1000000
+                          // (SUM(CASE WHEN sign = 1 THEN volume ELSE 0 END)
+                             + SUM(CASE WHEN sign = -1 THEN volume ELSE 0 END)) AS BIGINT)
+           END AS flow_imbalance_e6
+    FROM cls GROUP BY symbol, trade_date"""),
 
     // The EMA recursion as a literal left fold over the per-symbol
     // price sequence: acc' = α·x + (1−α)·acc with α = 2/15 — the same

@@ -588,6 +588,49 @@ object Indicators {
         col("park_e9"), col("gk_e9"))
   }
 
+  /** B16 — tick-rule trade classification (the tick test of Lee &
+    * Ready 1991): a trade is buyer-initiated (+1) on an uptick,
+    * seller-initiated (−1) on a downtick, and on a ZERO tick inherits
+    * the last non-zero tick's sign; leading trades of a (symbol, day)
+    * before any price change stay unclassified. Aggregated to
+    * per-(symbol, day) order-flow imbalance — the microstructure
+    * signal flow-toxicity/price-impact models consume.
+    *
+    * The zero-tick inheritance is not a recursion: it is
+    * `last(sign_of_change, ignoreNulls)` over the ordered per-day
+    * frame — one window pass. All arithmetic is exact longs on e4
+    * ticks; the imbalance is a truncating e6 division (Spark `div` ≡
+    * DuckDB `//`, both toward zero, which matters here because the
+    * numerator can be negative).
+    *
+    * Shape at scale: one (symbol, day) window pass over trades (the
+    * b-family shuffle), then a hash aggregate to O(symbol×days) rows.
+    */
+  def orderFlow(silver: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("symbol"), col("trade_date"))
+      .orderBy(col("event_time"))
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val classified = silver
+      .withColumn("px", ticksE4(col("price")))
+      .withColumn("prev_px", lag(col("px"), 1).over(w))
+      .withColumn("chg_sign",
+        when(col("prev_px").isNull, lit(null).cast("int"))
+          .when(col("px") > col("prev_px"), lit(1))
+          .when(col("px") < col("prev_px"), lit(-1))
+          .otherwise(lit(null).cast("int")))
+      .withColumn("sign", last(col("chg_sign"), ignoreNulls = true).over(cum))
+    classified.groupBy(col("symbol"), col("trade_date"))
+      .agg(
+        sum(when(col("sign") === 1, 1L).otherwise(0L)).as("n_buy"),
+        sum(when(col("sign") === -1, 1L).otherwise(0L)).as("n_sell"),
+        sum(when(col("sign").isNull, 1L).otherwise(0L)).as("n_unclassified"),
+        sum(when(col("sign") === 1, col("volume")).otherwise(0L)).as("buy_vol"),
+        sum(when(col("sign") === -1, col("volume")).otherwise(0L)).as("sell_vol"))
+      .withColumn("flow_imbalance_e6",
+        when(col("buy_vol") + col("sell_vol") === 0, lit(0L))
+          .otherwise(expr("(buy_vol - sell_vol) * 1000000 div (buy_vol + sell_vol)")))
+  }
+
   def spikeCounts(silver: DataFrame, n: Int = 20, z: Int = 3): DataFrame = {
     val w = bySymbolTime.rowsBetween(-(n - 1), Window.currentRow)
     silver

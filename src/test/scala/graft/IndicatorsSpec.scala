@@ -373,4 +373,33 @@ class IndicatorsSpec extends SparkSpecBase {
     assert(out.head.getAs[Long]("park_e9") === 0L)
     assert(out.head.getAs[Long]("gk_e9") === 0L)
   }
+
+  test("order flow: tick test with zero-tick inheritance, hand-classified") {
+    // prices: 10, 10, 11, 11, 10, 10, 12
+    // signs:   ?,  ?, +1, +1(zero-tick inherit), -1, -1(inherit), +1
+    // -> n_buy=3, n_sell=2, n_unclassified=2 (leading flat run),
+    //    volumes 10 each: buy 30, sell 20, imbalance (10*1e6)/50=200000.
+    val out = Indicators.orderFlow(
+      feed(Seq(10.0, 10.0, 11.0, 11.0, 10.0, 10.0, 12.0))).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_buy") === 3L)
+    assert(r.getAs[Long]("n_sell") === 2L)
+    assert(r.getAs[Long]("n_unclassified") === 2L)
+    assert(r.getAs[Long]("buy_vol") === 30L)
+    assert(r.getAs[Long]("sell_vol") === 20L)
+    assert(r.getAs[Long]("flow_imbalance_e6") === 200000L)
+  }
+
+  test("order flow: negative imbalance truncates toward zero like the oracle's //") {
+    // 10, 9, 9, 9: one downtick then two zero-tick inherits -> 3 sells,
+    // 0 buys; imbalance = -30*1e6 div 30 = -1000000 exactly. A second
+    // shape with mixed volume checks the toward-zero truncation:
+    // buy 10, sell 20 -> -10*1e6 div 30 = -333333 (not -333334).
+    val a = Indicators.orderFlow(feed(Seq(10.0, 9.0, 9.0, 9.0))).collect().head
+    assert(a.getAs[Long]("flow_imbalance_e6") === -1000000L)
+    val b = Indicators.orderFlow(feed(Seq(10.0, 11.0, 10.0, 9.0))).collect().head
+    assert(b.getAs[Long]("n_buy") === 1L && b.getAs[Long]("n_sell") === 2L)
+    assert(b.getAs[Long]("flow_imbalance_e6") === -333333L)
+  }
 }
