@@ -1,0 +1,77 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+import org.apache.spark.sql.{streaming => ss}
+
+/** Streaming form of b16's tick-rule classification: per-symbol
+  * (last price, last non-zero tick sign, high-water mark) as one
+  * `transformWithState` ValueState record — three longs per symbol
+  * forever — emitting each trade's buy/sell verdict as it arrives. A
+  * running per-(symbol, day) aggregate over the output stream is the
+  * order-flow imbalance, incrementally.
+  *
+  * Ordering contract (the FunnelStream/TransitionStream discipline):
+  * within a micro-batch a symbol's trades fold in (ts, event_id)
+  * order; a trade not strictly newer than the high-water mark is
+  * dropped, so replays are idempotent. Under per-symbol event-time-
+  * ordered delivery the streamed verdicts equal the batch operator's
+  * exactly (OrderFlowStreamSpec pins this for arbitrary slicings) —
+  * with one deliberate difference: batch state resets at day
+  * boundaries (the per-day window frame), while the stream carries
+  * tick state across days like a live feed would; the spec therefore
+  * pins equivalence on single-day data and documents the boundary.
+  */
+object OrderFlowStream {
+
+  /** One trade: px in integer e4 ticks (the batch ticksE4 grain). */
+  case class Tick(symbol: String, px: Long, volume: Long, ts: Long, eventId: Long)
+
+  /** sign: +1 / -1 / 0 = unclassified (no non-zero tick seen yet). */
+  case class Verdict(symbol: String, ts: Long, eventId: Long, sign: Int, volume: Long)
+
+  /** lastPx < 0 means no trade seen yet. */
+  case class TickState(lastPx: Long, lastSign: Int, hwm: Long)
+
+  private[graft] def step(st: TickState, t: Tick): (TickState, Option[Verdict]) =
+    if (st.lastPx >= 0 && t.ts <= st.hwm) (st, None)
+    else {
+      val sign =
+        if (st.lastPx < 0) 0
+        else if (t.px > st.lastPx) 1
+        else if (t.px < st.lastPx) -1
+        else st.lastSign
+      (TickState(t.px, sign, t.ts),
+        Some(Verdict(t.symbol, t.ts, t.eventId, sign, t.volume)))
+    }
+
+  class OrderFlowProcessor
+      extends StatefulProcessor[String, Tick, Verdict] {
+
+    @transient private var state: ValueState[TickState] = _
+
+    override def init(outputMode: ss.OutputMode, timeMode: ss.TimeMode): Unit =
+      state = getHandle.getValueState[TickState]("tick_state",
+        Encoders.product[TickState], TTLConfig.NONE)
+
+    override def handleInputRows(symbol: String, rows: Iterator[Tick],
+                                 timerValues: TimerValues): Iterator[Verdict] = {
+      var st = Option(state.get()).getOrElse(TickState(-1L, 0, Long.MinValue))
+      val out = Seq.newBuilder[Verdict]
+      rows.toSeq.sortBy(t => (t.ts, t.eventId)).foreach { t =>
+        val (next, v) = step(st, t)
+        st = next
+        v.foreach(out += _)
+      }
+      state.update(st)
+      out.result().iterator
+    }
+  }
+
+  def verdicts(spark: SparkSession, ticks: Dataset[Tick]): Dataset[Verdict] = {
+    import spark.implicits._
+    ticks.groupByKey(_.symbol)
+      .transformWithState(new OrderFlowProcessor(),
+        TimeMode.None(), OutputMode.Append, implicitly[Encoder[Verdict]])
+  }
+}
