@@ -163,6 +163,13 @@ object PipelineQueries {
   def kmeans(s: SparkSession, dir: String): DataFrame =
     KMeans.assignments(embs(s, dir), k = 8, iters = 3)
 
+  /** C3 — cluster-quality metrics over the c1 fit: per-cluster size,
+    * compactness (mean own-centroid distance) and separation (mean/max
+    * of the own-vs-nearest-other distance ratio).
+    */
+  def kmeansQuality(s: SparkSession, dir: String): DataFrame =
+    KMeans.clusterQuality(embs(s, dir), k = 8, iters = 3)
+
   /** D9 — near-dup CLUSTER assignment (connected components over
     * LSH-verified pairs). The raw sf slices carry no organic near-dup
     * pairs, so the query derives a deterministic duplicate family per
@@ -1718,6 +1725,36 @@ object PipelineQueries {
 
   val kmeansOracleSql: String = kmeansSql(k = 8, iters = 3, dim = 64)
 
+  /** C3 oracle: the same unrolled fit, then the scored pairs against
+    * the FINAL centroids (c2 for iters=3) re-ranked to extract both
+    * the own and the nearest-other distance per point. The ratio runs
+    * in HUGEINT (d²·1e6 tops BIGINT) with truncating `//`, matching
+    * Spark's decimal `div`.
+    */
+  val kmeansQualitySql: String = s"""WITH ${kmeansCtes(k = 8, iters = 3, dim = 64)},
+  sc AS (
+    SELECT id, c, d2, row_number() OVER (PARTITION BY id ORDER BY d2, c) AS rn
+    FROM (SELECT v.id AS id, c2.c AS c,
+            CAST(list_sum(list_transform(generate_series(1, 64),
+                 i -> (v.v[i] - c2.cv[i]) * (v.v[i] - c2.cv[i]))) AS BIGINT) AS d2
+          FROM v, c2)
+  ),
+  own AS (SELECT id, c, d2 FROM sc WHERE rn = 1),
+  nxt AS (SELECT id, d2 AS d2n FROM sc WHERE rn = 2),
+  pp AS (
+    SELECT own.c AS cluster, own.d2 AS d_own,
+           CASE WHEN n.d2n = 0 THEN 1000000
+                ELSE CAST(CAST(own.d2 AS HUGEINT) * 1000000 // n.d2n AS BIGINT)
+           END AS ratio_e6
+    FROM own JOIN nxt n USING (id)
+  )
+  SELECT CAST(cluster AS INT) AS cluster,
+         CAST(COUNT(*) AS BIGINT) AS n_points,
+         CAST(SUM(CAST(d_own AS HUGEINT)) // COUNT(*) AS BIGINT) AS mean_dist2_e12,
+         CAST(SUM(ratio_e6) // COUNT(*) AS BIGINT) AS mean_ratio_e6,
+         CAST(MAX(ratio_e6) AS BIGINT) AS max_ratio_e6
+  FROM pp GROUP BY cluster"""
+
   /** T6 oracle: the same planted-PII derivation, RE2 counterparts of
     * the Java regexes (both restricted to a dialect-neutral subset),
     * and the 'g' flag on every replace (DuckDB defaults to
@@ -1924,6 +1961,7 @@ object PipelineQueries {
     "d8_decontamination" -> (decontamination _),
     "d10_decontam_bloom" -> (decontaminationBloom _),
     "c1_kmeans" -> (kmeans _),
+    "c3_cluster_quality" -> (kmeansQuality _),
     "d2_jaccard_pairs" -> (jaccardPairs _),
     "d3_minhash_sigs" -> (minhashSignatures _),
     "d4_minhash_candidates" -> (minhashCandidates _),
@@ -1977,6 +2015,7 @@ object PipelineQueries {
     "d8_decontamination" -> decontaminationSql,
     "d10_decontam_bloom" -> decontaminationSql,
     "c1_kmeans" -> kmeansOracleSql,
+    "c3_cluster_quality" -> kmeansQualitySql,
     "d2_jaccard_pairs" -> jaccardPairsSql,
     "d3_minhash_sigs" -> minhashSigSql,
     "d4_minhash_candidates" -> minhashCandSql,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Distributed Lloyd k-means over embedding columns, built to be
@@ -29,42 +29,34 @@ import org.apache.spark.sql.functions._
   */
 object KMeans {
 
-  /** Cluster assignment after `iters` Lloyd iterations: returns
-    * (idCol, cluster, dist2_e12) — dist2 in squared micro-units.
-    */
-  def assignments(vecs: DataFrame, k: Int = 8, iters: Int = 3,
-                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    require(k > 0 && iters > 0, s"k=$k and iters=$iters must be positive")
-    val v = vecs.select(col(idCol).as("id"),
+  /** Micro-unit vectors keyed by id. */
+  private def microVecs(vecs: DataFrame, idCol: String, vecCol: String): DataFrame =
+    vecs.select(col(idCol).as("id"),
       transform(col(vecCol), x => floor(x.cast("double") * 1000000.0)).as("v"))
 
-    // Seeds: the k lowest ids, cluster index = ascending-id order.
+  /** (dist², idx) struct array against the centroid literal — a pure
+    * projection over the scan.
+    */
+  private def scoredCol(cents: IndexedSeq[IndexedSeq[Long]]): Column = {
+    val k = cents.length
+    val cArr = typedLit(cents.map(_.toSeq).toSeq)
+    zip_with(
+      transform(cArr, cv =>
+        aggregate(zip_with(col("v"), cv, (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x)),
+      sequence(lit(0), lit(k - 1)),
+      (d, i) => struct(d.as("d"), i.as("i")))
+  }
+
+  /** Run the Lloyd loop; returns the final centroids. */
+  private def fitCents(v: DataFrame, k: Int, iters: Int): IndexedSeq[IndexedSeq[Long]] = {
     val seedRows = v.orderBy(col("id")).limit(k).select(col("v")).collect()
     require(seedRows.length >= k, s"need at least $k vectors, got ${seedRows.length}")
     var cents: IndexedSeq[IndexedSeq[Long]] =
       seedRows.toIndexedSeq.map(_.getSeq[Long](0).toIndexedSeq)
-    val dim = cents.head.length
-
-    def assign(): DataFrame = {
-      val cArr = typedLit(cents.map(_.toSeq).toSeq)
-      v.withColumn("__scored",
-          zip_with(
-            transform(cArr, cv =>
-              aggregate(zip_with(col("v"), cv, (a, b) => (a - b) * (a - b)),
-                lit(0L), (acc, x) => acc + x)),
-            sequence(lit(0), lit(k - 1)),
-            (d, i) => struct(d.as("d"), i.as("i"))))
-        // array_min on (d, i) structs: lexicographic → min distance,
-        // ties to the lowest cluster index.
-        .withColumn("__best", array_min(col("__scored")))
-        .select(col("id"), col("v"),
-          col("__best")("i").as("cluster"), col("__best")("d").as("dist2_e12"))
-    }
-
-    // iters-1 update rounds, then the final assignment is the result.
     for (_ <- 1 until iters) {
-      val sums = assign()
-        .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
+      val sums = v.withColumn("__best", array_min(scoredCol(cents)))
+        .select(col("__best")("i").as("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy(col("cluster"), col("pos"))
         .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
         .collect()
@@ -74,6 +66,64 @@ object KMeans {
       }
       cents = next.toIndexedSeq.map(_.toIndexedSeq)
     }
-    assign().select(col("id").as(idCol), col("cluster"), col("dist2_e12"))
+    cents
+  }
+
+  /** Cluster assignment after `iters` Lloyd iterations: returns
+    * (idCol, cluster, dist2_e12) — dist2 in squared micro-units.
+    */
+  def assignments(vecs: DataFrame, k: Int = 8, iters: Int = 3,
+                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k > 0 && iters > 0, s"k=$k and iters=$iters must be positive")
+    val v = microVecs(vecs, idCol, vecCol)
+    val cents = fitCents(v, k, iters)
+    // array_min on (d, i) structs: lexicographic → min distance,
+    // ties to the lowest cluster index.
+    v.withColumn("__best", array_min(scoredCol(cents)))
+      .select(col("id").as(idCol),
+        col("__best")("i").as("cluster"), col("__best")("d").as("dist2_e12"))
+  }
+
+  /** C3 — cluster-quality metrics over the same fit (the s7/d19
+    * posture: the evaluation harness is itself an oracle-checked
+    * operator). Per point, d²_own (its centroid) and d²_next (the
+    * nearest OTHER centroid) come from one sorted top-2 over the
+    * scored projection; `ratio_e6 = d²_own·1e6 div d²_next` is the
+    * centroid-based silhouette proxy — 0 = ideally separated,
+    * 1e6 = the point sits on the decision boundary (d²_next = 0, both
+    * distances zero, is pinned to 1e6: perfectly ambiguous).
+    * Aggregated per cluster: size, mean own-distance (compactness),
+    * mean/max ratio (separation). The d²·1e6 product tops long for
+    * distances above ~9e12, so it runs in decimal/HUGEINT with
+    * truncating integral division on both engines.
+    *
+    * Scale: identical to assignments — the top-2 sort is over the
+    * k-element scored array inside the projection, then one
+    * k-row-output hash aggregate.
+    */
+  def clusterQuality(vecs: DataFrame, k: Int = 8, iters: Int = 3,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 2, s"cluster quality needs k >= 2, got $k")
+    require(iters > 0, s"iters=$iters must be positive")
+    val v = microVecs(vecs, idCol, vecCol)
+    val cents = fitCents(v, k, iters)
+    val perPoint = v.withColumn("__top2", slice(sort_array(scoredCol(cents)), 1, 2))
+      .select(
+        element_at(col("__top2"), 1)("i").as("cluster"),
+        element_at(col("__top2"), 1)("d").as("d_own"),
+        element_at(col("__top2"), 2)("d").as("d_next"))
+      .withColumn("ratio_e6",
+        when(col("d_next") === 0, lit(1000000L))
+          .otherwise(expr("CAST(d_own AS DECIMAL(38,0)) * 1000000 div d_next")))
+    perPoint.groupBy(col("cluster"))
+      .agg(
+        count(lit(1)).as("n_points"),
+        sum(col("d_own").cast("decimal(38,0)")).as("__sum_d"),
+        sum(col("ratio_e6")).as("__sum_r"),
+        max(col("ratio_e6")).as("max_ratio_e6"))
+      .select(col("cluster"), col("n_points"),
+        expr("__sum_d div n_points").as("mean_dist2_e12"),
+        expr("__sum_r div n_points").as("mean_ratio_e6"),
+        col("max_ratio_e6"))
   }
 }

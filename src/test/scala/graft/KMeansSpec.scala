@@ -58,4 +58,34 @@ class KMeansSpec extends SparkSpecBase {
     assert(out(2L) === 1)
     assert(out(3L) === 2)
   }
+
+  test("cluster quality: tight far-apart groups score near-zero ratio, sizes match") {
+    val a = Seq(0.9, 0.9, 0.0, 0.0)
+    val b = Seq(-0.9, -0.9, 0.0, 0.0)
+    def j(v: Seq[Double], eps: Double) = v.map(_ + eps)
+    val df = vecsDf(Seq(
+      1L -> a, 2L -> b,
+      3L -> j(a, 0.01), 4L -> j(a, -0.02),
+      5L -> j(b, 0.015), 6L -> j(b, -0.01)))
+    val q = KMeans.clusterQuality(df, k = 2, iters = 3).collect()
+      .map(r => r.getInt(0) -> r).toMap
+    assert(q.keySet === Set(0, 1))
+    assert(q(0).getAs[Long]("n_points") === 3L)
+    assert(q(1).getAs[Long]("n_points") === 3L)
+    // Intra-group spread ~0.02 vs inter-group gap ~2.5: the
+    // own/next-distance-squared ratio must be far below the 1e6
+    // boundary value.
+    assert(q.values.forall(_.getAs[Long]("max_ratio_e6") < 10000L))
+  }
+
+  test("cluster quality: a centroid-coincident point in a k=2 fit scores ratio by the gap") {
+    // Two exact duplicate pairs as seeds: every point sits ON its
+    // centroid (d_own = 0) -> ratio 0; mean_dist2 = 0.
+    val df = vecsDf(Seq(
+      1L -> Seq(0.5, 0.5), 2L -> Seq(-0.5, -0.5),
+      3L -> Seq(0.5, 0.5), 4L -> Seq(-0.5, -0.5)))
+    val q = KMeans.clusterQuality(df, k = 2, iters = 2).collect()
+    assert(q.forall(_.getAs[Long]("mean_dist2_e12") === 0L))
+    assert(q.forall(_.getAs[Long]("max_ratio_e6") === 0L))
+  }
 }
