@@ -632,6 +632,58 @@ object PipelineQueries {
     Multimodal.mediaDedup(Multimodal.asMediaTable(base.unionByName(copies)))
   }
 
+  /** MM5 — perceptual (aHash) media near-dup over the mm4 slice plus
+    * planted near-copies (+1e6 carries the text with a 2-char suffix —
+    * byte-different, so md5 dedup misses it; the trailing pixel
+    * window[s] flip at most a few signature bits, so the Hamming ≤ 3
+    * radius catches it whenever the suffix doesn't shift the chunk
+    * grid).
+    */
+  def perceptualDedupQ(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir).filter(pmod(col("doc_id"), lit(5)) === 0)
+      .select(col("doc_id"), col("text"))
+    val near = base.filter(pmod(col("doc_id"), lit(10)) === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" x")).as("text"))
+    Multimodal.perceptualDedup(Multimodal.asMediaTable(base.unionByName(near)))
+  }
+
+  private val mm5PowersList: String =
+    Multimodal.SigPowers.map(_.toString).mkString("[", ", ", "]")
+  private val mm5MasksList: String =
+    Multimodal.BandMasks.map(_.toString).mkString("[", ", ", "]")
+
+  /** MM5 oracle: the full aHash replay — 64 window-hash pixels,
+    * mean-threshold bits summed against the same power-of-two list
+    * (bit 63 is the BIGINT minimum; list_sum runs in HUGEINT and the
+    * exact cast back matches Spark's never-overflowing ascending
+    * fold), 4 mask bands, bit_count(xor) Hamming verify.
+    */
+  val perceptualDedupSql: String = s"""WITH m AS (
+    SELECT doc_id, text AS s FROM documents WHERE doc_id % 5 = 0
+    UNION ALL
+    SELECT doc_id + 1000000, text || ' x' FROM documents WHERE doc_id % 10 = 0
+  ),
+  st AS (SELECT doc_id, s, greatest(length(s) // 64, 1) AS step FROM m),
+  px AS (SELECT doc_id,
+           list_transform(generate_series(0, 63),
+             j -> ${polySql("substr(s, CAST(1 + j * step AS BIGINT), step)", 31, "256")}) AS pix
+         FROM st),
+  mn AS (SELECT doc_id, pix, list_sum(pix) // 64 AS mean_px FROM px),
+  sg AS (SELECT doc_id,
+           CAST(list_sum(list_transform(generate_series(1, 64), j ->
+             CASE WHEN pix[j] > mean_px THEN $mm5PowersList[j]
+                  ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS sig
+         FROM mn),
+  bd AS (SELECT doc_id, sig, u.m AS mask, sig & u.m AS key
+         FROM sg, UNNEST($mm5MasksList) AS u(m)),
+  cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  a.sig AS sig_a, b.sig AS sig_b
+           FROM bd a JOIN bd b
+           ON a.mask = b.mask AND a.key = b.key AND a.doc_id < b.doc_id)
+  SELECT doc_a, doc_b, CAST(bit_count(xor(sig_a, sig_b)) AS INT) AS hamming
+  FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 3"""
+
   def resizePlan(s: SparkSession, dir: String): DataFrame =
     Multimodal.withResize(
       Multimodal.extractFeatures(s, Multimodal.asMediaTable(
@@ -1996,7 +2048,8 @@ object PipelineQueries {
     "mm1_modality_stats" -> (modalityStats _),
     "mm2_frame_sample" -> (frameSample _),
     "mm3_resize_plan" -> (resizePlan _),
-    "mm4_media_dedup" -> (mediaDedup _)
+    "mm4_media_dedup" -> (mediaDedup _),
+    "mm5_perceptual_dedup" -> (perceptualDedupQ _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -2050,6 +2103,7 @@ object PipelineQueries {
     "mm1_modality_stats" -> modalityStatsSql,
     "mm2_frame_sample" -> frameSampleSql,
     "mm3_resize_plan" -> resizePlanSql,
-    "mm4_media_dedup" -> mediaDedupSql
+    "mm4_media_dedup" -> mediaDedupSql,
+    "mm5_perceptual_dedup" -> perceptualDedupSql
   )
 }

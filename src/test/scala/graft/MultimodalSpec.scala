@@ -42,4 +42,24 @@ class MultimodalSpec extends SparkSpecBase {
       assert(sw >= 64 * n && sw <= 319 * n)
     }
   }
+
+  test("perceptual dedup: identical payloads at Hamming 0, tiny suffix within radius, unrelated apart") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // ~330-char base: step stays constant under a 1-char edit, and the
+    // edit sits inside a covered pixel window, so it flips at most one
+    // signature bit (one window hash changes; the mean can only move
+    // the threshold, and here it doesn't — asserted via radius).
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val near = base.replace("tok30", "tok3x")
+    val other = (1 to 60).map(i => s"zeb${(i * 7) % 100}").mkString(" ")
+    val docs = Seq(
+      (1L, base), (2L, base), (3L, near), (4L, other)
+    ).toDF("doc_id", "text")
+    val out = Multimodal.perceptualDedup(Multimodal.asMediaTable(docs))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(out((1L, 2L)) === 0)
+    assert(out.contains((1L, 3L)) && out((1L, 3L)) <= 3)
+    assert(!out.keySet.exists { case (a, b) => a == 4L || b == 4L })
+  }
 }
