@@ -72,6 +72,10 @@ object GraftExtensions {
     ("minhash_sig",
       info("minhash_sig", "minhash_sig(shingles, k) - k-permutation MinHash signature"),
       (es: Seq[Expression]) => MinHashSig(es(0), litInt(es(1), "k"))),
+    ("ahash64",
+      info("ahash64", "ahash64(s) - 64-bit perceptual aHash signature (mm5's " +
+        "mean-thresholded window-hash pixels) of a string payload"),
+      (es: Seq[Expression]) => AHash64(es(0))),
     ("pq_codes",
       info("pq_codes", "pq_codes(vec, books) - product-quantization codes; books is a " +
         "foldable array<array<array<double>>> codebook literal"),

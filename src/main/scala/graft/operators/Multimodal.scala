@@ -162,17 +162,13 @@ object Multimodal {
     * codegen'd bit_count per candidate.
     */
   def perceptualDedup(media: DataFrame): DataFrame = {
-    val pm = typedLit(SigPowers)
-    val s = media.select(col("doc_id"), col("payload").cast("string").as("s"))
-      .withColumn("step", greatest(expr("length(s) div 64"), lit(1L)))
-      .withColumn("pix", transform(sequence(lit(0), lit(63)), j =>
-        graft.functions.PolyHashFunctions.polyHash(
-          col("s").substr(lit(1) + j * col("step"), col("step")), 31L, 256L)))
-      .withColumn("mean_px", expr("aggregate(pix, 0L, (a, x) -> a + x) div 64"))
-      .withColumn("sig",
-        aggregate(zip_with(col("pix"), pm, (p, w) =>
-          when(p > col("mean_px"), w).otherwise(lit(0L))), lit(0L), (a, x) => a + x))
-      .select(col("doc_id"), col("sig"))
+    // Native one-pass signature (functions.AHash64). The composable
+    // HOF form was correct but Catalyst's inferred isnotnull(key)
+    // pushdown duplicated the whole lambda tree below the projection
+    // with its mean sub-aggregate re-inlined per element — O(64·len)
+    // interpreted work per row (31 s at sf0.1 vs 0.5 s now).
+    val s = media.select(col("doc_id"),
+      graft.functions.AHashFunctions.ahash64(col("payload").cast("string")).as("sig"))
     val banded = s.select(col("doc_id"), col("sig"),
         explode(typedLit(BandMasks)).as("mask"))
       .withColumn("key", col("sig").bitwiseAND(col("mask")))
