@@ -77,6 +77,11 @@ object IndicatorQueries {
     "b16_order_flow" -> ((s, dir) =>
       Indicators.orderFlow(SparkEntry.silverDf(s, dir))),
 
+    // B17 — Kyle's lambda: per-(symbol, day) price impact, the OLS
+    // slope of 5m price change on tick-test signed flow (exact e9).
+    "b17_kyle_lambda" -> ((s, dir) =>
+      Indicators.kyleLambda(SparkEntry.silverDf(s, dir))),
+
     // B5 — end-of-day EMA-14 per symbol, the recursion running
     // continuously from sequence start (streaming/IndicatorStream's
     // batch adapter — the one indicator a row-frame window cannot
@@ -536,6 +541,48 @@ object IndicatorQueries {
                              + SUM(CASE WHEN sign = -1 THEN volume ELSE 0 END)) AS BIGINT)
            END AS flow_imbalance_e6
     FROM cls GROUP BY symbol, trade_date"""),
+
+    // B17: same cls pass as B16, then 5m bins (Δp = close−open px,
+    // q = signed flow) and the closed-form OLS slope in HUGEINT —
+    // mirrors the decimal(38,0) sufficient statistics exactly; "//"
+    // truncates toward zero = Spark div (numerator can be negative).
+    // Within a (symbol, bin) event_time is unique (silver dedup), so
+    // single-key arg_min/arg_max match minByOrd2/maxByOrd2.
+    "b17_kyle_lambda" -> (SparkEntry.P + """, pxv AS (
+      SELECT symbol, trade_date, event_time, volume,
+             CAST(CAST(price AS DECIMAL(18,4)) * 10000 AS BIGINT) AS px
+      FROM silver
+    ), cls AS (
+      SELECT symbol, trade_date, event_time, volume, px,
+             LAST_VALUE(CASE WHEN prev_px IS NULL THEN NULL
+                             WHEN px > prev_px THEN 1
+                             WHEN px < prev_px THEN -1 END IGNORE NULLS)
+               OVER (PARTITION BY symbol, trade_date ORDER BY event_time
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sign
+      FROM (SELECT symbol, trade_date, event_time, volume, px,
+                   LAG(px, 1) OVER (PARTITION BY symbol, trade_date
+                                    ORDER BY event_time) AS prev_px
+            FROM pxv)
+    ), bins AS (
+      SELECT symbol, trade_date,
+             epoch_ms(event_time) - epoch_ms(event_time) % 300000 AS ws_ms,
+             CAST(SUM(COALESCE(sign, 0) * volume) AS BIGINT) AS q,
+             arg_max(px, event_time) - arg_min(px, event_time) AS dp
+      FROM cls GROUP BY symbol, trade_date, ws_ms
+    )
+    SELECT symbol, trade_date,
+           CAST(COUNT(*) AS BIGINT) AS n_bins,
+           CAST(SUM(q) AS BIGINT) AS net_flow,
+           CASE WHEN COUNT(*) * SUM(CAST(q AS HUGEINT) * q)
+                     - SUM(CAST(q AS HUGEINT)) * SUM(CAST(q AS HUGEINT)) = 0
+                THEN NULL
+                ELSE CAST((COUNT(*) * SUM(CAST(q AS HUGEINT) * dp)
+                           - SUM(CAST(q AS HUGEINT)) * SUM(CAST(dp AS HUGEINT)))
+                          * 1000000000
+                          // (COUNT(*) * SUM(CAST(q AS HUGEINT) * q)
+                             - SUM(CAST(q AS HUGEINT)) * SUM(CAST(q AS HUGEINT)))
+                          AS BIGINT) END AS lambda_e9
+    FROM bins GROUP BY symbol, trade_date"""),
 
     // The EMA recursion as a literal left fold over the per-symbol
     // price sequence: acc' = α·x + (1−α)·acc with α = 2/15 — the same

@@ -606,11 +606,17 @@ object Indicators {
     * Shape at scale: one (symbol, day) window pass over trades (the
     * b-family shuffle), then a hash aggregate to O(symbol×days) rows.
     */
-  def orderFlow(silver: DataFrame): DataFrame = {
+  /** The tick-test classification pass shared by B16 (order flow) and
+    * B17 (Kyle's lambda): adds `px` (e4 ticks) and `sign` (+1 buy /
+    * −1 sell / null unclassified) to each silver trade. One window
+    * pass keyed (symbol, trade_date) — silver is deduped on
+    * (symbol, event_time), so the ORDER BY is total.
+    */
+  private def tickClassified(silver: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("symbol"), col("trade_date"))
       .orderBy(col("event_time"))
     val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val classified = silver
+    silver
       .withColumn("px", ticksE4(col("price")))
       .withColumn("prev_px", lag(col("px"), 1).over(w))
       .withColumn("chg_sign",
@@ -619,7 +625,10 @@ object Indicators {
           .when(col("px") < col("prev_px"), lit(-1))
           .otherwise(lit(null).cast("int")))
       .withColumn("sign", last(col("chg_sign"), ignoreNulls = true).over(cum))
-    classified.groupBy(col("symbol"), col("trade_date"))
+  }
+
+  def orderFlow(silver: DataFrame): DataFrame = {
+    tickClassified(silver).groupBy(col("symbol"), col("trade_date"))
       .agg(
         sum(when(col("sign") === 1, 1L).otherwise(0L)).as("n_buy"),
         sum(when(col("sign") === -1, 1L).otherwise(0L)).as("n_sell"),
@@ -629,6 +638,52 @@ object Indicators {
       .withColumn("flow_imbalance_e6",
         when(col("buy_vol") + col("sell_vol") === 0, lit(0L))
           .otherwise(expr("(buy_vol - sell_vol) * 1000000 div (buy_vol + sell_vol)")))
+  }
+
+  /** B17 — Kyle's lambda (Kyle 1985): per-(symbol, day) price impact,
+    * the OLS slope of 5-minute price change Δp (e4 ticks) on signed
+    * order flow q (tick-test sign × volume, unclassified trades
+    * contributing 0). λ = (n·Σqp − Σq·Σp) / (n·Σq² − (Σq)²), emitted
+    * as an exact truncating e9 integer — every sufficient statistic
+    * is an integer sum in decimal(38,0) (q² alone can exceed 2⁶³),
+    * so the answer is independent of aggregation order, and the final
+    * `div` truncates toward zero exactly like the DuckDB oracle's
+    * `//` on HUGEINT. Days whose flow has zero variance (all bins the
+    * same q) get a NULL λ rather than a division blow-up.
+    *
+    * Shape at scale: reuses B16's one (symbol, day) window pass, then
+    * two hash aggregates — trades → O(symbol·day·bins) 5m bins →
+    * O(symbol·day) rows. No new shuffle key beyond the b-family's.
+    */
+  def kyleLambda(silver: DataFrame): DataFrame = {
+    val ordTs = unix_micros(col("event_time"))
+    val bins = tickClassified(silver)
+      .withColumn("ws_ms",
+        expr("(unix_micros(event_time) div 1000) - (unix_micros(event_time) div 1000) % 300000"))
+      .groupBy(col("symbol"), col("trade_date"), col("ws_ms"))
+      .agg(
+        sum(coalesce(col("sign"), lit(0)).cast("long") * col("volume")).as("q"),
+        graft.functions.OrderedExtremum.maxByOrd2(col("px"), ordTs, col("event_id"))
+          .as("close_px"),
+        graft.functions.OrderedExtremum.minByOrd2(col("px"), ordTs, col("event_id"))
+          .as("open_px"))
+      .withColumn("dp", col("close_px") - col("open_px"))
+    val d38 = "decimal(38,0)"
+    bins.groupBy(col("symbol"), col("trade_date"))
+      .agg(
+        count(lit(1)).cast("long").as("n_bins"),
+        sum(col("q")).cast("long").as("net_flow"),
+        sum(col("q").cast(d38)).as("sx"),
+        sum(col("dp").cast(d38)).as("sy"),
+        sum(col("q").cast(d38) * col("dp").cast(d38)).as("sxy"),
+        sum(col("q").cast(d38) * col("q").cast(d38)).as("sxx"))
+      .withColumn("den", col("n_bins").cast(d38) * col("sxx") - col("sx") * col("sx"))
+      .withColumn("lambda_e9",
+        when(col("den") === 0, lit(null).cast("long"))
+          .otherwise(expr(
+            "(CAST(n_bins AS DECIMAL(38,0)) * sxy - sx * sy) * 1000000000 div den")))
+      .select(col("symbol"), col("trade_date"), col("n_bins"),
+        col("net_flow"), col("lambda_e9"))
   }
 
   def spikeCounts(silver: DataFrame, n: Int = 20, z: Int = 3): DataFrame = {

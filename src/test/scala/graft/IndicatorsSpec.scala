@@ -391,6 +391,40 @@ class IndicatorsSpec extends SparkSpecBase {
     assert(r.getAs[Long]("flow_imbalance_e6") === 200000L)
   }
 
+  test("kyle lambda: exact OLS slope over hand-built 5m bins") {
+    // 15 trades at 1-min spacing (feed's epoch is 5m-aligned) = three
+    // 5m bins of 5 trades, volume 10 each.
+    //   bin0 px 10..14: row0 unclassified, 4 upticks  -> q=+40, dp=+40000
+    //   bin1 px 14..10: zero-tick inherits +1, then 4 downticks
+    //                                             -> q=-30, dp=-40000
+    //   bin2 px 10..14: zero-tick inherits -1, then 4 upticks
+    //                                             -> q=+30, dp=+40000
+    // n=3 sx=40 sy=40000 sxy=4e6 sxx=3400
+    //   num = 3*4e6 - 40*40000 = 10_400_000
+    //   den = 3*3400 - 1600    = 8_600
+    //   lambda_e9 = 10_400_000 * 1e9 div 8600 = 1_209_302_325_581
+    //   (= 1209.302... e4-ticks-per-share, truncated at e9)
+    val prices = Seq(10.0, 11.0, 12.0, 13.0, 14.0,
+                     14.0, 13.0, 12.0, 11.0, 10.0,
+                     10.0, 11.0, 12.0, 13.0, 14.0)
+    val out = Indicators.kyleLambda(feed(prices)).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_bins") === 3L)
+    assert(r.getAs[Long]("net_flow") === 40L)
+    assert(r.getAs[Long]("lambda_e9") === 1209302325581L)
+  }
+
+  test("kyle lambda: zero flow variance gives NULL, not a blow-up") {
+    // Constant prices: every sign is null, every bin q = 0 -> den = 0.
+    val flat = Indicators.kyleLambda(feed(Seq.fill(12)(42.0))).collect().head
+    assert(flat.isNullAt(flat.fieldIndex("lambda_e9")))
+    // A single bin: den = 1*q^2 - q^2 = 0 regardless of q.
+    val one = Indicators.kyleLambda(feed(Seq(10.0, 11.0, 12.0))).collect().head
+    assert(one.getAs[Long]("n_bins") === 1L)
+    assert(one.isNullAt(one.fieldIndex("lambda_e9")))
+  }
+
   test("order flow: negative imbalance truncates toward zero like the oracle's //") {
     // 10, 9, 9, 9: one downtick then two zero-tick inherits -> 3 sells,
     // 0 buys; imbalance = -30*1e6 div 30 = -1000000 exactly. A second
