@@ -295,6 +295,50 @@ object PipelineQueries {
         col("alpha_frac_e6"), col("non_ascii_frac_e6"))
   }
 
+  /** T15 — readability scoring. The synthetic docs carry no sentence
+    * punctuation (readability would be vacuously NULL), so sentence
+    * structure is planted deterministically: every doc gets a final
+    * period, and doc_id mod 3 / mod 7 slices get extra sentences with
+    * different terminators — n_sentences then varies 1..4 and both
+    * Flesch scores get real spread.
+    */
+  def readabilityQ(s: SparkSession, dir: String): DataFrame = {
+    val planted = docs(s, dir).select(col("doc_id"),
+      concat(col("text"), lit("."),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          lit(" It reads twice as well! Truly?")).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(7)) === 0, lit(" A terse coda."))
+          .otherwise(lit(""))).as("text"))
+    TextAnalysis.readability(planted)
+  }
+
+  /** T15 oracle: same planted sentences, same Java/RE2-neutral
+    * classes; `//` truncates like Spark `div` (all operands
+    * non-negative before the final subtraction).
+    */
+  val readabilitySql: String = """WITH p15 AS (
+    SELECT doc_id, text || '.'
+      || CASE WHEN doc_id % 3 = 0 THEN ' It reads twice as well! Truly?' ELSE '' END
+      || CASE WHEN doc_id % 7 = 0 THEN ' A terse coda.' ELSE '' END AS text
+    FROM documents
+  ), c15 AS (
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_words,
+           CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT) AS n_sentences,
+           CAST(len(regexp_extract_all(text, '[AEIOUYaeiouy]+')) AS BIGINT) AS n_syllables
+    FROM p15
+  )
+  SELECT doc_id, n_words, n_sentences, n_syllables,
+         CASE WHEN n_words = 0 OR n_sentences = 0 THEN NULL
+              ELSE CAST(206835 - (1015 * n_words) // n_sentences
+                               - (84600 * n_syllables) // n_words AS BIGINT)
+         END AS fre_e3,
+         CASE WHEN n_words = 0 OR n_sentences = 0 THEN NULL
+              ELSE CAST((390 * n_words) // n_sentences
+                        + (11800 * n_syllables) // n_words - 15590 AS BIGINT)
+         END AS fk_grade_e3
+  FROM c15"""
+
   /** D8 — decontamination overlap vs the doc_id % 97 == 0 "benchmark"
     * slice (a deterministic ~1% stand-in for an eval suite).
     */
@@ -2009,6 +2053,7 @@ object PipelineQueries {
     "t7_vocab_topk" -> (vocabTopK _),
     "t8_chunking" -> (chunking _),
     "t9_charset" -> (charsetStats _),
+    "t15_readability" -> (readabilityQ _),
     "d1_exact_dedup" -> (exactDedupStats _),
     "d8_decontamination" -> (decontamination _),
     "d10_decontam_bloom" -> (decontaminationBloom _),
@@ -2064,6 +2109,7 @@ object PipelineQueries {
     "t7_vocab_topk" -> vocabTopKSql,
     "t8_chunking" -> chunkingSql,
     "t9_charset" -> charsetSql,
+    "t15_readability" -> readabilitySql,
     "d1_exact_dedup" -> exactDedupSql,
     "d8_decontamination" -> decontaminationSql,
     "d10_decontam_bloom" -> decontaminationSql,

@@ -251,6 +251,40 @@ object TextAnalysis {
         expr("CASE WHEN n_cp = 0 THEN 0L ELSE n_non_ascii * 1000000L div n_cp END"))
   }
 
+  /** T15 — readability scoring (Flesch reading ease + Flesch-Kincaid
+    * grade), the classic curation signal for filtering too-simple or
+    * machine-garbled text. Syllables are approximated as maximal
+    * vowel runs — the standard cheap heuristic; what matters for a
+    * 100 TB filter is that it is a single codegen'd regex count, not
+    * a dictionary lookup. All three counts are exact integers and
+    * both scores are exact truncating e3 fixed-point (206.835 −
+    * 1.015·w/s − 84.6·y/w and 0.39·w/s + 11.8·y/w − 15.59, each
+    * rational term truncated independently via `div` — mirrored
+    * literally by the oracle's `//`), so results are bit-identical
+    * across engines and partitionings. Documents with no words or no
+    * sentence terminators get NULL scores, not a division blow-up.
+    * Character classes avoid lower()/case-folding and POSIX classes —
+    * only explicit ranges, which Java regex and RE2 read identically.
+    * Pure scan-side projection: no shuffle, no UDF.
+    */
+  def readability(docs: DataFrame, textCol: String = "text",
+                  idCol: String = "doc_id"): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    docs.select(
+      col(idCol),
+      regexp_count(t, lit("[A-Za-z0-9]+")).cast("long").as("n_words"),
+      regexp_count(t, lit("[.!?]+")).cast("long").as("n_sentences"),
+      regexp_count(t, lit("[AEIOUYaeiouy]+")).cast("long").as("n_syllables"))
+      .withColumn("fre_e3",
+        expr("""CASE WHEN n_words = 0 OR n_sentences = 0 THEN NULL
+                ELSE 206835L - (1015L * n_words) div n_sentences
+                            - (84600L * n_syllables) div n_words END"""))
+      .withColumn("fk_grade_e3",
+        expr("""CASE WHEN n_words = 0 OR n_sentences = 0 THEN NULL
+                ELSE (390L * n_words) div n_sentences
+                     + (11800L * n_syllables) div n_words - 15590L END"""))
+  }
+
   /** T11 — hashed-n-gram linear classifier inference: the
     * fastText-style quality scorer of CCNet/LLaMA-era curation
     * pipelines, run at corpus scale. The hashing trick maps token

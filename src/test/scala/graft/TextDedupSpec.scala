@@ -414,6 +414,33 @@ class TextDedupSpec extends SparkSpecBase {
     assert(r2.getAs[Long]("alpha_frac_e6") === 0L)
   }
 
+  test("readability: exact counts and truncating e3 Flesch scores") {
+    // "Hello world." -> words 2 (Hello, world), sentences 1 ("."),
+    // syllable runs 3 (e, o | o).
+    //   fre_e3 = 206835 - (1015*2) div 1 - (84600*3) div 2
+    //          = 206835 - 2030 - 126900 = 77905
+    //   fk_e3  = (390*2) div 1 + (11800*3) div 2 - 15590
+    //          = 780 + 17700 - 15590 = 2890
+    val df = docsDf(Seq((1L, "Hello world."), (2L, ""), (3L, "no end here")))
+    val out = TextAnalysis.readability(df).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val r1 = out(1L)
+    assert(r1.getAs[Long]("n_words") === 2L)
+    assert(r1.getAs[Long]("n_sentences") === 1L)
+    assert(r1.getAs[Long]("n_syllables") === 3L)
+    assert(r1.getAs[Long]("fre_e3") === 77905L)
+    assert(r1.getAs[Long]("fk_grade_e3") === 2890L)
+    // Empty text: all counts zero, scores NULL (no division blow-up).
+    val r2 = out(2L)
+    assert(r2.getAs[Long]("n_words") === 0L)
+    assert(r2.isNullAt(r2.fieldIndex("fre_e3")))
+    // Words but no sentence terminator: scores NULL, counts real.
+    val r3 = out(3L)
+    assert(r3.getAs[Long]("n_words") === 3L)
+    assert(r3.getAs[Long]("n_sentences") === 0L)
+    assert(r3.isNullAt(r3.fieldIndex("fk_grade_e3")))
+  }
+
   test("streaming dedup drops exact and near duplicates within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, String)]
