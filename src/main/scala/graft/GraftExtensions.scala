@@ -100,11 +100,18 @@ object GraftExtensions {
         s"books must be array<array<array<numeric>>>, got $other")
     }
     val outer = e.eval().asInstanceOf[ArrayData]
+    require(outer != null, "books must not be NULL")
     (0 until outer.numElements()).map { i =>
+      require(!outer.isNullAt(i), s"books must not contain null subspaces (subspace $i)")
       val sub = outer.getArray(i)
       (0 until sub.numElements()).map { j =>
+        require(!sub.isNullAt(j), s"books must not contain null codewords (subspace $i, code $j)")
         val cw = sub.getArray(j)
         (0 until cw.numElements()).map { d =>
+          // ArrayData.getDouble on a null slot silently yields 0.0 —
+          // a corrupted codebook, not an error — so fail loudly here.
+          require(!cw.isNullAt(d),
+            s"books must not contain nulls (subspace $i, code $j, dim $d)")
           elemT match {
             case DoubleType => cw.getDouble(d)
             case FloatType => cw.getFloat(d).toDouble

@@ -26,8 +26,8 @@ object SparkEntry {
     * future-event guard (transformations.py:136): all test events are
     * in January 2024.
     */
-  private val CutoffTs = "2024-02-01 00:00:00"
-  private val CutoffMs = 1706745600000L
+  private[graft] val CutoffTs = "2024-02-01 00:00:00"
+  private[graft] val CutoffMs = 1706745600000L
   private val Day = "2024-01-15"
 
   private def trades(s: SparkSession, dir: String): DataFrame = Tables.trades(s, dir)

@@ -637,7 +637,14 @@ object Indicators {
         sum(when(col("sign") === -1, col("volume")).otherwise(0L)).as("sell_vol"))
       .withColumn("flow_imbalance_e6",
         when(col("buy_vol") + col("sell_vol") === 0, lit(0L))
-          .otherwise(expr("(buy_vol - sell_vol) * 1000000 div (buy_vol + sell_vol)")))
+          // Stage the ±vol·1e6 numerator through decimal(38,0) (the
+          // kyleLambda discipline): Long would overflow once a
+          // (symbol, day)'s classified volume passes ~9.2e12 shares.
+          // `div` on decimals still emits BIGINT and truncates toward
+          // zero, so the output schema and oracle semantics are
+          // unchanged.
+          .otherwise(expr(
+            "(cast(buy_vol as decimal(38,0)) - sell_vol) * 1000000 div (buy_vol + sell_vol)")))
   }
 
   /** B17 — Kyle's lambda (Kyle 1985): per-(symbol, day) price impact,

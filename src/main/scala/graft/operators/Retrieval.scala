@@ -263,10 +263,10 @@ object Retrieval {
     *
     * Exactness: ranks live in e12 integer units; every division is
     * truncating (`div` ≡ DuckDB `//`), total rank mass only shrinks
-    * under truncation (so r ≤ 1e12 every round), and r·w stays below
-    * 2⁶³ while edge weights stay under ~9e6 (switch the product to
-    * DECIMAL(38,0) beyond that); 3 rounds replay bit-for-bit in the
-    * unrolled oracle.
+    * under truncation (so r ≤ 1e12 every round), and the r·w product
+    * is staged through DECIMAL(38,0) unconditionally, so no edge
+    * weight can overflow it (1e12·2⁶³ ≪ 1e38); 3 rounds replay
+    * bit-for-bit in the unrolled oracle.
     *
     * Scale: edge counting is the corpus-heavy stage (same bound as
     * x30: pairs ≤ per-doc-vocab²/2); each round is then two equi-joins
@@ -303,7 +303,13 @@ object Retrieval {
     for (_ <- 0 until iters) {
       val contrib = edges.join(outW, "src")
         .join(ranks.withColumnRenamed("term", "src"), "src")
-        .select(col("dst"), expr("(pr_e12 * w) div wout").as("c"))
+        // pr_e12·w through decimal(38,0): the Long product overflows
+        // once an edge weight passes ~9.2e6 co-occurrences, which a
+        // 100 TB corpus reaches. decimal `div` still emits BIGINT and
+        // truncates identically, and c ≤ pr_e12 (w ≤ wout) keeps the
+        // downstream Long sum safe: Σc ≤ Σpr ≈ 1e12.
+        .select(col("dst"),
+          expr("(cast(pr_e12 as decimal(38,0)) * w) div wout").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("csum"))
       ranks = nodes.join(contrib.withColumnRenamed("dst", "term"), Seq("term"), "left")
         .select(col("term"),

@@ -15,9 +15,11 @@ import org.apache.spark.sql.{streaming => ss}
   * over the output stream IS the funnel frame, incrementally.
   *
   * Ordering contract (the BarIndicatorStream discipline): within a
-  * micro-batch events fold in (ts, event_type) order, and an event not
-  * strictly newer than the user's high-water mark is dropped — replays
-  * are idempotent and a completed stage can never be rewound. Under
+  * micro-batch events fold in (ts, event_id) order, and an event whose
+  * (ts, event_id) is not lexicographically greater than the user's
+  * high-water mark is dropped — replays are idempotent, distinct
+  * same-timestamp events survive, and a completed stage can never be
+  * rewound. Under
   * per-user event-time-ordered delivery the streamed stage sets equal
   * the batch operator's exactly (FunnelStreamSpec pins this for
   * arbitrary micro-batch slicings); out-of-order delivery degrades
@@ -26,10 +28,17 @@ import org.apache.spark.sql.{streaming => ss}
   */
 object FunnelStream {
 
-  case class UserEvent(user_id: Long, event_type: String, ts: Long)
+  /** `event_id` breaks ties between same-timestamp events: the replay
+    * guard compares (ts, event_id) lexicographically, so two distinct
+    * events sharing a timestamp are both processed while an exact
+    * replay of either is still dropped. Defaults to 0 for callers
+    * (and older specs) whose timestamps are unique by construction.
+    */
+  case class UserEvent(user_id: Long, event_type: String, ts: Long, event_id: Long = 0L)
 
-  /** Stage timestamps; MinValue = not reached. */
-  case class FunnelState(tView: Long, tClick: Long, tPurchase: Long, hwm: Long)
+  /** Stage timestamps; MinValue = not reached. hwm/hwmId = the largest
+    * (ts, event_id) absorbed so far, compared lexicographically. */
+  case class FunnelState(tView: Long, tClick: Long, tPurchase: Long, hwm: Long, hwmId: Long)
 
   /** Emitted once per (user, stage-completion). */
   case class FunnelTransition(user_id: Long, stage: String, ts: Long)
@@ -39,9 +48,9 @@ object FunnelStream {
   /** Absorb one event; returns (next state, emitted transition). */
   private[graft] def step(st: FunnelState, e: UserEvent)
       : (FunnelState, Option[FunnelTransition]) = {
-    if (e.ts <= st.hwm) (st, None)
+    if (e.ts < st.hwm || (e.ts == st.hwm && e.event_id <= st.hwmId)) (st, None)
     else {
-      val next = st.copy(hwm = e.ts)
+      val next = st.copy(hwm = e.ts, hwmId = e.event_id)
       e.event_type match {
         case "view" if st.tView == Unset =>
           (next.copy(tView = e.ts), Some(FunnelTransition(e.user_id, "1_view", e.ts)))
@@ -66,11 +75,11 @@ object FunnelStream {
     override def handleInputRows(userId: Long, rows: Iterator[UserEvent],
                                  timerValues: TimerValues): Iterator[FunnelTransition] = {
       var st = Option(state.get())
-        .getOrElse(FunnelState(Unset, Unset, Unset, Unset))
+        .getOrElse(FunnelState(Unset, Unset, Unset, Unset, Unset))
       val out = Seq.newBuilder[FunnelTransition]
       // Bounded per (key, micro-batch) — the trigger's offset cap —
       // so materialize-then-sort is safe (BarIndicatorStream argument).
-      rows.toSeq.sortBy(e => (e.ts, e.event_type)).foreach { e =>
+      rows.toSeq.sortBy(e => (e.ts, e.event_id)).foreach { e =>
         val (next, t) = step(st, e)
         st = next
         t.foreach(out += _)

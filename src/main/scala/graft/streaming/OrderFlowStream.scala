@@ -12,9 +12,10 @@ import org.apache.spark.sql.{streaming => ss}
   * order-flow imbalance, incrementally.
   *
   * Ordering contract (the FunnelStream/TransitionStream discipline):
-  * within a micro-batch a symbol's trades fold in (ts, event_id)
-  * order; a trade not strictly newer than the high-water mark is
-  * dropped, so replays are idempotent. Under per-symbol event-time-
+  * within a micro-batch a symbol's trades fold in (ts, eventId) order;
+  * a trade whose (ts, eventId) is not lexicographically greater than
+  * the (hwm, hwmId) high-water mark is dropped, so replays are
+  * idempotent while distinct same-timestamp trades both survive. Under per-symbol event-time-
   * ordered delivery the streamed verdicts equal the batch operator's
   * exactly (OrderFlowStreamSpec pins this for arbitrary slicings) —
   * with one deliberate difference: batch state resets at day
@@ -30,18 +31,20 @@ object OrderFlowStream {
   /** sign: +1 / -1 / 0 = unclassified (no non-zero tick seen yet). */
   case class Verdict(symbol: String, ts: Long, eventId: Long, sign: Int, volume: Long)
 
-  /** lastPx < 0 means no trade seen yet. */
-  case class TickState(lastPx: Long, lastSign: Int, hwm: Long)
+  /** lastPx < 0 means no trade seen yet; (hwm, hwmId) = the largest
+    * (ts, eventId) absorbed so far, compared lexicographically. */
+  case class TickState(lastPx: Long, lastSign: Int, hwm: Long, hwmId: Long)
 
   private[graft] def step(st: TickState, t: Tick): (TickState, Option[Verdict]) =
-    if (st.lastPx >= 0 && t.ts <= st.hwm) (st, None)
+    if (st.lastPx >= 0 &&
+        (t.ts < st.hwm || (t.ts == st.hwm && t.eventId <= st.hwmId))) (st, None)
     else {
       val sign =
         if (st.lastPx < 0) 0
         else if (t.px > st.lastPx) 1
         else if (t.px < st.lastPx) -1
         else st.lastSign
-      (TickState(t.px, sign, t.ts),
+      (TickState(t.px, sign, t.ts, t.eventId),
         Some(Verdict(t.symbol, t.ts, t.eventId, sign, t.volume)))
     }
 
@@ -56,7 +59,7 @@ object OrderFlowStream {
 
     override def handleInputRows(symbol: String, rows: Iterator[Tick],
                                  timerValues: TimerValues): Iterator[Verdict] = {
-      var st = Option(state.get()).getOrElse(TickState(-1L, 0, Long.MinValue))
+      var st = Option(state.get()).getOrElse(TickState(-1L, 0, Long.MinValue, Long.MinValue))
       val out = Seq.newBuilder[Verdict]
       rows.toSeq.sortBy(t => (t.ts, t.eventId)).foreach { t =>
         val (next, v) = step(st, t)

@@ -12,11 +12,13 @@ import org.apache.spark.sql.{streaming => ss}
   * transition-count matrix, incrementally.
   *
   * Ordering contract (the FunnelStream/BarIndicatorStream discipline):
-  * within a micro-batch a user's events fold in (ts, event_type)
-  * order, and an event not strictly newer than the user's high-water
-  * mark is dropped — replays are idempotent and an already-emitted
-  * transition can never be contradicted. Under per-user event-time-
-  * ordered delivery with unique timestamps the streamed pair multiset
+  * within a micro-batch a user's events fold in (ts, event_id) order —
+  * the same tuple the batch x39 window orders by — and an event whose
+  * (ts, event_id) is not lexicographically greater than the user's
+  * high-water mark is dropped. Replays are idempotent, distinct
+  * same-timestamp events (different event_id) both survive, and an
+  * already-emitted transition can never be contradicted. Under
+  * per-user event-time-ordered delivery the streamed pair multiset
   * equals the batch operator's exactly (TransitionStreamSpec pins this
   * for arbitrary micro-batch slicings).
   */
@@ -26,17 +28,19 @@ object TransitionStream {
 
   case class Transition(user_id: Long, from_type: String, to_type: String, ts: Long)
 
-  /** lastType = "" means no event seen yet. */
-  case class LastSeen(lastType: String, hwm: Long)
+  /** lastType = "" means no event seen yet; (hwm, hwmId) = the largest
+    * (ts, event_id) absorbed so far, compared lexicographically. */
+  case class LastSeen(lastType: String, hwm: Long, hwmId: Long)
 
   private[graft] def step(st: LastSeen, e: UserEvent): (LastSeen, Option[Transition]) =
-    if (st.hwm != Long.MinValue && e.ts <= st.hwm) (st, None)
+    if (st.hwm != Long.MinValue &&
+        (e.ts < st.hwm || (e.ts == st.hwm && e.event_id <= st.hwmId))) (st, None)
     else {
       val out =
         if (st.lastType.nonEmpty)
           Some(Transition(e.user_id, st.lastType, e.event_type, e.ts))
         else None
-      (LastSeen(e.event_type, e.ts), out)
+      (LastSeen(e.event_type, e.ts, e.event_id), out)
     }
 
   class TransitionProcessor
@@ -50,11 +54,11 @@ object TransitionStream {
 
     override def handleInputRows(userId: Long, rows: Iterator[UserEvent],
                                  timerValues: TimerValues): Iterator[Transition] = {
-      var st = Option(state.get()).getOrElse(LastSeen("", Long.MinValue))
+      var st = Option(state.get()).getOrElse(LastSeen("", Long.MinValue, Long.MinValue))
       val out = Seq.newBuilder[Transition]
       // Bounded per (key, micro-batch) by the trigger's offset cap —
       // materialize-then-sort is safe (BarIndicatorStream argument).
-      rows.toSeq.sortBy(e => (e.ts, e.event_type)).foreach { e =>
+      rows.toSeq.sortBy(e => (e.ts, e.event_id)).foreach { e =>
         val (next, t) = step(st, e)
         st = next
         t.foreach(out += _)

@@ -98,4 +98,14 @@ class ExtensionsSpec extends SparkSpecBase {
     assert(err.getMessage.toLowerCase.contains("foldable") ||
       err.getMessage.toLowerCase.contains("literal"))
   }
+
+  test("a NULL inside a SQL codebook literal fails loudly, not as 0.0") {
+    GraftExtensions.register(spark)
+    val err = intercept[Exception] {
+      spark.sql(
+        "SELECT pq_codes(array(0.5D), array(array(array(1.0D, CAST(NULL AS DOUBLE)))))"
+      ).collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("null"), err.getMessage)
+  }
 }

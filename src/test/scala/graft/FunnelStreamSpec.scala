@@ -76,4 +76,17 @@ class FunnelStreamSpec extends SparkSpecBase {
     assert(rows.size === rows.map(r => (r.user_id, r.stage)).distinct.size)
     assert(rows.groupBy(_.stage).view.mapValues(_.map(_.user_id).toSet).toMap === refStages)
   }
+
+  test("distinct same-timestamp events are not conflated with replays") {
+    // view and an error share ts=10 but differ in event_id, split
+    // across micro-batches: the (ts, event_id) high-water mark must
+    // process both (the view registers stage 1) while a full replay
+    // emits nothing new. The click at the same ts as the view does NOT
+    // advance stage 2 (stages require strictly-later ts) — pinned.
+    val b1 = Seq(UserEvent(7L, "error", 10L, event_id = 1L))
+    val b2 = Seq(UserEvent(7L, "view", 10L, event_id = 2L),
+      UserEvent(7L, "click", 10L, event_id = 3L))
+    val rows = runSliced(Seq(b1, b2, b1 ++ b2), "funnel_same_ts")
+    assert(rows.map(_.stage) === Seq("1_view"))
+  }
 }

@@ -86,4 +86,17 @@ class OrderFlowStreamSpec extends SparkSpecBase {
     assert(vs.size === all.size)
     assert(flows(vs) === batchFlows)
   }
+
+  test("distinct same-timestamp trades are classified; exact replays dropped") {
+    // Two trades share ts but differ in eventId, split across
+    // micro-batches: the (ts, eventId) high-water mark classifies
+    // both (an uptick then a zero-tick carrying the last sign); a
+    // full replay emits nothing new.
+    val b1 = Seq(Tick("CCC", 100000L, 5L, baseTs, 1L),
+      Tick("CCC", 110000L, 7L, baseTs + 1, 2L))
+    val b2 = Seq(Tick("CCC", 110000L, 9L, baseTs + 1, 3L))
+    val vs = runSliced(Seq(b1, b2, b1 ++ b2), "flow_same_ts")
+    assert(vs.sortBy(_.eventId).map(v => (v.eventId, v.sign)) ===
+      Seq((1L, 0), (2L, 1), (3L, 1)))
+  }
 }

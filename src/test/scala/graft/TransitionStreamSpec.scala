@@ -31,8 +31,8 @@ class TransitionStreamSpec extends SparkSpecBase {
     * derivation: lead over (ts) per user).
     */
   private def batchPairs: Map[(String, String), Long] = {
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
-    events.toDF("user_id", "event_type", "ts")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events.toDF("user_id", "event_type", "ts", "event_id")
       .withColumn("next_type", lead(col("event_type"), 1).over(w))
       .filter(col("next_type").isNotNull)
       .groupBy(col("event_type"), col("next_type")).count()
@@ -69,5 +69,18 @@ class TransitionStreamSpec extends SparkSpecBase {
     val rows = runSliced(Seq(events, events), "trans_replay")
     val got = rows.groupBy(t => (t.from_type, t.to_type)).view.mapValues(_.size.toLong).toMap
     assert(got === batchPairs)
+  }
+
+  test("distinct same-timestamp events survive the replay guard; exact replays do not") {
+    // Two events at ts=10 with different event_ids split across
+    // micro-batches: the old ts-only high-water mark would drop the
+    // second; the (ts, event_id) mark must keep it. A third batch
+    // replaying both must emit nothing new.
+    val b1 = Seq(UserEvent(1L, "view", 10L, event_id = 1L))
+    val b2 = Seq(UserEvent(1L, "click", 10L, event_id = 2L),
+      UserEvent(1L, "purchase", 11L, event_id = 3L))
+    val rows = runSliced(Seq(b1, b2, b1 ++ b2), "trans_same_ts")
+    val got = rows.map(t => (t.from_type, t.to_type)).sorted
+    assert(got === Seq(("click", "purchase"), ("view", "click")))
   }
 }
