@@ -51,6 +51,26 @@ def main():
             print(f"{name:28s} {old:6.2f} -> {sec:6.2f}  {delta*100:+6.1f}%{flag}")
         else:
             print(f"{name:28s} {'--':>6} -> {sec:6.2f}  [{tag}]")
+
+    # Warm-plan noise band: when both sides carry queries_warm (the
+    # plan-construction-free re-run graft.Bench emits), summarize the
+    # spread on queries present in both — the low-noise signal that
+    # separates real plan deltas from per-query session jitter.
+    warm_new = bench.get("queries_warm") or {}
+    warm_ref = rounds[baseline_round].get("queries_warm") or {}
+    deltas = [
+        (warm_new[n] - warm_ref[n]) / warm_ref[n]
+        for n in warm_new
+        if n in warm_ref and warm_ref[n] > 0 and warm_new[n] > 0
+    ]
+    if deltas:
+        inside = sum(1 for d in deltas if abs(d) <= 0.05)
+        mean = sum(deltas) / len(deltas)
+        p95 = sorted(abs(d) for d in deltas)[int(0.95 * (len(deltas) - 1))]
+        print(f"\nwarm noise band: {inside}/{len(deltas)} queries within ±5% "
+              f"(mean {mean*100:+.1f}%, |delta| p95 {p95*100:.1f}%)")
+        if "overhead" in bench:
+            print(f"per-query session floor (1-row scan): {bench['overhead']*1000:.0f} ms")
     sys.exit(1 if regressions else 0)
 
 

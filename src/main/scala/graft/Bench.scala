@@ -64,7 +64,7 @@ object Bench {
     // a fake wall-clock figure) and is EXCLUDED from the total, which
     // instead flags it in an explicit "failed" list — summing the
     // sentinel would silently SHRINK the headline number.
-    val results: Seq[(String, Option[Double])] = names.map { name =>
+    val results: Seq[(String, Option[Double], Option[Double])] = names.map { name =>
       val fn = SparkEntry.queries(name)
       val times: Seq[Option[Double]] = (1 to repeats).map { _ =>
         val t0 = System.nanoTime()
@@ -75,12 +75,41 @@ object Bench {
             None
         }
       }
-      name -> (if (times.exists(_.isEmpty)) None else Some(times.flatten.min))
+      val cold = if (times.exists(_.isEmpty)) None else Some(times.flatten.min)
+      // Warm-plan re-run (round-9 verdict: trivial queries are
+      // dominated by per-query plan construction/analysis jitter,
+      // masking real deltas in round-over-round diffs): build the
+      // frame ONCE, then time only execution. The warm column is the
+      // low-noise signal bench_diff uses for its noise band; the cold
+      // column stays the headline (it is what a user pays).
+      val warm: Option[Double] = cold.flatMap { _ =>
+        try {
+          val df = fn(spark, sfDir)
+          val ts = (1 to repeats).map { _ =>
+            val t0 = System.nanoTime(); df.count(); (System.nanoTime() - t0) / 1e9
+          }
+          Some(ts.min)
+        } catch { case _: Throwable => None }
+      }
+      (name, cold, warm)
     }
     val qs = results
-      .map { case (k, v) => "\"" + k + "\":" + f"${v.getOrElse(-1.0)}%.3f" }
+      .map { case (k, v, _) => "\"" + k + "\":" + f"${v.getOrElse(-1.0)}%.3f" }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, None) => "\"" + k + "\"" }
+    val qsWarm = results
+      .map { case (k, _, w) => "\"" + k + "\":" + f"${w.getOrElse(-1.0)}%.3f" }
+      .mkString("{", ",", "}")
+    // The fixed per-query floor: a pre-listed single-row scan through
+    // the same session — what a "0-cost" query measures here.
+    val overhead = {
+      val ts = (1 to 5).map { _ =>
+        val t0 = System.nanoTime()
+        spark.read.parquet(s"$sfDir/events.parquet").limit(1).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      ts.min
+    }
+    val failed = results.collect { case (k, None, _) => "\"" + k + "\"" }
     // With any failure the green-subset sum is NOT a comparable
     // headline (round 8: 53 failures read as a "41% speedup" to any
     // consumer ignoring the failed list) — report null instead.
@@ -88,6 +117,7 @@ object Bench {
       if (failed.nonEmpty) "null" else results.flatMap(_._2).sum.toString
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""queries_warm":$qsWarm,""" + f""""overhead":$overhead%.3f,""" +
         s""""sf":"$sfDir","repeats":$repeats,"stat":"min",""" +
         s""""failed":${failed.mkString("[", ",", "]")}}"""
     try {

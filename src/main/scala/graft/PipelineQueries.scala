@@ -1425,6 +1425,30 @@ object PipelineQueries {
           CASE bucket WHEN 'head' THEN 10000 WHEN 'middle' THEN 5000 ELSE 1000 END"""
   }
 
+  /** SR2 oracle (StreamReplayQueries.streamCurationReplay): the
+    * streaming admission chain's batch equivalent — score every
+    * document with the t11 classifier, gate at score > 0, and reduce
+    * to the DISTINCT (normalized-content fingerprint, score) set.
+    * Score is a function of the lowercased whitespace-split tokens,
+    * which the fingerprint normalization preserves, so every member
+    * of a fingerprint class has the same score and the set is
+    * well-defined regardless of which duplicate the stream admits.
+    */
+  val streamCurationReplaySql: String = s"""
+    WITH tk AS (
+      SELECT text, $toksSql AS toks FROM documents
+    ), g AS (
+      SELECT text,
+             list_concat(toks, list_transform(generate_series(1, len(toks) - 1),
+               i -> toks[i] || ' ' || toks[i + 1])) AS grams
+      FROM tk
+    ), sc AS (
+      SELECT md5($normSql) AS fp_md5,
+             CAST(coalesce(list_sum(list_transform(grams, t -> $ngramWeightSql)), 0) AS BIGINT) AS score_milli
+      FROM g
+    )
+    SELECT DISTINCT fp_md5, score_milli FROM sc WHERE score_milli > 0"""
+
   /** X36 oracle: the t11 scoring CTE with source carried through; the
     * same (score, doc_id) total order drives PERCENT_RANK.
     */

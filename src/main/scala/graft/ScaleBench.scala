@@ -233,9 +233,58 @@ object ScaleBench {
         f""""probe_t1":$t1%.3f,"probe_tk":$tk%.3f,"verdicts1":$v1,"verdictsk":$vk}"""
     }
 
+    // Skew hardening, measured (round-9 verdict item): SCALE.md §1
+    // claims d12's window-frequency join skew is "AQE skew-join
+    // territory" — prove it on a PATHOLOGICAL corpus where one
+    // boilerplate paragraph appears in EVERY document, so its window
+    // hashes are hot keys touching 100% of docs (the worst case a
+    // power-law web corpus produces: shared footers/licenses). With
+    // AQE skew-join on (this session's default), growing the skewed
+    // corpus k× must keep d12's wall ≤ linear — the hot key's join
+    // rows grow k× and AQE splits the oversized partitions; without
+    // the split one reducer would absorb the whole hot key and the
+    // exponent would drift superlinear.
+    val skewCheck = {
+      val boiler = "shared boilerplate license footer text common to every single document here"
+      def skewed(k: Int): DataFrame =
+        (0 until k).map { i =>
+          val d = Tables.documents(spark, sfDir)
+          val base = if (i == 0) d
+          else d
+            .withColumn("doc_id", col("doc_id") + lit(i * CopyIdOffset))
+            .withColumn("text", regexp_replace(col("text"), "(\\S+)", s"c$i$$1"))
+          // Boilerplate stays UN-prefixed in every copy: its windows
+          // are the global hot keys; everything else is copy-local.
+          base.withColumn("text", concat(lit(boiler + " "), col("text")))
+        }.reduce(_ unionByName _)
+      def prepareSkew(k: Int): String = {
+        val dir = s"$scaleRoot/skew_k$k"
+        val fs = new org.apache.hadoop.fs.Path(dir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/_PREPARED")))
+          {
+            skewed(k).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+            fs.create(new org.apache.hadoop.fs.Path(s"$dir/_PREPARED")).close()
+          }
+        dir
+      }
+      def run(dir: String): (Double, Long) = {
+        val docs = spark.read.parquet(s"$dir/documents.parquet")
+        operators.Dedup.substringDupStats(docs, k = 8).count() // warm
+        minTime(operators.Dedup.substringDupStats(docs, k = 8).count())
+      }
+      val (t1, n1) = run(prepareSkew(1))
+      val (tk, nk) = run(prepareSkew(kMain))
+      val exp = math.log(tk / t1) / math.log(kMain)
+      System.err.println(f"[scalebench] d12_skew k=$kMain 1x=$t1%.2fs ($n1 docs) " +
+        f"kx=$tk%.2fs ($nk docs) exp=$exp%.2f (hot window in 100%% of docs)")
+      f""""d12_skew_check":{"k":$kMain,"t1":$t1%.3f,"tk":$tk%.3f,""" +
+        f""""exp":$exp%.3f,"rows1":$n1,"rowsk":$nk}"""
+    }
+
     val line = s"""{"metric":"scale_exponent","kMain":$kMain,"kDeep":$kDeep,""" +
       s""""repeats":$repeats,"sf":"$sfDir",""" +
-      s""""queries":${results.mkString("{", ",", "}")},$d16Check}"""
+      s""""queries":${results.mkString("{", ",", "}")},$d16Check,$skewCheck}"""
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
         (line + "\n").getBytes("UTF-8"))

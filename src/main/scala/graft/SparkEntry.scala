@@ -152,7 +152,7 @@ object SparkEntry {
     // H3 — TPC-H-style shipping priority (3-way join + top-k).
     "h3_shipping_priority" -> ((s, dir) => TpchQueries.shippingPriority(s, dir))
   ) ++ PipelineQueries.queries ++ ExtendedQueries.queries ++ IndicatorQueries.queries ++
-    RetrievalQueries.queries ++ MaintenanceQueries.queries
+    RetrievalQueries.queries ++ MaintenanceQueries.queries ++ StreamReplayQueries.queries
 
   /** Shared DuckDB CTE prelude: trades view + medallion layers.
     * Mirrors Tables.trades / Medallion / Ohlcv exactly.
@@ -354,5 +354,5 @@ object SparkEntry {
     "h1_pricing_summary" -> TpchQueries.pricingSummarySql,
     "h3_shipping_priority" -> TpchQueries.shippingPrioritySql
   ) ++ PipelineQueries.oracles ++ ExtendedQueries.oracles ++ IndicatorQueries.oracleSql ++
-    RetrievalQueries.oracles ++ MaintenanceQueries.oracles
+    RetrievalQueries.oracles ++ MaintenanceQueries.oracles ++ StreamReplayQueries.oracles
 }

@@ -1,0 +1,123 @@
+package graft
+
+import java.nio.file.{Files, Path}
+import java.util.Comparator
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.operators.TextAnalysis
+import graft.sources.Tables
+import graft.streaming.{CurationStream, IncrementalGoldStream}
+
+/** Driver-visible queries that actually EXECUTE `writeStream` — the
+  * streaming runtimes replayed deterministically over the static sf
+  * parquet in `Trigger.AvailableNow` mode, so the DuckDB oracle gate
+  * covers the streaming code path itself, not just its batch-
+  * equivalent spec (the round-9 verdict's "oracle-check two streaming
+  * paths via deterministic replay").
+  *
+  * Replay discipline: the input is staged to a multi-file parquet
+  * directory and consumed with `maxFilesPerTrigger=1`, so the run
+  * exercises REAL multi-micro-batch execution (checkpointing, state
+  * handoff between batches, the sink's idempotent upsert) — not a
+  * single batch that happens to flow through streaming APIs. Both
+  * queries are chosen because their results are independent of the
+  * micro-batch slicing:
+  *  - sr1: bar partials form a commutative monoid, so the merge-on-
+  *    read store equals the batch gold_5m frame for ANY slicing.
+  *  - sr2: the admission gate is a pure per-document function and the
+  *    output is keyed by content fingerprint (score is invariant
+  *    under the fingerprint's whitespace/case normalization), so the
+  *    admitted (fp, score) SET is slicing- and order-independent even
+  *    though the dedup survivor row is not.
+  *
+  * Scale note: `AvailableNow` + file listing is exactly how a 100 TB
+  * backfill re-enters the streaming path (SPARK_STREAMING.md:69-77's
+  * once/available-now modes); this is that path at sf size.
+  */
+object StreamReplayQueries {
+
+  /** Recursive delete for the per-invocation scratch dirs (unique via
+    * createTempDirectory, removed once results are materialized).
+    */
+  private def deleteRecursively(root: Path): Unit = {
+    if (Files.exists(root)) {
+      val walk = Files.walk(root)
+      try walk.sorted(Comparator.reverseOrder[Path]()).forEach(p => Files.deleteIfExists(p))
+      finally walk.close()
+    }
+  }
+
+  /** SR1 — the IncrementalGoldStream runtime end-to-end: silver →
+    * AvailableNow stream (one file per micro-batch) → foreachBatch
+    * partial-bar upsert store → merge-on-read. Result = gold_5m
+    * exactly (v1's oracle), no matter how the stream was sliced.
+    */
+  def streamGoldReplay(s: SparkSession, dir: String): DataFrame = {
+    val silver = SparkEntry.silverDf(s, dir)
+    val tmp = Files.createTempDirectory("graft_sr1_")
+    try {
+      val staging = tmp.resolve("staging").toString
+      silver.repartition(2).write.parquet(staging)
+      val stream = s.readStream.schema(silver.schema)
+        .option("maxFilesPerTrigger", "1").parquet(staging)
+      val q = IncrementalGoldStream.writer(stream,
+        path = tmp.resolve("store").toString,
+        checkpoint = tmp.resolve("ckpt").toString,
+        duration = "5 minutes",
+        trigger = Trigger.AvailableNow(),
+        nBuckets = 8).start()
+      q.awaitTermination()
+      // Materialize before the scratch store is deleted: the returned
+      // frame must not lazily re-read files that no longer exist.
+      IncrementalGoldStream.read(s, tmp.resolve("store").toString)
+        .select(col("symbol"),
+          unix_millis(col("window_start")).as("window_start_ms"),
+          unix_millis(col("window_end")).as("window_end_ms"),
+          col("open"), col("high"), col("low"), col("close"),
+          col("volume"), col("trade_count"), col("vwap_e6"))
+        .localCheckpoint(eager = true)
+    } finally deleteRecursively(tmp)
+  }
+
+  /** SR2 — the CurationStream runtime end-to-end: documents →
+    * AvailableNow stream → pure-function quality gate → watermark-
+    * bounded streaming dedup → parquet sink. Emits the admitted
+    * (content fingerprint, score) set; the constant event-time keeps
+    * every document inside one watermark window so the stream's dedup
+    * scope equals the batch DISTINCT the oracle computes.
+    */
+  def streamCurationReplay(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      .withColumn("event_time", lit("2024-01-15 00:00:00").cast("timestamp"))
+    val tmp = Files.createTempDirectory("graft_sr2_")
+    try {
+      val staging = tmp.resolve("staging").toString
+      docs.repartition(2).write.parquet(staging)
+      val stream = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(staging)
+      val outDir = tmp.resolve("out").toString
+      val q = CurationStream.admit(stream, minScoreMilli = 0L, delay = "7 days")
+        .select(TextAnalysis.fingerprintMd5(col("text")).as("fp_md5"),
+          col("score_milli"))
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", tmp.resolve("ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .format("parquet").option("path", outDir)
+        .start()
+      q.awaitTermination()
+      s.read.parquet(outDir).distinct().localCheckpoint(eager = true)
+    } finally deleteRecursively(tmp)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sr1_stream_gold_replay" -> (streamGoldReplay _),
+    "sr2_stream_curation_replay" -> (streamCurationReplay _))
+
+  val oracles: Map[String, String] = Map(
+    // The streamed merge-on-read store must equal batch gold_5m.
+    "sr1_stream_gold_replay" -> MaintenanceQueries.incrementalOhlcvSql,
+    "sr2_stream_curation_replay" -> PipelineQueries.streamCurationReplaySql)
+}

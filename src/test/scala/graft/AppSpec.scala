@@ -305,6 +305,86 @@ class AppSpec extends SparkSpecBase {
     }
   }
 
+  test("available-now FULL fan-out over a static directory equals the batch medallion") {
+    import org.apache.spark.sql.functions._
+    // The trigger-parity gap the ProcessingTime specs can't cover: the
+    // whole fan-out app (bronze + silver + both gold grains + dead
+    // letters) drains a pre-existing file backlog under
+    // Trigger.AvailableNow with maxFilesPerTrigger=1 — a REAL
+    // multi-micro-batch bounded drain with per-batch watermark
+    // advancement and checkpoint handoff — and the resulting silver
+    // and gold stores must equal the batch medallion field-for-field.
+    val dir = Files.createTempDirectory("graft_app_an_full").toString
+    val t0 = 1705312800000L // 2024-01-15 10:00:00 UTC, hour-aligned
+    def line(sym: String, px: Double, vol: Long, ts: Long) =
+      s"""{"symbol":"$sym","price":$px,"volume":$vol,"timestamp":$ts,"conditions":[],"ingestion_time":$ts}"""
+    // Three files → three micro-batches; the span stays well inside
+    // the 10m watermark so cross-batch arrival order cannot drop rows.
+    val f1 = Seq(line("AAPL", 10.5, 3, t0), line("AAPL", 11.5, 2, t0 + 60000),
+      line("MSFT", 20.0, 1, t0 + 30000))
+    val f2 = Seq(line("AAPL", 10.5, 3, t0), // exact replay → streaming dedup
+      line("AAPL", 12.0, 4, t0 + 310000), // second 5m window
+      line("BAD", -1.0, 9, t0 + 1000)) // dead letter, never silver
+    val f3 = Seq(line("MSFT", 21.0, 2, t0 + 320000))
+    Files.createDirectories(java.nio.file.Paths.get(s"$dir/in"))
+    for ((f, i) <- Seq(f1, f2, f3).zipWithIndex)
+      Files.write(java.nio.file.Paths.get(s"$dir/in/part$i.json"),
+        f.mkString("\n").getBytes("UTF-8"))
+    val raw = spark.readStream.option("maxFilesPerTrigger", "1").text(s"$dir/in")
+    val cfg = App.Config(out = s"$dir/out", checkpoint = s"$dir/ckp",
+      layers = Set("bronze", "silver", "gold5m", "gold1h", "deadletter"),
+      trigger = "available-now")
+    val mgr = App.start(spark, raw, cfg)
+    try {
+      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      while (mgr.status.values.exists(identity) && System.nanoTime() < deadline)
+        Thread.sleep(100)
+      assert(mgr.status.values.forall(!_), s"queries still active: ${mgr.status}")
+    } finally mgr.stopAll()
+
+    // Batch medallion over the SAME files through the SAME transforms.
+    val parsedB = graft.streaming.TradeStreams.parseTrades(spark.read.text(s"$dir/in"))
+    val silverB = graft.streaming.TradeStreams.toSilverStreaming(parsedB)
+      .dropDuplicates("symbol", "timestamp") // replay rows are byte-equal, survivor moot
+      .withColumn("trade_date", to_date(col("event_time")))
+    def goldB(duration: String) =
+      graft.operators.Ohlcv.bars(silverB.withColumn("event_id", col("timestamp")), duration)
+        .withColumn("window_date", to_date(col("window_start")))
+
+    // Silver: field-for-field equality (all columns are deterministic).
+    def silverKey(r: org.apache.spark.sql.Row) =
+      (r.getAs[String]("symbol"), r.getAs[Long]("timestamp"), r.getAs[Double]("price"),
+        r.getAs[Long]("volume"), r.getAs[java.sql.Timestamp]("event_time"),
+        r.getAs[java.sql.Date]("trade_date"))
+    val silverGot = spark.read.parquet(s"$dir/out/silver").collect().map(silverKey).toSet
+    assert(silverGot === silverB.collect().map(silverKey).toSet)
+    assert(silverGot.size === 5) // 6 valid lines − 1 replay; BAD filtered
+
+    // Gold, both grains: every bar field including the exact-integer
+    // vwap carry must match the batch aggregation.
+    def barKey(r: org.apache.spark.sql.Row) =
+      (r.getAs[String]("symbol"), r.getAs[java.sql.Timestamp]("window_start").getTime,
+        r.getAs[java.sql.Timestamp]("window_end").getTime, r.getAs[Double]("open"),
+        r.getAs[Double]("high"), r.getAs[Double]("low"), r.getAs[Double]("close"),
+        r.getAs[Long]("volume"), r.getAs[Long]("trade_count"),
+        r.getAs[java.lang.Long]("vwap_e6"), r.getAs[Long]("pv_ticks"))
+    for ((layer, dur) <- Seq("gold5m" -> "5 minutes", "gold1h" -> "1 hour")) {
+      val got = spark.read.parquet(s"$dir/out/$layer").collect().map(barKey).toSet
+      val want = goldB(dur).collect().map(barKey).toSet
+      assert(got === want, s"$layer: stream-only ${(got -- want).take(2)}; " +
+        s"batch-only ${(want -- got).take(2)}")
+    }
+    // AAPL windows [10:00,10:05) and [10:05,10:10); MSFT [10:00,10:05)
+    // and [10:05,10:10) → 4 bars total.
+    assert(spark.read.parquet(s"$dir/out/gold5m").count() === 4)
+
+    // Bronze keeps every parsed row (audit layer, replay included);
+    // the dead letter captured exactly the invalid row.
+    assert(spark.read.parquet(s"$dir/out/bronze").count() === 7)
+    val dead = spark.read.parquet(s"$dir/out/dead_letters").collect()
+    assert(dead.length === 1 && dead.head.getAs[String]("symbol") === "BAD")
+  }
+
   test("admission layer classifies a replayed doc batch against a seeded corpus") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions._

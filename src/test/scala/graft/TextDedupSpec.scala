@@ -365,6 +365,28 @@ class TextDedupSpec extends SparkSpecBase {
     assert(out(4L) === ((0L, 0L, 0L, 0L)))
   }
 
+  test("substring dup stats: 100%-hot boilerplate window (the AQE-skew shape) stays exact") {
+    // The pathological corpus ScaleBench's d12_skew_check times: one
+    // boilerplate run shared by EVERY document (a web corpus's common
+    // footer/license), the worst join skew d12 can manufacture — the
+    // hot window hashes key rows from all n docs into one partition.
+    // Correctness must be unaffected by how the hot key is split:
+    // k=3 over "b1 b2 b3 b4" + unique 3-token tail per doc.
+    val n = 40
+    val df = docsDf((1L to n.toLong).map(i =>
+      (i, s"b1 b2 b3 b4 u${i}a u${i}b u${i}c")))
+    val out = Dedup.substringDupStats(df, k = 3).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_windows"), r.getAs[Long]("n_shared_windows"),
+          r.getAs[Long]("shared_frac_e6")))).toMap
+    assert(out.size === n)
+    // 5 windows/doc; exactly "b1 b2 b3" and "b2 b3 b4" are corpus-hot
+    // (in all 40 docs); the boundary and tail windows are unique.
+    out.foreach { case (id, v) =>
+      assert(v === ((5L, 2L, 400000L)), s"doc $id")
+    }
+  }
+
   test("window decontamination: verbatim k-run hits, clean docs absent") {
     // Bench doc 1 = "q w e r t". Corpus doc 2 embeds that run (3 of
     // its 5 k=3 windows match); doc 3 shares no window; doc 4 shares
