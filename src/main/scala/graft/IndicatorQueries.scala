@@ -82,6 +82,19 @@ object IndicatorQueries {
     "b17_kyle_lambda" -> ((s, dir) =>
       Indicators.kyleLambda(SparkEntry.silverDf(s, dir))),
 
+    // B18 — Amihud illiquidity: avg |daily ret| per dollar volume.
+    "b18_amihud" -> ((s, dir) =>
+      Indicators.amihudIlliquidity(SparkEntry.silverDf(s, dir))),
+
+    // B19 — Roll effective-spread estimator from serial covariance
+    // of trade price changes (exact cov, double spread).
+    "b19_roll_spread" -> ((s, dir) =>
+      Indicators.rollSpread(SparkEntry.silverDf(s, dir))),
+
+    // B20 — VPIN: order-flow toxicity over equal-volume buckets.
+    "b20_vpin" -> ((s, dir) =>
+      Indicators.vpin(SparkEntry.silverDf(s, dir), nBuckets = 50)),
+
     // B5 — end-of-day EMA-14 per symbol, the recursion running
     // continuously from sequence start (streaming/IndicatorStream's
     // batch adapter — the one indicator a row-frame window cannot
@@ -583,6 +596,106 @@ object IndicatorQueries {
                              - SUM(CAST(q AS HUGEINT)) * SUM(CAST(q AS HUGEINT)))
                           AS BIGINT) END AS lambda_e9
     FROM bins GROUP BY symbol, trade_date"""),
+
+    // B18: mirror of amihudIlliquidity — dailyb-style close (rn=1
+    // over DESC) + exact pv sum, the LAG return, and two truncating
+    // HUGEINT divisions (// = Spark div on decimal(38,0)).
+    "b18_amihud" -> (SparkEntry.P + """, dcv AS (
+      SELECT symbol, trade_date,
+             MAX(CASE WHEN rn = 1 THEN px END) AS close,
+             SUM(pv) AS pv_ticks
+      FROM (SELECT symbol, trade_date,
+                   CAST(CAST(price AS DECIMAL(18,4)) * 10000 AS BIGINT) AS px,
+                   CAST(CAST(price AS DECIMAL(18,4)) * volume * 10000 AS BIGINT) AS pv,
+                   ROW_NUMBER() OVER (PARTITION BY symbol, trade_date
+                                      ORDER BY event_time DESC, event_id DESC) AS rn
+            FROM silver)
+      GROUP BY symbol, trade_date
+    ), rets AS (
+      SELECT symbol, trade_date, pv_ticks,
+             CAST((close - LAG(close) OVER w) * 1000000
+                  // LAG(close) OVER w AS BIGINT) AS ret_e6
+      FROM dcv
+      WINDOW w AS (PARTITION BY symbol ORDER BY trade_date)
+    ), di AS (
+      SELECT symbol,
+             CAST(CAST(ABS(ret_e6) AS HUGEINT) * 1000000000000 // pv_ticks AS BIGINT) AS illiq_e12
+      FROM rets WHERE ret_e6 IS NOT NULL
+    )
+    SELECT symbol, CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(CAST(illiq_e12 AS HUGEINT)) // COUNT(*) AS BIGINT) AS avg_illiq_e12
+    FROM di GROUP BY symbol"""),
+
+    // B19: exact HUGEINT serial-covariance statistics; cov_num ships
+    // as VARCHAR (the b8 >2^53 posture) and the double spread routes
+    // the HUGEINT->DOUBLE cast through VARCHAR for correct rounding
+    // (a direct cast double-rounds — round-4 b8 finding), then runs
+    // the same negate/divide/sqrt/x2 IEEE chain as the Spark side.
+    "b19_roll_spread" -> (SparkEntry.P + """, d1 AS (
+      SELECT symbol, trade_date, event_time,
+             CAST(CAST(price AS DECIMAL(18,4)) * 10000 AS BIGINT)
+               - LAG(CAST(CAST(price AS DECIMAL(18,4)) * 10000 AS BIGINT))
+                 OVER (PARTITION BY symbol, trade_date ORDER BY event_time) AS d
+      FROM silver
+    ), d2 AS (
+      SELECT symbol, trade_date, d,
+             LEAD(d) OVER (PARTITION BY symbol, trade_date ORDER BY event_time) AS d_next
+      FROM d1
+    ), st AS (
+      SELECT symbol, trade_date,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             SUM(CAST(d AS HUGEINT) * d_next) AS s_dd,
+             SUM(CAST(d AS HUGEINT)) AS s_d,
+             SUM(CAST(d_next AS HUGEINT)) AS s_dn
+      FROM d2 WHERE d IS NOT NULL AND d_next IS NOT NULL
+      GROUP BY symbol, trade_date
+    )
+    SELECT symbol, trade_date, n_pairs,
+           CAST(n_pairs * s_dd - s_d * s_dn AS VARCHAR) AS cov_num,
+           CASE WHEN n_pairs * s_dd - s_d * s_dn < 0
+                THEN 2.0 * sqrt(
+                  -(CAST(CAST(n_pairs * s_dd - s_d * s_dn AS VARCHAR) AS DOUBLE))
+                  / (CAST(n_pairs AS DOUBLE) * CAST(n_pairs AS DOUBLE)))
+           END AS roll_spread_ticks
+    FROM st"""),
+
+    // B20: B16's tick-test cls pass, the per-symbol volume clock
+    // (cum_prev over event_time — unique per symbol after dedup),
+    // floor bucket width clamped >=1, bucket id clamped to 49, and
+    // one truncating HUGEINT division for vpin_e6.
+    "b20_vpin" -> (SparkEntry.P + """, pxv AS (
+      SELECT symbol, trade_date, event_time, volume,
+             CAST(CAST(price AS DECIMAL(18,4)) * 10000 AS BIGINT) AS px
+      FROM silver
+    ), cls AS (
+      SELECT symbol, event_time, volume,
+             LAST_VALUE(CASE WHEN prev_px IS NULL THEN NULL
+                             WHEN px > prev_px THEN 1
+                             WHEN px < prev_px THEN -1 END IGNORE NULLS)
+               OVER (PARTITION BY symbol, trade_date ORDER BY event_time
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sign
+      FROM (SELECT symbol, trade_date, event_time, volume, px,
+                   LAG(px, 1) OVER (PARTITION BY symbol, trade_date
+                                    ORDER BY event_time) AS prev_px
+            FROM pxv)
+    ), tot AS (
+      SELECT symbol, CAST(SUM(volume) AS BIGINT) AS tot_vol FROM cls GROUP BY symbol
+    ), cum AS (
+      SELECT c.symbol, c.volume, c.sign,
+             COALESCE(SUM(c.volume) OVER (PARTITION BY c.symbol ORDER BY c.event_time
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_prev,
+             GREATEST(t.tot_vol // 50, 1) AS vbucket
+      FROM cls c JOIN tot t USING (symbol)
+    ), pb AS (
+      SELECT symbol, LEAST(cum_prev // vbucket, 49) AS bucket,
+             SUM(CASE WHEN sign = 1 THEN volume ELSE 0 END) AS buy,
+             SUM(CASE WHEN sign = -1 THEN volume ELSE 0 END) AS sell,
+             SUM(volume) AS vol
+      FROM cum GROUP BY 1, 2
+    )
+    SELECT symbol, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(SUM(ABS(CAST(buy AS HUGEINT) - sell)) * 1000000 // SUM(vol) AS BIGINT) AS vpin_e6
+    FROM pb GROUP BY symbol"""),
 
     // The EMA recursion as a literal left fold over the per-symbol
     // price sequence: acc' = α·x + (1−α)·acc with α = 2/15 — the same

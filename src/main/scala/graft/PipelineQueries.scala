@@ -1449,6 +1449,30 @@ object PipelineQueries {
     )
     SELECT DISTINCT fp_md5, score_milli FROM sc WHERE score_milli > 0"""
 
+  /** T16 oracle (Sampling.packSequences): the oracle runs the global
+    * prefix sum as ONE window over doc_id (DuckDB is single-node —
+    * the scale machinery the Spark side uses to avoid that window is
+    * exactly what this cross-checks); `//` = Spark `div` keeps the
+    * sequence ids exact.
+    */
+  val sequencePackingSql: String = s"""
+    WITH tk AS (
+      SELECT doc_id, CAST(COALESCE(len($toksSql), 0) AS BIGINT) AS n_tok
+      FROM documents
+    ), c AS (
+      SELECT doc_id, n_tok,
+             CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_prev
+      FROM tk
+    )
+    SELECT doc_id, n_tok,
+           CASE WHEN n_tok > 0 THEN cum_prev // 256 END AS first_seq,
+           CASE WHEN n_tok > 0 THEN (cum_prev + n_tok - 1) // 256 END AS last_seq,
+           CAST(CASE WHEN n_tok > 0
+                     THEN (cum_prev + n_tok - 1) // 256 - cum_prev // 256 + 1
+                     ELSE 0 END AS BIGINT) AS n_seqs
+    FROM c"""
+
   /** X36 oracle: the t11 scoring CTE with source carried through; the
     * same (score, doc_id) total order drives PERCENT_RANK.
     */
@@ -2078,6 +2102,8 @@ object PipelineQueries {
     "t8_chunking" -> (chunking _),
     "t9_charset" -> (charsetStats _),
     "t15_readability" -> (readabilityQ _),
+    "t16_sequence_packing" -> ((s: SparkSession, dir: String) =>
+      Sampling.packSequences(docs(s, dir))),
     "d1_exact_dedup" -> (exactDedupStats _),
     "d8_decontamination" -> (decontamination _),
     "d10_decontam_bloom" -> (decontaminationBloom _),
@@ -2134,6 +2160,7 @@ object PipelineQueries {
     "t8_chunking" -> chunkingSql,
     "t9_charset" -> charsetSql,
     "t15_readability" -> readabilitySql,
+    "t16_sequence_packing" -> sequencePackingSql,
     "d1_exact_dedup" -> exactDedupSql,
     "d8_decontamination" -> decontaminationSql,
     "d10_decontam_bloom" -> decontaminationSql,

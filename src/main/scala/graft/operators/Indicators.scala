@@ -693,6 +693,119 @@ object Indicators {
         col("net_flow"), col("lambda_e9"))
   }
 
+  /** B18 — Amihud (2002) illiquidity: per symbol, the average over
+    * days of |daily return| per unit of dollar volume — THE standard
+    * price-impact proxy when order-book data is absent. Exact end to
+    * end: ret_e6 is the b2/b8 integer daily return, dollar volume is
+    * the gold layer's Σ price·volume in e4 ticks (a long per day,
+    * decimal(38,0) at the symbol level), and both divisions truncate
+    * (`div` ≡ DuckDB `//`). Emitted ×1e12 so the tiny ratios survive
+    * integer truncation.
+    *
+    * Shape at scale: two hash aggregates over trades keyed
+    * (symbol, day) — the b-family shuffle — then an equi-join of two
+    * O(symbol×days) frames and a final per-symbol aggregate. Nothing
+    * new shuffles the trade stream.
+    */
+  def amihudIlliquidity(silver: DataFrame): DataFrame = {
+    val rets = dailyReturns(silver)
+    val pv = silver
+      .withColumn("pv",
+        (col("price").cast("decimal(18,4)") * col("volume") * 10000).cast("long"))
+      .groupBy(col("symbol"), col("trade_date"))
+      // decimal sum: per-day dollar volume can pass 2^63 ticks at
+      // 100 TB trade volume even though each pv term is a safe long.
+      .agg(sum(col("pv").cast("decimal(38,0)")).as("pv_ticks"))
+    rets.join(pv, Seq("symbol", "trade_date"))
+      .withColumn("illiq_e12",
+        expr("(cast(abs(ret_e6) as decimal(38,0)) * 1000000000000) div pv_ticks"))
+      .groupBy(col("symbol"))
+      .agg(count(lit(1)).as("n_days"),
+        expr("sum(cast(illiq_e12 as decimal(38,0))) div count(1)")
+          .as("avg_illiq_e12"))
+  }
+
+  /** B19 — Roll (1984) effective-spread estimator: per (symbol, day),
+    * the first-order serial covariance of consecutive trade-price
+    * changes; bid-ask bounce makes it negative, and
+    * spread = 2·√(−cov). Sufficient statistics are exact decimal
+    * sums over e4-tick deltas (cov_num = m·Σdᵢdᵢ₊₁ − Σdᵢ·Σdᵢ₊₁,
+    * shipped as STRING per the b8 >2⁵³ posture); the spread itself is
+    * a chain of correctly-rounded double ops (decimal→double cast,
+    * divide, sqrt, ×2) that both engines reproduce bit-for-bit — the
+    * b8/b9 `corr`/`beta` discipline. Days where the covariance is
+    * non-negative (no bounce detected) emit NULL, the literature's
+    * convention. Ordering is by event_time alone: silver dedup makes
+    * it unique per symbol, so the lag/lead chain is total.
+    *
+    * Shape at scale: one (symbol, day) window pass + one hash
+    * aggregate — the b-family shuffle, nothing else.
+    */
+  def rollSpread(silver: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("symbol"), col("trade_date"))
+      .orderBy(col("event_time"))
+    def dec(c: Column) = c.cast("decimal(19,0)")
+    silver
+      .withColumn("px", ticksE4(col("price")))
+      .withColumn("d", col("px") - lag(col("px"), 1).over(w))
+      .withColumn("d_next", lead(col("d"), 1).over(w))
+      .filter(col("d").isNotNull && col("d_next").isNotNull)
+      .groupBy(col("symbol"), col("trade_date"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(dec(col("d")) * col("d_next")).as("s_dd"),
+        sum(dec(col("d"))).as("s_d"),
+        sum(dec(col("d_next"))).as("s_dn"))
+      .withColumn("cov_num",
+        (col("n_pairs").cast("decimal(38,0)") * col("s_dd") -
+          col("s_d") * col("s_dn")).cast("decimal(38,0)"))
+      .withColumn("roll_spread_ticks",
+        when(col("cov_num") < 0,
+          lit(2.0) * sqrt(-(col("cov_num").cast("double")) /
+            (col("n_pairs").cast("double") * col("n_pairs").cast("double")))))
+      .select(col("symbol"), col("trade_date"), col("n_pairs"),
+        col("cov_num").cast("string").as("cov_num"), col("roll_spread_ticks"))
+  }
+
+  /** B20 — VPIN (Easley/López de Prado/O'Hara): per symbol, the
+    * Volume-synchronized Probability of INformed trading — trades are
+    * cut into ~`nBuckets` equal-VOLUME buckets (volume clock, not
+    * wall clock) and vpin = Σ|buy−sell| / Σvol over buckets, buy/sell
+    * from B16's tick-test classification. The flash-crash toxicity
+    * gauge, and the natural consumer of the order-flow pass this
+    * module already has.
+    *
+    * Determinism: the volume clock orders by event_time (unique per
+    * symbol after silver dedup); bucket width = ⌊total/nBuckets⌋
+    * clamped ≥1, bucket id clamped to nBuckets−1 so the floor-
+    * remainder tail folds into the last bucket — every boundary is
+    * integer arithmetic, bit-identical at any parallelism.
+    *
+    * Shape at scale: B16's (symbol, day) window pass, one per-symbol
+    * O(symbols)-row total broadcast back, one (symbol) cumulative
+    * window, two hash aggregates. The cumulative volume lives in a
+    * long — overflow needs 9.2e18 shares/symbol, beyond any market.
+    */
+  def vpin(silver: DataFrame, nBuckets: Int = 50): DataFrame = {
+    val cls = tickClassified(silver)
+    val wcum = Window.partitionBy(col("symbol")).orderBy(col("event_time"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val tot = cls.groupBy(col("symbol")).agg(sum(col("volume")).as("tot_vol"))
+    cls
+      .withColumn("cum_prev", coalesce(sum(col("volume")).over(wcum), lit(0L)))
+      .join(broadcast(tot), "symbol")
+      .withColumn("vbucket", expr(s"greatest(tot_vol div ${nBuckets}L, 1L)"))
+      .withColumn("bucket",
+        expr(s"least(cum_prev div vbucket, ${nBuckets - 1}L)"))
+      .groupBy(col("symbol"), col("bucket"))
+      .agg(sum(when(col("sign") === 1, col("volume")).otherwise(0L)).as("buy"),
+        sum(when(col("sign") === -1, col("volume")).otherwise(0L)).as("sell"),
+        sum(col("volume")).as("vol"))
+      .groupBy(col("symbol"))
+      .agg(count(lit(1)).as("n_buckets"),
+        expr("sum(cast(abs(buy - sell) as decimal(38,0))) * 1000000 div sum(vol)")
+          .as("vpin_e6"))
+  }
+
   def spikeCounts(silver: DataFrame, n: Int = 20, z: Int = 3): DataFrame = {
     val w = bySymbolTime.rowsBetween(-(n - 1), Window.currentRow)
     silver

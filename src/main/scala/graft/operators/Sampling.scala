@@ -329,6 +329,49 @@ object Sampling {
       .drop("__part", "__hb", "__cum_local", "__offset", "__cum")
   }
 
+  /** T16 — GPT-style concat-and-chunk sequence packing: the corpus is
+    * one virtual token stream in doc_id order, cut into fixed
+    * `seqLen`-token training sequences; each document reports the
+    * first/last sequence it lands in and how many it spans (docs
+    * straddle boundaries — that IS the concat-and-chunk recipe, no
+    * padding, no packing bins). The per-doc span histogram is what a
+    * data engineer sizes context length against.
+    *
+    * Scale shape: the global prefix sum deliberately does NOT use a
+    * single-partition window (the classic scale-killer). Same
+    * two-pass layout as [[packByTokenBudget]]: contiguous doc_id
+    * blocks partition the local cumulative windows, and the exclusive
+    * block offsets come from a broadcast fold over the O(blocks)
+    * subtotal table — every stage parallel, cum in exact longs
+    * (`div`, not double `/`, so sequence ids stay exact past 2⁵³
+    * cumulative tokens).
+    */
+  def packSequences(docs: DataFrame, seqLen: Long = 256, blockIds: Long = 100000L,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val nTok = when(col(textCol).isNull, 0L)
+      .otherwise(size(TextAnalysis.tokens(col(textCol))).cast("long"))
+    val keyed = docs.select(col(idCol), nTok.as("n_tok"))
+      .withColumn("__part", expr(s"$idCol div ${blockIds}L"))
+    val wLocal = Window.partitionBy(col("__part")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = keyed.withColumn("__cum_local", sum(col("n_tok")).over(wLocal))
+    val offsets = keyed.groupBy(col("__part")).agg(sum(col("n_tok")).as("__ptotal"))
+      .agg(sort_array(collect_list(struct(col("__part"), col("__ptotal")))).as("ps"))
+      .select(col("ps"), posexplode(col("ps")))
+      .select(col("col.__part").as("__part"),
+        aggregate(slice(col("ps"), lit(1), col("pos")), lit(0L),
+          (acc, x) => acc + x.getField("__ptotal")).as("__offset"))
+    local.join(broadcast(offsets), Seq("__part"))
+      .withColumn("cum_prev", col("__cum_local") + col("__offset") - col("n_tok"))
+      .select(col(idCol), col("n_tok"),
+        when(col("n_tok") > 0, expr(s"cum_prev div ${seqLen}L")).as("first_seq"),
+        when(col("n_tok") > 0,
+          expr(s"(cum_prev + n_tok - 1) div ${seqLen}L")).as("last_seq"))
+      .withColumn("n_seqs",
+        when(col("n_tok") > 0, col("last_seq") - col("first_seq") + 1)
+          .otherwise(0L))
+  }
+
   /** Fixed-width histogram over [lo, hi): bin 0 = underflow,
     * bin nBins+1 = overflow, deterministic bin arithmetic.
     */

@@ -425,6 +425,54 @@ class IndicatorsSpec extends SparkSpecBase {
     assert(one.isNullAt(one.fieldIndex("lambda_e9")))
   }
 
+  test("amihud: |daily ret| per dollar volume, exact truncating e12") {
+    // Day 1 close 100.0 (pv irrelevant: no prior day), day 2 close
+    // 110.0 with one 10-share trade: ret_e6 = 100000,
+    // pv_ticks = 1100000*10, illiq_e12 = 1e17 div 1.1e7 = 9090909090.
+    val df = Seq(
+      (1L, "A", 100.0, 5L, new java.sql.Timestamp(1705312800000L),
+        java.sql.Date.valueOf("2024-01-15")),
+      (2L, "A", 110.0, 10L, new java.sql.Timestamp(1705399200000L),
+        java.sql.Date.valueOf("2024-01-16"))
+    ).toDF("event_id", "symbol", "price", "volume", "event_time", "trade_date")
+    val out = Indicators.amihudIlliquidity(df).collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[Long]("n_days") === 1L)
+    assert(out.head.getAs[Long]("avg_illiq_e12") === 9090909090L)
+  }
+
+  test("roll spread: alternating bounce gives the closed-form negative cov") {
+    // px deltas +100,-100,+100,-100 -> 3 pairs, s_dd=-30000, s_d=100,
+    // s_dn=-100 -> cov_num = 3*(-30000) - 100*(-100) = -80000;
+    // spread = 2*sqrt(80000/9), the identical IEEE chain.
+    val out = Indicators.rollSpread(feed(Seq(10.0, 10.01, 10.0, 10.01, 10.0)))
+      .collect().head
+    assert(out.getAs[Long]("n_pairs") === 3L)
+    assert(out.getAs[String]("cov_num") === "-80000")
+    assert(out.getAs[Double]("roll_spread_ticks") ===
+      2.0 * math.sqrt(-(-80000.0) / (3.0 * 3.0)))
+    // No bounce (monotone prices): cov positive -> NULL spread.
+    val up = Indicators.rollSpread(feed(Seq(10.0, 10.01, 10.02, 10.03))).collect().head
+    assert(up.getAs[String]("cov_num").toLong >= 0)
+    assert(up.isNullAt(up.fieldIndex("roll_spread_ticks")))
+  }
+
+  test("vpin: equal-volume buckets over the tick-test signs, hand-built") {
+    // 4 trades, 10 shares each, nBuckets=4 -> vbucket=10, one trade
+    // per bucket. Signs: null, +1 (uptick), +1 (zero-tick inherits),
+    // -1 (downtick). |buy-sell| per bucket: 0,10,10,10 ->
+    // vpin_e6 = 30*1e6 div 40 = 750000.
+    val out = Indicators.vpin(feed(Seq(10.0, 11.0, 11.0, 9.0)), nBuckets = 4)
+      .collect().head
+    assert(out.getAs[Long]("n_buckets") === 4L)
+    assert(out.getAs[Long]("vpin_e6") === 750000L)
+    // One bucket (nBuckets=1) degenerates to |net flow| / volume.
+    val one = Indicators.vpin(feed(Seq(10.0, 11.0, 11.0, 9.0)), nBuckets = 1)
+      .collect().head
+    assert(one.getAs[Long]("n_buckets") === 1L)
+    assert(one.getAs[Long]("vpin_e6") === 1000000L * 10 / 40) // |20-10|/40
+  }
+
   test("order flow: negative imbalance truncates toward zero like the oracle's //") {
     // 10, 9, 9, 9: one downtick then two zero-tick inherits -> 3 sells,
     // 0 buys; imbalance = -30*1e6 div 30 = -1000000 exactly. A second

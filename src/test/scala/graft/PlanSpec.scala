@@ -355,6 +355,36 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("vpin broadcasts the O(symbols) totals; windows all carry partition specs") {
+    val p = plan("b20_vpin")
+    assert(p.contains("BroadcastHashJoin"), "per-symbol totals not broadcast")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // The volume clock must be a per-symbol window, never global.
+    p.linesIterator.filter(_.contains("Window [")).foreach { l =>
+      assert(l.contains("windowspecdefinition") && l.contains("symbol"),
+        s"window without symbol partition: $l")
+    }
+  }
+
+  test("amihud joins two aggregated day frames — no raw-trade join") {
+    val p = plan("b18_amihud")
+    // Both join inputs are (symbol, day) aggregates: every join in
+    // the plan must sit ABOVE at least two HashAggregates.
+    assert(p.contains("HashAggregate"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("sequence packing keeps the x10 discipline: no global no-partition window") {
+    val p = plan("t16_sequence_packing")
+    val windowLines = p.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(windowLines.nonEmpty, "expected the blocked prefix-sum window")
+    windowLines.foreach { l =>
+      assert(l.contains("windowspecdefinition") && l.contains("__part"),
+        s"window without partition spec: $l")
+    }
+    assert(p.contains("BroadcastHashJoin"), "block offsets not broadcast")
+  }
+
   test("z-order key is a native codegen'd projection — no UDF, no extra shuffle") {
     val p = plan("z1_zorder_cluster")
     assert(p.contains("morton"), "morton expression missing from the plan")

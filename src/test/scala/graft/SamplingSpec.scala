@@ -232,6 +232,29 @@ class SamplingSpec extends SparkSpecBase {
     assert(got2 === want)
   }
 
+  test("sequence packing: concat-and-chunk spans, empty/null docs, multi-block prefix") {
+    // seqLen=4, blockIds=2 forces the distributed prefix machinery
+    // across three id blocks. Token stream in doc_id order:
+    // doc1 3 toks [0,3) -> seq 0 only; doc2 empty; doc3 6 toks
+    // [3,9) -> seqs 0..2; doc4 NULL text -> 0 toks.
+    val df = Seq(
+      (1L, "a b c"),
+      (2L, ""),
+      (3L, "t1 t2 t3 t4 t5 t6"),
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = Sampling.packSequences(df, seqLen = 4, blockIds = 2).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tok"),
+          Option(r.getAs[java.lang.Long]("first_seq")).map(_.toLong),
+          Option(r.getAs[java.lang.Long]("last_seq")).map(_.toLong),
+          r.getAs[Long]("n_seqs")))).toMap
+    assert(out(1L) === ((3L, Some(0L), Some(0L), 1L)))
+    assert(out(2L) === ((0L, None, None, 0L)))
+    assert(out(3L) === ((6L, Some(0L), Some(2L), 3L)))
+    assert(out(4L) === ((0L, None, None, 0L)))
+  }
+
   test("histogram bins partition the domain with under/overflow") {
     val df = Seq(-1.0, 0.0, 4.9, 5.0, 199.9, 200.0, 500.0).toDF("v")
     val bins = Sampling.histogram(df, "v", 0.0, 200.0, 40)
