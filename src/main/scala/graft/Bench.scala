@@ -66,7 +66,13 @@ object Bench {
     // sentinel would silently SHRINK the headline number.
     val results: Seq[(String, Option[Double], Option[Double])] = names.map { name =>
       val fn = SparkEntry.queries(name)
-      val times: Seq[Option[Double]] = (1 to repeats).map { _ =>
+      // The sr streaming-replay queries run a full writeStream drain
+      // (stage + checkpoint + AvailableNow micro-batches) per call;
+      // their wall is fixed stream orchestration, not plan cost, so
+      // min-of-N buys nothing and would multiply ~3-4 s of setup into
+      // the headline. One rep, documented in BENCHNOTES.
+      val reps = if (name.startsWith("sr")) 1 else repeats
+      val times: Seq[Option[Double]] = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
         catch {
@@ -82,10 +88,12 @@ object Bench {
       // frame ONCE, then time only execution. The warm column is the
       // low-noise signal bench_diff uses for its noise band; the cold
       // column stays the headline (it is what a user pays).
+      // Two warm reps suffice: with construction/analysis excluded the
+      // residual variance is execution-only, far below the cold run's.
       val warm: Option[Double] = cold.flatMap { _ =>
         try {
           val df = fn(spark, sfDir)
-          val ts = (1 to repeats).map { _ =>
+          val ts = (1 to math.min(repeats, 2)).map { _ =>
             val t0 = System.nanoTime(); df.count(); (System.nanoTime() - t0) / 1e9
           }
           Some(ts.min)

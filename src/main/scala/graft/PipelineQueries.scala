@@ -232,6 +232,13 @@ object PipelineQueries {
   def substringDup(s: SparkSession, dir: String): DataFrame =
     Dedup.substringDupStats(derivedTriples(docs(s, dir)), k = 8)
 
+  /** D20 — maximal duplicated spans over the same planted-duplicate
+    * corpus as d12: base docs and their suffixed copies share the
+    * whole text prefix, so real multi-window spans exist.
+    */
+  def dupSpansQ(s: SparkSession, dir: String): DataFrame =
+    Dedup.dupSpans(derivedTriples(docs(s, dir)), k = 8)
+
   /** D13 — window-level decontamination over a corpus with a planted
     * 10-token canary: every benchmark doc (% 97) and a deterministic
     * slice of corpus docs (% 7 == 3) get the same appended phrase, so
@@ -1139,6 +1146,34 @@ object PipelineQueries {
          CASE WHEN coalesce(pd.nd, 0) = 0 THEN CAST(0 AS BIGINT)
               ELSE CAST(pd.ns * 1000000 // pd.nd AS BIGINT) END AS shared_frac_e6
   FROM wn LEFT JOIN pd USING (doc_id)"""
+
+  /** D20 oracle: d12's raw-token md5 window positions (NOT distinct —
+    * every occurrence keeps its start index), cross-doc frequency on
+    * the distinct per-doc set, then gaps-and-islands over consecutive
+    * shared positions per document.
+    */
+  val dupSpansSql: String = s"""WITH $docs9Sql,
+  tk AS (
+    SELECT doc_id, $rawToksSql AS toks FROM docs9
+  ), pos AS (
+    SELECT doc_id, s, md5(array_to_string(toks[s + 1 : s + 8], ' ')) AS wh
+    FROM (SELECT doc_id, toks,
+                 unnest(CASE WHEN len(toks) >= 8
+                        THEN generate_series(0, len(toks) - 8) ELSE [] END) AS s
+          FROM tk)
+  ), g AS (
+    SELECT wh, COUNT(DISTINCT doc_id) AS ndocs FROM pos GROUP BY wh
+  ), shared AS (
+    SELECT p.doc_id, p.s FROM pos p JOIN g USING (wh) WHERE g.ndocs > 1
+  ), isl AS (
+    SELECT doc_id, s,
+           s - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s) AS grp
+    FROM shared
+  )
+  SELECT doc_id, CAST(MIN(s) AS BIGINT) AS span_start,
+         CAST(COUNT(*) AS BIGINT) AS span_windows,
+         CAST(COUNT(*) + 7 AS BIGINT) AS span_tokens
+  FROM isl GROUP BY doc_id, grp"""
 
   /** D13 oracle: same planted canary, same raw-token md5 windows,
     * bench and corpus window sets kept DISTINCT per side before the
@@ -2118,6 +2153,7 @@ object PipelineQueries {
     "d9_dup_clusters" -> (dupClusters _),
     "d11_near_dedup_cc" -> (nearDedupCC _),
     "d12_substring_dup" -> (substringDup _),
+    "d20_dup_spans" -> (dupSpansQ _),
     "d13_window_decontam" -> (windowDecontam _),
     "d14_containment" -> (containment _),
     "d16_incremental_dedup" -> (incrementalDedup _),
@@ -2175,6 +2211,7 @@ object PipelineQueries {
     "d9_dup_clusters" -> dupClustersSql,
     "d11_near_dedup_cc" -> nearDedupCCSql,
     "d12_substring_dup" -> substringDupSql,
+    "d20_dup_spans" -> dupSpansSql,
     "d13_window_decontam" -> windowDecontamSql,
     "d14_containment" -> containmentSql,
     "d16_incremental_dedup" -> incrementalDedupSql,

@@ -372,6 +372,49 @@ object Dedup {
           "ELSE n_shared_windows * 1000000L div n_distinct_windows END"))
   }
 
+  /** D20 — maximal duplicated spans (the actionable complement to
+    * [[substringDupStats]]): D12 says HOW MUCH of a document is
+    * cross-document duplicated; this says WHERE — each row is one
+    * maximal run of consecutive shared k-token windows, i.e. one
+    * contiguous duplicated passage [span_start, span_start +
+    * span_tokens) in the document's token stream. This is the frame a
+    * training-data pipeline actually cuts on (Lee et al. remove the
+    * duplicated SUBSTRING, not the document).
+    *
+    * A window is "shared" exactly as in D12: its raw-token md5 occurs
+    * in ≥ 2 distinct documents (intra-doc repetition alone does not
+    * count). Consecutive shared positions merge via the classic
+    * gaps-and-islands s − row_number() key; a run of m windows covers
+    * m + k − 1 tokens.
+    *
+    * Shape at scale: the same explode → window-frequency aggregate →
+    * equi-join skeleton as D12 (skew bounded by the hottest window's
+    * doc count — AQE skew-join, measured in ScaleBench's
+    * d12_skew_check), plus one per-document window over that
+    * document's OWN positions (partitioned by doc id, never global).
+    */
+  def dupSpans(docs: DataFrame, k: Int = 8, idCol: String = "doc_id",
+               textCol: String = "text"): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    val base = windowBase(docs, k, idCol, textCol)
+    val pos = base.filter(col("__n") >= k)
+      .select(col(idCol), col("__toks"),
+        explode(sequence(lit(0), col("__n") - k)).as("s"))
+      .select(col(idCol), col("s"),
+        md5(array_join(slice(col("__toks"), col("s") + 1, lit(k)), " ")
+          .cast("binary")).as("wh"))
+    val freq = pos.select(col(idCol), col("wh")).distinct()
+      .groupBy(col("wh")).agg(count(lit(1)).as("__ndocs"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("s"))
+    pos.join(freq, "wh").filter(col("__ndocs") > 1)
+      .withColumn("__grp", col("s") - row_number().over(w))
+      .groupBy(col(idCol), col("__grp"))
+      .agg(min(col("s")).cast("long").as("span_start"),
+        count(lit(1)).as("span_windows"))
+      .select(col(idCol), col("span_start"), col("span_windows"),
+        (col("span_windows") + lit(k - 1).cast("long")).as("span_tokens"))
+  }
+
   /** D13 — window-level benchmark decontamination: for every corpus
     * document, how many of its k-token windows appear verbatim in the
     * benchmark/eval slice — the n-gram-window overlap recipe

@@ -387,6 +387,35 @@ class TextDedupSpec extends SparkSpecBase {
     }
   }
 
+  test("dup spans: maximal shared runs with exact positions; intra-doc repeats excluded") {
+    // Docs 1 and 2 share the 5-token passage "a b c d e" embedded at
+    // different offsets -> one maximal span each (3 consecutive k=3
+    // windows = 5 tokens) starting where the passage starts. Doc 3 is
+    // pure intra-doc repetition (ndocs=1 windows) -> no spans. Doc 4
+    // is too short for any window.
+    val df = docsDf(Seq(
+      (1L, "x1 x2 a b c d e y1"),
+      (2L, "z1 a b c d e z2 z3"),
+      (3L, "p q r p q r"),
+      (4L, "u v")))
+    val out = Dedup.dupSpans(df, k = 3).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("span_start"),
+        r.getAs[Long]("span_windows"), r.getAs[Long]("span_tokens"))).sorted
+    assert(out === Seq((1L, 2L, 3L, 5L), (2L, 1L, 3L, 5L)))
+  }
+
+  test("dup spans: two disjoint shared passages stay two spans, not one") {
+    // Docs share "a b c" AND "x y z" with unique separators between:
+    // the islands must NOT merge across the gap.
+    val df = docsDf(Seq(
+      (1L, "a b c m1 m2 x y z"),
+      (2L, "a b c n1 n2 n3 x y z")))
+    val out = Dedup.dupSpans(df, k = 3).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("span_start"),
+        r.getAs[Long]("span_tokens"))).sorted
+    assert(out === Seq((1L, 0L, 3L), (1L, 5L, 3L), (2L, 0L, 3L), (2L, 6L, 3L)))
+  }
+
   test("window decontamination: verbatim k-run hits, clean docs absent") {
     // Bench doc 1 = "q w e r t". Corpus doc 2 embeds that run (3 of
     // its 5 k=3 windows match); doc 3 shares no window; doc 4 shares
