@@ -492,6 +492,25 @@ object ExtendedQueries {
     * two-phase boundary-bucket exact-k path — no per-source global
     * sort; the oracle states the same set as a row_number).
     */
+  /** X41 — α=0.5 temperature mixture weights over documents.source
+    * (the mT5/XLM flattening recipe; see
+    * [[graft.operators.Sampling.temperatureWeights]]).
+    */
+  def temperatureMix(s: SparkSession, dir: String): DataFrame =
+    operators.Sampling.temperatureWeights(Tables.documents(s, dir), "source")
+
+  val temperatureMixSql: String = """
+    WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                      CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE)) * 1000000.0) AS BIGINT) AS sqrt_e6
+               FROM documents GROUP BY source),
+    t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total,
+                 CAST(SUM(sqrt_e6) AS BIGINT) AS sqrt_tot FROM c)
+    SELECT source, n_docs,
+           CAST(n_docs * 1000000 // t.n_total AS BIGINT) AS nat_share_e6,
+           CAST(sqrt_e6 * 1000000 // t.sqrt_tot AS BIGINT) AS temp_share_e6,
+           CAST((sqrt_e6 * 1000000 // t.sqrt_tot) * t.n_total // 1000000 AS BIGINT) AS target_docs
+    FROM c, t"""
+
   def mixtureSample(s: SparkSession, dir: String): DataFrame =
     operators.Sampling.mixtureSample(
       Tables.documents(s, dir), "source", "doc_id",
@@ -754,6 +773,7 @@ object ExtendedQueries {
     "x22_purged_folds" -> (purgedFolds _),
     "x6_deterministic_sample" -> (docSample _),
     "x18_mixture" -> (mixtureSample _),
+    "x41_temperature_mix" -> (temperatureMix _),
     "x19_split" -> (labeledSplit _),
     "x7_stratified_sample" -> (stratifiedSample _),
     "x8_percentiles" -> (percentiles _),
@@ -804,6 +824,7 @@ object ExtendedQueries {
     "x22_purged_folds" -> purgedFoldsSql,
     "x6_deterministic_sample" -> docSampleSql,
     "x18_mixture" -> mixtureSampleSql,
+    "x41_temperature_mix" -> temperatureMixSql,
     "x19_split" -> labeledSplitSql,
     "x7_stratified_sample" -> stratifiedSampleSql,
     "x8_percentiles" -> percentilesSql,

@@ -31,8 +31,25 @@ object PipelineQueries {
         sum(col("n_bpe_tokens")).as("sum_bpe"),
         (sum(col("quality_e6")) / count(lit(1))).cast("long").as("avg_quality_e6"))
 
+  /** T2 — language-ID confusion matrix. Three staged projections
+    * (tokens → per-language hit counts → decision), so the split and
+    * each stopword filter run once per row; see
+    * [[TextAnalysis.langIdFromHits]] for why inlining them into one
+    * expression re-evaluates every HOF at each when-branch reference.
+    */
   def langIdConfusion(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir).select(col("lang"), TextAnalysis.langId(col("text")).as("lang_pred"))
+    docs(s, dir)
+      .select(col("lang"), col("text"),
+        TextAnalysis.tokens(lower(col("text"))).as("__toks"))
+      .select(col("lang"),
+        regexp_count(col("text"), lit("[\\u4e00-\\u9fff]")).as("__cjk"),
+        TextAnalysis.stopwordHits(col("__toks"), "en").as("__en"),
+        TextAnalysis.stopwordHits(col("__toks"), "de").as("__de"),
+        TextAnalysis.stopwordHits(col("__toks"), "fr").as("__fr"),
+        TextAnalysis.stopwordHits(col("__toks"), "es").as("__es"))
+      .select(col("lang"),
+        TextAnalysis.langIdFromHits(col("__cjk"), col("__en"), col("__de"),
+          col("__fr"), col("__es")).as("lang_pred"))
       .groupBy(col("lang"), col("lang_pred"))
       .agg(count(lit(1)).as("n"))
 
@@ -42,6 +59,23 @@ object PipelineQueries {
       .agg(count(lit(1)).as("n_docs"),
         countDistinct(col("fp_md5")).as("n_unique_md5"),
         countDistinct(col("fp_poly")).as("n_unique_poly"))
+
+  /** T17 — Gopher/C4-style hard-filter funnel: per language, how many
+    * documents each threshold rule rejects (independent counts — one
+    * doc can trip several) and how many survive the whole gate. The
+    * per-doc verdict/reason layer is [[TextAnalysis.qualityGate]];
+    * this is the corpus-level report a data curator reads before
+    * picking thresholds.
+    */
+  def qualityFunnel(s: SparkSession, dir: String): DataFrame = {
+    def cnt(c: String) = sum(col(c).cast("long")).as("n_" + c.stripPrefix("f_"))
+    TextAnalysis.qualityGate(docs(s, dir))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        cnt("f_short"), cnt("f_long"), cnt("f_wordlen"), cnt("f_alpha"),
+        cnt("f_stop"), cnt("f_symbol"), cnt("f_rep"),
+        sum(col("pass").cast("long")).as("n_pass"))
+  }
 
   def docFeatures(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.features(docs(s, dir).filter(col("doc_id") < 200))
@@ -630,8 +664,19 @@ object PipelineQueries {
       .select(col("query_id"), col("neighbor_id"), col("approx_cos"), col("rank"))
   }
 
+  /** S9 — SQ8 scalar-quantized ANN (asymmetric): corpus stored as
+    * uint8 codes against a per-dimension affine grid, queries at full
+    * precision ([[Similarity.sq8TopK]]). The oracle replays grid
+    * training, encoding, dequantization and ranking in SQL.
+    */
+  def knnSq8(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    Similarity.sq8TopK(e.filter(col("vec_id") < 5), e, k = 5)
+      .select(col("query_id"), col("neighbor_id"), col("approx_cos"), col("rank"))
+  }
+
   /** S7 — the ANN evaluation harness as a query: recall@5 of each
-    * approximate method (sign-LSH, IVF, PQ-ADC) against the exact
+    * approximate method (sign-LSH, IVF, PQ-ADC, SQ8) against the exact
     * brute-force top-5, over the same queries and corpus as s1/s2/s3/
     * s5. "Measure, don't guess" made first-class: the number a
     * production deployment tunes (tables/planes, nProbe, codebook
@@ -653,7 +698,8 @@ object PipelineQueries {
       "ivf" -> Ivf.ivfTopK(q, e, k = 5, nCentroids = 16, nProbe = 4),
       "lsh" -> Similarity.lshTopK(q, e, k = 5, dim = 64, planes = 6, tables = 8),
       "pq" -> Pq.pqTopK(q, e, k = 5, m = 8, kCode = 16),
-      "ivfpq" -> Pq.ivfPqTopK(q, e, k = 5, nCentroids = 16, nProbe = 4, m = 8, kCode = 16))
+      "ivfpq" -> Pq.ivfPqTopK(q, e, k = 5, nCentroids = 16, nProbe = 4, m = 8, kCode = 16),
+      "sq8" -> Similarity.sq8TopK(q, e, k = 5))
     methods.map { case (name, df) =>
       df.select(col("query_id"), col("neighbor_id"))
         .join(brute, Seq("query_id", "neighbor_id"), "left_semi")
@@ -802,6 +848,45 @@ object PipelineQueries {
            CAST(SUM(n_bpe_tokens) AS BIGINT) AS sum_bpe,
            CAST(SUM(quality_e6) // COUNT(*) AS BIGINT) AS avg_quality_e6
     FROM feat2 GROUP BY lang, source"""
+
+  /** T17 twin — same seven rules, same integer comparisons; the
+    * `rep` feature re-derives the per-doc top-token count with the
+    * unnest → two-level GROUP BY DuckDB shape.
+    */
+  val qualityFunnelSql: String = s"""
+    WITH d AS (SELECT doc_id, lang, text, $toksSql AS toks FROM documents),
+    f AS (SELECT doc_id, lang,
+            CAST(len(toks) AS BIGINT) AS n_tok,
+            CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT) AS nonspace,
+            CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS alpha_toks,
+            CAST(len(list_filter(toks, t -> list_contains($allStop, t))) AS BIGINT) AS stop_hits,
+            CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9 \\t\\n]', '', 'g')) AS BIGINT) AS punct,
+            CAST(length(text) AS BIGINT) AS n_chars_g
+          FROM d),
+    tt AS (SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_tok_cnt FROM (
+             SELECT doc_id, tok, COUNT(*) AS c FROM (
+               SELECT doc_id, unnest(toks) AS tok FROM d) GROUP BY doc_id, tok)
+           GROUP BY doc_id),
+    g AS (SELECT lang,
+            n_tok < 20 AS f_short, n_tok > 1000 AS f_long,
+            (nonspace < n_tok * 2 OR nonspace > n_tok * 12) AS f_wordlen,
+            alpha_toks * 10 < n_tok * 7 AS f_alpha,
+            stop_hits < 2 AS f_stop,
+            punct * 10 > n_chars_g AS f_symbol,
+            COALESCE(top_tok_cnt, 0) * 5 > n_tok AS f_rep
+          FROM f LEFT JOIN tt USING (doc_id))
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN f_short THEN 1 ELSE 0 END) AS BIGINT) AS n_short,
+           CAST(SUM(CASE WHEN f_long THEN 1 ELSE 0 END) AS BIGINT) AS n_long,
+           CAST(SUM(CASE WHEN f_wordlen THEN 1 ELSE 0 END) AS BIGINT) AS n_wordlen,
+           CAST(SUM(CASE WHEN f_alpha THEN 1 ELSE 0 END) AS BIGINT) AS n_alpha,
+           CAST(SUM(CASE WHEN f_stop THEN 1 ELSE 0 END) AS BIGINT) AS n_stop,
+           CAST(SUM(CASE WHEN f_symbol THEN 1 ELSE 0 END) AS BIGINT) AS n_symbol,
+           CAST(SUM(CASE WHEN f_rep THEN 1 ELSE 0 END) AS BIGINT) AS n_rep,
+           CAST(SUM(CASE WHEN NOT (f_short OR f_long OR f_wordlen OR f_alpha
+                                   OR f_stop OR f_symbol OR f_rep)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+    FROM g GROUP BY lang"""
 
   val langIdSql: String = featSql + """
     SELECT lang, lang_pred, COUNT(*) AS n FROM feat2 GROUP BY lang, lang_pred"""
@@ -1680,6 +1765,42 @@ object PipelineQueries {
       FROM scored)
     WHERE rank <= 5"""
 
+  /** S9 oracle: the SQ8 pipeline replayed in SQL — per-dimension
+    * min/max grid over the corpus, the same clamp-at-255 floor encode
+    * (identical operation order, so codes agree bit-for-bit), the same
+    * affine dequantization, left-fold cosine, (rounded cos desc, id)
+    * ranking.
+    */
+  val knnSq8Sql: String = s"""
+    WITH sqstats AS (
+      SELECT d, MIN(CAST(embedding[d] AS DOUBLE)) AS mn,
+             MAX(CAST(embedding[d] AS DOUBLE)) AS mx
+      FROM embeddings, generate_series(1, 64) ds(d)
+      GROUP BY d
+    ), grid AS (
+      SELECT list(mn ORDER BY d) AS mins, list(mx ORDER BY d) AS maxs FROM sqstats
+    ), recon AS (
+      SELECT e.vec_id AS neighbor_id,
+             list_transform(generate_series(1, 64), i ->
+               CASE WHEN g.maxs[i] = g.mins[i] THEN g.mins[i]
+                    ELSE g.mins[i] +
+                         LEAST(floor((CAST(e.embedding[i] AS DOUBLE) - g.mins[i])
+                                     * 255.0 / (g.maxs[i] - g.mins[i])), 255.0)
+                         * ((g.maxs[i] - g.mins[i]) / 255.0)
+               END) AS rv
+      FROM embeddings e, grid g
+    ), scored AS (
+      SELECT q.vec_id AS query_id, r.neighbor_id,
+             ROUND(${cosSql("q.embedding", "r.rv")}, 6) AS approx_cos
+      FROM embeddings q, recon r
+      WHERE q.vec_id < 5 AND q.vec_id != r.neighbor_id
+    )
+    SELECT query_id, neighbor_id, approx_cos, CAST(rank AS INT) AS rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY approx_cos DESC, neighbor_id) AS rank
+      FROM scored)
+    WHERE rank <= 5"""
+
   /** S8 oracle: the s3 cell chain and the s5 PQ chain composed — probe
     * cells from the coarse quantizer, score PQ reconstructions within
     * the probed cells only.
@@ -1730,7 +1851,7 @@ object PipelineQueries {
       FROM ($sub) m JOIN ($knnBruteSql) b
         ON m.query_id = b.query_id AND m.neighbor_id = b.neighbor_id"""
     Seq(hits("ivf", knnIvfSql), hits("lsh", knnLshSql), hits("pq", knnPqSql),
-        hits("ivfpq", knnIvfPqSql))
+        hits("ivfpq", knnIvfPqSql), hits("sq8", knnSq8Sql))
       .mkString("\n    UNION ALL\n    ")
   }
 
@@ -2137,6 +2258,7 @@ object PipelineQueries {
     "t8_chunking" -> (chunking _),
     "t9_charset" -> (charsetStats _),
     "t15_readability" -> (readabilityQ _),
+    "t17_quality_gate" -> (qualityFunnel _),
     "t16_sequence_packing" -> ((s: SparkSession, dir: String) =>
       Sampling.packSequences(docs(s, dir))),
     "d1_exact_dedup" -> (exactDedupStats _),
@@ -2168,6 +2290,7 @@ object PipelineQueries {
     "s3_knn_ivf" -> (knnIvf _),
     "s5_knn_pq" -> (knnPq _),
     "s8_knn_ivfpq" -> (knnIvfPq _),
+    "s9_knn_sq8" -> (knnSq8 _),
     "t11_quality_classifier" -> (qualityClassifier _),
     "s6_hard_negatives" -> (hardNegativesQ _),
     "c2_curation_pipeline" -> (curationPipeline _),
@@ -2196,6 +2319,7 @@ object PipelineQueries {
     "t8_chunking" -> chunkingSql,
     "t9_charset" -> charsetSql,
     "t15_readability" -> readabilitySql,
+    "t17_quality_gate" -> qualityFunnelSql,
     "t16_sequence_packing" -> sequencePackingSql,
     "d1_exact_dedup" -> exactDedupSql,
     "d8_decontamination" -> decontaminationSql,
@@ -2226,6 +2350,7 @@ object PipelineQueries {
     "s3_knn_ivf" -> knnIvfSql,
     "s5_knn_pq" -> knnPqSql,
     "s8_knn_ivfpq" -> knnIvfPqSql,
+    "s9_knn_sq8" -> knnSq8Sql,
     "t11_quality_classifier" -> qualityClassifierSql,
     "s6_hard_negatives" -> hardNegativesSql,
     "c2_curation_pipeline" -> curationPipelineSql,

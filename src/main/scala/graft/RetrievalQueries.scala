@@ -49,6 +49,38 @@ object RetrievalQueries {
   def lmQuality(s: SparkSession, dir: String): DataFrame =
     Retrieval.unigramQualityBuckets(docs(s, dir))
 
+  /** X40 — offline retrieval evaluation (recall@10 / MRR / nDCG@10).
+    * Queries are derived deterministically from the corpus itself:
+    * for each of the five target sources, the 5 terms with the
+    * highest source-lift (share of the term's corpus occurrences that
+    * fall in that source, e6-quantized; ties → higher source tf, then
+    * term text), i.e. the terms most distinctive of that source. A
+    * document is relevant to a query iff it belongs to the query's
+    * source. All 5 queries run as ONE [[Retrieval.bm25MultiQuery]]
+    * pass; the metric layer is [[Retrieval.rankingMetrics]] with the
+    * shared literal discount table.
+    */
+  def retrievalEval(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val tfs = Retrieval.termFreqs(d)
+    val ct = tfs.groupBy(col("term")).agg(sum(col("tf")).as("ctf"))
+    val stf = d.filter(col("source").isin(TargetSources: _*))
+      .select(col("doc_id"), col("source"))
+      .join(tfs, "doc_id")
+      .groupBy(col("source"), col("term")).agg(sum(col("tf")).as("stf"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+      .orderBy(col("lift_e6").desc, col("stf").desc, col("term"))
+    val queries = stf.join(broadcast(ct), "term")
+      .withColumn("lift_e6", expr("stf * 1000000L div ctf"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("source").as("qid"), col("term"))
+    val ranked = Retrieval.bm25MultiQuery(d, queries, topK = 10)
+    val relevant = d.filter(col("source").isin(TargetSources: _*))
+      .select(col("source").as("qid"), col("doc_id"))
+    Retrieval.rankingMetrics(ranked, relevant, k = 10)
+  }
+
   /** D17 — SemDeDup over a pinned 500-vector embedding slice plus
     * planted perturbed copies (d6's derivation: vec_id % 5 == 0 gets a
     * ±3% per-dim perturbed twin at id + 1e6). The slice is pinned so
@@ -312,7 +344,68 @@ object RetrievalQueries {
     ${(1 to 3).map(textRankRoundSql).mkString(",\n")}
     SELECT term, CAST(pr AS BIGINT) AS pr_e12 FROM r3"""
 
+  /** X40 twin. The DCG discount / ideal-DCG literals are injected
+    * from the SAME Scala arrays the Spark side uses
+    * ([[Retrieval.dcgDiscountsE6]]) — no independent log₂ on either
+    * engine.
+    */
+  val retrievalEvalSql: String = {
+    val srcs = TargetSources.map(t => s"'$t'").mkString(", ")
+    val disc = Retrieval.dcgDiscountsE6(10)
+    val idcg = Retrieval.idcgPrefixE6(10)
+    val discCase = disc.zipWithIndex
+      .map { case (v, i) => s"WHEN ${i + 1} THEN $v" }.mkString(" ")
+    val idcgCase = idcg.zipWithIndex
+      .map { case (v, i) => s"WHEN ${i + 1} THEN $v" }.mkString(" ")
+    s"""
+    WITH d AS (SELECT doc_id, source, $toks AS toks FROM documents),
+    ${tfSql("SELECT doc_id, source, toks FROM d", extra = "source")},
+    ct AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS ctf FROM tf GROUP BY term),
+    stf AS (SELECT source, term, CAST(SUM(tf) AS BIGINT) AS stf
+            FROM tf WHERE source IN ($srcs) GROUP BY source, term),
+    q AS (SELECT source AS qid, term FROM (
+            SELECT source, term,
+                   ROW_NUMBER() OVER (PARTITION BY source
+                     ORDER BY stf * 1000000 // ctf DESC, stf DESC, term) AS rn
+            FROM stf JOIN ct USING (term))
+          WHERE rn <= 5),
+    st AS (SELECT CAST(CAST(SUM(len(toks)) AS BIGINT) AS DOUBLE)
+                    / CAST(COUNT(*) AS DOUBLE) AS avgdl,
+                  CAST(COUNT(*) AS DOUBLE) AS n FROM d),
+    sc AS (
+      SELECT qid, doc_id,
+             CAST(floor(ln(1.0 + (st.n - CAST(df AS DOUBLE) + 0.5)
+                                 / (CAST(df AS DOUBLE) + 0.5))
+                        * (CAST(tf AS DOUBLE) * 2.2
+                           / (CAST(tf AS DOUBLE)
+                              + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / st.avgdl))))
+                        * 1000000000.0) AS BIGINT) AS part_e9
+      FROM tf JOIN df USING (term) JOIN q USING (term), st),
+    pd AS (SELECT qid, doc_id, CAST(SUM(part_e9) AS BIGINT) AS bm25_e9
+           FROM sc GROUP BY qid, doc_id),
+    rk AS (SELECT qid, doc_id,
+                  ROW_NUMBER() OVER (PARTITION BY qid
+                    ORDER BY bm25_e9 DESC, doc_id) AS rank
+           FROM pd),
+    rel AS (SELECT source AS qid, doc_id FROM documents WHERE source IN ($srcs)),
+    nr AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_rel FROM rel GROUP BY qid),
+    h AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_hit,
+                 CAST(MIN(rank) AS BIGINT) AS first_rank,
+                 CAST(SUM(CASE rank $discCase END) AS BIGINT) AS dcg_e6
+          FROM rk JOIN rel USING (qid, doc_id) WHERE rank <= 10 GROUP BY qid)
+    SELECT qid, n_rel,
+           CAST(COALESCE(n_hit, 0) AS BIGINT) AS n_hit,
+           CAST(COALESCE(n_hit, 0) * 1000000 // n_rel AS BIGINT) AS recall_e6,
+           CAST(COALESCE(1000000 // first_rank, 0) AS BIGINT) AS mrr_e6,
+           CAST(COALESCE(dcg_e6, 0) AS BIGINT) AS dcg_e6,
+           CAST(COALESCE(dcg_e6 * 1000000
+                           // (CASE least(n_rel, 10) $idcgCase END), 0) AS BIGINT)
+             AS ndcg_e6
+    FROM nr LEFT JOIN h USING (qid)"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x40_retrieval_eval" -> (retrievalEval _),
     "t14_textrank" -> (textRankQ _),
     "x34_bigram_lm" -> (bigramLm _),
     "x26_tfidf_topk" -> (tfIdf _),
@@ -324,6 +417,7 @@ object RetrievalQueries {
     "d17_semantic_dedup" -> (semanticDedup _))
 
   val oracles: Map[String, String] = Map(
+    "x40_retrieval_eval" -> retrievalEvalSql,
     "t14_textrank" -> textRankSql,
     "x34_bigram_lm" -> bigramLmSql,
     "x26_tfidf_topk" -> tfIdfSql,

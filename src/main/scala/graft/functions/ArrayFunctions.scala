@@ -85,9 +85,83 @@ case class SortedIntersectSize(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Native membership count: how many elements of a string array are
+  * in a fixed literal word set — the stopword-hit primitive under
+  * language-ID and the quality scorers.
+  *
+  * The HOF form `size(filter(toks, t => t.isin(words: _*)))` is
+  * interpreted (higher-order functions never enter whole-stage
+  * codegen) and re-binds a lambda variable per element; worse, an
+  * expression tree that references the count k times re-EVALUATES all
+  * of it k times (no subexpression elimination outside codegen) —
+  * langId's decision chain paid ~15 interpreted filter passes per row
+  * before staging. This expression is one codegen'd loop over the
+  * array with a single shared HashSet<UTF8String> probe per element
+  * (the set is a codegen reference object, built once per plan).
+  *
+  * NULL array → NULL; NULL elements don't count (same semantics as
+  * the filter+isin form, whose isin is false for NULL).
+  */
+case class CountInSet(child: Expression, words: Seq[String])
+    extends UnaryExpression with Serializable {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "count_in_set"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<string> input, got $t")
+  }
+
+  // java.util.HashSet rather than a Scala set: codegen calls
+  // contains(Object) directly with no boxing indirection, and the
+  // reference object serializes cleanly to executors.
+  @transient private lazy val set: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](words.size * 2)
+    words.foreach(w => s.add(UTF8String.fromString(w)))
+    s
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    var i = 0; var cnt = 0L
+    while (i < n) {
+      if (!a.isNullAt(i) && set.contains(a.getUTF8String(i))) cnt += 1
+      i += 1
+    }
+    cnt
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setRef = ctx.addReferenceObj("wordSet", set, "java.util.HashSet")
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val cnt = ctx.freshName("cnt")
+      s"""
+        int $n = $a.numElements();
+        long $cnt = 0L;
+        for (int $i = 0; $i < $n; $i++) {
+          if (!$a.isNullAt($i) && $setRef.contains($a.getUTF8String($i))) $cnt++;
+        }
+        ${ev.value} = $cnt;
+      """
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object ArrayFunctions {
   /** |a ∩ b| for two ascending-sorted long arrays. */
   def sortedIntersectSize(a: Column, b: Column): Column =
     ColumnBridge.column(SortedIntersectSize(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Count of array elements contained in the literal word set. */
+  def countInSet(a: Column, words: Seq[String]): Column =
+    ColumnBridge.column(CountInSet(ColumnBridge.expression(a), words))
 }

@@ -344,4 +344,95 @@ object Retrieval {
       .select(col("term_a"), col("term_b"), col("n_a"), col("n_b"),
         col("n_ab"), col("pmi_e6"))
   }
+
+  /** Batch multi-query BM25: score a whole TABLE of queries
+    * (qid, term) against the corpus in ONE pass — the shape an eval
+    * harness or hard-negative miner runs at scale, where looping
+    * [[bm25TopK]] per query would re-scan the corpus |Q| times.
+    * Same scoring formula/quantization as bm25TopK (x27's
+    * cross-engine-pinned constants); the query table joins in as a
+    * broadcast on `term`, so corpus work stays one explode + hash
+    * aggregates regardless of |Q|, and the final top-k is a
+    * per-query window (never a global sort).
+    *
+    * A term shared by several queries fans its (doc, term) rows out
+    * |queries containing it| times — bounded by the query table, not
+    * the corpus.
+    */
+  def bm25MultiQuery(docs: DataFrame, queries: DataFrame, topK: Int = 10,
+                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val tfs = termFreqs(docs, idCol, textCol)
+    val stats = docs
+      .select(size(tokens(col(textCol))).cast("long").as("dl"))
+      .agg(sum(col("dl")).as("s"), count(lit(1)).as("n")).head()
+    val (sumDl, n) = (stats.getLong(0), stats.getLong(1))
+    val avgdl = sumDl.toDouble / n.toDouble
+    val dfD = col("df").cast("double")
+    val idf = log(lit(1.0) + (lit(n.toDouble) - dfD + lit(0.5)) / (dfD + lit(0.5)))
+    val tfD = col("tf").cast("double")
+    val den = tfD + lit(1.2) *
+      (lit(0.25) + lit(0.75) * (col("dl").cast("double") / lit(avgdl)))
+    val scored = tfs
+      .join(broadcast(queries.select(col("qid"), col("term"))), "term")
+      .join(broadcast(docFreqs(tfs)), "term")
+      .withColumn("part_e9", floor(idf * (tfD * lit(2.2) / den) *
+        lit(1000000000.0)).cast("long"))
+    val perDoc = scored.groupBy(col("qid"), col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("part_e9")).as("bm25_e9"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("bm25_e9").desc, col("doc_id"))
+    perDoc.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("qid"), col("rank").cast("long").as("rank"), col("doc_id"),
+        col("n_terms"), col("bm25_e9"))
+  }
+
+  /** DCG position discounts 1/log₂(i+1) for i = 1..k, floor-quantized
+    * to e6 — computed ONCE here and injected verbatim into the DuckDB
+    * oracle, so both engines share the identical literal table (no
+    * cross-engine log₂ to trust).
+    */
+  def dcgDiscountsE6(k: Int): Seq[Long] =
+    (1 to k).map(i =>
+      math.floor(1000000.0 * math.log(2.0) / math.log(i + 1.0)).toLong)
+
+  /** Ideal-DCG prefix sums: idcg(j) = Σ_{i≤j} disc(i), j = 1..k. */
+  def idcgPrefixE6(k: Int): Seq[Long] =
+    dcgDiscountsE6(k).scanLeft(0L)(_ + _).tail
+
+  /** Offline retrieval evaluation: recall@k, MRR and nDCG@k per query
+    * from a ranked result table (qid, rank, doc_id) and a binary
+    * relevance-label table (qid, doc_id) — the metric layer every
+    * retriever/embedding ablation is judged on. All three metrics are
+    * exact integers: DCG sums the literal e6 discount table, ideal
+    * DCG is its prefix sum at min(k, n_rel), and the final ratios use
+    * truncating integer division.
+    *
+    * Scale: one equi-join of results against labels on (qid, doc_id),
+    * then per-qid hash aggregates — both sides are |Q|·k / label-table
+    * shaped, never corpus-shaped. Queries with zero retrieved-relevant
+    * docs still emit a row (left join from the label-count frame).
+    */
+  def rankingMetrics(results: DataFrame, relevant: DataFrame,
+                     k: Int = 10): DataFrame = {
+    val disc = dcgDiscountsE6(k)
+    val idcg = idcgPrefixE6(k)
+    val nRel = relevant.groupBy(col("qid")).agg(count(lit(1)).as("n_rel"))
+    val hits = results.filter(col("rank") <= k)
+      .join(relevant.select(col("qid"), col("doc_id")), Seq("qid", "doc_id"))
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_hit"),
+        min(col("rank")).as("__first"),
+        sum(element_at(typedLit(disc), col("rank").cast("int"))).as("dcg_e6"))
+    nRel.join(hits, Seq("qid"), "left")
+      .select(col("qid"), col("n_rel"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        expr("coalesce(n_hit, 0L) * 1000000L div n_rel").as("recall_e6"),
+        coalesce(expr("1000000L div `__first`"), lit(0L)).as("mrr_e6"),
+        coalesce(col("dcg_e6"), lit(0L)).as("dcg_e6"),
+        coalesce(
+          expr(s"dcg_e6 * 1000000L div element_at(" +
+            s"array(${idcg.mkString("L,")}L), cast(least(n_rel, $k) as int))"),
+          lit(0L)).as("ndcg_e6"))
+  }
 }

@@ -240,6 +240,36 @@ object Sampling {
     * The kept set equals "the k_s smallest by (bucket, id)" — which is
     * what the oracle's row_number formulation states directly.
     */
+  /** Temperature-scaled (α = 0.5) mixture weights — the multilingual
+    * sampling recipe (Conneau & Lample 2019 §3.1; mT5 uses the same
+    * form at α = 0.3): source share ∝ n^α, flattening the natural
+    * distribution so head sources shrink and tail sources grow.
+    * α = 0.5 is the one exponent with an EXACTLY portable power
+    * function — IEEE 754 requires sqrt to be correctly rounded, so
+    * Spark and DuckDB compute bit-identical doubles and the floored
+    * e6 quantization matches everywhere (any other α goes through
+    * pow/exp, whose libm rounding is engine-specific).
+    *
+    * Output per group: natural share, temperature share, and the
+    * resampled target count at unchanged corpus size — all exact
+    * integer arithmetic from the one floored sqrt. Shapes: one count
+    * aggregate (groups-shaped), a one-row total broadcast back — the
+    * x31 posture; nothing corpus-shaped moves twice.
+    */
+  def temperatureWeights(df: DataFrame, groupCol: String): DataFrame = {
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("n_docs"))
+      .withColumn("sqrt_e6",
+        floor(sqrt(col("n_docs").cast("double")) * lit(1000000.0)).cast("long"))
+    val tot = counts.agg(sum(col("n_docs")).as("n_total"),
+      sum(col("sqrt_e6")).as("sqrt_tot"))
+    counts.crossJoin(broadcast(tot))
+      .select(col(groupCol), col("n_docs"),
+        expr("n_docs * 1000000L div n_total").as("nat_share_e6"),
+        expr("sqrt_e6 * 1000000L div sqrt_tot").as("temp_share_e6"),
+        expr("(sqrt_e6 * 1000000L div sqrt_tot) * n_total div 1000000")
+          .as("target_docs"))
+  }
+
   def mixtureSample(df: DataFrame, groupCol: String, idCol: String,
                     weightsE4: Map[String, Long]): DataFrame = {
     require(weightsE4.nonEmpty && weightsE4.values.forall(_ > 0),

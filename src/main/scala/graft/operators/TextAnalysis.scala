@@ -43,25 +43,60 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "les", "et", "un", "est", "ne"),
     "es" -> Seq("el", "los", "las", "y", "es", "no", "por"))
 
+  /** Stopword-hit primitive: a native codegen'd set-membership count
+    * (one HashSet probe per token), replacing the interpreted
+    * `size(filter(toks, isin))` HOF — see
+    * [[graft.functions.CountInSet]] for the measured rationale.
+    */
   private def hits(toks: Column, words: Seq[String]): Column =
-    size(filter(toks, t => t.isin(words: _*)))
+    graft.functions.ArrayFunctions.countInSet(toks, words)
 
   /** Language-ID: CJK characters dominate, otherwise the language with
     * the most stopword hits wins (fixed precedence en > de > fr > es
     * on ties; "und" = undetermined when nothing matches).
     */
-  def langId(text: Column): Column = {
-    val toks = tokens(lower(text))
-    val cjk = size(regexp_extract_all(text, lit("[\\u4e00-\\u9fff]"), lit(0)))
-    val en = hits(toks, Stopwords("en")); val de = hits(toks, Stopwords("de"))
-    val fr = hits(toks, Stopwords("fr")); val es = hits(toks, Stopwords("es"))
+  def langId(text: Column): Column =
+    langIdFromToks(tokens(lower(text)), text)
+
+  /** Language-ID decision over an ALREADY-TOKENIZED array column —
+    * the staged form corpus-scale callers use: the four stopword
+    * filters are interpreted HOFs, so embedding `tokens(lower(text))`
+    * in each (as the naive single expression does) re-splits the text
+    * four times per row. Staging the token array as its own projection
+    * column runs the split once (CollapseProject keeps the stage:
+    * the producer expression is non-cheap and referenced four times).
+    * CJK detection via regexp_count — counts matches without
+    * materializing a match array.
+    */
+  def langIdFromToks(toks: Column, text: Column): Column =
+    langIdFromHits(regexp_count(text, lit("[\\u4e00-\\u9fff]")),
+      hits(toks, Stopwords("en")), hits(toks, Stopwords("de")),
+      hits(toks, Stopwords("fr")), hits(toks, Stopwords("es")))
+
+  /** Per-language stopword hit count over a token array column —
+    * corpus-scale callers stage these as projection columns so each
+    * (interpreted) HOF filter pass runs once per row.
+    */
+  def stopwordHits(toks: Column, lang: String): Column = hits(toks, Stopwords(lang))
+
+  /** The language decision alone, over pre-computed feature columns.
+    * The when-chain references `en`/`de`/`fr`/`es` up to four times
+    * each: inlined hit-count expressions would be re-EVALUATED at
+    * every reference (no subexpression elimination outside codegen —
+    * ~15 passes per row in the old HOF form), so hot paths must pass
+    * ATTRIBUTES staged by a previous projection (CollapseProject
+    * keeps the stage: the producers are non-cheap and multiply
+    * referenced). Staging + the native CountInSet hit counter took
+    * t2 from 0.70 s to 0.28 s warm at sf0.1 (2.5×).
+    */
+  def langIdFromHits(cjk: Column, en: Column, de: Column,
+                     fr: Column, es: Column): Column =
     when(cjk > 0, "zh")
       .when(en > 0 && en >= de && en >= fr && en >= es, "en")
       .when(de > 0 && de >= fr && de >= es, "de")
       .when(fr > 0 && fr >= es, "fr")
       .when(es > 0, "es")
       .otherwise("und")
-  }
 
   /** Quality score in integer micro-units (0..1e6): mean of
     *  - length component: min(1, n_tokens/50)
@@ -338,6 +373,71 @@ object TextAnalysis {
       size(col("__grams")).cast("long").as("n_grams"),
       col("score_milli"),
       when(col("score_milli") > 0, lit("keep")).otherwise(lit("drop")).as("label"))
+  }
+
+  /** Gopher/C4-style hard quality gate (Rae et al. 2021 §A1.1; Raffel
+    * et al. 2020 §2.2): per-document boolean fail flags for seven
+    * threshold rules plus the pass verdict and a first-fail
+    * `reject_reason` (rules checked in declaration order — the funnel
+    * convention quality dashboards use). The continuous scorers (t11
+    * hashed-n-gram, qualityE6) rank documents; this is the hard
+    * *filter* stage that decides keep/drop with an attributable
+    * reason per drop.
+    *
+    * Rules (all exact integer comparisons — thresholds are rational,
+    * so `a/b < t` is written `a*denom < b*num` and no division ever
+    * runs):
+    *   short    n_tok < 20            long    n_tok > 1000
+    *   wordlen  mean token length outside [2, 12] (non-space chars
+    *            per token — multi-space runs don't distort it)
+    *   alpha    < 70% of tokens contain an ASCII letter
+    *   stop     < 2 stopword hits (any language list)
+    *   symbol   > 10% punctuation characters
+    *   rep      most frequent token > 20% of tokens
+    *
+    * Scale: every feature except `rep` is a scan-side codegen'd
+    * projection; `rep` is one explode → two hash aggregates keyed by
+    * (doc, token) then doc (the t5 posture — shuffle O(total tokens),
+    * no global state), joined back on doc_id.
+    */
+  def qualityGate(docs: DataFrame, textCol: String = "text",
+                  idCol: String = "doc_id"): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(lower(t))
+    val base = docs
+      .withColumn("n_tok", size(toks).cast("long"))
+      .withColumn("nonspace", length(regexp_replace(t, "\\s", "")).cast("long"))
+      .withColumn("alpha_toks",
+        size(filter(toks, x => x.rlike("[a-z]"))).cast("long"))
+      .withColumn("stop_hits",
+        hits(toks, Stopwords.values.flatten.toSeq).cast("long"))
+      .withColumn("punct", punctCount(t).cast("long"))
+      .withColumn("n_chars_g", length(t).cast("long"))
+    val topTok = docs
+      .select(col(idCol), explode(tokens(lower(t))).as("__tok"))
+      .groupBy(col(idCol), col("__tok")).agg(count(lit(1)).as("__c"))
+      .groupBy(col(idCol)).agg(max(col("__c")).as("top_tok_cnt"))
+    // Left join + coalesce: a token-free document has no topTok row
+    // but must still flow through the gate (and fail `short`).
+    val flagged = base.join(topTok, Seq(idCol), "left")
+      .withColumn("top_tok_cnt", coalesce(col("top_tok_cnt"), lit(0L)))
+      .withColumn("f_short", col("n_tok") < 20L)
+      .withColumn("f_long", col("n_tok") > 1000L)
+      .withColumn("f_wordlen",
+        col("nonspace") < col("n_tok") * 2L || col("nonspace") > col("n_tok") * 12L)
+      .withColumn("f_alpha", col("alpha_toks") * 10L < col("n_tok") * 7L)
+      .withColumn("f_stop", col("stop_hits") < 2L)
+      .withColumn("f_symbol", col("punct") * 10L > col("n_chars_g"))
+      .withColumn("f_rep", col("top_tok_cnt") * 5L > col("n_tok"))
+    flagged
+      .withColumn("pass",
+        !(col("f_short") || col("f_long") || col("f_wordlen") || col("f_alpha") ||
+          col("f_stop") || col("f_symbol") || col("f_rep")))
+      .withColumn("reject_reason",
+        when(col("f_short"), "short").when(col("f_long"), "long")
+          .when(col("f_wordlen"), "wordlen").when(col("f_alpha"), "alpha")
+          .when(col("f_stop"), "stop").when(col("f_symbol"), "symbol")
+          .when(col("f_rep"), "rep").otherwise("pass"))
   }
 
   /** Full per-document feature projection. */

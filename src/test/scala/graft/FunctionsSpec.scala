@@ -46,4 +46,23 @@ class FunctionsSpec extends SparkSpecBase {
       .collect().head.getAs[Long]("n")
     assert(out === 2L) // {1,2} — not 4
   }
+
+  test("countInSet: duplicates count per occurrence, null elements skip, null array is null") {
+    val words = Seq("the", "a")
+    val df = Seq(
+      (0L, Seq("the", "the", "a", "dog", null)),
+      (1L, Seq("dog", "cat")),
+      (2L, null)).toDF("id", "toks")
+      .select(col("id"), ArrayFunctions.countInSet(col("toks"), words).as("n"))
+    val m = df.collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(m(0L) === Some(3L)) // "the" twice + "a" once; null element skipped
+    assert(m(1L) === Some(0L))
+    assert(m(2L) === None)
+    // Parity with the interpreted HOF form it replaces.
+    val hof = Seq((0L, Seq("the", "the", "a", "dog")))
+      .toDF("id", "toks")
+      .select(size(filter(col("toks"), t => t.isin(words: _*))).cast("long").as("n"))
+      .collect().head.getLong(0)
+    assert(hof === 3L)
+  }
 }

@@ -394,4 +394,19 @@ class PlanSpec extends SparkSpecBase {
     // aggregation exchange, nothing before it.
     assert(p.contains("HashAggregate"))
   }
+
+  test("t17 gate: six scan-side rules, rep joins back per doc — no cartesian, no UDF") {
+    val p = plan("t17_quality_gate")
+    assert(p.contains("count_in_set"), "stop rule lost the native hit counter")
+    assert(!p.contains("CartesianProduct") && !p.contains("ScalaUDF"))
+    assert(p.contains("HashAggregate"), "funnel should hash-aggregate per lang")
+  }
+
+  test("x40 eval: query table and term stats broadcast; no cartesian; per-qid window only") {
+    val p = plan("x40_retrieval_eval")
+    assert(p.contains("BroadcastHashJoin"), "query-term/df join should broadcast")
+    assert(!p.contains("CartesianProduct"))
+    // the top-k is a per-qid window partitioning, never a global sort
+    assert(p.contains("row_number"))
+  }
 }

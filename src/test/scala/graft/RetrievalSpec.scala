@@ -140,4 +140,58 @@ class RetrievalSpec extends SparkSpecBase {
     assert(r3.values.sum <= 1000000000000L)
     assert(r3("b") > r3("a") && r3("a") === r3("c"))
   }
+
+  test("bm25MultiQuery agrees with per-query bm25TopK") {
+    val queries = Seq(("q1", "rare"), ("q1", "cat"), ("q2", "dog"))
+      .toDF("qid", "term")
+    val multi = Retrieval.bm25MultiQuery(corpus, queries, topK = 4).collect()
+      .map(r => (r.getString(0), r.getLong(2)) -> ((r.getLong(1), r.getLong(3), r.getLong(4))))
+      .toMap
+    for ((qid, terms) <- Seq("q1" -> Seq("rare", "cat"), "q2" -> Seq("dog"))) {
+      val single = Retrieval.bm25TopK(corpus, terms, topK = 4).collect()
+      single.zipWithIndex.foreach { case (r, i) =>
+        assert(multi((qid, r.getLong(0))) ===
+          (((i + 1).toLong, r.getLong(1), r.getLong(2))),
+          s"qid=$qid doc=${r.getLong(0)}")
+      }
+      assert(multi.keys.count(_._1 == qid) === single.length)
+    }
+  }
+
+  test("dcg discount table: literal values and prefix sums") {
+    val d = Retrieval.dcgDiscountsE6(10)
+    assert(d.head === 1000000L)        // 1/log2(2)
+    assert(d(1) === 630929L)           // 1/log2(3)
+    assert(d(2) === 500000L)           // 1/log2(4)
+    assert(d === d.sorted.reverse)     // monotone decreasing
+    assert(Retrieval.idcgPrefixE6(10)(2) === d.take(3).sum)
+  }
+
+  test("rankingMetrics: hand-computed recall/MRR/nDCG golden") {
+    // q1: retrieved ranks 1,2,3 = docs 10,11,12; relevant {11,12,98,99}
+    // -> hits at ranks 2 and 3.
+    val results = Seq(("q1", 1L, 10L), ("q1", 2L, 11L), ("q1", 3L, 12L),
+      ("q2", 1L, 20L)).toDF("qid", "rank", "doc_id")
+    val relevant = Seq(("q1", 11L), ("q1", 12L), ("q1", 98L), ("q1", 99L),
+      ("q2", 50L)).toDF("qid", "doc_id")
+    val m = Retrieval.rankingMetrics(results, relevant, k = 10).collect()
+      .map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    val disc = Retrieval.dcgDiscountsE6(10)
+    val dcg = disc(1) + disc(2)                  // hits at ranks 2, 3
+    val idcg = Retrieval.idcgPrefixE6(10)(3)     // min(n_rel=4, k)
+    assert(m("q1") === Seq(4L, 2L, 500000L, 500000L, dcg,
+      dcg * 1000000L / idcg))
+    // q2: nothing relevant retrieved -> all-zero metrics, row present.
+    assert(m("q2") === Seq(1L, 0L, 0L, 0L, 0L, 0L))
+  }
+
+  test("rankingMetrics ignores results beyond rank k") {
+    val results = Seq(("q1", 1L, 10L), ("q1", 4L, 11L)).toDF("qid", "rank", "doc_id")
+    val relevant = Seq(("q1", 11L)).toDF("qid", "doc_id")
+    val m3 = Retrieval.rankingMetrics(results, relevant, k = 3).head()
+    assert(m3.getLong(2) === 0L) // the rank-4 hit is outside the cutoff
+    val m5 = Retrieval.rankingMetrics(results, relevant, k = 5).head()
+    assert(m5.getLong(2) === 1L)
+    assert(m5.getLong(4) === 1000000L / 4L) // mrr from rank 4
+  }
 }

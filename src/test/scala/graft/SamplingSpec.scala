@@ -266,4 +266,18 @@ class SamplingSpec extends SparkSpecBase {
     assert(bins(41) === 2L) // 200, 500 overflow
     assert(bins.values.sum === 7L)
   }
+
+  test("temperature weights: sqrt flattening, hand-computed shares and targets") {
+    import spark.implicits._
+    // 100 'big' + 25 'small': sqrt(100)=10, sqrt(25)=5 exactly, so
+    // every intermediate is integer: sqrt_e6 = 1e7/5e6,
+    // temp shares 2/3 vs 1/3 (floored), naturals 4/5 vs 1/5.
+    val df = (Seq.fill(100)("big") ++ Seq.fill(25)("small")).toDF("source")
+    val m = Sampling.temperatureWeights(df, "source").collect()
+      .map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    assert(m("big") === Seq(100L, 800000L, 666666L, 83L))
+    assert(m("small") === Seq(25L, 200000L, 333333L, 41L))
+    // α = 0.5 flattens: the head shrinks toward, never past, the tail.
+    assert(666666L < 800000L && 333333L > 200000L)
+  }
 }
