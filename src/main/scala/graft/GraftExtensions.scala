@@ -82,8 +82,33 @@ object GraftExtensions {
       (es: Seq[Expression]) => PqCodes(es(0), litBooks(es(1)))),
     ("pq_reconstruct",
       info("pq_reconstruct", "pq_reconstruct(codes, books) - concatenated codewords for PQ codes"),
-      (es: Seq[Expression]) => PqReconstruct(es(0), litBooks(es(1))))
+      (es: Seq[Expression]) => PqReconstruct(es(0), litBooks(es(1)))),
+    ("count_in_set",
+      info("count_in_set", "count_in_set(toks, words) - how many elements of a string " +
+        "array are in the foldable word-array literal"),
+      (es: Seq[Expression]) => CountInSet(es(0), litWords(es(1))))
   )
+
+  /** Evaluate a foldable array<string> expression into the CountInSet
+    * word set (the stopword lists are prompt-sized literals; nulls are
+    * rejected loudly for the same reason as litBooks).
+    */
+  private def litWords(e: Expression): Seq[String] = {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    require(e.foldable, s"words must be a foldable array<string> literal, got $e")
+    e.dataType match {
+      case ArrayType(StringType, _) =>
+      case other => throw new IllegalArgumentException(
+        s"words must be array<string>, got $other")
+    }
+    val arr = e.eval().asInstanceOf[ArrayData]
+    require(arr != null, "words must not be NULL")
+    (0 until arr.numElements()).map { i =>
+      require(!arr.isNullAt(i), s"words must not contain nulls (index $i)")
+      arr.getUTF8String(i).toString
+    }
+  }
 
   /** Evaluate a foldable nested-array expression into the PQ codebook
     * shape books(subspace)(codeword)(dim). The codebook is index

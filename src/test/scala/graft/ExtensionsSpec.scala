@@ -108,4 +108,24 @@ class ExtensionsSpec extends SparkSpecBase {
     }
     assert(err.getMessage.toLowerCase.contains("null"), err.getMessage)
   }
+
+  test("count_in_set is callable from SQL; non-foldable or null word sets fail loudly") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT count_in_set(array('the', 'a', 'dog', 'the'), array('the', 'a')) AS n"
+    ).collect().head
+    assert(r.getAs[Long]("n") === 3L)
+    val nonLit = intercept[Exception] {
+      spark.sql(
+        "SELECT count_in_set(array('x'), array(CAST(id AS STRING))) FROM range(1)"
+      ).collect()
+    }
+    assert(nonLit.getMessage.toLowerCase.contains("foldable"), nonLit.getMessage)
+    val nullWord = intercept[Exception] {
+      spark.sql(
+        "SELECT count_in_set(array('x'), array('x', CAST(NULL AS STRING)))"
+      ).collect()
+    }
+    assert(nullWord.getMessage.toLowerCase.contains("null"), nullWord.getMessage)
+  }
 }
