@@ -90,15 +90,22 @@ object Bench {
       // column stays the headline (it is what a user pays).
       // Two warm reps suffice: with construction/analysis excluded the
       // residual variance is execution-only, far below the cold run's.
-      val warm: Option[Double] = cold.flatMap { _ =>
-        try {
-          val df = fn(spark, sfDir)
-          val ts = (1 to math.min(repeats, 2)).map { _ =>
-            val t0 = System.nanoTime(); df.count(); (System.nanoTime() - t0) / 1e9
-          }
-          Some(ts.min)
-        } catch { case _: Throwable => None }
-      }
+      // sr streaming replays are EXCLUDED (r10 ADVICE): building the
+      // frame re-runs the whole writeStream drain, and the "warm" count
+      // then times an already-materialized localCheckpoint — a fake
+      // ~300× speedup that would poison bench_diff's noise band. They
+      // report -1.0, which bench_diff's >0 filter drops.
+      val warm: Option[Double] =
+        if (name.startsWith("sr")) None
+        else cold.flatMap { _ =>
+          try {
+            val df = fn(spark, sfDir)
+            val ts = (1 to math.min(repeats, 2)).map { _ =>
+              val t0 = System.nanoTime(); df.count(); (System.nanoTime() - t0) / 1e9
+            }
+            Some(ts.min)
+          } catch { case _: Throwable => None }
+        }
       (name, cold, warm)
     }
     val qs = results

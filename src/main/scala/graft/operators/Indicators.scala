@@ -780,19 +780,41 @@ object Indicators {
     * remainder tail folds into the last bucket — every boundary is
     * integer arithmetic, bit-identical at any parallelism.
     *
-    * Shape at scale: B16's (symbol, day) window pass, one per-symbol
-    * O(symbols)-row total broadcast back, one (symbol) cumulative
-    * window, two hash aggregates. The cumulative volume lives in a
-    * long — overflow needs 9.2e18 shares/symbol, beyond any market.
+    * Shape at scale: B16's (symbol, day) window pass, then the volume
+    * clock is DAY-BUCKETED two-pass prefix sums — an in-day cumulative
+    * window keyed (symbol, trade_date) (the b-family shuffle; no task
+    * ever sorts more than one symbol-day) plus per-day running offsets
+    * computed on the O(symbols×days) day-total frame and broadcast
+    * back. cum_prev = day_offset + in-day prefix is identical to the
+    * naive per-symbol unbounded window (trade_date is derived from
+    * event_time, so (trade_date, event_time) order IS event_time
+    * order) without ever putting a symbol's full history through one
+    * task. Two hash aggregates finish. The cumulative volume lives in
+    * a long — overflow needs 9.2e18 shares/symbol, beyond any market.
     */
   def vpin(silver: DataFrame, nBuckets: Int = 50): DataFrame = {
     val cls = tickClassified(silver)
-    val wcum = Window.partitionBy(col("symbol")).orderBy(col("event_time"))
+    val dayTot = cls.groupBy(col("symbol"), col("trade_date"))
+      .agg(sum(col("volume")).as("day_vol"))
+    // Running offset (volume of all STRICTLY earlier days) AND the
+    // per-symbol total, both as windows over the tiny day-total frame —
+    // one frame, one broadcast, and the trade stream is scanned exactly
+    // twice (cls + dayTot), same as the pre-bucketed form.
+    val wDays = Window.partitionBy(col("symbol")).orderBy(col("trade_date"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val tot = cls.groupBy(col("symbol")).agg(sum(col("volume")).as("tot_vol"))
+    val wAllDays = Window.partitionBy(col("symbol"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val offsets = dayTot
+      .withColumn("day_off", coalesce(sum(col("day_vol")).over(wDays), lit(0L)))
+      .withColumn("tot_vol", sum(col("day_vol")).over(wAllDays))
+      .select(col("symbol"), col("trade_date"), col("day_off"), col("tot_vol"))
+    val wInDay = Window.partitionBy(col("symbol"), col("trade_date"))
+      .orderBy(col("event_time"))
+      .rowsBetween(Window.unboundedPreceding, -1)
     cls
-      .withColumn("cum_prev", coalesce(sum(col("volume")).over(wcum), lit(0L)))
-      .join(broadcast(tot), "symbol")
+      .withColumn("in_day_prev", coalesce(sum(col("volume")).over(wInDay), lit(0L)))
+      .join(broadcast(offsets), Seq("symbol", "trade_date"))
+      .withColumn("cum_prev", col("day_off") + col("in_day_prev"))
       .withColumn("vbucket", expr(s"greatest(tot_vol div ${nBuckets}L, 1L)"))
       .withColumn("bucket",
         expr(s"least(cum_prev div vbucket, ${nBuckets - 1}L)"))

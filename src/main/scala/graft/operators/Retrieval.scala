@@ -19,8 +19,11 @@ import org.apache.spark.sql.functions._
   * JVM and DuckDB on this platform (verified over a 2300-point idf-ratio
   * grid), and the floor-quantized output is what gets hash-checked.
   *
-  * Scale posture: everything is one explode + hash aggregates + a
-  * broadcast of per-term statistics (vocab-sized, ≪ corpus). The only
+  * Scale posture: everything is one explode + hash aggregates joined
+  * back on `term`. Per-term statistic tables are broadcast ONLY when
+  * pre-restricted to a query-term set (KBs); corpus-wide vocab tables
+  * (docFreqs at web scale is 10⁷–10⁸ rows) flow through plain shuffle
+  * joins that AQE may downgrade to broadcast when small. The only
   * windows are per-term (inverted-index postings cap) and per-doc
   * (top-k terms) — never global. Driver-side scalars are bounded
   * single-row aggregates (corpus size, total token count), the same
@@ -53,13 +56,19 @@ object Retrieval {
   /** Top-k TF-IDF terms per document. Score is the classic
     * (tf/dl)·ln(N/df), floor-quantized to e6 micro-units BEFORE the
     * per-doc rank, so term selection is integer-deterministic; ties
-    * break on term text. df stats are vocab-sized and broadcast.
+    * break on term text.
+    *
+    * Scale: the df table is the FULL corpus vocabulary (10⁷–10⁸ rows
+    * at web scale), so it is deliberately NOT broadcast — the join on
+    * `term` is a plain shuffle join both of whose sides are already
+    * hashed on `term` by their own aggregates, and AQE is free to
+    * downgrade it to broadcast when the vocab actually is small.
     */
   def tfIdfTopK(docs: DataFrame, topK: Int = 3, idCol: String = "doc_id",
                 textCol: String = "text"): DataFrame = {
     val tfs = termFreqs(docs, idCol, textCol)
     val n = docs.count()
-    val scored = tfs.join(broadcast(docFreqs(tfs)), "term")
+    val scored = tfs.join(docFreqs(tfs), "term")
       .withColumn("tfidf_e6",
         floor(col("tf").cast("double") / col("dl").cast("double") *
           log(lit(n.toDouble) / col("df").cast("double")) *
@@ -95,8 +104,13 @@ object Retrieval {
     val tfD = col("tf").cast("double")
     val den = tfD + lit(1.2) *
       (lit(0.25) + lit(0.75) * (col("dl").cast("double") / lit(avgdl)))
+    // df stats restricted to the query terms BEFORE the broadcast
+    // hint: docFreqs is vocab-sized (multi-GB at web scale) and
+    // broadcasting it whole would OOM the driver; the isin pushes
+    // through the aggregate's grouping key, so the build side is
+    // |queryTerms| rows — KBs — while df values stay corpus-wide.
     val scored = tfs.filter(col("term").isin(queryTerms: _*))
-      .join(broadcast(docFreqs(tfs)), "term")
+      .join(broadcast(docFreqs(tfs).filter(col("term").isin(queryTerms: _*))), "term")
       .withColumn("part_e9", floor(idf * (tfD * lit(2.2) / den) *
         lit(1000000000.0)).cast("long"))
     scored.groupBy(col("doc_id"))
@@ -357,7 +371,14 @@ object Retrieval {
     *
     * A term shared by several queries fans its (doc, term) rows out
     * |queries containing it| times — bounded by the query table, not
-    * the corpus.
+    * the corpus. The (qid, term) pairs are DISTINCT'd first, so a
+    * query table carrying duplicate rows cannot double-count a term
+    * (bm25TopK's isin is insensitive to duplicates; this keeps the
+    * documented equivalence exact).
+    *
+    * Scale: docFreqs is vocab-sized, so it is semi-joined against the
+    * broadcast query-term set BEFORE its own broadcast hint — the
+    * build side is |query terms| rows (KBs), never the vocabulary.
     */
   def bm25MultiQuery(docs: DataFrame, queries: DataFrame, topK: Int = 10,
                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
@@ -372,9 +393,12 @@ object Retrieval {
     val tfD = col("tf").cast("double")
     val den = tfD + lit(1.2) *
       (lit(0.25) + lit(0.75) * (col("dl").cast("double") / lit(avgdl)))
+    val qterms = queries.select(col("qid"), col("term")).distinct()
+    val qdf = docFreqs(tfs)
+      .join(broadcast(qterms.select(col("term")).distinct()), Seq("term"), "left_semi")
     val scored = tfs
-      .join(broadcast(queries.select(col("qid"), col("term"))), "term")
-      .join(broadcast(docFreqs(tfs)), "term")
+      .join(broadcast(qterms), "term")
+      .join(broadcast(qdf), "term")
       .withColumn("part_e9", floor(idf * (tfD * lit(2.2) / den) *
         lit(1000000000.0)).cast("long"))
     val perDoc = scored.groupBy(col("qid"), col("doc_id"))

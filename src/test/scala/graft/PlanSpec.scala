@@ -165,13 +165,47 @@ class PlanSpec extends SparkSpecBase {
       s"assignment stage should be scan+project only:\n$p")
   }
 
-  test("tf-idf and bm25 broadcast the vocab-sized df stats") {
-    for (q <- Seq("x26_tfidf_topk", "x27_bm25_search")) {
-      val p = plan(q)
-      assert(p.contains("BroadcastHashJoin"), s"$q: df stats not broadcast")
-      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
-        s"$q: term join degenerated")
-    }
+  test("tf-idf never forces a vocab-sized broadcast; bm25 broadcasts query-terms-shaped df stats (r10 VERDICT)") {
+    // x26 joins tfs against the FULL-vocabulary df aggregate — 10⁷–10⁸
+    // rows at web scale — so the join must carry no broadcast hint.
+    // (The planner/AQE may still pick broadcast when the corpus really
+    // is tiny, as at this SF; that is their call, made from real sizes,
+    // not a forced multi-GB build side.)
+    val qe26 = SparkEntry.queries("x26_tfidf_topk")(spark, Sf).queryExecution
+    assert(!qe26.optimizedPlan.toString.contains("strategy=broadcast"),
+      s"x26: vocab-sized df stats must not be hint-broadcast:\n${qe26.optimizedPlan}")
+    val p26 = plan("x26_tfidf_topk")
+    assert(!p26.contains("BroadcastNestedLoopJoin") && !p26.contains("CartesianProduct"),
+      "x26: term join degenerated")
+    // x27 DOES broadcast df stats — but only after the isin restriction
+    // to the three query terms, so the build side is query-shaped: the
+    // IN filter must appear on BOTH the probe side and the broadcast
+    // aggregate's input (2 occurrences).
+    val p27 = plan("x27_bm25_search")
+    assert(p27.contains("BroadcastHashJoin"), "x27: query-restricted df stats not broadcast")
+    val inFilters = """Filter term#\d+ IN \(join,spark,window\)|Filter term#\d+ IN \(spark,join,window\)""".r
+      .findAllIn(p27).size
+    assert(inFilters >= 2,
+      s"x27: df broadcast build side is not restricted to the query terms:\n$p27")
+    assert(!p27.contains("BroadcastNestedLoopJoin") && !p27.contains("CartesianProduct"),
+      "x27: term join degenerated")
+    // x40's df stats go through a left-semi join against the broadcast
+    // query-term set BEFORE their own broadcast — |query terms| rows.
+    val p40 = plan("x40_retrieval_eval")
+    assert(p40.contains("LeftSemi"),
+      s"x40: df stats must semi-join against the query-term set before broadcasting:\n$p40")
+  }
+
+  test("b20 VPIN volume clock is day-bucketed — no per-symbol unbounded window over trades (r10 VERDICT)") {
+    val p = plan("b20_vpin")
+    // The in-day cumulative sum partitions by (symbol, trade_date); the
+    // only symbol-partitioned window runs over the O(symbols×days)
+    // day-total aggregate. A window (or its sort) keyed by symbol alone
+    // directly over event_time-ordered trades is the 100 TB killer.
+    assert("""windowspecdefinition\(symbol#\d+, event_time""".r.findFirstIn(p).isEmpty,
+      s"b20: found a per-symbol window ordered by raw event_time:\n$p")
+    assert("""Sort \[symbol#\d+ [^,\]]*, event_time""".r.findFirstIn(p).isEmpty,
+      s"b20: found a per-symbol sort over raw trades:\n$p")
   }
 
   test("bm25 top-k avoids a global sort") {
