@@ -194,6 +194,22 @@ object SparkEntry {
     GROUP BY symbol, ws_ms
   ) """
 
+  /** A6 oracle — shared verbatim by the batch query (a6_latest_prices)
+    * and the transformWithState streaming replay (sr3): the two
+    * runtimes must produce the IDENTICAL table.
+    */
+  private[graft] val latestPricesSql: String = P + """
+      SELECT symbol, price AS last_price, volume AS last_volume,
+             epoch_ms(event_time) AS last_trade_time_ms,
+             ROUND(price - prev_price, 6) AS price_change,
+             CASE WHEN prev_price IS NULL OR prev_price = 0 THEN NULL
+                  ELSE ROUND((price - prev_price) / prev_price * 100, 6) END AS price_change_pct
+      FROM (
+        SELECT *, ROW_NUMBER() OVER w AS rn, LEAD(price, 1) OVER w AS prev_price
+        FROM silver
+        WINDOW w AS (PARTITION BY symbol ORDER BY event_time DESC, event_id DESC)
+      ) WHERE rn = 1"""
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
@@ -267,17 +283,7 @@ object SparkEntry {
         FROM silver)
       GROUP BY symbol, ws_ms"""),
 
-    "a6_latest_prices" -> (P + """
-      SELECT symbol, price AS last_price, volume AS last_volume,
-             epoch_ms(event_time) AS last_trade_time_ms,
-             ROUND(price - prev_price, 6) AS price_change,
-             CASE WHEN prev_price IS NULL OR prev_price = 0 THEN NULL
-                  ELSE ROUND((price - prev_price) / prev_price * 100, 6) END AS price_change_pct
-      FROM (
-        SELECT *, ROW_NUMBER() OVER w AS rn, LEAD(price, 1) OVER w AS prev_price
-        FROM silver
-        WINDOW w AS (PARTITION BY symbol ORDER BY event_time DESC, event_id DESC)
-      ) WHERE rn = 1"""),
+    "a6_latest_prices" -> latestPricesSql,
 
     // A7 oracle: re-aggregate the gold_5m CTE itself — open/close from
     // the finest window's open/close ordered by window start, VWAP

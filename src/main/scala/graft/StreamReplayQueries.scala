@@ -9,7 +9,7 @@ import org.apache.spark.sql.streaming.Trigger
 
 import graft.operators.TextAnalysis
 import graft.sources.Tables
-import graft.streaming.{CurationStream, IncrementalGoldStream}
+import graft.streaming.{CurationStream, IncrementalGoldStream, LatestPriceStream}
 
 /** Driver-visible queries that actually EXECUTE `writeStream` — the
   * streaming runtimes replayed deterministically over the static sf
@@ -112,12 +112,100 @@ object StreamReplayQueries {
     } finally deleteRecursively(tmp)
   }
 
+  /** SR3 — the LatestPriceStream `transformWithState` runtime
+    * end-to-end (the A6 stateful path, r10 verdict item #2): silver →
+    * chronologically-staged AvailableNow stream (one file per
+    * micro-batch) → per-symbol ValueState fold (RocksDB provider) →
+    * update-mode foreachBatch parquet append → newest snapshot per
+    * symbol. Result = the batch a6_latest_prices window EXACTLY
+    * (shared oracle SQL): the staged slices preserve event-time order
+    * across micro-batches — file NAME and MTIME order both follow the
+    * slice's time range, and silver's dedup makes event_time unique
+    * per symbol — so the fold's final (last event, previous event)
+    * pair is the batch LEAD pair, and the JVM change/pct arithmetic
+    * is the same IEEE op sequence the batch column expressions run.
+    */
+  def streamLatestReplay(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val silver = SparkEntry.silverDf(s, dir)
+    val tmp = Files.createTempDirectory("graft_sr3_")
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = s.conf.getOption(providerKey)
+    try {
+      val staging = Files.createDirectory(tmp.resolve("staging"))
+      // Three chronological slices, each written as ONE file and moved
+      // into the staging dir with ascending names and mtimes, so the
+      // file-source ordering (mtime, with path as tiebreak) replays
+      // them in event-time order no matter which key it uses.
+      val cuts = Seq("2024-01-10", "2024-01-20")
+      val slices = Seq(
+        col("event_time") < lit(cuts(0)).cast("timestamp"),
+        col("event_time") >= lit(cuts(0)).cast("timestamp") &&
+          col("event_time") < lit(cuts(1)).cast("timestamp"),
+        col("event_time") >= lit(cuts(1)).cast("timestamp"))
+      slices.zipWithIndex.foreach { case (cond, i) =>
+        val part = tmp.resolve(s"slice$i")
+        silver.filter(cond).coalesce(1).write.parquet(part.toString)
+        val one = Files.list(part)
+        val src =
+          try one.filter(p => p.getFileName.toString.endsWith(".parquet"))
+            .findFirst().orElseThrow()
+          finally one.close()
+        val dst = staging.resolve(f"slice-$i%04d.parquet")
+        Files.move(src, dst)
+        Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+      }
+      val stream = s.readStream.schema(silver.schema)
+        .option("maxFilesPerTrigger", "1").parquet(staging.toString)
+      val trades = stream
+        .select(col("symbol"), col("price"), col("volume"), col("event_time"))
+        .as[LatestPriceStream.TradeEvent]
+      s.conf.set(providerKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val outDir = tmp.resolve("out").toString
+      val q = LatestPriceStream.snapshotsTws(s, trades)
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", tmp.resolve("ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[graft.model.LatestPrice], _: Long) =>
+          batch.write.mode("append").parquet(outDir); ()
+        }
+        .start()
+      q.awaitTermination()
+      // Update-mode emissions accumulate one snapshot per (symbol,
+      // micro-batch-with-fresh-events); the newest per symbol is the
+      // final state. last_trade_time is unique per symbol (silver
+      // dedup), so the argmax is total.
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("symbol"))
+        .orderBy(col("last_trade_time").desc)
+      s.read.parquet(outDir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("symbol"), col("last_price"), col("last_volume"),
+          unix_millis(col("last_trade_time")).as("last_trade_time_ms"),
+          round(col("price_change"), 6).as("price_change"),
+          round(col("price_change_pct"), 6).as("price_change_pct"))
+        .localCheckpoint(eager = true)
+    } finally {
+      prevProvider match {
+        case Some(p) => s.conf.set(providerKey, p)
+        case None => s.conf.unset(providerKey)
+      }
+      deleteRecursively(tmp)
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sr1_stream_gold_replay" -> (streamGoldReplay _),
-    "sr2_stream_curation_replay" -> (streamCurationReplay _))
+    "sr2_stream_curation_replay" -> (streamCurationReplay _),
+    "sr3_stream_latest_replay" -> (streamLatestReplay _))
 
   val oracles: Map[String, String] = Map(
     // The streamed merge-on-read store must equal batch gold_5m.
     "sr1_stream_gold_replay" -> MaintenanceQueries.incrementalOhlcvSql,
-    "sr2_stream_curation_replay" -> PipelineQueries.streamCurationReplaySql)
+    "sr2_stream_curation_replay" -> PipelineQueries.streamCurationReplaySql,
+    // The streamed stateful snapshot must equal batch a6 — literally
+    // the same oracle string.
+    "sr3_stream_latest_replay" -> SparkEntry.latestPricesSql)
 }

@@ -41,11 +41,15 @@ case class OhlcvBar(
     trade_count: Long,
     vwap: Double)
 
-/** Latest-price snapshot row (keyspace.cql:132-141). */
+/** Latest-price snapshot row (keyspace.cql:132-141). change/pct are
+  * None for a symbol's first-ever trade — the same NULL the batch
+  * form's LEAD(price) produces (LatestPrices.snapshot), so the
+  * streaming and batch runtimes agree row-for-row under the oracle.
+  */
 case class LatestPrice(
     symbol: String,
     last_price: Double,
     last_volume: Long,
     last_trade_time: Timestamp,
-    price_change: Double,
-    price_change_pct: Double)
+    price_change: Option[Double],
+    price_change_pct: Option[Double])

@@ -31,7 +31,9 @@ object LatestPriceStream {
     * the snapshot to stale data (found in review; the batch form's
     * window picks the max event time, and streaming must agree).
     * Ties on event_time take the later-sorted (higher-price) event,
-    * deterministically.
+    * deterministically. The first-ever trade of a symbol carries
+    * change = pct = None — the batch window's LEAD produces NULL
+    * there, and the two runtimes must agree under the oracle (sr3).
     */
   private[streaming] def fold(symbol: String, events: Seq[TradeEvent],
                               initial: Option[PriceState]): (Option[PriceState], Option[LatestPrice]) = {
@@ -43,9 +45,9 @@ object LatestPriceStream {
       if (fresh) {
         val (change, pct) = prev match {
           case Some(p) if p.price != 0 =>
-            (e.price - p.price, (e.price - p.price) / p.price * 100)
-          case Some(p) => (e.price - p.price, 0.0)
-          case None => (0.0, 0.0)
+            (Some(e.price - p.price), Some((e.price - p.price) / p.price * 100))
+          case Some(p) => (Some(e.price - p.price), None)
+          case None => (None, None)
         }
         newest = Some(LatestPrice(symbol, e.price, e.volume, e.event_time, change, pct))
         prev = Some(PriceState(e.price, e.volume, e.event_time))

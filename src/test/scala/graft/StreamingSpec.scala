@@ -268,7 +268,8 @@ class StreamingSpec extends SparkSpecBase {
     q.stop()
     val rows = spark.table("lp_out").orderBy("last_trade_time").collect()
     assert(rows.length === 2)
-    assert(rows(0).getAs[Double]("price_change") === 0.0)
+    // First-ever trade: no previous price — NULL, the batch LEAD's value.
+    assert(rows(0).isNullAt(rows(0).fieldIndex("price_change")))
     assert(rows(1).getAs[Double]("price_change") === 10.0)
     assert(math.abs(rows(1).getAs[Double]("price_change_pct") - 10.0) < 1e-9)
   }
@@ -328,8 +329,8 @@ class StreamingSpec extends SparkSpecBase {
     val out = LatestPriceStream.snapshotsBatch(spark, ds).collect()
       .map(lp => lp.symbol -> lp).toMap
     assert(out("A").last_price === 150.0)
-    assert(out("A").price_change === 50.0)
-    assert(out("B").price_change === 0.0)
+    assert(out("A").price_change === Some(50.0))
+    assert(out("B").price_change === None)
   }
 
   test("SinkManager fans out one source to parquet + dead-letter sinks (K1/K4/K5)") {
