@@ -1,0 +1,138 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.TestKafka
+import graft.streaming.{Sinks, TradeStreams}
+
+/** S1/K3 seam test without kafka jars (r10 verdict item #4): the
+  * in-repo `graft-testkafka` DataSourceV2 source/sink exposes the
+  * EXACT Kafka connector columnar contract, so the full
+  * produce → parseKafkaValue → silver → kafkaProjection → re-consume
+  * loop executes end-to-end (spark_processor.py:116-133 /
+  * sinks.py:181-202 shape) even though a broker cannot exist here.
+  */
+class KafkaSeamSpec extends SparkSpecBase {
+
+  private def tmpDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("read schema is the Kafka source schema, field-for-field and in order") {
+    val dir = tmpDir("graft_tk_schema")
+    val got = spark.read.format("graft-testkafka").option("path", dir).load().schema
+    val want = StructType(Seq(
+      StructField("key", BinaryType),
+      StructField("value", BinaryType),
+      StructField("topic", StringType),
+      StructField("partition", IntegerType),
+      StructField("offset", LongType),
+      StructField("timestamp", TimestampType),
+      StructField("timestampType", IntegerType)))
+    assert(got.fields.map(f => (f.name, f.dataType)).toSeq ===
+      want.fields.map(f => (f.name, f.dataType)).toSeq)
+  }
+
+  test("murmur2 partitioner: deterministic, in-range, spread across partitions") {
+    val keys = Seq("click", "view", "purchase", "scroll", "hover")
+      .map(_.getBytes("UTF-8"))
+    val parts = keys.map(k => TestKafka.partitionFor(k, 4))
+    assert(parts.forall(p => p >= 0 && p < 4))
+    // Deterministic across calls.
+    assert(parts === keys.map(k => TestKafka.partitionFor(k, 4)))
+    assert(TestKafka.partitionFor(null, 4) === 0)
+    assert(TestKafka.partitionFor(Array.empty[Byte], 4) === 0)
+  }
+
+  test("produce → parse → silver → kafkaProjection → re-consume round-trip (S1/K3)") {
+    import spark.implicits._
+    val dir = tmpDir("graft_tk_rt")
+
+    // 1) PRODUCE — wire-format trades (the reference producer's JSON
+    //    value, keyed by symbol) through the K3 projection into the
+    //    testkafka sink.
+    val wire = SparkEntry.queries("f1_silver")(spark, Sf)
+      .select(col("symbol"), col("price"), col("volume"),
+        col("event_time_ms").as("timestamp"),
+        array().cast("array<string>").as("conditions"))
+    Sinks.kafkaProjection(wire)
+      .write.mode("append").format("graft-testkafka")
+      .option("path", dir).option("topic", "trades_raw")
+      .option("partitions", "4")
+      .save()
+
+    // 2) CONSUME — the Kafka-shaped scan: key/value binary, dense
+    //    per-(topic, partition) offsets, partition = murmur2(key).
+    val raw = spark.read.format("graft-testkafka")
+      .option("path", dir).option("partitions", "4").load()
+    val n = wire.count()
+    assert(raw.count() === n)
+    assert(raw.select(col("topic")).distinct().as[String].collect().toSeq === Seq("trades_raw"))
+    // Keys are the symbol bytes and land on murmur2 partitions.
+    val keyed = raw.select(col("key").cast("string").as("sym"), col("partition")).collect()
+    keyed.foreach { r =>
+      val sym = r.getString(0)
+      assert(r.getInt(1) === TestKafka.partitionFor(sym.getBytes("UTF-8"), 4),
+        s"symbol $sym on the wrong partition")
+    }
+    // Offsets dense per (topic, partition): 0..count-1.
+    raw.groupBy(col("topic"), col("partition"))
+      .agg(count(lit(1)).as("n"), min(col("offset")).as("lo"), max(col("offset")).as("hi"))
+      .collect().foreach { r =>
+        assert(r.getAs[Long]("lo") === 0L)
+        assert(r.getAs[Long]("hi") === r.getAs[Long]("n") - 1L)
+      }
+
+    // 3) PARSE — P1+P2 over the consumed values must reproduce the
+    //    produced wire rows exactly (value JSON → typed columns).
+    val parsed = TradeStreams.parseTrades(raw)
+      .select(col("symbol"), col("price"), col("volume"), col("timestamp"))
+    val want = wire.select(col("symbol"), col("price"), col("volume"), col("timestamp"))
+    assert(parsed.exceptAll(want).count() === 0)
+    assert(want.exceptAll(parsed).count() === 0)
+
+    // 4) RE-PRODUCE — the parsed stream back through the projection
+    //    into a second topic dir and re-consume: byte-identical value
+    //    payload set (the projection is deterministic in field order).
+    val dir2 = tmpDir("graft_tk_rt2")
+    Sinks.kafkaProjection(
+        parsed.withColumn("conditions", array().cast("array<string>")))
+      .write.mode("append").format("graft-testkafka")
+      .option("path", dir2).option("topic", "trades_raw")
+      .option("partitions", "4")
+      .save()
+    val v1 = spark.read.format("graft-testkafka").option("path", dir)
+      .option("partitions", "4").load()
+      .select(col("value").cast("string").as("v"))
+    val v2 = spark.read.format("graft-testkafka").option("path", dir2)
+      .option("partitions", "4").load()
+      .select(col("value").cast("string").as("v"))
+    assert(v1.exceptAll(v2).count() === 0 && v2.exceptAll(v1).count() === 0,
+      "re-produced value payloads drifted from the originals")
+  }
+
+  test("sink contract: value required; topic column overrides option; string key/value accepted") {
+    import spark.implicits._
+    val dir = tmpDir("graft_tk_contract")
+    // topic column wins over the option.
+    Seq(("k1", "v1", "topic.a"), ("k2", "v2", "topic.b"))
+      .toDF("key", "value", "topic")
+      .write.mode("append").format("graft-testkafka").option("path", dir)
+      .option("topic", "ignored").option("partitions", "2").save()
+    val back = spark.read.format("graft-testkafka").option("path", dir)
+      .option("partitions", "2").load()
+    assert(back.select(col("topic")).distinct().as[String].collect().sorted
+      === Array("topic.a", "topic.b"))
+    assert(back.select(col("value").cast("string")).as[String].collect().sorted
+      === Array("v1", "v2"))
+    // Missing value column fails at planning.
+    val err = intercept[Exception] {
+      Seq("only-key").toDF("key")
+        .write.mode("append").format("graft-testkafka").option("path", tmpDir("graft_tk_bad"))
+        .option("topic", "t").save()
+    }
+    assert(err.getMessage != null)
+  }
+}
