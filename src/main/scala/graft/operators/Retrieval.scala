@@ -383,22 +383,28 @@ object Retrieval {
   def bm25MultiQuery(docs: DataFrame, queries: DataFrame, topK: Int = 10,
                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val tfs = termFreqs(docs, idCol, textCol)
+    // Corpus stats (N, Σdl) as an IN-PLAN one-row broadcast (the h15
+    // posture) instead of a driver .head(): the whole query is one
+    // job, and the arithmetic is unchanged — avgdl is still evaluated
+    // as s/n before the per-row division, so every double matches the
+    // former literal bit-for-bit.
     val stats = docs
       .select(size(tokens(col(textCol))).cast("long").as("dl"))
-      .agg(sum(col("dl")).as("s"), count(lit(1)).as("n")).head()
-    val (sumDl, n) = (stats.getLong(0), stats.getLong(1))
-    val avgdl = sumDl.toDouble / n.toDouble
+      .agg(sum(col("dl")).as("__sumdl"), count(lit(1)).as("__n"))
+    val nD = col("__n").cast("double")
     val dfD = col("df").cast("double")
-    val idf = log(lit(1.0) + (lit(n.toDouble) - dfD + lit(0.5)) / (dfD + lit(0.5)))
+    val idf = log(lit(1.0) + (nD - dfD + lit(0.5)) / (dfD + lit(0.5)))
     val tfD = col("tf").cast("double")
     val den = tfD + lit(1.2) *
-      (lit(0.25) + lit(0.75) * (col("dl").cast("double") / lit(avgdl)))
+      (lit(0.25) + lit(0.75) *
+        (col("dl").cast("double") / (col("__sumdl").cast("double") / nD)))
     val qterms = queries.select(col("qid"), col("term")).distinct()
     val qdf = docFreqs(tfs)
       .join(broadcast(qterms.select(col("term")).distinct()), Seq("term"), "left_semi")
     val scored = tfs
       .join(broadcast(qterms), "term")
       .join(broadcast(qdf), "term")
+      .crossJoin(broadcast(stats))
       .withColumn("part_e9", floor(idf * (tfD * lit(2.2) / den) *
         lit(1000000000.0)).cast("long"))
     val perDoc = scored.groupBy(col("qid"), col("doc_id"))
