@@ -95,6 +95,12 @@ object IndicatorQueries {
     "b20_vpin" -> ((s, dir) =>
       Indicators.vpin(SparkEntry.silverDf(s, dir), nBuckets = 50)),
 
+    // B21 — rolling VPIN on a fixed 2000-share volume bucket, the
+    // live-trading form (trailing-10-bucket toxicity per bucket).
+    "b21_vpin_rolling" -> ((s, dir) =>
+      Indicators.vpinRolling(SparkEntry.silverDf(s, dir),
+        bucketVolume = 2000L, window = 10)),
+
     // B5 — end-of-day EMA-14 per symbol, the recursion running
     // continuously from sequence start (streaming/IndicatorStream's
     // batch adapter — the one indicator a row-frame window cannot
@@ -696,6 +702,45 @@ object IndicatorQueries {
     SELECT symbol, CAST(COUNT(*) AS BIGINT) AS n_buckets,
            CAST(SUM(ABS(CAST(buy AS HUGEINT) - sell)) * 1000000 // SUM(vol) AS BIGINT) AS vpin_e6
     FROM pb GROUP BY symbol"""),
+
+    // B21 oracle: b20's classification CTEs, then an ABSOLUTE volume
+    // clock (cum_prev // 2000 — no total), per-bucket flow aggregates
+    // and a trailing-10-bucket rolling VPIN window per symbol.
+    "b21_vpin_rolling" -> (SparkEntry.P + """, pxv AS (
+      SELECT symbol, trade_date, event_time, volume,
+             CAST(CAST(price AS DECIMAL(18,4)) * 10000 AS BIGINT) AS px
+      FROM silver
+    ), cls AS (
+      SELECT symbol, event_time, volume,
+             LAST_VALUE(CASE WHEN prev_px IS NULL THEN NULL
+                             WHEN px > prev_px THEN 1
+                             WHEN px < prev_px THEN -1 END IGNORE NULLS)
+               OVER (PARTITION BY symbol, trade_date ORDER BY event_time
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sign
+      FROM (SELECT symbol, trade_date, event_time, volume, px,
+                   LAG(px, 1) OVER (PARTITION BY symbol, trade_date
+                                    ORDER BY event_time) AS prev_px
+            FROM pxv)
+    ), cum AS (
+      SELECT symbol, volume, sign,
+             COALESCE(SUM(volume) OVER (PARTITION BY symbol ORDER BY event_time
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_prev
+      FROM cls
+    ), pb AS (
+      SELECT symbol, cum_prev // 2000 AS bucket,
+             SUM(CASE WHEN sign = 1 THEN volume ELSE 0 END) AS buy,
+             SUM(CASE WHEN sign = -1 THEN volume ELSE 0 END) AS sell,
+             SUM(volume) AS vol
+      FROM cum GROUP BY 1, 2
+    )
+    SELECT symbol, CAST(bucket AS BIGINT) AS bucket, CAST(buy AS BIGINT) AS buy,
+           CAST(sell AS BIGINT) AS sell, CAST(vol AS BIGINT) AS vol,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_in_window,
+           CAST(SUM(ABS(CAST(buy AS HUGEINT) - sell)) OVER w * 1000000
+                // SUM(vol) OVER w AS BIGINT) AS vpin_roll_e6
+    FROM pb
+    WINDOW w AS (PARTITION BY symbol ORDER BY bucket
+                 ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)"""),
 
     // The EMA recursion as a literal left fold over the per-symbol
     // price sequence: acc' = α·x + (1−α)·acc with α = 2/15 — the same

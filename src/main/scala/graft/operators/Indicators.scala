@@ -828,6 +828,56 @@ object Indicators {
           .as("vpin_e6"))
   }
 
+  /** B21 — rolling VPIN on a FIXED volume bucket (the live-trading
+    * form of b20): the volume clock cuts at an ABSOLUTE width
+    * `bucketVolume` (bucket = cum_prev div V — needs no knowledge of
+    * the total, so a stream can run the identical rule), and each
+    * bucket reports the trailing-`window` toxicity
+    * Σ|buy−sell|·1e6 div Σvol over the last `window` non-empty
+    * buckets. Companion streaming runtime: graft.streaming.VpinStream
+    * (bounded per-symbol state; VpinStreamSpec pins equivalence on
+    * completed buckets under arbitrary micro-batch slicings).
+    *
+    * Shape at scale: b20's day-bucketed volume clock verbatim (in-day
+    * cumulative window keyed (symbol, trade_date) + O(symbols×days)
+    * running-offset broadcast — no per-symbol unbounded sort over
+    * trades); the rolling window then runs over the
+    * O(symbols × buckets) bucket frame only. |buy−sell| sums stage
+    * through decimal(38,0) (the b-family >2⁶³ posture).
+    */
+  def vpinRolling(silver: DataFrame, bucketVolume: Long,
+                  window: Int = 10): DataFrame = {
+    require(bucketVolume > 0, "bucketVolume must be positive")
+    val cls = tickClassified(silver)
+    val dayTot = cls.groupBy(col("symbol"), col("trade_date"))
+      .agg(sum(col("volume")).as("day_vol"))
+    val wDays = Window.partitionBy(col("symbol")).orderBy(col("trade_date"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = dayTot
+      .withColumn("day_off", coalesce(sum(col("day_vol")).over(wDays), lit(0L)))
+      .select(col("symbol"), col("trade_date"), col("day_off"))
+    val wInDay = Window.partitionBy(col("symbol"), col("trade_date"))
+      .orderBy(col("event_time"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRoll = Window.partitionBy(col("symbol")).orderBy(col("bucket"))
+      .rowsBetween(-(window - 1), Window.currentRow)
+    cls
+      .withColumn("in_day_prev", coalesce(sum(col("volume")).over(wInDay), lit(0L)))
+      .join(broadcast(offsets), Seq("symbol", "trade_date"))
+      .withColumn("bucket", expr(s"(day_off + in_day_prev) div ${bucketVolume}L"))
+      .groupBy(col("symbol"), col("bucket"))
+      .agg(sum(when(col("sign") === 1, col("volume")).otherwise(0L)).as("buy"),
+        sum(when(col("sign") === -1, col("volume")).otherwise(0L)).as("sell"),
+        sum(col("volume")).as("vol"))
+      .withColumn("n_in_window", count(lit(1)).over(wRoll))
+      .withColumn("w_absdiff",
+        sum(abs(col("buy") - col("sell")).cast("decimal(38,0)")).over(wRoll))
+      .withColumn("w_vol", sum(col("vol")).over(wRoll))
+      .select(col("symbol"), col("bucket"), col("buy"), col("sell"), col("vol"),
+        col("n_in_window"),
+        expr("cast((w_absdiff * 1000000) div w_vol as bigint)").as("vpin_roll_e6"))
+  }
+
   def spikeCounts(silver: DataFrame, n: Int = 20, z: Int = 3): DataFrame = {
     val w = bySymbolTime.rowsBetween(-(n - 1), Window.currentRow)
     silver
