@@ -89,8 +89,113 @@ case class CosineSim(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Fused SQ8 encode→dequantize round trip (r10 verdict item #6): one
+  * codegen'd loop replaces the two interpreted `transform` HOFs of
+  * Similarity.sq8Encode∘sq8Reconstruct on s9's corpus scan. The grid
+  * (per-dim mins/maxs) is plan-time literal state — the CountInSet /
+  * pq-codebook posture — shipped to executors as codegen reference
+  * objects.
+  *
+  * Arithmetic is REPLAYED OP-FOR-OP from the HOF pair so the result
+  * is bit-identical (and therefore the s9/s7 oracle hashes are
+  * unchanged): code = min(floor((x − mn)·255/(mx − mn)), 255) as int
+  * (0 when mx = mn), value = mn + code·((mx − mn)/255); null elements
+  * pass through as null, and a vector longer than the grid reads null
+  * grid entries in the HOF form — here it is rejected loudly instead
+  * (embeddings are fixed-width; a length mismatch is a bug upstream).
+  */
+case class Sq8RoundTrip(child: Expression, mins: Seq[Double], maxs: Seq[Double])
+    extends UnaryExpression with Serializable {
+  require(mins.length == maxs.length && mins.nonEmpty,
+    "sq8 grid mins/maxs must be same non-zero length")
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+  override def prettyName: String = "sq8_roundtrip"
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects array<float|double> input, got $t")
+    }
+
+  @transient private lazy val mnArr: Array[Double] = mins.toArray
+  @transient private lazy val mxArr: Array[Double] = maxs.toArray
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    require(n == mnArr.length,
+      s"sq8_roundtrip: vector has $n dims but the grid has ${mnArr.length}")
+    val out = new Array[Any](n)
+    val fl = isFloat
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i)) {
+        val x = if (fl) a.getFloat(i).toDouble else a.getDouble(i)
+        val mn = mnArr(i); val mx = mxArr(i)
+        out(i) =
+          if (mx == mn) mn
+          else {
+            val code = math.min(math.floor((x - mn) * 255.0 / (mx - mn)), 255.0).toInt
+            mn + code.toDouble * ((mx - mn) / 255.0)
+          }
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mnRef = ctx.addReferenceObj("sq8Mins", mnArr, "double[]")
+    val mxRef = ctx.addReferenceObj("sq8Maxs", mxArr, "double[]")
+    val get = if (isFloat) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val out = ctx.freshName("out"); val x = ctx.freshName("x")
+      val mn = ctx.freshName("mn"); val mx = ctx.freshName("mx")
+      val code = ctx.freshName("code")
+      s"""
+        int $n = $a.numElements();
+        if ($n != $mnRef.length) {
+          throw new IllegalArgumentException(
+            "sq8_roundtrip: vector has " + $n + " dims but the grid has " + $mnRef.length);
+        }
+        Object[] $out = new Object[$n];
+        for (int $i = 0; $i < $n; $i++) {
+          if (!$a.isNullAt($i)) {
+            double $x = (double) $a.$get($i);
+            double $mn = $mnRef[$i]; double $mx = $mxRef[$i];
+            if ($mx == $mn) {
+              $out[$i] = java.lang.Double.valueOf($mn);
+            } else {
+              int $code = (int) java.lang.Math.min(
+                java.lang.Math.floor(($x - $mn) * 255.0 / ($mx - $mn)), 255.0);
+              $out[$i] = java.lang.Double.valueOf($mn + ((double) $code) * (($mx - $mn) / 255.0));
+            }
+          }
+        }
+        ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+      """
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   /** Cosine similarity between two float/double array columns. */
   def cosineSim(a: Column, b: Column): Column =
     ColumnBridge.column(CosineSim(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Fused SQ8 encode+dequantize against a literal per-dim grid. */
+  def sq8RoundTrip(v: Column, mins: Seq[Double], maxs: Seq[Double]): Column =
+    ColumnBridge.column(Sq8RoundTrip(ColumnBridge.expression(v), mins, maxs))
 }

@@ -223,8 +223,12 @@ object Similarity {
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val (mins, maxs) = sq8Grid(candidates, vecCol)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    // Fused native encode→dequantize (one codegen'd loop; replays the
+    // sq8Encode∘sq8Reconstruct arithmetic op-for-op, so the oracle
+    // hash is unchanged — Sq8RoundTrip's scaladoc + SimilaritySpec
+    // pin the equivalence).
     val c = candidates.select(col(idCol).as("neighbor_id"),
-      sq8Reconstruct(sq8Encode(col(vecCol), mins, maxs), mins, maxs).as("rv"))
+      graft.functions.VectorFunctions.sq8RoundTrip(col(vecCol), mins, maxs).as("rv"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         round(cosine(col("qv"), col("rv")), 6).as("approx_cos"))

@@ -263,6 +263,31 @@ class SimilaritySpec extends SparkSpecBase {
     assert(recall > 0.8, s"recall=$recall")
   }
 
+  test("SQ8: fused native round trip is bit-identical to the HOF encode∘reconstruct") {
+    val e = Tables.embeddings(spark, Sf).limit(200)
+    val (mins, maxs) = Similarity.sq8Grid(Tables.embeddings(spark, Sf))
+    val hof = e.select(col("vec_id"), Similarity.sq8Reconstruct(
+        Similarity.sq8Encode(col("embedding"), mins, maxs), mins, maxs).as("rv"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val fused = e.select(col("vec_id"),
+        graft.functions.VectorFunctions.sq8RoundTrip(col("embedding"), mins, maxs).as("rv"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(fused.keySet === hof.keySet)
+    // Bit-identity, not approximate equality: the fused loop must
+    // replay the HOF arithmetic op-for-op (oracle hashes depend on it).
+    fused.foreach { case (id, v) =>
+      assert(v.map(java.lang.Double.doubleToLongBits) ===
+        hof(id).map(java.lang.Double.doubleToLongBits), s"vec $id")
+    }
+    // Grid-length mismatch fails loudly instead of silently nulling.
+    val short = Seq((1L, Seq(1.0f, 2.0f))).toDF("vec_id", "embedding")
+    val err = intercept[Exception] {
+      short.select(graft.functions.VectorFunctions
+        .sq8RoundTrip(col("embedding"), mins, maxs)).collect()
+    }
+    assert(err.getMessage != null)
+  }
+
   test("SQ8: constant dimensions quantize cleanly (no NaN, no div-by-zero)") {
     val vecs = Seq(
       (1L, Seq(1.0f, 5.0f, 0.0f)),
