@@ -143,6 +143,12 @@ case class Sq8RoundTrip(child: Expression, mins: Seq[Double], maxs: Seq[Double])
         out(i) =
           if (mx == mn) mn
           else {
+            // NaN: Spark's floor(double) RETURNS LONG, so the HOF path
+            // turns a NaN quotient into 0 before least() ever sees it
+            // (code 0 → mn). math.min(NaN, 255).toInt is also 0 — the
+            // same value by a different route — and ±Inf agree too
+            // (floor→Long.Max/Min vs (int)±Inf saturation). Pinned by
+            // SimilaritySpec's NaN bit-identity case.
             val code = math.min(math.floor((x - mn) * 255.0 / (mx - mn)), 255.0).toInt
             mn + code.toDouble * ((mx - mn) / 255.0)
           }
@@ -175,6 +181,9 @@ case class Sq8RoundTrip(child: Expression, mins: Seq[Double], maxs: Seq[Double])
             if ($mx == $mn) {
               $out[$i] = java.lang.Double.valueOf($mn);
             } else {
+              // (int) Math.min(NaN, 255) = 0 — the same code Spark's
+              // long-returning floor() produces for a NaN quotient in
+              // the HOF path (see the eval comment).
               int $code = (int) java.lang.Math.min(
                 java.lang.Math.floor(($x - $mn) * 255.0 / ($mx - $mn)), 255.0);
               $out[$i] = java.lang.Double.valueOf($mn + ((double) $code) * (($mx - $mn) / 255.0));

@@ -792,14 +792,22 @@ object Indicators {
     * task. Two hash aggregates finish. The cumulative volume lives in
     * a long — overflow needs 9.2e18 shares/symbol, beyond any market.
     */
-  def vpin(silver: DataFrame, nBuckets: Int = 50): DataFrame = {
+  /** Shared volume-clock plumbing for b20/b21: classified trades with
+    * the global per-symbol cumulative volume BEFORE each trade
+    * (`cum_prev`) and the per-symbol total (`tot_vol`), via
+    * day-bucketed prefix sums — an in-day cumulative window keyed
+    * (symbol, trade_date) plus per-day running offsets AND totals as
+    * two windows over the tiny O(symbols×days) day-total frame,
+    * broadcast back. No task ever sorts more than one symbol-day, and
+    * the trade stream is scanned exactly twice (cls + day totals).
+    * ONE definition on purpose: b20 and b21 must cut buckets from the
+    * identical clock, so a future rule change cannot desynchronize
+    * them.
+    */
+  private def volumeClock(silver: DataFrame): DataFrame = {
     val cls = tickClassified(silver)
     val dayTot = cls.groupBy(col("symbol"), col("trade_date"))
       .agg(sum(col("volume")).as("day_vol"))
-    // Running offset (volume of all STRICTLY earlier days) AND the
-    // per-symbol total, both as windows over the tiny day-total frame —
-    // one frame, one broadcast, and the trade stream is scanned exactly
-    // twice (cls + dayTot), same as the pre-bucketed form.
     val wDays = Window.partitionBy(col("symbol")).orderBy(col("trade_date"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val wAllDays = Window.partitionBy(col("symbol"))
@@ -815,6 +823,10 @@ object Indicators {
       .withColumn("in_day_prev", coalesce(sum(col("volume")).over(wInDay), lit(0L)))
       .join(broadcast(offsets), Seq("symbol", "trade_date"))
       .withColumn("cum_prev", col("day_off") + col("in_day_prev"))
+  }
+
+  def vpin(silver: DataFrame, nBuckets: Int = 50): DataFrame = {
+    volumeClock(silver)
       .withColumn("vbucket", expr(s"greatest(tot_vol div ${nBuckets}L, 1L)"))
       .withColumn("bucket",
         expr(s"least(cum_prev div vbucket, ${nBuckets - 1}L)"))
@@ -848,23 +860,10 @@ object Indicators {
   def vpinRolling(silver: DataFrame, bucketVolume: Long,
                   window: Int = 10): DataFrame = {
     require(bucketVolume > 0, "bucketVolume must be positive")
-    val cls = tickClassified(silver)
-    val dayTot = cls.groupBy(col("symbol"), col("trade_date"))
-      .agg(sum(col("volume")).as("day_vol"))
-    val wDays = Window.partitionBy(col("symbol")).orderBy(col("trade_date"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = dayTot
-      .withColumn("day_off", coalesce(sum(col("day_vol")).over(wDays), lit(0L)))
-      .select(col("symbol"), col("trade_date"), col("day_off"))
-    val wInDay = Window.partitionBy(col("symbol"), col("trade_date"))
-      .orderBy(col("event_time"))
-      .rowsBetween(Window.unboundedPreceding, -1)
     val wRoll = Window.partitionBy(col("symbol")).orderBy(col("bucket"))
       .rowsBetween(-(window - 1), Window.currentRow)
-    cls
-      .withColumn("in_day_prev", coalesce(sum(col("volume")).over(wInDay), lit(0L)))
-      .join(broadcast(offsets), Seq("symbol", "trade_date"))
-      .withColumn("bucket", expr(s"(day_off + in_day_prev) div ${bucketVolume}L"))
+    volumeClock(silver)
+      .withColumn("bucket", expr(s"cum_prev div ${bucketVolume}L"))
       .groupBy(col("symbol"), col("bucket"))
       .agg(sum(when(col("sign") === 1, col("volume")).otherwise(0L)).as("buy"),
         sum(when(col("sign") === -1, col("volume")).otherwise(0L)).as("sell"),

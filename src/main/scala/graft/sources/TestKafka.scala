@@ -107,8 +107,13 @@ object TestKafka {
     h
   }
 
+  /** Keyed records follow Kafka's default partitioner exactly
+    * (including EMPTY keys, which Kafka hashes like any other bytes);
+    * a NULL key — which a real broker round-robins — is pinned to
+    * partition 0 so replays stay deterministic (documented deviation).
+    */
   def partitionFor(key: Array[Byte], nPartitions: Int): Int =
-    if (key == null || key.isEmpty) 0
+    if (key == null) 0
     else (murmur2(key) & 0x7fffffff) % nPartitions
 
   /** One persisted record. Key is null for unkeyed messages. */
@@ -259,6 +264,10 @@ class TestKafkaBatchWrite(path: String, defaultTopic: Option[String],
   }, "'value' must be BINARY or STRING")
   require(fieldIdx("topic") >= 0 || defaultTopic.isDefined,
     "testkafka sink needs a 'topic' column or a 'topic' option")
+  require(fieldIdx("timestamp") < 0 || {
+    val t = schema(fieldIdx("timestamp")).dataType
+    t == TimestampType || t == LongType
+  }, "'timestamp' must be TIMESTAMP (micros) or BIGINT (epoch-ms)")
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new TestKafkaWriterFactory(path, defaultTopic, schema)
@@ -322,9 +331,15 @@ class TestKafkaDataWriter(path: String, defaultTopic: Option[String],
         throw new IllegalArgumentException("testkafka: null topic and no 'topic' option"))
     // Deterministic default timestamp (0): a broker stamps arrival
     // time; a replay fixture must not depend on the wall clock.
+    // TimestampType rows carry micros (÷1000 → ms); a LongType column
+    // is taken as epoch-ms verbatim — validated at planning time, so
+    // no silent 1000× shrink for ms-typed longs.
     val tsMs =
-      if (tsIdx >= 0 && !row.isNullAt(tsIdx)) row.getLong(tsIdx) / 1000L
-      else 0L
+      if (tsIdx < 0 || row.isNullAt(tsIdx)) 0L
+      else schema(tsIdx).dataType match {
+        case TimestampType => row.getLong(tsIdx) / 1000L
+        case _ => row.getLong(tsIdx)
+      }
     out.write(TestKafka.encodeLine(
       TestKafka.Record(topic, bytesAt(row, keyIdx), value, tsMs)))
     out.write("\n")

@@ -72,9 +72,6 @@ class ExtensionContractSpec extends SparkSpecBase {
   // golden behavior on hand-computed micro-cases.
   // ---------------------------------------------------------------
 
-  private def one[T](c: org.apache.spark.sql.Column): T =
-    Seq("x").toDF("d").select(c).collect()(0).getAs[T](0)
-
   test("golden: tokenizer lowercases, splits on whitespace runs, drops empties") {
     val got = Seq("  Hello\tWorld\n  x  ").toDF("text")
       .select(Retrieval.tokens(col("text"))).collect()(0).getSeq[String](0)

@@ -43,7 +43,6 @@ class KafkaSeamSpec extends SparkSpecBase {
     // Deterministic across calls.
     assert(parts === keys.map(k => TestKafka.partitionFor(k, 4)))
     assert(TestKafka.partitionFor(null, 4) === 0)
-    assert(TestKafka.partitionFor(Array.empty[Byte], 4) === 0)
   }
 
   test("produce → parse → silver → kafkaProjection → re-consume round-trip (S1/K3)") {
@@ -127,12 +126,51 @@ class KafkaSeamSpec extends SparkSpecBase {
       === Array("topic.a", "topic.b"))
     assert(back.select(col("value").cast("string")).as[String].collect().sorted
       === Array("v1", "v2"))
-    // Missing value column fails at planning.
+    // Missing value column fails at planning, with THE contract error
+    // (not just any exception — a temp-dir I/O failure must not pass).
     val err = intercept[Exception] {
       Seq("only-key").toDF("key")
         .write.mode("append").format("graft-testkafka").option("path", tmpDir("graft_tk_bad"))
         .option("topic", "t").save()
     }
-    assert(err.getMessage != null)
+    val msgs = Iterator.iterate(err: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("|")
+    assert(msgs.contains("requires a 'value' column"), s"unexpected failure: $msgs")
+  }
+
+  test("sink timestamp contract: TIMESTAMP micros and BIGINT epoch-ms both round-trip; other types rejected") {
+    import spark.implicits._
+    // BIGINT epoch-ms passes through verbatim.
+    val dirMs = tmpDir("graft_tk_tsms")
+    Seq(("k", "v", 1705312800123L)).toDF("key", "value", "timestamp")
+      .write.mode("append").format("graft-testkafka").option("path", dirMs)
+      .option("topic", "t").save()
+    val gotMs = spark.read.format("graft-testkafka").option("path", dirMs).load()
+      .select(unix_millis(col("timestamp"))).as[Long].collect()
+    assert(gotMs.toSeq === Seq(1705312800123L))
+    // TIMESTAMP column (micros in InternalRow) converts to the same ms.
+    val dirTs = tmpDir("graft_tk_tsts")
+    Seq(("k", "v")).toDF("key", "value")
+      .withColumn("timestamp", lit("2024-01-15 10:00:00.123").cast("timestamp"))
+      .write.mode("append").format("graft-testkafka").option("path", dirTs)
+      .option("topic", "t").save()
+    val gotTs = spark.read.format("graft-testkafka").option("path", dirTs).load()
+      .select(unix_millis(col("timestamp"))).as[Long].collect()
+    assert(gotTs.toSeq === Seq(1705312800123L))
+    // An INT timestamp column is rejected at planning, not per-row.
+    val err = intercept[Exception] {
+      Seq(("k", "v", 42)).toDF("key", "value", "timestamp")
+        .write.mode("append").format("graft-testkafka")
+        .option("path", tmpDir("graft_tk_tsbad")).option("topic", "t").save()
+    }
+    val msgs = Iterator.iterate(err: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("|")
+    assert(msgs.contains("'timestamp' must be TIMESTAMP"), s"unexpected failure: $msgs")
+  }
+
+  test("empty (non-null) keys hash like Kafka's partitioner; only null pins to 0") {
+    assert(TestKafka.partitionFor(Array.empty[Byte], 4) ===
+      (TestKafka.murmur2(Array.empty[Byte]) & 0x7fffffff) % 4)
+    assert(TestKafka.partitionFor(null, 4) === 0)
   }
 }

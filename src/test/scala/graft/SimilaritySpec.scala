@@ -279,13 +279,29 @@ class SimilaritySpec extends SparkSpecBase {
       assert(v.map(java.lang.Double.doubleToLongBits) ===
         hof(id).map(java.lang.Double.doubleToLongBits), s"vec $id")
     }
-    // Grid-length mismatch fails loudly instead of silently nulling.
+    // Grid-length mismatch fails loudly instead of silently nulling —
+    // and with THE length-mismatch error, not any incidental failure.
     val short = Seq((1L, Seq(1.0f, 2.0f))).toDF("vec_id", "embedding")
     val err = intercept[Exception] {
       short.select(graft.functions.VectorFunctions
         .sq8RoundTrip(col("embedding"), mins, maxs)).collect()
     }
-    assert(err.getMessage != null)
+    val msgs = Iterator.iterate(err: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("|")
+    assert(msgs.contains("sq8_roundtrip"), s"unexpected failure: $msgs")
+    // NaN elements must take the HOF's least()-clamp path (NaN sorts
+    // above every double in Spark → code 255), not math.min's
+    // NaN-propagation into (int)NaN = 0.
+    val nanV = Seq((1L, (0 until mins.size).map(i => if (i == 0) Float.NaN else 0.5f)))
+      .toDF("vec_id", "embedding")
+    val nanHof = nanV.select(Similarity.sq8Reconstruct(
+        Similarity.sq8Encode(col("embedding"), mins, maxs), mins, maxs).as("rv"))
+      .collect().head.getSeq[Double](0)
+    val nanFused = nanV.select(graft.functions.VectorFunctions
+        .sq8RoundTrip(col("embedding"), mins, maxs).as("rv"))
+      .collect().head.getSeq[Double](0)
+    assert(nanFused.map(java.lang.Double.doubleToLongBits) ===
+      nanHof.map(java.lang.Double.doubleToLongBits))
   }
 
   test("SQ8: constant dimensions quantize cleanly (no NaN, no div-by-zero)") {
