@@ -34,10 +34,15 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Partition/offset semantics mirror Kafka's: partition =
   * (murmur2(key) & 0x7fffffff) % numPartitions — the default
-  * partitioner's published algorithm — with null keys pinned to
-  * partition 0 (round-robin would be nondeterministic); offsets are
-  * dense per (topic, partition), assigned in (timestamp, key, value)
-  * order so replays are bit-deterministic.
+  * partitioner's published algorithm, empty keys hashed like any
+  * other bytes — with null keys pinned to partition 0 (a real broker
+  * round-robins; nondeterministic, so deviating is the point);
+  * offsets are dense per (topic, partition) and assigned in ARRIVAL
+  * order (sorted record-file name, then line), Kafka's append-order
+  * semantic: stable for a given topic directory across re-reads,
+  * splits, and checkpoint resumes. The scan exists in BOTH Kafka
+  * forms — batch (`read`) and micro-batch streaming (`readStream`,
+  * incremental by file set with checkpoint-resumable offsets).
   *
   * Scale posture: this is a TEST seam (sources/sinks of record in
   * production are the real connector); each read task scans the full
@@ -172,8 +177,8 @@ class TestKafkaTable(path: String, nPartitions: Int, defaultTopic: Option[String
   // not the 7-column read schema, so by-name write validation must be
   // skipped and the WriteBuilder enforces the sink contract itself.
   override def capabilities(): java.util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.ACCEPT_ANY_SCHEMA).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.ACCEPT_ANY_SCHEMA).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     () => new TestKafkaScan(path, nPartitions)
@@ -186,22 +191,39 @@ class TestKafkaTable(path: String, nPartitions: Int, defaultTopic: Option[String
 // Read path
 // ---------------------------------------------------------------------
 
+/** `priorFiles` have already been consumed (streaming) or are empty
+  * (batch): they are COUNTED to establish each topic's next offset,
+  * then `files` are read and emitted. Offsets are assigned in ARRIVAL
+  * order — sorted file name, then line index — the Kafka semantic
+  * (offsets reflect append order, not event time), dense per
+  * (topic, partition), and stable for a given topic directory however
+  * the scan is split or resumed.
+  */
 final case class TestKafkaInputPartition(partitionId: Int, nPartitions: Int,
+                                         priorFiles: Array[String],
                                          files: Array[String]) extends InputPartition
 
 class TestKafkaScan(path: String, nPartitions: Int) extends Scan with Batch {
   override def readSchema(): StructType = TestKafka.ReadSchema
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String):
+      org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new TestKafkaMicroBatchStream(path, nPartitions)
   override def description(): String = s"TestKafkaScan(path=$path, partitions=$nPartitions)"
 
   override def planInputPartitions(): Array[InputPartition] = {
     val files = TestKafka.listRecordFiles(path)
     (0 until nPartitions)
-      .map(i => TestKafkaInputPartition(i, nPartitions, files): InputPartition)
+      .map(i => TestKafkaInputPartition(i, nPartitions, Array.empty, files): InputPartition)
       .toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
+    TestKafkaScan.readerFactory
+}
+
+object TestKafkaScan {
+  val readerFactory: PartitionReaderFactory =
     (partition: InputPartition) => {
       val p = partition.asInstanceOf[TestKafkaInputPartition]
       new TestKafkaPartitionReader(p)
@@ -210,25 +232,25 @@ class TestKafkaScan(path: String, nPartitions: Int) extends Scan with Batch {
 
 class TestKafkaPartitionReader(p: TestKafkaInputPartition)
     extends PartitionReader[InternalRow] {
-  // Contract-test scale: read every record file, keep this partition's
-  // rows, order (timestamp, key, value) per topic and assign dense
-  // offsets — deterministic at any parallelism.
+  // Contract-test scale: each task reads the record files whole and
+  // keeps its partition's rows — fine for seam tests, documented as
+  // wrong for TBs (TestKafka scaladoc).
+  private def myRecords(files: Array[String]): Iterator[TestKafka.Record] =
+    files.sorted.iterator.flatMap { f =>
+      Files.readAllLines(Paths.get(f), StandardCharsets.UTF_8).asScala
+        .filter(_.nonEmpty).map(TestKafka.decodeLine)
+    }.filter(r => TestKafka.partitionFor(r.key, p.nPartitions) == p.partitionId)
+
   private val rows: Iterator[InternalRow] = {
-    val mine = p.files.iterator
-      .flatMap { f =>
-        Files.readAllLines(Paths.get(f), StandardCharsets.UTF_8).asScala
-          .filter(_.nonEmpty).map(TestKafka.decodeLine)
-      }
-      .filter(r => TestKafka.partitionFor(r.key, p.nPartitions) == p.partitionId)
-      .toSeq
-    def b64(b: Array[Byte]) = if (b == null) "" else Base64.getEncoder.encodeToString(b)
-    mine.groupBy(_.topic).toSeq.sortBy(_._1).iterator.flatMap { case (_, rs) =>
-      rs.sortBy(r => (r.tsMs, b64(r.key), b64(r.value))).zipWithIndex.map {
-        case (r, offset) =>
-          new GenericInternalRow(Array[Any](
-            r.key, r.value, UTF8String.fromString(r.topic),
-            p.partitionId, offset.toLong, r.tsMs * 1000L, 0)): InternalRow
-      }
+    // Next offset per topic after the already-consumed prefix.
+    val base = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    myRecords(p.priorFiles).foreach(r => base(r.topic) += 1L)
+    myRecords(p.files).map { r =>
+      val offset = base(r.topic)
+      base(r.topic) = offset + 1L
+      new GenericInternalRow(Array[Any](
+        r.key, r.value, UTF8String.fromString(r.topic),
+        p.partitionId, offset, r.tsMs * 1000L, 0)): InternalRow
     }
   }
   private var current: InternalRow = _
@@ -236,6 +258,54 @@ class TestKafkaPartitionReader(p: TestKafkaInputPartition)
     if (rows.hasNext) { current = rows.next(); true } else false
   override def get(): InternalRow = current
   override def close(): Unit = ()
+}
+
+/** Streaming form of the scan — the S1 shape: each micro-batch
+  * consumes the record files that appeared since the last committed
+  * offset, so `readStream.format("graft-testkafka")` behaves like the
+  * Kafka source (incremental, checkpoint-resumable, exactly-once per
+  * file). The offset is simply the SET of consumed file names,
+  * serialized as a JSON array — tiny at seam-test scale.
+  */
+final case class TestKafkaOffset(files: Seq[String])
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String =
+    files.sorted.map(f => "\"" + f.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
+      .mkString("[", ",", "]")
+}
+
+object TestKafkaOffset {
+  def fromJson(json: String): TestKafkaOffset = {
+    val t = json.trim.stripPrefix("[").stripSuffix("]").trim
+    if (t.isEmpty) TestKafkaOffset(Nil)
+    else TestKafkaOffset(t.split("\",\\s*\"").toSeq
+      .map(_.stripPrefix("\"").stripSuffix("\"")
+        .replace("\\\"", "\"").replace("\\\\", "\\")))
+  }
+}
+
+class TestKafkaMicroBatchStream(path: String, nPartitions: Int)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  override def initialOffset(): Offset = TestKafkaOffset(Nil)
+  override def latestOffset(): Offset =
+    TestKafkaOffset(TestKafka.listRecordFiles(path).toSeq)
+  override def deserializeOffset(json: String): Offset = TestKafkaOffset.fromJson(json)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val prior = start.asInstanceOf[TestKafkaOffset].files.toArray
+    val seen = prior.toSet
+    val delta = end.asInstanceOf[TestKafkaOffset].files.filterNot(seen).toArray
+    (0 until nPartitions)
+      .map(i => TestKafkaInputPartition(i, nPartitions, prior, delta): InputPartition)
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    TestKafkaScan.readerFactory
 }
 
 // ---------------------------------------------------------------------

@@ -168,6 +168,45 @@ class KafkaSeamSpec extends SparkSpecBase {
     assert(msgs.contains("'timestamp' must be TIMESTAMP"), s"unexpected failure: $msgs")
   }
 
+  test("streaming scan (S1): incremental micro-batches, checkpoint restart, no re-delivery") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val topicDir = tmpDir("graft_tk_stream")
+    val ckpt = tmpDir("graft_tk_stream_ck")
+    val outDir = tmpDir("graft_tk_stream_out")
+    def produce(rows: Seq[(String, String)]): Unit =
+      rows.toDF("key", "value").write.mode("append").format("graft-testkafka")
+        .option("path", topicDir).option("topic", "t").option("partitions", "2").save()
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft-testkafka")
+        .option("path", topicDir).option("partitions", "2").load()
+        .selectExpr("CAST(key AS STRING) AS k", "CAST(value AS STRING) AS v",
+          "partition", "offset")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .format("parquet").option("path", outDir).start()
+      q.awaitTermination()
+    }
+    produce(Seq(("a", "v1"), ("b", "v2")))
+    drain()
+    produce(Seq(("a", "v3"), ("c", "v4")))
+    drain() // fresh query, same checkpoint: must consume ONLY the delta
+    val rows = spark.read.parquet(outDir)
+      .select(col("k"), col("v"), col("partition"), col("offset")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getLong(3)))
+    assert(rows.length === 4, s"expected exactly-once delivery, got ${rows.toSeq}")
+    assert(rows.map(r => (r._1, r._2)).toSet ===
+      Set(("a", "v1"), ("b", "v2"), ("a", "v3"), ("c", "v4")))
+    // Offsets stay dense per partition ACROSS micro-batches/restarts.
+    rows.groupBy(_._3).foreach { case (_, rs) =>
+      assert(rs.map(_._4).sorted.toSeq === (0L until rs.length).toSeq)
+    }
+    // Arrival order: the same key's first produce has the lower offset.
+    val aRows = rows.filter(_._1 == "a").sortBy(_._4).map(_._2)
+    assert(aRows.toSeq === Seq("v1", "v3"))
+  }
+
   test("empty (non-null) keys hash like Kafka's partitioner; only null pins to 0") {
     assert(TestKafka.partitionFor(Array.empty[Byte], 4) ===
       (TestKafka.murmur2(Array.empty[Byte]) & 0x7fffffff) % 4)
