@@ -143,6 +143,41 @@ object IndicatorQueries {
     GROUP BY symbol, trade_date
   )"""
 
+  /** Shared CTE chain for the b21 fixed-bucket volume clock: P prelude
+    * → e4 ticks (pxv) → per-(symbol, trade_date) tick-test
+    * classification (cls) → per-symbol cumulative volume clock (cum)
+    * → per-bucket flow aggregates (pb). b21's oracle adds the rolling
+    * window on top; sr4's streaming-replay oracle reuses the chain
+    * verbatim and filters to completed buckets.
+    */
+  private[graft] val vpinRollingPb: String = SparkEntry.P + """, pxv AS (
+      SELECT symbol, trade_date, event_time, volume,
+             CAST(CAST(price AS DECIMAL(18,4)) * 10000 AS BIGINT) AS px
+      FROM silver
+    ), cls AS (
+      SELECT symbol, event_time, volume,
+             LAST_VALUE(CASE WHEN prev_px IS NULL THEN NULL
+                             WHEN px > prev_px THEN 1
+                             WHEN px < prev_px THEN -1 END IGNORE NULLS)
+               OVER (PARTITION BY symbol, trade_date ORDER BY event_time
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sign
+      FROM (SELECT symbol, trade_date, event_time, volume, px,
+                   LAG(px, 1) OVER (PARTITION BY symbol, trade_date
+                                    ORDER BY event_time) AS prev_px
+            FROM pxv)
+    ), cum AS (
+      SELECT symbol, volume, sign,
+             COALESCE(SUM(volume) OVER (PARTITION BY symbol ORDER BY event_time
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_prev
+      FROM cls
+    ), pb AS (
+      SELECT symbol, cum_prev // 2000 AS bucket,
+             SUM(CASE WHEN sign = 1 THEN volume ELSE 0 END) AS buy,
+             SUM(CASE WHEN sign = -1 THEN volume ELSE 0 END) AS sell,
+             SUM(volume) AS vol
+      FROM cum GROUP BY 1, 2
+    )"""
+
   def oracleSql: Map[String, String] = Map(
     // B13: TWAP — integer millis weights (event_time unique per symbol
     // after silver dedup), price_e4·duration summed as HUGEINT, one
@@ -705,34 +740,10 @@ object IndicatorQueries {
 
     // B21 oracle: b20's classification CTEs, then an ABSOLUTE volume
     // clock (cum_prev // 2000 — no total), per-bucket flow aggregates
-    // and a trailing-10-bucket rolling VPIN window per symbol.
-    "b21_vpin_rolling" -> (SparkEntry.P + """, pxv AS (
-      SELECT symbol, trade_date, event_time, volume,
-             CAST(CAST(price AS DECIMAL(18,4)) * 10000 AS BIGINT) AS px
-      FROM silver
-    ), cls AS (
-      SELECT symbol, event_time, volume,
-             LAST_VALUE(CASE WHEN prev_px IS NULL THEN NULL
-                             WHEN px > prev_px THEN 1
-                             WHEN px < prev_px THEN -1 END IGNORE NULLS)
-               OVER (PARTITION BY symbol, trade_date ORDER BY event_time
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sign
-      FROM (SELECT symbol, trade_date, event_time, volume, px,
-                   LAG(px, 1) OVER (PARTITION BY symbol, trade_date
-                                    ORDER BY event_time) AS prev_px
-            FROM pxv)
-    ), cum AS (
-      SELECT symbol, volume, sign,
-             COALESCE(SUM(volume) OVER (PARTITION BY symbol ORDER BY event_time
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_prev
-      FROM cls
-    ), pb AS (
-      SELECT symbol, cum_prev // 2000 AS bucket,
-             SUM(CASE WHEN sign = 1 THEN volume ELSE 0 END) AS buy,
-             SUM(CASE WHEN sign = -1 THEN volume ELSE 0 END) AS sell,
-             SUM(volume) AS vol
-      FROM cum GROUP BY 1, 2
-    )
+    // and a trailing-10-bucket rolling VPIN window per symbol. The
+    // CTE chain (P → pxv → cls → cum → pb) is shared with sr4's
+    // streaming-replay oracle, which filters it to completed buckets.
+    "b21_vpin_rolling" -> (vpinRollingPb + """
     SELECT symbol, CAST(bucket AS BIGINT) AS bucket, CAST(buy AS BIGINT) AS buy,
            CAST(sell AS BIGINT) AS sell, CAST(vol AS BIGINT) AS vol,
            CAST(COUNT(*) OVER w AS BIGINT) AS n_in_window,

@@ -9,7 +9,7 @@ import org.apache.spark.sql.streaming.Trigger
 
 import graft.operators.TextAnalysis
 import graft.sources.Tables
-import graft.streaming.{CurationStream, IncrementalGoldStream, LatestPriceStream}
+import graft.streaming.{CurationStream, IncrementalGoldStream, LatestPriceStream, OrderFlowStream, VpinStream}
 
 /** Driver-visible queries that actually EXECUTE `writeStream` — the
   * streaming runtimes replayed deterministically over the static sf
@@ -125,6 +125,36 @@ object StreamReplayQueries {
     * pair is the batch LEAD pair, and the JVM change/pct arithmetic
     * is the same IEEE op sequence the batch column expressions run.
     */
+  /** Stage `frame` into `tmp/staging` as three chronological slices,
+    * each ONE parquet file with ascending name and mtime, so the
+    * file-source ordering (mtime, with path as tiebreak) replays them
+    * in event-time order no matter which key it uses. Returns the
+    * staging directory path.
+    */
+  private def stageChronoSlices(tmp: Path, frame: DataFrame): String = {
+    val staging = Files.createDirectory(tmp.resolve("staging"))
+    val cuts = Seq("2024-01-10", "2024-01-20")
+    val slices = Seq(
+      col("event_time") < lit(cuts(0)).cast("timestamp"),
+      col("event_time") >= lit(cuts(0)).cast("timestamp") &&
+        col("event_time") < lit(cuts(1)).cast("timestamp"),
+      col("event_time") >= lit(cuts(1)).cast("timestamp"))
+    slices.zipWithIndex.foreach { case (cond, i) =>
+      val part = tmp.resolve(s"slice$i")
+      frame.filter(cond).coalesce(1).write.parquet(part.toString)
+      val one = Files.list(part)
+      val src =
+        try one.filter(p => p.getFileName.toString.endsWith(".parquet"))
+          .findFirst().orElseThrow()
+        finally one.close()
+      val dst = staging.resolve(f"slice-$i%04d.parquet")
+      Files.move(src, dst)
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+    }
+    staging.toString
+  }
+
   def streamLatestReplay(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val silver = SparkEntry.silverDf(s, dir)
@@ -132,32 +162,9 @@ object StreamReplayQueries {
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
     val prevProvider = s.conf.getOption(providerKey)
     try {
-      val staging = Files.createDirectory(tmp.resolve("staging"))
-      // Three chronological slices, each written as ONE file and moved
-      // into the staging dir with ascending names and mtimes, so the
-      // file-source ordering (mtime, with path as tiebreak) replays
-      // them in event-time order no matter which key it uses.
-      val cuts = Seq("2024-01-10", "2024-01-20")
-      val slices = Seq(
-        col("event_time") < lit(cuts(0)).cast("timestamp"),
-        col("event_time") >= lit(cuts(0)).cast("timestamp") &&
-          col("event_time") < lit(cuts(1)).cast("timestamp"),
-        col("event_time") >= lit(cuts(1)).cast("timestamp"))
-      slices.zipWithIndex.foreach { case (cond, i) =>
-        val part = tmp.resolve(s"slice$i")
-        silver.filter(cond).coalesce(1).write.parquet(part.toString)
-        val one = Files.list(part)
-        val src =
-          try one.filter(p => p.getFileName.toString.endsWith(".parquet"))
-            .findFirst().orElseThrow()
-          finally one.close()
-        val dst = staging.resolve(f"slice-$i%04d.parquet")
-        Files.move(src, dst)
-        Files.setLastModifiedTime(dst,
-          java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
-      }
+      val staging = stageChronoSlices(tmp, silver)
       val stream = s.readStream.schema(silver.schema)
-        .option("maxFilesPerTrigger", "1").parquet(staging.toString)
+        .option("maxFilesPerTrigger", "1").parquet(staging)
       val trades = stream
         .select(col("symbol"), col("price"), col("volume"), col("event_time"))
         .as[LatestPriceStream.TradeEvent]
@@ -196,10 +203,83 @@ object StreamReplayQueries {
     }
   }
 
+  /** A tick with its classification grouping key (sr4's replay input:
+    * k = "symbol|trade_date" so tick-test state resets at day
+    * boundaries exactly like batch b21's per-(symbol, trade_date)
+    * window frame).
+    */
+  final case class KeyedTick(k: String, symbol: String, px: Long,
+                             volume: Long, ts: Long, eventId: Long)
+
+  /** SR4 — the CHAINED microstructure runtimes end-to-end: silver →
+    * chronologically-staged AvailableNow stream → OrderFlowStream
+    * tick-test classification (`transformWithState`, keyed
+    * "symbol|trade_date" so state resets at day boundaries like the
+    * batch window frame) → VpinStream fixed-bucket volume clock
+    * (`transformWithState`, keyed symbol — the clock is continuous
+    * across days in batch b21 too) → append-mode parquet. Two
+    * stateful operators back to back in ONE streaming query. The
+    * emitted rows are exactly batch b21's COMPLETED buckets (the
+    * stream only emits a bucket once a later trade lands past it, so
+    * each symbol's final still-filling bucket stays in state): the
+    * oracle reuses b21's CTE chain and filters `bucket < max(bucket)
+    * per symbol`. Slicing-independence: the chronological staging
+    * preserves per-key event-time order across micro-batches, within
+    * a micro-batch both processors fold in (ts, eventId) order, and
+    * silver's dedup makes event_time unique per symbol — so the fold
+    * is the batch window pass exactly.
+    */
+  def streamVpinReplay(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val silver = SparkEntry.silverDf(s, dir)
+    val tmp = Files.createTempDirectory("graft_sr4_")
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = s.conf.getOption(providerKey)
+    try {
+      val staging = stageChronoSlices(tmp, silver)
+      val stream = s.readStream.schema(silver.schema)
+        .option("maxFilesPerTrigger", "1").parquet(staging)
+      val keyed = stream.select(
+          concat(col("symbol"), lit("|"), col("trade_date").cast("string")).as("k"),
+          col("symbol"),
+          graft.operators.Indicators.ticksE4(col("price")).as("px"),
+          col("volume"),
+          unix_micros(col("event_time")).as("ts"),
+          col("event_id").as("eventId"))
+        .as[KeyedTick]
+      val grouped = keyed.groupByKey(_.k)
+        .mapValues(t => OrderFlowStream.Tick(t.symbol, t.px, t.volume, t.ts, t.eventId))
+      val verdicts = OrderFlowStream.verdictsGrouped(s, grouped)
+      val buckets = VpinStream.buckets(s, verdicts, bucketVolume = 2000L, window = 10)
+      s.conf.set(providerKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val outDir = tmp.resolve("out").toString
+      val q = buckets.writeStream.outputMode("append")
+        .option("checkpointLocation", tmp.resolve("ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .format("parquet").option("path", outDir)
+        .start()
+      q.awaitTermination()
+      // Append mode + the (ts, eventId) high-water guard emit each
+      // completed bucket exactly once; no distinct needed.
+      s.read.parquet(outDir)
+        .select(col("symbol"), col("bucket"), col("buy"), col("sell"),
+          col("vol"), col("n_in_window"), col("vpin_roll_e6"))
+        .localCheckpoint(eager = true)
+    } finally {
+      prevProvider match {
+        case Some(p) => s.conf.set(providerKey, p)
+        case None => s.conf.unset(providerKey)
+      }
+      deleteRecursively(tmp)
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sr1_stream_gold_replay" -> (streamGoldReplay _),
     "sr2_stream_curation_replay" -> (streamCurationReplay _),
-    "sr3_stream_latest_replay" -> (streamLatestReplay _))
+    "sr3_stream_latest_replay" -> (streamLatestReplay _),
+    "sr4_stream_vpin_replay" -> (streamVpinReplay _))
 
   val oracles: Map[String, String] = Map(
     // The streamed merge-on-read store must equal batch gold_5m.
@@ -207,5 +287,23 @@ object StreamReplayQueries {
     "sr2_stream_curation_replay" -> PipelineQueries.streamCurationReplaySql,
     // The streamed stateful snapshot must equal batch a6 — literally
     // the same oracle string.
-    "sr3_stream_latest_replay" -> SparkEntry.latestPricesSql)
+    "sr3_stream_latest_replay" -> SparkEntry.latestPricesSql,
+    // The chained classify→bucket stream must equal batch b21 on
+    // COMPLETED buckets: b21's own CTE chain, filtered to rows below
+    // each symbol's final (still-filling) bucket.
+    "sr4_stream_vpin_replay" -> (IndicatorQueries.vpinRollingPb + """, roll AS (
+      SELECT symbol, bucket, buy, sell, vol,
+             COUNT(*) OVER w AS n_in_window,
+             SUM(ABS(CAST(buy AS HUGEINT) - sell)) OVER w * 1000000 AS absdiff_e6,
+             SUM(vol) OVER w AS w_vol,
+             MAX(bucket) OVER (PARTITION BY symbol) AS maxb
+      FROM pb
+      WINDOW w AS (PARTITION BY symbol ORDER BY bucket
+                   ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+    )
+    SELECT symbol, CAST(bucket AS BIGINT) AS bucket, CAST(buy AS BIGINT) AS buy,
+           CAST(sell AS BIGINT) AS sell, CAST(vol AS BIGINT) AS vol,
+           CAST(n_in_window AS BIGINT) AS n_in_window,
+           CAST(absdiff_e6 // w_vol AS BIGINT) AS vpin_roll_e6
+    FROM roll WHERE bucket < maxb"""))
 }

@@ -33,7 +33,7 @@ object Indicators {
     * the decimal cast is exact and the tick count is a faithful
     * integer representation.
     */
-  private def ticksE4(price: Column): Column =
+  private[graft] def ticksE4(price: Column): Column =
     (price.cast("decimal(18,4)") * 10000).cast("long")
 
   /** Second-moment window sum Σx² computed in decimal so the

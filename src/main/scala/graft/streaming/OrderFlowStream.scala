@@ -73,8 +73,22 @@ object OrderFlowStream {
 
   def verdicts(spark: SparkSession, ticks: Dataset[Tick]): Dataset[Verdict] = {
     import spark.implicits._
-    ticks.groupByKey(_.symbol)
-      .transformWithState(new OrderFlowProcessor(),
-        TimeMode.None(), OutputMode.Append, implicitly[Encoder[Verdict]])
+    verdictsGrouped(spark, ticks.groupByKey(_.symbol))
+  }
+
+  /** Verdicts over a caller-grouped tick stream. The grouping key
+    * chooses the classification RESET scope: `_.symbol` is the live
+    * form (state carries across days like a real feed);
+    * "symbol|trade_date" resets at day boundaries exactly like the
+    * batch operator's per-(symbol, trade_date) window frame — the key
+    * sr4's replay uses to make the chained stream hash-match batch
+    * b21 on multi-day data. The processor is unchanged either way:
+    * the emitted Verdict carries the tick's own symbol, not the key.
+    */
+  def verdictsGrouped(spark: SparkSession,
+                      grouped: org.apache.spark.sql.KeyValueGroupedDataset[String, Tick]): Dataset[Verdict] = {
+    import spark.implicits._
+    grouped.transformWithState(new OrderFlowProcessor(),
+      TimeMode.None(), OutputMode.Append, implicitly[Encoder[Verdict]])
   }
 }

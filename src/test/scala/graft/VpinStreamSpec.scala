@@ -90,6 +90,58 @@ class VpinStreamSpec extends SparkSpecBase {
     assert(vs.toSet === batchCompleted)
   }
 
+  test("day-keyed classification chain equals batch b21 on MULTI-day data (sr4's recipe)") {
+    // Two days: the batch classifier resets at the day boundary (the
+    // per-(symbol, trade_date) window frame), so day 2's first tick is
+    // unclassified even though day 1 ended on a known price. Keying
+    // the streamed classifier by "symbol|day" reproduces that reset;
+    // the volume clock stays symbol-keyed (continuous across days in
+    // batch too).
+    val dayMs = 86400000L
+    val twoDay: DataFrame =
+      trades.toSeq.flatMap { case (sym, ps) =>
+        (0 until 2).flatMap { d =>
+          ps.zipWithIndex.map { case ((p, v), i) =>
+            (sym.hashCode.toLong * 10000 + d * 1000 + i, sym, p + d, v,
+              new java.sql.Timestamp(baseTs + d * dayMs + i * 60000L),
+              java.sql.Date.valueOf(if (d == 0) "2024-01-15" else "2024-01-16"))
+          }
+        }
+      }.toDF("event_id", "symbol", "price", "volume", "event_time", "trade_date")
+    val rows = Indicators.vpinRolling(twoDay, BucketVol, Win).collect()
+      .map(r => BucketRow(r.getAs[String]("symbol"), r.getAs[Long]("bucket"),
+        r.getAs[Long]("buy"), r.getAs[Long]("sell"), r.getAs[Long]("vol"),
+        r.getAs[Long]("n_in_window"), r.getAs[Long]("vpin_roll_e6")))
+    val lastBucket = rows.groupBy(_.symbol).view.mapValues(_.map(_.bucket).max).toMap
+    val want = rows.filterNot(r => r.bucket == lastBucket(r.symbol)).toSet
+    assert(want.nonEmpty)
+
+    val keyedTicks: Seq[(String, Tick)] =
+      trades.toSeq.flatMap { case (sym, ps) =>
+        (0 until 2).flatMap { d =>
+          ps.zipWithIndex.map { case ((p, v), i) =>
+            (s"$sym|$d", Tick(sym, (BigDecimal(p + d) * 10000).toLongExact, v,
+              baseTs + d * dayMs + i * 60000L,
+              sym.hashCode.toLong * 10000 + d * 1000 + i))
+          }
+        }
+      }.sortBy(t => (t._2.ts, t._2.symbol))
+    val got = withRocksDbState {
+      implicit val sqlCtx = spark.sqlContext
+      val mem = MemoryStream[(String, Tick)]
+      val grouped = mem.toDS().groupByKey(_._1).mapValues(_._2)
+      val chained = VpinStream.buckets(spark,
+        OrderFlowStream.verdictsGrouped(spark, grouped), BucketVol, Win)
+      val q = chained.writeStream.format("memory").queryName("vpin_daykey")
+        .outputMode("append").start()
+      keyedTicks.grouped(5).foreach { s => mem.addData(s: _*); q.processAllAvailable() }
+      q.stop()
+      spark.table("vpin_daykey").as[BucketRow].collect().toSeq
+    }
+    assert(got.toSet === want)
+    assert(got.size === got.toSet.size)
+  }
+
   test("step: oversize trade jumps buckets without emitting empties; state stays O(window)") {
     import graft.streaming.OrderFlowStream.Verdict
     var st = VpinStream.empty
