@@ -85,15 +85,22 @@ object MaintenanceQueries {
     * consecutive equal closes collapse into one validity interval with
     * from/to bounds, version, is_current.
     */
-  def scd2History(s: SparkSession, dir: String): DataFrame = {
+  /** Per-(symbol, day) close snapshots — the SCD2 dimension feed
+    * shared by the v3 batch history and sr7's streaming replay.
+    */
+  private[graft] def dailyCloseSnapshots(s: SparkSession, dir: String): DataFrame = {
     val silver = SparkEntry.silverDf(s, dir)
     val byDay = org.apache.spark.sql.expressions.Window
       .partitionBy(col("symbol"), col("trade_date"))
       .orderBy(col("event_time").desc, col("event_id").desc)
-    val snapshots = silver
+    silver
       .withColumn("__rn", row_number().over(byDay))
       .filter(col("__rn") === 1)
       .select(col("symbol"), col("trade_date"), col("price").as("close"))
+  }
+
+  def scd2History(s: SparkSession, dir: String): DataFrame = {
+    val snapshots = dailyCloseSnapshots(s, dir)
     Incremental.scd2(snapshots, key = "symbol", dateCol = "trade_date",
         valueCol = "close")
       .select(col("symbol"), col("close"), col("version"),

@@ -9,7 +9,7 @@ import org.apache.spark.sql.streaming.Trigger
 
 import graft.operators.TextAnalysis
 import graft.sources.Tables
-import graft.streaming.{CurationStream, IncrementalGoldStream, LatestPriceStream, OrderFlowStream, VpinStream}
+import graft.streaming.{CurationStream, HeavyHitterStream, IncrementalGoldStream, LatestPriceStream, OrderFlowStream, VpinStream}
 
 /** Driver-visible queries that actually EXECUTE `writeStream` — the
   * streaming runtimes replayed deterministically over the static sf
@@ -131,14 +131,16 @@ object StreamReplayQueries {
     * in event-time order no matter which key it uses. Returns the
     * staging directory path.
     */
-  private def stageChronoSlices(tmp: Path, frame: DataFrame): String = {
+  private def stageChronoSlices(tmp: Path, frame: DataFrame,
+                                cutCol: org.apache.spark.sql.Column = col("event_time"),
+                                cutType: String = "timestamp"): String = {
     val staging = Files.createDirectory(tmp.resolve("staging"))
     val cuts = Seq("2024-01-10", "2024-01-20")
     val slices = Seq(
-      col("event_time") < lit(cuts(0)).cast("timestamp"),
-      col("event_time") >= lit(cuts(0)).cast("timestamp") &&
-        col("event_time") < lit(cuts(1)).cast("timestamp"),
-      col("event_time") >= lit(cuts(1)).cast("timestamp"))
+      cutCol < lit(cuts(0)).cast(cutType),
+      cutCol >= lit(cuts(0)).cast(cutType) &&
+        cutCol < lit(cuts(1)).cast(cutType),
+      cutCol >= lit(cuts(1)).cast(cutType))
     slices.zipWithIndex.foreach { case (cond, i) =>
       val part = tmp.resolve(s"slice$i")
       frame.filter(cond).coalesce(1).write.parquet(part.toString)
@@ -275,11 +277,307 @@ object StreamReplayQueries {
     }
   }
 
+  /** Shared harness for the event-keyed replays (sr5/sr6): stage the
+    * normalized user-event feed chronologically, drain `wire`'s
+    * transformWithState output to parquet under AvailableNow +
+    * RocksDB, and hand the emitted rows to `reduce` for the batch-
+    * equivalent aggregate.
+    */
+  private def replayUserEvents(s: SparkSession, dir: String, tag: String)
+      (wire: org.apache.spark.sql.Dataset[graft.streaming.FunnelStream.UserEvent] => DataFrame)
+      (reduce: DataFrame => DataFrame): DataFrame = {
+    import s.implicits._
+    val ev = Tables.eventsNorm(s, dir)
+      .select(col("user_id"), col("event_type"), col("ts_us"), col("event_id"),
+        col("event_time"))
+    val tmp = Files.createTempDirectory(s"graft_${tag}_")
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = s.conf.getOption(providerKey)
+    try {
+      val staging = stageChronoSlices(tmp, ev)
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(staging)
+        .select(col("user_id"), col("event_type"), col("ts_us").as("ts"),
+          col("event_id"))
+        .as[graft.streaming.FunnelStream.UserEvent]
+      s.conf.set(providerKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val outDir = tmp.resolve("out").toString
+      val q = wire(stream).writeStream.outputMode("append")
+        .option("checkpointLocation", tmp.resolve("ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .format("parquet").option("path", outDir)
+        .start()
+      q.awaitTermination()
+      reduce(s.read.parquet(outDir)).localCheckpoint(eager = true)
+    } finally {
+      prevProvider match {
+        case Some(p) => s.conf.set(providerKey, p)
+        case None => s.conf.unset(providerKey)
+      }
+      deleteRecursively(tmp)
+    }
+  }
+
+  /** SR5 — the FunnelStream `transformWithState` runtime end-to-end:
+    * events → chronologically-staged AvailableNow stream → per-user
+    * stage ValueState → one FunnelTransition per (user, stage), each
+    * emitted exactly once (the (ts, event_id) high-water guard) →
+    * stage counts + step conversion. Equals batch x32 because under
+    * per-user event-time-ordered delivery the first qualifying event
+    * per stage is the batch MIN — the spec-pinned equivalence, now
+    * under the oracle. The literal stage frame keeps zero-user stages
+    * present like the batch UNION ALL does.
+    */
+  def streamFunnelReplay(s: SparkSession, dir: String): DataFrame =
+    replayUserEvents(s, dir, "sr5")(
+      ev => graft.streaming.FunnelStream.transitions(s, ev).toDF()) { emitted =>
+      import s.implicits._
+      val counts = emitted.groupBy(col("stage")).agg(count(lit(1)).as("n"))
+      val stages = Seq("1_view", "2_click", "3_purchase").toDF("stage")
+      stages.join(counts, Seq("stage"), "left")
+        .withColumn("users", coalesce(col("n"), lit(0L)))
+        .withColumn("prev_users",
+          lag(col("users"), 1).over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("stage"))))
+        .withColumn("conv_from_prev_e6",
+          when(col("prev_users").isNull || col("prev_users") === 0, lit(1000000L))
+            .otherwise(expr("users * 1000000 div prev_users")))
+        .select(col("stage"), col("users"), col("conv_from_prev_e6"))
+    }
+
+  /** SR6 — the TransitionStream runtime end-to-end: the same staged
+    * event feed through the per-user last-type ValueState, one
+    * (from, to) row per consecutive pair; the counted multiset + the
+    * from-totals join is batch x39 exactly (the pair multiset is
+    * slicing-independent under ordered delivery — spec-pinned, now
+    * under the oracle).
+    */
+  def streamTransitionsReplay(s: SparkSession, dir: String): DataFrame =
+    replayUserEvents(s, dir, "sr6")(
+      ev => graft.streaming.TransitionStream.transitions(s, ev).toDF()) { emitted =>
+      val tr = emitted.groupBy(col("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val fromTotals = tr.groupBy(col("from_type")).agg(sum(col("n")).as("n_from"))
+      tr.join(fromTotals, "from_type")
+        .select(col("from_type"), col("to_type"), col("n"), col("n_from"),
+          expr("n * 1000000 div n_from").as("p_e6"))
+    }
+
+  /** SR7 — the Scd2Stream runtime end-to-end: per-(symbol, day) close
+    * snapshots (v3's feed) → chronologically-staged AvailableNow
+    * stream (date-ordered per key, the Scd2Stream ordering contract)
+    * → one open run per key in ValueState → (key, version) upserts
+    * drained through foreachBatch (update mode) → keyed convergence:
+    * per (key, version) the CLOSED form (is_current = false) wins if
+    * it exists, else the open row — exactly the upsert a keyed sink
+    * applies. Result = batch v3 verbatim (shared oracle SQL).
+    */
+  def streamScd2Replay(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val snaps = MaintenanceQueries.dailyCloseSnapshots(s, dir)
+    val tmp = Files.createTempDirectory("graft_sr7_")
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = s.conf.getOption(providerKey)
+    try {
+      val staging = stageChronoSlices(tmp, snaps, col("trade_date"), "date")
+      val stream = s.readStream.schema(snaps.schema)
+        .option("maxFilesPerTrigger", "1").parquet(staging)
+        .select(col("symbol").as("key"), col("trade_date").as("date"),
+          col("close").as("value"))
+        .as[graft.streaming.Scd2Stream.DimSnapshot]
+      s.conf.set(providerKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val outDir = tmp.resolve("out").toString
+      val q = graft.streaming.Scd2Stream.intervals(s, stream)
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", tmp.resolve("ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[graft.streaming.Scd2Stream.Scd2Row], _: Long) =>
+          batch.write.mode("append").parquet(outDir); ()
+        }
+        .start()
+      q.awaitTermination()
+      // A version emits at most twice: once opening (is_current) and
+      // once closing. The closed form is the keyed upsert's survivor.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("key"), col("version"))
+        .orderBy(col("is_current").asc)
+      s.read.parquet(outDir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("key").as("symbol"), col("value").as("close"),
+          col("version"), col("effective_from"), col("effective_to"),
+          col("is_current"))
+        .localCheckpoint(eager = true)
+    } finally {
+      prevProvider match {
+        case Some(p) => s.conf.set(providerKey, p)
+        case None => s.conf.unset(providerKey)
+      }
+      deleteRecursively(tmp)
+    }
+  }
+
+  /** SR8 — the IndicatorStream EMA recursion end-to-end: silver ticks
+    * → chronologically-staged AvailableNow stream → per-symbol
+    * IndicatorState ValueState (the same `step` the b5 batch adapter
+    * folds — identical IEEE op sequence, so end-of-day EMAs are
+    * BIT-identical, not approximately equal) → one update per
+    * accepted tick → end-of-day reduction. Shares b5's oracle SQL
+    * (the list_reduce prefix fold) verbatim.
+    */
+  def streamEmaReplay(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ticks = SparkEntry.silverDf(s, dir)
+      .select(col("symbol"), col("price"), col("event_time"))
+    val tmp = Files.createTempDirectory("graft_sr8_")
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = s.conf.getOption(providerKey)
+    try {
+      val staging = stageChronoSlices(tmp, ticks)
+      val stream = s.readStream.schema(ticks.schema)
+        .option("maxFilesPerTrigger", "1").parquet(staging)
+        .as[graft.streaming.IndicatorStream.TradeTick]
+      s.conf.set(providerKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val outDir = tmp.resolve("out").toString
+      val q = graft.streaming.IndicatorStream.updates(s, stream, n = 14)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", tmp.resolve("ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .format("parquet").option("path", outDir)
+        .start()
+      q.awaitTermination()
+      s.read.parquet(outDir)
+        .groupBy(col("symbol"), to_date(col("event_time")).as("trade_date"))
+        .agg(count(lit(1)).as("n_ticks"),
+          max_by(col("ema"), col("event_time")).as("ema"))
+        .localCheckpoint(eager = true)
+    } finally {
+      prevProvider match {
+        case Some(p) => s.conf.set(providerKey, p)
+        case None => s.conf.unset(providerKey)
+      }
+      deleteRecursively(tmp)
+    }
+  }
+
+  /** SR9 — the HeavyHitterStream runtime end-to-end: document tokens
+    * → multi-file AvailableNow stream (NO chronological staging — the
+    * Misra-Gries no-false-negative guarantee holds under ANY arrival
+    * order, which is the point) → per-group MG ValueState snapshots →
+    * newest snapshot per group → candidate union (≤ numGroups·k rows,
+    * metadata-sized) → EXACT second pass over the same corpus. The
+    * sketch counters are order-dependent; the exact pass erases that,
+    * so the result equals batch x20 verbatim (shared oracle SQL) for
+    * every slicing. k = 67 is the batch operator's own rule for
+    * φ = 3% (2/φ + 1); the guarantee needs only k + 1 > 1/φ per
+    * group, since a global φ-heavy item is at least φ-heavy inside
+    * its own (disjoint) group.
+    */
+  def streamHeavyHitterReplay(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val toks = (df: DataFrame) =>
+      df.select(explode(graft.operators.TextAnalysis.tokens(lower(col("text")))).as("token"))
+    val tmp = Files.createTempDirectory("graft_sr9_")
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = s.conf.getOption(providerKey)
+    try {
+      val staging = tmp.resolve("staging").toString
+      docs.repartition(3).write.parquet(staging)
+      val stream = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(staging)
+      s.conf.set(providerKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val outDir = tmp.resolve("out").toString
+      val q = HeavyHitterStream.candidates(s, toks(stream).as[String], k = 67)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", tmp.resolve("ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .format("parquet").option("path", outDir)
+        .start()
+      q.awaitTermination()
+      // Newest snapshot per group; the union is bounded by
+      // numGroups·k counters — a metadata-sized driver collect, the
+      // same contract as the batch operator's In predicate.
+      val cands = HeavyHitterStream.latestCandidates(
+        s.read.parquet(outDir).as[HeavyHitterStream.HHCandidate].collect().toSeq)
+      val tokDf = toks(docs)
+      val tot = tokDf.agg(count(lit(1)).as("n"))
+      tokDf.groupBy(col("token")).agg(count(lit(1)).as("tf"))
+        .filter(col("token").isin(cands.toSeq: _*))
+        .crossJoin(broadcast(tot))
+        // decimal staging: tf·1e6 and n·φE6 both pass 2⁶³ at web scale.
+        .filter(expr("cast(tf as decimal(38,0)) * 1000000 >= cast(n as decimal(38,0)) * 30000"))
+        .select(col("token"), col("tf"))
+        .localCheckpoint(eager = true)
+    } finally {
+      prevProvider match {
+        case Some(p) => s.conf.set(providerKey, p)
+        case None => s.conf.unset(providerKey)
+      }
+      deleteRecursively(tmp)
+    }
+  }
+
+  /** SR10 — the BarIndicatorStream runtime end-to-end: closed daily
+    * bars (Indicators.dailyBars — the b10/b11/b12 shared input) →
+    * chronologically-staged AvailableNow stream → per-symbol BarState
+    * ValueState (OBV + ATR ring + rolling extrema + last two %K) →
+    * one update per accepted bar → the b12 stochastic projection.
+    * The stream's %K/%D arithmetic is the batch expression's IEEE op
+    * sequence verbatim (NaN-poisoning = the batch NULL propagation),
+    * so the replay shares b12's oracle SQL unchanged.
+    */
+  def streamBarIndicatorReplay(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bars = graft.operators.Indicators.dailyBars(SparkEntry.silverDf(s, dir))
+      .select(col("symbol"), col("trade_date"), col("high"), col("low"),
+        col("close"), col("day_volume"))
+    val tmp = Files.createTempDirectory("graft_sr10_")
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = s.conf.getOption(providerKey)
+    try {
+      val staging = stageChronoSlices(tmp, bars, col("trade_date"), "date")
+      val stream = s.readStream.schema(bars.schema)
+        .option("maxFilesPerTrigger", "1").parquet(staging)
+        .as[graft.streaming.BarIndicatorStream.DailyBar]
+      s.conf.set(providerKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val outDir = tmp.resolve("out").toString
+      val q = graft.streaming.BarIndicatorStream.updates(s, stream, n = 14)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", tmp.resolve("ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .format("parquet").option("path", outDir)
+        .start()
+      q.awaitTermination()
+      s.read.parquet(outDir)
+        .select(col("symbol"), col("trade_date"), col("k_num"), col("k_den"),
+          col("pct_k"), col("pct_d"))
+        .localCheckpoint(eager = true)
+    } finally {
+      prevProvider match {
+        case Some(p) => s.conf.set(providerKey, p)
+        case None => s.conf.unset(providerKey)
+      }
+      deleteRecursively(tmp)
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sr1_stream_gold_replay" -> (streamGoldReplay _),
     "sr2_stream_curation_replay" -> (streamCurationReplay _),
     "sr3_stream_latest_replay" -> (streamLatestReplay _),
-    "sr4_stream_vpin_replay" -> (streamVpinReplay _))
+    "sr4_stream_vpin_replay" -> (streamVpinReplay _),
+    "sr5_stream_funnel_replay" -> (streamFunnelReplay _),
+    "sr6_stream_transitions_replay" -> (streamTransitionsReplay _),
+    "sr7_stream_scd2_replay" -> (streamScd2Replay _),
+    "sr8_stream_ema_replay" -> (streamEmaReplay _),
+    "sr9_stream_heavyhitter_replay" -> (streamHeavyHitterReplay _),
+    "sr10_stream_barind_replay" -> (streamBarIndicatorReplay _))
 
   val oracles: Map[String, String] = Map(
     // The streamed merge-on-read store must equal batch gold_5m.
@@ -305,5 +603,13 @@ object StreamReplayQueries {
            CAST(sell AS BIGINT) AS sell, CAST(vol AS BIGINT) AS vol,
            CAST(n_in_window AS BIGINT) AS n_in_window,
            CAST(absdiff_e6 // w_vol AS BIGINT) AS vpin_roll_e6
-    FROM roll WHERE bucket < maxb"""))
+    FROM roll WHERE bucket < maxb"""),
+    // Each remaining stateful runtime equals its batch operator
+    // verbatim — literally the same oracle strings.
+    "sr5_stream_funnel_replay" -> ExtendedQueries.funnelSql,
+    "sr6_stream_transitions_replay" -> ExtendedQueries.markovTransitionsSql,
+    "sr7_stream_scd2_replay" -> MaintenanceQueries.scd2HistorySql,
+    "sr8_stream_ema_replay" -> IndicatorQueries.oracleSql("b5_ema_daily"),
+    "sr9_stream_heavyhitter_replay" -> ExtendedQueries.heavyHitterTokensSql,
+    "sr10_stream_barind_replay" -> IndicatorQueries.oracleSql("b12_stochastic"))
 }
