@@ -149,6 +149,26 @@ object PipelineQueries {
     Dedup.containmentPairs(base.unionByName(truncated), minContainE6 = 500000L)
   }
 
+  /** D21 — LSH band-configuration tuning over a corpus with planted
+    * near-duplicates at three mutation strengths (9/10, 3/4 and 1/2
+    * prefix copies — Jaccard ≈ 0.9 / 0.75 / 0.5, straddling the
+    * τ = 1/2 truth threshold so the configs' S-curves actually
+    * separate). Base slice doc_id % 20 = 0 keeps the all-pairs ground
+    * truth bounded (the d2/d14 posture).
+    */
+  def lshTuningQ(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir).filter(pmod(col("doc_id"), lit(20)) === 0)
+      .select(col("doc_id"), col("text"))
+    def prefixCopy(offset: Long, num: Int, den: Int) = base.select(
+      (col("doc_id") + offset).as("doc_id"),
+      expr(s"substring(text, 1, greatest(length(text) * $num div $den, 1))").as("text"))
+    val corpus = base
+      .unionByName(prefixCopy(1000000L, 9, 10))
+      .unionByName(prefixCopy(2000000L, 3, 4))
+      .unionByName(prefixCopy(3000000L, 1, 2))
+    Dedup.lshTuning(corpus)
+  }
+
   /** D16 — incremental batch-vs-corpus dedup. Corpus = docs with
     * id % 4 = 0; the incoming batch mixes genuinely-fresh docs
     * (id % 4 = 1), byte-exact copies of corpus docs (re-id'd +1e6),
@@ -1053,6 +1073,65 @@ object PipelineQueries {
     JOIN sh sb ON sb.doc_id = c.doc_b)
   WHERE n_a > 0 AND n_b > 0
     AND greatest(n_common * 1000000 // n_a, n_common * 1000000 // n_b) >= 500000"""
+
+  /** D21 oracle: the planted-copy corpus, the shared shingle/signature
+    * CTEs, exact-Jaccard truth at τ = 1/2 (both-nonempty guard — the
+    * Spark side's when(uni = 0, 0) makes such pairs sub-threshold
+    * anyway), then per config the d4 band-key fold parameterized by
+    * (bands, rows): candidates, hits against truth, exact integer
+    * recall/precision. S-curve values are shared literals computed
+    * once in Scala (Dedup.sCurveHalfE6) — no cross-engine pow.
+    */
+  val lshTuningSql: String = {
+    val configs = Seq((1, 16), (2, 8), (4, 4), (8, 2), (16, 1))
+    val corpus = """corpus AS (
+    SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0
+    UNION ALL
+    SELECT doc_id + 1000000, substring(text, 1, greatest(length(text) * 9 // 10, 1))
+    FROM documents WHERE doc_id % 20 = 0
+    UNION ALL
+    SELECT doc_id + 2000000, substring(text, 1, greatest(length(text) * 3 // 4, 1))
+    FROM documents WHERE doc_id % 20 = 0
+    UNION ALL
+    SELECT doc_id + 3000000, substring(text, 1, greatest(length(text) // 2, 1))
+    FROM documents WHERE doc_id % 20 = 0
+  )"""
+    val cfgCtes = configs.map { case (b, r) =>
+      s"""banded_$b AS (
+    SELECT doc_id, b,
+           list_reduce(list_prepend(CAST(b AS BIGINT), sig[b*$r + 1 : b*$r + $r]),
+                       (a, x) -> (a * 131 + x) % 1000000007) AS key
+    FROM sigs, UNNEST([${(0 until b).mkString(", ")}]) AS t(b)
+  ), cand_$b AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM banded_$b a, banded_$b b
+    WHERE a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id
+  ), m_$b AS (
+    SELECT CAST($b AS INT) AS bands, CAST($r AS INT) AS rows_per_band,
+           CAST(${Dedup.sCurveHalfE6(b, r)} AS BIGINT) AS s_curve_e6,
+           CAST(COUNT(*) AS BIGINT) AS n_candidates,
+           CAST(COUNT(t.doc_a) AS BIGINT) AS true_pos
+    FROM cand_$b c LEFT JOIN truth t ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+  )"""
+    }.mkString(", ")
+    val unioned = configs.map { case (b, _) => s"SELECT * FROM m_$b" }
+      .mkString(" UNION ALL ")
+    s"""WITH $corpus, ${shingleSql(3, "TRUE", "sh", "corpus")}, $sigSql,
+  truth AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM sh a, sh b
+    WHERE a.doc_id < b.doc_id AND len(a.sh) > 0 AND len(b.sh) > 0
+      AND len(list_intersect(a.sh, b.sh)) * 1000000
+          // (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 500000
+  ), tn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth),
+  $cfgCtes
+  SELECT bands, rows_per_band, s_curve_e6, tn.n_truth, n_candidates, true_pos,
+         CAST(CASE WHEN tn.n_truth = 0 THEN NULL
+                   ELSE true_pos * 1000000 // tn.n_truth END AS BIGINT) AS recall_e6,
+         CAST(CASE WHEN n_candidates = 0 THEN NULL
+                   ELSE true_pos * 1000000 // n_candidates END AS BIGINT) AS precision_e6
+  FROM ($unioned), tn"""
+  }
 
   /** D16 oracle: same derived corpus/batch split as the operator
     * (planted exact and 3/4-prefix near copies), the d4 LSH stages on
@@ -2278,6 +2357,7 @@ object PipelineQueries {
     "d20_dup_spans" -> (dupSpansQ _),
     "d13_window_decontam" -> (windowDecontam _),
     "d14_containment" -> (containment _),
+    "d21_lsh_tuning" -> (lshTuningQ _),
     "d16_incremental_dedup" -> (incrementalDedup _),
     "x24_domain_cap" -> (domainCap _),
     "x25_train_shards" -> (trainShards _),
@@ -2338,6 +2418,7 @@ object PipelineQueries {
     "d20_dup_spans" -> dupSpansSql,
     "d13_window_decontam" -> windowDecontamSql,
     "d14_containment" -> containmentSql,
+    "d21_lsh_tuning" -> lshTuningSql,
     "d16_incremental_dedup" -> incrementalDedupSql,
     "x24_domain_cap" -> domainCapSql,
     "x25_train_shards" -> trainShardsSql,

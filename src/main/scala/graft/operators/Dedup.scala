@@ -274,6 +274,75 @@ object Dedup {
         col("max_abs_err_e6"))
   }
 
+  /** Theoretical LSH S-curve candidate probability at Jaccard τ = 1/2
+    * for a (bands, rowsPerBand) split: 1 − (1 − τ^r)^b. τ = 1/2 makes
+    * it a dyadic rational — (2^(r·b) − (2^r − 1)^b) / 2^(r·b) — so the
+    * e6-floored value is an exact integer both engines can carry as a
+    * literal (the x40 discount-table discipline: no cross-engine
+    * floating-point pow).
+    */
+  private[graft] def sCurveHalfE6(bands: Int, rowsPerBand: Int): Long = {
+    val den = BigInt(2).pow(rowsPerBand * bands)
+    val num = den - (BigInt(2).pow(rowsPerBand) - 1).pow(bands)
+    (num * 1000000 / den).toLong
+  }
+
+  /** D21 — LSH band-configuration tuning harness: every
+    * (bands, rowsPerBand) split of the SAME k-position MinHash
+    * signature measured against exact-Jaccard ground truth on a
+    * bounded slice — the S-curve observed, not assumed. At 100 TB the
+    * (b, r) choice IS the dedup pipeline's cost/recall dial (band
+    * bucket-join volume vs missed near-dups); this harness sets that
+    * dial from a sample before the corpus-wide run. Ground truth is
+    * [[jaccardPairs]]' all-pairs exact Jaccard at τ (quadratic —
+    * bounded slice only, the d2/d19 oracle posture); candidates per
+    * config come from the PRODUCTION banding ([[bandKeys]] buckets,
+    * equi-join), so measured recall is the recall the real pipeline
+    * would get. One row per config: theoretical S-curve probability
+    * at τ (exact integer, τ = 1/2), truth/candidate/hit counts, and
+    * e6-floored recall and precision (NULL when the denominator is 0).
+    */
+  def lshTuning(docs: DataFrame, shingleN: Int = 3, k: Int = 16,
+                configs: Seq[(Int, Int)] = Seq((1, 16), (2, 8), (4, 4), (8, 2), (16, 1)),
+                idCol: String = "doc_id", textCol: String = "text",
+                maxRows: Long = 100000L): DataFrame = {
+    configs.foreach { case (b, r) =>
+      require(b * r == k, s"config ($b bands × $r rows) must cover the k=$k signature")
+    }
+    val tauE6 = 500000L // τ = 1/2: the sCurveHalfE6 closed form's constant
+    val truth = jaccardPairs(docs, tauE6, idCol, textCol, shingleN, maxRows)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("is_true"))
+      .localCheckpoint(true) // reused by every config's left join
+    val nTruth = truth.count()
+    val eligible = docs.select(col(idCol).as("id"), col(textCol))
+      .filter(size(TextAnalysis.tokens(col(textCol))) >= shingleN)
+    val sig = withShingles(eligible, textCol, shingleN)
+      .select(col("id"), minhashSignature(col("sh"), k).as("sig"))
+      .localCheckpoint(true) // one signature pass feeds all configs
+    val perConfig = configs.map { case (b, r) =>
+      val banded = sig.select(col("id"),
+        posexplode(bandKeys(col("sig"), b, r)).as(Seq("band", "key")))
+      val l = banded.as("a"); val rr = banded.as("b")
+      val cand = l.join(rr,
+          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+            col("a.id") < col("b.id"))
+        .select(col("a.id").as("doc_a"), col("b.id").as("doc_b")).distinct()
+      cand.join(truth, Seq("doc_a", "doc_b"), "left")
+        .agg(count(lit(1)).as("n_candidates"),
+          coalesce(sum(col("is_true")), lit(0L)).as("true_pos"))
+        .select(lit(b).as("bands"), lit(r).as("rows_per_band"),
+          lit(sCurveHalfE6(b, r)).as("s_curve_e6"),
+          lit(nTruth).as("n_truth"), col("n_candidates"), col("true_pos"))
+    }
+    perConfig.reduce(_.unionByName(_))
+      .withColumn("recall_e6",
+        when(col("n_truth") === 0, lit(null).cast("long"))
+          .otherwise(expr("true_pos * 1000000 div n_truth")))
+      .withColumn("precision_e6",
+        when(col("n_candidates") === 0, lit(null).cast("long"))
+          .otherwise(expr("true_pos * 1000000 div n_candidates")))
+  }
+
   /** 32-bit SimHash over token hashes: bit i of the fingerprint is the
     * sign of sum over tokens of (2*bit_i(token_hash) - 1). Portable
     * integer arithmetic throughout (token hash mod 2^32).

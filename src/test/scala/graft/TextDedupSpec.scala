@@ -97,6 +97,39 @@ class TextDedupSpec extends SparkSpecBase {
     assert(math.abs(est - exact) < 200000L, s"est=$est exact=$exact")
   }
 
+  test("sCurveHalfE6: exact dyadic closed form at the config extremes") {
+    // 1 band × k rows: p = τ^k = 2^-16 → floor(1e6/65536) = 15.
+    assert(Dedup.sCurveHalfE6(1, 16) === 15L)
+    // k bands × 1 row: p = 1 - (1 - 1/2)^16 = 1 - 2^-16.
+    assert(Dedup.sCurveHalfE6(16, 1) === (BigInt(65535) * 1000000 / 65536).toLong)
+    // Monotone in bands for fixed k (more, shorter bands = more permissive).
+    val s = Seq((1, 16), (2, 8), (4, 4), (8, 2), (16, 1))
+      .map { case (b, r) => Dedup.sCurveHalfE6(b, r) }
+    assert(s === s.sorted)
+  }
+
+  test("lshTuning: exact copies are always recalled; recall is monotone in bands") {
+    // Ten distinct base docs + three exact copies (J = 1e6 — above any
+    // τ, caught by EVERY config), so n_truth >= 3 and every config's
+    // true_pos >= 3: an exact copy shares all k signature positions,
+    // hence every band key.
+    val base = (1 to 10).map(i =>
+      (i.toLong, (1 to 30).map(j => s"w${i}_$j").mkString(" ")))
+    val copies = (1 to 3).map(i => (100L + i, base(i - 1)._2))
+    val rows = Dedup.lshTuning(docsDf(base ++ copies)).collect()
+      .sortBy(r => r.getAs[Int]("bands"))
+    assert(rows.length === 5)
+    val nTruth = rows.head.getAs[Long]("n_truth")
+    assert(nTruth >= 3L, s"planted exact copies must be in truth, got $nTruth")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("true_pos") >= 3L,
+        s"config ${r.getAs[Int]("bands")}x${r.getAs[Int]("rows_per_band")} missed an exact copy")
+    }
+    // Candidate sets only grow as bands get shorter: recall is monotone.
+    val recalls = rows.map(_.getAs[Long]("recall_e6"))
+    assert(recalls === recalls.sorted, s"recall not monotone: ${recalls.toSeq}")
+  }
+
   test("jaccardEstQuality: identical docs land in bucket 10 with zero estimator error") {
     val df = docsDf(Seq(
       (0L, "alpha beta gamma delta epsilon"),
