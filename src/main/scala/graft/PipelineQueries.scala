@@ -224,6 +224,12 @@ object PipelineQueries {
   def kmeansQuality(s: SparkSession, dir: String): DataFrame =
     KMeans.clusterQuality(embs(s, dir), k = 8, iters = 3)
 
+  /** C4 — prototype pruning over the c1 fit (SemDeDup/D4 diversity
+    * curation): the closest 25% per cluster marked for removal.
+    */
+  def prototypePrune(s: SparkSession, dir: String): DataFrame =
+    KMeans.prototypePrune(embs(s, dir), k = 8, iters = 3, prunePct = 25)
+
   /** D9 — near-dup CLUSTER assignment (connected components over
     * LSH-verified pairs). The raw sf slices carry no organic near-dup
     * pairs, so the query derives a deterministic duplicate family per
@@ -2110,6 +2116,22 @@ object PipelineQueries {
     * in HUGEINT (d²·1e6 tops BIGINT) with truncating `//`, matching
     * Spark's decimal `div`.
     */
+  /** C4 oracle: the same unrolled fit and per-point assignment, then
+    * one (cluster)-keyed window for rank and size; the prune verdict
+    * is the exact integer threshold rk·100 ≤ n_c·25.
+    */
+  val prototypePruneSql: String = s"""WITH ${kmeansCtes(k = 8, iters = 3, dim = 64)},
+  r AS (
+    SELECT id, c, d2,
+           ROW_NUMBER() OVER (PARTITION BY c ORDER BY d2, id) AS rk,
+           COUNT(*) OVER (PARTITION BY c) AS n_in_cluster
+    FROM a3
+  )
+  SELECT id AS vec_id, CAST(c AS INT) AS cluster, d2 AS dist2_e12,
+         CAST(rk AS BIGINT) AS rk, CAST(n_in_cluster AS BIGINT) AS n_in_cluster,
+         rk * 100 <= n_in_cluster * 25 AS pruned
+  FROM r"""
+
   val kmeansQualitySql: String = s"""WITH ${kmeansCtes(k = 8, iters = 3, dim = 64)},
   sc AS (
     SELECT id, c, d2, row_number() OVER (PARTITION BY id ORDER BY d2, c) AS rn
@@ -2345,6 +2367,7 @@ object PipelineQueries {
     "d10_decontam_bloom" -> (decontaminationBloom _),
     "c1_kmeans" -> (kmeans _),
     "c3_cluster_quality" -> (kmeansQuality _),
+    "c4_prototype_prune" -> (prototypePrune _),
     "d2_jaccard_pairs" -> (jaccardPairs _),
     "d3_minhash_sigs" -> (minhashSignatures _),
     "d4_minhash_candidates" -> (minhashCandidates _),
@@ -2406,6 +2429,7 @@ object PipelineQueries {
     "d10_decontam_bloom" -> decontaminationSql,
     "c1_kmeans" -> kmeansOracleSql,
     "c3_cluster_quality" -> kmeansQualitySql,
+    "c4_prototype_prune" -> prototypePruneSql,
     "d2_jaccard_pairs" -> jaccardPairsSql,
     "d3_minhash_sigs" -> minhashSigSql,
     "d4_minhash_candidates" -> minhashCandSql,

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Distributed Lloyd k-means over embedding columns, built to be
@@ -125,5 +126,34 @@ object KMeans {
         expr("__sum_d div n_points").as("mean_dist2_e12"),
         expr("__sum_r div n_points").as("mean_ratio_e6"),
         col("max_ratio_e6"))
+  }
+
+  /** C4 — prototype pruning (the SemDeDup / D4 "beyond neural scaling
+    * laws" curation move): within each cluster of the SAME
+    * deterministic fit, rank points by own-centroid d² ascending —
+    * most prototypical first — and mark the closest `prunePct`% for
+    * removal. Near-centroid mass is semantically redundant (it is what
+    * the cluster already "says"); the kept tail is the diverse
+    * remainder a curated training mix wants. Deterministic end to end:
+    * integer d², (d², id) rank order, and an exact integer threshold
+    * (rk·100 ≤ n_c·prunePct ⟺ rk ≤ ⌊n_c·pct/100⌋ — no float
+    * percentile).
+    *
+    * Shape at scale: the c1 assignment scan plus ONE window pass keyed
+    * by cluster — k partitions. For k ≪ cores, re-key the window by
+    * (cluster, salt) and threshold on the per-cluster counts joined
+    * back, the d12 skew posture; at k = thousands of clusters
+    * (the SemDeDup regime) the plain window is already balanced.
+    */
+  def prototypePrune(vecs: DataFrame, k: Int = 8, iters: Int = 3,
+                     prunePct: Int = 25,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(prunePct >= 0 && prunePct <= 100, s"prunePct=$prunePct out of [0,100]")
+    val asg = assignments(vecs, k, iters, idCol, vecCol)
+    val w = Window.partitionBy(col("cluster")).orderBy(col("dist2_e12"), col(idCol))
+    val wc = Window.partitionBy(col("cluster"))
+    asg.withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("n_in_cluster", count(lit(1)).over(wc))
+      .withColumn("pruned", col("rk") * 100 <= col("n_in_cluster") * prunePct)
   }
 }

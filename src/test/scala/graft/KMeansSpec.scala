@@ -78,6 +78,38 @@ class KMeansSpec extends SparkSpecBase {
     assert(q.values.forall(_.getAs[Long]("max_ratio_e6") < 10000L))
   }
 
+  test("prototype prune: closest-to-centroid quarter is marked, per cluster, determinately") {
+    // Two clusters of 8: per cluster exactly floor(8*25/100) = 2
+    // pruned, and they are the 2 smallest (d2, id) ranks.
+    val a = Seq(1.0, 0.0, 0.0, 0.0)
+    val b = Seq(-1.0, 0.0, 0.0, 0.0)
+    def spread(base: Seq[Double], ids: Range) = ids.map { i =>
+      i.toLong -> base.map(_ + (i % 8) * 0.01)
+    }
+    val df = vecsDf(spread(a, 1 to 8) ++ spread(b, 9 to 16))
+    val rows = KMeans.prototypePrune(df, k = 2, iters = 3, prunePct = 25).collect()
+    assert(rows.length === 16)
+    rows.groupBy(_.getAs[Int]("cluster")).foreach { case (c, rs) =>
+      assert(rs.length === 8, s"cluster $c size")
+      val pruned = rs.filter(_.getAs[Boolean]("pruned"))
+      assert(pruned.length === 2, s"cluster $c pruned count")
+      // The pruned rows are exactly ranks 1..2.
+      assert(pruned.map(_.getAs[Long]("rk")).sorted.toSeq === Seq(1L, 2L))
+      // Rank order follows (d2, id).
+      val byRank = rs.sortBy(_.getAs[Long]("rk"))
+      val d2s = byRank.map(_.getAs[Long]("dist2_e12"))
+      assert(d2s === d2s.sorted)
+    }
+  }
+
+  test("prototype prune: prunePct 0 keeps everything, 100 prunes everything") {
+    val df = vecsDf((1L to 6L).map(i => i -> Seq(i * 0.1, 0.0, 0.0, 0.0)))
+    val none = KMeans.prototypePrune(df, k = 2, iters = 2, prunePct = 0).collect()
+    assert(none.forall(!_.getAs[Boolean]("pruned")))
+    val all = KMeans.prototypePrune(df, k = 2, iters = 2, prunePct = 100).collect()
+    assert(all.forall(_.getAs[Boolean]("pruned")))
+  }
+
   test("cluster quality: a centroid-coincident point in a k=2 fit scores ratio by the gap") {
     // Two exact duplicate pairs as seeds: every point sits ON its
     // centroid (d_own = 0) -> ratio 0; mean_dist2 = 0.
