@@ -50,12 +50,49 @@ object StreamReplayQueries {
     }
   }
 
+  /** Run `body` with replay-friendly session confs, restoring the
+    * caller's values after. The stateful shuffle drops to 8
+    * partitions: replay state is a handful of keys (symbols, users),
+    * and every partition is another state-store instance set up PER
+    * STATEFUL OPERATOR PER MICRO-BATCH — at the session's 32 it is
+    * pure orchestration overhead (measured: sr4's chained two-operator
+    * drain 29 s → ~6 s at sf0.1; 4 partitions measured no better —
+    * the residual is fixed per-micro-batch machinery). Partition count never touches
+    * results — every replay's arithmetic is per-key. `provider` sets
+    * the state-store provider: every transformWithState replay MUST
+    * pass RocksDB (multiple column families — HDFSBackedStateStore
+    * does not support them); sr1/sr2 (foreachBatch store, watermark
+    * dedup) run on the session default.
+    */
+  private def withReplayConfs[T](s: SparkSession, provider: Option[String] = None)
+                                (body: => T): T = {
+    val shufKey = "spark.sql.shuffle.partitions"
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevShuf = s.conf.getOption(shufKey)
+    val prevProv = s.conf.getOption(provKey)
+    def restore(key: String, prev: Option[String]): Unit = prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+    try {
+      s.conf.set(shufKey, "8")
+      provider.foreach(p => s.conf.set(provKey, p))
+      body
+    } finally {
+      restore(shufKey, prevShuf)
+      restore(provKey, prevProv)
+    }
+  }
+
+  private val RocksDb =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
   /** SR1 — the IncrementalGoldStream runtime end-to-end: silver →
     * AvailableNow stream (one file per micro-batch) → foreachBatch
     * partial-bar upsert store → merge-on-read. Result = gold_5m
     * exactly (v1's oracle), no matter how the stream was sliced.
     */
-  def streamGoldReplay(s: SparkSession, dir: String): DataFrame = {
+  def streamGoldReplay(s: SparkSession, dir: String): DataFrame = withReplayConfs(s) {
     val silver = SparkEntry.silverDf(s, dir)
     val tmp = Files.createTempDirectory("graft_sr1_")
     try {
@@ -89,7 +126,7 @@ object StreamReplayQueries {
     * every document inside one watermark window so the stream's dedup
     * scope equals the batch DISTINCT the oracle computes.
     */
-  def streamCurationReplay(s: SparkSession, dir: String): DataFrame = {
+  def streamCurationReplay(s: SparkSession, dir: String): DataFrame = withReplayConfs(s) {
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
       .withColumn("event_time", lit("2024-01-15 00:00:00").cast("timestamp"))
     val tmp = Files.createTempDirectory("graft_sr2_")
@@ -131,9 +168,13 @@ object StreamReplayQueries {
     * in event-time order no matter which key it uses. Returns the
     * staging directory path.
     */
-  private def stageChronoSlices(tmp: Path, frame: DataFrame,
+  private def stageChronoSlices(tmp: Path, frame0: DataFrame,
                                 cutCol: org.apache.spark.sql.Column = col("event_time"),
                                 cutType: String = "timestamp"): String = {
+    // Materialize once: each slice write would otherwise recompute the
+    // whole upstream plan (silver's dedup windows; sr10's daily-bar
+    // aggregate) — 3× the scan for zero benefit (sr10: 11.8 → ~5 s).
+    val frame = frame0.localCheckpoint(true)
     val staging = Files.createDirectory(tmp.resolve("staging"))
     val cuts = Seq("2024-01-10", "2024-01-20")
     val slices = Seq(
@@ -157,12 +198,11 @@ object StreamReplayQueries {
     staging.toString
   }
 
-  def streamLatestReplay(s: SparkSession, dir: String): DataFrame = {
+  def streamLatestReplay(s: SparkSession, dir: String): DataFrame =
+      withReplayConfs(s, Some(RocksDb)) {
     import s.implicits._
     val silver = SparkEntry.silverDf(s, dir)
     val tmp = Files.createTempDirectory("graft_sr3_")
-    val providerKey = "spark.sql.streaming.stateStore.providerClass"
-    val prevProvider = s.conf.getOption(providerKey)
     try {
       val staging = stageChronoSlices(tmp, silver)
       val stream = s.readStream.schema(silver.schema)
@@ -170,8 +210,6 @@ object StreamReplayQueries {
       val trades = stream
         .select(col("symbol"), col("price"), col("volume"), col("event_time"))
         .as[LatestPriceStream.TradeEvent]
-      s.conf.set(providerKey,
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       val outDir = tmp.resolve("out").toString
       val q = LatestPriceStream.snapshotsTws(s, trades)
         .writeStream.outputMode("update")
@@ -196,13 +234,7 @@ object StreamReplayQueries {
           round(col("price_change"), 6).as("price_change"),
           round(col("price_change_pct"), 6).as("price_change_pct"))
         .localCheckpoint(eager = true)
-    } finally {
-      prevProvider match {
-        case Some(p) => s.conf.set(providerKey, p)
-        case None => s.conf.unset(providerKey)
-      }
-      deleteRecursively(tmp)
-    }
+    } finally deleteRecursively(tmp)
   }
 
   /** A tick with its classification grouping key (sr4's replay input:
@@ -231,12 +263,11 @@ object StreamReplayQueries {
     * silver's dedup makes event_time unique per symbol — so the fold
     * is the batch window pass exactly.
     */
-  def streamVpinReplay(s: SparkSession, dir: String): DataFrame = {
+  def streamVpinReplay(s: SparkSession, dir: String): DataFrame =
+      withReplayConfs(s, Some(RocksDb)) {
     import s.implicits._
     val silver = SparkEntry.silverDf(s, dir)
     val tmp = Files.createTempDirectory("graft_sr4_")
-    val providerKey = "spark.sql.streaming.stateStore.providerClass"
-    val prevProvider = s.conf.getOption(providerKey)
     try {
       val staging = stageChronoSlices(tmp, silver)
       val stream = s.readStream.schema(silver.schema)
@@ -253,8 +284,6 @@ object StreamReplayQueries {
         .mapValues(t => OrderFlowStream.Tick(t.symbol, t.px, t.volume, t.ts, t.eventId))
       val verdicts = OrderFlowStream.verdictsGrouped(s, grouped)
       val buckets = VpinStream.buckets(s, verdicts, bucketVolume = 2000L, window = 10)
-      s.conf.set(providerKey,
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       val outDir = tmp.resolve("out").toString
       val q = buckets.writeStream.outputMode("append")
         .option("checkpointLocation", tmp.resolve("ckpt").toString)
@@ -268,13 +297,7 @@ object StreamReplayQueries {
         .select(col("symbol"), col("bucket"), col("buy"), col("sell"),
           col("vol"), col("n_in_window"), col("vpin_roll_e6"))
         .localCheckpoint(eager = true)
-    } finally {
-      prevProvider match {
-        case Some(p) => s.conf.set(providerKey, p)
-        case None => s.conf.unset(providerKey)
-      }
-      deleteRecursively(tmp)
-    }
+    } finally deleteRecursively(tmp)
   }
 
   /** Shared harness for the event-keyed replays (sr5/sr6): stage the
@@ -285,14 +308,13 @@ object StreamReplayQueries {
     */
   private def replayUserEvents(s: SparkSession, dir: String, tag: String)
       (wire: org.apache.spark.sql.Dataset[graft.streaming.FunnelStream.UserEvent] => DataFrame)
-      (reduce: DataFrame => DataFrame): DataFrame = {
+      (reduce: DataFrame => DataFrame): DataFrame =
+      withReplayConfs(s, Some(RocksDb)) {
     import s.implicits._
     val ev = Tables.eventsNorm(s, dir)
       .select(col("user_id"), col("event_type"), col("ts_us"), col("event_id"),
         col("event_time"))
     val tmp = Files.createTempDirectory(s"graft_${tag}_")
-    val providerKey = "spark.sql.streaming.stateStore.providerClass"
-    val prevProvider = s.conf.getOption(providerKey)
     try {
       val staging = stageChronoSlices(tmp, ev)
       val stream = s.readStream.schema(ev.schema)
@@ -300,8 +322,6 @@ object StreamReplayQueries {
         .select(col("user_id"), col("event_type"), col("ts_us").as("ts"),
           col("event_id"))
         .as[graft.streaming.FunnelStream.UserEvent]
-      s.conf.set(providerKey,
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       val outDir = tmp.resolve("out").toString
       val q = wire(stream).writeStream.outputMode("append")
         .option("checkpointLocation", tmp.resolve("ckpt").toString)
@@ -310,13 +330,7 @@ object StreamReplayQueries {
         .start()
       q.awaitTermination()
       reduce(s.read.parquet(outDir)).localCheckpoint(eager = true)
-    } finally {
-      prevProvider match {
-        case Some(p) => s.conf.set(providerKey, p)
-        case None => s.conf.unset(providerKey)
-      }
-      deleteRecursively(tmp)
-    }
+    } finally deleteRecursively(tmp)
   }
 
   /** SR5 — the FunnelStream `transformWithState` runtime end-to-end:
@@ -373,12 +387,11 @@ object StreamReplayQueries {
     * it exists, else the open row — exactly the upsert a keyed sink
     * applies. Result = batch v3 verbatim (shared oracle SQL).
     */
-  def streamScd2Replay(s: SparkSession, dir: String): DataFrame = {
+  def streamScd2Replay(s: SparkSession, dir: String): DataFrame =
+      withReplayConfs(s, Some(RocksDb)) {
     import s.implicits._
     val snaps = MaintenanceQueries.dailyCloseSnapshots(s, dir)
     val tmp = Files.createTempDirectory("graft_sr7_")
-    val providerKey = "spark.sql.streaming.stateStore.providerClass"
-    val prevProvider = s.conf.getOption(providerKey)
     try {
       val staging = stageChronoSlices(tmp, snaps, col("trade_date"), "date")
       val stream = s.readStream.schema(snaps.schema)
@@ -386,8 +399,6 @@ object StreamReplayQueries {
         .select(col("symbol").as("key"), col("trade_date").as("date"),
           col("close").as("value"))
         .as[graft.streaming.Scd2Stream.DimSnapshot]
-      s.conf.set(providerKey,
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       val outDir = tmp.resolve("out").toString
       val q = graft.streaming.Scd2Stream.intervals(s, stream)
         .writeStream.outputMode("update")
@@ -410,13 +421,7 @@ object StreamReplayQueries {
           col("version"), col("effective_from"), col("effective_to"),
           col("is_current"))
         .localCheckpoint(eager = true)
-    } finally {
-      prevProvider match {
-        case Some(p) => s.conf.set(providerKey, p)
-        case None => s.conf.unset(providerKey)
-      }
-      deleteRecursively(tmp)
-    }
+    } finally deleteRecursively(tmp)
   }
 
   /** SR8 — the IndicatorStream EMA recursion end-to-end: silver ticks
@@ -427,20 +432,17 @@ object StreamReplayQueries {
     * accepted tick → end-of-day reduction. Shares b5's oracle SQL
     * (the list_reduce prefix fold) verbatim.
     */
-  def streamEmaReplay(s: SparkSession, dir: String): DataFrame = {
+  def streamEmaReplay(s: SparkSession, dir: String): DataFrame =
+      withReplayConfs(s, Some(RocksDb)) {
     import s.implicits._
     val ticks = SparkEntry.silverDf(s, dir)
       .select(col("symbol"), col("price"), col("event_time"))
     val tmp = Files.createTempDirectory("graft_sr8_")
-    val providerKey = "spark.sql.streaming.stateStore.providerClass"
-    val prevProvider = s.conf.getOption(providerKey)
     try {
       val staging = stageChronoSlices(tmp, ticks)
       val stream = s.readStream.schema(ticks.schema)
         .option("maxFilesPerTrigger", "1").parquet(staging)
         .as[graft.streaming.IndicatorStream.TradeTick]
-      s.conf.set(providerKey,
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       val outDir = tmp.resolve("out").toString
       val q = graft.streaming.IndicatorStream.updates(s, stream, n = 14)
         .writeStream.outputMode("append")
@@ -454,13 +456,7 @@ object StreamReplayQueries {
         .agg(count(lit(1)).as("n_ticks"),
           max_by(col("ema"), col("event_time")).as("ema"))
         .localCheckpoint(eager = true)
-    } finally {
-      prevProvider match {
-        case Some(p) => s.conf.set(providerKey, p)
-        case None => s.conf.unset(providerKey)
-      }
-      deleteRecursively(tmp)
-    }
+    } finally deleteRecursively(tmp)
   }
 
   /** SR9 — the HeavyHitterStream runtime end-to-end: document tokens
@@ -476,21 +472,18 @@ object StreamReplayQueries {
     * group, since a global φ-heavy item is at least φ-heavy inside
     * its own (disjoint) group.
     */
-  def streamHeavyHitterReplay(s: SparkSession, dir: String): DataFrame = {
+  def streamHeavyHitterReplay(s: SparkSession, dir: String): DataFrame =
+      withReplayConfs(s, Some(RocksDb)) {
     import s.implicits._
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
     val toks = (df: DataFrame) =>
       df.select(explode(graft.operators.TextAnalysis.tokens(lower(col("text")))).as("token"))
     val tmp = Files.createTempDirectory("graft_sr9_")
-    val providerKey = "spark.sql.streaming.stateStore.providerClass"
-    val prevProvider = s.conf.getOption(providerKey)
     try {
       val staging = tmp.resolve("staging").toString
       docs.repartition(3).write.parquet(staging)
       val stream = s.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", "1").parquet(staging)
-      s.conf.set(providerKey,
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       val outDir = tmp.resolve("out").toString
       val q = HeavyHitterStream.candidates(s, toks(stream).as[String], k = 67)
         .writeStream.outputMode("append")
@@ -513,13 +506,7 @@ object StreamReplayQueries {
         .filter(expr("cast(tf as decimal(38,0)) * 1000000 >= cast(n as decimal(38,0)) * 30000"))
         .select(col("token"), col("tf"))
         .localCheckpoint(eager = true)
-    } finally {
-      prevProvider match {
-        case Some(p) => s.conf.set(providerKey, p)
-        case None => s.conf.unset(providerKey)
-      }
-      deleteRecursively(tmp)
-    }
+    } finally deleteRecursively(tmp)
   }
 
   /** SR10 — the BarIndicatorStream runtime end-to-end: closed daily
@@ -531,21 +518,18 @@ object StreamReplayQueries {
     * sequence verbatim (NaN-poisoning = the batch NULL propagation),
     * so the replay shares b12's oracle SQL unchanged.
     */
-  def streamBarIndicatorReplay(s: SparkSession, dir: String): DataFrame = {
+  def streamBarIndicatorReplay(s: SparkSession, dir: String): DataFrame =
+      withReplayConfs(s, Some(RocksDb)) {
     import s.implicits._
     val bars = graft.operators.Indicators.dailyBars(SparkEntry.silverDf(s, dir))
       .select(col("symbol"), col("trade_date"), col("high"), col("low"),
         col("close"), col("day_volume"))
     val tmp = Files.createTempDirectory("graft_sr10_")
-    val providerKey = "spark.sql.streaming.stateStore.providerClass"
-    val prevProvider = s.conf.getOption(providerKey)
     try {
       val staging = stageChronoSlices(tmp, bars, col("trade_date"), "date")
       val stream = s.readStream.schema(bars.schema)
         .option("maxFilesPerTrigger", "1").parquet(staging)
         .as[graft.streaming.BarIndicatorStream.DailyBar]
-      s.conf.set(providerKey,
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       val outDir = tmp.resolve("out").toString
       val q = graft.streaming.BarIndicatorStream.updates(s, stream, n = 14)
         .writeStream.outputMode("append")
@@ -558,13 +542,7 @@ object StreamReplayQueries {
         .select(col("symbol"), col("trade_date"), col("k_num"), col("k_den"),
           col("pct_k"), col("pct_d"))
         .localCheckpoint(eager = true)
-    } finally {
-      prevProvider match {
-        case Some(p) => s.conf.set(providerKey, p)
-        case None => s.conf.unset(providerKey)
-      }
-      deleteRecursively(tmp)
-    }
+    } finally deleteRecursively(tmp)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
