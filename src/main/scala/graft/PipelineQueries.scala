@@ -169,6 +169,25 @@ object PipelineQueries {
     Dedup.lshTuning(corpus)
   }
 
+  /** D22 — winnowing (MOSS) local duplicate detection over a corpus
+    * with planted mosaics: each mosaic doc is the SECOND HALF of a
+    * base doc's whitespace tokens plus a unique suffix — a long shared
+    * token run that the winnowing guarantee (any run ≥ w + k − 1 = 8
+    * tokens yields a shared fingerprint) must detect, while MinHash
+    * would score the pair at only ~0.5 whole-document similarity.
+    */
+  def winnowingQ(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir).filter(pmod(col("doc_id"), lit(10)) === 0)
+      .select(col("doc_id"), col("text"))
+    val mosaic = base
+      .withColumn("__rt", filter(split(col("text"), "\\s+"), t => t =!= ""))
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(
+          array_join(expr("slice(__rt, size(__rt) div 2 + 1, size(__rt))"), " "),
+          lit(" zz"), pmod(col("doc_id"), lit(89)).cast("string")).as("text"))
+    Dedup.winnowPairs(base.unionByName(mosaic), k = 4, w = 5, minShared = 2L)
+  }
+
   /** D16 — incremental batch-vs-corpus dedup. Corpus = docs with
     * id % 4 = 0; the incoming batch mixes genuinely-fresh docs
     * (id % 4 = 1), byte-exact copies of corpus docs (re-id'd +1e6),
@@ -1137,6 +1156,43 @@ object PipelineQueries {
          CAST(CASE WHEN n_candidates = 0 THEN NULL
                    ELSE true_pos * 1000000 // n_candidates END AS BIGINT) AS precision_e6
   FROM ($unioned), tn"""
+  }
+
+  /** D22 oracle: the same mosaic derivation (raw-token slicing — both
+    * engines split on \s+ and join with single spaces, so the
+    * constructed TEXT strings are byte-identical), then the winnowing
+    * pipeline as list ops: token hashes → ordered 4-gram fold → window
+    * minima (list slices are 1-based inclusive on both sides) →
+    * distinct fingerprints → fingerprint equi-join pair counts.
+    */
+  val winnowingSql: String = {
+    val k = 4; val w = 5
+    val gram = (1 to k).foldLeft("CAST(0 AS BIGINT)")((acc, j) =>
+      s"(($acc * 131 + th[i + ${j - 1}]) % $Pm)")
+    s"""WITH corpus AS (
+    SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+    UNION ALL
+    SELECT doc_id + 1000000,
+           array_to_string(toks[len(toks)//2 + 1 : len(toks)], ' ')
+             || ' zz' || CAST(doc_id % 89 AS VARCHAR) AS text
+    FROM (SELECT doc_id, $rawToksSql AS toks FROM documents WHERE doc_id % 10 = 0)
+  ), th AS (
+    SELECT doc_id, list_transform($toksSql, t -> ${polySql("t", 31, Pm)}) AS th
+    FROM corpus
+  ), sq AS (
+    SELECT doc_id,
+           list_transform(generate_series(1, len(th) - ${k - 1}), i -> $gram) AS seq
+    FROM th WHERE len(th) >= ${k + w - 1}
+  ), fps AS (
+    SELECT doc_id,
+           list_distinct(list_transform(generate_series(1, len(seq) - ${w - 1}),
+                                        j -> list_min(seq[j : j + ${w - 1}]))) AS f
+    FROM sq
+  ), e AS (SELECT doc_id, unnest(f) AS fp FROM fps)
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(COUNT(*) AS BIGINT) AS n_shared_fps
+  FROM e a JOIN e b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2"""
   }
 
   /** D16 oracle: same derived corpus/batch split as the operator
@@ -2381,6 +2437,7 @@ object PipelineQueries {
     "d13_window_decontam" -> (windowDecontam _),
     "d14_containment" -> (containment _),
     "d21_lsh_tuning" -> (lshTuningQ _),
+    "d22_winnowing" -> (winnowingQ _),
     "d16_incremental_dedup" -> (incrementalDedup _),
     "x24_domain_cap" -> (domainCap _),
     "x25_train_shards" -> (trainShards _),
@@ -2443,6 +2500,7 @@ object PipelineQueries {
     "d13_window_decontam" -> windowDecontamSql,
     "d14_containment" -> containmentSql,
     "d21_lsh_tuning" -> lshTuningSql,
+    "d22_winnowing" -> winnowingSql,
     "d16_incremental_dedup" -> incrementalDedupSql,
     "x24_domain_cap" -> domainCapSql,
     "x25_train_shards" -> trainShardsSql,

@@ -343,6 +343,80 @@ object Dedup {
           .otherwise(expr("true_pos * 1000000 div n_candidates")))
   }
 
+  /** D22 — winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003 —
+    * the MOSS algorithm): the ordered k-gram hash sequence of each
+    * document is swept by a window of `w` consecutive grams; every
+    * window contributes its MINIMUM hash, and the distinct selected
+    * values are the document's fingerprint set. The winnowing
+    * guarantee: any shared run of at least w + k − 1 tokens produces
+    * at least one SHARED fingerprint — LOCAL duplicate detection at
+    * expected density 2/(w+1) of the grams, where MinHash answers only
+    * whole-document similarity. Returns (id, fps).
+    *
+    * Shape at scale: a pure scan-side projection (token hash → gram
+    * fold → window min → distinct), no shuffle; the min-sampling is
+    * what makes the downstream fingerprint index ~2/(w+1) the size of
+    * a full k-gram index.
+    */
+  def winnowFingerprints(docs: DataFrame, k: Int = 4, w: Int = 5,
+                         idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(k >= 1 && w >= 1, s"need k >= 1 and w >= 1, got k=$k w=$w")
+    docs.select(col(idCol).as("id"),
+        graft.functions.WinnowFunctions
+          .winnowFingerprints(tokenHashes(col(textCol)), k, w).as("fps"))
+      .filter(size(col("fps")) > 0)
+  }
+
+  /** Interpreted HOF reference form (spec cross-check only — Catalyst
+    * inlines the staged gram projection into the per-window slice
+    * lambda, re-evaluating the O(m·k) gram tree per window: O(m²·k)
+    * interpreted lambdas per document. The native expression computes
+    * grams once and takes window minima with a monotonic deque.)
+    * Expressions are TOTAL (when-guarded): downstream explodes infer
+    * size(fps) > 0 predicates that re-evaluate the tree on UNFILTERED
+    * rows, where sequence(1, negative) descends through 0 straight
+    * into slice's start check (found live).
+    */
+  private[graft] def winnowFingerprintsFold(docs: DataFrame, k: Int = 4, w: Int = 5,
+                                            idCol: String = "doc_id",
+                                            textCol: String = "text"): DataFrame = {
+    def gram(thc: Column, i: Column): Column =
+      (0 until k).foldLeft(lit(0L): Column)((acc, j) =>
+        pmod(acc * 131L + element_at(thc, i + j), lit(P)))
+    val emptyFps = array().cast("array<bigint>")
+    docs.select(col(idCol).as("id"), tokenHashes(col(textCol)).as("__th"))
+      .filter(size(col("__th")) >= k + w - 1) // at least one full window
+      .withColumn("__seq",
+        when(size(col("__th")) >= k,
+          transform(sequence(lit(1), size(col("__th")) - (k - 1)),
+            i => gram(col("__th"), i))).otherwise(emptyFps))
+      .select(col("id"),
+        when(size(col("__seq")) >= w,
+          array_distinct(transform(sequence(lit(1), size(col("__seq")) - (w - 1)),
+            j => array_min(slice(col("__seq"), j, lit(w)))))).otherwise(emptyFps)
+          .as("fps"))
+  }
+
+  /** Cross-document winnowing matches: pairs sharing at least
+    * `minShared` fingerprints, with the shared count. The fingerprint
+    * equi-join is the production shape (fingerprints act as exact
+    * buckets — the same posture as the LSH band join, but with the
+    * winnowing locality guarantee instead of a probabilistic S-curve);
+    * bucket sizes are the only quadratic term, and a fingerprint
+    * shared by every document (boilerplate) should be frequency-capped
+    * upstream exactly like a hot LSH bucket.
+    */
+  def winnowPairs(docs: DataFrame, k: Int = 4, w: Int = 5, minShared: Long = 2L,
+                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val fp = winnowFingerprints(docs, k, w, idCol, textCol)
+      .select(col("id"), explode(col("fps")).as("fp"))
+    val a = fp.as("a"); val b = fp.as("b")
+    a.join(b, col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared_fps"))
+      .filter(col("n_shared_fps") >= minShared)
+  }
+
   /** 32-bit SimHash over token hashes: bit i of the fingerprint is the
     * sign of sum over tokens of (2*bit_i(token_hash) - 1). Portable
     * integer arithmetic throughout (token hash mod 2^32).

@@ -97,6 +97,40 @@ class TextDedupSpec extends SparkSpecBase {
     assert(math.abs(est - exact) < 200000L, s"est=$est exact=$exact")
   }
 
+  test("native WinnowFingerprints is bit-identical to the fold form, incl. degenerate docs") {
+    val docs = docsDf(Seq(
+      1L -> (1 to 40).map(i => s"tok${i % 13}").mkString(" "), // repeats → dup minima
+      2L -> (1 to 8).map(i => s"w$i").mkString(" "),           // exactly one window
+      3L -> "too short",                                       // below k+w-1 → dropped
+      4L -> "",                                                // empty
+      5L -> (1 to 100).map(i => s"u$i").mkString(" ")))
+    val native = Dedup.winnowFingerprints(docs)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    val fold = Dedup.winnowFingerprintsFold(docs)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    // The fold form keeps empty-fps rows that the native path filters;
+    // compare on the native key set and assert the extras are empty.
+    assert(native.keySet === Set(1L, 2L, 5L))
+    native.foreach { case (id, fps) => assert(fps === fold(id), s"doc $id") }
+    assert(fold.keySet.diff(native.keySet).forall(id => fold(id).isEmpty))
+    // One full window → exactly one fingerprint.
+    assert(native(2L).length === 1)
+  }
+
+  test("winnowing guarantee: a shared run of >= w+k-1 tokens yields a shared fingerprint") {
+    // B embeds 8 consecutive tokens of A (w+k-1 = 8 for k=4, w=5)
+    // inside unrelated context; C is fully unrelated.
+    val run = (10 to 17).map(i => s"shared$i").mkString(" ")
+    val docs = docsDf(Seq(
+      1L -> s"alpha beta gamma $run delta epsilon zeta eta theta",
+      2L -> s"one two three four $run five six seven eight nine",
+      3L -> (1 to 30).map(i => s"other$i").mkString(" ")))
+    val pairs = Dedup.winnowPairs(docs, minShared = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"guarantee violated: $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), s"false match: $pairs")
+  }
+
   test("sCurveHalfE6: exact dyadic closed form at the config extremes") {
     // 1 band × k rows: p = τ^k = 2^-16 → floor(1e6/65536) = 15.
     assert(Dedup.sCurveHalfE6(1, 16) === 15L)
