@@ -443,4 +443,31 @@ class PlanSpec extends SparkSpecBase {
     // the top-k is a per-qid window partitioning, never a global sort
     assert(p.contains("row_number"))
   }
+
+  test("d21 tuning: candidates come from band-key equi-joins — all-pairs only in the truth stage") {
+    val p = plan("d21_lsh_tuning")
+    // The truth stage is a deliberate bounded all-pairs baseline (it
+    // carries jaccardPairs' row guard); every per-config candidate
+    // join must be a hash equi-join on (band, key).
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), "no equi-join found for band buckets")
+    // (the native minhash_sig expression sits behind the staged
+    // localCheckpoint, so it is asserted in TextDedupSpec, not here)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "candidate stage regressed to an all-pairs join")
+  }
+
+  test("d22 winnowing: one native fused expression, fingerprint equi-join, no cartesian") {
+    val p = plan("d22_winnowing")
+    assert(p.contains("winnow_fingerprints"),
+      "winnowing lost the native fused expression (HOF form is O(m^2 k))")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "pair stage regressed to an all-pairs join")
+  }
+
+  test("c4 prune: assignment scan plus cluster-keyed windows — no join, no cartesian") {
+    val p = plan("c4_prototype_prune")
+    assert(!p.contains("Join"), "prototype prune must not join — window over the assignment scan")
+    assert(p.contains("row_number"), "rank window missing")
+  }
 }
