@@ -178,7 +178,8 @@ class TestKafkaTable(path: String, nPartitions: Int, defaultTopic: Option[String
   // skipped and the WriteBuilder enforces the sink contract itself.
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.ACCEPT_ANY_SCHEMA).asJava
+      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
+      TableCapability.ACCEPT_ANY_SCHEMA).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     () => new TestKafkaScan(path, nPartitions)
@@ -317,7 +318,36 @@ class TestKafkaWriteBuilder(path: String, defaultTopic: Option[String],
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
       new TestKafkaBatchWrite(path, defaultTopic, info.schema())
+    override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+      new TestKafkaStreamingWrite(path, defaultTopic, info.schema())
   }
+}
+
+/** Streaming form of the sink — the K3 shape: `writeStream
+  * .format("graft-testkafka")` appends each epoch's records as one
+  * committed record file per task, the same contract checks and
+  * atomic tmp-file move as the batch write (all reused). Epochs are
+  * tracked by the caller's checkpoint; a successfully committed epoch
+  * is never re-committed by Spark, and an aborted one deletes its tmp
+  * files — so the produced topic directory holds exactly-once output
+  * under AvailableNow replay (KafkaSeamSpec round-trips it through
+  * the streaming scan).
+  */
+class TestKafkaStreamingWrite(path: String, defaultTopic: Option[String],
+                              schema: StructType)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  // Reuse the batch write's planning-time contract checks and its
+  // commit/abort file choreography verbatim.
+  private val batch = new TestKafkaBatchWrite(path, defaultTopic, schema)
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo):
+      org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
+    TestKafkaStreamingWriterFactory(path, defaultTopic, schema)
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    batch.commit(messages)
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    batch.abort(messages)
 }
 
 final case class TestKafkaCommit(tmpFile: String) extends WriterCommitMessage
@@ -361,6 +391,17 @@ class TestKafkaBatchWrite(path: String, defaultTopic: Option[String],
       case TestKafkaCommit(tmp) => Files.deleteIfExists(Paths.get(tmp)); ()
       case _ => ()
     }
+}
+
+/** Ships to executors — a case class of plain values, nothing from the
+  * driver-side Write captured (it is not Serializable).
+  */
+final case class TestKafkaStreamingWriterFactory(path: String, defaultTopic: Option[String],
+                                                 schema: StructType)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+                            epochId: Long): DataWriter[InternalRow] =
+    new TestKafkaDataWriter(path, defaultTopic, schema, partitionId, taskId)
 }
 
 class TestKafkaWriterFactory(path: String, defaultTopic: Option[String],

@@ -207,6 +207,58 @@ class KafkaSeamSpec extends SparkSpecBase {
     assert(aRows.toSeq === Seq("v1", "v3"))
   }
 
+  test("FULL streaming loop (S1+K3): readStream -> re-key -> writeStream -> re-consume") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val inDir = tmpDir("graft_tk_loop_in")
+    val outDir = tmpDir("graft_tk_loop_out")
+    val ckpt = tmpDir("graft_tk_loop_ck")
+    // Produce 3 messages on the input topic (batch write).
+    Seq(("AAPL", """{"p":1}"""), ("MSFT", """{"p":2}"""), ("AAPL", """{"p":3}"""))
+      .toDF("key", "value").write.mode("append").format("graft-testkafka")
+      .option("path", inDir).option("topic", "trades").option("partitions", "2").save()
+    // The consumer graph, fully streaming: streaming scan -> re-key by
+    // payload -> STREAMING write through the DSv2 sink.
+    val q = spark.readStream.format("graft-testkafka")
+      .option("path", inDir).option("partitions", "2").load()
+      .selectExpr("CAST(key AS STRING) AS k", "CAST(value AS STRING) AS v")
+      .select(col("v").as("key"), col("k").as("value")) // swap: re-key by payload
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .format("graft-testkafka")
+      .option("path", outDir).option("topic", "rekeyed").option("partitions", "4")
+      .start()
+    q.awaitTermination()
+    // Re-consume the produced topic with the batch scan: payloads
+    // survive byte-for-byte, placement follows murmur2 of the NEW key.
+    val rows = spark.read.format("graft-testkafka")
+      .option("path", outDir).option("partitions", "4").load()
+      .selectExpr("CAST(key AS STRING)", "CAST(value AS STRING)", "topic", "partition")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getInt(3)))
+    assert(rows.length === 3)
+    assert(rows.map(r => (r._1, r._2)).toSet ===
+      Set(("""{"p":1}""", "AAPL"), ("""{"p":2}""", "MSFT"), ("""{"p":3}""", "AAPL")))
+    rows.foreach { r =>
+      assert(r._3 === "rekeyed")
+      assert(r._4 === TestKafka.partitionFor(r._1.getBytes("UTF-8"), 4),
+        s"partition placement must follow murmur2 of the new key: $r")
+    }
+    // Restart with the same checkpoint and no new input: nothing
+    // re-produced (streaming-write exactly-once).
+    val q2 = spark.readStream.format("graft-testkafka")
+      .option("path", inDir).option("partitions", "2").load()
+      .selectExpr("CAST(value AS STRING) AS key", "CAST(key AS STRING) AS value")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .format("graft-testkafka")
+      .option("path", outDir).option("topic", "rekeyed").option("partitions", "4")
+      .start()
+    q2.awaitTermination()
+    assert(spark.read.format("graft-testkafka").option("path", outDir).load().count() === 3)
+  }
+
   test("empty (non-null) keys hash like Kafka's partitioner; only null pins to 0") {
     assert(TestKafka.partitionFor(Array.empty[Byte], 4) ===
       (TestKafka.murmur2(Array.empty[Byte]) & 0x7fffffff) % 4)
