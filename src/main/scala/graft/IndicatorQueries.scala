@@ -101,6 +101,11 @@ object IndicatorQueries {
       Indicators.vpinRolling(SparkEntry.silverDf(s, dir),
         bucketVolume = 2000L, window = 10)),
 
+    // B22 — intraday seasonality: per (symbol, UTC hour) activity and
+    // mean |return| (day-keyed lag — overnight gaps excluded).
+    "b22_intraday_profile" -> ((s, dir) =>
+      Indicators.intradayProfile(SparkEntry.silverDf(s, dir))),
+
     // B5 — end-of-day EMA-14 per symbol, the recursion running
     // continuously from sequence start (streaming/IndicatorStream's
     // batch adapter — the one indicator a row-frame window cannot
@@ -752,6 +757,29 @@ object IndicatorQueries {
     FROM pb
     WINDOW w AS (PARTITION BY symbol ORDER BY bucket
                  ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)"""),
+
+    // B22: the day-keyed LAG, integer hour from epoch micros (no
+    // cross-engine EXTRACT), |Δpx|·1e6 in HUGEINT, truncating `//`.
+    "b22_intraday_profile" -> (SparkEntry.P + """, pxv AS (
+      SELECT symbol, volume,
+             CAST(CAST(price AS DECIMAL(18,4)) * 10000 AS BIGINT) AS px,
+             LAG(CAST(CAST(price AS DECIMAL(18,4)) * 10000 AS BIGINT), 1)
+               OVER (PARTITION BY symbol, trade_date ORDER BY event_time) AS prev_px,
+             CAST((epoch_us(event_time) // 3600000000) % 24 AS INT) AS hour
+      FROM silver
+    ), r AS (
+      SELECT symbol, hour, volume,
+             CAST(ABS(CAST(px AS HUGEINT) - prev_px) * 1000000 // prev_px AS BIGINT)
+               AS abs_ret_e6
+      FROM pxv
+    )
+    SELECT symbol, hour, CAST(COUNT(*) AS BIGINT) AS n_trades,
+           CAST(SUM(volume) AS BIGINT) AS volume,
+           CAST(COUNT(abs_ret_e6) AS BIGINT) AS n_rets,
+           CAST(CASE WHEN COUNT(abs_ret_e6) = 0 THEN NULL
+                     ELSE SUM(CAST(abs_ret_e6 AS HUGEINT)) // COUNT(abs_ret_e6)
+                END AS BIGINT) AS mean_abs_ret_e6
+    FROM r GROUP BY 1, 2"""),
 
     // The EMA recursion as a literal left fold over the per-symbol
     // price sequence: acc' = α·x + (1−α)·acc with α = 2/15 — the same

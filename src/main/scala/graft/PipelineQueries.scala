@@ -153,11 +153,17 @@ object PipelineQueries {
     * near-duplicates at three mutation strengths (9/10, 3/4 and 1/2
     * prefix copies — Jaccard ≈ 0.9 / 0.75 / 0.5, straddling the
     * τ = 1/2 truth threshold so the configs' S-curves actually
-    * separate). Base slice doc_id % 20 = 0 keeps the all-pairs ground
-    * truth bounded (the d2/d14 posture).
+    * separate). Base slice doc_id % 20 = 0 AND doc_id < 20000: the
+    * modulo spreads the sample, the absolute bound keeps it
+    * FIXED-SIZE as the corpus grows — a tuning harness dials (b, r)
+    * from a sample, so its cost must be O(1) in corpus size, not a
+    * corpus share (the all-pairs truth stage would otherwise grow
+    * quadratically with the slice; caught by the k=30 scale sweep at
+    * exponent 1.1 before this bound).
     */
   def lshTuningQ(s: SparkSession, dir: String): DataFrame = {
-    val base = docs(s, dir).filter(pmod(col("doc_id"), lit(20)) === 0)
+    val base = docs(s, dir)
+      .filter(pmod(col("doc_id"), lit(20)) === 0 && col("doc_id") < 20000)
       .select(col("doc_id"), col("text"))
     def prefixCopy(offset: Long, num: Int, den: Int) = base.select(
       (col("doc_id") + offset).as("doc_id"),
@@ -1110,16 +1116,16 @@ object PipelineQueries {
   val lshTuningSql: String = {
     val configs = Seq((1, 16), (2, 8), (4, 4), (8, 2), (16, 1))
     val corpus = """corpus AS (
-    SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0
+    SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0 AND doc_id < 20000
     UNION ALL
     SELECT doc_id + 1000000, substring(text, 1, greatest(length(text) * 9 // 10, 1))
-    FROM documents WHERE doc_id % 20 = 0
+    FROM documents WHERE doc_id % 20 = 0 AND doc_id < 20000
     UNION ALL
     SELECT doc_id + 2000000, substring(text, 1, greatest(length(text) * 3 // 4, 1))
-    FROM documents WHERE doc_id % 20 = 0
+    FROM documents WHERE doc_id % 20 = 0 AND doc_id < 20000
     UNION ALL
     SELECT doc_id + 3000000, substring(text, 1, greatest(length(text) // 2, 1))
-    FROM documents WHERE doc_id % 20 = 0
+    FROM documents WHERE doc_id % 20 = 0 AND doc_id < 20000
   )"""
     val cfgCtes = configs.map { case (b, r) =>
       s"""banded_$b AS (

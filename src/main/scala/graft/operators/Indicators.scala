@@ -877,6 +877,43 @@ object Indicators {
         expr("cast((w_absdiff * 1000000) div w_vol as bigint)").as("vpin_roll_e6"))
   }
 
+  /** B22 — intraday seasonality profile: per (symbol, UTC hour of
+    * day), trade count, volume, and the mean per-trade |return| in
+    * exact e6 integers — the U-shape table (open/close activity
+    * concentration) every execution desk keeps. The return lag is
+    * keyed (symbol, trade_date) so overnight gaps never pollute the
+    * first hour's numbers (each day's first trade contributes
+    * activity but no return). Hour is integer arithmetic on epoch
+    * micros — no cross-engine timezone/extract semantics.
+    *
+    * Shape at scale: one (symbol, day) window pass (the b-family
+    * shuffle) then a hash aggregate to O(symbols × 24) rows. The
+    * |Δpx|·1e6 product stages through decimal(38,0) (>2⁶³ at e4
+    * ticks of extreme prices); `div` truncates like the oracle's `//`
+    * (all terms non-negative).
+    */
+  def intradayProfile(silver: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("symbol"), col("trade_date"))
+      .orderBy(col("event_time"))
+    silver
+      .withColumn("px", ticksE4(col("price")))
+      .withColumn("prev_px", lag(col("px"), 1).over(w))
+      .withColumn("hour",
+        expr("(unix_micros(event_time) div 3600000000L) % 24").cast("int"))
+      .withColumn("abs_ret_e6",
+        expr("cast(abs(cast(px as decimal(38,0)) - prev_px) * 1000000 div prev_px as bigint)"))
+      .groupBy(col("symbol"), col("hour"))
+      .agg(count(lit(1)).as("n_trades"),
+        sum(col("volume")).as("volume"),
+        count(col("abs_ret_e6")).as("n_rets"),
+        sum(col("abs_ret_e6").cast("decimal(38,0)")).as("__sum_ret"))
+      .withColumn("mean_abs_ret_e6",
+        when(col("n_rets") === 0, lit(null).cast("long"))
+          .otherwise(expr("cast(__sum_ret div n_rets as bigint)")))
+      .select(col("symbol"), col("hour"), col("n_trades"), col("volume"),
+        col("n_rets"), col("mean_abs_ret_e6"))
+  }
+
   def spikeCounts(silver: DataFrame, n: Int = 20, z: Int = 3): DataFrame = {
     val w = bySymbolTime.rowsBetween(-(n - 1), Window.currentRow)
     silver

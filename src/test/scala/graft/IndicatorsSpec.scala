@@ -484,4 +484,32 @@ class IndicatorsSpec extends SparkSpecBase {
     assert(b.getAs[Long]("n_buy") === 1L && b.getAs[Long]("n_sell") === 2L)
     assert(b.getAs[Long]("flow_imbalance_e6") === -333333L)
   }
+
+  test("intraday profile: hour bucketing by epoch micros; day-keyed lag drops the open") {
+    // Two days, two hours each. Day boundary: each day's FIRST trade
+    // has no return (overnight gap excluded); within-day returns land
+    // in the hour of the LATER trade. 1705312800000 ms = 10:00 UTC.
+    val h = 3600000L
+    val df = Seq(
+      // day 1: 10:00 @100.0, 10:30 @101.0 (ret in hour 10), 11:00 @101.0 (ret 0, hour 11)
+      (1L, "A", 100.0, 5L, 0L), (2L, "A", 101.0, 5L, 1800000L), (3L, "A", 101.0, 5L, h),
+      // day 2: 10:00 @200.0 (no ret), 10:10 @202.0 (ret in hour 10)
+      (4L, "A", 200.0, 5L, 86400000L), (5L, "A", 202.0, 5L, 86400000L + 600000L)
+    ).map { case (id, s, p, v, off) =>
+      (id, s, p, v, new java.sql.Timestamp(1705312800000L + off),
+        java.sql.Date.valueOf(if (off < 86400000L) "2024-01-15" else "2024-01-16"))
+    }.toDF("event_id", "symbol", "price", "volume", "event_time", "trade_date")
+    val out = Indicators.intradayProfile(df).collect()
+      .map(r => r.getAs[Int]("hour") -> r).toMap
+    assert(out.keySet === Set(10, 11))
+    val h10 = out(10)
+    assert(h10.getAs[Long]("n_trades") === 4L && h10.getAs[Long]("volume") === 20L)
+    // hour 10 returns: |1010000-1000000|*1e6 div 1000000 = 10000 and
+    // |2020000-2000000|*1e6 div 2000000 = 10000 -> mean 10000.
+    assert(h10.getAs[Long]("n_rets") === 2L)
+    assert(h10.getAs[Long]("mean_abs_ret_e6") === 10000L)
+    val h11 = out(11)
+    assert(h11.getAs[Long]("n_trades") === 1L && h11.getAs[Long]("n_rets") === 1L)
+    assert(h11.getAs[Long]("mean_abs_ret_e6") === 0L)
+  }
 }
