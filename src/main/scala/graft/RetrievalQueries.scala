@@ -271,6 +271,58 @@ object RetrievalQueries {
   def bigramLm(s: SparkSession, dir: String): DataFrame =
     Retrieval.bigramLmScores(docs(s, dir))
 
+  /** X42 — held-out LM filter (the CCNet topology): model trained on
+    * the even-id split, the odd-id split scored under it.
+    */
+  def heldOutLm(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Retrieval.bigramLmHeldOut(
+      d.filter(pmod(col("doc_id"), lit(2)) === 0),
+      d.filter(pmod(col("doc_id"), lit(2)) === 1))
+  }
+
+  /** X42 oracle: x34's generator and exactness discipline with the
+    * counts from the TRAIN split and LEFT joins on the candidate
+    * side (unseen bigram → add-one numerator 1; unseen first word →
+    * context count 0 + |V|).
+    */
+  val heldOutLmSql: String = s"""
+    WITH tr AS (SELECT doc_id, $toks AS toks FROM documents WHERE doc_id % 2 = 0),
+    ca AS (SELECT doc_id, $toks AS toks FROM documents WHERE doc_id % 2 = 1),
+    bgt AS (
+      SELECT pr[1] AS w1, pr[2] AS w2
+      FROM (SELECT unnest(list_transform(range(1, len(toks)),
+                                         i -> [toks[i], toks[i+1]])) AS pr
+            FROM tr)
+    ),
+    c12 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM bgt GROUP BY 1, 2),
+    c1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1),
+    v AS (SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS v
+          FROM (SELECT unnest(toks) AS t FROM tr)),
+    bgc AS (
+      SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, pr[1] AS w1, pr[2] AS w2
+      FROM (SELECT doc_id, toks,
+                   unnest(list_transform(range(1, len(toks)),
+                                         i -> [toks[i], toks[i+1]])) AS pr
+            FROM ca)
+    ),
+    btf AS (SELECT doc_id, dl, w1, w2, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM bgc GROUP BY 1, 2, 3, 4),
+    lp AS (
+      SELECT b.doc_id, b.dl, b.tf,
+             CAST(floor(ln(CAST(COALESCE(c12.c12, 0) + 1 AS DOUBLE)
+                           / CAST(COALESCE(c1.c1, 0) + v.v AS DOUBLE))
+                        * 1000000.0) AS BIGINT) AS lp_e6
+      FROM btf b LEFT JOIN c12 ON c12.w1 = b.w1 AND c12.w2 = b.w2
+                 LEFT JOIN c1 ON c1.w1 = b.w1
+                 CROSS JOIN v
+    ),
+    sc AS (SELECT doc_id, dl, CAST(SUM(tf * lp_e6) AS BIGINT) AS lp_sum_e6
+           FROM lp GROUP BY doc_id, dl)
+    SELECT doc_id, dl - 1 AS n_bigrams, lp_sum_e6,
+           CAST(lp_sum_e6 // (dl - 1) AS BIGINT) AS avg_lp_e6
+    FROM sc"""
+
   /** Bigram pairs via 1-based list indexing over range(1, len) — the
     * SQL twin of the slice+transform generator; logprob = one ln() of
     * exact-integer-derived doubles, e6-floored before the exact sum;
@@ -408,6 +460,7 @@ object RetrievalQueries {
     "x40_retrieval_eval" -> (retrievalEval _),
     "t14_textrank" -> (textRankQ _),
     "x34_bigram_lm" -> (bigramLm _),
+    "x42_heldout_lm" -> (heldOutLm _),
     "x26_tfidf_topk" -> (tfIdf _),
     "x27_bm25_search" -> (bm25 _),
     "x28_inverted_index" -> (invertedIndex _),
@@ -420,6 +473,7 @@ object RetrievalQueries {
     "x40_retrieval_eval" -> retrievalEvalSql,
     "t14_textrank" -> textRankSql,
     "x34_bigram_lm" -> bigramLmSql,
+    "x42_heldout_lm" -> heldOutLmSql,
     "x26_tfidf_topk" -> tfIdfSql,
     "x27_bm25_search" -> bm25Sql,
     "x28_inverted_index" -> invertedIndexSql,

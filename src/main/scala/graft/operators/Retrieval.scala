@@ -268,6 +268,50 @@ object Retrieval {
         expr("lp_sum_e6 div (dl - 1)").as("avg_lp_e6"))
   }
 
+  /** X42 — held-out bigram-LM scoring (the CCNet filter shape, Wenzek
+    * et al. 2020): the add-one-smoothed bigram model is TRAINED on a
+    * reference split and SCORES a disjoint candidate split — the
+    * production quality-filter topology (web text scored under a
+    * wiki-trained LM), where x34 self-scores one corpus. Unseen
+    * candidate bigrams smooth to (0+1)/(C(w₁·)+|V|) and an entirely
+    * unseen first word to 1/|V| — both fall out of LEFT joins with
+    * coalesce(0), no special cases. Same exactness discipline as x34:
+    * one ln() per candidate bigram type of a correctly-rounded
+    * quotient of exact integers, e6-floored before the per-doc exact
+    * long Σ tf·lp; truncating integer mean.
+    *
+    * Scale: the trained count tables join the candidate bigrams on
+    * their natural (w₁, w₂)/(w₁) keys — shuffle hash joins, NEVER a
+    * forced vocab-sized broadcast (the r10 retrieval lesson); |V| is
+    * one driver scalar.
+    */
+  def bigramLmHeldOut(train: DataFrame, cand: DataFrame,
+                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    def bigrams(d: DataFrame) = d
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        explode(expr("transform(slice(toks, 1, greatest(size(toks)-1, 0)), " +
+          "(w, i) -> struct(w AS w1, element_at(toks, i + 2) AS w2))")).as("pr"))
+      .select(col("doc_id"), col("dl"), col("pr.w1"), col("pr.w2"))
+    val c12 = bigrams(train).groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val v = train.select(explode(tokens(col(textCol))).as("term"))
+      .agg(count_distinct(col("term"))).head().getLong(0)
+    val btf = bigrams(cand).groupBy(col("doc_id"), col("dl"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("tf"))
+    btf
+      .join(c12, Seq("w1", "w2"), "left")
+      .join(c1, Seq("w1"), "left")
+      .withColumn("lp_e6",
+        floor(log((coalesce(col("c12"), lit(0L)) + lit(1L)).cast("double") /
+          (coalesce(col("c1"), lit(0L)) + lit(v)).cast("double")) *
+          lit(1000000.0)).cast("long"))
+      .groupBy(col("doc_id"), col("dl"))
+      .agg(sum(col("tf") * col("lp_e6")).as("lp_sum_e6"))
+      .select(col("doc_id"), (col("dl") - 1L).as("n_bigrams"), col("lp_sum_e6"),
+        expr("lp_sum_e6 div (dl - 1)").as("avg_lp_e6"))
+  }
+
   /** T14 — TextRank (Mihalcea & Tarau 2004): weighted PageRank over
     * the document-level term co-occurrence graph — corpus-scale
     * keyword/concept importance, the link-analysis member of the text

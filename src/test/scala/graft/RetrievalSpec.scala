@@ -110,6 +110,23 @@ class RetrievalSpec extends SparkSpecBase {
     assert(r1 === run(7))
   }
 
+  test("held-out bigram LM: unseen bigrams and unseen contexts smooth correctly") {
+    // Train: "a b a b" → bigrams (a,b),(b,a),(a,b):
+    //   C(a,b)=2, C(b,a)=1, C(a·)=2, C(b·)=1, |V|=2.
+    // Candidates:
+    //   doc 10 "a b":  seen bigram  lp = ⌊ln((2+1)/(2+2))·1e6⌋ = ⌊ln(0.75)·1e6⌋
+    //   doc 11 "b b":  unseen bigram, seen context b: ⌊ln((0+1)/(1+2))·1e6⌋
+    //   doc 12 "c a":  unseen context c: ⌊ln((0+1)/(0+2))·1e6⌋
+    val train = Seq((0L, "a b a b")).toDF("doc_id", "text")
+    val cand = Seq((10L, "a b"), (11L, "b b"), (12L, "c a")).toDF("doc_id", "text")
+    val out = Retrieval.bigramLmHeldOut(train, cand).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("avg_lp_e6")).toMap
+    def lp(num: Double, den: Double) = math.floor(math.log(num / den) * 1e6).toLong
+    assert(out(10L) === lp(3, 4))
+    assert(out(11L) === lp(1, 3))
+    assert(out(12L) === lp(1, 2))
+  }
+
   test("tfidf/bm25 selection is invariant to partitioning") {
     def run(parts: Int) = {
       val d = corpus.repartition(parts)
