@@ -726,6 +726,16 @@ object PipelineQueries {
       .select(col("query_id"), col("neighbor_id"), col("approx_cos"), col("rank"))
   }
 
+  /** S10 — 1-bit binary-quantized ANN: Hamming shortlist over the
+    * one-long-per-vector code index, exact-cosine rerank of the top
+    * k·4 codes. Same queries/corpus/k as s1, so s7's recall harness
+    * and the brute baseline apply directly.
+    */
+  def knnBq(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    Similarity.bqTopK(e.filter(col("vec_id") < 5), e, k = 5, rerank = 4)
+  }
+
   /** S7 — the ANN evaluation harness as a query: recall@5 of each
     * approximate method (sign-LSH, IVF, PQ-ADC, SQ8) against the exact
     * brute-force top-5, over the same queries and corpus as s1/s2/s3/
@@ -750,7 +760,8 @@ object PipelineQueries {
       "lsh" -> Similarity.lshTopK(q, e, k = 5, dim = 64, planes = 6, tables = 8),
       "pq" -> Pq.pqTopK(q, e, k = 5, m = 8, kCode = 16),
       "ivfpq" -> Pq.ivfPqTopK(q, e, k = 5, nCentroids = 16, nProbe = 4, m = 8, kCode = 16),
-      "sq8" -> Similarity.sq8TopK(q, e, k = 5))
+      "sq8" -> Similarity.sq8TopK(q, e, k = 5),
+      "bq" -> Similarity.bqTopK(q, e, k = 5, rerank = 4))
     methods.map { case (name, df) =>
       df.select(col("query_id"), col("neighbor_id"))
         .join(brute, Seq("query_id", "neighbor_id"), "left_semi")
@@ -1526,6 +1537,44 @@ object PipelineQueries {
     FROM p WHERE cos_sim >= 0.9
     GROUP BY cid"""
 
+  /** S10 oracle: the same sign-bit packing (powers list shared with
+    * mm5 — bit 63 is the BIGINT minimum, list_sum runs in HUGEINT),
+    * bit_count(xor) Hamming shortlist at (hamming, neighbor_id) order,
+    * exact-cosine rerank of the kept 20.
+    */
+  val knnBqSql: String = s"""
+    WITH qc AS (
+      SELECT vec_id AS query_id, embedding AS qv,
+             CAST(list_sum(list_transform(generate_series(1, 64), j ->
+               CASE WHEN embedding[j] > 0 THEN $mm5PowersList[j]
+                    ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS qc
+      FROM embeddings WHERE vec_id < 5),
+    cc AS (
+      SELECT vec_id AS neighbor_id,
+             CAST(list_sum(list_transform(generate_series(1, 64), j ->
+               CASE WHEN embedding[j] > 0 THEN $mm5PowersList[j]
+                    ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS cc
+      FROM embeddings),
+    sl AS (
+      SELECT query_id, neighbor_id, hamming,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY hamming, neighbor_id) AS hrank
+      FROM (SELECT q.query_id, c.neighbor_id,
+                   CAST(bit_count(xor(q.qc, c.cc)) AS INT) AS hamming
+            FROM cc c, qc q WHERE c.neighbor_id != q.query_id)),
+    r AS (
+      SELECT s.query_id, s.neighbor_id, s.hamming,
+             ROUND(${cosSql("q.qv", "e.embedding")}, 6) AS cos
+      FROM sl s
+      JOIN embeddings e ON e.vec_id = s.neighbor_id
+      JOIN qc q ON q.query_id = s.query_id
+      WHERE s.hrank <= 20)
+    SELECT query_id, neighbor_id, hamming, cos, CAST(rank AS INT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY cos DESC, neighbor_id) AS rank
+          FROM r)
+    WHERE rank <= 5"""
+
   val knnBruteSql: String = s"""
     SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank FROM (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -1998,7 +2047,7 @@ object PipelineQueries {
       FROM ($sub) m JOIN ($knnBruteSql) b
         ON m.query_id = b.query_id AND m.neighbor_id = b.neighbor_id"""
     Seq(hits("ivf", knnIvfSql), hits("lsh", knnLshSql), hits("pq", knnPqSql),
-        hits("ivfpq", knnIvfPqSql), hits("sq8", knnSq8Sql))
+        hits("ivfpq", knnIvfPqSql), hits("sq8", knnSq8Sql), hits("bq", knnBqSql))
       .mkString("\n    UNION ALL\n    ")
   }
 
@@ -2457,6 +2506,7 @@ object PipelineQueries {
     "s5_knn_pq" -> (knnPq _),
     "s8_knn_ivfpq" -> (knnIvfPq _),
     "s9_knn_sq8" -> (knnSq8 _),
+    "s10_knn_bq" -> (knnBq _),
     "t11_quality_classifier" -> (qualityClassifier _),
     "s6_hard_negatives" -> (hardNegativesQ _),
     "c2_curation_pipeline" -> (curationPipeline _),
@@ -2520,6 +2570,7 @@ object PipelineQueries {
     "s5_knn_pq" -> knnPqSql,
     "s8_knn_ivfpq" -> knnIvfPqSql,
     "s9_knn_sq8" -> knnSq8Sql,
+    "s10_knn_bq" -> knnBqSql,
     "t11_quality_classifier" -> qualityClassifierSql,
     "s6_hard_negatives" -> hardNegativesSql,
     "c2_curation_pipeline" -> curationPipelineSql,

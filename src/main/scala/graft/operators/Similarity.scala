@@ -219,6 +219,56 @@ object Similarity {
     * far above PQ's at the same asymptotic cost — the standard
     * accuracy-per-byte tradeoff between the two codecs.
     */
+  /** 64-bit sign code of a 64-dim embedding: bit i set iff v[i] > 0 —
+    * 1-bit (binary) quantization, 32× smaller than float32. Bits OR
+    * together (never add), so bit 63 = Long.MinValue needs no
+    * ordering care. Contract: exactly 64 dims (the corpus schema);
+    * higher dims pack ⌈d/64⌉ longs the same way.
+    */
+  def bqCode(vec: Column): Column =
+    (0 until 64).map(i =>
+      when(element_at(vec, i + 1).cast("double") > 0.0,
+        lit(graft.operators.Multimodal.SigPowers(i))).otherwise(lit(0L)))
+      .reduce(_.bitwiseOR(_))
+
+  /** S10 — binary-quantized (1-bit) ANN: the cheapest point on the
+    * quantization ladder (float32 → SQ8 4× → PQ 64× → BQ here at 32×
+    * with ONE xor+popcount per candidate). The corpus index is one
+    * long per vector; each query Hamming-scans the codes (codegen'd
+    * bit_count(xor) — the mm5 verify kernel), keeps the `k·rerank`
+    * closest codes, then reranks ONLY those by exact cosine after a
+    * point-fetch equi-join back to the float vectors — the
+    * shortlist-then-fetch topology a 100 TB deployment runs (the code
+    * scan touches 8 bytes/vector; floats are read for queries×k·rerank
+    * rows total). Deterministic end to end: (hamming, neighbor_id)
+    * shortlist order, (cos, neighbor_id) final order.
+    */
+  def bqTopK(queries: DataFrame, candidates: DataFrame, k: Int, rerank: Int = 4,
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && rerank >= 1, s"need k >= 1 and rerank >= 1, got k=$k rerank=$rerank")
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      bqCode(col(vecCol)).as("qc"))
+    val codes = candidates.select(col(idCol).as("neighbor_id"), bqCode(col(vecCol)).as("cc"))
+    val wH = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming").asc, col("neighbor_id"))
+    val shortlist = codes.join(broadcast(q.select(col("query_id"), col("qc"))),
+        col("query_id") =!= col("neighbor_id"))
+      .withColumn("hamming", bit_count(col("qc").bitwiseXOR(col("cc"))).cast("int"))
+      .withColumn("hrank", row_number().over(wH))
+      .filter(col("hrank") <= k * rerank)
+      .select(col("query_id"), col("neighbor_id"), col("hamming"))
+    val wC = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    shortlist
+      .join(candidates.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")),
+        "neighbor_id")
+      .join(broadcast(q.select(col("query_id"), col("qv"))), "query_id")
+      .select(col("query_id"), col("neighbor_id"), col("hamming"),
+        round(cosine(col("qv"), col("cv")), 6).as("cos"))
+      .withColumn("rank", row_number().over(wC))
+      .filter(col("rank") <= k)
+  }
+
   def sq8TopK(queries: DataFrame, candidates: DataFrame, k: Int,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val (mins, maxs) = sq8Grid(candidates, vecCol)

@@ -20,6 +20,35 @@ class SimilaritySpec extends SparkSpecBase {
     assert(math.abs(m(3L) + 1.0) < 1e-12)
   }
 
+  test("bq: sign codes pack all 64 bits; hamming 0 for twins, 64 for negation") {
+    // v has every sign pattern; -v flips every bit (no zero entries,
+    // so the > 0 test is symmetric); bit 63 (Long.MinValue) must pack.
+    val v = (0 until 64).map(i => if (i % 3 == 0) 1.0f else -1.0f)
+    val allPos = Seq.fill(64)(1.0f)
+    val df = Seq((1L, v), (2L, v.map(-_)), (3L, v), (4L, allPos))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), Similarity.bqCode(col("embedding")).as("code"))
+    val m = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(1L) === m(3L))
+    assert(java.lang.Long.bitCount(m(1L) ^ m(2L)) === 64)
+    assert(m(4L) === -1L, "all 64 bits set = -1 (bit 63 is the sign bit)")
+    assert(java.lang.Long.bitCount(m(1L)) === (0 until 64).count(_ % 3 == 0))
+  }
+
+  test("bq top-k: a planted twin is hamming-0 and survives the exact rerank at rank 1") {
+    val rnd = new scala.util.Random(7)
+    def vec() = Seq.fill(64)(rnd.nextFloat() * 2 - 1)
+    val corpus = (10L to 49L).map(i => (i, vec()))
+    val qv = vec()
+    val all = ((1L, qv) +: (5L, qv) +: corpus).toDF("vec_id", "embedding")
+    val out = Similarity.bqTopK(all.filter(col("vec_id") === 1), all, k = 3, rerank = 4)
+      .collect().sortBy(_.getAs[Int]("rank"))
+    assert(out.head.getAs[Long]("neighbor_id") === 5L)
+    assert(out.head.getAs[Int]("hamming") === 0)
+    assert(out.head.getAs[Double]("cos") === 1.0)
+    assert(out.length === 3)
+  }
+
   test("native CosineSim is bit-identical to the fold-based form") {
     val e = Tables.embeddings(spark, Sf).limit(100)
     val a = e.as("a"); val b = e.as("b")
