@@ -22,8 +22,8 @@ import graft.streaming.{CurationStream, HeavyHitterStream, IncrementalGoldStream
   * directory and consumed with `maxFilesPerTrigger=1`, so the run
   * exercises REAL multi-micro-batch execution (checkpointing, state
   * handoff between batches, the sink's idempotent upsert) — not a
-  * single batch that happens to flow through streaming APIs. Both
-  * queries are chosen because their results are independent of the
+  * single batch that happens to flow through streaming APIs. Every
+  * query is chosen because its result is independent of the
   * micro-batch slicing:
   *  - sr1: bar partials form a commutative monoid, so the merge-on-
   *    read store equals the batch gold_5m frame for ANY slicing.
@@ -32,6 +32,18 @@ import graft.streaming.{CurationStream, HeavyHitterStream, IncrementalGoldStream
   *    under the fingerprint's whitespace/case normalization), so the
   *    admitted (fp, score) SET is slicing- and order-independent even
   *    though the dedup survivor row is not.
+  *  - sr3–sr8, sr10: per-key folds over chronologically-staged slices
+  *    (file name AND mtime ascend with each slice's time range) — the
+  *    fold's final state is the batch window pass exactly, whatever
+  *    the slicing, because every processor re-sorts within a batch
+  *    and the staging preserves order across batches.
+  *  - sr9: the Misra-Gries candidate superset holds under ANY arrival
+  *    order; the exact second pass erases the sketch's
+  *    order-dependence entirely (no chronological staging needed —
+  *    that is the point).
+  *
+  * Round 11 closed the set: every stateful streaming runtime in the
+  * repo now executes under the DuckDB gate through one of sr1–sr10.
   *
   * Scale note: `AvailableNow` + file listing is exactly how a 100 TB
   * backfill re-enters the streaming path (SPARK_STREAMING.md:69-77's
