@@ -194,6 +194,30 @@ object PipelineQueries {
     Dedup.winnowPairs(base.unionByName(mosaic), k = 4, w = 5, minShared = 2L)
   }
 
+  /** X43 — near-dup decontaminated train/test split: the train split
+    * is probed against the PROTECTED eval split through the
+    * production LSH + exact-verify path, and any train doc with an
+    * exact or near duplicate in the eval set loses its keep bit —
+    * the leakage gate that d8 (exact n-gram windows) and d18
+    * (embeddings) don't cover: lexically near-identical but not
+    * window-identical rewrites. The eval set carries planted
+    * 3/4-prefix leaks of every train doc with id % 20 = 0, so the
+    * gate demonstrably fires; organic test docs (id % 10 = 5) are
+    * disjoint and keep their train near-misses intact.
+    */
+  def splitDecontam(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val test = d.filter(pmod(col("doc_id"), lit(10)) === 5)
+      .select(col("doc_id"), col("text"))
+      .unionByName(d.filter(pmod(col("doc_id"), lit(20)) === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          expr("substring(text, 1, greatest(3 * length(text) div 4, 1))").as("text")))
+    val train = d.filter(pmod(col("doc_id"), lit(10)) === 0)
+      .select(col("doc_id"), col("text"))
+    Dedup.incrementalDedup(train, test, minJaccardE6 = 500000L)
+      .withColumn("kept", col("verdict") === lit("new"))
+  }
+
   /** D16 — incremental batch-vs-corpus dedup. Corpus = docs with
     * id % 4 = 0; the incoming batch mixes genuinely-fresh docs
     * (id % 4 = 1), byte-exact copies of corpus docs (re-id'd +1e6),
@@ -1217,15 +1241,16 @@ object PipelineQueries {
     * each side separately, cross-side candidates only, exact Jaccard
     * verify, and the exact/near/new verdict cascade.
     */
-  val incrementalDedupSql: String = s"""WITH corpus AS (
-    SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0
+  /** Cross-frame near-dup verdict machinery shared by d16 and x43:
+    * `corpusCte`/`batchCte` supply the two frames; the rest is the
+    * banded batch-vs-corpus candidate join, exact-Jaccard verify at
+    * tau = 1/2, and the exact-fingerprint stage.
+    */
+  private def incrementalVerdictSql(corpusCte: String, batchCte: String): String =
+    s"""WITH corpus AS (
+    $corpusCte
   ), batch AS (
-    SELECT doc_id, text FROM documents WHERE doc_id % 4 = 1
-    UNION ALL
-    SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 8 = 0
-    UNION ALL
-    SELECT doc_id + 2000000, substring(text, 1, greatest(3 * length(text) // 4, 1))
-    FROM documents WHERE doc_id % 8 = 4
+    $batchCte
   ), ${shingleSql(3, "TRUE", "shc", "corpus")}, ${shingleSql(3, "TRUE", "shb", "batch")},
   sigc AS (
     SELECT doc_id,
@@ -1287,6 +1312,29 @@ object PipelineQueries {
   FROM bfp b
   LEFT JOIN cfp2 e USING (fp)
   LEFT JOIN near n ON n.batch_id = b.doc_id"""
+
+  val incrementalDedupSql: String = incrementalVerdictSql(
+    """SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0""",
+    """SELECT doc_id, text FROM documents WHERE doc_id % 4 = 1
+    UNION ALL
+    SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 8 = 0
+    UNION ALL
+    SELECT doc_id + 2000000, substring(text, 1, greatest(3 * length(text) // 4, 1))
+    FROM documents WHERE doc_id % 8 = 4""")
+
+  /** X43 oracle: the shared verdict machinery with test as the
+    * protected corpus and train as the probe, wrapped with the keep
+    * bit (kept = no exact or near dup in the eval set).
+    */
+  val splitDecontamSql: String = s"""
+    SELECT doc_id, verdict, exact_dup_of, near_dup_of, near_j_e6,
+           verdict = 'new' AS kept
+    FROM (${incrementalVerdictSql(
+      """SELECT doc_id, text FROM documents WHERE doc_id % 10 = 5
+    UNION ALL
+    SELECT doc_id + 1000000, substring(text, 1, greatest(3 * length(text) // 4, 1))
+    FROM documents WHERE doc_id % 20 = 0""",
+      """SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0""")})"""
 
   val nearDedupSql: String = s"""WITH ${shingleSql(3, "doc_id % 10 = 0")}, $sigSql,
   banded AS (
@@ -2494,6 +2542,7 @@ object PipelineQueries {
     "d21_lsh_tuning" -> (lshTuningQ _),
     "d22_winnowing" -> (winnowingQ _),
     "d16_incremental_dedup" -> (incrementalDedup _),
+    "x43_split_decontam" -> (splitDecontam _),
     "x24_domain_cap" -> (domainCap _),
     "x25_train_shards" -> (trainShards _),
     "d15_quality_dedup" -> (qualityDedup _),
@@ -2558,6 +2607,7 @@ object PipelineQueries {
     "d21_lsh_tuning" -> lshTuningSql,
     "d22_winnowing" -> winnowingSql,
     "d16_incremental_dedup" -> incrementalDedupSql,
+    "x43_split_decontam" -> splitDecontamSql,
     "x24_domain_cap" -> domainCapSql,
     "x25_train_shards" -> trainShardsSql,
     "d15_quality_dedup" -> qualityDedupSql,
