@@ -402,14 +402,28 @@ object Dedup {
     * equi-join is the production shape (fingerprints act as exact
     * buckets — the same posture as the LSH band join, but with the
     * winnowing locality guarantee instead of a probabilistic S-curve);
-    * bucket sizes are the only quadratic term, and a fingerprint
-    * shared by every document (boilerplate) should be frequency-capped
-    * upstream exactly like a hot LSH bucket.
+    * bucket sizes are the only quadratic term. `maxDocFreq` > 0
+    * frequency-caps hot fingerprints BEFORE the self-join (a
+    * fingerprint in more than `maxDocFreq` documents is boilerplate —
+    * licenses, headers — and its bucket is quadratic in exactly the
+    * pairs nobody wants): one hash aggregate over the posting list,
+    * then a semi-join keeps only in-cap fingerprints — the standard
+    * MOSS/LSH hot-bucket drop, here a first-class knob instead of an
+    * upstream chore. 0 = uncapped (the bounded-corpus default).
     */
   def winnowPairs(docs: DataFrame, k: Int = 4, w: Int = 5, minShared: Long = 2L,
+                  maxDocFreq: Long = 0L,
                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val fp = winnowFingerprints(docs, k, w, idCol, textCol)
+    val fp0 = winnowFingerprints(docs, k, w, idCol, textCol)
       .select(col("id"), explode(col("fps")).as("fp"))
+    val fp =
+      if (maxDocFreq <= 0L) fp0
+      else {
+        // fps are distinct per doc, so count(*) per fp IS its doc freq.
+        val inCap = fp0.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxDocFreq).select(col("fp"))
+        fp0.join(inCap, Seq("fp"), "left_semi")
+      }
     val a = fp.as("a"); val b = fp.as("b")
     a.join(b, col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("doc_a"), col("b.id").as("doc_b"))

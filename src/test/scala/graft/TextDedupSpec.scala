@@ -131,6 +131,26 @@ class TextDedupSpec extends SparkSpecBase {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), s"false match: $pairs")
   }
 
+  test("winnowPairs maxDocFreq drops boilerplate-driven pairs, keeps genuine overlap") {
+    // Docs 1 and 2 share a long UNIQUE run; every doc carries the same
+    // boilerplate header. Uncapped, the boilerplate fingerprints pair
+    // everything with everything; capped at 2, only the genuine pair
+    // survives (its run-fingerprints live in exactly 2 docs).
+    val boiler = (1 to 10).map(i => s"license$i").mkString(" ")
+    val run = (1 to 10).map(i => s"unique$i").mkString(" ")
+    val docs = docsDf(Seq(
+      1L -> s"$boiler $run alpha beta",
+      2L -> s"$boiler gamma $run delta",
+      3L -> s"$boiler other words entirely here now",
+      4L -> s"$boiler more unrelated content goes here"))
+    val uncapped = Dedup.winnowPairs(docs, minShared = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.size > 1, s"boilerplate should pair everything: $uncapped")
+    val capped = Dedup.winnowPairs(docs, minShared = 1L, maxDocFreq = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped === Set((1L, 2L)), s"cap should keep only the genuine pair: $capped")
+  }
+
   test("sCurveHalfE6: exact dyadic closed form at the config extremes") {
     // 1 band × k rows: p = τ^k = 2^-16 → floor(1e6/65536) = 15.
     assert(Dedup.sCurveHalfE6(1, 16) === 15L)
