@@ -194,6 +194,42 @@ object PipelineQueries {
     Dedup.winnowPairs(base.unionByName(mosaic), k = 4, w = 5, minShared = 2L)
   }
 
+  /** T18 — per-doc token entropy (exact e6): the low-entropy signal
+    * for generated/template text whose repetition fraction looks
+    * normal.
+    */
+  def tokenEntropyQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokenEntropy(docs(s, dir))
+
+  /** T18 oracle: one ln() per (doc, distinct token) of the exact
+    * tf/dl quotient, e6-floored before the exact sum (x31's
+    * discipline); the normalized form divides the truncated entropy
+    * by ln(n_distinct) in doubles — identical IEEE ops both engines.
+    */
+  // lazy: declared above the shared `toksSql` fragment in file order —
+  // a strict val would interpolate null at object init.
+  lazy val tokenEntropySql: String = s"""
+    WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+    tf AS (
+      SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, unnest(toks) AS term
+            FROM d)
+      GROUP BY doc_id, dl, term
+    ),
+    s AS (
+      SELECT doc_id, dl AS n_tokens, CAST(COUNT(*) AS BIGINT) AS n_distinct,
+             CAST(-SUM(tf * CAST(floor(ln(CAST(tf AS DOUBLE) / CAST(dl AS DOUBLE))
+                                       * 1000000.0) AS BIGINT)) AS BIGINT) AS neg
+      FROM tf GROUP BY doc_id, dl
+    )
+    SELECT doc_id, n_tokens, n_distinct,
+           CAST(neg // n_tokens AS BIGINT) AS entropy_e6,
+           CAST(CASE WHEN n_distinct = 1 THEN NULL
+                     ELSE floor(CAST(neg // n_tokens AS DOUBLE)
+                                / ln(CAST(n_distinct AS DOUBLE))) END AS BIGINT)
+             AS norm_entropy_e6
+    FROM s"""
+
   /** X43 — near-dup decontaminated train/test split: the train split
     * is probed against the PROTECTED eval split through the
     * production LSH + exact-verify path, and any train doc with an
@@ -2543,6 +2579,7 @@ object PipelineQueries {
     "d22_winnowing" -> (winnowingQ _),
     "d16_incremental_dedup" -> (incrementalDedup _),
     "x43_split_decontam" -> (splitDecontam _),
+    "t18_token_entropy" -> (tokenEntropyQ _),
     "x24_domain_cap" -> (domainCap _),
     "x25_train_shards" -> (trainShards _),
     "d15_quality_dedup" -> (qualityDedup _),
@@ -2608,6 +2645,7 @@ object PipelineQueries {
     "d22_winnowing" -> winnowingSql,
     "d16_incremental_dedup" -> incrementalDedupSql,
     "x43_split_decontam" -> splitDecontamSql,
+    "t18_token_entropy" -> tokenEntropySql,
     "x24_domain_cap" -> domainCapSql,
     "x25_train_shards" -> trainShardsSql,
     "d15_quality_dedup" -> qualityDedupSql,

@@ -400,6 +400,47 @@ object TextAnalysis {
     * (doc, token) then doc (the t5 posture — shuffle O(total tokens),
     * no global state), joined back on doc_id.
     */
+  /** T18 — per-document token (unigram) Shannon entropy in exact e6
+    * integers: H = −Σ (tf/n)·ln(tf/n), the low-entropy signal that
+    * flags machine-generated / template / keyword-stuffed text whose
+    * REPETITION fraction (t5) can still look normal — a handful of
+    * distinct tokens cycled evenly has zero max-gram repetition but
+    * collapsed entropy. Exactness discipline = x31/x34: one ln() per
+    * (doc, distinct token) of a correctly-rounded exact-integer
+    * quotient, e6-floored BEFORE the exact long Σ tf·lp, truncating
+    * final division — so the score hash-matches the oracle. Also
+    * emits the normalized form H/ln(n_distinct)·e6 (1e6 = perfectly
+    * even usage; NULL when a doc has a single distinct token and the
+    * ratio is 0/0).
+    *
+    * Shape at scale: one explode + one (doc, token) hash aggregate +
+    * one per-doc aggregate — the t5/t17 shuffle, O(total tokens) with
+    * map-side partials, output O(docs).
+    */
+  def tokenEntropy(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    val tf = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__toks"))
+      .select(col("doc_id"), size(col("__toks")).cast("long").as("dl"),
+        explode(col("__toks")).as("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    tf.withColumn("lp_e6",
+        floor(log(col("tf").cast("double") / col("dl").cast("double")) *
+          lit(1000000.0)).cast("long"))
+      .groupBy(col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("n_distinct"),
+        sum(col("tf") * col("lp_e6")).as("__s"))
+      .select(col("doc_id"), col("dl").as("n_tokens"), col("n_distinct"),
+        (-col("__s")).as("__neg"))
+      .withColumn("entropy_e6", expr("__neg div n_tokens"))
+      .withColumn("norm_entropy_e6",
+        when(col("n_distinct") === 1, lit(null).cast("long"))
+          .otherwise(floor(col("entropy_e6").cast("double") /
+            log(col("n_distinct").cast("double"))).cast("long")))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        col("entropy_e6"), col("norm_entropy_e6"))
+  }
+
   def qualityGate(docs: DataFrame, textCol: String = "text",
                   idCol: String = "doc_id"): DataFrame = {
     val t = col(textCol)

@@ -94,4 +94,24 @@ class QualityGateSpec extends SparkSpecBase {
     assert((en.getLong(0), en.getLong(1), en.getLong(2), en.getLong(3)) ===
       ((1L, 1L, 1L, 1L)))
   }
+
+  test("token entropy: hand-computed even/collapsed cases; single-distinct norm is NULL") {
+    // "a a b b": tf 2/2, dl 4, lp = floor(ln(0.5)*1e6) = -693148 each,
+    // sum = 4*(-693148), entropy = 693148 = ln(2) e6-floored.
+    // "a a a": one distinct token, lp = ln(1) = 0, entropy 0, norm NULL.
+    val out = TextAnalysis.tokenEntropy(
+        Seq((1L, "a a b b"), (2L, "a a a"), (3L, "x y z w")).toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("entropy_e6") === 693148L)
+    assert(out(1L).getAs[Long]("n_distinct") === 2L)
+    assert(out(1L).getAs[Long]("norm_entropy_e6") ===
+      math.floor(693148.0 / math.log(2.0)).toLong)
+    assert(out(2L).getAs[Long]("entropy_e6") === 0L)
+    assert(out(2L).isNullAt(out(2L).fieldIndex("norm_entropy_e6")))
+    // All-distinct doc: entropy = e6-floored ln(4) per token,
+    // normalized to ~1e6 (floor of the truncated/exact ratio; per-token lp floors to -1386295).
+    assert(out(3L).getAs[Long]("entropy_e6") === 1386295L)
+    assert(out(3L).getAs[Long]("norm_entropy_e6") ===
+      math.floor(1386295.0 / math.log(4.0)).toLong)
+  }
 }
