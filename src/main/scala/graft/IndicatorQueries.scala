@@ -106,6 +106,15 @@ object IndicatorQueries {
     "b22_intraday_profile" -> ((s, dir) =>
       Indicators.intradayProfile(SparkEntry.silverDf(s, dir))),
 
+    // B23 — quote-driven effective vs quoted spread: trades as-of
+    // joined to the prevailing synthetic quote (quotes_raw finally
+    // consumed — the reference declares the stream and never reads
+    // it), per (symbol, UTC hour), exact e4/e6 integers.
+    "b23_effective_spread" -> ((s, dir) => {
+      val silver = SparkEntry.silverDf(s, dir)
+      Indicators.effectiveSpread(silver, Indicators.syntheticQuotes(silver))
+    }),
+
     // B5 — end-of-day EMA-14 per symbol, the recursion running
     // continuously from sequence start (streaming/IndicatorStream's
     // batch adapter — the one indicator a row-frame window cannot
@@ -780,6 +789,45 @@ object IndicatorQueries {
                      ELSE SUM(CAST(abs_ret_e6 AS HUGEINT)) // COUNT(abs_ret_e6)
                 END AS BIGINT) AS mean_abs_ret_e6
     FROM r GROUP BY 1, 2"""),
+
+    // B23: DuckDB's native ASOF JOIN is the independent twin of the
+    // tag-union-window as-of operator — different algorithm, same
+    // at-or-before tie semantics (DuckDB's >= matches the right-row-
+    // first sort at equal stamps). The staleness tolerance applies
+    // POST-match on both engines: a matched-but-stale quote voids the
+    // match rather than falling back to an older quote.
+    "b23_effective_spread" -> (SparkEntry.P + """, tq AS (
+      SELECT symbol, trade_date, event_id, epoch_ms(event_time) AS t_ms,
+             CAST(CAST(price AS DECIMAL(18,4)) * 10000 AS BIGINT) AS px_e4
+      FROM silver
+    ), quotes AS (
+      SELECT symbol, trade_date, t_ms - 500 AS q_ms,
+             px_e4 - GREATEST(1, px_e4 // 2000) AS bid_e4,
+             px_e4 + GREATEST(1, px_e4 // 1000) AS ask_e4
+      FROM tq WHERE event_id % 3 = 0
+    ), j AS (
+      SELECT t.symbol, t.t_ms, t.px_e4,
+             CASE WHEN q.q_ms IS NOT NULL AND t.t_ms - q.q_ms <= 600000
+                  THEN q.bid_e4 END AS bid_e4,
+             CASE WHEN q.q_ms IS NOT NULL AND t.t_ms - q.q_ms <= 600000
+                  THEN q.ask_e4 END AS ask_e4
+      FROM tq t ASOF LEFT JOIN quotes q
+        ON t.symbol = q.symbol AND t.trade_date = q.trade_date
+           AND t.t_ms >= q.q_ms
+    )
+    SELECT symbol, t_ms - t_ms % 3600000 AS hour_ms,
+           CAST(COUNT(*) AS BIGINT) AS n_trades,
+           CAST(COUNT(bid_e4) AS BIGINT) AS n_quoted,
+           CAST(SUM(ABS(2 * CAST(px_e4 AS HUGEINT) - (bid_e4 + ask_e4))) AS BIGINT)
+             AS eff_sum_e4,
+           CAST(SUM(CAST(ask_e4 AS HUGEINT) - bid_e4) AS BIGINT) AS quoted_sum_e4,
+           CAST(SUM(2 * CAST(px_e4 AS HUGEINT) - (bid_e4 + ask_e4)) AS BIGINT)
+             AS mid_dev_sum_e4,
+           CAST(CASE WHEN SUM(CAST(ask_e4 AS HUGEINT) - bid_e4) > 0
+                THEN SUM(ABS(2 * CAST(px_e4 AS HUGEINT) - (bid_e4 + ask_e4))) * 1000000
+                     // SUM(CAST(ask_e4 AS HUGEINT) - bid_e4)
+                END AS BIGINT) AS eff_vs_quoted_e6
+    FROM j GROUP BY 1, 2"""),
 
     // The EMA recursion as a literal left fold over the per-symbol
     // price sequence: acc' = α·x + (1−α)·acc with α = 2/15 — the same

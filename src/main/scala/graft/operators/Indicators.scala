@@ -914,6 +914,82 @@ object Indicators {
         col("n_rets"), col("mean_abs_ret_e6"))
   }
 
+  /** Synthetic prevailing-quote book derived deterministically from
+    * the silver trade feed — the quotes_raw fixture (the reference
+    * declares the quote stream in schemas/avro/quote.avsc and topic
+    * `quotes_raw` in producer/config.py:38 but never consumes it;
+    * FIXTURES.md §8 documents this derivation as the batch stand-in).
+    * Every third trade (event_id % 3 == 0) becomes a quote stamped
+    * 500 ms EARLIER than its source trade, with an asymmetric
+    * integer-tick band around the trade price: bid = px − max(1,
+    * px/2000) (~5 bp), ask = px + max(1, px/1000) (~10 bp) — the
+    * asymmetry keeps the midpoint strictly off the quote price so
+    * effective-spread arithmetic has a real signal. All integer e4
+    * ticks; `div` truncation matches DuckDB `//` (prices positive).
+    * trade_date rides along from the SOURCE trade (the day bucket the
+    * as-of join is keyed on), not re-derived from the shifted stamp.
+    */
+  def syntheticQuotes(silver: DataFrame, modulus: Long = 3L,
+                      lagMs: Long = 500L): DataFrame =
+    silver.filter(col("event_id") % modulus === 0)
+      .select(col("symbol"), col("trade_date"),
+        (unix_millis(col("event_time")) - lagMs).as("q_ms"),
+        ticksE4(col("price")).as("qpx_e4"))
+      .withColumn("bid_e4",
+        col("qpx_e4") - greatest(lit(1L), expr(s"qpx_e4 div 2000")))
+      .withColumn("ask_e4",
+        col("qpx_e4") + greatest(lit(1L), expr(s"qpx_e4 div 1000")))
+      .select(col("symbol"), col("trade_date"), col("q_ms"),
+        col("bid_e4"), col("ask_e4"))
+
+  /** B23 — quote-driven effective vs quoted spread per (symbol, UTC
+    * hour): each trade is as-of joined to the prevailing quote (latest
+    * quote at-or-before the trade, same symbol and day, within a
+    * 10-minute staleness tolerance — stale or missing quotes count the
+    * trade as unquoted). Effective spread per trade is 2·|p − mid|,
+    * computed as |2·px − (bid + ask)| so no halving ever leaves the
+    * integers; quoted spread is ask − bid; the signed midpoint
+    * deviation 2·px − (bid + ask) keeps buy/sell pressure visible.
+    * eff_vs_quoted_e6 is the hour's effective/quoted ratio in e6
+    * (floored), the standard price-improvement gauge.
+    *
+    * Scale: the as-of join is the tag-union-window form
+    * ([[AsOfJoin.asOf]]) keyed (symbol, trade_date) — the same
+    * day-bucketed posture as b20/b21, so no per-symbol
+    * whole-history sort; quotes never carry across days (market
+    * convention: books reset at the open). Sums stage through
+    * decimal(38,0) before the one truncating division.
+    */
+  def effectiveSpread(silver: DataFrame, quotes: DataFrame,
+                      toleranceMs: Long = 600000L): DataFrame = {
+    val trades = silver.select(col("symbol"), col("trade_date"),
+      unix_millis(col("event_time")).as("t_ms"),
+      ticksE4(col("price")).as("px_e4"))
+    val joined = AsOfJoin.asOf(trades, quotes,
+      keys = Seq("symbol", "trade_date"),
+      leftTime = "t_ms", rightTime = "q_ms",
+      rightPayload = Seq("bid_e4", "ask_e4"), prefix = "q_",
+      toleranceMs = Some(toleranceMs))
+    joined
+      .withColumn("hour_ms", expr("t_ms - t_ms % 3600000"))
+      .withColumn("mid_dev_e4",
+        lit(2L) * col("px_e4") - (col("q_bid_e4") + col("q_ask_e4")))
+      .withColumn("quoted_e4", col("q_ask_e4") - col("q_bid_e4"))
+      .groupBy(col("symbol"), col("hour_ms"))
+      .agg(count(lit(1)).as("n_trades"),
+        count(col("q_bid_e4")).as("n_quoted"),
+        sum(abs(col("mid_dev_e4")).cast("decimal(38,0)")).as("__eff"),
+        sum(col("quoted_e4").cast("decimal(38,0)")).as("__quoted"),
+        sum(col("mid_dev_e4").cast("decimal(38,0)")).as("__mid_dev"))
+      .select(col("symbol"), col("hour_ms"), col("n_trades"), col("n_quoted"),
+        expr("cast(__eff as bigint)").as("eff_sum_e4"),
+        expr("cast(__quoted as bigint)").as("quoted_sum_e4"),
+        expr("cast(__mid_dev as bigint)").as("mid_dev_sum_e4"),
+        when(col("__quoted") > 0,
+          expr("cast((__eff * 1000000) div __quoted as bigint)"))
+          .as("eff_vs_quoted_e6"))
+  }
+
   def spikeCounts(silver: DataFrame, n: Int = 20, z: Int = 3): DataFrame = {
     val w = bySymbolTime.rowsBetween(-(n - 1), Window.currentRow)
     silver

@@ -94,16 +94,22 @@ object Retrieval {
                idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
     val tfs = termFreqs(docs, idCol, textCol)
+    // Corpus stats (N, Σdl) as an IN-PLAN one-row broadcast — the
+    // same h15 posture bm25MultiQuery uses — instead of the former
+    // driver-side .head(): the whole query is ONE job. The arithmetic
+    // is unchanged: avgdl is still evaluated as s/n before the
+    // per-row division, so every double matches the former
+    // literal-avgdl form bit-for-bit (x27's hash is pinned).
     val stats = docs
       .select(size(tokens(col(textCol))).cast("long").as("dl"))
-      .agg(sum(col("dl")).as("s"), count(lit(1)).as("n")).head()
-    val (sumDl, n) = (stats.getLong(0), stats.getLong(1))
-    val avgdl = sumDl.toDouble / n.toDouble
+      .agg(sum(col("dl")).as("__sumdl"), count(lit(1)).as("__n"))
+    val nD = col("__n").cast("double")
     val dfD = col("df").cast("double")
-    val idf = log(lit(1.0) + (lit(n.toDouble) - dfD + lit(0.5)) / (dfD + lit(0.5)))
+    val idf = log(lit(1.0) + (nD - dfD + lit(0.5)) / (dfD + lit(0.5)))
     val tfD = col("tf").cast("double")
     val den = tfD + lit(1.2) *
-      (lit(0.25) + lit(0.75) * (col("dl").cast("double") / lit(avgdl)))
+      (lit(0.25) + lit(0.75) *
+        (col("dl").cast("double") / (col("__sumdl").cast("double") / nD)))
     // df stats restricted to the query terms BEFORE the broadcast
     // hint: docFreqs is vocab-sized (multi-GB at web scale) and
     // broadcasting it whole would OOM the driver; the isin pushes
@@ -111,6 +117,7 @@ object Retrieval {
     // |queryTerms| rows — KBs — while df values stay corpus-wide.
     val scored = tfs.filter(col("term").isin(queryTerms: _*))
       .join(broadcast(docFreqs(tfs).filter(col("term").isin(queryTerms: _*))), "term")
+      .crossJoin(broadcast(stats))
       .withColumn("part_e9", floor(idf * (tfD * lit(2.2) / den) *
         lit(1000000000.0)).cast("long"))
     scored.groupBy(col("doc_id"))

@@ -225,11 +225,21 @@ object Similarity {
     * ordering care. Contract: exactly 64 dims (the corpus schema);
     * higher dims pack ⌈d/64⌉ longs the same way.
     */
-  def bqCode(vec: Column): Column =
-    (0 until 64).map(i =>
+  def bqCode(vec: Column): Column = {
+    val packed = (0 until 64).map(i =>
       when(element_at(vec, i + 1).cast("double") > 0.0,
         lit(graft.operators.Multimodal.SigPowers(i))).otherwise(lit(0L)))
       .reduce(_.bitwiseOR(_))
+    // Enforce the 64-dim contract loudly (the Sq8RoundTrip posture):
+    // with ANSI off a short vector's element_at returns null → the
+    // when() silently leaves bits unset, and a longer vector's dims
+    // 65+ silently vanish — both degrade the Hamming shortlist with
+    // no error. Fail instead.
+    when(size(vec) =!= 64,
+      raise_error(concat(lit("bq_code: expected exactly 64 dims, got "),
+        size(vec).cast("string"))))
+      .otherwise(packed)
+  }
 
   /** S10 — binary-quantized (1-bit) ANN: the cheapest point on the
     * quantization ladder (float32 → SQ8 4× → PQ 64× → BQ here at 32×

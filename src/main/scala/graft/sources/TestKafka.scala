@@ -276,12 +276,36 @@ final case class TestKafkaOffset(files: Seq[String])
 }
 
 object TestKafkaOffset {
+  /** Exact inverse of [[TestKafkaOffset.json]] for ALL legal paths:
+    * scans escaped string tokens character-by-character instead of
+    * regex-splitting on `","`, which would mis-split a path containing
+    * a literal quote-comma-quote sequence (json() escapes quotes and
+    * backslashes, so the token scan below is unambiguous).
+    */
   def fromJson(json: String): TestKafkaOffset = {
-    val t = json.trim.stripPrefix("[").stripSuffix("]").trim
-    if (t.isEmpty) TestKafkaOffset(Nil)
-    else TestKafkaOffset(t.split("\",\\s*\"").toSeq
-      .map(_.stripPrefix("\"").stripSuffix("\"")
-        .replace("\\\"", "\"").replace("\\\\", "\\")))
+    val out = Seq.newBuilder[String]
+    var i = 0
+    while (i < json.length && json.charAt(i) != '"') i += 1
+    while (i < json.length) {
+      // at an opening quote
+      i += 1
+      val sb = new StringBuilder
+      var closed = false
+      while (!closed) {
+        require(i < json.length, s"testkafka offset: unterminated string in $json")
+        json.charAt(i) match {
+          case '\\' =>
+            require(i + 1 < json.length,
+              s"testkafka offset: dangling escape in $json")
+            sb.append(json.charAt(i + 1)); i += 2
+          case '"' => closed = true; i += 1
+          case c => sb.append(c); i += 1
+        }
+      }
+      out += sb.result()
+      while (i < json.length && json.charAt(i) != '"') i += 1
+    }
+    TestKafkaOffset(out.result())
   }
 }
 
@@ -326,12 +350,13 @@ class TestKafkaWriteBuilder(path: String, defaultTopic: Option[String],
 /** Streaming form of the sink — the K3 shape: `writeStream
   * .format("graft-testkafka")` appends each epoch's records as one
   * committed record file per task, the same contract checks and
-  * atomic tmp-file move as the batch write (all reused). Epochs are
-  * tracked by the caller's checkpoint; a successfully committed epoch
-  * is never re-committed by Spark, and an aborted one deletes its tmp
-  * files — so the produced topic directory holds exactly-once output
-  * under AvailableNow replay (KafkaSeamSpec round-trips it through
-  * the streaming scan).
+  * atomic tmp-file move as the batch write. Committed file names
+  * derive from (epochId, partitionId) — never a UUID — so an epoch
+  * replayed after a crash-between-commit-and-checkpoint overwrites
+  * its own earlier files instead of duplicating them: exactly-once
+  * output under BOTH clean restart and the commit/checkpoint race,
+  * by idempotent re-commit rather than transactions (KafkaSeamSpec
+  * round-trips the clean path and re-commits an epoch directly).
   */
 class TestKafkaStreamingWrite(path: String, defaultTopic: Option[String],
                               schema: StructType)
@@ -344,13 +369,20 @@ class TestKafkaStreamingWrite(path: String, defaultTopic: Option[String],
       org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
     TestKafkaStreamingWriterFactory(path, defaultTopic, schema)
 
+  // Destination names derive from (epochId, partitionId), NOT a fresh
+  // UUID: if the engine crashes after this move but before the
+  // checkpoint records the batch, the replayed epoch re-commits over
+  // its own files instead of appending duplicates — the file-move
+  // sink's classic at-least-once corner, closed by idempotent naming.
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
-    batch.commit(messages)
+    batch.commitAs(messages,
+      m => s"records-e$epochId-p${m.partitionId}.tsv")
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
     batch.abort(messages)
 }
 
-final case class TestKafkaCommit(tmpFile: String) extends WriterCommitMessage
+final case class TestKafkaCommit(tmpFile: String, partitionId: Int)
+    extends WriterCommitMessage
 
 class TestKafkaBatchWrite(path: String, defaultTopic: Option[String],
                           schema: StructType) extends BatchWrite {
@@ -364,6 +396,13 @@ class TestKafkaBatchWrite(path: String, defaultTopic: Option[String],
   }, "'value' must be BINARY or STRING")
   require(fieldIdx("topic") >= 0 || defaultTopic.isDefined,
     "testkafka sink needs a 'topic' column or a 'topic' option")
+  require(fieldIdx("topic") < 0 ||
+    schema(fieldIdx("topic")).dataType == StringType,
+    "'topic' must be STRING")
+  require(fieldIdx("key") < 0 || {
+    val t = schema(fieldIdx("key")).dataType
+    t == BinaryType || t == StringType
+  }, "'key' must be BINARY or STRING")
   require(fieldIdx("timestamp") < 0 || {
     val t = schema(fieldIdx("timestamp")).dataType
     t == TimestampType || t == LongType
@@ -372,15 +411,26 @@ class TestKafkaBatchWrite(path: String, defaultTopic: Option[String],
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new TestKafkaWriterFactory(path, defaultTopic, schema)
 
-  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    commitAs(messages, _ => s"records-${UUID.randomUUID()}.tsv")
+
+  /** Move each task's tmp file to its committed name. `name` picks the
+    * destination from the commit message: batch commits use a fresh
+    * UUID (each batch write appends); the streaming epoch commit
+    * derives the name from (epochId, partitionId), so a replayed
+    * epoch — crash after commit moved the files but before the
+    * checkpoint recorded the batch — OVERWRITES its own earlier
+    * output instead of duplicating it (idempotent epoch re-commit).
+    */
+  private[sources] def commitAs(messages: Array[WriterCommitMessage],
+                                name: TestKafkaCommit => String): Unit = {
     new File(path).mkdirs()
     messages.foreach {
-      case TestKafkaCommit(tmp) if tmp.nonEmpty =>
+      case m @ TestKafkaCommit(tmp, _) if tmp.nonEmpty =>
         val src = Paths.get(tmp)
         if (Files.exists(src)) {
-          Files.move(src,
-            Paths.get(path, s"records-${UUID.randomUUID()}.tsv"),
-            StandardCopyOption.ATOMIC_MOVE)
+          Files.move(src, Paths.get(path, name(m)),
+            StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
         }
       case _ => ()
     }
@@ -388,7 +438,7 @@ class TestKafkaBatchWrite(path: String, defaultTopic: Option[String],
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
-      case TestKafkaCommit(tmp) => Files.deleteIfExists(Paths.get(tmp)); ()
+      case TestKafkaCommit(tmp, _) => Files.deleteIfExists(Paths.get(tmp)); ()
       case _ => ()
     }
 }
@@ -459,7 +509,7 @@ class TestKafkaDataWriter(path: String, defaultTopic: Option[String],
 
   override def commit(): WriterCommitMessage = {
     if (wroteAny) out.close() else Files.deleteIfExists(tmp)
-    TestKafkaCommit(if (wroteAny) tmp.toString else "")
+    TestKafkaCommit(if (wroteAny) tmp.toString else "", partitionId)
   }
 
   override def abort(): Unit = {

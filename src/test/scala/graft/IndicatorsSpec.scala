@@ -512,4 +512,38 @@ class IndicatorsSpec extends SparkSpecBase {
     assert(h11.getAs[Long]("n_trades") === 1L && h11.getAs[Long]("n_rets") === 1L)
     assert(h11.getAs[Long]("mean_abs_ret_e6") === 0L)
   }
+
+  test("b23 effective spread: prevailing quote at-or-before, tolerance voids stale matches") {
+    // Hand-built silver: every third event_id (0, 3) becomes a quote.
+    // t0 = 2024-01-15 10:00:00 UTC.
+    val t0 = 1705312800000L
+    val rows = Seq(
+      // (event_id, price, offset_ms)
+      (0L, 100.0, 0L),         // -> quote at t0-500: bid 999500, ask 1001000 (e4)
+      (1L, 100.5, 1000L),      // matched by quote 0 (age 1500ms)
+      (2L, 101.0, 700000L),    // quote 0 is 700500ms old -> STALE, unquoted
+      (3L, 102.0, 720000L),    // -> quote at +719500; matches its own quote (age 500)
+      (4L, 101.5, 730000L))    // matched by quote 3 (age 10500ms? no: 730000-719500=10500 -> within 600000)
+      .map { case (id, p, off) =>
+        (id, "AAPL", p, 10L, new java.sql.Timestamp(t0 + off),
+          java.sql.Date.valueOf("2024-01-15"))
+      }.toDF("event_id", "symbol", "price", "volume", "event_time", "trade_date")
+    val out = Indicators.effectiveSpread(rows, Indicators.syntheticQuotes(rows))
+      .collect()
+    assert(out.length === 1) // all inside hour 10
+    val r = out.head
+    assert(r.getAs[Long]("n_trades") === 5L)
+    // Unquoted: event 2 (stale). Events 0,1 match quote(0); 3,4 match quote(3).
+    assert(r.getAs[Long]("n_quoted") === 4L)
+    // quote(0): px 1000000 -> bid = 1000000-500=999500, ask = 1000000+1000=1001000
+    //   quoted = 1500; ev0: |2*1000000-(999500+1001000)| = 500
+    //   ev1: px 1005000 -> |2010000-2000500| = 9500
+    // quote(3): px 1020000 -> bid 1019490, ask 1021020; quoted = 1530
+    //   ev3: |2040000-2040510| = 510; ev4: px 1015000 -> |2030000-2040510| = 10510
+    assert(r.getAs[Long]("quoted_sum_e4") === (1500L + 1500L + 1530L + 1530L))
+    assert(r.getAs[Long]("eff_sum_e4") === (500L + 9500L + 510L + 10510L))
+    assert(r.getAs[Long]("mid_dev_sum_e4") === (-500L + 9500L - 510L - 10510L))
+    assert(r.getAs[Long]("eff_vs_quoted_e6") ===
+      (500L + 9500L + 510L + 10510L) * 1000000L / (1500L + 1500L + 1530L + 1530L))
+  }
 }

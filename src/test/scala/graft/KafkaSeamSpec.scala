@@ -264,4 +264,69 @@ class KafkaSeamSpec extends SparkSpecBase {
       (TestKafka.murmur2(Array.empty[Byte]) & 0x7fffffff) % 4)
     assert(TestKafka.partitionFor(null, 4) === 0)
   }
+
+  test("sink topic/key contract: wrong types rejected at planning, not per-row (r11 advice)") {
+    import spark.implicits._
+    // Non-string topic column: the contract error, not an executor
+    // ClassCastException.
+    val errT = intercept[Exception] {
+      Seq(("k", "v", 7)).toDF("key", "value", "topic")
+        .write.mode("append").format("graft-testkafka")
+        .option("path", tmpDir("graft_tk_badtopic")).save()
+    }
+    val msgsT = Iterator.iterate(errT: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("|")
+    assert(msgsT.contains("'topic' must be STRING"), s"unexpected failure: $msgsT")
+    // Non-string/binary key column likewise.
+    val errK = intercept[Exception] {
+      Seq((42L, "v")).toDF("key", "value")
+        .write.mode("append").format("graft-testkafka")
+        .option("path", tmpDir("graft_tk_badkey")).option("topic", "t").save()
+    }
+    val msgsK = Iterator.iterate(errK: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("|")
+    assert(msgsK.contains("'key' must be BINARY or STRING"), s"unexpected failure: $msgsK")
+  }
+
+  test("streaming offset JSON round-trips for adversarial file paths (r11 advice)") {
+    import graft.sources.TestKafkaOffset
+    // Paths carrying the exact sequences the old regex split broke on:
+    // literal quote-comma-quote, backslashes, embedded quotes.
+    val nasty = Seq(
+      """/tmp/a","b/records-1.tsv""",
+      """C:\tmp\rec "x".tsv""",
+      "plain/records-2.tsv",
+      """q"," middle "," q""")
+    val rt = TestKafkaOffset.fromJson(TestKafkaOffset(nasty).json())
+    assert(rt.files.sorted === nasty.sorted,
+      "fromJson is not the inverse of json() for escaped paths")
+    assert(TestKafkaOffset.fromJson(TestKafkaOffset(Nil).json()).files.isEmpty)
+  }
+
+  test("streaming epoch re-commit is idempotent: replayed epoch overwrites, never duplicates") {
+    import graft.sources.{TestKafkaCommit, TestKafkaStreamingWrite}
+    val topicDir = tmpDir("graft_tk_replay")
+    val schema = StructType(Seq(StructField("value", StringType)))
+    val w = new TestKafkaStreamingWrite(topicDir, Some("t"), schema)
+    def stageTmp(body: String): String = {
+      val p = Files.createTempFile(java.nio.file.Paths.get(topicDir), ".tmp-0-", "")
+      Files.write(p, (body + "\n").getBytes("UTF-8"))
+      p.toString
+    }
+    val line = TestKafka.encodeLine(
+      TestKafka.Record("t", null, "v1".getBytes("UTF-8"), 0L))
+    // First commit of epoch 7.
+    w.commit(7L, Array(TestKafkaCommit(stageTmp(line), 0)))
+    // Crash-after-commit scenario: the epoch replays — a NEW tmp file
+    // with the same content commits under the SAME epochId.
+    w.commit(7L, Array(TestKafkaCommit(stageTmp(line), 0)))
+    val rows = spark.read.format("graft-testkafka").option("path", topicDir)
+      .option("partitions", "1").load()
+    assert(rows.count() === 1L,
+      "replayed epoch duplicated records — commit is not idempotent")
+    // A different epoch appends (no accidental clobber across epochs).
+    w.commit(8L, Array(TestKafkaCommit(stageTmp(line), 0)))
+    assert(spark.read.format("graft-testkafka").option("path", topicDir)
+      .option("partitions", "1").load().count() === 2L)
+  }
 }

@@ -187,8 +187,14 @@ class PlanSpec extends SparkSpecBase {
       .findAllIn(p27).size
     assert(inFilters >= 2,
       s"x27: df broadcast build side is not restricted to the query terms:\n$p27")
-    assert(!p27.contains("BroadcastNestedLoopJoin") && !p27.contains("CartesianProduct"),
-      "x27: term join degenerated")
+    // The 1-row (N, Σdl) stats frame legitimately joins as a broadcast
+    // nested loop (the in-plan h15 posture, r11 verdict item #5); the
+    // TERM join degenerating would show as a BNLJ between corpus-shaped
+    // sides — pin that the term join stayed a BroadcastHashJoin and no
+    // cartesian appeared, and that exactly the one scalar BNLJ exists.
+    assert(!p27.contains("CartesianProduct"), "x27: term join degenerated")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p27).size <= 1,
+      "x27: more than the one scalar-stats broadcast nested loop")
     // x40's df stats go through a left-semi join against the broadcast
     // query-term set BEFORE their own broadcast — |query terms| rows.
     val p40 = plan("x40_retrieval_eval")
@@ -469,5 +475,20 @@ class PlanSpec extends SparkSpecBase {
     val p = plan("c4_prototype_prune")
     assert(!p.contains("Join"), "prototype prune must not join — window over the assignment scan")
     assert(p.contains("row_number"), "rank window missing")
+  }
+
+  test("x27 bm25: corpus stats join in-plan as a one-row broadcast — no driver .head()") {
+    // The r11 verdict note: bm25TopK computed (N, Σdl) with a
+    // driver-side .head(), splitting the query into two jobs. Now the
+    // stats aggregate is a crossJoin(broadcast(...)) INSIDE the plan
+    // (the h15 posture bm25MultiQuery already had): the scalar frame
+    // must be visible as a broadcast nested-loop join of a one-row
+    // aggregate, and the plan must carry the __sumdl/__n columns.
+    val p = plan("x27_bm25_search")
+    assert(p.contains("__sumdl") && p.contains("__n"),
+      "in-plan corpus stats columns missing — reverted to a driver-side head()?")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "one-row stats frame should broadcast")
+    assert(p.contains("TakeOrderedAndProject"), "top-k must avoid a global sort")
   }
 }

@@ -318,9 +318,11 @@ class SimilaritySpec extends SparkSpecBase {
     val msgs = Iterator.iterate(err: Throwable)(_.getCause).takeWhile(_ != null)
       .map(t => Option(t.getMessage).getOrElse("")).mkString("|")
     assert(msgs.contains("sq8_roundtrip"), s"unexpected failure: $msgs")
-    // NaN elements must take the HOF's least()-clamp path (NaN sorts
-    // above every double in Spark → code 255), not math.min's
-    // NaN-propagation into (int)NaN = 0.
+    // NaN elements converge on code 0 (→ mn) in BOTH paths, as the
+    // Sq8RoundTrip scaladoc documents: the HOF's long-returning floor
+    // turns the NaN quotient into 0, and the native loop's
+    // (int)Math.min(NaN, 255.0) is also 0. The assertion below is
+    // bit-identity, pinning that shared convergence.
     val nanV = Seq((1L, (0 until mins.size).map(i => if (i == 0) Float.NaN else 0.5f)))
       .toDF("vec_id", "embedding")
     val nanHof = nanV.select(Similarity.sq8Reconstruct(

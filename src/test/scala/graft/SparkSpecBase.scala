@@ -8,17 +8,23 @@ import org.scalatest.funsuite.AnyFunSuite
   * tests).
   */
 object TestSpark {
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
-    .appName("graft-test")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // Match the mains: oversized codegen'd stages fall back to
-    // per-operator execution instead of running interpreted (r9).
-    .config("spark.sql.codegen.hugeMethodLimit", "8000")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Match the mains: oversized codegen'd stages fall back to
+      // per-operator execution instead of running interpreted (r9).
+      .config("spark.sql.codegen.hugeMethodLimit", "8000")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    // Keep test output readable: failures drown in executor INFO spam
+    // otherwise (the mains set the same level).
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
 }
 
 abstract class SparkSpecBase extends AnyFunSuite {
