@@ -1,7 +1,6 @@
 package graft
 
 import java.nio.file.{Files, Path}
-import java.util.Comparator
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -9,7 +8,7 @@ import org.apache.spark.sql.streaming.Trigger
 
 import graft.operators.TextAnalysis
 import graft.sources.Tables
-import graft.streaming.{CurationStream, HeavyHitterStream, IncrementalGoldStream, LatestPriceStream, OrderFlowStream, VpinStream}
+import graft.streaming.{CurationStream, HeavyHitterStream, IncrementalGoldStream, LatestPriceStream, OrderFlowStream, ReplayStaging, VpinStream}
 
 /** Driver-visible queries that actually EXECUTE `writeStream` — the
   * streaming runtimes replayed deterministically over the static sf
@@ -53,14 +52,12 @@ object StreamReplayQueries {
 
   /** Recursive delete for the per-invocation scratch dirs (unique via
     * createTempDirectory, removed once results are materialized).
+    * Staged INPUT directories are no longer per-invocation — they live
+    * in [[ReplayStaging]]'s process-lifetime cache (r11 verdict #6), so
+    * only each query's private ckpt/out/store scratch is deleted here.
     */
-  private def deleteRecursively(root: Path): Unit = {
-    if (Files.exists(root)) {
-      val walk = Files.walk(root)
-      try walk.sorted(Comparator.reverseOrder[Path]()).forEach(p => Files.deleteIfExists(p))
-      finally walk.close()
-    }
-  }
+  private def deleteRecursively(root: Path): Unit =
+    ReplayStaging.deleteRecursively(root)
 
   /** Run `body` with replay-friendly session confs, restoring the
     * caller's values after. The stateful shuffle drops to 8
@@ -80,19 +77,30 @@ object StreamReplayQueries {
                                 (body: => T): T = {
     val shufKey = "spark.sql.shuffle.partitions"
     val provKey = "spark.sql.streaming.stateStore.providerClass"
+    // Changelog checkpointing: commit per-batch DELTAS to the
+    // checkpoint instead of a full RocksDB snapshot per batch per
+    // partition — the dominant fixed cost of a 3-micro-batch drain
+    // whose state is a handful of keys (r11 verdict #6). Results are
+    // untouched; snapshots still materialize lazily in maintenance.
+    val logKey = "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
     val prevShuf = s.conf.getOption(shufKey)
     val prevProv = s.conf.getOption(provKey)
+    val prevLog = s.conf.getOption(logKey)
     def restore(key: String, prev: Option[String]): Unit = prev match {
       case Some(v) => s.conf.set(key, v)
       case None => s.conf.unset(key)
     }
     try {
       s.conf.set(shufKey, "8")
-      provider.foreach(p => s.conf.set(provKey, p))
+      provider.foreach { p =>
+        s.conf.set(provKey, p)
+        s.conf.set(logKey, "true")
+      }
       body
     } finally {
       restore(shufKey, prevShuf)
       restore(provKey, prevProv)
+      restore(logKey, prevLog)
     }
   }
 
@@ -108,8 +116,9 @@ object StreamReplayQueries {
     val silver = SparkEntry.silverDf(s, dir)
     val tmp = Files.createTempDirectory("graft_sr1_")
     try {
-      val staging = tmp.resolve("staging").toString
-      silver.repartition(2).write.parquet(staging)
+      // The monoid store converges under ANY slicing; reuse the shared
+      // chronological silver staging rather than paying a private one.
+      val staging = stagedChrono(s"silver|$dir", silver)
       val stream = s.readStream.schema(silver.schema)
         .option("maxFilesPerTrigger", "1").parquet(staging)
       val q = IncrementalGoldStream.writer(stream,
@@ -140,13 +149,15 @@ object StreamReplayQueries {
     */
   def streamCurationReplay(s: SparkSession, dir: String): DataFrame = withReplayConfs(s) {
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-      .withColumn("event_time", lit("2024-01-15 00:00:00").cast("timestamp"))
     val tmp = Files.createTempDirectory("graft_sr2_")
     try {
-      val staging = tmp.resolve("staging").toString
-      docs.repartition(2).write.parquet(staging)
+      // Shared with sr9: stage the raw (doc_id, text) feed once; the
+      // constant event time is attached AFTER readStream (a literal
+      // column, identical semantics to staging it).
+      val staging = ReplayStaging.multiFile(s"docs|$dir", docs, n = 3)
       val stream = s.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", "1").parquet(staging)
+        .withColumn("event_time", lit("2024-01-15 00:00:00").cast("timestamp"))
       val outDir = tmp.resolve("out").toString
       val q = CurationStream.admit(stream, minScoreMilli = 0L, delay = "7 days")
         .select(TextAnalysis.fingerprintMd5(col("text")).as("fp_md5"),
@@ -174,41 +185,16 @@ object StreamReplayQueries {
     * pair is the batch LEAD pair, and the JVM change/pct arithmetic
     * is the same IEEE op sequence the batch column expressions run.
     */
-  /** Stage `frame` into `tmp/staging` as three chronological slices,
-    * each ONE parquet file with ascending name and mtime, so the
-    * file-source ordering (mtime, with path as tiebreak) replays them
-    * in event-time order no matter which key it uses. Returns the
-    * staging directory path.
+  /** Three chronological slices, each ONE parquet file with ascending
+    * name and mtime, so the file-source ordering (mtime, with path as
+    * tiebreak) replays them in event-time order no matter which key it
+    * uses. Staged once per (key) per JVM and shared across queries —
+    * see [[ReplayStaging]]. Returns the staging directory path.
     */
-  private def stageChronoSlices(tmp: Path, frame0: DataFrame,
-                                cutCol: org.apache.spark.sql.Column = col("event_time"),
-                                cutType: String = "timestamp"): String = {
-    // Materialize once: each slice write would otherwise recompute the
-    // whole upstream plan (silver's dedup windows; sr10's daily-bar
-    // aggregate) — 3× the scan for zero benefit (sr10: 11.8 → ~5 s).
-    val frame = frame0.localCheckpoint(true)
-    val staging = Files.createDirectory(tmp.resolve("staging"))
-    val cuts = Seq("2024-01-10", "2024-01-20")
-    val slices = Seq(
-      cutCol < lit(cuts(0)).cast(cutType),
-      cutCol >= lit(cuts(0)).cast(cutType) &&
-        cutCol < lit(cuts(1)).cast(cutType),
-      cutCol >= lit(cuts(1)).cast(cutType))
-    slices.zipWithIndex.foreach { case (cond, i) =>
-      val part = tmp.resolve(s"slice$i")
-      frame.filter(cond).coalesce(1).write.parquet(part.toString)
-      val one = Files.list(part)
-      val src =
-        try one.filter(p => p.getFileName.toString.endsWith(".parquet"))
-          .findFirst().orElseThrow()
-        finally one.close()
-      val dst = staging.resolve(f"slice-$i%04d.parquet")
-      Files.move(src, dst)
-      Files.setLastModifiedTime(dst,
-        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
-    }
-    staging.toString
-  }
+  private def stagedChrono(key: String, frame: => DataFrame,
+                           cutCol: org.apache.spark.sql.Column = col("event_time"),
+                           cutType: String = "timestamp"): String =
+    ReplayStaging.chronoSlices(key, frame, cutCol, cutType)
 
   def streamLatestReplay(s: SparkSession, dir: String): DataFrame =
       withReplayConfs(s, Some(RocksDb)) {
@@ -216,7 +202,7 @@ object StreamReplayQueries {
     val silver = SparkEntry.silverDf(s, dir)
     val tmp = Files.createTempDirectory("graft_sr3_")
     try {
-      val staging = stageChronoSlices(tmp, silver)
+      val staging = stagedChrono(s"silver|$dir", silver)
       val stream = s.readStream.schema(silver.schema)
         .option("maxFilesPerTrigger", "1").parquet(staging)
       val trades = stream
@@ -281,7 +267,7 @@ object StreamReplayQueries {
     val silver = SparkEntry.silverDf(s, dir)
     val tmp = Files.createTempDirectory("graft_sr4_")
     try {
-      val staging = stageChronoSlices(tmp, silver)
+      val staging = stagedChrono(s"silver|$dir", silver)
       val stream = s.readStream.schema(silver.schema)
         .option("maxFilesPerTrigger", "1").parquet(staging)
       val keyed = stream.select(
@@ -328,7 +314,7 @@ object StreamReplayQueries {
         col("event_time"))
     val tmp = Files.createTempDirectory(s"graft_${tag}_")
     try {
-      val staging = stageChronoSlices(tmp, ev)
+      val staging = stagedChrono(s"events|$dir", ev)
       val stream = s.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", "1").parquet(staging)
         .select(col("user_id"), col("event_type"), col("ts_us").as("ts"),
@@ -405,7 +391,7 @@ object StreamReplayQueries {
     val snaps = MaintenanceQueries.dailyCloseSnapshots(s, dir)
     val tmp = Files.createTempDirectory("graft_sr7_")
     try {
-      val staging = stageChronoSlices(tmp, snaps, col("trade_date"), "date")
+      val staging = stagedChrono(s"snaps|$dir", snaps, col("trade_date"), "date")
       val stream = s.readStream.schema(snaps.schema)
         .option("maxFilesPerTrigger", "1").parquet(staging)
         .select(col("symbol").as("key"), col("trade_date").as("date"),
@@ -447,13 +433,16 @@ object StreamReplayQueries {
   def streamEmaReplay(s: SparkSession, dir: String): DataFrame =
       withReplayConfs(s, Some(RocksDb)) {
     import s.implicits._
-    val ticks = SparkEntry.silverDf(s, dir)
-      .select(col("symbol"), col("price"), col("event_time"))
+    val silver = SparkEntry.silverDf(s, dir)
     val tmp = Files.createTempDirectory("graft_sr8_")
     try {
-      val staging = stageChronoSlices(tmp, ticks)
-      val stream = s.readStream.schema(ticks.schema)
+      // Shared full-silver staging; the tick projection happens after
+      // readStream, where parquet column pruning makes the narrower
+      // read free.
+      val staging = stagedChrono(s"silver|$dir", silver)
+      val stream = s.readStream.schema(silver.schema)
         .option("maxFilesPerTrigger", "1").parquet(staging)
+        .select(col("symbol"), col("price"), col("event_time"))
         .as[graft.streaming.IndicatorStream.TradeTick]
       val outDir = tmp.resolve("out").toString
       val q = graft.streaming.IndicatorStream.updates(s, stream, n = 14)
@@ -492,8 +481,7 @@ object StreamReplayQueries {
       df.select(explode(graft.operators.TextAnalysis.tokens(lower(col("text")))).as("token"))
     val tmp = Files.createTempDirectory("graft_sr9_")
     try {
-      val staging = tmp.resolve("staging").toString
-      docs.repartition(3).write.parquet(staging)
+      val staging = ReplayStaging.multiFile(s"docs|$dir", docs, n = 3)
       val stream = s.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", "1").parquet(staging)
       val outDir = tmp.resolve("out").toString
@@ -538,7 +526,7 @@ object StreamReplayQueries {
         col("close"), col("day_volume"))
     val tmp = Files.createTempDirectory("graft_sr10_")
     try {
-      val staging = stageChronoSlices(tmp, bars, col("trade_date"), "date")
+      val staging = stagedChrono(s"bars|$dir", bars, col("trade_date"), "date")
       val stream = s.readStream.schema(bars.schema)
         .option("maxFilesPerTrigger", "1").parquet(staging)
         .as[graft.streaming.BarIndicatorStream.DailyBar]
@@ -557,6 +545,60 @@ object StreamReplayQueries {
     } finally deleteRecursively(tmp)
   }
 
+  /** SR11 — adversarial LATE / out-of-order replay under the oracle
+    * (r11 verdict item #2): the chronologically-staged sr replays never
+    * exercise the watermark's drop-late semantics
+    * (transformations.py:211-224, spark_processor.py:146) end-to-end,
+    * so this one stages silver in THREE MOD-3 slices — each spanning
+    * the whole 30-day range, so the later micro-batches are almost
+    * entirely out-of-order — with a 3-day watermark (proportionate to
+    * the event span, the long-horizon backfill posture).
+    *
+    * Deterministic semantics the DuckDB oracle reproduces with
+    * explicit cutoffs (pinned empirically in LateDataReplaySpec):
+    *  - Spark filters late records with the PREVIOUS batch's eviction
+    *    watermark (SPARK-40925's lateEvents/eviction split). Under
+    *    AvailableNow's back-to-back batches that means: batch 1 (slice
+    *    1) is filtered with watermark 0 — nothing drops — and batch 2
+    *    (slice 2) is filtered with W1 = max(slice-0 event_time)ms − 3d,
+    *    the watermark batch 1 evicted with.
+    *  - The drop predicate is on the WINDOW: a slice-2 row is dropped
+    *    iff its window end ≤ W1 (inclusive), so a row older than W1
+    *    itself whose window is still open survives — the
+    *    late-but-in-watermark population.
+    *  - Append mode emits a window iff its end ≤ final watermark
+    *    Wf = max(all event_time)ms − 3d (inclusive); later windows
+    *    stay in state, unemitted. Each window emits exactly once, with
+    *    exactly the kept contributions, because every slice-2 row for
+    *    an already-emitted window is late by construction.
+    * Removing the watermark would change the result (no drops, no
+    * emission cutoff — and append mode would reject the plan outright)
+    * — the oracle row is watermark-SENSITIVE, not watermark-blind.
+    */
+  def streamLateReplay(s: SparkSession, dir: String): DataFrame = withReplayConfs(s) {
+    val silver = SparkEntry.silverDf(s, dir)
+    val tmp = Files.createTempDirectory("graft_sr11_")
+    try {
+      val staging = ReplayStaging.modSlices(s"silver_mod3|$dir", silver, col("event_id"))
+      val stream = s.readStream.schema(silver.schema)
+        .option("maxFilesPerTrigger", "1").parquet(staging)
+      val bars = graft.operators.Ohlcv.bars5m(stream.withWatermark("event_time", "3 days"))
+      val outDir = tmp.resolve("out").toString
+      val q = bars.select(col("symbol"),
+          unix_millis(col("window_start")).as("window_start_ms"),
+          unix_millis(col("window_end")).as("window_end_ms"),
+          col("open"), col("high"), col("low"), col("close"),
+          col("volume"), col("trade_count"), col("vwap_e6"))
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", tmp.resolve("ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .format("parquet").option("path", outDir)
+        .start()
+      q.awaitTermination()
+      s.read.parquet(outDir).localCheckpoint(eager = true)
+    } finally deleteRecursively(tmp)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sr1_stream_gold_replay" -> (streamGoldReplay _),
     "sr2_stream_curation_replay" -> (streamCurationReplay _),
@@ -567,7 +609,37 @@ object StreamReplayQueries {
     "sr7_stream_scd2_replay" -> (streamScd2Replay _),
     "sr8_stream_ema_replay" -> (streamEmaReplay _),
     "sr9_stream_heavyhitter_replay" -> (streamHeavyHitterReplay _),
-    "sr10_stream_barind_replay" -> (streamBarIndicatorReplay _))
+    "sr10_stream_barind_replay" -> (streamBarIndicatorReplay _),
+    "sr11_stream_late_replay" -> (streamLateReplay _))
+
+  /** sr11's kept/emitted sets, as explicit SQL: the late-record filter
+    * the THIRD slice meets (m0 — the watermark slice 1 evicted with,
+    * i.e. max slice-0 event time − 3 days; see streamLateReplay's
+    * semantics note) and the final watermark (mf) are deterministic
+    * functions of the data. A slice-2 row survives iff its window is
+    * still open at m0; a window emits iff closed by mf. 259200000 =
+    * 3 days in ms.
+    */
+  private val lateReplaySql: String = SparkEntry.P + """, m0 AS (
+      SELECT epoch_ms(MAX(event_time)) - 259200000 AS w FROM silver WHERE event_id % 3 = 0
+    ), mf AS (
+      SELECT epoch_ms(MAX(event_time)) - 259200000 AS w FROM silver
+    ), kept AS (
+      SELECT *, epoch_ms(event_time) - epoch_ms(event_time) % 300000 AS ws_ms
+      FROM silver
+      WHERE event_id % 3 < 2
+         OR epoch_ms(event_time) - epoch_ms(event_time) % 300000 + 300000 > (SELECT w FROM m0)
+    )
+    SELECT symbol, ws_ms AS window_start_ms, ws_ms + 300000 AS window_end_ms,
+           arg_min(price, event_time) AS open, MAX(price) AS high, MIN(price) AS low,
+           arg_max(price, event_time) AS close, CAST(SUM(volume) AS BIGINT) AS volume,
+           COUNT(*) AS trade_count,
+           CASE WHEN SUM(volume) = 0 THEN NULL ELSE
+             CAST(SUM(CAST(CAST(price AS DECIMAL(18,4)) * volume * 10000 AS BIGINT)) * 100
+                  // SUM(volume) AS BIGINT) END AS vwap_e6
+    FROM kept
+    GROUP BY symbol, ws_ms
+    HAVING ws_ms + 300000 <= (SELECT w FROM mf)"""
 
   val oracles: Map[String, String] = Map(
     // The streamed merge-on-read store must equal batch gold_5m.
@@ -601,5 +673,6 @@ object StreamReplayQueries {
     "sr7_stream_scd2_replay" -> MaintenanceQueries.scd2HistorySql,
     "sr8_stream_ema_replay" -> IndicatorQueries.oracleSql("b5_ema_daily"),
     "sr9_stream_heavyhitter_replay" -> ExtendedQueries.heavyHitterTokensSql,
-    "sr10_stream_barind_replay" -> IndicatorQueries.oracleSql("b12_stochastic"))
+    "sr10_stream_barind_replay" -> IndicatorQueries.oracleSql("b12_stochastic"),
+    "sr11_stream_late_replay" -> lateReplaySql)
 }

@@ -1,0 +1,138 @@
+package graft.streaming
+
+import java.nio.file.{Files, Path}
+import java.util.Comparator
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Shared, process-lifetime cache of chronologically-staged replay
+  * inputs (r11 verdict item #6: the ten sr drains re-staged
+  * near-identical feeds per query — sr3/sr4/sr8 all stage the silver
+  * frame, sr5/sr6 the normalized event feed — and staging was ~40% of
+  * the replay wall cost: one localCheckpoint of the upstream plan plus
+  * three slice writes each).
+  *
+  * A staged directory is immutable once built: every consumer opens
+  * its own `readStream` with its own checkpoint over the same files,
+  * so sharing is safe by construction. Entries are keyed by a
+  * caller-supplied logical identity (e.g. "silver|/root/testdata/sf0.1")
+  * — callers passing the same key MUST pass the same frame, which
+  * holds here because every key embeds the sf directory and the frame
+  * is a deterministic function of it. Directories live until JVM exit
+  * (one shutdown hook), not per-query: within one Verify/Bench
+  * invocation the second and third consumer of a feed pay zero staging
+  * cost.
+  *
+  * Chronological discipline (unchanged from the original per-query
+  * staging): each slice is ONE parquet file whose name and mtime both
+  * ascend with the slice's time range, so the file source's ordering
+  * replays event-time order across micro-batches whichever key it
+  * sorts by.
+  */
+object ReplayStaging {
+
+  private val cache = TrieMap[String, String]()
+  private val roots = TrieMap[String, Path]()
+
+  sys.addShutdownHook {
+    roots.values.foreach(deleteRecursively)
+  }
+
+  private[graft] def deleteRecursively(root: Path): Unit = {
+    if (Files.exists(root)) {
+      val walk = Files.walk(root)
+      try walk.sorted(Comparator.reverseOrder[Path]()).forEach(p => Files.deleteIfExists(p))
+      finally walk.close()
+    }
+  }
+
+  /** Stage `frame` into three chronological one-file slices under a
+    * fresh temp dir and memoize the staging path under `key`.
+    * `cutCol`/`cutType` pick the slicing column (event_time by
+    * default; dates for bar/snapshot feeds).
+    */
+  def chronoSlices(key: String, frame: => DataFrame,
+                   cutCol: Column = col("event_time"),
+                   cutType: String = "timestamp"): String =
+    cache.getOrElseUpdate(key, {
+      val tmp = Files.createTempDirectory("graft_stage_")
+      roots.put(key, tmp)
+      stageInto(tmp, frame, cutCol, cutType)
+    })
+
+  /** Stage `frame` into THREE one-file slices by id mod 3 — residue 0
+    * first, then 1, then 2. Every slice covers the whole time range,
+    * so the later slices are deliberately FULL of out-of-order data —
+    * the adversarial complement of [[chronoSlices]]' in-order
+    * discipline (r11 verdict item #2). Three slices, not two, because
+    * Spark filters late records with the PREVIOUS batch's eviction
+    * watermark (SPARK-40925's lateEvents/eviction split, so chained
+    * stateful operators stay consistent): under AvailableNow's
+    * back-to-back batches the second slice is still filtered with
+    * watermark 0, and only the THIRD meets a non-zero late-record
+    * filter — pinned in LateDataReplaySpec.
+    */
+  def modSlices(key: String, frame: => DataFrame, idCol: Column): String =
+    cache.getOrElseUpdate(key, {
+      val tmp = Files.createTempDirectory("graft_stage_")
+      roots.put(key, tmp)
+      stageSlices(tmp, frame, Seq(0, 1, 2).map(r => idCol % 3 === r))
+    })
+
+  /** Stage `frame` as `n` parquet files (no chronological discipline —
+    * for replays whose result is slicing-independent under ANY order:
+    * sr1's commutative bar monoid, sr2's per-document gate, sr9's
+    * order-insensitive sketch superset) and memoize under `key`.
+    */
+  def multiFile(key: String, frame: => DataFrame, n: Int): String =
+    cache.getOrElseUpdate(key, {
+      val tmp = Files.createTempDirectory("graft_stage_")
+      roots.put(key, tmp)
+      val staging = tmp.resolve("staging").toString
+      frame.repartition(n).write.parquet(staging)
+      staging
+    })
+
+  /** The uncached staging body — also used directly by specs that need
+    * a private staging to mutate or crash against.
+    */
+  def stageInto(tmp: Path, frame0: DataFrame, cutCol: Column,
+                cutType: String): String = {
+    val cuts = Seq("2024-01-10", "2024-01-20")
+    stageSlices(tmp, frame0, Seq(
+      cutCol < lit(cuts(0)).cast(cutType),
+      cutCol >= lit(cuts(0)).cast(cutType) &&
+        cutCol < lit(cuts(1)).cast(cutType),
+      cutCol >= lit(cuts(1)).cast(cutType)))
+  }
+
+  /** Write one single-file parquet slice per condition, file name and
+    * mtime ascending in condition order — the file-source replay order
+    * is then the condition order whichever key it sorts by.
+    */
+  private def stageSlices(tmp: Path, frame0: DataFrame,
+                          slices: Seq[Column]): String = {
+    // Materialize once: each slice write would otherwise recompute the
+    // whole upstream plan (silver's dedup windows; sr10's daily-bar
+    // aggregate) — 3× the scan for zero benefit.
+    val frame = frame0.localCheckpoint(true)
+    val staging = Files.createDirectory(tmp.resolve("staging"))
+    slices.zipWithIndex.foreach { case (cond, i) =>
+      val part = tmp.resolve(s"slice$i")
+      frame.filter(cond).coalesce(1).write.parquet(part.toString)
+      val one = Files.list(part)
+      val src =
+        try one.filter(p => p.getFileName.toString.endsWith(".parquet"))
+          .findFirst().orElseThrow()
+        finally one.close()
+      val dst = staging.resolve(f"slice-$i%04d.parquet")
+      Files.move(src, dst)
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+    }
+    staging.toString
+  }
+}

@@ -1,0 +1,226 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.operators.{LatestPrices, Ohlcv}
+import graft.streaming.{IncrementalGoldStream, LatestPriceStream, ReplayStaging}
+
+/** Exactly-once under FAILURE, not just clean drains (r11 verdict item
+  * #1 — "the single strongest still-untested claim in the repo"), plus
+  * bounded-state assertions from StreamingQueryProgress (item #4).
+  *
+  * Three failure modes against the two sink/state disciplines:
+  *
+  *  1. sr1's foreachBatch idempotent upsert, GRACEFUL STOP mid-drain:
+  *     `StreamingQuery.stop()` after the first committed micro-batch,
+  *     restart from the same checkpoint, finish — the merge-on-read
+  *     store must equal the batch bars (the uninterrupted oracle
+  *     row's invariant, sinks.py:117-124 / CASSANDRA_MODELING.md:69-75
+  *     analog).
+  *  2. sr1's upsert, CRASH AFTER SIDE EFFECT: the foreachBatch body
+  *     completes its store write for batch 1 and then dies before the
+  *     checkpoint commit. The restart REPLAYS batch 1 under the same
+  *     batch_id; upsertByKey's key-replacement must converge instead
+  *     of double-counting. This is the at-least-once corner the clean
+  *     drains never reach.
+  *  3. sr3's transformWithState RocksDB runtime, crash between output
+  *     and checkpoint commit: the restart must RELOAD per-symbol
+  *     ValueState from the checkpoint (the store version preceding the
+  *     failed batch) so post-restart price_change/pct are computed
+  *     against restored state, and the final snapshot must equal the
+  *     batch window form (a6's oracle semantics).
+  *
+  * State bounds (item #4): `lastProgress.stateOperators.numRowsTotal`
+  * must plateau at the KEY COUNT — |symbols| for the latest-price
+  * state, ≤ |users| for the funnel — proving the SCALE.md §4 O(keys)
+  * claims from the runtime's own metrics, so an unbounded-state
+  * regression fails the suite.
+  */
+class RestartReplaySpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private lazy val silver = SparkEntry.silverDf(spark, Sf).localCheckpoint(true)
+
+  private def barsOf(df: DataFrame): Set[Seq[Any]] =
+    df.select(col("symbol"), col("window_start"), col("window_end"), col("open"),
+        col("high"), col("low"), col("close"), col("volume"), col("trade_count"),
+        col("vwap_e6"))
+      .collect().map(_.toSeq).toSet
+
+  private lazy val expectedBars = barsOf(Ohlcv.bars5m(silver))
+
+  private def latestOf(df: DataFrame): Set[Seq[Any]] =
+    df.collect().map(_.toSeq).toSet
+
+  private lazy val expectedLatest = latestOf(LatestPrices.snapshot(silver))
+
+  test("sr1 upsert drain: stop() mid-drain, restart from checkpoint, converge") {
+    val root = Files.createTempDirectory("graft_restart_sr1").toString
+    val staging = s"$root/staging"
+    silver.repartition(8).write.parquet(staging)
+    val store = s"$root/gold"
+    val ckpt = s"$root/ckpt"
+    def stream = spark.readStream.schema(silver.schema)
+      .option("maxFilesPerTrigger", "1").parquet(staging)
+
+    // Spaced trigger so the stop lands between micro-batches, not
+    // after all eight: halt at the FIRST committed progress event.
+    val q1 = IncrementalGoldStream.writer(stream, store, ckpt,
+      trigger = Trigger.ProcessingTime("500 milliseconds")).start()
+    val deadline = System.currentTimeMillis() + 120000
+    while (q1.recentProgress.isEmpty && System.currentTimeMillis() < deadline)
+      Thread.sleep(10)
+    assert(q1.recentProgress.nonEmpty, "no micro-batch committed within 120s")
+    q1.stop()
+    q1.awaitTermination()
+    val committed = q1.recentProgress.map(_.batchId).distinct.length
+    assert(committed < 8,
+      s"all $committed batches finished before stop() — drain was not interrupted")
+
+    val q2 = IncrementalGoldStream.writer(stream, store, ckpt,
+      trigger = Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    assert(q2.recentProgress.map(_.numInputRows).sum > 0,
+      "restart consumed nothing — resume path untested")
+    assert(barsOf(IncrementalGoldStream.read(spark, store)) == expectedBars)
+  }
+
+  test("sr1 upsert drain: crash AFTER the store write, replay converges") {
+    val root = Files.createTempDirectory("graft_crash_sr1").toString
+    val staging = s"$root/staging"
+    silver.repartition(3).write.parquet(staging)
+    val store = s"$root/gold"
+    val ckpt = s"$root/ckpt"
+    def stream = spark.readStream.schema(silver.schema)
+      .option("maxFilesPerTrigger", "1").parquet(staging)
+
+    @volatile var crashed = false
+    def writer(inject: Boolean) = stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        IncrementalGoldStream.mergeBatch(batch, batchId, store, "5 minutes")
+        if (inject && batchId == 1 && !crashed) {
+          crashed = true
+          throw new RuntimeException("injected crash after side effect")
+        }
+      }
+
+    val q1 = writer(inject = true).start()
+    val failed = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.awaitTermination()
+    }
+    assert(failed.getMessage.contains("injected crash"), failed.getMessage)
+    // The side effect happened: batch 1's partials are IN the store
+    // even though the checkpoint never committed batch 1.
+    assert(spark.read.parquet(store).filter(col("batch_id") === 1L).count() > 0,
+      "crash was injected before the side effect — wrong corner under test")
+
+    val q2 = writer(inject = false).start()
+    q2.awaitTermination()
+    // Batch 1 was replayed under the same batch_id; key-replacement
+    // must converge to the uninterrupted result, not double-count.
+    assert(barsOf(IncrementalGoldStream.read(spark, store)) == expectedBars)
+    assert(crashed)
+  }
+
+  test("sr3 transformWithState: crash mid-drain, RocksDB state restores, converge; state is O(symbols)") {
+    withRocksDbState {
+      val staging = ReplayStaging.chronoSlices(s"silver|$Sf", silver)
+      val root = Files.createTempDirectory("graft_crash_sr3").toString
+      val outDir = s"$root/out"
+      val ckpt = s"$root/ckpt"
+      def trades = spark.readStream.schema(silver.schema)
+        .option("maxFilesPerTrigger", "1").parquet(staging)
+        .select(col("symbol"), col("price"), col("volume"), col("event_time"))
+        .as[LatestPriceStream.TradeEvent]
+
+      @volatile var crashed = false
+      def writer(inject: Boolean) =
+        LatestPriceStream.snapshotsTws(spark, trades)
+          .writeStream.outputMode("update")
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[graft.model.LatestPrice], batchId: Long) =>
+            batch.write.mode("append").parquet(outDir)
+            if (inject && batchId == 1 && !crashed) {
+              crashed = true
+              throw new RuntimeException("injected crash after side effect")
+            }
+          }
+
+      val q1 = writer(inject = true).start()
+      intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q1.awaitTermination()
+      }
+      assert(crashed, "batch 1 never ran — staging produced too few slices")
+
+      val q2 = writer(inject = false).start()
+      q2.awaitTermination()
+
+      // Item #4 — bounded state, from the runtime's own metrics: the
+      // state row count must plateau at |symbols| (one ValueState per
+      // key), never above.
+      val nSymbols = silver.select(col("symbol")).distinct().count()
+      val stateRows = q2.recentProgress.toSeq
+        .flatMap(p => p.stateOperators.toSeq.map(_.numRowsTotal))
+        .filter(_ > 0)
+      assert(stateRows.nonEmpty, "no state metrics reported")
+      assert(stateRows.max == nSymbols,
+        s"state rows ${stateRows.max} != symbol count $nSymbols — latest-price state is not O(keys)")
+
+      // Batch 2 ran against state RESTORED from the checkpoint (its
+      // change/pct need batch 0/1's last trade); the final snapshot
+      // must equal the batch window form. The crash replayed batch 1's
+      // appends — exact duplicate rows — which the newest-per-symbol
+      // reduction absorbs, same as the production sr3 reduce.
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("symbol"))
+        .orderBy(col("last_trade_time").desc)
+      val got = spark.read.parquet(outDir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("symbol"), col("last_price"), col("last_volume"),
+          unix_millis(col("last_trade_time")).as("last_trade_time_ms"),
+          round(col("price_change"), 6).as("price_change"),
+          round(col("price_change_pct"), 6).as("price_change_pct"))
+      assert(latestOf(got) == expectedLatest)
+    }
+  }
+
+  test("funnel state plateaus at the user count (item #4, sr5 shape)") {
+    withRocksDbState {
+      val ev = graft.sources.Tables.eventsNorm(spark, Sf)
+        .select(col("user_id"), col("event_type"), col("ts_us"), col("event_id"),
+          col("event_time"))
+      val staging = ReplayStaging.chronoSlices(s"events|$Sf", ev)
+      val root = Files.createTempDirectory("graft_bounds_sr5").toString
+      val stream = spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(staging)
+        .select(col("user_id"), col("event_type"), col("ts_us").as("ts"),
+          col("event_id"))
+        .as[graft.streaming.FunnelStream.UserEvent]
+      val q = graft.streaming.FunnelStream.transitions(spark, stream).toDF()
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .format("parquet").option("path", s"$root/out")
+        .start()
+      q.awaitTermination()
+      val nUsers = ev.select(col("user_id")).distinct().count()
+      val stateRows = q.recentProgress.toSeq
+        .flatMap(p => p.stateOperators.toSeq.map(_.numRowsTotal))
+        .filter(_ > 0)
+      assert(stateRows.nonEmpty, "no state metrics reported")
+      assert(stateRows.max <= nUsers,
+        s"funnel state ${stateRows.max} exceeds user count $nUsers — state is not O(users)")
+      // And it genuinely accumulates to the full key set: every user
+      // has at least one event, so the plateau IS the user count.
+      assert(stateRows.max == nUsers)
+    }
+  }
+}
