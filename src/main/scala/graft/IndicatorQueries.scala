@@ -115,6 +115,19 @@ object IndicatorQueries {
       Indicators.effectiveSpread(silver, Indicators.syntheticQuotes(silver))
     }),
 
+    // B24 — realized variance + bipower variation (jump diagnostic)
+    // per (symbol, day): exact integer tick-increment sums, the
+    // BNS decomposition with the irrational normalization left out.
+    "b24_realized_bipower" -> ((s, dir) =>
+      Indicators.realizedBipower(SparkEntry.silverDf(s, dir))),
+
+    // B25 — Lee-Ready trade classification: quote-midpoint test with
+    // tick-test (zero-tick carry) fallback, per (symbol, day).
+    "b25_lee_ready" -> ((s, dir) => {
+      val silver = SparkEntry.silverDf(s, dir)
+      Indicators.leeReady(silver, Indicators.syntheticQuotes(silver))
+    }),
+
     // B5 — end-of-day EMA-14 per symbol, the recursion running
     // continuously from sequence start (streaming/IndicatorStream's
     // batch adapter — the one indicator a row-frame window cannot
@@ -828,6 +841,72 @@ object IndicatorQueries {
                      // SUM(CAST(ask_e4 AS HUGEINT) - bid_e4)
                 END AS BIGINT) AS eff_vs_quoted_e6
     FROM j GROUP BY 1, 2"""),
+
+    // RV/BV: two stacked day-keyed lags, exact HUGEINT sums, one
+    // truncating division — mirrors the Spark decimal(38,0) staging.
+    "b24_realized_bipower" -> (SparkEntry.P + """, px AS (
+      SELECT symbol, trade_date, event_time,
+             CAST(CAST(price AS DECIMAL(18,4)) * 10000 AS BIGINT) AS px_e4
+      FROM silver
+    ), dd AS (
+      SELECT symbol, trade_date, event_time, px_e4 - lag(px_e4) OVER w AS d
+      FROM px WINDOW w AS (PARTITION BY symbol, trade_date ORDER BY event_time)
+    ), dd2 AS (
+      SELECT symbol, trade_date, d, lag(d) OVER w AS prev_d
+      FROM dd WINDOW w AS (PARTITION BY symbol, trade_date ORDER BY event_time)
+    )
+    SELECT symbol, trade_date, CAST(COUNT(d) AS BIGINT) AS n_rets,
+           CAST(SUM(CAST(d AS HUGEINT) * d) AS BIGINT) AS rv_ticks2,
+           CAST(SUM(ABS(CAST(d AS HUGEINT)) * ABS(prev_d)) AS BIGINT) AS bv_ticks2,
+           CAST(CASE WHEN SUM(CAST(d AS HUGEINT) * d) > 0
+                THEN SUM(ABS(CAST(d AS HUGEINT)) * ABS(prev_d)) * 1000000
+                     // SUM(CAST(d AS HUGEINT) * d) END AS BIGINT) AS bv_vs_rv_e6
+    FROM dd2 GROUP BY 1, 2"""),
+
+    // Lee-Ready: midpoint test on the b23 quote fixture (same ASOF +
+    // staleness contract), tick test with zero-tick carry via
+    // last_value IGNORE NULLS over the day-keyed frame.
+    "b25_lee_ready" -> (SparkEntry.P + """, tq AS (
+      SELECT symbol, trade_date, event_id, epoch_ms(event_time) AS t_ms,
+             epoch_us(event_time) AS t_us, volume,
+             CAST(CAST(price AS DECIMAL(18,4)) * 10000 AS BIGINT) AS px_e4
+      FROM silver
+    ), quotes AS (
+      SELECT symbol, trade_date, t_ms - 500 AS q_ms,
+             px_e4 - GREATEST(1, px_e4 // 2000) AS bid_e4,
+             px_e4 + GREATEST(1, px_e4 // 1000) AS ask_e4
+      FROM tq WHERE event_id % 3 = 0
+    ), j AS (
+      SELECT t.symbol, t.trade_date, t.t_us, t.px_e4, t.volume,
+             CASE WHEN q.q_ms IS NOT NULL AND t.t_ms - q.q_ms <= 600000
+                  THEN q.bid_e4 + q.ask_e4 END AS mid2
+      FROM tq t ASOF LEFT JOIN quotes q
+        ON t.symbol = q.symbol AND t.trade_date = q.trade_date
+           AND t.t_ms >= q.q_ms
+    ), cls AS (
+      SELECT *, last_value(dir IGNORE NULLS) OVER (
+               PARTITION BY symbol, trade_date ORDER BY t_us
+               ROWS UNBOUNDED PRECEDING) AS tick_dir
+      FROM (
+        SELECT *, NULLIF(SIGN(px_e4 - lag(px_e4) OVER (
+                 PARTITION BY symbol, trade_date ORDER BY t_us)), 0) AS dir
+        FROM j)
+    ), sided AS (
+      SELECT symbol, trade_date, volume,
+             CASE WHEN mid2 IS NOT NULL AND 2 * px_e4 > mid2 THEN 1
+                  WHEN mid2 IS NOT NULL AND 2 * px_e4 < mid2 THEN -1
+                  ELSE COALESCE(tick_dir, 0) END AS side
+      FROM cls
+    )
+    SELECT symbol, trade_date, CAST(COUNT(*) AS BIGINT) AS n_trades,
+           CAST(SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_buy,
+           CAST(SUM(CASE WHEN side = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_sell,
+           CAST(SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_unclassified,
+           CAST(SUM(CASE WHEN side = 1 THEN volume ELSE 0 END) AS BIGINT) AS buy_vol,
+           CAST(SUM(CASE WHEN side = -1 THEN volume ELSE 0 END) AS BIGINT) AS sell_vol,
+           CAST(SUM(CASE WHEN side = 1 THEN volume ELSE 0 END)
+                - SUM(CASE WHEN side = -1 THEN volume ELSE 0 END) AS BIGINT) AS net_flow
+    FROM sided GROUP BY 1, 2"""),
 
     // The EMA recursion as a literal left fold over the per-symbol
     // price sequence: acc' = α·x + (1−α)·acc with α = 2/15 — the same

@@ -194,6 +194,25 @@ object PipelineQueries {
     Dedup.winnowPairs(base.unionByName(mosaic), k = 4, w = 5, minShared = 2L)
   }
 
+  /** D23 — asymmetric containment dedup over the d-family corpus
+    * slice, with PLANTED fragments: every 50th doc contributes a
+    * synthetic fragment (its first max(5, 40%) tokens, a new id) that
+    * is fully CONTAINED in its source — high containment, low Jaccard,
+    * exactly the pair family MinHash-LSH banding cannot surface. The
+    * detector (rare-shingle posting probe + exact verify,
+    * Dedup.containmentPairs) must recover them.
+    */
+  def containmentQ(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir).filter(pmod(col("doc_id"), lit(10)) === 0)
+      .select(col("doc_id"), col("text"))
+    val frags = base.filter(pmod(col("doc_id"), lit(50)) === 0)
+      .withColumn("__t", TextAnalysis.tokens(lower(col("text"))))
+      .select((col("doc_id") + 3000000L).as("doc_id"),
+        array_join(expr("slice(__t, 1, greatest(5, (size(__t) * 2) div 5))"),
+          " ").as("text"))
+    Dedup.rareShingleContainment(base.unionByName(frags))
+  }
+
   /** T18 — per-doc token entropy (exact e6): the low-entropy signal
     * for generated/template text whose repetition fraction looks
     * normal.
@@ -1277,6 +1296,46 @@ object PipelineQueries {
     * each side separately, cross-side candidates only, exact Jaccard
     * verify, and the exact/near/new verdict cascade.
     */
+  /** D23 oracle: same planted-fragment corpus, rare-shingle posting
+    * probe (df in [2, 64], rarest 5 per doc by (df, shingle)), exact
+    * containment verify — mirrors Dedup.containmentPairs term for
+    * term.
+    */
+  lazy val rareContainmentSql: String = s"""WITH corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+      UNION ALL
+      SELECT doc_id + 3000000 AS doc_id,
+             array_to_string(list_slice(t, 1, GREATEST(5, (len(t) * 2) // 5)), ' ') AS text
+      FROM (SELECT doc_id, $toksSql AS t FROM documents WHERE doc_id % 50 = 0)
+    ), ${shingleSql(3, "TRUE", src = "corpus")}
+    , shne AS (SELECT doc_id, sh FROM sh WHERE len(sh) > 0
+    ), posting AS (
+      SELECT doc_id, UNNEST(sh) AS s FROM shne
+    ), dftab AS (
+      SELECT s, COUNT(*) AS df FROM posting GROUP BY s
+      HAVING COUNT(*) BETWEEN 2 AND 64
+    ), rare AS (
+      SELECT doc_id AS a, s FROM (
+        SELECT p.doc_id, p.s, d.df,
+               row_number() OVER (PARTITION BY p.doc_id ORDER BY d.df, p.s) AS rk
+        FROM posting p JOIN dftab d USING (s))
+      WHERE rk <= 5
+    ), cand AS (
+      SELECT DISTINCT r.a, p.doc_id AS b
+      FROM rare r JOIN posting p USING (s) WHERE r.a <> p.doc_id
+    ), v AS (
+      SELECT c.a, c.b,
+             CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS inter,
+             CAST(len(sa.sh) AS BIGINT) AS na, CAST(len(sb.sh) AS BIGINT) AS nb
+      FROM cand c
+      JOIN shne sa ON sa.doc_id = c.a
+      JOIN shne sb ON sb.doc_id = c.b
+    )
+    SELECT a AS doc_a, b AS doc_b,
+           CAST(inter * 1000000 // na AS BIGINT) AS cont_e6,
+           CAST(inter * 1000000 // (na + nb - inter) AS BIGINT) AS jaccard_e6
+    FROM v WHERE inter * 1000000 // na >= 800000"""
+
   /** Cross-frame near-dup verdict machinery shared by d16 and x43:
     * `corpusCte`/`batchCte` supply the two frames; the rest is the
     * banded batch-vs-corpus candidate join, exact-Jaccard verify at
@@ -2577,6 +2636,7 @@ object PipelineQueries {
     "d14_containment" -> (containment _),
     "d21_lsh_tuning" -> (lshTuningQ _),
     "d22_winnowing" -> (winnowingQ _),
+    "d23_containment" -> (containmentQ _),
     "d16_incremental_dedup" -> (incrementalDedup _),
     "x43_split_decontam" -> (splitDecontam _),
     "t18_token_entropy" -> (tokenEntropyQ _),
@@ -2643,6 +2703,7 @@ object PipelineQueries {
     "d14_containment" -> containmentSql,
     "d21_lsh_tuning" -> lshTuningSql,
     "d22_winnowing" -> winnowingSql,
+    "d23_containment" -> rareContainmentSql,
     "d16_incremental_dedup" -> incrementalDedupSql,
     "x43_split_decontam" -> splitDecontamSql,
     "t18_token_entropy" -> tokenEntropySql,

@@ -107,13 +107,21 @@ object StreamReplayQueries {
   private val RocksDb =
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 
+  /** The silver feed, materialized once per (JVM, dir): it backs four
+    * distinct stagings (chrono, mod-3, daily bars, SCD2 snapshots) and
+    * each would otherwise recompute the dedup windows from the raw
+    * scan.
+    */
+  private def silverM(s: SparkSession, dir: String): DataFrame =
+    ReplayStaging.materialized(s"silver_df|$dir", SparkEntry.silverDf(s, dir))
+
   /** SR1 — the IncrementalGoldStream runtime end-to-end: silver →
     * AvailableNow stream (one file per micro-batch) → foreachBatch
     * partial-bar upsert store → merge-on-read. Result = gold_5m
     * exactly (v1's oracle), no matter how the stream was sliced.
     */
   def streamGoldReplay(s: SparkSession, dir: String): DataFrame = withReplayConfs(s) {
-    val silver = SparkEntry.silverDf(s, dir)
+    val silver = silverM(s, dir)
     val tmp = Files.createTempDirectory("graft_sr1_")
     try {
       // The monoid store converges under ANY slicing; reuse the shared
@@ -199,7 +207,7 @@ object StreamReplayQueries {
   def streamLatestReplay(s: SparkSession, dir: String): DataFrame =
       withReplayConfs(s, Some(RocksDb)) {
     import s.implicits._
-    val silver = SparkEntry.silverDf(s, dir)
+    val silver = silverM(s, dir)
     val tmp = Files.createTempDirectory("graft_sr3_")
     try {
       val staging = stagedChrono(s"silver|$dir", silver)
@@ -264,7 +272,7 @@ object StreamReplayQueries {
   def streamVpinReplay(s: SparkSession, dir: String): DataFrame =
       withReplayConfs(s, Some(RocksDb)) {
     import s.implicits._
-    val silver = SparkEntry.silverDf(s, dir)
+    val silver = silverM(s, dir)
     val tmp = Files.createTempDirectory("graft_sr4_")
     try {
       val staging = stagedChrono(s"silver|$dir", silver)
@@ -304,14 +312,22 @@ object StreamReplayQueries {
     * RocksDB, and hand the emitted rows to `reduce` for the batch-
     * equivalent aggregate.
     */
+  /** The shared staged event feed (sr5/sr6/sr12 + the bounded-state
+    * specs): one superset projection so all consumers share ONE
+    * staging — each selects its own columns after readStream, where
+    * parquet column pruning makes the narrower read free.
+    */
+  private[graft] def eventsFeed(s: SparkSession, dir: String): DataFrame =
+    Tables.eventsNorm(s, dir)
+      .select(col("user_id"), col("event_type"), col("value"), col("ts_us"),
+        col("event_id"), col("event_time"))
+
   private def replayUserEvents(s: SparkSession, dir: String, tag: String)
       (wire: org.apache.spark.sql.Dataset[graft.streaming.FunnelStream.UserEvent] => DataFrame)
       (reduce: DataFrame => DataFrame): DataFrame =
       withReplayConfs(s, Some(RocksDb)) {
     import s.implicits._
-    val ev = Tables.eventsNorm(s, dir)
-      .select(col("user_id"), col("event_type"), col("ts_us"), col("event_id"),
-        col("event_time"))
+    val ev = eventsFeed(s, dir)
     val tmp = Files.createTempDirectory(s"graft_${tag}_")
     try {
       val staging = stagedChrono(s"events|$dir", ev)
@@ -433,7 +449,7 @@ object StreamReplayQueries {
   def streamEmaReplay(s: SparkSession, dir: String): DataFrame =
       withReplayConfs(s, Some(RocksDb)) {
     import s.implicits._
-    val silver = SparkEntry.silverDf(s, dir)
+    val silver = silverM(s, dir)
     val tmp = Files.createTempDirectory("graft_sr8_")
     try {
       // Shared full-silver staging; the tick projection happens after
@@ -521,7 +537,7 @@ object StreamReplayQueries {
   def streamBarIndicatorReplay(s: SparkSession, dir: String): DataFrame =
       withReplayConfs(s, Some(RocksDb)) {
     import s.implicits._
-    val bars = graft.operators.Indicators.dailyBars(SparkEntry.silverDf(s, dir))
+    val bars = graft.operators.Indicators.dailyBars(silverM(s, dir))
       .select(col("symbol"), col("trade_date"), col("high"), col("low"),
         col("close"), col("day_volume"))
     val tmp = Files.createTempDirectory("graft_sr10_")
@@ -576,7 +592,7 @@ object StreamReplayQueries {
     * — the oracle row is watermark-SENSITIVE, not watermark-blind.
     */
   def streamLateReplay(s: SparkSession, dir: String): DataFrame = withReplayConfs(s) {
-    val silver = SparkEntry.silverDf(s, dir)
+    val silver = silverM(s, dir)
     val tmp = Files.createTempDirectory("graft_sr11_")
     try {
       val staging = ReplayStaging.modSlices(s"silver_mod3|$dir", silver, col("event_id"))
@@ -599,6 +615,47 @@ object StreamReplayQueries {
     } finally deleteRecursively(tmp)
   }
 
+  /** SR12 — streaming SESSION WINDOWS under the oracle: x2's gap-merge
+    * session aggregate (Sessions.sessionStats, `session_window`)
+    * executed as a real watermarked multi-micro-batch streaming query.
+    * The chrono cuts (2024-01-10/20) SPLIT sessions across
+    * micro-batches, so the state store's session-merge path runs for
+    * real — a partial session from batch N merges with its
+    * continuation in batch N+1 before any eviction can touch it
+    * (each batch's eviction watermark trails the next slice's oldest
+    * event by ≥ 3 days − the slice span, far more than the 30-minute
+    * gap, so an emitted session can never be extended afterwards).
+    * Append mode emits a session once the watermark passes its end
+    * (last event + gap, microsecond precision, inclusive boundary —
+    * the LateDataReplaySpec-pinned semantics); the oracle is x2's
+    * session table filtered by the same explicit cutoff, compared in
+    * MICROSECONDS because a millisecond-floored comparison would
+    * disagree exactly on a session ending inside the watermark's
+    * truncated millisecond.
+    */
+  def streamSessionReplay(s: SparkSession, dir: String): DataFrame = withReplayConfs(s) {
+    val ev = eventsFeed(s, dir)
+    val tmp = Files.createTempDirectory("graft_sr12_")
+    try {
+      val staging = stagedChrono(s"events|$dir", ev)
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(staging)
+        .select(col("user_id"), col("value"), col("event_time"))
+        .withWatermark("event_time", "3 days")
+      val outDir = tmp.resolve("out").toString
+      val q = graft.operators.Sessions.sessionStats(stream,
+          keyCol = "user_id", timeCol = "event_time", valueCol = "value",
+          gap = "30 minutes")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", tmp.resolve("ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .format("parquet").option("path", outDir)
+        .start()
+      q.awaitTermination()
+      s.read.parquet(outDir).localCheckpoint(eager = true)
+    } finally deleteRecursively(tmp)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sr1_stream_gold_replay" -> (streamGoldReplay _),
     "sr2_stream_curation_replay" -> (streamCurationReplay _),
@@ -610,7 +667,8 @@ object StreamReplayQueries {
     "sr8_stream_ema_replay" -> (streamEmaReplay _),
     "sr9_stream_heavyhitter_replay" -> (streamHeavyHitterReplay _),
     "sr10_stream_barind_replay" -> (streamBarIndicatorReplay _),
-    "sr11_stream_late_replay" -> (streamLateReplay _))
+    "sr11_stream_late_replay" -> (streamLateReplay _),
+    "sr12_stream_session_replay" -> (streamSessionReplay _))
 
   /** sr11's kept/emitted sets, as explicit SQL: the late-record filter
     * the THIRD slice meets (m0 — the watermark slice 1 evicted with,
@@ -674,5 +732,10 @@ object StreamReplayQueries {
     "sr8_stream_ema_replay" -> IndicatorQueries.oracleSql("b5_ema_daily"),
     "sr9_stream_heavyhitter_replay" -> ExtendedQueries.heavyHitterTokensSql,
     "sr10_stream_barind_replay" -> IndicatorQueries.oracleSql("b12_stochastic"),
-    "sr11_stream_late_replay" -> lateReplaySql)
+    "sr11_stream_late_replay" -> lateReplaySql,
+    // x2's session table, filtered to sessions CLOSED by the final
+    // watermark (max event time − 3 days), compared in microseconds.
+    "sr12_stream_session_replay" -> (ExtendedQueries.sessionsSql + """
+      HAVING MAX(epoch_us(ts)) + 1800000000
+             <= (SELECT epoch_ms(MAX(ts)) FROM events) * 1000 - 259200000000"""))
 }

@@ -1123,4 +1123,62 @@ object Dedup {
       .select(col("cid").as("corpus_id"), col("n_matches"),
         col("min_eval_id"), col("max_cos"))
   }
+
+  /** D23 — asymmetric CONTAINMENT dedup: find (fragment, container)
+    * pairs where c(a→b) = |sh(a) ∩ sh(b)| / |sh(a)| is high even
+    * though Jaccard is low — the near-superset family (a doc embedded
+    * inside a larger one: quoted articles, boilerplate-wrapped
+    * bodies) that Jaccard-targeted MinHash LSH STRUCTURALLY misses:
+    * band collision probability tracks J = |∩|/|∪|, which a large
+    * container drives toward 0 however complete the containment.
+    * This is exactly [[containmentPairs]] (d14)'s recall gap — d14
+    * scores containment but draws its CANDIDATES from minhash
+    * banding, so the asymmetric pairs it was built for arrive only
+    * when Jaccard happens to be high too.
+    *
+    * Candidate generation is therefore NOT minhash banding but a
+    * rare-shingle posting join: each doc's `rareK` globally rarest
+    * shingles (rarity = document frequency over the corpus, capped at
+    * `maxDf` — a df-capped posting list, the winnowing hot-bucket
+    * posture) probe the posting index; any doc truly containing `a`
+    * shares ALL of a's shingles, its rare ones included, so full
+    * containment is always surfaced. Partial containment below 100%
+    * can hide if every rare shingle falls in the missing fraction —
+    * the documented recall trade, symmetric to LSH's S-curve.
+    *
+    * Scale: per-doc probe fan-out ≤ rareK · maxDf; the exact verify
+    * join ships shingle arrays only for candidate pairs. Everything is
+    * equi-join + hash agg; no all-pairs stage anywhere.
+    */
+  def rareShingleContainment(docs: DataFrame, shingleN: Int = 3, rareK: Int = 5,
+                             maxDf: Long = 64L, minContainE6: Long = 800000L): DataFrame = {
+    val sh = withShingles(docs.select(col("doc_id"), col("text")), "text", shingleN)
+      .select(col("doc_id"), col("sh"))
+      .filter(size(col("sh")) > 0)
+    val posting = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+    // df ≥ 2: a unique shingle can never witness a pair; df ≤ maxDf
+    // bounds the probe fan-out (boilerplate shingles are useless as
+    // rarity witnesses anyway).
+    val dfTab = posting.groupBy(col("s"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= maxDf)
+    val wr = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))
+    val rare = posting.join(dfTab, "s")
+      .withColumn("rk", row_number().over(wr))
+      .filter(col("rk") <= rareK)
+      .select(col("doc_id").as("a"), col("s"))
+    val cands = rare.join(posting.select(col("doc_id").as("b"), col("s")), "s")
+      .filter(col("a") =!= col("b"))
+      .select(col("a"), col("b")).distinct()
+    cands
+      .join(sh.select(col("doc_id").as("a"), col("sh").as("sh_a")), "a")
+      .join(sh.select(col("doc_id").as("b"), col("sh").as("sh_b")), "b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("cont_e6", expr("inter * 1000000 div size(sh_a)"))
+      .withColumn("jaccard_e6",
+        expr("inter * 1000000 div (size(sh_a) + size(sh_b) - inter)"))
+      .filter(col("cont_e6") >= minContainE6)
+      .select(col("a").as("doc_a"), col("b").as("doc_b"),
+        col("cont_e6"), col("jaccard_e6"))
+  }
 }

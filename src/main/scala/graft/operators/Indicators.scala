@@ -990,6 +990,90 @@ object Indicators {
           .as("eff_vs_quoted_e6"))
   }
 
+  /** B24 — realized variance and bipower variation of integer tick
+    * increments per (symbol, trade_date), the Barndorff-Nielsen /
+    * Shephard jump decomposition: RV = Σ Δ² captures continuous
+    * variation PLUS jumps, BV = Σ |Δ_t|·|Δ_{t−1}| is jump-robust, so
+    * a low BV/RV ratio flags jump days. Both sums are EXACT integers
+    * over e4 price ticks (Δ = px_t − px_{t−1}), staged through
+    * decimal(38,0) — order-independent at any parallelism; the
+    * irrational μ₁⁻² = π/2 normalization of BV is left to consumers so
+    * nothing here rounds. bv_vs_rv_e6 is floored e6 (DuckDB `//`
+    * parity; both sums non-negative).
+    *
+    * Scale: one day-keyed window pass (the b20/b22 posture — no
+    * whole-history per-symbol sort) + one hash aggregation on the
+    * same (symbol, trade_date) key, so the window's sort output feeds
+    * the agg without a second shuffle.
+    */
+  def realizedBipower(silver: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("symbol"), col("trade_date"))
+      .orderBy(col("event_time"))
+    silver
+      .withColumn("px", ticksE4(col("price")))
+      .withColumn("d", col("px") - lag(col("px"), 1).over(w))
+      .withColumn("prev_d", lag(col("d"), 1).over(w))
+      .groupBy(col("symbol"), col("trade_date"))
+      .agg(count(col("d")).as("n_rets"),
+        sum(col("d").cast("decimal(38,0)") * col("d")).as("__rv"),
+        sum(abs(col("d")).cast("decimal(38,0)") * abs(col("prev_d"))).as("__bv"))
+      .select(col("symbol"), col("trade_date"), col("n_rets"),
+        expr("cast(__rv as bigint)").as("rv_ticks2"),
+        expr("cast(__bv as bigint)").as("bv_ticks2"),
+        when(col("__rv") > 0, expr("cast((__bv * 1000000) div __rv as bigint)"))
+          .as("bv_vs_rv_e6"))
+  }
+
+  /** B25 — Lee-Ready trade classification from the prevailing quote:
+    * a trade above the quote midpoint is buyer-initiated, below is
+    * seller-initiated, and AT the midpoint (or unquoted/stale) falls
+    * back to the tick test with zero-tick carry — the last non-zero
+    * price-change direction (Lee & Ready 1991's structure; their 5s
+    * quote-delay adjustment is pre-decimalization lore and omitted).
+    * Midpoint compares stay in integers: 2·px vs (bid + ask), no
+    * halving. Aggregated per (symbol, trade_date): counts, volumes,
+    * and signed net flow.
+    *
+    * Scale: the as-of join is day-bucketed (b23's posture); the tick
+    * direction is one day-keyed window pass; classification is pure
+    * projection. Same-day state only — books and tick state reset at
+    * the open, matching OrderFlowStream's day-keyed streaming form.
+    */
+  def leeReady(silver: DataFrame, quotes: DataFrame,
+               toleranceMs: Long = 600000L): DataFrame = {
+    val trades = silver.select(col("symbol"), col("trade_date"), col("volume"),
+      unix_micros(col("event_time")).as("t_us"),
+      unix_millis(col("event_time")).as("t_ms"),
+      ticksE4(col("price")).as("px_e4"))
+    val joined = AsOfJoin.asOf(trades, quotes,
+      keys = Seq("symbol", "trade_date"),
+      leftTime = "t_ms", rightTime = "q_ms",
+      rightPayload = Seq("bid_e4", "ask_e4"), prefix = "q_",
+      toleranceMs = Some(toleranceMs))
+    // Event-time order is total per (symbol, day): silver dedups on
+    // (symbol, event_time), and t_us keeps microsecond resolution the
+    // ms join stamp would truncate away.
+    val w = Window.partitionBy(col("symbol"), col("trade_date")).orderBy(col("t_us"))
+    val carry = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    joined
+      .withColumn("mid2", col("q_bid_e4") + col("q_ask_e4"))
+      .withColumn("tick_dir",
+        last(nullif(signum(col("px_e4") - lag(col("px_e4"), 1).over(w)).cast("int"),
+          lit(0)), ignoreNulls = true).over(carry))
+      .withColumn("side",
+        when(col("mid2").isNotNull && lit(2L) * col("px_e4") > col("mid2"), lit(1))
+          .when(col("mid2").isNotNull && lit(2L) * col("px_e4") < col("mid2"), lit(-1))
+          .otherwise(coalesce(col("tick_dir"), lit(0))))
+      .groupBy(col("symbol"), col("trade_date"))
+      .agg(count(lit(1)).as("n_trades"),
+        sum(when(col("side") === 1, 1L).otherwise(0L)).as("n_buy"),
+        sum(when(col("side") === -1, 1L).otherwise(0L)).as("n_sell"),
+        sum(when(col("side") === 0, 1L).otherwise(0L)).as("n_unclassified"),
+        sum(when(col("side") === 1, col("volume")).otherwise(0L)).as("buy_vol"),
+        sum(when(col("side") === -1, col("volume")).otherwise(0L)).as("sell_vol"))
+      .withColumn("net_flow", col("buy_vol") - col("sell_vol"))
+  }
+
   def spikeCounts(silver: DataFrame, n: Int = 20, z: Int = 3): DataFrame = {
     val w = bySymbolTime.rowsBetween(-(n - 1), Window.currentRow)
     silver

@@ -36,6 +36,16 @@ object ReplayStaging {
 
   private val cache = TrieMap[String, String]()
   private val roots = TrieMap[String, Path]()
+  private val frames = TrieMap[String, DataFrame]()
+
+  /** Memoize an eagerly-materialized (localCheckpoint) frame under
+    * `key`: the silver feed backs FOUR distinct stagings (chrono,
+    * mod-3, bars, snapshots) and each would otherwise recompute the
+    * dedup windows from the raw scan. Same contract as the staging
+    * cache: same key ⇒ same logical frame, keys embed the sf dir.
+    */
+  def materialized(key: String, frame: => DataFrame): DataFrame =
+    frames.getOrElseUpdate(key, frame.localCheckpoint(true))
 
   sys.addShutdownHook {
     roots.values.foreach(deleteRecursively)

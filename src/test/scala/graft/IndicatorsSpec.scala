@@ -546,4 +546,47 @@ class IndicatorsSpec extends SparkSpecBase {
     assert(r.getAs[Long]("eff_vs_quoted_e6") ===
       (500L + 9500L + 510L + 10510L) * 1000000L / (1500L + 1500L + 1530L + 1530L))
   }
+
+  test("b24 realized/bipower: hand-built increments, exact integer sums") {
+    // Prices in e4 ticks: 100, 103, 101, 106 -> d = _,3,-2,5;
+    // prev_d = _,_,3,-2. RV = 9+4+25 = 38; BV = |−2|·3 + 5·|−2| = 16.
+    val out = Indicators.realizedBipower(
+      feed(Seq(0.0100, 0.0103, 0.0101, 0.0106))).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_rets") === 3L)
+    assert(r.getAs[Long]("rv_ticks2") === 38L)
+    assert(r.getAs[Long]("bv_ticks2") === 16L)
+    assert(r.getAs[Long]("bv_vs_rv_e6") === 16L * 1000000L / 38L)
+    // Single-trade day: no increments, null sums, null ratio.
+    val lone = Indicators.realizedBipower(feed(Seq(1.0))).collect().head
+    assert(lone.getAs[Long]("n_rets") === 0L)
+    assert(lone.isNullAt(lone.fieldIndex("rv_ticks2")))
+    assert(lone.isNullAt(lone.fieldIndex("bv_vs_rv_e6")))
+  }
+
+  test("b25 lee-ready: midpoint test first, tick test with zero-tick carry as fallback") {
+    // Trades at minute offsets 0..4, e4 px: 1000, 1010, 1010, 1005, 1005.
+    // One quote (bid 1000, ask 1008, mid2 2008) prevails for trades
+    // 1-2 only (tolerance voids it for 3-4; none before trade 0).
+    //  t0: unquoted, no prior tick -> unclassified (0)
+    //  t1: 2*1010 = 2020 > 2008 -> buy (midpoint test)
+    //  t2: quoted, 2*1010 > 2008 -> buy (zero tick irrelevant)
+    //  t3: unquoted -> tick test: last nonzero delta is -5 -> sell
+    //  t4: unquoted, delta 0 -> carry -> sell
+    val trades = feed(Seq(0.1000, 0.1010, 0.1010, 0.1005, 0.1005))
+    val quotes = Seq(("AAPL", java.sql.Date.valueOf("2024-01-15"),
+        1705312800000L + 55000L, 1000L, 1008L))
+      .toDF("symbol", "trade_date", "q_ms", "bid_e4", "ask_e4")
+    val out = Indicators.leeReady(trades, quotes, toleranceMs = 120000L).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_trades") === 5L)
+    assert(r.getAs[Long]("n_buy") === 2L)
+    assert(r.getAs[Long]("n_sell") === 2L)
+    assert(r.getAs[Long]("n_unclassified") === 1L)
+    assert(r.getAs[Long]("buy_vol") === 20L)
+    assert(r.getAs[Long]("sell_vol") === 20L)
+    assert(r.getAs[Long]("net_flow") === 0L)
+  }
 }

@@ -204,4 +204,37 @@ class LateDataReplaySpec extends SparkSpecBase {
     assert(got != unwatermarked,
       "replay equals the watermark-free batch aggregate — the oracle row is watermark-blind")
   }
+
+  test("sr12 streaming session windows equal the batch sessions closed by the final watermark") {
+    val ev = graft.sources.Tables.eventsNorm(spark, Sf)
+      .select(col("user_id"), col("value"), col("event_time"))
+      .localCheckpoint(true)
+    val wfUs = ev.agg(max(unix_millis(col("event_time")))).head().getLong(0) * 1000L -
+      259200000000L
+    // Exact twin with MICROSECOND emission compare (the oracle's form).
+    val expected = ev
+      .groupBy(col("user_id"), session_window(col("event_time"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .filter(unix_micros(col("w.end")) <= wfUs)
+      .select(col("user_id"), unix_millis(col("w.start")).as("session_start_ms"),
+        unix_millis(col("w.end")).as("session_end_ms"),
+        col("n_events"), col("sum_value"))
+      .collect().map(_.toSeq).toSet
+
+    val got = StreamReplayQueries.streamSessionReplay(spark, Sf)
+      .collect().map(_.toSeq).toSet
+    val missing = expected -- got
+    val extra = got -- expected
+    assert(missing.isEmpty && extra.isEmpty,
+      s"|expected|=${expected.size} |got|=${got.size}" +
+        s"\nmissing (≤5): ${missing.take(5).mkString("\n  ", "\n  ", "")}" +
+        s"\nunexpected (≤5): ${extra.take(5).mkString("\n  ", "\n  ", "")}")
+
+    // The watermark visibly withholds the tail: some sessions end
+    // after the final watermark and must NOT be emitted.
+    val all = ev.groupBy(col("user_id"),
+        session_window(col("event_time"), "30 minutes")).count().count()
+    assert(got.size < all, "no session was withheld — the cutoff is inert")
+  }
 }

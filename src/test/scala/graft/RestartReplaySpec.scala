@@ -194,9 +194,9 @@ class RestartReplaySpec extends SparkSpecBase {
 
   test("funnel state plateaus at the user count (item #4, sr5 shape)") {
     withRocksDbState {
-      val ev = graft.sources.Tables.eventsNorm(spark, Sf)
-        .select(col("user_id"), col("event_type"), col("ts_us"), col("event_id"),
-          col("event_time"))
+      // The production feed projection — MUST match StreamReplayQueries'
+      // eventsFeed because the staging cache key is shared.
+      val ev = StreamReplayQueries.eventsFeed(spark, Sf)
       val staging = ReplayStaging.chronoSlices(s"events|$Sf", ev)
       val root = Files.createTempDirectory("graft_bounds_sr5").toString
       val stream = spark.readStream.schema(ev.schema)

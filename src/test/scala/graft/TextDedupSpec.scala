@@ -747,4 +747,31 @@ class TextDedupSpec extends SparkSpecBase {
     assert(m(1L) > m(2L))
     assert(m.values.forall(q => q >= 0 && q <= 1000000))
   }
+
+  test("d23 rare-shingle containment finds the low-Jaccard fragment d14's banding targets miss") {
+    // Container: 30 distinct tokens; fragment: its first 10 tokens —
+    // full containment (every fragment shingle is in the container)
+    // but Jaccard = 8/28 ≈ 0.29. A third unrelated doc must pair with
+    // neither.
+    val toks = (1 to 30).map(i => s"tok$i")
+    val container = toks.mkString(" ")
+    val fragment = toks.take(10).mkString(" ")
+    val other = (1 to 30).map(i => s"zzz$i").mkString(" ")
+    val out = Dedup.rareShingleContainment(
+        docsDf(Seq((1L, container), (2L, fragment), (3L, other))))
+      .collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("cont_e6"), r.getAs[Long]("jaccard_e6")))
+    // Only the (fragment -> container) direction clears the 0.8 bar:
+    // the reverse containment is 8/28 and doc 3 shares no shingles.
+    assert(out.toSeq === Seq((2L, 1L, 1000000L, 8L * 1000000L / 28L)))
+  }
+
+  test("d23 direction: containment is asymmetric, equal docs hit both directions") {
+    val a = (1 to 12).map(i => s"w$i").mkString(" ")
+    val out = Dedup.rareShingleContainment(docsDf(Seq((1L, a), (2L, a))))
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("cont_e6"))).toSet
+    assert(out === Set((1L, 2L, 1000000L), (2L, 1L, 1000000L)))
+  }
 }
