@@ -738,7 +738,47 @@ object ExtendedQueries {
     ) """ + branches.mkString("\n    UNION ALL\n    ")
   }
 
+  /** X44 — the salted skew join UNDER THE ORACLE: silver trades (the
+    * skewed fact — one hot symbol can dominate a shuffle) salted with
+    * factor 8 against the per-(symbol, day) close dimension, then a
+    * per-symbol notional aggregate. SkewJoinSpec pins that the salt
+    * only moves placement; this row pins it at the hash gate against
+    * the UNSALTED join's algebra — the oracle knows nothing about
+    * salt. Exact integers: close in e4 ticks, Σ(volume·close_e4)
+    * staged decimal.
+    */
+  def saltedJoinQ(s: SparkSession, dir: String): DataFrame = {
+    val silver = SparkEntry.silverDf(s, dir)
+    val dim = silver
+      .groupBy(col("symbol"), col("trade_date"))
+      .agg(graft.functions.OrderedExtremum.maxByOrd2(
+        graft.operators.Indicators.ticksE4(col("price")),
+        unix_micros(col("event_time")), col("event_id")).as("close_e4"))
+    graft.operators.SkewJoin
+      .saltedJoin(silver, dim, Seq("symbol", "trade_date"), factor = 8)
+      .groupBy(col("symbol"))
+      .agg(count(lit(1)).as("n_trades"),
+        sum(col("volume").cast("decimal(38,0)") * col("close_e4")).as("__notional"))
+      .select(col("symbol"), col("n_trades"),
+        expr("cast(__notional as bigint)").as("notional_e4"))
+  }
+
+  val saltedJoinSql: String = SparkEntry.P + """, dim AS (
+      SELECT symbol, trade_date, px AS close_e4 FROM (
+        SELECT symbol, trade_date,
+               CAST(CAST(price AS DECIMAL(18,4)) * 10000 AS BIGINT) AS px,
+               ROW_NUMBER() OVER (PARTITION BY symbol, trade_date
+                                  ORDER BY event_time DESC, event_id DESC) AS rn
+        FROM silver) WHERE rn = 1
+    )
+    SELECT s.symbol, CAST(COUNT(*) AS BIGINT) AS n_trades,
+           CAST(SUM(CAST(s.volume AS HUGEINT) * d.close_e4) AS BIGINT) AS notional_e4
+    FROM silver s JOIN dim d
+      ON s.symbol = d.symbol AND s.trade_date = d.trade_date
+    GROUP BY s.symbol"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x44_salted_join" -> (saltedJoinQ _),
     "x35_profile" -> (columnProfile _),
     "x17_market_hours" -> (marketHoursSessions _),
     "h5_region_revenue" -> ((s: SparkSession, dir: String) => TpchQueries.regionRevenue(s, dir)),
@@ -790,6 +830,7 @@ object ExtendedQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "x44_salted_join" -> saltedJoinSql,
     "x35_profile" -> columnProfileSql,
     "x17_market_hours" -> marketHoursSessionsSql,
     "h5_region_revenue" -> TpchQueries.regionRevenueSql,

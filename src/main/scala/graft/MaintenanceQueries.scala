@@ -285,12 +285,98 @@ object MaintenanceQueries {
            MIN(ty) AS min_ty, MAX(ty) AS max_ty
     FROM s4 GROUP BY 1"""
 
+  /** V6 — TTL retention audit: the reference's per-layer TTLs
+    * (bronze 7d / silver 30d / gold5m 90d / gold1h 365d,
+    * keyspace.cql:37-119) applied as read-side predicates
+    * (Retention.retained — on a parquet lake TTL is a policy, not a
+    * storage feature) with a FIXED as-of clock, one row per layer with
+    * total vs retained counts. The storage-reclaim half
+    * (dropExpiredPartitions) is partition-directory surgery, covered
+    * by QuoteRetentionSpec.
+    */
+  private val RetentionAsOf = "2024-01-30"
+
+  def retentionAudit(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Medallion, Retention}
+    import graft.sources.Tables
+    def one(layer: String, df: DataFrame, dateCol: String, days: Int): DataFrame = {
+      val total = df.agg(count(lit(1)).as("n_total"))
+      val kept = Retention.retained(df, dateCol, days, RetentionAsOf)
+        .agg(count(lit(1)).as("n_retained"))
+      total.crossJoin(kept)
+        .select(lit(layer).as("layer"), lit(days.toLong).as("ttl_days"),
+          col("n_total"), col("n_retained"))
+    }
+    val silver = SparkEntry.silverDf(s, dir)
+    val withDate = (g: DataFrame) =>
+      g.withColumn("window_date", to_date(col("window_start")))
+    one("bronze", Medallion.toBronze(Tables.trades(s, dir)), "trade_date", 7)
+      .unionByName(one("silver", silver, "trade_date", 30))
+      .unionByName(one("gold_5m", withDate(Ohlcv.bars5m(silver)), "window_date", 90))
+      .unionByName(one("gold_1h", withDate(Ohlcv.bars1h(silver)), "window_date", 365))
+  }
+
+  val retentionAuditSql: String = graft.SparkEntry.P + s"""
+    SELECT 'bronze' AS layer, CAST(7 AS BIGINT) AS ttl_days,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM trades) AS n_total,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM trades
+            WHERE trade_date >= DATE '$RetentionAsOf' - 6) AS n_retained
+    UNION ALL
+    SELECT 'silver', 30, (SELECT CAST(COUNT(*) AS BIGINT) FROM silver),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM silver
+            WHERE trade_date >= DATE '$RetentionAsOf' - 29)
+    UNION ALL
+    SELECT 'gold_5m', 90, (SELECT CAST(COUNT(*) AS BIGINT) FROM gold_5m),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM gold_5m
+            WHERE window_date >= DATE '$RetentionAsOf' - 89)
+    UNION ALL
+    SELECT 'gold_1h', 365, (SELECT CAST(COUNT(*) AS BIGINT) FROM gold_1h),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM gold_1h
+            WHERE window_date >= DATE '$RetentionAsOf' - 364)"""
+
+  /** V7 — incremental JOIN maintenance: orders ⋈ lineitem with BOTH
+    * sides split into base/delta by deterministic key mod (orders:
+    * o_orderkey % 5 = 0 is the delta; lineitem: l_linenumber % 3 = 0),
+    * maintained via the delta-join decomposition
+    * ΔA⋈B₀ ∪ A₀⋈ΔB ∪ ΔA⋈ΔB added onto the materialized A₀⋈B₀
+    * (Incremental.deltaJoin) — never re-joining base against base.
+    * Folded through one aggregate per o_orderpriority (match count +
+    * exact quantity sum); the oracle is the FROM-SCRATCH join, so a
+    * hash match proves the decomposition is lossless and
+    * non-duplicating.
+    */
+  def deltaJoinQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Tables
+    val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderpriority"))
+    val l = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("o_orderkey"), col("l_linenumber"), col("l_quantity"))
+    val (oBase, oDelta) = (o.filter(col("o_orderkey") % 5 =!= 0),
+      o.filter(col("o_orderkey") % 5 === 0))
+    val (lBase, lDelta) = (l.filter(col("l_linenumber") % 3 =!= 0),
+      l.filter(col("l_linenumber") % 3 === 0))
+    val keys = Seq("o_orderkey")
+    val materialized = oBase.join(lBase, keys)
+    val increment = Incremental.deltaJoin(oBase, oDelta, lBase, lDelta, keys)
+    materialized.unionByName(increment)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_matches"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+  }
+
+  val deltaJoinSql: String = """
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_matches,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v1_incremental_ohlcv" -> (incrementalOhlcv _),
     "v2_merge_upsert" -> (mergeUpsert _),
     "v3_scd2_history" -> (scd2History _),
     "v4_pit_join" -> (pitJoin _),
     "v5_snapshot_diff" -> (snapshotDiff _),
+    "v6_retention_audit" -> (retentionAudit _),
+    "v7_delta_join" -> (deltaJoinQ _),
     "g1_gap_fill" -> (gapFill _),
     "z1_zorder_cluster" -> (zorderCluster _))
 
@@ -300,6 +386,8 @@ object MaintenanceQueries {
     "v3_scd2_history" -> scd2HistorySql,
     "v4_pit_join" -> pitJoinSql,
     "v5_snapshot_diff" -> snapshotDiffSql,
+    "v6_retention_audit" -> retentionAuditSql,
+    "v7_delta_join" -> deltaJoinSql,
     "g1_gap_fill" -> gapFillSql,
     "z1_zorder_cluster" -> zorderClusterSql)
 }

@@ -656,6 +656,108 @@ object StreamReplayQueries {
     } finally deleteRecursively(tmp)
   }
 
+  /** SR13 — watermarked STREAM-STREAM interval join under the oracle:
+    * trades joined to the synthetic quote stream (b23's fixture rules,
+    * derived in-stream) on symbol with quote_time ∈ [trade_time − 60 s,
+    * trade_time], both sides watermarked 3 days, drained AvailableNow
+    * from the shared chrono staging (two file sources over the SAME
+    * slice files, so the sides advance in lockstep). The oracle needs
+    * NO cutoff: an inner interval join emits every match exactly once
+    * (exactly-once via the file sink's commit log), and no match can
+    * be lost to state eviction because the watermark horizon (3 days)
+    * exceeds the join window (60 s) by construction — including across
+    * slice boundaries, where the counterpart waits in state. Result =
+    * the batch interval join verbatim; time compares run on raw
+    * timestamps (microseconds) on both engines.
+    */
+  def streamJoinReplay(s: SparkSession, dir: String): DataFrame = withReplayConfs(s) {
+    val silver = silverM(s, dir)
+    val tmp = Files.createTempDirectory("graft_sr13_")
+    try {
+      val staging = stagedChrono(s"silver|$dir", silver)
+      def src = s.readStream.schema(silver.schema)
+        .option("maxFilesPerTrigger", "1").parquet(staging)
+      val px = graft.operators.Indicators.ticksE4(col("price"))
+      val trades = src.select(col("symbol"), col("trade_date"),
+          col("event_time").as("trade_time"), px.as("px_e4"))
+        .withWatermark("trade_time", "3 days")
+      val quotes = src.filter(col("event_id") % 3 === 0)
+        .select(col("symbol").as("q_symbol"),
+          (col("event_time") - expr("INTERVAL 500 MILLISECONDS")).as("quote_time"),
+          px.as("qpx_e4"))
+        .withColumn("bid_e4", col("qpx_e4") - greatest(lit(1L), expr("qpx_e4 div 2000")))
+        .withColumn("ask_e4", col("qpx_e4") + greatest(lit(1L), expr("qpx_e4 div 1000")))
+        .withWatermark("quote_time", "3 days")
+      val joined = trades.join(quotes,
+        col("symbol") === col("q_symbol") &&
+          col("quote_time") >= col("trade_time") - expr("INTERVAL 60 SECONDS") &&
+          col("quote_time") <= col("trade_time"))
+      val outDir = tmp.resolve("out").toString
+      val q = joined
+        .select(col("symbol"), col("trade_date"), col("px_e4"),
+          col("bid_e4"), col("ask_e4"))
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", tmp.resolve("ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .format("parquet").option("path", outDir)
+        .start()
+      q.awaitTermination()
+      s.read.parquet(outDir)
+        .groupBy(col("symbol"), col("trade_date"))
+        .agg(count(lit(1)).as("n_matches"),
+          sum((col("ask_e4") - col("bid_e4")).cast("decimal(38,0)")).as("__quoted"),
+          sum(abs(lit(2L) * col("px_e4") - (col("bid_e4") + col("ask_e4")))
+            .cast("decimal(38,0)")).as("__dev"))
+        .select(col("symbol"), col("trade_date"), col("n_matches"),
+          expr("cast(__quoted as bigint)").as("quoted_sum_e4"),
+          expr("cast(__dev as bigint)").as("dev_sum_e4"))
+        .localCheckpoint(eager = true)
+    } finally deleteRecursively(tmp)
+  }
+
+  /** SR14 — streaming DEDUP state under the oracle: the F2 operator
+    * (`dropDuplicatesWithinWatermark` on (symbol, timestamp),
+    * transformations.py:137's streaming form) executed as a real
+    * multi-batch drain against PLANTED duplicates that arrive one
+    * whole micro-batch after their originals — slice 0 is the entire
+    * cleaned feed, slice 1 re-delivers every 5th row under a fresh
+    * event_id — so the dedup verdict MUST come from cross-batch
+    * state, not intra-batch hashing. Planted copies are identical in
+    * every emitted column (only event_id, which is not emitted,
+    * differs), so whichever arrival survives, the output row set —
+    * and its COUNT, which the driver also gates — equals the original
+    * feed exactly. The 3-day horizon vastly exceeds the zero time skew
+    * between original and copy, so no key can expire between them.
+    */
+  def streamDedupReplay(s: SparkSession, dir: String): DataFrame = withReplayConfs(s) {
+    val cleaned = graft.operators.Medallion
+      .toSilver(Tables.trades(s, dir), lit(SparkEntry.CutoffTs).cast("timestamp"))
+      .withColumn("timestamp", unix_millis(col("event_time")))
+    val feed = cleaned.unionByName(
+      cleaned.filter(col("event_id") % 5 === 0)
+        .withColumn("event_id", col("event_id") + 10000000L))
+    val tmp = Files.createTempDirectory("graft_sr14_")
+    try {
+      val staging = ReplayStaging.customSlices(s"dedup_feed|$dir", feed,
+        Seq(col("event_id") < 10000000L, col("event_id") >= 10000000L))
+      val stream = s.readStream.schema(feed.schema)
+        .option("maxFilesPerTrigger", "1").parquet(staging)
+        .withWatermark("event_time", "3 days")
+      val deduped = graft.streaming.TradeStreams.dedupWithinWatermark(stream)
+      val outDir = tmp.resolve("out").toString
+      val q = deduped
+        .select(col("symbol"), col("timestamp").as("ts_ms"),
+          col("price"), col("volume"))
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", tmp.resolve("ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .format("parquet").option("path", outDir)
+        .start()
+      q.awaitTermination()
+      s.read.parquet(outDir).localCheckpoint(eager = true)
+    } finally deleteRecursively(tmp)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sr1_stream_gold_replay" -> (streamGoldReplay _),
     "sr2_stream_curation_replay" -> (streamCurationReplay _),
@@ -668,7 +770,9 @@ object StreamReplayQueries {
     "sr9_stream_heavyhitter_replay" -> (streamHeavyHitterReplay _),
     "sr10_stream_barind_replay" -> (streamBarIndicatorReplay _),
     "sr11_stream_late_replay" -> (streamLateReplay _),
-    "sr12_stream_session_replay" -> (streamSessionReplay _))
+    "sr12_stream_session_replay" -> (streamSessionReplay _),
+    "sr13_stream_join_replay" -> (streamJoinReplay _),
+    "sr14_stream_dedup_replay" -> (streamDedupReplay _))
 
   /** sr11's kept/emitted sets, as explicit SQL: the late-record filter
     * the THIRD slice meets (m0 — the watermark slice 1 evicted with,
@@ -737,5 +841,37 @@ object StreamReplayQueries {
     // watermark (max event time − 3 days), compared in microseconds.
     "sr12_stream_session_replay" -> (ExtendedQueries.sessionsSql + """
       HAVING MAX(epoch_us(ts)) + 1800000000
-             <= (SELECT epoch_ms(MAX(ts)) FROM events) * 1000 - 259200000000"""))
+             <= (SELECT epoch_ms(MAX(ts)) FROM events) * 1000 - 259200000000"""),
+    // The batch interval join verbatim (no watermark cutoff — see the
+    // streamJoinReplay note); µs time compares, b23's quote rules.
+    "sr13_stream_join_replay" -> (SparkEntry.P + """, t AS (
+      SELECT symbol, trade_date, epoch_us(event_time) AS t_us,
+             CAST(CAST(price AS DECIMAL(18,4)) * 10000 AS BIGINT) AS px_e4
+      FROM silver
+    ), q AS (
+      SELECT symbol, epoch_us(event_time) - 500000 AS q_us,
+             px_e4 - GREATEST(1, px_e4 // 2000) AS bid_e4,
+             px_e4 + GREATEST(1, px_e4 // 1000) AS ask_e4
+      FROM (SELECT symbol, event_time, event_id,
+                   CAST(CAST(price AS DECIMAL(18,4)) * 10000 AS BIGINT) AS px_e4
+            FROM silver) WHERE event_id % 3 = 0
+    ), j AS (
+      SELECT t.symbol, t.trade_date, t.px_e4, q.bid_e4, q.ask_e4
+      FROM t JOIN q ON t.symbol = q.symbol
+        AND q.q_us >= t.t_us - 60000000 AND q.q_us <= t.t_us
+    )
+    SELECT symbol, trade_date, CAST(COUNT(*) AS BIGINT) AS n_matches,
+           CAST(SUM(CAST(ask_e4 AS HUGEINT) - bid_e4) AS BIGINT) AS quoted_sum_e4,
+           CAST(SUM(ABS(2 * CAST(px_e4 AS HUGEINT) - (bid_e4 + ask_e4))) AS BIGINT)
+             AS dev_sum_e4
+    FROM j GROUP BY 1, 2"""),
+    // The cleaned (pre-dedup) feed verbatim: every planted duplicate
+    // must collapse onto its original, whose (symbol, ts, price,
+    // volume) projection it shares.
+    "sr14_stream_dedup_replay" -> (SparkEntry.P + """
+      SELECT symbol, epoch_ms(event_time) AS ts_ms, ROUND(price, 4) AS price,
+             ABS(volume) AS volume
+      FROM trades
+      WHERE ABS(volume) > 0 AND ROUND(price, 4) > 0
+        AND event_time <= TIMESTAMP '2024-02-01 00:00:00'"""))
 }

@@ -120,6 +120,26 @@ object Incremental {
     * a global ROW_NUMBER over base ∪ delta would sort everything to
     * rediscover what the join already knows.
     */
+  /** Incremental JOIN maintenance — the delta-join decomposition
+    * Δ(A ⋈ B) = ΔA ⋈ B₀ ∪ A₀ ⋈ ΔB ∪ ΔA ⋈ ΔB (A = A₀ ∪ ΔA,
+    * B = B₀ ∪ ΔB, all unions disjoint): the three delta terms a
+    * materialized join view adds when BOTH inputs grow, without ever
+    * re-joining the base sides. At 100 TB this is the difference
+    * between joining two daily increments (plus increment-vs-base
+    * probes that prune to the increment's key range) and re-running
+    * the full base-×-base join every load.
+    *
+    * Returns the UNION of the three delta terms; the caller appends it
+    * to the materialized A₀ ⋈ B₀ (v7 folds both through the same
+    * aggregate and hash-matches the from-scratch join).
+    */
+  def deltaJoin(baseA: DataFrame, deltaA: DataFrame,
+                baseB: DataFrame, deltaB: DataFrame,
+                keys: Seq[String]): DataFrame =
+    deltaA.join(baseB, keys)
+      .unionByName(baseA.join(deltaB, keys))
+      .unionByName(deltaA.join(deltaB, keys))
+
   def mergeUpsert(base: DataFrame, delta: DataFrame, key: String): DataFrame = {
     val payload = base.columns.filterNot(_ == key)
     require(delta.columns.sameElements(base.columns),

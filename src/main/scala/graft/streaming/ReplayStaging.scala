@@ -92,6 +92,18 @@ object ReplayStaging {
       stageSlices(tmp, frame, Seq(0, 1, 2).map(r => idCol % 3 === r))
     })
 
+  /** Stage `frame` into one single-file slice per condition, in
+    * condition order — for replays that need a bespoke arrival order
+    * (sr14 delivers all originals before any planted duplicate, so
+    * the dedup state must survive across batches).
+    */
+  def customSlices(key: String, frame: => DataFrame, conds: Seq[Column]): String =
+    cache.getOrElseUpdate(key, {
+      val tmp = Files.createTempDirectory("graft_stage_")
+      roots.put(key, tmp)
+      stageSlices(tmp, frame, conds)
+    })
+
   /** Stage `frame` as `n` parquet files (no chronological discipline —
     * for replays whose result is slicing-independent under ANY order:
     * sr1's commutative bar monoid, sr2's per-document gate, sr9's

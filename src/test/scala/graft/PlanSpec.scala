@@ -491,4 +491,24 @@ class PlanSpec extends SparkSpecBase {
       "one-row stats frame should broadcast")
     assert(p.contains("TakeOrderedAndProject"), "top-k must avoid a global sort")
   }
+
+  test("d23 containment: posting-probe and verify are equi-joins — no cartesian, no NL join") {
+    val p = plan("d23_containment")
+    assert(!p.contains("CartesianProduct"), "containment must never go all-pairs")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "containment joins must stay equi (shingle / doc-id keyed)")
+  }
+
+  test("v7 delta join: three delta terms, no base-x-base rejoin, no cartesian") {
+    val p = plan("v7_delta_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // The union of materialized + three delta terms = 4 join branches.
+    assert(p.contains("Union"), "delta decomposition should union its terms")
+  }
+
+  test("x44 salted join: the salt join key is present; no cartesian from replication") {
+    val p = plan("x44_salted_join")
+    assert(p.contains("__salt"), "salt column missing — operator bypassed?")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
 }
