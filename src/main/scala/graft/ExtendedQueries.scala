@@ -777,8 +777,77 @@ object ExtendedQueries {
       ON s.symbol = d.symbol AND s.trade_date = d.trade_date
     GROUP BY s.symbol"""
 
+  /** X45 — A/B experiment readout: deterministic variant assignment
+    * (user_id parity — the hash-bucket assignment every experiment
+    * platform uses, reduced to its deterministic core), per-variant
+    * exposure and conversion counts (a user converts on a HIGH-VALUE
+    * purchase, value > 120 — plain purchase saturates at 100% in this
+    * corpus, which degenerates the pooled variance to zero and, under
+    * ANSI, turns the z division into a DIVIDE_BY_ZERO: ANSI rejects
+    * double division by zero too, found live), rates in exact e6, and
+    * the pooled
+    * two-proportion z statistic
+    * z = (p₁ − p₂) / √(p̂(1−p̂)(1/n₁ + 1/n₂)) as ONE double expression
+    * over the exact integer counts — each IEEE op correctly rounded,
+    * so the oracle's identical expression tree is bit-identical.
+    * Shape: two hash aggregates over the event scan (per-user, then
+    * per-variant) and a 2-row cross — nothing scales with traffic but
+    * the first scan.
+    */
+  def abTest(s: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.eventsNorm(s, dir)
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase" && col("value") > 120, 1L)
+        .otherwise(0L)).as("converted"))
+      .withColumn("variant", pmod(col("user_id"), lit(2L)).cast("int"))
+    val v = perUser.groupBy(col("variant"))
+      .agg(count(lit(1)).as("n_users"), sum(col("converted")).as("n_converted"))
+      .withColumn("conv_rate_e6", expr("n_converted * 1000000 div n_users"))
+    // 2-row frame: self-cross the two variants into one stats row,
+    // then union it back as a per-variant readout + one z row.
+    val a = v.filter(col("variant") === 0)
+      .select(col("n_users").as("n1"), col("n_converted").as("c1"))
+    val b = v.filter(col("variant") === 1)
+      .select(col("n_users").as("n2"), col("n_converted").as("c2"))
+    val z = a.crossJoin(b).select(
+      lit("z_stat").as("metric"),
+      (((col("c1").cast("double") / col("n1").cast("double")) -
+        (col("c2").cast("double") / col("n2").cast("double"))) /
+        sqrt(((col("c1") + col("c2")).cast("double") / (col("n1") + col("n2")).cast("double")) *
+          (lit(1.0) - (col("c1") + col("c2")).cast("double") / (col("n1") + col("n2")).cast("double")) *
+          (lit(1.0) / col("n1").cast("double") + lit(1.0) / col("n2").cast("double"))))
+        .as("value"))
+    v.select(concat(lit("variant_"), col("variant")).as("metric"),
+        col("conv_rate_e6").cast("double").as("value"))
+      .unionByName(z)
+  }
+
+  val abTestSql: String = """
+    WITH pu AS (
+      SELECT user_id,
+             MAX(CASE WHEN event_type = 'purchase' AND value > 120 THEN 1 ELSE 0 END) AS converted,
+             CAST(user_id % 2 AS INT) AS variant
+      FROM events GROUP BY user_id
+    ), v AS (
+      SELECT variant, CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(converted) AS BIGINT) AS n_converted,
+             CAST(SUM(converted) * 1000000 // COUNT(*) AS BIGINT) AS conv_rate_e6
+      FROM pu GROUP BY variant
+    ), a AS (SELECT n_users AS n1, n_converted AS c1 FROM v WHERE variant = 0),
+    b AS (SELECT n_users AS n2, n_converted AS c2 FROM v WHERE variant = 1)
+    SELECT 'variant_' || CAST(variant AS VARCHAR) AS metric,
+           CAST(conv_rate_e6 AS DOUBLE) AS value FROM v
+    UNION ALL
+    SELECT 'z_stat',
+           ((CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)) - (CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE)))
+           / sqrt((CAST(c1 + c2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+                  * (1.0 - CAST(c1 + c2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+                  * (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE)))
+    FROM a, b"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x44_salted_join" -> (saltedJoinQ _),
+    "x45_ab_test" -> (abTest _),
     "x35_profile" -> (columnProfile _),
     "x17_market_hours" -> (marketHoursSessions _),
     "h5_region_revenue" -> ((s: SparkSession, dir: String) => TpchQueries.regionRevenue(s, dir)),
@@ -831,6 +900,7 @@ object ExtendedQueries {
 
   val oracles: Map[String, String] = Map(
     "x44_salted_join" -> saltedJoinSql,
+    "x45_ab_test" -> abTestSql,
     "x35_profile" -> columnProfileSql,
     "x17_market_hours" -> marketHoursSessionsSql,
     "h5_region_revenue" -> TpchQueries.regionRevenueSql,

@@ -657,25 +657,42 @@ object StreamReplayQueries {
   }
 
   /** SR13 — watermarked STREAM-STREAM interval join under the oracle:
-    * trades joined to the synthetic quote stream (b23's fixture rules,
-    * derived in-stream) on symbol with quote_time ∈ [trade_time − 60 s,
-    * trade_time], both sides watermarked 3 days, drained AvailableNow
-    * from the shared chrono staging (two file sources over the SAME
-    * slice files, so the sides advance in lockstep). The oracle needs
-    * NO cutoff: an inner interval join emits every match exactly once
-    * (exactly-once via the file sink's commit log), and no match can
-    * be lost to state eviction because the watermark horizon (3 days)
-    * exceeds the join window (60 s) by construction — including across
-    * slice boundaries, where the counterpart waits in state. Result =
-    * the batch interval join verbatim; time compares run on raw
-    * timestamps (microseconds) on both engines.
+    * one trading day's trades joined to the synthetic quote stream
+    * (b23's fixture rules, derived in-stream) on symbol with
+    * quote_time ∈ [trade_time − 60 s, trade_time], both sides
+    * watermarked, drained AvailableNow over MOD-3 slices (two file
+    * sources over the SAME slice files, advancing in lockstep). The
+    * deliberately UNORDERED slicing proves the inner join's
+    * arrival-order independence: both sides buffer in state and a
+    * match emits whichever side arrives last. The oracle needs NO
+    * cutoff: every match emits exactly once (file-sink commit log)
+    * and none can be lost to eviction — the watermark horizon (3
+    * days) exceeds the whole replayed day. Result = the batch
+    * interval join verbatim; time compares run on raw timestamps
+    * (microseconds) on both engines.
+    *
+    * Scale note — why ONE day: Spark's stream-stream join state is
+    * keyed by the EQUI keys only; the range condition is a post-scan
+    * filter over the key's buffered rows, so per-key bucket size is
+    * the quadratic dial. Bounding the feed to a day keeps each
+    * symbol's bucket at its daily volume, and growing the corpus
+    * grows the KEY COUNT (symbols × days), not the bucket — measured
+    * first as a stall: the unbounded form buffered the watermark
+    * horizon (3 days ≈ 40% of the sf feed) per symbol and went
+    * quadratic in it. A production deployment gets the same bound
+    * from the real watermark (minutes, not the replay's synthetic
+    * 3 days) — state is O(traffic within watermark + join window).
     */
   def streamJoinReplay(s: SparkSession, dir: String): DataFrame = withReplayConfs(s) {
-    val silver = silverM(s, dir)
+    val day = silverM(s, dir).filter(col("trade_date") === lit("2024-01-15").cast("date"))
     val tmp = Files.createTempDirectory("graft_sr13_")
     try {
-      val staging = stagedChrono(s"silver|$dir", silver)
-      def src = s.readStream.schema(silver.schema)
+      // Slice classifier independent of the quote residue (id % 3), so
+      // quotes and trades scatter across all three batches and matches
+      // form in BOTH arrival orders.
+      val staging = ReplayStaging.customSlices(s"silver_day15_div7mod3|$dir", day,
+        Seq(0, 1, 2).map(r => expr("(event_id div 7) % 3") === r))
+      def src = s.readStream.schema(day.schema)
         .option("maxFilesPerTrigger", "1").parquet(staging)
       val px = graft.operators.Indicators.ticksE4(col("price"))
       val trades = src.select(col("symbol"), col("trade_date"),
@@ -847,14 +864,14 @@ object StreamReplayQueries {
     "sr13_stream_join_replay" -> (SparkEntry.P + """, t AS (
       SELECT symbol, trade_date, epoch_us(event_time) AS t_us,
              CAST(CAST(price AS DECIMAL(18,4)) * 10000 AS BIGINT) AS px_e4
-      FROM silver
+      FROM silver WHERE trade_date = DATE '2024-01-15'
     ), q AS (
       SELECT symbol, epoch_us(event_time) - 500000 AS q_us,
              px_e4 - GREATEST(1, px_e4 // 2000) AS bid_e4,
              px_e4 + GREATEST(1, px_e4 // 1000) AS ask_e4
       FROM (SELECT symbol, event_time, event_id,
                    CAST(CAST(price AS DECIMAL(18,4)) * 10000 AS BIGINT) AS px_e4
-            FROM silver) WHERE event_id % 3 = 0
+            FROM silver WHERE trade_date = DATE '2024-01-15') WHERE event_id % 3 = 0
     ), j AS (
       SELECT t.symbol, t.trade_date, t.px_e4, q.bid_e4, q.ask_e4
       FROM t JOIN q ON t.symbol = q.symbol
