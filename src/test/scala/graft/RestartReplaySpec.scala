@@ -192,6 +192,114 @@ class RestartReplaySpec extends SparkSpecBase {
     }
   }
 
+  test("session-window state: stop() mid-drain, restart restores merge state, converge") {
+    // The fourth state discipline (after upsert, transformWithState,
+    // and dedup): session MERGE state. The chrono cuts split sessions
+    // across micro-batches, so a restart must reload partial sessions
+    // from the checkpoint before their continuations arrive.
+    val ev = StreamReplayQueries.eventsFeed(spark, Sf).localCheckpoint(true)
+    val staging = ReplayStaging.chronoSlices(s"events|$Sf", ev)
+    val root = Files.createTempDirectory("graft_restart_sess").toString
+    def writer(trigger: org.apache.spark.sql.streaming.Trigger) = {
+      val stream = spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(staging)
+        .select(col("user_id"), col("value"), col("event_time"))
+        .withWatermark("event_time", "3 days")
+      graft.operators.Sessions.sessionStats(stream,
+          keyCol = "user_id", timeCol = "event_time", valueCol = "value",
+          gap = "30 minutes")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(trigger)
+        .format("parquet").option("path", s"$root/out")
+    }
+    val q1 = writer(Trigger.ProcessingTime("500 milliseconds")).start()
+    val deadline = System.currentTimeMillis() + 120000
+    while (q1.recentProgress.isEmpty && System.currentTimeMillis() < deadline)
+      Thread.sleep(10)
+    assert(q1.recentProgress.nonEmpty)
+    q1.stop(); q1.awaitTermination()
+    val q2 = writer(Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+
+    val wfUs = ev.agg(max(unix_millis(col("event_time")))).head().getLong(0) * 1000L -
+      259200000000L
+    val expected = ev
+      .groupBy(col("user_id"), session_window(col("event_time"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .filter(unix_micros(col("w.end")) <= wfUs)
+      .select(col("user_id"), unix_millis(col("w.start")).as("session_start_ms"),
+        unix_millis(col("w.end")).as("session_end_ms"),
+        col("n_events"), col("sum_value"))
+      .collect().map(_.toSeq).toSet
+    val got = spark.read.parquet(s"$root/out").collect().map(_.toSeq).toSet
+    assert(got == expected)
+  }
+
+  test("stream-stream join state: stop() mid-drain, restart restores both buffers, converge") {
+    // Fifth discipline: symmetric join buffers. A trade arriving after
+    // the restart must still match a quote buffered BEFORE the stop.
+    val day = silver.filter(col("trade_date") === lit("2024-01-15").cast("date"))
+      .localCheckpoint(true)
+    val staging = ReplayStaging.customSlices(s"silver_day15_div7mod3|$Sf", day,
+      Seq(0, 1, 2).map(r => expr("(event_id div 7) % 3") === r))
+    val root = Files.createTempDirectory("graft_restart_join").toString
+    val px = graft.operators.Indicators.ticksE4(col("price"))
+    def writer(trigger: org.apache.spark.sql.streaming.Trigger) = {
+      def src = spark.readStream.schema(day.schema)
+        .option("maxFilesPerTrigger", "1").parquet(staging)
+      val trades = src.select(col("symbol"), col("trade_date"),
+          col("event_time").as("trade_time"), px.as("px_e4"))
+        .withWatermark("trade_time", "3 days")
+      val quotes = src.filter(col("event_id") % 3 === 0)
+        .select(col("symbol").as("q_symbol"),
+          (col("event_time") - expr("INTERVAL 500 MILLISECONDS")).as("quote_time"),
+          px.as("qpx_e4"))
+        .withColumn("bid_e4", col("qpx_e4") - greatest(lit(1L), expr("qpx_e4 div 2000")))
+        .withColumn("ask_e4", col("qpx_e4") + greatest(lit(1L), expr("qpx_e4 div 1000")))
+        .withWatermark("quote_time", "3 days")
+      trades.join(quotes,
+          col("symbol") === col("q_symbol") &&
+            col("quote_time") >= col("trade_time") - expr("INTERVAL 60 SECONDS") &&
+            col("quote_time") <= col("trade_time"))
+        .select(col("symbol"), unix_micros(col("trade_time")).as("t_us"),
+          unix_micros(col("quote_time")).as("q_us"), col("px_e4"),
+          col("bid_e4"), col("ask_e4"))
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(trigger)
+        .format("parquet").option("path", s"$root/out")
+    }
+    val q1 = writer(Trigger.ProcessingTime("500 milliseconds")).start()
+    val deadline = System.currentTimeMillis() + 120000
+    while (q1.recentProgress.isEmpty && System.currentTimeMillis() < deadline)
+      Thread.sleep(10)
+    assert(q1.recentProgress.nonEmpty)
+    q1.stop(); q1.awaitTermination()
+    val q2 = writer(Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+
+    // Batch twin: the full interval join, row-level (exactly-once via
+    // the file sink commit log — no dedup in this compare).
+    val t = day.select(col("symbol"), unix_micros(col("event_time")).as("t_us"),
+      px.as("px_e4"))
+    val q = day.filter(col("event_id") % 3 === 0)
+      .select(col("symbol").as("q_symbol"),
+        (unix_micros(col("event_time")) - 500000L).as("q_us"), px.as("qpx_e4"))
+      .withColumn("bid_e4", col("qpx_e4") - greatest(lit(1L), expr("qpx_e4 div 2000")))
+      .withColumn("ask_e4", col("qpx_e4") + greatest(lit(1L), expr("qpx_e4 div 1000")))
+    val expected = t.join(q,
+        col("symbol") === col("q_symbol") &&
+          col("q_us") >= col("t_us") - 60000000L && col("q_us") <= col("t_us"))
+      .select(col("symbol"), col("t_us"), col("q_us"), col("px_e4"),
+        col("bid_e4"), col("ask_e4"))
+      .collect().map(_.toSeq).toSet
+    val gotRows = spark.read.parquet(s"$root/out").collect().map(_.toSeq)
+    assert(gotRows.length == gotRows.toSet.size, "a match was emitted twice across the restart")
+    assert(gotRows.toSet == expected)
+  }
+
   test("funnel state plateaus at the user count (item #4, sr5 shape)") {
     withRocksDbState {
       // The production feed projection — MUST match StreamReplayQueries'
