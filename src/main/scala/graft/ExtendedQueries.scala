@@ -800,16 +800,21 @@ object ExtendedQueries {
       .agg(max(when(col("event_type") === "purchase" && col("value") > 120, 1L)
         .otherwise(0L)).as("converted"))
       .withColumn("variant", pmod(col("user_id"), lit(2L)).cast("int"))
-    val v = perUser.groupBy(col("variant"))
-      .agg(count(lit(1)).as("n_users"), sum(col("converted")).as("n_converted"))
-      .withColumn("conv_rate_e6", expr("n_converted * 1000000 div n_users"))
-    // 2-row frame: self-cross the two variants into one stats row,
-    // then union it back as a per-variant readout + one z row.
-    val a = v.filter(col("variant") === 0)
-      .select(col("n_users").as("n1"), col("n_converted").as("c1"))
-    val b = v.filter(col("variant") === 1)
-      .select(col("n_users").as("n2"), col("n_converted").as("c2"))
-    val z = a.crossJoin(b).select(
+    // ONE single-row aggregate carries both variants' counts; every
+    // output row projects from IT, so the three branches' exchanges
+    // are identical and exchange reuse collapses the plan to ONE
+    // events scan (the first form filtered per branch — three full
+    // scans at 100 TB for a 3-row readout; found in the plan audit).
+    val stats = perUser.agg(
+      sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n1"),
+      sum(when(col("variant") === 0, col("converted")).otherwise(0L)).as("c1"),
+      sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n2"),
+      sum(when(col("variant") === 1, col("converted")).otherwise(0L)).as("c2"))
+    val v0 = stats.select(lit("variant_0").as("metric"),
+      expr("c1 * 1000000 div n1").cast("double").as("value"))
+    val v1 = stats.select(lit("variant_1").as("metric"),
+      expr("c2 * 1000000 div n2").cast("double").as("value"))
+    val z = stats.select(
       lit("z_stat").as("metric"),
       (((col("c1").cast("double") / col("n1").cast("double")) -
         (col("c2").cast("double") / col("n2").cast("double"))) /
@@ -817,9 +822,7 @@ object ExtendedQueries {
           (lit(1.0) - (col("c1") + col("c2")).cast("double") / (col("n1") + col("n2")).cast("double")) *
           (lit(1.0) / col("n1").cast("double") + lit(1.0) / col("n2").cast("double"))))
         .as("value"))
-    v.select(concat(lit("variant_"), col("variant")).as("metric"),
-        col("conv_rate_e6").cast("double").as("value"))
-      .unionByName(z)
+    v0.unionByName(v1).unionByName(z)
   }
 
   val abTestSql: String = """
@@ -828,22 +831,23 @@ object ExtendedQueries {
              MAX(CASE WHEN event_type = 'purchase' AND value > 120 THEN 1 ELSE 0 END) AS converted,
              CAST(user_id % 2 AS INT) AS variant
       FROM events GROUP BY user_id
-    ), v AS (
-      SELECT variant, CAST(COUNT(*) AS BIGINT) AS n_users,
-             CAST(SUM(converted) AS BIGINT) AS n_converted,
-             CAST(SUM(converted) * 1000000 // COUNT(*) AS BIGINT) AS conv_rate_e6
-      FROM pu GROUP BY variant
-    ), a AS (SELECT n_users AS n1, n_converted AS c1 FROM v WHERE variant = 0),
-    b AS (SELECT n_users AS n2, n_converted AS c2 FROM v WHERE variant = 1)
-    SELECT 'variant_' || CAST(variant AS VARCHAR) AS metric,
-           CAST(conv_rate_e6 AS DOUBLE) AS value FROM v
+    ), stats AS (
+      SELECT CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(SUM(CASE WHEN variant = 0 THEN converted ELSE 0 END) AS BIGINT) AS c1,
+             CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+             CAST(SUM(CASE WHEN variant = 1 THEN converted ELSE 0 END) AS BIGINT) AS c2
+      FROM pu
+    )
+    SELECT 'variant_0' AS metric, CAST(c1 * 1000000 // n1 AS DOUBLE) AS value FROM stats
+    UNION ALL
+    SELECT 'variant_1', CAST(c2 * 1000000 // n2 AS DOUBLE) FROM stats
     UNION ALL
     SELECT 'z_stat',
            ((CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)) - (CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE)))
            / sqrt((CAST(c1 + c2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
                   * (1.0 - CAST(c1 + c2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
                   * (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE)))
-    FROM a, b"""
+    FROM stats"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x44_salted_join" -> (saltedJoinQ _),

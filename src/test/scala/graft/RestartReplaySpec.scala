@@ -300,6 +300,35 @@ class RestartReplaySpec extends SparkSpecBase {
     assert(gotRows.toSet == expected)
   }
 
+  test("backfill-then-incremental: files landing AFTER a finished drain integrate on restart") {
+    // The production adoption path: an AvailableNow backfill over the
+    // historical lake, then periodic restarts as new data lands — the
+    // file source's checkpoint must treat post-drain files as the next
+    // increment, and the upsert store must extend, not rebuild.
+    val root = Files.createTempDirectory("graft_backfill").toString
+    val staging = s"$root/staging"
+    val store = s"$root/gold"
+    val ckpt = s"$root/ckpt"
+    val first = silver.filter(col("trade_date") <= lit("2024-01-15").cast("date"))
+    val rest = silver.filter(col("trade_date") > lit("2024-01-15").cast("date"))
+    first.repartition(2).write.parquet(staging)
+    def drain(): Unit = {
+      val stream = spark.readStream.schema(silver.schema)
+        .option("maxFilesPerTrigger", "1").parquet(staging)
+      val q = IncrementalGoldStream.writer(stream, store, ckpt,
+        trigger = Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drain()
+    assert(barsOf(IncrementalGoldStream.read(spark, store)) ==
+      barsOf(Ohlcv.bars5m(first)), "backfill drain incomplete")
+    // New data lands after the drain finished.
+    rest.repartition(2).write.mode("append").parquet(staging)
+    drain()
+    assert(barsOf(IncrementalGoldStream.read(spark, store)) == expectedBars,
+      "post-backfill increment did not integrate")
+  }
+
   test("funnel state plateaus at the user count (item #4, sr5 shape)") {
     withRocksDbState {
       // The production feed projection — MUST match StreamReplayQueries'
