@@ -775,6 +775,48 @@ object StreamReplayQueries {
     } finally deleteRecursively(tmp)
   }
 
+  /** SR15 — the Kafka DATA PLANE under the oracle: silver trades
+    * serialized through the K3 sink projection (symbol key, full-row
+    * JSON value — sinks.py:194-196) into the TestKafka DSv2 topic
+    * store (exact connector schema, murmur2 partitioning, dense
+    * per-partition offsets), then STREAM-consumed via the S1-shaped
+    * micro-batch scan and decoded by P1+P2 (from_json against
+    * TRADE_SCHEMA + event-time derivation). The drained row set must
+    * hash-match the silver frame that went in — the full
+    * produce→consume→parse loop as one oracle row. What remains
+    * env-blocked is only the physical broker (no kafka jars on this
+    * box, r10-verified); every columnar and offset contract the
+    * connector exposes is now under the DuckDB gate, not just specs.
+    */
+  def streamKafkaReplay(s: SparkSession, dir: String): DataFrame = withReplayConfs(s) {
+    val tmp = Files.createTempDirectory("graft_sr15_")
+    try {
+      val silver = silverM(s, dir)
+      val wire = silver.select(col("symbol"), col("price"), col("volume"),
+        unix_millis(col("event_time")).as("timestamp"),
+        array().cast("array<string>").as("conditions"))
+      val topicDir = tmp.resolve("topic").toString
+      graft.streaming.Sinks.kafkaProjection(wire)
+        .write.mode("append").format("graft-testkafka")
+        .option("path", topicDir).option("topic", "trades_raw")
+        .option("partitions", "4")
+        .save()
+      val raw = s.readStream.format("graft-testkafka")
+        .option("path", topicDir).option("partitions", "4").load()
+      val parsed = graft.streaming.TradeStreams.parseTrades(raw)
+        .select(col("symbol"), col("timestamp").as("ts_ms"),
+          col("price"), col("volume"))
+      val outDir = tmp.resolve("out").toString
+      val q = parsed.writeStream.outputMode("append")
+        .option("checkpointLocation", tmp.resolve("ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .format("parquet").option("path", outDir)
+        .start()
+      q.awaitTermination()
+      s.read.parquet(outDir).localCheckpoint(eager = true)
+    } finally deleteRecursively(tmp)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sr1_stream_gold_replay" -> (streamGoldReplay _),
     "sr2_stream_curation_replay" -> (streamCurationReplay _),
@@ -789,7 +831,8 @@ object StreamReplayQueries {
     "sr11_stream_late_replay" -> (streamLateReplay _),
     "sr12_stream_session_replay" -> (streamSessionReplay _),
     "sr13_stream_join_replay" -> (streamJoinReplay _),
-    "sr14_stream_dedup_replay" -> (streamDedupReplay _))
+    "sr14_stream_dedup_replay" -> (streamDedupReplay _),
+    "sr15_stream_kafka_replay" -> (streamKafkaReplay _))
 
   /** sr11's kept/emitted sets, as explicit SQL: the late-record filter
     * the THIRD slice meets (m0 — the watermark slice 1 evicted with,
@@ -890,5 +933,9 @@ object StreamReplayQueries {
              ABS(volume) AS volume
       FROM trades
       WHERE ABS(volume) > 0 AND ROUND(price, 4) > 0
-        AND event_time <= TIMESTAMP '2024-02-01 00:00:00'"""))
+        AND event_time <= TIMESTAMP '2024-02-01 00:00:00'"""),
+    // The silver frame verbatim: the produce→consume→parse loop must
+    // be lossless (JSON double round-trip included).
+    "sr15_stream_kafka_replay" -> (SparkEntry.P + """
+      SELECT symbol, epoch_ms(event_time) AS ts_ms, price, volume FROM silver"""))
 }
