@@ -213,6 +213,73 @@ object PipelineQueries {
     Dedup.rareShingleContainment(base.unionByName(frags))
   }
 
+  /** D24 — containment-probe RECALL observed (d21's discipline applied
+    * to d23): plant fragments at three containment strengths — pure
+    * prefix (cont 1.0), prefix + unique noise at half and equal prefix
+    * length (cont ≈ 0.65 / ≈ 0.45) — plus an ADVERSARIAL bucket where
+    * two sibling fragments SHARE their noise tokens, and measure the
+    * production rare-shingle probe (Dedup.rareShingleCandidates)
+    * against exact all-pairs containment truth on an absolutely
+    * bounded slice (doc_id < 2000 — never a corpus share, the d21
+    * lesson). Expected shape, measured not asserted: the df ≥ 2 floor
+    * makes the probe NOISE-ROBUST (unique noise shingles never enter
+    * the rarity ranking, so diluted fragments still recall ~1.0), but
+    * CORRELATED noise — shared boilerplate among the fragments
+    * themselves — forms df-2 shingles that out-rare the prefix and
+    * steal the probe budget, so the d bucket's recall collapses. That
+    * is the operator's honest failure mode: near-duplicate noise among
+    * the fragments, exactly what a boilerplate-wrapped crawl produces,
+    * and why production runs d23 AFTER boilerplate stripping (t5/t17).
+    */
+  def containmentRecallQ(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir).filter(col("doc_id") < 2000)
+      .select(col("doc_id"), col("text"))
+    val pl = base.filter(pmod(col("doc_id"), lit(20)) === 0)
+      .withColumn("__t", TextAnalysis.tokens(lower(col("text"))))
+      .select(col("doc_id"),
+        expr("slice(__t, 1, greatest(5, (size(__t) * 2) div 5))").as("pfx"))
+    def noise(keyOff: Long, nExpr: String) =
+      expr(s"transform(sequence(1, $nExpr), " +
+        s"j -> concat('zz', cast(doc_id + $keyOff as string), 'x', cast(j as string)))")
+    def variant(off: Long, label: String, noiseArr: Option[org.apache.spark.sql.Column]) =
+      pl.select((col("doc_id") + off).as("doc_id"),
+        array_join(noiseArr.map(n => concat(col("pfx"), n)).getOrElse(col("pfx")), " ")
+          .as("text"),
+        lit(label).as("strength"))
+    val half = "greatest(2, size(pfx) div 2)"
+    val planted = variant(4000000L, "a_full", None)
+      .unionByName(variant(5000000L, "b_two_thirds", Some(noise(5000000L, half))))
+      .unionByName(variant(6000000L, "c_half", Some(noise(6000000L, "size(pfx)"))))
+      .unionByName(variant(7000000L, "d_shared_noise", Some(noise(0L, half))))
+      .unionByName(variant(8000000L, "d_shared_noise", Some(noise(0L, half))))
+    val corpus = base.unionByName(planted.drop("strength"))
+    val sh = Dedup.withShingles(corpus, "text", 3)
+      .select(col("doc_id"), col("sh")).filter(size(col("sh")) > 0)
+    val cands = Dedup.rareShingleCandidates(sh)
+    val shSorted = sh.select(col("doc_id"), array_sort(col("sh")).as("ssh"))
+    val pa = shSorted.join(planted.select(col("doc_id"), col("strength")), "doc_id")
+      .select(col("doc_id").as("pa"), col("strength"), col("ssh").as("sha"))
+    val pb = shSorted.join(base.select(col("doc_id")), "doc_id")
+      .select(col("doc_id").as("pb"), col("ssh").as("shb"))
+    // Exact truth: bounded all-pairs (planted × base slice) — the
+    // deliberate d2/d21-style oracle stage, never a corpus share.
+    val truth = pa.crossJoin(pb)
+      .withColumn("inter",
+        graft.functions.ArrayFunctions.sortedIntersectSize(col("sha"), col("shb"))
+          .cast("long"))
+      .withColumn("cont_e6", expr("inter * 1000000 div size(sha)"))
+      .filter(col("cont_e6") >= 400000L)
+      .select(col("pa"), col("strength"), col("pb"), col("cont_e6"))
+    truth
+      .join(cands.select(col("a").as("pa"), col("b").as("pb"), lit(1).as("hit")),
+        Seq("pa", "pb"), "left")
+      .groupBy(col("strength"))
+      .agg(count(lit(1)).as("n_truth"),
+        sum(when(col("hit").isNotNull, 1L).otherwise(0L)).as("n_found"),
+        min(col("cont_e6")).as("min_cont_e6"))
+      .withColumn("recall_e6", expr("n_found * 1000000 div n_truth"))
+  }
+
   /** T18 — per-doc token entropy (exact e6): the low-entropy signal
     * for generated/template text whose repetition fraction looks
     * normal.
@@ -1335,6 +1402,73 @@ object PipelineQueries {
            CAST(inter * 1000000 // na AS BIGINT) AS cont_e6,
            CAST(inter * 1000000 // (na + nb - inter) AS BIGINT) AS jaccard_e6
     FROM v WHERE inter * 1000000 // na >= 800000"""
+
+  /** D24 oracle: same planted strengths, same probe, exact all-pairs
+    * truth on the bounded slice — mirrors containmentRecallQ term for
+    * term (the shared `sh` CTE is the production shingle mirror).
+    */
+  lazy val containmentRecallSql: String = s"""WITH base AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 2000
+    ), toksb AS (
+      SELECT doc_id, $toksSql AS t FROM base
+    ), pl AS (
+      SELECT doc_id, list_slice(t, 1, GREATEST(5, (len(t) * 2) // 5)) AS pfx
+      FROM toksb WHERE doc_id % 20 = 0
+    ), planted AS (
+      SELECT doc_id + 4000000 AS doc_id, array_to_string(pfx, ' ') AS text,
+             'a_full' AS strength FROM pl
+      UNION ALL
+      SELECT doc_id + 5000000, array_to_string(pfx || list_transform(
+               range(1, GREATEST(2, len(pfx) // 2) + 1),
+               j -> 'zz' || (doc_id + 5000000) || 'x' || j), ' '),
+             'b_two_thirds' FROM pl
+      UNION ALL
+      SELECT doc_id + 6000000, array_to_string(pfx || list_transform(
+               range(1, len(pfx) + 1),
+               j -> 'zz' || (doc_id + 6000000) || 'x' || j), ' '),
+             'c_half' FROM pl
+      UNION ALL
+      SELECT doc_id + 7000000, array_to_string(pfx || list_transform(
+               range(1, GREATEST(2, len(pfx) // 2) + 1),
+               j -> 'zz' || doc_id || 'x' || j), ' '),
+             'd_shared_noise' FROM pl
+      UNION ALL
+      SELECT doc_id + 8000000, array_to_string(pfx || list_transform(
+               range(1, GREATEST(2, len(pfx) // 2) + 1),
+               j -> 'zz' || doc_id || 'x' || j), ' '),
+             'd_shared_noise' FROM pl
+    ), corpus AS (
+      SELECT doc_id, text FROM base UNION ALL SELECT doc_id, text FROM planted
+    ), ${shingleSql(3, "TRUE", src = "corpus")}
+    , shne AS (SELECT doc_id, sh FROM sh WHERE len(sh) > 0
+    ), truth AS (
+      SELECT p.strength, a.doc_id AS pa, b.doc_id AS pb,
+             len(list_intersect(a.sh, b.sh)) * 1000000 // len(a.sh) AS cont_e6
+      FROM shne a JOIN planted p ON p.doc_id = a.doc_id,
+           shne b JOIN base bb ON bb.doc_id = b.doc_id
+      WHERE len(list_intersect(a.sh, b.sh)) * 1000000 // len(a.sh) >= 400000
+    ), posting AS (
+      SELECT doc_id, UNNEST(sh) AS s FROM shne
+    ), dftab AS (
+      SELECT s, COUNT(*) AS df FROM posting GROUP BY s
+      HAVING COUNT(*) BETWEEN 2 AND 64
+    ), rare AS (
+      SELECT doc_id AS a, s FROM (
+        SELECT p.doc_id, p.s, d.df,
+               row_number() OVER (PARTITION BY p.doc_id ORDER BY d.df, p.s) AS rk
+        FROM posting p JOIN dftab d USING (s))
+      WHERE rk <= 5
+    ), cand AS (
+      SELECT DISTINCT r.a, p.doc_id AS b
+      FROM rare r JOIN posting p USING (s) WHERE r.a <> p.doc_id
+    )
+    SELECT t.strength, CAST(COUNT(*) AS BIGINT) AS n_truth,
+           CAST(SUM(CASE WHEN c.a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_found,
+           CAST(MIN(t.cont_e6) AS BIGINT) AS min_cont_e6,
+           CAST(SUM(CASE WHEN c.a IS NOT NULL THEN 1 ELSE 0 END) * 1000000
+                // COUNT(*) AS BIGINT) AS recall_e6
+    FROM truth t LEFT JOIN cand c ON c.a = t.pa AND c.b = t.pb
+    GROUP BY t.strength"""
 
   /** Cross-frame near-dup verdict machinery shared by d16 and x43:
     * `corpusCte`/`batchCte` supply the two frames; the rest is the
@@ -2637,6 +2771,7 @@ object PipelineQueries {
     "d21_lsh_tuning" -> (lshTuningQ _),
     "d22_winnowing" -> (winnowingQ _),
     "d23_containment" -> (containmentQ _),
+    "d24_containment_recall" -> (containmentRecallQ _),
     "d16_incremental_dedup" -> (incrementalDedup _),
     "x43_split_decontam" -> (splitDecontam _),
     "t18_token_entropy" -> (tokenEntropyQ _),
@@ -2704,6 +2839,7 @@ object PipelineQueries {
     "d21_lsh_tuning" -> lshTuningSql,
     "d22_winnowing" -> winnowingSql,
     "d23_containment" -> rareContainmentSql,
+    "d24_containment_recall" -> containmentRecallSql,
     "d16_incremental_dedup" -> incrementalDedupSql,
     "x43_split_decontam" -> splitDecontamSql,
     "t18_token_entropy" -> tokenEntropySql,

@@ -1150,11 +1150,13 @@ object Dedup {
     * join ships shingle arrays only for candidate pairs. Everything is
     * equi-join + hash agg; no all-pairs stage anywhere.
     */
-  def rareShingleContainment(docs: DataFrame, shingleN: Int = 3, rareK: Int = 5,
-                             maxDf: Long = 64L, minContainE6: Long = 800000L): DataFrame = {
-    val sh = withShingles(docs.select(col("doc_id"), col("text")), "text", shingleN)
-      .select(col("doc_id"), col("sh"))
-      .filter(size(col("sh")) > 0)
+  /** The candidate stage of [[rareShingleContainment]], exposed so the
+    * d24 recall harness can grade THE PRODUCTION probe (d21's
+    * discipline): input is the (doc_id, sh) shingle frame, output the
+    * raw (a, b) candidate pairs before any containment verify.
+    */
+  def rareShingleCandidates(sh: DataFrame, rareK: Int = 5,
+                            maxDf: Long = 64L): DataFrame = {
     val posting = sh.select(col("doc_id"), explode(col("sh")).as("s"))
     // df ≥ 2: a unique shingle can never witness a pair; df ≤ maxDf
     // bounds the probe fan-out (boilerplate shingles are useless as
@@ -1167,9 +1169,17 @@ object Dedup {
       .withColumn("rk", row_number().over(wr))
       .filter(col("rk") <= rareK)
       .select(col("doc_id").as("a"), col("s"))
-    val cands = rare.join(posting.select(col("doc_id").as("b"), col("s")), "s")
+    rare.join(posting.select(col("doc_id").as("b"), col("s")), "s")
       .filter(col("a") =!= col("b"))
       .select(col("a"), col("b")).distinct()
+  }
+
+  def rareShingleContainment(docs: DataFrame, shingleN: Int = 3, rareK: Int = 5,
+                             maxDf: Long = 64L, minContainE6: Long = 800000L): DataFrame = {
+    val sh = withShingles(docs.select(col("doc_id"), col("text")), "text", shingleN)
+      .select(col("doc_id"), col("sh"))
+      .filter(size(col("sh")) > 0)
+    val cands = rareShingleCandidates(sh, rareK, maxDf)
     cands
       .join(sh.select(col("doc_id").as("a"), col("sh").as("sh_a")), "a")
       .join(sh.select(col("doc_id").as("b"), col("sh").as("sh_b")), "b")
