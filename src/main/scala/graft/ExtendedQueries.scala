@@ -51,7 +51,15 @@ object ExtendedQueries {
       keyCol = "user_id", timeCol = "event_time", valueCol = "value",
       gap = "30 minutes")
 
-  val sessionsSql: String = """
+  /** The session TABLE as a named CTE chain ending in `sessions` —
+    * both x2's oracle and sr12's watermark-filtered streaming oracle
+    * compose their final SELECT from this fragment (r12 advice: sr12
+    * used to string-append a HAVING to [[sessionsSql]], which silently
+    * depended on that query ending in a bare GROUP BY). `last_us` (the
+    * session's last event in microseconds) exists so sr12's emission
+    * cutoff can be a plain WHERE; x2's final SELECT omits it.
+    */
+  val sessionsCte: String = """
     WITH brk AS (
       SELECT user_id, ts, value,
              CASE WHEN lag(ts) OVER w IS NULL
@@ -62,12 +70,18 @@ object ExtendedQueries {
       SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
                                   ROWS UNBOUNDED PRECEDING) AS sid
       FROM brk
-    )
-    SELECT user_id, epoch_ms(MIN(ts)) AS session_start_ms,
-           epoch_ms(MAX(ts)) + 1800000 AS session_end_ms,
-           COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-    FROM sess GROUP BY user_id, sid"""
+    ), sessions AS (
+      SELECT user_id, epoch_ms(MIN(ts)) AS session_start_ms,
+             epoch_ms(MAX(ts)) + 1800000 AS session_end_ms,
+             COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+             MAX(epoch_us(ts)) AS last_us
+      FROM sess GROUP BY user_id, sid
+    )"""
+
+  val sessionsSql: String = sessionsCte + """
+    SELECT user_id, session_start_ms, session_end_ms, n_events, sum_value
+    FROM sessions"""
 
   /** X3 — rollup: volume by (symbol, day) with subtotals + grand
     * total, grouping id included.

@@ -750,6 +750,23 @@ object StreamReplayQueries {
     val cleaned = graft.operators.Medallion
       .toSilver(Tables.trades(s, dir), lit(SparkEntry.CutoffTs).cast("timestamp"))
       .withColumn("timestamp", unix_millis(col("event_time")))
+    // Gate liveness guard (r12 advice): the stream dedups on (symbol,
+    // ms-truncated timestamp), so a NATURAL same-symbol same-ms pair
+    // with a DIFFERENT payload would make the stream's survivor
+    // nondeterministic (intra-batch arrival order) while the oracle's
+    // QUALIFY picks min event_id — a spurious gate failure on a
+    // regenerated corpus. Fail loudly at the source instead: payload-
+    // identical collisions are fine (any survivor emits the same row,
+    // and the oracle dedup below collapses them the same way).
+    val conflicted = cleaned
+      .groupBy(col("symbol"), col("timestamp"))
+      .agg(countDistinct(col("price"), col("volume")).as("n_payloads"))
+      .filter(col("n_payloads") > 1)
+      .count()
+    require(conflicted == 0L,
+      s"sr14 precondition violated: $conflicted natural (symbol, ms) collisions " +
+        "with differing payloads in the cleaned feed — the stream's intra-batch " +
+        "dedup survivor is nondeterministic there; regenerate or re-key the replay")
     val feed = cleaned.unionByName(
       cleaned.filter(col("event_id") % 5 === 0)
         .withColumn("event_id", col("event_id") + 10000000L))
@@ -897,11 +914,15 @@ object StreamReplayQueries {
     "sr9_stream_heavyhitter_replay" -> ExtendedQueries.heavyHitterTokensSql,
     "sr10_stream_barind_replay" -> IndicatorQueries.oracleSql("b12_stochastic"),
     "sr11_stream_late_replay" -> lateReplaySql,
-    // x2's session table, filtered to sessions CLOSED by the final
-    // watermark (max event time − 3 days), compared in microseconds.
-    "sr12_stream_session_replay" -> (ExtendedQueries.sessionsSql + """
-      HAVING MAX(epoch_us(ts)) + 1800000000
-             <= (SELECT epoch_ms(MAX(ts)) FROM events) * 1000 - 259200000000"""),
+    // x2's session table (the shared `sessions` CTE), filtered to
+    // sessions CLOSED by the final watermark (max event time − 3
+    // days), compared in microseconds — a plain WHERE on the named
+    // fragment, not a suffix-concatenated HAVING (r12 advice).
+    "sr12_stream_session_replay" -> (ExtendedQueries.sessionsCte + """
+      SELECT user_id, session_start_ms, session_end_ms, n_events, sum_value
+      FROM sessions
+      WHERE last_us + 1800000000
+            <= (SELECT epoch_ms(MAX(ts)) FROM events) * 1000 - 259200000000"""),
     // The batch interval join verbatim (no watermark cutoff — see the
     // streamJoinReplay note); µs time compares, b23's quote rules.
     "sr13_stream_join_replay" -> (SparkEntry.P + """, t AS (
@@ -925,15 +946,22 @@ object StreamReplayQueries {
            CAST(SUM(ABS(2 * CAST(px_e4 AS HUGEINT) - (bid_e4 + ask_e4))) AS BIGINT)
              AS dev_sum_e4
     FROM j GROUP BY 1, 2"""),
-    // The cleaned (pre-dedup) feed verbatim: every planted duplicate
-    // must collapse onto its original, whose (symbol, ts, price,
-    // volume) projection it shares.
+    // The cleaned feed deduped on the STREAM'S OWN key — (symbol,
+    // ms-truncated timestamp) — with an explicit min-event_id survivor
+    // (r12 advice: the un-deduped form was green only because the
+    // corpus has zero natural ms collisions). Planted duplicates are
+    // not in the oracle's view at all; natural payload-identical
+    // collisions collapse to the same row whichever side's survivor
+    // wins; payload-DIFFERING collisions are excluded by the replay's
+    // own loud precondition (see streamDedupReplay).
     "sr14_stream_dedup_replay" -> (SparkEntry.P + """
-      SELECT symbol, epoch_ms(event_time) AS ts_ms, ROUND(price, 4) AS price,
-             ABS(volume) AS volume
-      FROM trades
-      WHERE ABS(volume) > 0 AND ROUND(price, 4) > 0
-        AND event_time <= TIMESTAMP '2024-02-01 00:00:00'"""),
+      SELECT symbol, ts_ms, price, volume FROM (
+        SELECT symbol, epoch_ms(event_time) AS ts_ms, ROUND(price, 4) AS price,
+               ABS(volume) AS volume, event_id
+        FROM trades
+        WHERE ABS(volume) > 0 AND ROUND(price, 4) > 0
+          AND event_time <= TIMESTAMP '2024-02-01 00:00:00'
+      ) QUALIFY ROW_NUMBER() OVER (PARTITION BY symbol, ts_ms ORDER BY event_id) = 1"""),
     // The silver frame verbatim: the produce→consume→parse loop must
     // be lossless (JSON double round-trip included).
     "sr15_stream_kafka_replay" -> (SparkEntry.P + """

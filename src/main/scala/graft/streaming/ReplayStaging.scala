@@ -37,6 +37,40 @@ object ReplayStaging {
   private val cache = TrieMap[String, String]()
   private val roots = TrieMap[String, Path]()
   private val frames = TrieMap[String, DataFrame]()
+  private val schemas = TrieMap[String, String]()
+
+  /** The 'same key ⇒ same frame' contract, CHECKED (r12 advice): keys
+    * like "silver|$dir" are shared between production replays and the
+    * failure-mode specs, which rebuild the frames independently — if
+    * either side's projection drifts, whichever runs first would win
+    * and the other would silently consume staged files with a
+    * mismatched column set. A schema fingerprint (DDL) is recorded at
+    * staging time and every later hit must present the same one.
+    * Schema-only equality is the right strength: staged directories
+    * are immutable and every key embeds the sf dir, so two frames with
+    * one key can only diverge by projection, which the DDL catches;
+    * comparing data would re-run the upstream plan per hit.
+    */
+  private def checkedHit[T](key: String, frame: => DataFrame,
+                            store: TrieMap[String, T])(build: DataFrame => T): T = {
+    var fresh = false
+    val out = store.getOrElseUpdate(key, {
+      fresh = true
+      val f = frame
+      schemas.put(key, f.schema.toDDL)
+      build(f)
+    })
+    if (!fresh) {
+      val ddl = frame.schema.toDDL
+      val staged = schemas.getOrElse(key, ddl)
+      require(staged == ddl,
+        s"ReplayStaging key '$key' reused with a different schema.\n" +
+          s"  staged: $staged\n  caller: $ddl\n" +
+          "Two call sites share this key but build different projections — " +
+          "align them or split the key.")
+    }
+    out
+  }
 
   /** Memoize an eagerly-materialized (localCheckpoint) frame under
     * `key`: the silver feed backs FOUR distinct stagings (chrono,
@@ -45,7 +79,7 @@ object ReplayStaging {
     * cache: same key ⇒ same logical frame, keys embed the sf dir.
     */
   def materialized(key: String, frame: => DataFrame): DataFrame =
-    frames.getOrElseUpdate(key, frame.localCheckpoint(true))
+    checkedHit(s"frame:$key", frame, frames)(_.localCheckpoint(true))
 
   sys.addShutdownHook {
     roots.values.foreach(deleteRecursively)
@@ -67,11 +101,11 @@ object ReplayStaging {
   def chronoSlices(key: String, frame: => DataFrame,
                    cutCol: Column = col("event_time"),
                    cutType: String = "timestamp"): String =
-    cache.getOrElseUpdate(key, {
+    checkedHit(key, frame, cache) { f =>
       val tmp = Files.createTempDirectory("graft_stage_")
       roots.put(key, tmp)
-      stageInto(tmp, frame, cutCol, cutType)
-    })
+      stageInto(tmp, f, cutCol, cutType)
+    }
 
   /** Stage `frame` into THREE one-file slices by id mod 3 — residue 0
     * first, then 1, then 2. Every slice covers the whole time range,
@@ -86,11 +120,11 @@ object ReplayStaging {
     * filter — pinned in LateDataReplaySpec.
     */
   def modSlices(key: String, frame: => DataFrame, idCol: Column): String =
-    cache.getOrElseUpdate(key, {
+    checkedHit(key, frame, cache) { f =>
       val tmp = Files.createTempDirectory("graft_stage_")
       roots.put(key, tmp)
-      stageSlices(tmp, frame, Seq(0, 1, 2).map(r => idCol % 3 === r))
-    })
+      stageSlices(tmp, f, Seq(0, 1, 2).map(r => idCol % 3 === r))
+    }
 
   /** Stage `frame` into one single-file slice per condition, in
     * condition order — for replays that need a bespoke arrival order
@@ -98,11 +132,11 @@ object ReplayStaging {
     * the dedup state must survive across batches).
     */
   def customSlices(key: String, frame: => DataFrame, conds: Seq[Column]): String =
-    cache.getOrElseUpdate(key, {
+    checkedHit(key, frame, cache) { f =>
       val tmp = Files.createTempDirectory("graft_stage_")
       roots.put(key, tmp)
-      stageSlices(tmp, frame, conds)
-    })
+      stageSlices(tmp, f, conds)
+    }
 
   /** Stage `frame` as `n` parquet files (no chronological discipline —
     * for replays whose result is slicing-independent under ANY order:
@@ -110,13 +144,13 @@ object ReplayStaging {
     * order-insensitive sketch superset) and memoize under `key`.
     */
   def multiFile(key: String, frame: => DataFrame, n: Int): String =
-    cache.getOrElseUpdate(key, {
+    checkedHit(key, frame, cache) { f =>
       val tmp = Files.createTempDirectory("graft_stage_")
       roots.put(key, tmp)
       val staging = tmp.resolve("staging").toString
-      frame.repartition(n).write.parquet(staging)
+      f.repartition(n).write.parquet(staging)
       staging
-    })
+    }
 
   /** The uncached staging body — also used directly by specs that need
     * a private staging to mutate or crash against.

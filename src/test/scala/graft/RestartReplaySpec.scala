@@ -67,15 +67,32 @@ class RestartReplaySpec extends SparkSpecBase {
     def stream = spark.readStream.schema(silver.schema)
       .option("maxFilesPerTrigger", "1").parquet(staging)
 
-    // Spaced trigger so the stop lands between micro-batches, not
-    // after all eight: halt at the FIRST committed progress event.
-    val q1 = IncrementalGoldStream.writer(stream, store, ckpt,
-      trigger = Trigger.ProcessingTime("500 milliseconds")).start()
-    val deadline = System.currentTimeMillis() + 120000
-    while (q1.recentProgress.isEmpty && System.currentTimeMillis() < deadline)
-      Thread.sleep(10)
-    assert(q1.recentProgress.nonEmpty, "no micro-batch committed within 120s")
+    // Deterministic interruption (r12 advice: the previous 500 ms
+    // trigger-spacing race let all eight batches commit on a slow
+    // host): batch 0 merges and signals; batch 1 BLOCKS on a latch
+    // that only opens after stop() is issued — stop()'s interrupt of
+    // the stream thread lands in the await and Spark treats it as a
+    // clean shutdown, so the drain is provably interrupted mid-way on
+    // any host, however paused.
+    val batch0Done = new java.util.concurrent.CountDownLatch(1)
+    val stopIssued = new java.util.concurrent.CountDownLatch(1)
+    val q1 = stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.ProcessingTime("0 seconds"))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (batchId > 0) stopIssued.await()
+        IncrementalGoldStream.mergeBatch(batch, batchId, store, "5 minutes")
+        if (batchId == 0) batch0Done.countDown()
+      }
+      .start()
+    assert(batch0Done.await(120, java.util.concurrent.TimeUnit.SECONDS),
+      "no micro-batch committed within 120s")
     q1.stop()
+    // Belt-and-braces: if the interrupt were ever swallowed, releasing
+    // the gate lets batch 1 finish and the query stop at the trigger
+    // boundary — still interrupted well before all eight batches.
+    stopIssued.countDown()
     q1.awaitTermination()
     val committed = q1.recentProgress.map(_.batchId).distinct.length
     assert(committed < 8,
