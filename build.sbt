@@ -13,6 +13,19 @@ Test / fork := true
 // Suites share one SparkSession; concurrent streaming queries from
 // parallel suites can race on processAllAvailable (observed flake).
 Test / parallelExecution := false
+// RetryChaosSpec needs task retries, which local mode only grants via
+// the `local[N, F]` master string — a second SparkContext in the main
+// test JVM is an error, so that suite runs in its OWN forked JVM.
+// Groups run sequentially (parallelExecution = false above).
+Test / testGrouping := {
+  val opts = ForkOptions().withRunJVMOptions((Test / javaOptions).value.toVector)
+  val (iso, rest) = (Test / definedTests).value
+    .partition(_.name == "graft.RetryChaosSpec")
+  Seq(
+    Tests.Group("main", rest, Tests.SubProcess(opts)),
+    Tests.Group("retry-chaos", iso, Tests.SubProcess(opts)),
+  ).filter(_.tests.nonEmpty)
+}
 run / fork := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
