@@ -232,6 +232,7 @@ object PipelineQueries {
     * and why production runs d23 AFTER boilerplate stripping (t5/t17).
     */
   def containmentRecallQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val base = docs(s, dir).filter(col("doc_id") < 2000)
       .select(col("doc_id"), col("text"))
     val pl = base.filter(pmod(col("doc_id"), lit(20)) === 0)
@@ -255,7 +256,22 @@ object PipelineQueries {
     val corpus = base.unionByName(planted.drop("strength"))
     val sh = Dedup.withShingles(corpus, "text", 3)
       .select(col("doc_id"), col("sh")).filter(size(col("sh")) > 0)
-    val cands = Dedup.rareShingleCandidates(sh)
+    // df-cap SENSITIVITY sweep (r12 verdict item #8): maxDf = 64 is a
+    // corpus-relative dial — at 10⁹ docs the df ≤ 64 slice is vastly
+    // thinner — so the harness grades the probe across caps. Measured
+    // shape (BENCHNOTES r13): recall is FLAT from 16 to 256 at both
+    // SFs (the rareK=5 witness slots fill from df ≤ 16 here) and
+    // collapses at 2, where the cap starves the witness slots for
+    // docs whose every shared shingle has df > 2 — the cliff is
+    // witness AVAILABILITY, not similarity. Sizing rule in SCALE.md
+    // §9.1: keep maxDf at a df-distribution quantile that leaves
+    // ≥ rareK in-cap shingles per doc; raising it further buys no
+    // recall and costs fan-out (≤ rareK·maxDf) linearly.
+    val maxDfs = Seq(2L, 16L, 64L, 256L)
+    val cands = maxDfs.map(m =>
+        Dedup.rareShingleCandidates(sh, rareK = 5, maxDf = m)
+          .withColumn("max_df", lit(m)))
+      .reduce(_.unionByName(_))
     val shSorted = sh.select(col("doc_id"), array_sort(col("sh")).as("ssh"))
     val pa = shSorted.join(planted.select(col("doc_id"), col("strength")), "doc_id")
       .select(col("doc_id").as("pa"), col("strength"), col("ssh").as("sha"))
@@ -271,9 +287,11 @@ object PipelineQueries {
       .filter(col("cont_e6") >= 400000L)
       .select(col("pa"), col("strength"), col("pb"), col("cont_e6"))
     truth
-      .join(cands.select(col("a").as("pa"), col("b").as("pb"), lit(1).as("hit")),
-        Seq("pa", "pb"), "left")
-      .groupBy(col("strength"))
+      .crossJoin(maxDfs.toDF("max_df"))
+      .join(cands.select(col("max_df"), col("a").as("pa"), col("b").as("pb"),
+          lit(1).as("hit")),
+        Seq("max_df", "pa", "pb"), "left")
+      .groupBy(col("strength"), col("max_df"))
       .agg(count(lit(1)).as("n_truth"),
         sum(when(col("hit").isNotNull, 1L).otherwise(0L)).as("n_found"),
         min(col("cont_e6")).as("min_cont_e6"))
@@ -1449,26 +1467,32 @@ object PipelineQueries {
       WHERE len(list_intersect(a.sh, b.sh)) * 1000000 // len(a.sh) >= 400000
     ), posting AS (
       SELECT doc_id, UNNEST(sh) AS s FROM shne
+    ), dfs AS (
+      SELECT UNNEST([2, 16, 64, 256]) AS max_df
     ), dftab AS (
       SELECT s, COUNT(*) AS df FROM posting GROUP BY s
-      HAVING COUNT(*) BETWEEN 2 AND 64
+      HAVING COUNT(*) >= 2
     ), rare AS (
-      SELECT doc_id AS a, s FROM (
-        SELECT p.doc_id, p.s, d.df,
-               row_number() OVER (PARTITION BY p.doc_id ORDER BY d.df, p.s) AS rk
-        FROM posting p JOIN dftab d USING (s))
+      SELECT max_df, doc_id AS a, s FROM (
+        SELECT p.doc_id, p.s, d.df, f.max_df,
+               row_number() OVER (PARTITION BY p.doc_id, f.max_df
+                                  ORDER BY d.df, p.s) AS rk
+        FROM posting p JOIN dftab d USING (s) CROSS JOIN dfs f
+        WHERE d.df <= f.max_df)
       WHERE rk <= 5
     ), cand AS (
-      SELECT DISTINCT r.a, p.doc_id AS b
+      SELECT DISTINCT r.max_df, r.a, p.doc_id AS b
       FROM rare r JOIN posting p USING (s) WHERE r.a <> p.doc_id
     )
-    SELECT t.strength, CAST(COUNT(*) AS BIGINT) AS n_truth,
+    SELECT t.strength, CAST(f.max_df AS BIGINT) AS max_df,
+           CAST(COUNT(*) AS BIGINT) AS n_truth,
            CAST(SUM(CASE WHEN c.a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_found,
            CAST(MIN(t.cont_e6) AS BIGINT) AS min_cont_e6,
            CAST(SUM(CASE WHEN c.a IS NOT NULL THEN 1 ELSE 0 END) * 1000000
                 // COUNT(*) AS BIGINT) AS recall_e6
-    FROM truth t LEFT JOIN cand c ON c.a = t.pa AND c.b = t.pb
-    GROUP BY t.strength"""
+    FROM truth t CROSS JOIN dfs f
+    LEFT JOIN cand c ON c.max_df = f.max_df AND c.a = t.pa AND c.b = t.pb
+    GROUP BY t.strength, f.max_df"""
 
   /** Cross-frame near-dup verdict machinery shared by d16 and x43:
     * `corpusCte`/`batchCte` supply the two frames; the rest is the

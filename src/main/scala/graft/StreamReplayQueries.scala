@@ -107,6 +107,32 @@ object StreamReplayQueries {
   private val RocksDb =
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 
+  /** Await a replay drain; with SPARK_GRAFT_SR_PROFILE=1 also print
+    * one stderr line splitting the drain across the engine's own
+    * phase metrics (StreamingQueryProgress.durationMs + state-store
+    * commit times) — the r12 verdict item #4 measurement: how much of
+    * a drain is real work (addBatch) vs commit machinery (walCommit/
+    * commitOffsets) vs planning, per query. The sink description
+    * carries the per-query tmp dir (graft_srN_...), which identifies
+    * the query without threading a tag through 17 call sites.
+    */
+  private def drain(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    q.awaitTermination()
+    if (sys.env.get("SPARK_GRAFT_SR_PROFILE").contains("1")) {
+      val ps = q.recentProgress.toSeq
+      def tot(k: String): Long =
+        ps.flatMap(p => Option(p.durationMs.get(k)).map(_.toLong)).sum
+      val stateCommit = ps.flatMap(_.stateOperators.toSeq.map(_.commitTimeMs)).sum
+      val sink = ps.headOption.map(_.sink.description).getOrElse("?")
+      System.err.println(
+        s"[sr-profile] batches=${ps.length} triggerExecution=${tot("triggerExecution")}ms " +
+          s"addBatch=${tot("addBatch")}ms walCommit=${tot("walCommit")}ms " +
+          s"commitOffsets=${tot("commitOffsets")}ms queryPlanning=${tot("queryPlanning")}ms " +
+          s"source=${tot("getBatch") + tot("latestOffset")}ms stateCommit=${stateCommit}ms " +
+          s"sink=$sink")
+    }
+  }
+
   /** The silver feed, materialized once per (JVM, dir): it backs four
     * distinct stagings (chrono, mod-3, daily bars, SCD2 snapshots) and
     * each would otherwise recompute the dedup windows from the raw
@@ -122,7 +148,7 @@ object StreamReplayQueries {
     */
   def streamGoldReplay(s: SparkSession, dir: String): DataFrame = withReplayConfs(s) {
     val silver = silverM(s, dir)
-    val tmp = Files.createTempDirectory("graft_sr1_")
+    val tmp = ReplayStaging.scratchDir("graft_sr1_")
     try {
       // The monoid store converges under ANY slicing; reuse the shared
       // chronological silver staging rather than paying a private one.
@@ -135,7 +161,7 @@ object StreamReplayQueries {
         duration = "5 minutes",
         trigger = Trigger.AvailableNow(),
         nBuckets = 8).start()
-      q.awaitTermination()
+      drain(q)
       // Materialize before the scratch store is deleted: the returned
       // frame must not lazily re-read files that no longer exist.
       IncrementalGoldStream.read(s, tmp.resolve("store").toString)
@@ -157,7 +183,7 @@ object StreamReplayQueries {
     */
   def streamCurationReplay(s: SparkSession, dir: String): DataFrame = withReplayConfs(s) {
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-    val tmp = Files.createTempDirectory("graft_sr2_")
+    val tmp = ReplayStaging.scratchDir("graft_sr2_")
     try {
       // Shared with sr9: stage the raw (doc_id, text) feed once; the
       // constant event time is attached AFTER readStream (a literal
@@ -175,7 +201,7 @@ object StreamReplayQueries {
         .trigger(Trigger.AvailableNow())
         .format("parquet").option("path", outDir)
         .start()
-      q.awaitTermination()
+      drain(q)
       s.read.parquet(outDir).distinct().localCheckpoint(eager = true)
     } finally deleteRecursively(tmp)
   }
@@ -208,7 +234,7 @@ object StreamReplayQueries {
       withReplayConfs(s, Some(RocksDb)) {
     import s.implicits._
     val silver = silverM(s, dir)
-    val tmp = Files.createTempDirectory("graft_sr3_")
+    val tmp = ReplayStaging.scratchDir("graft_sr3_")
     try {
       val staging = stagedChrono(s"silver|$dir", silver)
       val stream = s.readStream.schema(silver.schema)
@@ -225,7 +251,7 @@ object StreamReplayQueries {
           batch.write.mode("append").parquet(outDir); ()
         }
         .start()
-      q.awaitTermination()
+      drain(q)
       // Update-mode emissions accumulate one snapshot per (symbol,
       // micro-batch-with-fresh-events); the newest per symbol is the
       // final state. last_trade_time is unique per symbol (silver
@@ -273,7 +299,7 @@ object StreamReplayQueries {
       withReplayConfs(s, Some(RocksDb)) {
     import s.implicits._
     val silver = silverM(s, dir)
-    val tmp = Files.createTempDirectory("graft_sr4_")
+    val tmp = ReplayStaging.scratchDir("graft_sr4_")
     try {
       val staging = stagedChrono(s"silver|$dir", silver)
       val stream = s.readStream.schema(silver.schema)
@@ -296,7 +322,7 @@ object StreamReplayQueries {
         .trigger(Trigger.AvailableNow())
         .format("parquet").option("path", outDir)
         .start()
-      q.awaitTermination()
+      drain(q)
       // Append mode + the (ts, eventId) high-water guard emit each
       // completed bucket exactly once; no distinct needed.
       s.read.parquet(outDir)
@@ -328,7 +354,7 @@ object StreamReplayQueries {
       withReplayConfs(s, Some(RocksDb)) {
     import s.implicits._
     val ev = eventsFeed(s, dir)
-    val tmp = Files.createTempDirectory(s"graft_${tag}_")
+    val tmp = ReplayStaging.scratchDir(s"graft_${tag}_")
     try {
       val staging = stagedChrono(s"events|$dir", ev)
       val stream = s.readStream.schema(ev.schema)
@@ -342,7 +368,7 @@ object StreamReplayQueries {
         .trigger(Trigger.AvailableNow())
         .format("parquet").option("path", outDir)
         .start()
-      q.awaitTermination()
+      drain(q)
       reduce(s.read.parquet(outDir)).localCheckpoint(eager = true)
     } finally deleteRecursively(tmp)
   }
@@ -405,7 +431,7 @@ object StreamReplayQueries {
       withReplayConfs(s, Some(RocksDb)) {
     import s.implicits._
     val snaps = MaintenanceQueries.dailyCloseSnapshots(s, dir)
-    val tmp = Files.createTempDirectory("graft_sr7_")
+    val tmp = ReplayStaging.scratchDir("graft_sr7_")
     try {
       val staging = stagedChrono(s"snaps|$dir", snaps, col("trade_date"), "date")
       val stream = s.readStream.schema(snaps.schema)
@@ -422,7 +448,7 @@ object StreamReplayQueries {
           batch.write.mode("append").parquet(outDir); ()
         }
         .start()
-      q.awaitTermination()
+      drain(q)
       // A version emits at most twice: once opening (is_current) and
       // once closing. The closed form is the keyed upsert's survivor.
       val w = org.apache.spark.sql.expressions.Window
@@ -450,7 +476,7 @@ object StreamReplayQueries {
       withReplayConfs(s, Some(RocksDb)) {
     import s.implicits._
     val silver = silverM(s, dir)
-    val tmp = Files.createTempDirectory("graft_sr8_")
+    val tmp = ReplayStaging.scratchDir("graft_sr8_")
     try {
       // Shared full-silver staging; the tick projection happens after
       // readStream, where parquet column pruning makes the narrower
@@ -467,7 +493,7 @@ object StreamReplayQueries {
         .trigger(Trigger.AvailableNow())
         .format("parquet").option("path", outDir)
         .start()
-      q.awaitTermination()
+      drain(q)
       s.read.parquet(outDir)
         .groupBy(col("symbol"), to_date(col("event_time")).as("trade_date"))
         .agg(count(lit(1)).as("n_ticks"),
@@ -495,7 +521,7 @@ object StreamReplayQueries {
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
     val toks = (df: DataFrame) =>
       df.select(explode(graft.operators.TextAnalysis.tokens(lower(col("text")))).as("token"))
-    val tmp = Files.createTempDirectory("graft_sr9_")
+    val tmp = ReplayStaging.scratchDir("graft_sr9_")
     try {
       val staging = ReplayStaging.multiFile(s"docs|$dir", docs, n = 3)
       val stream = s.readStream.schema(docs.schema)
@@ -507,7 +533,7 @@ object StreamReplayQueries {
         .trigger(Trigger.AvailableNow())
         .format("parquet").option("path", outDir)
         .start()
-      q.awaitTermination()
+      drain(q)
       // Newest snapshot per group; the union is bounded by
       // numGroups·k counters — a metadata-sized driver collect, the
       // same contract as the batch operator's In predicate.
@@ -540,7 +566,7 @@ object StreamReplayQueries {
     val bars = graft.operators.Indicators.dailyBars(silverM(s, dir))
       .select(col("symbol"), col("trade_date"), col("high"), col("low"),
         col("close"), col("day_volume"))
-    val tmp = Files.createTempDirectory("graft_sr10_")
+    val tmp = ReplayStaging.scratchDir("graft_sr10_")
     try {
       val staging = stagedChrono(s"bars|$dir", bars, col("trade_date"), "date")
       val stream = s.readStream.schema(bars.schema)
@@ -553,7 +579,7 @@ object StreamReplayQueries {
         .trigger(Trigger.AvailableNow())
         .format("parquet").option("path", outDir)
         .start()
-      q.awaitTermination()
+      drain(q)
       s.read.parquet(outDir)
         .select(col("symbol"), col("trade_date"), col("k_num"), col("k_den"),
           col("pct_k"), col("pct_d"))
@@ -593,7 +619,7 @@ object StreamReplayQueries {
     */
   def streamLateReplay(s: SparkSession, dir: String): DataFrame = withReplayConfs(s) {
     val silver = silverM(s, dir)
-    val tmp = Files.createTempDirectory("graft_sr11_")
+    val tmp = ReplayStaging.scratchDir("graft_sr11_")
     try {
       val staging = ReplayStaging.modSlices(s"silver_mod3|$dir", silver, col("event_id"))
       val stream = s.readStream.schema(silver.schema)
@@ -610,7 +636,7 @@ object StreamReplayQueries {
         .trigger(Trigger.AvailableNow())
         .format("parquet").option("path", outDir)
         .start()
-      q.awaitTermination()
+      drain(q)
       s.read.parquet(outDir).localCheckpoint(eager = true)
     } finally deleteRecursively(tmp)
   }
@@ -635,7 +661,7 @@ object StreamReplayQueries {
     */
   def streamSessionReplay(s: SparkSession, dir: String): DataFrame = withReplayConfs(s) {
     val ev = eventsFeed(s, dir)
-    val tmp = Files.createTempDirectory("graft_sr12_")
+    val tmp = ReplayStaging.scratchDir("graft_sr12_")
     try {
       val staging = stagedChrono(s"events|$dir", ev)
       val stream = s.readStream.schema(ev.schema)
@@ -651,7 +677,7 @@ object StreamReplayQueries {
         .trigger(Trigger.AvailableNow())
         .format("parquet").option("path", outDir)
         .start()
-      q.awaitTermination()
+      drain(q)
       s.read.parquet(outDir).localCheckpoint(eager = true)
     } finally deleteRecursively(tmp)
   }
@@ -685,7 +711,7 @@ object StreamReplayQueries {
     */
   def streamJoinReplay(s: SparkSession, dir: String): DataFrame = withReplayConfs(s) {
     val day = silverM(s, dir).filter(col("trade_date") === lit("2024-01-15").cast("date"))
-    val tmp = Files.createTempDirectory("graft_sr13_")
+    val tmp = ReplayStaging.scratchDir("graft_sr13_")
     try {
       // Slice classifier independent of the quote residue (id % 3), so
       // quotes and trades scatter across all three batches and matches
@@ -718,7 +744,7 @@ object StreamReplayQueries {
         .trigger(Trigger.AvailableNow())
         .format("parquet").option("path", outDir)
         .start()
-      q.awaitTermination()
+      drain(q)
       s.read.parquet(outDir)
         .groupBy(col("symbol"), col("trade_date"))
         .agg(count(lit(1)).as("n_matches"),
@@ -770,7 +796,7 @@ object StreamReplayQueries {
     val feed = cleaned.unionByName(
       cleaned.filter(col("event_id") % 5 === 0)
         .withColumn("event_id", col("event_id") + 10000000L))
-    val tmp = Files.createTempDirectory("graft_sr14_")
+    val tmp = ReplayStaging.scratchDir("graft_sr14_")
     try {
       val staging = ReplayStaging.customSlices(s"dedup_feed|$dir", feed,
         Seq(col("event_id") < 10000000L, col("event_id") >= 10000000L))
@@ -787,7 +813,7 @@ object StreamReplayQueries {
         .trigger(Trigger.AvailableNow())
         .format("parquet").option("path", outDir)
         .start()
-      q.awaitTermination()
+      drain(q)
       s.read.parquet(outDir).localCheckpoint(eager = true)
     } finally deleteRecursively(tmp)
   }
@@ -806,7 +832,7 @@ object StreamReplayQueries {
     * connector exposes is now under the DuckDB gate, not just specs.
     */
   def streamKafkaReplay(s: SparkSession, dir: String): DataFrame = withReplayConfs(s) {
-    val tmp = Files.createTempDirectory("graft_sr15_")
+    val tmp = ReplayStaging.scratchDir("graft_sr15_")
     try {
       val silver = silverM(s, dir)
       val wire = silver.select(col("symbol"), col("price"), col("volume"),
@@ -829,8 +855,152 @@ object StreamReplayQueries {
         .trigger(Trigger.AvailableNow())
         .format("parquet").option("path", outDir)
         .start()
-      q.awaitTermination()
+      drain(q)
       s.read.parquet(outDir).localCheckpoint(eager = true)
+    } finally deleteRecursively(tmp)
+  }
+
+  /** SR16 — MULTI-TOPIC subscribe under the oracle (r12 verdict item
+    * #7): the reference provisions separate trade and quote topics
+    * (create_topics.sh:47-58) and the engine's production helpers
+    * (`kafkaSourcePattern` + `topicBranch`) consume them with ONE
+    * subscribe-list scan — this replay executes that layout. Trades
+    * AND synthetic quotes (sr13/b23's fixture rules, here serialized
+    * under the quote.avsc JSON contract) are produced into TWO topics
+    * of one TestKafka store through the K3 sink's PER-ROW topic
+    * routing (a `topic` column, not the option), then consumed by a
+    * single streaming scan, branched on the Kafka `topic` metadata
+    * column, decoded by the per-topic parser (P1 trades / quote
+    * analog), and hashed as one union row set. Quote doubles survive
+    * the JSON round-trip exactly (shortest-round-trip serialization);
+    * the oracle recomputes bid/ask with the same integer-tick rules
+    * and the same IEEE division.
+    */
+  def streamMultiTopicReplay(s: SparkSession, dir: String): DataFrame = withReplayConfs(s) {
+    val tmp = ReplayStaging.scratchDir("graft_sr16_")
+    try {
+      val silver = silverM(s, dir)
+      val tradeWire = silver.select(col("symbol"), col("price"), col("volume"),
+        unix_millis(col("event_time")).as("timestamp"),
+        array().cast("array<string>").as("conditions"))
+      val pxE4 = graft.operators.Indicators.ticksE4(col("price"))
+      val quoteWire = silver.filter(col("event_id") % 3 === 0)
+        .withColumn("px_e4", pxE4)
+        .withColumn("bid_e4", col("px_e4") - greatest(lit(1L), expr("px_e4 div 2000")))
+        .withColumn("ask_e4", col("px_e4") + greatest(lit(1L), expr("px_e4 div 1000")))
+        .select(col("symbol"),
+          (col("bid_e4").cast("double") / 10000.0).as("bid_price"),
+          col("volume").as("bid_size"),
+          (col("ask_e4").cast("double") / 10000.0).as("ask_price"),
+          (col("volume") + 1L).as("ask_size"),
+          (unix_millis(col("event_time")) - 500L).as("timestamp"))
+      // One produce with per-row topic routing — the sink contract's
+      // `topic` COLUMN form (no `topic` option set).
+      val wire = graft.streaming.Sinks.kafkaProjection(tradeWire)
+        .withColumn("topic", lit("trades_raw"))
+        .unionByName(graft.streaming.Sinks.kafkaProjection(quoteWire)
+          .withColumn("topic", lit("quotes_raw")))
+      val topicDir = tmp.resolve("topics").toString
+      wire.write.mode("append").format("graft-testkafka")
+        .option("path", topicDir).option("partitions", "4")
+        .save()
+      // ONE subscribe scan; branch on the topic metadata column via
+      // the production helper, decode per contract, union.
+      val raw = s.readStream.format("graft-testkafka")
+        .option("path", topicDir).option("partitions", "4").load()
+      val trades = graft.streaming.TradeStreams
+        .parseTrades(graft.streaming.TradeStreams.topicBranch(raw, "trades_raw"))
+        .select(lit("trade").as("feed"), col("symbol"),
+          col("timestamp").as("ts_ms"), col("price"), col("volume"),
+          lit(null).cast("double").as("bid_price"),
+          lit(null).cast("double").as("ask_price"),
+          lit(null).cast("long").as("bid_size"),
+          lit(null).cast("long").as("ask_size"))
+      val quotes = graft.streaming.QuoteStreams
+        .parseQuotes(graft.streaming.TradeStreams.topicBranch(raw, "quotes_raw"))
+        .select(lit("quote").as("feed"), col("symbol"),
+          col("timestamp").as("ts_ms"),
+          lit(null).cast("double").as("price"),
+          lit(null).cast("long").as("volume"),
+          col("bid_price"), col("ask_price"), col("bid_size"), col("ask_size"))
+      val outDir = tmp.resolve("out").toString
+      val q = trades.unionByName(quotes)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", tmp.resolve("ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .format("parquet").option("path", outDir)
+        .start()
+      drain(q)
+      s.read.parquet(outDir).localCheckpoint(eager = true)
+    } finally deleteRecursively(tmp)
+  }
+
+  /** SR17 — Kafka ADMISSION CONTROL under the oracle (r13): the real
+    * source's `maxOffsetsPerTrigger` rate limit, which TestKafka now
+    * honors at record granularity through SupportsAdmissionControl +
+    * SupportsTriggerAvailableNow — the production batching mechanism.
+    * Every other sr drain forces multi-batch execution by STAGING the
+    * input into slices; this one consumes a single static topic
+    * directory and lets the source's own admission contract cut the
+    * four micro-batches (cap = ceil(n/4)), so batch boundaries land
+    * MID-FILE and every checkpoint resume is a partial-file offset.
+    * The read-back asserts in-plan that offsets are exactly dense
+    * [0, n) per partition — rate-limited re-planning can neither skip
+    * nor double-read a record without tripping it — then hashes the
+    * decoded rows against the same silver-verbatim oracle sr15 uses.
+    * KafkaAdmissionSpec pins the batching itself: ceil(n/cap) batches,
+    * every batch ≤ cap input rows, and a crash between rate-limited
+    * batches resumes from the partial-file offset without loss or
+    * duplication.
+    */
+  def streamRateLimitReplay(s: SparkSession, dir: String): DataFrame = withReplayConfs(s) {
+    val tmp = ReplayStaging.scratchDir("graft_sr17_")
+    try {
+      val silver = silverM(s, dir)
+      val wire = silver.select(col("symbol"), col("price"), col("volume"),
+        unix_millis(col("event_time")).as("timestamp"),
+        array().cast("array<string>").as("conditions"))
+      val topicDir = tmp.resolve("topic").toString
+      graft.streaming.Sinks.kafkaProjection(wire)
+        .write.mode("append").format("graft-testkafka")
+        .option("path", topicDir).option("topic", "trades_raw")
+        .option("partitions", "4")
+        .save()
+      // Cap = a quarter of the feed (silver is localCheckpoint-
+      // materialized, so the sizing count is O(1) re-reads).
+      val cap = math.max(1L, (silver.count() + 3) / 4)
+      val raw = s.readStream.format("graft-testkafka")
+        .option("path", topicDir).option("partitions", "4")
+        .option("maxOffsetsPerTrigger", cap.toString)
+        .load()
+      val parsed = raw.select(col("partition").as("kafka_partition"),
+          col("offset").as("kafka_offset"),
+          from_json(col("value").cast("string"),
+            graft.streaming.TradeStreams.tradeSchema).as("trade"))
+        .select(col("kafka_partition"), col("kafka_offset"),
+          col("trade.symbol").as("symbol"),
+          col("trade.timestamp").as("ts_ms"),
+          col("trade.price").as("price"),
+          col("trade.volume").as("volume"))
+      val outDir = tmp.resolve("out").toString
+      val q = parsed.writeStream.outputMode("append")
+        .option("checkpointLocation", tmp.resolve("ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .format("parquet").option("path", outDir)
+        .start()
+      drain(q)
+      val out = s.read.parquet(outDir).localCheckpoint(eager = true)
+      // Dense-offset guard (bounded: ≤4 groups): offsets per partition
+      // must be exactly [0, n).
+      val bad = out.groupBy(col("kafka_partition"))
+        .agg(count(lit(1)).as("n"), min("kafka_offset").as("mn"),
+          max("kafka_offset").as("mx"),
+          countDistinct("kafka_offset").as("nd"))
+        .filter(!(col("mn") === 0 && col("mx") === col("n") - 1 &&
+          col("nd") === col("n")))
+        .count()
+      require(bad == 0L, s"sr17: non-dense kafka offsets in $bad partitions")
+      out.select(col("symbol"), col("ts_ms"), col("price"), col("volume"))
     } finally deleteRecursively(tmp)
   }
 
@@ -849,7 +1019,9 @@ object StreamReplayQueries {
     "sr12_stream_session_replay" -> (streamSessionReplay _),
     "sr13_stream_join_replay" -> (streamJoinReplay _),
     "sr14_stream_dedup_replay" -> (streamDedupReplay _),
-    "sr15_stream_kafka_replay" -> (streamKafkaReplay _))
+    "sr15_stream_kafka_replay" -> (streamKafkaReplay _),
+    "sr16_stream_multitopic_replay" -> (streamMultiTopicReplay _),
+    "sr17_stream_ratelimit_replay" -> (streamRateLimitReplay _))
 
   /** sr11's kept/emitted sets, as explicit SQL: the late-record filter
     * the THIRD slice meets (m0 — the watermark slice 1 evicted with,
@@ -965,5 +1137,30 @@ object StreamReplayQueries {
     // The silver frame verbatim: the produce→consume→parse loop must
     // be lossless (JSON double round-trip included).
     "sr15_stream_kafka_replay" -> (SparkEntry.P + """
+      SELECT symbol, epoch_ms(event_time) AS ts_ms, price, volume FROM silver"""),
+    // Both decoded feeds as one union: trades verbatim; quotes from
+    // the same integer-tick bid/ask rules (ticksE4 twin) and the same
+    // IEEE /10000.0 — so the hash proves per-topic routing, the
+    // branch filters, and both JSON contracts end-to-end.
+    "sr16_stream_multitopic_replay" -> (SparkEntry.P + """, qsrc AS (
+      SELECT symbol, volume, epoch_ms(event_time) AS ts0,
+             CAST(CAST(price AS DECIMAL(18,4)) * 10000 AS BIGINT) AS px_e4
+      FROM silver WHERE event_id % 3 = 0
+    )
+    SELECT 'trade' AS feed, symbol, epoch_ms(event_time) AS ts_ms, price, volume,
+           CAST(NULL AS DOUBLE) AS bid_price, CAST(NULL AS DOUBLE) AS ask_price,
+           CAST(NULL AS BIGINT) AS bid_size, CAST(NULL AS BIGINT) AS ask_size
+    FROM silver
+    UNION ALL
+    SELECT 'quote' AS feed, symbol, ts0 - 500 AS ts_ms,
+           CAST(NULL AS DOUBLE) AS price, CAST(NULL AS BIGINT) AS volume,
+           CAST(px_e4 - GREATEST(1, px_e4 // 2000) AS DOUBLE) / 10000.0 AS bid_price,
+           CAST(px_e4 + GREATEST(1, px_e4 // 1000) AS DOUBLE) / 10000.0 AS ask_price,
+           volume AS bid_size, volume + 1 AS ask_size
+    FROM qsrc"""),
+    // The silver frame verbatim, like sr15 — what changes is the
+    // EXECUTION: four admission-limited micro-batches with mid-file
+    // checkpoint resumption instead of one batch per staged file.
+    "sr17_stream_ratelimit_replay" -> (SparkEntry.P + """
       SELECT symbol, epoch_ms(event_time) AS ts_ms, price, volume FROM silver"""))
 }

@@ -40,9 +40,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * offsets are dense per (topic, partition) and assigned in ARRIVAL
   * order (sorted record-file name, then line), Kafka's append-order
   * semantic: stable for a given topic directory across re-reads,
-  * splits, and checkpoint resumes. The scan exists in BOTH Kafka
-  * forms — batch (`read`) and micro-batch streaming (`readStream`,
-  * incremental by file set with checkpoint-resumable offsets).
+  * splits, rate limits, and checkpoint resumes. The scan exists in
+  * BOTH Kafka forms — batch (`read`) and micro-batch streaming
+  * (`readStream`, incremental at record granularity with
+  * checkpoint-resumable offsets and the source's admission-control
+  * contract: `maxOffsetsPerTrigger` caps records per micro-batch,
+  * honored under AvailableNow via SupportsTriggerAvailableNow exactly
+  * as the real source does).
   *
   * Scale posture: this is a TEST seam (sources/sinks of record in
   * production are the real connector); each read task scans the full
@@ -182,7 +186,10 @@ class TestKafkaTable(path: String, nPartitions: Int, defaultTopic: Option[String
       TableCapability.ACCEPT_ANY_SCHEMA).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    () => new TestKafkaScan(path, nPartitions)
+    () => new TestKafkaScan(path, nPartitions,
+      // The real Kafka source's rate-limit option, same name & unit
+      // (records per micro-batch).
+      Option(options.getLong("maxOffsetsPerTrigger", -1L)).filter(_ > 0L))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new TestKafkaWriteBuilder(path, defaultTopic, info)
@@ -192,28 +199,32 @@ class TestKafkaTable(path: String, nPartitions: Int, defaultTopic: Option[String
 // Read path
 // ---------------------------------------------------------------------
 
-/** `priorFiles` have already been consumed (streaming) or are empty
-  * (batch): they are COUNTED to establish each topic's next offset,
-  * then `files` are read and emitted. Offsets are assigned in ARRIVAL
-  * order — sorted file name, then line index — the Kafka semantic
-  * (offsets reflect append order, not event time), dense per
-  * (topic, partition), and stable for a given topic directory however
-  * the scan is split or resumed.
+/** `prior` lines — (file, consumed-line-count) — have already been
+  * consumed (streaming) or are empty (batch): they are COUNTED to
+  * establish each topic's next offset, then the `delta` line ranges
+  * — (file, fromLine, toLineExclusive) — are read and emitted.
+  * Offsets are assigned in ARRIVAL order — sorted file name, then
+  * line index — the Kafka semantic (offsets reflect append order,
+  * not event time), dense per (topic, partition), and stable for a
+  * given topic directory however the scan is split, rate-limited, or
+  * resumed.
   */
 final case class TestKafkaInputPartition(partitionId: Int, nPartitions: Int,
-                                         priorFiles: Array[String],
-                                         files: Array[String]) extends InputPartition
+                                         prior: Array[(String, Long)],
+                                         delta: Array[(String, Long, Long)]) extends InputPartition
 
-class TestKafkaScan(path: String, nPartitions: Int) extends Scan with Batch {
+class TestKafkaScan(path: String, nPartitions: Int,
+                    maxPerTrigger: Option[Long] = None) extends Scan with Batch {
   override def readSchema(): StructType = TestKafka.ReadSchema
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String):
       org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new TestKafkaMicroBatchStream(path, nPartitions)
+    new TestKafkaMicroBatchStream(path, nPartitions, maxPerTrigger)
   override def description(): String = s"TestKafkaScan(path=$path, partitions=$nPartitions)"
 
   override def planInputPartitions(): Array[InputPartition] = {
     val files = TestKafka.listRecordFiles(path)
+      .map(f => (f, 0L, Long.MaxValue))
     (0 until nPartitions)
       .map(i => TestKafkaInputPartition(i, nPartitions, Array.empty, files): InputPartition)
       .toArray
@@ -234,19 +245,24 @@ object TestKafkaScan {
 class TestKafkaPartitionReader(p: TestKafkaInputPartition)
     extends PartitionReader[InternalRow] {
   // Contract-test scale: each task reads the record files whole and
-  // keeps its partition's rows — fine for seam tests, documented as
-  // wrong for TBs (TestKafka scaladoc).
-  private def myRecords(files: Array[String]): Iterator[TestKafka.Record] =
-    files.sorted.iterator.flatMap { f =>
+  // keeps only its partition's rows in its line range — fine for seam
+  // tests, documented as wrong for TBs (TestKafka scaladoc).
+  private def myRecords(ranges: Array[(String, Long, Long)]): Iterator[TestKafka.Record] =
+    ranges.sortBy(_._1).iterator.flatMap { case (f, from, to) =>
       Files.readAllLines(Paths.get(f), StandardCharsets.UTF_8).asScala
-        .filter(_.nonEmpty).map(TestKafka.decodeLine)
+        .iterator.zipWithIndex
+        .collect { case (line, i) if i >= from && i < to && line.nonEmpty =>
+          TestKafka.decodeLine(line)
+        }
     }.filter(r => TestKafka.partitionFor(r.key, p.nPartitions) == p.partitionId)
 
   private val rows: Iterator[InternalRow] = {
-    // Next offset per topic after the already-consumed prefix.
+    // Next offset per topic after the already-consumed prefix (full
+    // files plus the rate-limited partial prefix of the newest one).
     val base = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
-    myRecords(p.priorFiles).foreach(r => base(r.topic) += 1L)
-    myRecords(p.files).map { r =>
+    myRecords(p.prior.map { case (f, n) => (f, 0L, n) })
+      .foreach(r => base(r.topic) += 1L)
+    myRecords(p.delta).map { r =>
       val offset = base(r.topic)
       base(r.topic) = offset + 1L
       new GenericInternalRow(Array[Any](
@@ -262,17 +278,20 @@ class TestKafkaPartitionReader(p: TestKafkaInputPartition)
 }
 
 /** Streaming form of the scan — the S1 shape: each micro-batch
-  * consumes the record files that appeared since the last committed
+  * consumes the record lines that appeared since the last committed
   * offset, so `readStream.format("graft-testkafka")` behaves like the
   * Kafka source (incremental, checkpoint-resumable, exactly-once per
-  * file). The offset is simply the SET of consumed file names,
-  * serialized as a JSON array — tiny at seam-test scale.
+  * line). The offset maps each consumed record file to the number of
+  * lines consumed from it — record granularity, so Kafka's
+  * `maxOffsetsPerTrigger` admission contract is honorable exactly —
+  * serialized as one sorted JSON object, tiny at seam-test scale.
   */
-final case class TestKafkaOffset(files: Seq[String])
+final case class TestKafkaOffset(lines: Seq[(String, Long)])
     extends org.apache.spark.sql.connector.read.streaming.Offset {
   override def json(): String =
-    files.sorted.map(f => "\"" + f.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
-      .mkString("[", ",", "]")
+    lines.sortBy(_._1).map { case (f, n) =>
+      "\"" + f.replace("\\", "\\\\").replace("\"", "\\\"") + "\":" + n
+    }.mkString("{", ",", "}")
 }
 
 object TestKafkaOffset {
@@ -280,10 +299,11 @@ object TestKafkaOffset {
     * scans escaped string tokens character-by-character instead of
     * regex-splitting on `","`, which would mis-split a path containing
     * a literal quote-comma-quote sequence (json() escapes quotes and
-    * backslashes, so the token scan below is unambiguous).
+    * backslashes, so the token scan below is unambiguous). Each key
+    * token is followed by `:<count>`.
     */
   def fromJson(json: String): TestKafkaOffset = {
-    val out = Seq.newBuilder[String]
+    val out = Seq.newBuilder[(String, Long)]
     var i = 0
     while (i < json.length && json.charAt(i) != '"') i += 1
     while (i < json.length) {
@@ -302,28 +322,89 @@ object TestKafkaOffset {
           case c => sb.append(c); i += 1
         }
       }
-      out += sb.result()
+      while (i < json.length && !json.charAt(i).isDigit) i += 1
+      val numStart = i
+      while (i < json.length && json.charAt(i).isDigit) i += 1
+      require(i > numStart, s"testkafka offset: missing line count in $json")
+      out += (sb.result() -> json.substring(numStart, i).toLong)
       while (i < json.length && json.charAt(i) != '"') i += 1
     }
     TestKafkaOffset(out.result())
   }
 }
 
-class TestKafkaMicroBatchStream(path: String, nPartitions: Int)
-    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
-  import org.apache.spark.sql.connector.read.streaming.Offset
+/** Micro-batch stream with Kafka's ADMISSION-CONTROL contract: with no
+  * `maxOffsetsPerTrigger` every batch takes all available records
+  * (ReadAllAvailable — one batch per file-set change, the pre-r13
+  * behavior); with it, `latestOffset(start, ReadLimit)` admits at most
+  * that many records per micro-batch, consumed in arrival order
+  * (sorted file, then line) at RECORD granularity — so an AvailableNow
+  * drain executes ceil(total/max) real micro-batches against one
+  * static topic directory, checkpoint-resumable mid-file. Kafka
+  * rations the budget proportionally across topic-partitions; this
+  * seam admits an arrival-order prefix instead (deterministic — a
+  * replay fixture must not depend on rationing round-off), the same
+  * observable ≤max-records-per-batch contract. SupportsTriggerAvailable
+  * Now pins the run's end offset at start, as the real source does, so
+  * files landing mid-drain don't extend it.
+  */
+class TestKafkaMicroBatchStream(path: String, nPartitions: Int,
+                                maxPerTrigger: Option[Long] = None)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadAllAvailable, ReadLimit, ReadMaxRows}
+
+  // Record files are immutable once committed (atomic move; an epoch
+  // re-commit replays identical content), so line counts memoize.
+  private val lineCounts = scala.collection.concurrent.TrieMap.empty[String, Long]
+  private def lineCount(f: String): Long =
+    lineCounts.getOrElseUpdate(f, {
+      val s = Files.lines(Paths.get(f), StandardCharsets.UTF_8)
+      try s.count() finally s.close()
+    })
+  private def allAvailable(): Seq[(String, Long)] =
+    TestKafka.listRecordFiles(path).toSeq.map(f => f -> lineCount(f))
+
+  @volatile private var availableNowTarget: Option[Seq[(String, Long)]] = None
+  override def prepareForTriggerAvailableNow(): Unit = {
+    availableNowTarget = Some(allAvailable())
+  }
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxPerTrigger.map(ReadLimit.maxRows).getOrElse(ReadLimit.allAvailable())
 
   override def initialOffset(): Offset = TestKafkaOffset(Nil)
   override def latestOffset(): Offset =
-    TestKafkaOffset(TestKafka.listRecordFiles(path).toSeq)
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) should be called instead of this method")
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val target = availableNowTarget.getOrElse(allAvailable()).sortBy(_._1)
+    val startMap = start.asInstanceOf[TestKafkaOffset].lines.toMap
+    limit match {
+      case _: ReadAllAvailable => TestKafkaOffset(target)
+      case r: ReadMaxRows =>
+        var budget = r.maxRows()
+        TestKafkaOffset(target.map { case (f, n) =>
+          val done = math.min(startMap.getOrElse(f, 0L), n)
+          val take = math.max(0L, math.min(n - done, budget))
+          budget -= take
+          f -> (done + take)
+        })
+      case other => throw new UnsupportedOperationException(
+        s"testkafka: unsupported read limit $other")
+    }
+  }
   override def deserializeOffset(json: String): Offset = TestKafkaOffset.fromJson(json)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val prior = start.asInstanceOf[TestKafkaOffset].files.toArray
-    val seen = prior.toSet
-    val delta = end.asInstanceOf[TestKafkaOffset].files.filterNot(seen).toArray
+    val prior = start.asInstanceOf[TestKafkaOffset].lines.toArray
+    val priorMap = prior.toMap
+    val delta = end.asInstanceOf[TestKafkaOffset].lines.toArray.sortBy(_._1)
+      .map { case (f, n) => (f, priorMap.getOrElse(f, 0L), n) }
+      .filter { case (_, from, to) => to > from }
     (0 until nPartitions)
       .map(i => TestKafkaInputPartition(i, nPartitions, prior, delta): InputPartition)
       .toArray

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import java.nio.file.{Files, Path}
+import java.nio.file.{Files, Path, Paths}
 import java.util.Comparator
 
 import scala.collection.concurrent.TrieMap
@@ -85,6 +85,24 @@ object ReplayStaging {
     roots.values.foreach(deleteRecursively)
   }
 
+  /** Ephemeral scratch for replay checkpoints, state stores, staged
+    * inputs and drained outputs: tmpfs (/dev/shm) when present, else
+    * java.io.tmpdir. A replay's checkpoint needs NO durability — every
+    * run starts from fresh state by design — while the state-store
+    * commit path is fsync-bound: the r13 drain profile measured
+    * state-store commit sums of 24–34 s per stateful drain (8
+    * partitions × operators × batches, ~350 ms per commit) with /tmp
+    * on spinning-rust-class virtual disk. On tmpfs the fsync is a
+    * memory barrier. Production sinks/checkpoints take caller-supplied
+    * durable paths; this is the TEST/replay harness's allocation only.
+    */
+  def scratchDir(prefix: String): Path = {
+    val shm = Paths.get("/dev/shm")
+    if (Files.isDirectory(shm) && Files.isWritable(shm))
+      Files.createTempDirectory(shm, prefix)
+    else Files.createTempDirectory(prefix)
+  }
+
   private[graft] def deleteRecursively(root: Path): Unit = {
     if (Files.exists(root)) {
       val walk = Files.walk(root)
@@ -102,7 +120,7 @@ object ReplayStaging {
                    cutCol: Column = col("event_time"),
                    cutType: String = "timestamp"): String =
     checkedHit(key, frame, cache) { f =>
-      val tmp = Files.createTempDirectory("graft_stage_")
+      val tmp = ReplayStaging.scratchDir("graft_stage_")
       roots.put(key, tmp)
       stageInto(tmp, f, cutCol, cutType)
     }
@@ -121,7 +139,7 @@ object ReplayStaging {
     */
   def modSlices(key: String, frame: => DataFrame, idCol: Column): String =
     checkedHit(key, frame, cache) { f =>
-      val tmp = Files.createTempDirectory("graft_stage_")
+      val tmp = ReplayStaging.scratchDir("graft_stage_")
       roots.put(key, tmp)
       stageSlices(tmp, f, Seq(0, 1, 2).map(r => idCol % 3 === r))
     }
@@ -133,7 +151,7 @@ object ReplayStaging {
     */
   def customSlices(key: String, frame: => DataFrame, conds: Seq[Column]): String =
     checkedHit(key, frame, cache) { f =>
-      val tmp = Files.createTempDirectory("graft_stage_")
+      val tmp = ReplayStaging.scratchDir("graft_stage_")
       roots.put(key, tmp)
       stageSlices(tmp, f, conds)
     }
@@ -145,7 +163,7 @@ object ReplayStaging {
     */
   def multiFile(key: String, frame: => DataFrame, n: Int): String =
     checkedHit(key, frame, cache) { f =>
-      val tmp = Files.createTempDirectory("graft_stage_")
+      val tmp = ReplayStaging.scratchDir("graft_stage_")
       roots.put(key, tmp)
       val staging = tmp.resolve("staging").toString
       f.repartition(n).write.parquet(staging)

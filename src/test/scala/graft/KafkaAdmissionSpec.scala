@@ -1,0 +1,121 @@
+package graft
+
+import java.nio.file.Files
+import java.util.concurrent.ConcurrentLinkedQueue
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** The Kafka source's ADMISSION-CONTROL contract on the TestKafka seam
+  * (r13): `maxOffsetsPerTrigger` caps records per micro-batch at
+  * RECORD granularity — batch boundaries land mid-file, so checkpoint
+  * offsets carry partial-file line counts — honored under AvailableNow
+  * through SupportsTriggerAvailableNow exactly as the real source does
+  * (external/kafka-0-10-sql's KafkaMicroBatchStream). Deterministic by
+  * construction: the topic is ONE record file, the cap fixes every
+  * batch's size, and the crash test injects at a batch id, never a
+  * timer.
+  */
+class KafkaAdmissionSpec extends SparkSpecBase {
+
+  private def tmpDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  /** One single-file topic of `n` keyed records (coalesce(1) → one
+    * write task → one committed record file), so any multi-batch
+    * consumption is NECESSARILY mid-file.
+    */
+  private def oneFileTopic(n: Int): String = {
+    import spark.implicits._
+    val dir = tmpDir("graft_tk_adm")
+    (0 until n).map(i => (s"sym$i", s"""{"v":$i}"""))
+      .toDF("key", "value").coalesce(1)
+      .write.mode("append").format("graft-testkafka")
+      .option("path", dir).option("topic", "t").save()
+    assert(graft.sources.TestKafka.listRecordFiles(dir).length === 1)
+    dir
+  }
+
+  private def consume(dir: String, ckpt: String, cap: Option[Int],
+                      sizes: ConcurrentLinkedQueue[Long],
+                      out: ConcurrentLinkedQueue[(Int, Long, String)],
+                      crashAtBatch: Option[Long] = None): Unit = {
+    @volatile var crashed = false
+    val reader = spark.readStream.format("graft-testkafka")
+      .option("path", dir).option("partitions", "4")
+    val raw = cap.fold(reader)(c =>
+      reader.option("maxOffsetsPerTrigger", c.toString)).load()
+    val q = raw.select(col("partition"), col("offset"),
+        col("value").cast("string").as("v"))
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (crashAtBatch.contains(batchId) && !crashed) {
+          crashed = true
+          throw new RuntimeException("injected crash between rate-limited batches")
+        }
+        val rows = batch.collect()
+        sizes.add(rows.length.toLong)
+        rows.foreach(r => out.add((r.getInt(0), r.getLong(1), r.getString(2))))
+        ()
+      }
+      .start()
+    try q.awaitTermination()
+    finally if (q.isActive) q.stop()
+  }
+
+  test("maxOffsetsPerTrigger drains one static file in ceil(n/cap) record-capped batches") {
+    val dir = oneFileTopic(10)
+    val sizes = new ConcurrentLinkedQueue[Long]()
+    val out = new ConcurrentLinkedQueue[(Int, Long, String)]()
+    consume(dir, tmpDir("graft_tk_adm_ck"), Some(3), sizes, out)
+    // Arrival-order prefix admission: 3,3,3,1 — every batch ≤ cap,
+    // exactly ceil(10/3) non-empty batches (a trailing empty batch is
+    // legal engine behavior, never a data batch).
+    val s = sizes.asScala.toSeq
+    assert(s.filter(_ > 0) === Seq(3L, 3L, 3L, 1L), s"batch sizes: $s")
+    assert(s.count(_ == 0) <= 1, s"batch sizes: $s")
+    assert(out.asScala.map(_._3).toSet ===
+      (0 until 10).map(i => s"""{"v":$i}""").toSet)
+    // Offsets stay dense per partition across the mid-file boundaries.
+    val perPart = out.asScala.toSeq.groupBy(_._1)
+    perPart.foreach { case (p, rows) =>
+      assert(rows.map(_._2).sorted === rows.indices.map(_.toLong),
+        s"partition $p offsets not dense: ${rows.map(_._2).sorted}")
+    }
+  }
+
+  test("crash between rate-limited batches: restart resumes from the mid-file offset, no loss, no dup") {
+    val dir = oneFileTopic(10)
+    val ckpt = tmpDir("graft_tk_adm_crash_ck")
+    val sizes = new ConcurrentLinkedQueue[Long]()
+    val out = new ConcurrentLinkedQueue[(Int, Long, String)]()
+    // Batch 0 (7 records) commits; the injected throw kills the query
+    // before batch 1's side effect.
+    val failed = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      consume(dir, ckpt, Some(7), sizes, out, crashAtBatch = Some(1L))
+    }
+    assert(failed.getMessage.contains("injected crash"), failed.getMessage)
+    assert(sizes.asScala.toSeq === Seq(7L), s"pre-crash sizes: ${sizes.asScala.toSeq}")
+    // Restart on the same checkpoint: ONLY the remaining 3 records
+    // replay — the committed offset is a partial-file line count.
+    consume(dir, ckpt, Some(7), sizes, out)
+    assert(sizes.asScala.toSeq.filter(_ > 0) === Seq(7L, 3L),
+      s"post-resume sizes: ${sizes.asScala.toSeq}")
+    assert(out.asScala.map(_._3).toSeq.sorted ===
+      (0 until 10).map(i => s"""{"v":$i}""").sorted, "lost or duplicated records")
+  }
+
+  test("no cap: ReadAllAvailable consumes everything in one batch (pre-r13 behavior unchanged)") {
+    val dir = oneFileTopic(10)
+    val sizes = new ConcurrentLinkedQueue[Long]()
+    val out = new ConcurrentLinkedQueue[(Int, Long, String)]()
+    consume(dir, tmpDir("graft_tk_adm_nc_ck"), None, sizes, out)
+    assert(sizes.asScala.toSeq.filter(_ > 0) === Seq(10L),
+      s"batch sizes: ${sizes.asScala.toSeq}")
+  }
+}

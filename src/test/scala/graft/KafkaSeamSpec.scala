@@ -293,14 +293,14 @@ class KafkaSeamSpec extends SparkSpecBase {
     // Paths carrying the exact sequences the old regex split broke on:
     // literal quote-comma-quote, backslashes, embedded quotes.
     val nasty = Seq(
-      """/tmp/a","b/records-1.tsv""",
-      """C:\tmp\rec "x".tsv""",
-      "plain/records-2.tsv",
-      """q"," middle "," q""")
+      """/tmp/a","b/records-1.tsv""" -> 3L,
+      """C:\tmp\rec "x".tsv""" -> 0L,
+      "plain/records-2.tsv" -> 141592653589793L,
+      """q"," middle "," q""" -> 7L)
     val rt = TestKafkaOffset.fromJson(TestKafkaOffset(nasty).json())
-    assert(rt.files.sorted === nasty.sorted,
+    assert(rt.lines.sorted === nasty.sorted,
       "fromJson is not the inverse of json() for escaped paths")
-    assert(TestKafkaOffset.fromJson(TestKafkaOffset(Nil).json()).files.isEmpty)
+    assert(TestKafkaOffset.fromJson(TestKafkaOffset(Nil).json()).lines.isEmpty)
   }
 
   test("streaming epoch re-commit is idempotent: replayed epoch overwrites, never duplicates") {
