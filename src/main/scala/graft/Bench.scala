@@ -37,11 +37,23 @@ object Bench {
     * recording it IN the bench JSON makes a run self-describing
     * instead of requiring BENCHNOTES prose (r12 verdict item #2).
     */
-  def ioPressureFullAvg300(): Double =
+  def ioPressureFullAvg300(): Double = pressureAvg300("io", "full")
+
+  /** /proc/pressure/cpu "some avg300" — the fraction of the window ANY
+    * runnable task stalled waiting for a CPU. An r13 run measured a
+    * uniform +20% on code untouched for rounds with io-pressure ZERO —
+    * co-tenant CPU contention is invisible to the io gate — so ambient
+    * CPU stall at run START joins the cleanliness gate (start only:
+    * the bench itself legitimately saturates the cores once running,
+    * so the END reading measures us, not the neighbors).
+    */
+  def cpuPressureSomeAvg300(): Double = pressureAvg300("cpu", "some")
+
+  private def pressureAvg300(resource: String, line: String): Double =
     try {
       val lines = java.nio.file.Files.readAllLines(
-        java.nio.file.Paths.get("/proc/pressure/io"))
-      lines.toArray.map(_.toString).find(_.startsWith("full"))
+        java.nio.file.Paths.get(s"/proc/pressure/$resource"))
+      lines.toArray.map(_.toString).find(_.startsWith(line))
         .flatMap(_.split("\\s+").find(_.startsWith("avg300=")))
         .map(_.stripPrefix("avg300=").toDouble).getOrElse(-1.0)
     } catch { case _: Throwable => -1.0 }
@@ -51,6 +63,14 @@ object Bench {
     * ~8; the clean runs sat below 1. Threshold 1.0 (percent).
     */
   val PressureCleanMax = 1.0
+
+  /** Ambient CPU-stall ceiling at run START for a comparable run. The
+    * bench's own load dominates cpu-some once running, so only the
+    * pre-run reading speaks for the neighbors; 5% of the trailing
+    * 5 min is idle-host territory, while the r13 contended run that
+    * motivated this sat well above it.
+    */
+  val CpuPressureCleanMax = 5.0
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -92,6 +112,7 @@ object Bench {
       }
     })
     val pressureStart = ioPressureFullAvg300()
+    val cpuPressureStart = cpuPressureSomeAvg300()
     // Best-known warm mins (BENCH_BEST.json, maintained per round from
     // pressure-clean runs): the cross-round regression gate. A warm
     // time > 1.5x best-known on a PRESSURE-CLEAN run is flagged in the
@@ -243,8 +264,10 @@ object Bench {
     val total =
       if (failed.nonEmpty) "null" else results.flatMap(_._2).sum.toString
     val pressureEnd = ioPressureFullAvg300()
+    val cpuPressureEnd = cpuPressureSomeAvg300()
     val pressureClean = pressureStart >= 0 && pressureEnd >= 0 &&
-      math.max(pressureStart, pressureEnd) <= PressureCleanMax
+      math.max(pressureStart, pressureEnd) <= PressureCleanMax &&
+      cpuPressureStart >= 0 && cpuPressureStart <= CpuPressureCleanMax
     // >1.5x best-known warm, flagged ONLY on pressure-clean runs —
     // host contention can never fabricate a regression, and a clean
     // regression can never hide behind "maybe the host was busy".
@@ -258,6 +281,7 @@ object Bench {
         s""""queries_warm":$qsWarm,""" +
         s""""shuffle_bytes_written":$qsShuf,""" +
         f""""io_pressure_full_avg300":{"start":$pressureStart%.2f,"end":$pressureEnd%.2f},""" +
+        f""""cpu_pressure_some_avg300":{"start":$cpuPressureStart%.2f,"end":$cpuPressureEnd%.2f},""" +
         s""""pressure_clean":$pressureClean,""" +
         s""""regressions":${regressions.mkString("{", ",", "}")},""" +
         f""""sr_drains":{"serial_sum":$srSerialSum%.3f,"concurrent_wall":$srWall%.3f,""" +

@@ -186,10 +186,22 @@ class TestKafkaTable(path: String, nPartitions: Int, defaultTopic: Option[String
       TableCapability.ACCEPT_ANY_SCHEMA).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    () => new TestKafkaScan(path, nPartitions,
-      // The real Kafka source's rate-limit option, same name & unit
-      // (records per micro-batch).
-      Option(options.getLong("maxOffsetsPerTrigger", -1L)).filter(_ > 0L))
+    () => {
+      val starting = options.getOrDefault("startingOffsets", "earliest")
+      require(starting == "earliest" || starting == "latest",
+        s"testkafka: startingOffsets must be 'earliest' or 'latest' " +
+          s"(per-partition offset JSON is not supported by this seam), got '$starting'")
+      new TestKafkaScan(path, nPartitions,
+        // The real Kafka source's rate-limit option, same name & unit
+        // (records per micro-batch).
+        Option(options.getLong("maxOffsetsPerTrigger", -1L)).filter(_ > 0L),
+        // The real source's consumer-position option. NOTE the
+        // deliberate DEFAULT deviation: the real streaming source
+        // defaults to latest; this seam defaults to earliest because
+        // replay fixtures stage their topic before consuming — a
+        // latest default would silently drain nothing.
+        startFromLatest = starting == "latest")
+    }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new TestKafkaWriteBuilder(path, defaultTopic, info)
@@ -214,12 +226,13 @@ final case class TestKafkaInputPartition(partitionId: Int, nPartitions: Int,
                                          delta: Array[(String, Long, Long)]) extends InputPartition
 
 class TestKafkaScan(path: String, nPartitions: Int,
-                    maxPerTrigger: Option[Long] = None) extends Scan with Batch {
+                    maxPerTrigger: Option[Long] = None,
+                    startFromLatest: Boolean = false) extends Scan with Batch {
   override def readSchema(): StructType = TestKafka.ReadSchema
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String):
       org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new TestKafkaMicroBatchStream(path, nPartitions, maxPerTrigger)
+    new TestKafkaMicroBatchStream(path, nPartitions, maxPerTrigger, startFromLatest)
   override def description(): String = s"TestKafkaScan(path=$path, partitions=$nPartitions)"
 
   override def planInputPartitions(): Array[InputPartition] = {
@@ -349,7 +362,8 @@ object TestKafkaOffset {
   * files landing mid-drain don't extend it.
   */
 class TestKafkaMicroBatchStream(path: String, nPartitions: Int,
-                                maxPerTrigger: Option[Long] = None)
+                                maxPerTrigger: Option[Long] = None,
+                                startFromLatest: Boolean = false)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
@@ -374,7 +388,16 @@ class TestKafkaMicroBatchStream(path: String, nPartitions: Int,
   override def getDefaultReadLimit: ReadLimit =
     maxPerTrigger.map(ReadLimit.maxRows).getOrElse(ReadLimit.allAvailable())
 
-  override def initialOffset(): Offset = TestKafkaOffset(Nil)
+  /** `startingOffsets=latest` — Kafka's consumer-position semantics:
+    * a FRESH query (no checkpoint) starts at the log's current end and
+    * sees only records produced after it started; offsets stay log
+    * positions (they keep counting the skipped history), exactly as a
+    * real consumer seeking to the end would observe. A checkpointed
+    * restart never consults this — initialOffset is only called when
+    * no offset log exists.
+    */
+  override def initialOffset(): Offset =
+    if (startFromLatest) TestKafkaOffset(allAvailable()) else TestKafkaOffset(Nil)
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException(
       "latestOffset(Offset, ReadLimit) should be called instead of this method")

@@ -110,6 +110,72 @@ class KafkaAdmissionSpec extends SparkSpecBase {
       (0 until 10).map(i => s"""{"v":$i}""").sorted, "lost or duplicated records")
   }
 
+  test("startingOffsets=latest: fresh query skips history; offsets stay log positions") {
+    import graft.sources.TestKafka
+    import spark.implicits._
+    val dir = oneFileTopic(5) // history: v0..v4
+    val ckpt = tmpDir("graft_tk_latest_ck")
+    val sizes = new ConcurrentLinkedQueue[Long]()
+    val out = new ConcurrentLinkedQueue[(Int, Long, String)]()
+    def consumeLatest(): Unit = {
+      val q = spark.readStream.format("graft-testkafka")
+        .option("path", dir).option("partitions", "4")
+        .option("startingOffsets", "latest")
+        .load()
+        .select(col("partition"), col("offset"), col("key").cast("string").as("k"))
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val rows = batch.collect()
+          sizes.add(rows.length.toLong)
+          rows.foreach(r => out.add((r.getInt(0), r.getLong(1), r.getString(2))))
+          ()
+        }
+        .start()
+      try q.awaitTermination() finally if (q.isActive) q.stop()
+    }
+    // Fresh start at the log end: the 5 historical records are skipped.
+    consumeLatest()
+    assert(out.isEmpty, s"latest start consumed history: ${out.asScala.toSeq}")
+    // New records after the start ARE consumed — from the checkpointed
+    // position, which initialOffset pinned at the old log end.
+    (5 until 8).map(i => (s"sym$i", s"""{"v":$i}"""))
+      .toDF("key", "value").coalesce(1)
+      .write.mode("append").format("graft-testkafka")
+      .option("path", dir).option("topic", "t").save()
+    consumeLatest()
+    assert(out.asScala.map(_._3).toSet === Set("sym5", "sym6", "sym7"))
+    // Kafka-faithful: offsets are LOG positions — each new record's
+    // offset continues after the skipped history in its partition.
+    val histCount = (0 until 5).map(i => s"sym$i")
+      .groupBy(s => TestKafka.partitionFor(s.getBytes("UTF-8"), 4))
+      .view.mapValues(_.size.toLong).toMap.withDefaultValue(0L)
+    val seen = scala.collection.mutable.Map.empty[Int, Long]
+    out.asScala.toSeq.sortBy(_._2).foreach { case (p, off, k) =>
+      val expected = histCount(p) + seen.getOrElse(p, 0L)
+      assert(off === expected,
+        s"$k on partition $p: offset $off, expected log position $expected")
+      seen(p) = seen.getOrElse(p, 0L) + 1L
+    }
+  }
+
+  test("startingOffsets rejects anything but earliest/latest at planning time") {
+    val dir = oneFileTopic(1)
+    val err = intercept[Exception] {
+      spark.readStream.format("graft-testkafka")
+        .option("path", dir).option("partitions", "4")
+        .option("startingOffsets", """{"t":{"0":3}}""")
+        .load()
+        .writeStream.option("checkpointLocation", tmpDir("graft_tk_badso_ck"))
+        .trigger(Trigger.AvailableNow())
+        .format("noop").start().awaitTermination()
+    }
+    val msgs = Iterator.iterate(err: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("|")
+    assert(msgs.contains("startingOffsets must be 'earliest' or 'latest'"),
+      s"unexpected failure: $msgs")
+  }
+
   test("no cap: ReadAllAvailable consumes everything in one batch (pre-r13 behavior unchanged)") {
     val dir = oneFileTopic(10)
     val sizes = new ConcurrentLinkedQueue[Long]()
