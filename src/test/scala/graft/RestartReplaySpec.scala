@@ -346,6 +346,98 @@ class RestartReplaySpec extends SparkSpecBase {
       "post-backfill increment did not integrate")
   }
 
+  test("checkpoint pins stateful shuffle partitions: resume under a different session setting keeps state intact") {
+    // Production semantic (r13): the state-partition count is fixed
+    // FOREVER at the checkpoint's first batch — Spark records
+    // spark.sql.shuffle.partitions in the offset log and every resume
+    // uses the recorded value, whatever the session says. If it did
+    // not, a resumed dedup would hash keys to DIFFERENT state
+    // partitions and silently stop seeing earlier arrivals. Executed:
+    // drain batch 0 (originals) at 8 partitions, stop, resume the
+    // planted-duplicates batch with the session set to 3 — the dups
+    // must still be dropped (state found), and the runtime's own
+    // metrics must report 8 state partitions while the session says 3.
+    val shufKey = "spark.sql.shuffle.partitions"
+    val prevShuf = spark.conf.get(shufKey)
+    try {
+      // Same key ⇒ same frame as MutationSpec's sr14 mutation (the
+      // staging-cache contract): cleaned feed, every 5th row re-planted
+      // one slice later under a shifted event_id.
+      val cleaned = graft.operators.Medallion
+        .toSilver(graft.sources.Tables.trades(spark, Sf),
+          lit(SparkEntry.CutoffTs).cast("timestamp"))
+        .withColumn("timestamp", unix_millis(col("event_time")))
+      val feed = cleaned.unionByName(
+        cleaned.filter(col("event_id") % 5 === 0)
+          .withColumn("event_id", col("event_id") + 10000000L))
+      val staging = ReplayStaging.customSlices(s"dedup_feed|$Sf", feed,
+        Seq(col("event_id") < 10000000L, col("event_id") >= 10000000L))
+      val root = Files.createTempDirectory("graft_pinned_shuffle").toString
+      def stream = spark.readStream.schema(feed.schema)
+        .option("maxFilesPerTrigger", "1").parquet(staging)
+        .withWatermark("event_time", "3 days")
+        .dropDuplicatesWithinWatermark(Seq("symbol", "timestamp"))
+        .select(col("symbol"), col("timestamp").as("ts_ms"),
+          col("price"), col("volume"))
+      // Phase 1 at 8 partitions: exactly batch 0 (the originals)
+      // commits — the latch blocks batch 1 until stop() interrupts it.
+      spark.conf.set(shufKey, "8")
+      val batch0Done = new java.util.concurrent.CountDownLatch(1)
+      val stopIssued = new java.util.concurrent.CountDownLatch(1)
+      val q1 = stream.writeStream.outputMode("append")
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(Trigger.ProcessingTime("0 seconds"))
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          if (batchId > 0) stopIssued.await()
+          // Idempotent per-batch sink: stop() races the offset commit,
+          // so a replayed batch must OVERWRITE its own earlier output —
+          // a blind append double-counts exactly when the race fires
+          // (observed on this test's first run).
+          batch.write.mode("overwrite").parquet(s"$root/out/batch=$batchId")
+          if (batchId == 0) batch0Done.countDown()
+        }
+        .start()
+      assert(batch0Done.await(120, java.util.concurrent.TimeUnit.SECONDS),
+        "no micro-batch committed within 120s")
+      q1.stop(); stopIssued.countDown(); q1.awaitTermination()
+
+      // Phase 2: the session now says 3 — the checkpoint must win.
+      // Same foreachBatch parquet-append sink as phase 1 (a streaming
+      // parquet sink would start a _spark_metadata log that hides the
+      // phase-1 files from the read-back).
+      spark.conf.set(shufKey, "3")
+      val q2 = stream.writeStream.outputMode("append")
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          batch.write.mode("overwrite").parquet(s"$root/out/batch=$batchId")
+        }
+        .start()
+      q2.awaitTermination()
+      val stateParts = q2.recentProgress.toSeq
+        .flatMap(_.stateOperators.toSeq.map(_.numShufflePartitions))
+        .filter(_ > 0)
+      assert(stateParts.nonEmpty, "no state metrics reported on resume")
+      assert(stateParts.forall(_ == 8L),
+        s"state partitions $stateParts — the checkpointed 8 did not pin over the session's 3")
+
+      // And the state actually WORKED across the restart: every
+      // planted duplicate (arriving one batch after its original) was
+      // dropped, so the drained rows equal the cleaned feed exactly.
+      // MULTISET compare — a surviving duplicate is row-identical to
+      // its original (event_id is not emitted), so a set compare
+      // could not see it.
+      val out = spark.read.parquet(s"$root/out")
+        .select(col("symbol"), col("ts_ms"), col("price"), col("volume"))
+        .collect().map(_.toSeq.map(String.valueOf).mkString("")).sorted.toSeq
+      val expected = cleaned.select(col("symbol"),
+          col("timestamp").as("ts_ms"), col("price"), col("volume"))
+        .collect().map(_.toSeq.map(String.valueOf).mkString("")).sorted.toSeq
+      assert(out == expected,
+        "resumed dedup diverged from the cleaned feed — cross-restart state not intact")
+    } finally spark.conf.set(shufKey, prevShuf)
+  }
+
   test("funnel state plateaus at the user count (item #4, sr5 shape)") {
     withRocksDbState {
       // The production feed projection — MUST match StreamReplayQueries'
