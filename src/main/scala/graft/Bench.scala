@@ -276,6 +276,14 @@ object Bench {
         if bestKnown.get(k).exists(b => b > 0 && w > 1.5 * b) =>
         f""""$k":{"warm":$w%.3f,"best":${bestKnown(k)}%.3f}"""
     }
+    // The uniform-vs-skewed diagnostic, codified: one plan regression
+    // flags one query; ambient contention that slipped past both
+    // pressure gates flags MANY at once (an r13 run flagged 15 with
+    // io 0.0 and a clean cpu START — the contender arrived mid-run).
+    // A mass flag marks the whole list suspect rather than crying
+    // wolf 15 times.
+    val regressionsSuspectAmbient =
+      regressions.size > math.max(5, names.size / 20)
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""queries_warm":$qsWarm,""" +
@@ -284,6 +292,7 @@ object Bench {
         f""""cpu_pressure_some_avg300":{"start":$cpuPressureStart%.2f,"end":$cpuPressureEnd%.2f},""" +
         s""""pressure_clean":$pressureClean,""" +
         s""""regressions":${regressions.mkString("{", ",", "}")},""" +
+        s""""regressions_suspect_ambient":$regressionsSuspectAmbient,""" +
         f""""sr_drains":{"serial_sum":$srSerialSum%.3f,"concurrent_wall":$srWall%.3f,""" +
         s""""concurrency":$srConcurrency,""" +
         s""""failed":${srConcFailed.mkString("[", ",", "]")}},""" +
