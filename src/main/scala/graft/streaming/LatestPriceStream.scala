@@ -76,7 +76,12 @@ object LatestPriceStream {
     * API): same semantics as `snapshots`, state held in a typed
     * ValueState managed by the new stateful-processor runtime
     * (RocksDB-backed, TTL-capable — the long-horizon posture for
-    * keyed state at scale).
+    * keyed state at scale; the TTL path itself is EXECUTED in
+    * StateTtlSpec: expiry across a restart gap, plus the long-TTL
+    * control. Operational note measured there: a TTL'd processor in
+    * TimeMode.ProcessingTime makes Trigger.AvailableNow loop forever
+    * — "another batch could expire state" never goes false — so TTL
+    * belongs on ProcessingTime-trigger topologies, not backfills).
     */
   class LatestPriceProcessor
       extends org.apache.spark.sql.streaming.StatefulProcessor[String, TradeEvent, LatestPrice] {
