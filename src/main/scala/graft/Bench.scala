@@ -278,12 +278,13 @@ object Bench {
     }
     // The uniform-vs-skewed diagnostic, codified: one plan regression
     // flags one query; ambient contention that slipped past both
-    // pressure gates flags MANY at once (an r13 run flagged 15 with
-    // io 0.0 and a clean cpu START — the contender arrived mid-run).
-    // A mass flag marks the whole list suspect rather than crying
-    // wolf 15 times.
-    val regressionsSuspectAmbient =
-      regressions.size > math.max(5, names.size / 20)
+    // pressure gates flags MANY at once (r13 contended runs flagged
+    // 6/9/15 queries simultaneously with io 0.0 and a clean cpu START
+    // — the contender arrived mid-run — while every genuine plan
+    // regression in the ledger's history flagged exactly one). The
+    // flag ANNOTATES the list, it never suppresses it, so the cheap
+    // threshold errs toward annotating: >3 simultaneous flags.
+    val regressionsSuspectAmbient = regressions.size > 3
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""queries_warm":$qsWarm,""" +
