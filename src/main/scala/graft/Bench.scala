@@ -140,11 +140,29 @@ object Bench {
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
+    // Order-insensitive content fingerprint for the board-concurrent
+    // divergence check (r13 verdict item #8): row count + sum of
+    // per-row xxhash64 over every output column. Output schemas are
+    // whitelisted scalars (Verify.lintSchema), so the hash is
+    // deterministic bitwise; the sum commutes, so partitioning and
+    // arrival order never matter. UNTIMED — computed outside every
+    // timed region, so the headline statistics keep their r1 meaning.
+    def contentHash(df: org.apache.spark.sql.DataFrame): String = {
+      import org.apache.spark.sql.functions._
+      val cols = df.columns.map(col(_))
+      // decimal(38,0) sum: a LONG sum of 64-bit hashes overflows after
+      // a handful of rows and ANSI mode (session default) makes that
+      // an error, not a wrap.
+      val r = df.select(count(lit(1)).as("n"),
+        sum(xxhash64(cols: _*).cast("decimal(38,0)")).cast("string").as("h"))
+        .collect()(0)
+      s"${r.getLong(0)}:${if (r.isNullAt(1)) "0" else r.getString(1)}"
+    }
     // A failing query reports -1.0 in the per-query map (visible, not
     // a fake wall-clock figure) and is EXCLUDED from the total, which
     // instead flags it in an explicit "failed" list — summing the
     // sentinel would silently SHRINK the headline number.
-    val results: Seq[(String, Option[Double], Option[Double], Long)] = names.map { name =>
+    val results: Seq[(String, Option[Double], Option[Double], Long, Option[String])] = names.map { name =>
       val fn = SparkEntry.queries(name)
       // The sr streaming-replay queries run a full writeStream drain
       // (stage + checkpoint + AvailableNow micro-batches) per call;
@@ -154,11 +172,18 @@ object Bench {
       val reps = if (name.startsWith("sr")) 1 else repeats
       shufBytes.set(0L); shufRecords.set(0L)
       var shuffled = -1L
+      // The last successfully-built frame, kept for the untimed
+      // content hash: for sr queries it is the drained output's
+      // localCheckpoint (re-scanning it is cheap; re-DRAINING for a
+      // hash would not be).
+      var lastDf: org.apache.spark.sql.DataFrame = null
       val times: Seq[Option[Double]] = (1 to reps).map { i =>
         val t0 = System.nanoTime()
         try {
-          fn(spark, sfDir).count()
+          val df = fn(spark, sfDir)
+          df.count()
           val sec = (System.nanoTime() - t0) / 1e9
+          lastDf = df
           if (i == 1) { Thread.sleep(100); shuffled = shufBytes.get() }
           Some(sec)
         }
@@ -169,6 +194,9 @@ object Bench {
         }
       }
       val cold = if (times.exists(_.isEmpty)) None else Some(times.flatten.min)
+      val serialHash: Option[String] =
+        if (lastDf == null) None
+        else try Some(contentHash(lastDf)) catch { case _: Throwable => None }
       // Warm-plan re-run (round-9 verdict: trivial queries are
       // dominated by per-query plan construction/analysis jitter,
       // masking real deltas in round-over-round diffs): build the
@@ -193,17 +221,28 @@ object Bench {
             Some(ts.min)
           } catch { case _: Throwable => None }
         }
-      (name, cold, warm, shuffled)
+      (name, cold, warm, shuffled, serialHash)
     }
     val qs = results
-      .map { case (k, v, _, _) => "\"" + k + "\":" + f"${v.getOrElse(-1.0)}%.3f" }
+      .map { case (k, v, _, _, _) => "\"" + k + "\":" + f"${v.getOrElse(-1.0)}%.3f" }
       .mkString("{", ",", "}")
     val qsWarm = results
-      .map { case (k, _, w, _) => "\"" + k + "\":" + f"${w.getOrElse(-1.0)}%.3f" }
+      .map { case (k, _, w, _, _) => "\"" + k + "\":" + f"${w.getOrElse(-1.0)}%.3f" }
       .mkString("{", ",", "}")
     val qsShuf = results
-      .map { case (k, _, _, b) => "\"" + k + "\":" + b }
+      .map { case (k, _, _, b, _) => "\"" + k + "\":" + b }
       .mkString("{", ",", "}")
+    // Per-drain state-store actuals (r13 verdict item #6): rows AND
+    // bytes from the final StreamingQueryProgress's stateOperators,
+    // recorded by StreamReplayQueries.drain into a registry keyed by
+    // sr tag. SCALE.md §4's state model is row-derived; this column is
+    // what the store actually held, reconciled in SCALE.md §9.1.3.
+    // Stateless drains legitimately report 0/0; -1 = never drained.
+    val qsState = results.collect { case (k, _, _, _, _) if k.startsWith("sr") =>
+      val (rows, bytes) = StreamReplayQueries.lastStateActuals
+        .getOrElse(k.split("_")(0), (-1L, -1L))
+      "\"" + k + "\":{" + s""""rows":$rows,"bytes":$bytes}"""
+    }.mkString("{", ",", "}")
     // The fixed per-query floor: a pre-listed single-row scan through
     // the same session — what a "0-cost" query measures here.
     val overhead = {
@@ -232,7 +271,7 @@ object Bench {
     // headline's goalposts.
     val srNames = names.filter(_.startsWith("sr"))
     val srSerialSum = results
-      .collect { case (k, Some(v), _, _) if k.startsWith("sr") => v }.sum
+      .collect { case (k, Some(v), _, _, _) if k.startsWith("sr") => v }.sum
     val srConcurrency = math.max(1,
       sys.env.getOrElse("SPARK_GRAFT_SR_CONCURRENCY", "4").toInt)
     val (srWall, srConcFailed): (Double, Seq[String]) =
@@ -257,7 +296,49 @@ object Bench {
           (((System.nanoTime() - t0) / 1e9), bad)
         } finally pool.shutdown()
       }
-    val failed = results.collect { case (k, None, _, _) => "\"" + k + "\"" }
+    // WHOLE-BOARD concurrent schedule (r13 verdict item #8): a driver
+    // submitting the 203-query board would interleave EVERYTHING, not
+    // just the sr drains — run the full board again at
+    // SPARK_GRAFT_BOARD_CONCURRENCY (default 6)-way on isolated
+    // newSession()s and ship the wall. Each query's result is
+    // fingerprinted (contentHash) and compared against the serial
+    // pass's fingerprint: any divergence is a session-isolation bug
+    // (shared mutable state, a conf write leaking across sessions) and
+    // lands in "hash_divergences" — expected empty, that is the point.
+    // Skippable with SPARK_GRAFT_BOARD_CONCURRENCY=0 for quick subset
+    // iterations.
+    val serialHashes: Map[String, String] =
+      results.collect { case (k, _, _, _, Some(h)) => k -> h }.toMap
+    val boardConcurrency = math.max(0,
+      sys.env.getOrElse("SPARK_GRAFT_BOARD_CONCURRENCY", "6").toInt)
+    val (boardWall, boardDiverged, boardFailed): (Double, Seq[String], Seq[String]) =
+      if (boardConcurrency == 0 || names.isEmpty) (0.0, Seq.empty, Seq.empty)
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(boardConcurrency)
+        try {
+          val t0 = System.nanoTime()
+          val futs = names.map { name =>
+            name -> pool.submit(new java.util.concurrent.Callable[Option[String]] {
+              override def call(): Option[String] =
+                try Some(contentHash(SparkEntry.queries(name)(spark.newSession(), sfDir)))
+                catch {
+                  case e: Throwable =>
+                    System.err.println(
+                      s"[bench] board-concurrent $name FAILED: ${e.getMessage}")
+                    None
+                }
+            })
+          }
+          val outcomes = futs.map { case (n, f) => n -> f.get() }
+          val wall = (System.nanoTime() - t0) / 1e9
+          val diverged = outcomes.collect {
+            case (n, Some(h)) if serialHashes.get(n).exists(_ != h) => "\"" + n + "\""
+          }
+          val bad = outcomes.collect { case (n, None) => "\"" + n + "\"" }
+          (wall, diverged, bad)
+        } finally pool.shutdown()
+      }
+    val failed = results.collect { case (k, None, _, _, _) => "\"" + k + "\"" }
     // With any failure the green-subset sum is NOT a comparable
     // headline (round 8: 53 failures read as a "41% speedup" to any
     // consumer ignoring the failed list) — report null instead.
@@ -271,10 +352,14 @@ object Bench {
     // >1.5x best-known warm, flagged ONLY on pressure-clean runs —
     // host contention can never fabricate a regression, and a clean
     // regression can never hide behind "maybe the host was busy".
-    val regressions = if (!pressureClean) Seq.empty else results.collect {
-      case (k, _, Some(w), _)
-        if bestKnown.get(k).exists(b => b > 0 && w > 1.5 * b) =>
-        f""""$k":{"warm":$w%.3f,"best":${bestKnown(k)}%.3f}"""
+    val regressionFlags: Seq[(String, Double, Double)] =
+      if (!pressureClean) Seq.empty else results.collect {
+        case (k, _, Some(w), _, _)
+          if bestKnown.get(k).exists(b => b > 0 && w > 1.5 * b) =>
+          (k, w, bestKnown(k))
+      }
+    val regressions = regressionFlags.map { case (k, w, b) =>
+      f""""$k":{"warm":$w%.3f,"best":$b%.3f}"""
     }
     // The uniform-vs-skewed diagnostic, codified: one plan regression
     // flags one query; ambient contention that slipped past both
@@ -285,18 +370,74 @@ object Bench {
     // flag ANNOTATES the list, it never suppresses it, so the cheap
     // threshold errs toward annotating: >3 simultaneous flags.
     val regressionsSuspectAmbient = regressions.size > 3
+    // ADJUDICATION (r13 verdict item #1): the re-measure discipline
+    // that cleared b14 and v2 used to live in a human — the bench now
+    // closes the loop itself. Each flagged query is re-run STANDALONE
+    // after the main loop (nothing else on the session, pressure
+    // re-read around the re-measure), min of 3 warm executions of a
+    // once-built frame — the same statistic the flag was computed
+    // from. Verdicts:
+    //   re ≤ 1.5×best               → ambient (the flag was the
+    //                                 neighbors; tonight's 15-flag run
+    //                                 self-resolves to zero confirmed)
+    //   re > 1.5×best, re-pressure
+    //     clean                     → confirmed (still slow alone on a
+    //                                 quiet host: a real regression)
+    //   re > 1.5×best, re-pressure
+    //     dirty                     → unresolved (the re-measure itself
+    //                                 was contended; no verdict can be
+    //                                 honest)
+    // sr queries never enter: their warm column is suppressed by
+    // design, so flags only ever name batch queries whose frame
+    // rebuild is cheap.
+    final case class Adjudicated(name: String, warm: Double, best: Double,
+                                 re: Double, reIo: Double, reCpu: Double)
+    val (regConfirmed, regAmbient, regUnresolved) = {
+      val adjudicated = regressionFlags.map { case (name, w, b) =>
+        val io0 = ioPressureFullAvg300(); val cpu0 = cpuPressureSomeAvg300()
+        val re =
+          try {
+            val df = SparkEntry.queries(name)(spark, sfDir)
+            (1 to 3).map { _ =>
+              val t0 = System.nanoTime(); df.count(); (System.nanoTime() - t0) / 1e9
+            }.min
+          } catch { case _: Throwable => -1.0 }
+        val io1 = ioPressureFullAvg300(); val cpu1 = cpuPressureSomeAvg300()
+        Adjudicated(name, w, b, re,
+          math.max(io0, io1), math.max(cpu0, cpu1))
+      }
+      def render(a: Adjudicated): String =
+        f""""${a.name}":{"warm":${a.warm}%.3f,"best":${a.best}%.3f,""" +
+          f""""remeasure":${a.re}%.3f,"re_io":${a.reIo}%.2f,"re_cpu":${a.reCpu}%.2f}"""
+      val ambient = adjudicated.filter(a => a.re >= 0 && a.re <= 1.5 * a.best)
+      val reClean = (a: Adjudicated) =>
+        a.reIo >= 0 && a.reIo <= PressureCleanMax &&
+          a.reCpu >= 0 && a.reCpu <= CpuPressureCleanMax
+      val confirmed = adjudicated.filter(a =>
+        a.re >= 0 && a.re > 1.5 * a.best && reClean(a))
+      val unresolved = adjudicated.filterNot(a =>
+        ambient.contains(a) || confirmed.contains(a))
+      (confirmed.map(render), ambient.map(render), unresolved.map(render))
+    }
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""queries_warm":$qsWarm,""" +
         s""""shuffle_bytes_written":$qsShuf,""" +
+        s""""state_actuals":$qsState,""" +
         f""""io_pressure_full_avg300":{"start":$pressureStart%.2f,"end":$pressureEnd%.2f},""" +
         f""""cpu_pressure_some_avg300":{"start":$cpuPressureStart%.2f,"end":$cpuPressureEnd%.2f},""" +
         s""""pressure_clean":$pressureClean,""" +
         s""""regressions":${regressions.mkString("{", ",", "}")},""" +
         s""""regressions_suspect_ambient":$regressionsSuspectAmbient,""" +
+        s""""regressions_confirmed":${regConfirmed.mkString("{", ",", "}")},""" +
+        s""""regressions_ambient":${regAmbient.mkString("{", ",", "}")},""" +
+        s""""regressions_unresolved":${regUnresolved.mkString("{", ",", "}")},""" +
         f""""sr_drains":{"serial_sum":$srSerialSum%.3f,"concurrent_wall":$srWall%.3f,""" +
         s""""concurrency":$srConcurrency,""" +
         s""""failed":${srConcFailed.mkString("[", ",", "]")}},""" +
+        f""""board_concurrent":{"wall":$boardWall%.3f,"concurrency":$boardConcurrency,""" +
+        s""""hash_divergences":${boardDiverged.mkString("[", ",", "]")},""" +
+        s""""failed":${boardFailed.mkString("[", ",", "]")}},""" +
         f""""overhead":$overhead%.3f,""" +
         s""""sf":"$sfDir","repeats":$repeats,"stat":"min",""" +
         s""""failed":${failed.mkString("[", ",", "]")}}"""

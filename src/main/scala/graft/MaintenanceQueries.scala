@@ -369,6 +369,62 @@ object MaintenanceQueries {
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     GROUP BY o_orderpriority"""
 
+  /** V8 — small-file compaction (r13 verdict item #3): the parquet
+    * analog of the reference gold tables' TimeWindowCompactionStrategy
+    * (keyspace.cql:37-43 — 1-day windows bin-pack each day's
+    * SSTables). A date-partitioned store is built the way a 10-second
+    * micro-batch sink actually degrades it — 12 fragment files per
+    * `trade_date` partition — then Compaction.compact bin-packs every
+    * flagged partition, clustering by the SAME morton key z1 Z-orders
+    * with. Correctness claim under the oracle: compaction moves bytes,
+    * never rows — the read-back of the compacted store must hash-match
+    * the silver frame that was appended in. File-count collapse and
+    * idempotence are require()d in-query; cluster-extent preservation
+    * and the scan-time delta live in CompactionSpec + BENCHNOTES.
+    */
+  def compactionQ(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_v8_")
+    try {
+      val store = tmp.resolve("gold").toString
+      SparkEntry.silverDf(s, dir)
+        .select(col("symbol"), col("price"), col("volume"),
+          col("event_time"), col("trade_date"))
+        .repartition(12)
+        .write.partitionBy("trade_date").parquet(store)
+      // repartition(12) caps fragments at 12 per date; a task with no
+      // rows for a date writes no file, so sparse dates land below 12
+      // (observed 9-12 at sf0.001) — the flag threshold is the bound
+      // that matters.
+      val before = graft.operators.Compaction
+        .smallFilePartitions(store, "trade_date", minFiles = 4)
+      require(before.nonEmpty && before.forall(_._2 >= 4),
+        s"v8 fixture did not fragment: $before")
+      // The z1 cluster key, on the store's own columns.
+      val px = pmod((col("price").cast("decimal(18,4)") * 10000).cast("long"), lit(65536L))
+      val ty = pmod(expr("unix_millis(event_time) div 60000"), lit(65536L))
+      val stats = graft.operators.Compaction.compact(
+        s, store, "trade_date", morton(px, ty), targetBytes = 64L << 20, minFiles = 4)
+      require(stats.length == before.length,
+        s"compacted ${stats.length} of ${before.length} flagged partitions")
+      require(stats.forall(st => st.filesAfter < st.filesBefore),
+        s"no file-count collapse: $stats")
+      // Idempotence: a second pass finds nothing left to do.
+      require(graft.operators.Compaction
+        .smallFilePartitions(store, "trade_date", minFiles = 4).isEmpty,
+        "second triage still flags partitions after compaction")
+      s.read.parquet(store)
+        .select(col("symbol"), unix_millis(col("event_time")).as("ts_ms"),
+          col("price"), col("volume"))
+        .localCheckpoint(eager = true)
+    } finally graft.streaming.ReplayStaging.deleteRecursively(tmp)
+  }
+
+  /** Silver verbatim, like sr15: the proof is that the store's content
+    * is untouched by the rewrite.
+    */
+  val compactionSql: String = SparkEntry.P + """
+    SELECT symbol, epoch_ms(event_time) AS ts_ms, price, volume FROM silver"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v1_incremental_ohlcv" -> (incrementalOhlcv _),
     "v2_merge_upsert" -> (mergeUpsert _),
@@ -377,6 +433,7 @@ object MaintenanceQueries {
     "v5_snapshot_diff" -> (snapshotDiff _),
     "v6_retention_audit" -> (retentionAudit _),
     "v7_delta_join" -> (deltaJoinQ _),
+    "v8_compaction" -> (compactionQ _),
     "g1_gap_fill" -> (gapFill _),
     "z1_zorder_cluster" -> (zorderCluster _))
 
@@ -388,6 +445,7 @@ object MaintenanceQueries {
     "v5_snapshot_diff" -> snapshotDiffSql,
     "v6_retention_audit" -> retentionAuditSql,
     "v7_delta_join" -> deltaJoinSql,
+    "v8_compaction" -> compactionSql,
     "g1_gap_fill" -> gapFillSql,
     "z1_zorder_cluster" -> zorderClusterSql)
 }

@@ -116,8 +116,44 @@ object StreamReplayQueries {
     * carries the per-query tmp dir (graft_srN_...), which identifies
     * the query without threading a tag through 17 call sites.
     */
-  private def drain(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+  /** Per-drain state-store actuals, recorded by [[drain]] from the
+    * LAST StreamingQueryProgress's stateOperators (r13 verdict item
+    * #6: SCALE.md's state sizing was asserted from row counts; the
+    * store reports BYTES — `memoryUsedBytes`, plus RocksDB's SST
+    * total when that provider is active). Keyed by the query's sr tag
+    * (parsed from its scratch dir name, e.g. "graft_sr11_..." →
+    * "sr11"); Bench reads this after each sr query and ships a
+    * `state_bytes`/`state_rows` column next to the shuffle actuals.
+    * Last-writer-wins per tag is correct: each drain rebuilds its
+    * state from scratch, so the newest drain IS the current actual.
+    */
+  val lastStateActuals = scala.collection.concurrent.TrieMap[String, (Long, Long)]()
+
+  private val srTag = "graft_(sr\\d+)_".r
+
+  private def drain(q: org.apache.spark.sql.streaming.StreamingQuery,
+                    scratch: java.nio.file.Path = null): Unit = {
     q.awaitTermination()
+    // The final progress carries the END-state of every stateful
+    // operator: total rows and bytes in the store after the last
+    // micro-batch. RocksDB reports its on-disk SST footprint under
+    // customMetrics ("rocksdbSstFileSize"); memoryUsedBytes covers the
+    // in-memory store (HDFS-backed provider) and RocksDB block cache.
+    // The max of the two is the store's resident footprint either way.
+    if (scratch != null) {
+      srTag.findFirstMatchIn(scratch.getFileName.toString).foreach { m =>
+        val last = q.recentProgress.lastOption.toSeq
+        val ops = last.flatMap(_.stateOperators.toSeq)
+        val rows = ops.map(_.numRowsTotal).sum
+        val bytes = ops.map { op =>
+          val sst = Option(op.customMetrics.get("rocksdbSstFileSize"))
+            .map(_.toLong).getOrElse(0L)
+          math.max(op.memoryUsedBytes, sst)
+        }.sum
+        lastStateActuals.put(m.group(1), (rows, bytes))
+        ()
+      }
+    }
     if (sys.env.get("SPARK_GRAFT_SR_PROFILE").contains("1")) {
       val ps = q.recentProgress.toSeq
       def tot(k: String): Long =
@@ -161,7 +197,7 @@ object StreamReplayQueries {
         duration = "5 minutes",
         trigger = Trigger.AvailableNow(),
         nBuckets = 8).start()
-      drain(q)
+      drain(q, tmp)
       // Materialize before the scratch store is deleted: the returned
       // frame must not lazily re-read files that no longer exist.
       IncrementalGoldStream.read(s, tmp.resolve("store").toString)
@@ -201,7 +237,7 @@ object StreamReplayQueries {
         .trigger(Trigger.AvailableNow())
         .format("parquet").option("path", outDir)
         .start()
-      drain(q)
+      drain(q, tmp)
       s.read.parquet(outDir).distinct().localCheckpoint(eager = true)
     } finally deleteRecursively(tmp)
   }
@@ -251,7 +287,7 @@ object StreamReplayQueries {
           batch.write.mode("append").parquet(outDir); ()
         }
         .start()
-      drain(q)
+      drain(q, tmp)
       // Update-mode emissions accumulate one snapshot per (symbol,
       // micro-batch-with-fresh-events); the newest per symbol is the
       // final state. last_trade_time is unique per symbol (silver
@@ -322,7 +358,7 @@ object StreamReplayQueries {
         .trigger(Trigger.AvailableNow())
         .format("parquet").option("path", outDir)
         .start()
-      drain(q)
+      drain(q, tmp)
       // Append mode + the (ts, eventId) high-water guard emit each
       // completed bucket exactly once; no distinct needed.
       s.read.parquet(outDir)
@@ -368,7 +404,7 @@ object StreamReplayQueries {
         .trigger(Trigger.AvailableNow())
         .format("parquet").option("path", outDir)
         .start()
-      drain(q)
+      drain(q, tmp)
       reduce(s.read.parquet(outDir)).localCheckpoint(eager = true)
     } finally deleteRecursively(tmp)
   }
@@ -448,7 +484,7 @@ object StreamReplayQueries {
           batch.write.mode("append").parquet(outDir); ()
         }
         .start()
-      drain(q)
+      drain(q, tmp)
       // A version emits at most twice: once opening (is_current) and
       // once closing. The closed form is the keyed upsert's survivor.
       val w = org.apache.spark.sql.expressions.Window
@@ -493,7 +529,7 @@ object StreamReplayQueries {
         .trigger(Trigger.AvailableNow())
         .format("parquet").option("path", outDir)
         .start()
-      drain(q)
+      drain(q, tmp)
       s.read.parquet(outDir)
         .groupBy(col("symbol"), to_date(col("event_time")).as("trade_date"))
         .agg(count(lit(1)).as("n_ticks"),
@@ -533,7 +569,7 @@ object StreamReplayQueries {
         .trigger(Trigger.AvailableNow())
         .format("parquet").option("path", outDir)
         .start()
-      drain(q)
+      drain(q, tmp)
       // Newest snapshot per group; the union is bounded by
       // numGroups·k counters — a metadata-sized driver collect, the
       // same contract as the batch operator's In predicate.
@@ -579,7 +615,7 @@ object StreamReplayQueries {
         .trigger(Trigger.AvailableNow())
         .format("parquet").option("path", outDir)
         .start()
-      drain(q)
+      drain(q, tmp)
       s.read.parquet(outDir)
         .select(col("symbol"), col("trade_date"), col("k_num"), col("k_den"),
           col("pct_k"), col("pct_d"))
@@ -636,7 +672,7 @@ object StreamReplayQueries {
         .trigger(Trigger.AvailableNow())
         .format("parquet").option("path", outDir)
         .start()
-      drain(q)
+      drain(q, tmp)
       s.read.parquet(outDir).localCheckpoint(eager = true)
     } finally deleteRecursively(tmp)
   }
@@ -677,7 +713,7 @@ object StreamReplayQueries {
         .trigger(Trigger.AvailableNow())
         .format("parquet").option("path", outDir)
         .start()
-      drain(q)
+      drain(q, tmp)
       s.read.parquet(outDir).localCheckpoint(eager = true)
     } finally deleteRecursively(tmp)
   }
@@ -744,7 +780,7 @@ object StreamReplayQueries {
         .trigger(Trigger.AvailableNow())
         .format("parquet").option("path", outDir)
         .start()
-      drain(q)
+      drain(q, tmp)
       s.read.parquet(outDir)
         .groupBy(col("symbol"), col("trade_date"))
         .agg(count(lit(1)).as("n_matches"),
@@ -813,7 +849,7 @@ object StreamReplayQueries {
         .trigger(Trigger.AvailableNow())
         .format("parquet").option("path", outDir)
         .start()
-      drain(q)
+      drain(q, tmp)
       s.read.parquet(outDir).localCheckpoint(eager = true)
     } finally deleteRecursively(tmp)
   }
@@ -855,7 +891,7 @@ object StreamReplayQueries {
         .trigger(Trigger.AvailableNow())
         .format("parquet").option("path", outDir)
         .start()
-      drain(q)
+      drain(q, tmp)
       s.read.parquet(outDir).localCheckpoint(eager = true)
     } finally deleteRecursively(tmp)
   }
@@ -930,7 +966,7 @@ object StreamReplayQueries {
         .trigger(Trigger.AvailableNow())
         .format("parquet").option("path", outDir)
         .start()
-      drain(q)
+      drain(q, tmp)
       s.read.parquet(outDir).localCheckpoint(eager = true)
     } finally deleteRecursively(tmp)
   }
@@ -988,7 +1024,7 @@ object StreamReplayQueries {
         .trigger(Trigger.AvailableNow())
         .format("parquet").option("path", outDir)
         .start()
-      drain(q)
+      drain(q, tmp)
       val out = s.read.parquet(outDir).localCheckpoint(eager = true)
       // Dense-offset guard (bounded: ≤4 groups): offsets per partition
       // must be exactly [0, n).
@@ -1001,6 +1037,186 @@ object StreamReplayQueries {
         .count()
       require(bad == 0L, s"sr17: non-dense kafka offsets in $bad partitions")
       out.select(col("symbol"), col("ts_ms"), col("price"), col("volume"))
+    } finally deleteRecursively(tmp)
+  }
+
+  /** SR18 — per-partition `startingOffsets` offset JSON under the
+    * oracle (r13 verdict item #4): `{"topic":{"partition":offset}}`
+    * mid-topic resume, the commonest operational Kafka knob after
+    * maxOffsetsPerTrigger (backfill repair). Records are keyed by a
+    * side tag (event_id parity → 'feed-a'/'feed-b', murmur2 partitions
+    * checked disjoint at runtime) and produced as ONE record file in
+    * event_id order (single sorted write task), so each partition's
+    * offsets are exactly the side's event_id ranks — deterministic and
+    * oracle-expressible as a per-side ROW_NUMBER. The consume then
+    * starts the two partitions at DIFFERENT offsets (side A at 7, side
+    * B at 3); the drained set must equal silver minus each side's
+    * skipped prefix. KafkaAdmissionSpec pins the mechanics (floors on
+    * streaming + batch scans, -2/earliest sentinel, validation
+    * failures, batch-latest rejection).
+    */
+  def streamStartOffsetsReplay(s: SparkSession, dir: String): DataFrame = withReplayConfs(s) {
+    val tmp = ReplayStaging.scratchDir("graft_sr18_")
+    try {
+      val silver = silverM(s, dir)
+      val pA = graft.sources.TestKafka.partitionFor("feed-a".getBytes("UTF-8"), 4)
+      val pB = graft.sources.TestKafka.partitionFor("feed-b".getBytes("UTF-8"), 4)
+      require(pA != pB, s"sr18 fixture keys collide on partition $pA")
+      val wire = silver
+        .select(when(col("event_id") % 2 === 0, lit("feed-a"))
+            .otherwise(lit("feed-b")).as("key"),
+          to_json(struct(col("symbol"), col("price"), col("volume"),
+            unix_millis(col("event_time")).as("timestamp"))).as("value"),
+          col("event_id"))
+        .repartition(1).sortWithinPartitions("event_id")
+        .select("key", "value")
+      val topicDir = tmp.resolve("topic").toString
+      wire.write.mode("append").format("graft-testkafka")
+        .option("path", topicDir).option("topic", "trades_raw")
+        .option("partitions", "4").save()
+      require(graft.sources.TestKafka.listRecordFiles(topicDir).length == 1,
+        "sr18: staging must be ONE record file so arrival order is the event_id order")
+      val raw = s.readStream.format("graft-testkafka")
+        .option("path", topicDir).option("partitions", "4")
+        .option("startingOffsets", s"""{"trades_raw":{"$pA":7,"$pB":3}}""")
+        .load()
+      val parsed = raw.select(col("key").cast("string").as("side"),
+          from_json(col("value").cast("string"), org.apache.spark.sql.types.StructType.fromDDL(
+            "symbol STRING, price DOUBLE, volume BIGINT, timestamp BIGINT")).as("t"))
+        .select(col("side"), col("t.symbol").as("symbol"),
+          col("t.timestamp").as("ts_ms"),
+          col("t.price").as("price"), col("t.volume").as("volume"))
+      val outDir = tmp.resolve("out").toString
+      val q = parsed.writeStream.outputMode("append")
+        .option("checkpointLocation", tmp.resolve("ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .format("parquet").option("path", outDir)
+        .start()
+      drain(q, tmp)
+      s.read.parquet(outDir).localCheckpoint(eager = true)
+    } finally deleteRecursively(tmp)
+  }
+
+  /** SR19 — SCHEMA-EVOLUTION replay under the oracle (r13 verdict item
+    * #2): the reference delegates evolution to Schema Registry
+    * BACKWARD compatibility (scripts/register_schemas.py:122,
+    * docs/research/KAFKA_ARCHITECTURE.md:59-75) — a reader upgraded
+    * with a new nullable-with-default field must keep decoding old
+    * data. AvroIngestSpec asserts that contract statically; this
+    * replay CROSSES the boundary at runtime: slice 1 (event_id even)
+    * is produced under the current Trade wire schema and drained by
+    * the v1 reader; the topic then receives slice 2 under the evolved
+    * schema (+`exchange` string), and the UPGRADED app — v2 reader,
+    * new projection — restarts on the SAME checkpoint and drains only
+    * the new records. The output store now holds two file generations
+    * with different schemas (the lake-side face of the same
+    * evolution), merged on read; the union must hash-match silver with
+    * exchange = null exactly on the pre-evolution rows. Which
+    * JSON-decode evolutions are tolerated vs rejected is pinned in
+    * SchemaDriftSpec (add-nullable and reader-ahead → null defaults;
+    * type flips → corrupt-record null, loud under a count guard).
+    */
+  def streamEvolutionReplay(s: SparkSession, dir: String): DataFrame = withReplayConfs(s) {
+    val tmp = ReplayStaging.scratchDir("graft_sr19_")
+    try {
+      val silver = silverM(s, dir)
+      val topicDir = tmp.resolve("topic").toString
+      val outDir = tmp.resolve("out").toString
+      val ckpt = tmp.resolve("ckpt").toString
+      val v1Reader = org.apache.spark.sql.types.StructType.fromDDL(
+        "symbol STRING, price DOUBLE, volume BIGINT, timestamp BIGINT")
+      val v2Reader = org.apache.spark.sql.types.StructType.fromDDL(
+        "symbol STRING, price DOUBLE, volume BIGINT, timestamp BIGINT, exchange STRING")
+      def produce(wire: DataFrame): Unit =
+        wire.write.mode("append").format("graft-testkafka")
+          .option("path", topicDir).option("topic", "trades_raw")
+          .option("partitions", "4").save()
+      def drainWith(reader: org.apache.spark.sql.types.StructType): Unit = {
+        val raw = s.readStream.format("graft-testkafka")
+          .option("path", topicDir).option("partitions", "4").load()
+        val cols = Seq(col("t.symbol").as("symbol"),
+          col("t.timestamp").as("ts_ms"),
+          col("t.price").as("price"), col("t.volume").as("volume")) ++
+          (if (reader.fieldNames.contains("exchange"))
+            Seq(col("t.exchange").as("exchange")) else Seq.empty)
+        val q = raw.select(from_json(col("value").cast("string"), reader).as("t"))
+          .select(cols: _*)
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .format("parquet").option("path", outDir)
+          .start()
+        drain(q, tmp)
+      }
+      // Epoch 1: current contract, current reader.
+      produce(silver.filter(col("event_id") % 2 === 0)
+        .select(col("symbol").as("key"),
+          to_json(struct(col("symbol"), col("price"), col("volume"),
+            unix_millis(col("event_time")).as("timestamp"))).as("value")))
+      drainWith(v1Reader)
+      // Epoch 2: BACKWARD-evolved contract; upgraded reader restarts
+      // on the same checkpoint and consumes only the new records.
+      produce(silver.filter(col("event_id") % 2 === 1)
+        .select(col("symbol").as("key"),
+          to_json(struct(col("symbol"), col("price"), col("volume"),
+            unix_millis(col("event_time")).as("timestamp"),
+            concat(lit("XN-"), col("symbol")).as("exchange"))).as("value")))
+      drainWith(v2Reader)
+      s.read.option("mergeSchema", "true").parquet(outDir)
+        .select(col("exchange"), col("symbol"), col("ts_ms"),
+          col("price"), col("volume"))
+        .localCheckpoint(eager = true)
+    } finally deleteRecursively(tmp)
+  }
+
+  /** SR20 — MULTI-SOURCE watermark semantics under the oracle (r13
+    * verdict item #5): sr16 unions two topics STATELESSLY; the
+    * global-watermark rule that governs any stateful op downstream of
+    * a union — min across sources under the default
+    * `multipleWatermarkPolicy` — had never been exercised, and it is
+    * exactly where a slow quote topic silently stalls trade-side
+    * windows in production. Two watermarked file streams with
+    * deliberately SKEWED event-time progress (feed A = all of silver;
+    * feed B = the quote-like subset truncated at 2024-01-20) union
+    * into one windowed aggregate. Append mode then emits a window iff
+    * its end ≤ the final GLOBAL watermark = min(maxA, maxB) − 3d —
+    * i.e. the slow feed's horizon gates BOTH feeds' windows, so every
+    * trade window past maxB − 3d stays in state, unemitted: the stall,
+    * made oracle-checkable. The min-vs-max policy mechanics (stuck
+    * watermark while one source lags, the max variant's advance) are
+    * pinned per-batch in MultiWatermarkSpec from
+    * StreamingQueryProgress.
+    */
+  def streamUnionWatermarkReplay(s: SparkSession, dir: String): DataFrame = withReplayConfs(s) {
+    val silver = silverM(s, dir)
+    val tmp = ReplayStaging.scratchDir("graft_sr20_")
+    try {
+      val feedB = silver.filter(col("event_id") % 3 === 0 &&
+        col("event_time") < lit("2024-01-20").cast("timestamp"))
+      val stagingA = stagedChrono(s"silver|$dir", silver)
+      val stagingB = ReplayStaging.chronoSlices(s"silver_b20|$dir", feedB)
+      def src(staging: String, feed: String) =
+        s.readStream.schema(silver.schema)
+          .option("maxFilesPerTrigger", "1").parquet(staging)
+          .withWatermark("event_time", "3 days")
+          .select(lit(feed).as("feed"), col("symbol"),
+            col("event_time"), col("volume"))
+      val agg = src(stagingA, "trade").unionByName(src(stagingB, "quote"))
+        .groupBy(col("feed"), col("symbol"),
+          window(col("event_time"), "5 minutes"))
+        .agg(count(lit(1)).as("n_events"), sum(col("volume")).as("sum_volume"))
+        .select(col("feed"), col("symbol"),
+          unix_millis(col("window.start")).as("ws_ms"),
+          unix_millis(col("window.end")).as("we_ms"),
+          col("n_events"), col("sum_volume"))
+      val outDir = tmp.resolve("out").toString
+      val q = agg.writeStream.outputMode("append")
+        .option("checkpointLocation", tmp.resolve("ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .format("parquet").option("path", outDir)
+        .start()
+      drain(q, tmp)
+      s.read.parquet(outDir).localCheckpoint(eager = true)
     } finally deleteRecursively(tmp)
   }
 
@@ -1021,7 +1237,10 @@ object StreamReplayQueries {
     "sr14_stream_dedup_replay" -> (streamDedupReplay _),
     "sr15_stream_kafka_replay" -> (streamKafkaReplay _),
     "sr16_stream_multitopic_replay" -> (streamMultiTopicReplay _),
-    "sr17_stream_ratelimit_replay" -> (streamRateLimitReplay _))
+    "sr17_stream_ratelimit_replay" -> (streamRateLimitReplay _),
+    "sr18_stream_startoffsets_replay" -> (streamStartOffsetsReplay _),
+    "sr19_stream_evolution_replay" -> (streamEvolutionReplay _),
+    "sr20_stream_unionwm_replay" -> (streamUnionWatermarkReplay _))
 
   /** sr11's kept/emitted sets, as explicit SQL: the late-record filter
     * the THIRD slice meets (m0 — the watermark slice 1 evicted with,
@@ -1162,5 +1381,50 @@ object StreamReplayQueries {
     // EXECUTION: four admission-limited micro-batches with mid-file
     // checkpoint resumption instead of one batch per staged file.
     "sr17_stream_ratelimit_replay" -> (SparkEntry.P + """
-      SELECT symbol, epoch_ms(event_time) AS ts_ms, price, volume FROM silver"""))
+      SELECT symbol, epoch_ms(event_time) AS ts_ms, price, volume FROM silver"""),
+    // Silver minus each side's startingOffsets-skipped prefix: side =
+    // event_id parity (the produce key), offset within a side = the
+    // side's 0-based event_id rank (single sorted-file produce ⇒
+    // arrival order = event_id order ⇒ dense per-partition offsets in
+    // that order), so "start partition A at 7, B at 3" is exactly
+    // "keep rn > 7 / rn > 3" per side.
+    "sr18_stream_startoffsets_replay" -> (SparkEntry.P + """
+      SELECT side, symbol, ts_ms, price, volume FROM (
+        SELECT CASE WHEN event_id % 2 = 0 THEN 'feed-a' ELSE 'feed-b' END AS side,
+               symbol, epoch_ms(event_time) AS ts_ms, price, volume,
+               ROW_NUMBER() OVER (PARTITION BY event_id % 2 ORDER BY event_id) AS rn
+        FROM silver
+      )
+      WHERE (side = 'feed-a' AND rn > 7) OR (side = 'feed-b' AND rn > 3)"""),
+    // Silver with the evolved field null exactly on the pre-evolution
+    // rows: the v2 reader's BACKWARD default (absent JSON field →
+    // null) is what the hash proves, across a checkpoint restart and
+    // a mixed-schema output store.
+    "sr19_stream_evolution_replay" -> (SparkEntry.P + """
+      SELECT CASE WHEN event_id % 2 = 1 THEN 'XN-' || symbol END AS exchange,
+             symbol, epoch_ms(event_time) AS ts_ms, price, volume
+      FROM silver"""),
+    // Both feeds' 5m windows, emitted iff closed by the final GLOBAL
+    // watermark = min(maxA, maxB) - 3 days (multipleWatermarkPolicy
+    // default min; 259200000 = 3 days in ms) — the slow feed gates the
+    // fast feed's windows too, which is the semantics under test.
+    "sr20_stream_unionwm_replay" -> (SparkEntry.P + """, wmx AS (
+      SELECT LEAST(
+        (SELECT epoch_ms(MAX(event_time)) FROM silver),
+        (SELECT epoch_ms(MAX(event_time)) FROM silver
+          WHERE event_id % 3 = 0 AND event_time < TIMESTAMP '2024-01-20 00:00:00')
+      ) - 259200000 AS w
+    ), u AS (
+      SELECT 'trade' AS feed, symbol,
+             epoch_ms(event_time) - epoch_ms(event_time) % 300000 AS ws_ms, volume
+      FROM silver
+      UNION ALL
+      SELECT 'quote' AS feed, symbol,
+             epoch_ms(event_time) - epoch_ms(event_time) % 300000 AS ws_ms, volume
+      FROM silver WHERE event_id % 3 = 0 AND event_time < TIMESTAMP '2024-01-20 00:00:00'
+    )
+    SELECT feed, symbol, ws_ms, ws_ms + 300000 AS we_ms,
+           COUNT(*) AS n_events, CAST(SUM(volume) AS BIGINT) AS sum_volume
+    FROM u GROUP BY 1, 2, 3
+    HAVING ws_ms + 300000 <= (SELECT w FROM wmx)"""))
 }

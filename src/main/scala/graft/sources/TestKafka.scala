@@ -153,6 +153,61 @@ object TestKafka {
       .filter(f => f.isFile && f.getName.startsWith("records-"))
       .map(_.getAbsolutePath).sorted
   }
+
+  /** Parse the real Kafka source's per-partition `startingOffsets`
+    * offset JSON — `{"topic":{"0":23,"1":-2}}` — into per-(topic,
+    * partition) starting-offset floors (r13 verdict item #4: mid-topic
+    * resume is the commonest operational Kafka knob after
+    * maxOffsetsPerTrigger, and the seam used to reject it outright).
+    * `-2` means earliest, as in the real source. Two documented
+    * deviations: `-1` (per-partition latest) is rejected — resolving
+    * it needs broker end offsets, which at this seam are CONTENT
+    * (record files must be read); use `startingOffsets=latest` for the
+    * whole query instead — and (topic, partition)s absent from the
+    * JSON start at earliest, where the real source demands every
+    * TopicPartition be listed (the seam's topics live inside record
+    * lines, so the full partition set is unknowable at planning time;
+    * earliest matches the real source's newly-discovered-partition
+    * rule).
+    */
+  def parseStartingOffsets(json: String, nPartitions: Int): Map[(String, Int), Long] = {
+    import org.json4s._
+    val parsed =
+      try org.json4s.jackson.JsonMethods.parse(json)
+      catch { case e: Exception => throw new IllegalArgumentException(
+        s"testkafka: malformed startingOffsets JSON '$json'", e) }
+    parsed match {
+      case JObject(topics) if topics.nonEmpty =>
+        topics.iterator.flatMap {
+          case (topic, JObject(parts)) =>
+            require(parts.nonEmpty,
+              s"testkafka: startingOffsets topic '$topic' maps to an empty object")
+            parts.iterator.map {
+              case (p, JInt(n)) =>
+                val pi =
+                  try p.toInt
+                  catch { case _: NumberFormatException =>
+                    throw new IllegalArgumentException(
+                      s"testkafka: startingOffsets partition '$p' of topic '$topic' is not an integer") }
+                require(pi >= 0 && pi < nPartitions,
+                  s"testkafka: startingOffsets names partition $pi of topic '$topic' " +
+                    s"but the source has $nPartitions partitions")
+                require(n == -2 || n >= 0,
+                  s"testkafka: startingOffsets $n for $topic-$pi — concrete offsets ≥0 " +
+                    "and -2 (earliest) are supported; -1 (latest) needs broker end " +
+                    "offsets, use startingOffsets=latest for the whole query")
+                ((topic, pi), if (n == -2) 0L else n.toLong)
+              case (p, other) => throw new IllegalArgumentException(
+                s"testkafka: startingOffsets $topic-$p must be an integer offset, got $other")
+            }
+          case (topic, other) => throw new IllegalArgumentException(
+            s"testkafka: startingOffsets topic '$topic' must map to " +
+              s"""{"partition":offset}, got $other""")
+        }.toMap
+      case _ => throw new IllegalArgumentException(
+        s"""testkafka: startingOffsets JSON must be {"topic":{"partition":offset}}, got '$json'""")
+    }
+  }
 }
 
 /** `format("graft-testkafka")` entry point (also registered as a
@@ -187,10 +242,16 @@ class TestKafkaTable(path: String, nPartitions: Int, defaultTopic: Option[String
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     () => {
-      val starting = options.getOrDefault("startingOffsets", "earliest")
-      require(starting == "earliest" || starting == "latest",
-        s"testkafka: startingOffsets must be 'earliest' or 'latest' " +
-          s"(per-partition offset JSON is not supported by this seam), got '$starting'")
+      val starting = options.getOrDefault("startingOffsets", "earliest").trim
+      // 'earliest' | 'latest' | per-partition offset JSON, the real
+      // source's three forms. Anything else fails at planning time.
+      val floors: Map[(String, Int), Long] =
+        if (starting == "earliest" || starting == "latest") Map.empty
+        else if (starting.startsWith("{"))
+          TestKafka.parseStartingOffsets(starting, nPartitions)
+        else throw new IllegalArgumentException(
+          s"testkafka: startingOffsets must be 'earliest', 'latest' or " +
+            s"""per-partition offset JSON {"topic":{"partition":offset}}, got '$starting'""")
       new TestKafkaScan(path, nPartitions,
         // The real Kafka source's rate-limit option, same name & unit
         // (records per micro-batch).
@@ -200,7 +261,8 @@ class TestKafkaTable(path: String, nPartitions: Int, defaultTopic: Option[String
         // defaults to latest; this seam defaults to earliest because
         // replay fixtures stage their topic before consuming — a
         // latest default would silently drain nothing.
-        startFromLatest = starting == "latest")
+        startFromLatest = starting == "latest",
+        floors = floors)
     }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -220,26 +282,42 @@ class TestKafkaTable(path: String, nPartitions: Int, defaultTopic: Option[String
   * not event time), dense per (topic, partition), and stable for a
   * given topic directory however the scan is split, rate-limited, or
   * resumed.
+  *
+  * `floors` — per-(topic, partition) starting offsets from the
+  * `startingOffsets` offset JSON — suppress EMISSION of records whose
+  * assigned offset is below the floor while still advancing the offset
+  * counter past them: offsets stay log positions counting the skipped
+  * history, exactly what a real consumer seeking to offset N observes.
   */
 final case class TestKafkaInputPartition(partitionId: Int, nPartitions: Int,
                                          prior: Array[(String, Long)],
-                                         delta: Array[(String, Long, Long)]) extends InputPartition
+                                         delta: Array[(String, Long, Long)],
+                                         floors: Map[(String, Int), Long] = Map.empty)
+    extends InputPartition
 
 class TestKafkaScan(path: String, nPartitions: Int,
                     maxPerTrigger: Option[Long] = None,
-                    startFromLatest: Boolean = false) extends Scan with Batch {
+                    startFromLatest: Boolean = false,
+                    floors: Map[(String, Int), Long] = Map.empty) extends Scan with Batch {
   override def readSchema(): StructType = TestKafka.ReadSchema
-  override def toBatch: Batch = this
+  override def toBatch: Batch = {
+    // The real source's batch-read rule, verbatim: a batch query reads
+    // a bounded range, and 'latest' names no bound.
+    require(!startFromLatest,
+      "testkafka: starting offset can't be latest for batch queries " +
+        "(matching the Kafka source's rejection)")
+    this
+  }
   override def toMicroBatchStream(checkpointLocation: String):
       org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new TestKafkaMicroBatchStream(path, nPartitions, maxPerTrigger, startFromLatest)
+    new TestKafkaMicroBatchStream(path, nPartitions, maxPerTrigger, startFromLatest, floors)
   override def description(): String = s"TestKafkaScan(path=$path, partitions=$nPartitions)"
 
   override def planInputPartitions(): Array[InputPartition] = {
     val files = TestKafka.listRecordFiles(path)
       .map(f => (f, 0L, Long.MaxValue))
     (0 until nPartitions)
-      .map(i => TestKafkaInputPartition(i, nPartitions, Array.empty, files): InputPartition)
+      .map(i => TestKafkaInputPartition(i, nPartitions, Array.empty, files, floors): InputPartition)
       .toArray
   }
 
@@ -275,12 +353,16 @@ class TestKafkaPartitionReader(p: TestKafkaInputPartition)
     val base = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
     myRecords(p.prior.map { case (f, n) => (f, 0L, n) })
       .foreach(r => base(r.topic) += 1L)
-    myRecords(p.delta).map { r =>
+    myRecords(p.delta).flatMap { r =>
       val offset = base(r.topic)
       base(r.topic) = offset + 1L
-      new GenericInternalRow(Array[Any](
+      // startingOffsets floor: records below it are consumed history —
+      // they advance the log position but are never emitted, like a
+      // consumer that sought past them.
+      if (offset < p.floors.getOrElse((r.topic, p.partitionId), 0L)) None
+      else Some(new GenericInternalRow(Array[Any](
         r.key, r.value, UTF8String.fromString(r.topic),
-        p.partitionId, offset, r.tsMs * 1000L, 0)): InternalRow
+        p.partitionId, offset, r.tsMs * 1000L, 0)): InternalRow)
     }
   }
   private var current: InternalRow = _
@@ -316,6 +398,13 @@ object TestKafkaOffset {
     * token is followed by `:<count>`.
     */
   def fromJson(json: String): TestKafkaOffset = {
+    // Format guard (r13 advice): a foreign or legacy checkpoint offset
+    // (e.g. a pre-r13 JSON ARRAY of filenames) must fail loudly — the
+    // token scan below would otherwise land its digit search inside
+    // the next quoted filename and misparse (file, count) pairs.
+    require(json.trim.startsWith("{"),
+      s"testkafka offset: expected a {'file':count} JSON object, got '$json' — " +
+        "foreign or legacy checkpoint?")
     val out = Seq.newBuilder[(String, Long)]
     var i = 0
     while (i < json.length && json.charAt(i) != '"') i += 1
@@ -360,10 +449,20 @@ object TestKafkaOffset {
   * observable ≤max-records-per-batch contract. SupportsTriggerAvailable
   * Now pins the run's end offset at start, as the real source does, so
   * files landing mid-drain don't extend it.
+  *
+  * `floors` (per-partition `startingOffsets` JSON) are applied at the
+  * READER — skipped history advances log positions without being
+  * emitted — so when combined with `maxOffsetsPerTrigger` the
+  * admission budget is counted over record LINES including the
+  * pre-floor history (early batches emit fewer than `max` rows while
+  * the skip drains), whereas the real source seeks first and admits
+  * from the floor onward. The observable guarantee both share:
+  * every batch emits ≤ max records.
   */
 class TestKafkaMicroBatchStream(path: String, nPartitions: Int,
                                 maxPerTrigger: Option[Long] = None,
-                                startFromLatest: Boolean = false)
+                                startFromLatest: Boolean = false,
+                                floors: Map[(String, Int), Long] = Map.empty)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
@@ -429,7 +528,7 @@ class TestKafkaMicroBatchStream(path: String, nPartitions: Int,
       .map { case (f, n) => (f, priorMap.getOrElse(f, 0L), n) }
       .filter { case (_, from, to) => to > from }
     (0 until nPartitions)
-      .map(i => TestKafkaInputPartition(i, nPartitions, prior, delta): InputPartition)
+      .map(i => TestKafkaInputPartition(i, nPartitions, prior, delta, floors): InputPartition)
       .toArray
   }
 

@@ -2,6 +2,7 @@ package graft.streaming
 
 import java.nio.file.{Files, Path, Paths}
 import java.util.Comparator
+import java.util.concurrent.ConcurrentHashMap
 
 import scala.collection.concurrent.TrieMap
 
@@ -34,9 +35,9 @@ import org.apache.spark.sql.functions._
   */
 object ReplayStaging {
 
-  private val cache = TrieMap[String, String]()
+  private val cache = new ConcurrentHashMap[String, String]()
   private val roots = TrieMap[String, Path]()
-  private val frames = TrieMap[String, DataFrame]()
+  private val frames = new ConcurrentHashMap[String, DataFrame]()
   private val schemas = TrieMap[String, String]()
 
   /** The 'same key ⇒ same frame' contract, CHECKED (r12 advice): keys
@@ -50,11 +51,19 @@ object ReplayStaging {
     * are immutable and every key embeds the sf dir, so two frames with
     * one key can only diverge by projection, which the DDL catches;
     * comparing data would re-run the upstream plan per hit.
+    *
+    * First touch is atomic (`ConcurrentHashMap.computeIfAbsent`, which
+    * blocks concurrent computers for the same key) — the r13 advice
+    * race where two concurrent first-touch callers under Bench's
+    * 4-way sr schedule would BOTH stage the frame, with the loser's
+    * tmpfs directory leaking past the shutdown hook and one caller
+    * skipping the schema check, cannot occur: losers block, observe
+    * fresh=false, and run the schema check against the winner's DDL.
     */
   private def checkedHit[T](key: String, frame: => DataFrame,
-                            store: TrieMap[String, T])(build: DataFrame => T): T = {
+                            store: ConcurrentHashMap[String, T])(build: DataFrame => T): T = {
     var fresh = false
-    val out = store.getOrElseUpdate(key, {
+    val out = store.computeIfAbsent(key, _ => {
       fresh = true
       val f = frame
       schemas.put(key, f.schema.toDDL)
@@ -95,12 +104,34 @@ object ReplayStaging {
     * on spinning-rust-class virtual disk. On tmpfs the fsync is a
     * memory barrier. Production sinks/checkpoints take caller-supplied
     * durable paths; this is the TEST/replay harness's allocation only.
+    *
+    * Capacity guard (r13 advice): /dev/shm is typically capped at 50%
+    * RAM and its pages compete with the JVM heap, so at larger SFs or
+    * higher sr concurrency an unconditional tmpfs preference fails with
+    * ENOSPC mid-bench instead of degrading. Two escape hatches:
+    * `SPARK_GRAFT_SCRATCH=<dir>` pins scratch explicitly (must exist
+    * and be writable — fails loudly otherwise, a silent fallback would
+    * un-pin what the caller pinned), and without the pin tmpfs is only
+    * chosen while it reports ≥4 GiB usable — comfortably above any
+    * single drain's staging+checkpoint+state footprint at sf0.1
+    * (≤300 MB measured), so the fallback fires only when tmpfs is
+    * genuinely near capacity.
     */
   def scratchDir(prefix: String): Path = {
-    val shm = Paths.get("/dev/shm")
-    if (Files.isDirectory(shm) && Files.isWritable(shm))
-      Files.createTempDirectory(shm, prefix)
-    else Files.createTempDirectory(prefix)
+    sys.env.get("SPARK_GRAFT_SCRATCH") match {
+      case Some(dir) =>
+        val p = Paths.get(dir)
+        require(Files.isDirectory(p) && Files.isWritable(p),
+          s"SPARK_GRAFT_SCRATCH=$dir is not a writable directory")
+        Files.createTempDirectory(p, prefix)
+      case None =>
+        val shm = Paths.get("/dev/shm")
+        val minFree = 4L << 30
+        if (Files.isDirectory(shm) && Files.isWritable(shm) &&
+            shm.toFile.getUsableSpace >= minFree)
+          Files.createTempDirectory(shm, prefix)
+        else Files.createTempDirectory(prefix)
+    }
   }
 
   private[graft] def deleteRecursively(root: Path): Unit = {

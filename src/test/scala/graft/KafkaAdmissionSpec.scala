@@ -159,21 +159,106 @@ class KafkaAdmissionSpec extends SparkSpecBase {
     }
   }
 
-  test("startingOffsets rejects anything but earliest/latest at planning time") {
+  // ------------------------------------------------------------------
+  // Per-partition startingOffsets offset JSON (r13 verdict item #4):
+  // {"topic":{"partition":offset}} — the r13 negative test, now the
+  // positive contract. Mid-topic resume at record granularity, two
+  // partitions starting at DIFFERENT offsets.
+  // ------------------------------------------------------------------
+
+  /** Records keyed so their partition (murmur2 mod 4) is known: symN's
+    * partition is computed with the production partitioner, then the
+    * fixture picks floors per partition from the observed layout.
+    */
+  private def partitionOf(key: String): Int =
+    graft.sources.TestKafka.partitionFor(key.getBytes("UTF-8"), 4)
+
+  test("startingOffsets offset JSON: two partitions start at different offsets (streaming)") {
+    val dir = oneFileTopic(12) // sym0..sym11, known partitioner layout
+    // Per-partition history counts, in arrival (= line) order.
+    val byPart = (0 until 12).map(i => s"sym$i").groupBy(partitionOf)
+    val twoParts = byPart.filter(_._2.size >= 2).keys.toSeq.sorted.take(2)
+    assert(twoParts.size === 2, s"fixture needs 2 partitions with ≥2 records: $byPart")
+    val (pA, pB) = (twoParts(0), twoParts(1))
+    // Partition A skips 2, partition B skips 1 via -2→earliest…
+    // exercised as a concrete offset and the earliest sentinel both.
+    val floorsJson = s"""{"t":{"$pA":2,"$pB":1}}"""
+    val sizes = new ConcurrentLinkedQueue[Long]()
+    val out = new ConcurrentLinkedQueue[(Int, Long, String)]()
+    val q = spark.readStream.format("graft-testkafka")
+      .option("path", dir).option("partitions", "4")
+      .option("startingOffsets", floorsJson)
+      .load()
+      .select(col("partition"), col("offset"), col("key").cast("string").as("k"))
+      .writeStream.option("checkpointLocation", tmpDir("graft_tk_sojson_ck"))
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.collect().foreach(r => out.add((r.getInt(0), r.getLong(1), r.getString(2))))
+        ()
+      }
+      .start()
+    try q.awaitTermination() finally if (q.isActive) q.stop()
+    val got = out.asScala.toSeq
+    // Expected: partition A from offset 2, partition B from offset 1,
+    // all other partitions from earliest; offsets are LOG positions.
+    val expected = byPart.toSeq.flatMap { case (p, keys) =>
+      val floor = if (p == pA) 2 else if (p == pB) 1 else 0
+      keys.zipWithIndex.drop(floor).map { case (k, off) => (p, off.toLong, k) }
+    }.toSet
+    assert(got.toSet === expected,
+      s"offset-bounded feed mismatch:\n got      $got\n expected $expected")
+  }
+
+  test("startingOffsets offset JSON bounds a BATCH read the same way") {
+    import spark.implicits._
+    val dir = oneFileTopic(12)
+    val byPart = (0 until 12).map(i => s"sym$i").groupBy(partitionOf)
+    val p = byPart.filter(_._2.size >= 2).keys.min
+    val batch = spark.read.format("graft-testkafka")
+      .option("path", dir).option("partitions", "4")
+      .option("startingOffsets", s"""{"t":{"$p":1}}""")
+      .load()
+      .select($"partition", $"offset").as[(Int, Long)].collect().toSeq
+    assert(!batch.contains((p, 0L)), s"offset 0 of partition $p should be skipped")
+    assert(batch.filter(_._1 == p).map(_._2).min === 1L)
+    // Untouched partitions still start at earliest.
+    byPart.keys.filter(_ != p).foreach { other =>
+      assert(batch.filter(_._1 == other).map(_._2).min === 0L)
+    }
+    assert(batch.size === 11)
+  }
+
+  test("startingOffsets JSON validation: -1, bad partition, malformed all fail at planning") {
+    val dir = oneFileTopic(1)
+    def planWith(so: String): String = {
+      val err = intercept[Exception] {
+        spark.read.format("graft-testkafka")
+          .option("path", dir).option("partitions", "4")
+          .option("startingOffsets", so).load().collect()
+      }
+      Iterator.iterate(err: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).mkString("|")
+    }
+    assert(planWith("""{"t":{"0":-1}}""").contains("-1 (latest) needs broker end offsets"))
+    assert(planWith("""{"t":{"9":3}}""").contains("the source has 4 partitions"))
+    assert(planWith("""{"t":[3]}""").contains("must map to"))
+    assert(planWith("bogus").contains("must be 'earliest', 'latest' or"))
+    // -2 is the earliest sentinel, accepted.
+    spark.read.format("graft-testkafka")
+      .option("path", dir).option("partitions", "4")
+      .option("startingOffsets", """{"t":{"0":-2}}""").load().collect()
+  }
+
+  test("batch read rejects startingOffsets=latest, matching the real source") {
     val dir = oneFileTopic(1)
     val err = intercept[Exception] {
-      spark.readStream.format("graft-testkafka")
+      spark.read.format("graft-testkafka")
         .option("path", dir).option("partitions", "4")
-        .option("startingOffsets", """{"t":{"0":3}}""")
-        .load()
-        .writeStream.option("checkpointLocation", tmpDir("graft_tk_badso_ck"))
-        .trigger(Trigger.AvailableNow())
-        .format("noop").start().awaitTermination()
+        .option("startingOffsets", "latest").load().collect()
     }
     val msgs = Iterator.iterate(err: Throwable)(_.getCause).takeWhile(_ != null)
       .map(t => Option(t.getMessage).getOrElse("")).mkString("|")
-    assert(msgs.contains("startingOffsets must be 'earliest' or 'latest'"),
-      s"unexpected failure: $msgs")
+    assert(msgs.contains("starting offset can't be latest for batch queries"), msgs)
   }
 
   test("no cap: ReadAllAvailable consumes everything in one batch (pre-r13 behavior unchanged)") {

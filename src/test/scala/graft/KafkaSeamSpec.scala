@@ -301,6 +301,13 @@ class KafkaSeamSpec extends SparkSpecBase {
     assert(rt.lines.sorted === nasty.sorted,
       "fromJson is not the inverse of json() for escaped paths")
     assert(TestKafkaOffset.fromJson(TestKafkaOffset(Nil).json()).lines.isEmpty)
+    // Format guard (r13 advice): a legacy pre-r13 ARRAY-format offset
+    // must fail loudly, not misparse — the digit scan after the first
+    // filename token would otherwise land inside the next quoted
+    // filename and yield wrong (file, count) pairs.
+    val legacy = """["records-e0-p1.tsv","records-e0-p2.tsv"]"""
+    val guard = intercept[IllegalArgumentException] { TestKafkaOffset.fromJson(legacy) }
+    assert(guard.getMessage.contains("foreign or legacy checkpoint"), guard.getMessage)
   }
 
   test("streaming epoch re-commit is idempotent: replayed epoch overwrites, never duplicates") {

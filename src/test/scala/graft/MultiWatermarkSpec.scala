@@ -1,0 +1,109 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Multi-source watermark semantics (r13 verdict item #5), pinned
+  * per-batch from StreamingQueryProgress: with two watermarked sources
+  * feeding one stateful operator, the GLOBAL watermark advances as the
+  * MIN across sources under the default `multipleWatermarkPolicy` — a
+  * lagging source stalls the fast source's windows — and as the MAX
+  * under the `max` policy. sr20 proves the min rule end-to-end under
+  * the DuckDB oracle; this spec pins the batch-by-batch mechanics the
+  * oracle cannot see (the stuck watermark itself, and the policy
+  * flip).
+  */
+class MultiWatermarkSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def ts(hhmm: String): Timestamp =
+    Timestamp.valueOf(s"2024-01-15 $hhmm:00")
+
+  /** Drive a union-of-two-MemoryStreams windowed count; returns
+    * (watermark after each processAllAvailable, emitted window starts)
+    * for the given scripted feed.
+    */
+  private def run(policy: Option[String]): (Seq[String], Seq[Timestamp]) = {
+    val key = "spark.sql.streaming.multipleWatermarkPolicy"
+    val prev = spark.conf.getOption(key)
+    try {
+      policy.foreach(spark.conf.set(key, _))
+      if (policy.isEmpty) spark.conf.unset(key)
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val a = MemoryStream[Timestamp]
+      val b = MemoryStream[Timestamp]
+      def side(m: MemoryStream[Timestamp]) =
+        m.toDF().withColumnRenamed("value", "event_time")
+          .withWatermark("event_time", "10 minutes")
+      val agg = side(a).unionByName(side(b))
+        .groupBy(window(col("event_time"), "5 minutes"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("ws"), col("n"))
+      val out = Files.createTempDirectory("graft_mwm_").toString
+      val q = agg.writeStream.outputMode("append")
+        .option("checkpointLocation", s"$out/ckpt")
+        .format("memory").queryName(s"mwm_${policy.getOrElse("min")}")
+        .trigger(Trigger.ProcessingTime(0))
+        .start()
+      val wms = Seq.newBuilder[String]
+      def step(body: => Unit): Unit = {
+        body
+        q.processAllAvailable()
+        wms += Option(q.lastProgress).map(_.eventTime.get("watermark")).orNull
+      }
+      try {
+        // Batch 1: A at 10:00, B at 09:00 → wm = min(09:50, 08:50).
+        step { a.addData(ts("10:00")); b.addData(ts("09:00")); () }
+        // A races ahead to 12:00; B silent → wm STUCK at B's horizon.
+        step { a.addData(ts("12:00")); () }
+        // B catches up to 11:00 → wm = min(11:50, 10:50) = 10:50 and
+        // the stalled A windows through 10:50 flush.
+        step { b.addData(ts("11:00")); () }
+        val emitted = spark.table(s"mwm_${policy.getOrElse("min")}")
+          .select("ws").as[Timestamp].collect().toSeq.sortBy(_.getTime)
+        (wms.result(), emitted)
+      } finally {
+        q.stop()
+        graft.streaming.ReplayStaging.deleteRecursively(java.nio.file.Paths.get(out))
+      }
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
+  test("default (min) policy: the lagging source stalls the global watermark and the fast source's windows") {
+    val (wms, emitted) = run(None)
+    // After batch 2 the fast source sits at 12:00 but the watermark is
+    // still 08:50 — B's last event (09:00) minus the 10-minute delay.
+    assert(wms(1) === "2024-01-15T08:50:00.000Z", s"watermarks: $wms")
+    // Only once B reaches 11:00 does the min advance to 10:50...
+    assert(wms(2) === "2024-01-15T10:50:00.000Z", s"watermarks: $wms")
+    // ...which flushes the 09:00 and 10:00 windows; A's 12:00 window
+    // is still open (and B's 11:00 one too).
+    assert(emitted === Seq(ts("09:00"), ts("10:00")), s"emitted: $emitted")
+  }
+
+  test("multipleWatermarkPolicy=max: the FAST source drives the watermark") {
+    val (wms, emitted) = run(Some("max"))
+    // After batch 2 the max policy tracks A: 12:00 − 10 min = 11:50 —
+    // B's lag no longer stalls anything (at the price of dropping
+    // B-side late data, which is the documented trade-off).
+    assert(wms(1) === "2024-01-15T11:50:00.000Z", s"watermarks: $wms")
+    // 09:00 and 10:00 flush a batch earlier, and B's late-arriving
+    // 11:00 event lands in a window that is still open (11:00 < 11:50
+    // start is closed? 11:00+5m=11:05 ≤ 11:50 → it would be DROPPED as
+    // late by the filter, not aggregated).
+    assert(emitted.contains(ts("09:00")) && emitted.contains(ts("10:00")),
+      s"emitted: $emitted")
+    // The 11:00 B event arrived behind the max-policy watermark: its
+    // window must NOT appear (late-drop), pinning the policy's cost.
+    assert(!emitted.contains(ts("11:00")), s"emitted: $emitted")
+  }
+}

@@ -238,4 +238,39 @@ class MutationSpec extends SparkSpecBase {
     // planted duplicates, so the mutated drain has more rows.
     assert(mut.size > base.size)
   }
+
+  // ------------------------------------------------------------------
+  // COMPARE-side liveness (r13 verdict item #7): every test above
+  // perturbs the ENGINE; the symmetric failure is a comparator that
+  // ignores what it should compare. The end-to-end oracle-side pass —
+  // one query per family, the ORACLE SQL perturbed (projection
+  // widened, a row dropped, one numeric column bumped) and the
+  // driver-replica compare required to fail with the RIGHT gate —
+  // lives in scripts/oracle_mutation_check.py (runs in check.sh after
+  // every verify sweep; DuckDB is driver-side tooling, not a JVM
+  // dependency). The tests below pin the same three sensitivities on
+  // the in-JVM canonical form these gate tests are built on, so a
+  // canon() regression cannot silently defang the whole suite.
+  // ------------------------------------------------------------------
+
+  test("[compare] canon is live to a widened projection") {
+    val df = SparkEntry.queries("q1_count_day")(spark, Sf)
+    assert(canon(df) != canon(df.withColumn("graft_extra", lit(1))),
+      "DEAD COMPARE: an extra column left the canonical form unchanged")
+  }
+
+  test("[compare] canon is live to a single-row count change") {
+    val df = SparkEntry.queries("q5_volume_by_symbol")(spark, Sf)
+    assert(canon(df) != canon(df.limit(math.max(0, df.count().toInt - 1))),
+      "DEAD COMPARE: dropping a row left the canonical form unchanged")
+  }
+
+  test("[compare] canon is live to a one-ulp-scale value bump in one column") {
+    val df = SparkEntry.queries("q2_volume_day")(spark, Sf)
+    val num = df.schema.fields.find(f =>
+      f.dataType == org.apache.spark.sql.types.LongType ||
+        f.dataType == org.apache.spark.sql.types.DoubleType).get.name
+    assert(canon(df) != canon(df.withColumn(num, col(num) + 1)),
+      s"DEAD COMPARE: bumping $num left the canonical form unchanged")
+  }
 }

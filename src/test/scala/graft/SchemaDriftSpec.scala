@@ -146,4 +146,74 @@ class SchemaDriftSpec extends SparkSpecBase {
     }
     assert(e.getMessage.contains("unsupported physical type"))
   }
+
+  // ------------------------------------------------------------------
+  // JSON wire-schema evolution pins (r13 verdict item #2, sr19's
+  // companion): which evolutions the from_json decode path TOLERATES
+  // (null defaults — the BACKWARD-compatibility analog Schema Registry
+  // enforces for the reference, register_schemas.py:122) vs which it
+  // degrades on silently (type flips → per-FIELD null under Spark's
+  // partial-results PERMISSIVE mode) vs how to make it REJECT loudly
+  // (FAILFAST). sr19 executes the tolerated path across a checkpoint
+  // restart; these pins are the full decision table.
+  // ------------------------------------------------------------------
+
+  private val wireV1 = org.apache.spark.sql.types.StructType.fromDDL(
+    "symbol STRING, price DOUBLE, volume BIGINT")
+  private val wireV2 = org.apache.spark.sql.types.StructType.fromDDL(
+    "symbol STRING, price DOUBLE, volume BIGINT, exchange STRING")
+
+  private def decode(reader: org.apache.spark.sql.types.StructType,
+                     payloads: String*): Seq[org.apache.spark.sql.Row] =
+    payloads.toSeq.toDF("value")
+      .select(from_json(col("value"), reader).as("t")).select("t.*")
+      .collect().toSeq
+
+  test("evolution TOLERATED: reader ahead of data — absent nullable field reads as null") {
+    val Seq(r) = decode(wireV2, """{"symbol":"A","price":1.5,"volume":10}""")
+    assert(r.getString(0) === "A" && r.getDouble(1) === 1.5 && r.getLong(2) === 10L)
+    assert(r.isNullAt(3), "absent field must default to null (BACKWARD)")
+  }
+
+  test("evolution TOLERATED: data ahead of reader — unknown field is ignored") {
+    val Seq(r) = decode(wireV1,
+      """{"symbol":"B","price":2.5,"volume":20,"exchange":"XN"}""")
+    assert(r.getString(0) === "B" && r.getDouble(1) === 2.5 && r.getLong(2) === 20L)
+  }
+
+  test("evolution DEGRADED: a type flip nulls THAT FIELD, keeping the rest (partial results)") {
+    // Spark 4's PERMISSIVE mode with partial results: the unparseable
+    // field nulls, siblings survive — NOT a whole-row null (Spark 3)
+    // and NOT an error. A silent null is a data-quality leak, hence
+    // the loud count guard pattern pinned below.
+    val Seq(r1, r2) = decode(wireV2,
+      """{"symbol":"C","price":"oops","volume":30}""",
+      """{"symbol":"D","price":3.5,"volume":"40"}""")
+    assert(r1.getString(0) === "C" && r1.isNullAt(1) && r1.getLong(2) === 30L)
+    // Numeric-as-string is NOT coerced either — "40" is a flip, not 40.
+    assert(r2.getString(0) === "D" && r2.getDouble(1) === 3.5 && r2.isNullAt(2))
+  }
+
+  test("evolution REJECTED loudly: FAILFAST mode throws on the same type flip") {
+    val e = intercept[Exception] {
+      Seq("""{"symbol":"C","price":"oops","volume":30}""").toDF("value")
+        .select(from_json(col("value"), wireV2,
+          Map("mode" -> "FAILFAST")).as("t")).select("t.*")
+        .collect()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("|")
+    assert(msgs.contains("FAILFAST") || msgs.contains("Malformed"), msgs)
+  }
+
+  test("the loud guard sr19-style pipelines should carry: required-field null count") {
+    // The production posture for the DEGRADED case: decode PERMISSIVE
+    // for throughput, then gate on null counts of contract-required
+    // fields — this is Validation.split's shape, asserted here on the
+    // decode output directly.
+    val bad = decode(wireV2, """{"symbol":"C","price":"oops","volume":30}""",
+      """{"symbol":"A","price":1.5,"volume":10}""")
+      .count(r => r.isNullAt(1))
+    assert(bad === 1, "the guard must see exactly the flipped row")
+  }
 }
