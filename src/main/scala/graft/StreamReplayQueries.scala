@@ -1055,27 +1055,49 @@ object StreamReplayQueries {
     * streaming + batch scans, -2/earliest sentinel, validation
     * failures, batch-latest rejection).
     */
+  /** Stage silver as ONE sorted record file of a two-key topic: keys
+    * 'feed-a'/'feed-b' by event_id parity (murmur2 partitions checked
+    * disjoint), line order = event_id order, so each partition's
+    * offsets are exactly the side's 0-based event_id ranks —
+    * deterministic and oracle-expressible as a per-side ROW_NUMBER.
+    * With `decoy` an interleaved second topic ('quotes_raw', same
+    * keys) shares the file; per-topic offset assignment keeps the
+    * trades ranks untouched, and a subscribe filter must exclude it.
+    * Returns (pA, pB). Shared by sr18 (streaming resume) and p8
+    * (batch bounded read).
+    */
+  private def stageSidedTopic(s: SparkSession, dir: String, topicDir: String,
+                              decoy: Boolean): (Int, Int) = {
+    val silver = silverM(s, dir)
+    val pA = graft.sources.TestKafka.partitionFor("feed-a".getBytes("UTF-8"), 4)
+    val pB = graft.sources.TestKafka.partitionFor("feed-b".getBytes("UTF-8"), 4)
+    require(pA != pB, s"sided-topic fixture keys collide on partition $pA")
+    val sideKey = when(col("event_id") % 2 === 0, lit("feed-a"))
+      .otherwise(lit("feed-b")).as("key")
+    val trades = silver.select(sideKey,
+      to_json(struct(col("symbol"), col("price"), col("volume"),
+        unix_millis(col("event_time")).as("timestamp"))).as("value"),
+      lit("trades_raw").as("topic"), col("event_id"))
+    val wire =
+      if (!decoy) trades
+      else trades.unionByName(silver.filter(col("event_id") % 10 === 0)
+        .select(sideKey,
+          to_json(struct(col("symbol"), col("price"))).as("value"),
+          lit("quotes_raw").as("topic"), col("event_id")))
+    wire.repartition(1).sortWithinPartitions("event_id")
+      .select("key", "value", "topic")
+      .write.mode("append").format("graft-testkafka")
+      .option("path", topicDir).option("partitions", "4").save()
+    require(graft.sources.TestKafka.listRecordFiles(topicDir).length == 1,
+      "sided-topic staging must be ONE record file so arrival order is the event_id order")
+    (pA, pB)
+  }
+
   def streamStartOffsetsReplay(s: SparkSession, dir: String): DataFrame = withReplayConfs(s) {
     val tmp = ReplayStaging.scratchDir("graft_sr18_")
     try {
-      val silver = silverM(s, dir)
-      val pA = graft.sources.TestKafka.partitionFor("feed-a".getBytes("UTF-8"), 4)
-      val pB = graft.sources.TestKafka.partitionFor("feed-b".getBytes("UTF-8"), 4)
-      require(pA != pB, s"sr18 fixture keys collide on partition $pA")
-      val wire = silver
-        .select(when(col("event_id") % 2 === 0, lit("feed-a"))
-            .otherwise(lit("feed-b")).as("key"),
-          to_json(struct(col("symbol"), col("price"), col("volume"),
-            unix_millis(col("event_time")).as("timestamp"))).as("value"),
-          col("event_id"))
-        .repartition(1).sortWithinPartitions("event_id")
-        .select("key", "value")
       val topicDir = tmp.resolve("topic").toString
-      wire.write.mode("append").format("graft-testkafka")
-        .option("path", topicDir).option("topic", "trades_raw")
-        .option("partitions", "4").save()
-      require(graft.sources.TestKafka.listRecordFiles(topicDir).length == 1,
-        "sr18: staging must be ONE record file so arrival order is the event_id order")
+      val (pA, pB) = stageSidedTopic(s, dir, topicDir, decoy = false)
       val raw = s.readStream.format("graft-testkafka")
         .option("path", topicDir).option("partitions", "4")
         .option("startingOffsets", s"""{"trades_raw":{"$pA":7,"$pB":3}}""")
@@ -1094,6 +1116,39 @@ object StreamReplayQueries {
         .start()
       drain(q, tmp)
       s.read.parquet(outDir).localCheckpoint(eager = true)
+    } finally deleteRecursively(tmp)
+  }
+
+  /** P8 — the Kafka BATCH bounded read (r14): `spark.read` over the
+    * seam with the real source's full batch option surface exercised
+    * at once under the oracle — `subscribe` (a decoy 'quotes_raw'
+    * topic shares the store and must be excluded), per-partition
+    * `startingOffsets` JSON (side A from 7, side B from 3) and
+    * per-partition `endingOffsets` JSON (side A bounded at 400, side B
+    * `-1` = latest/unbounded). This is the backfill-repair READ shape:
+    * re-process one topic's offset window out of a multi-topic store
+    * without touching a checkpoint. KafkaAdmissionSpec pins the
+    * rejections (endingOffsets in streaming, -2 as an ending offset,
+    * subscribe+subscribePattern together).
+    */
+  def kafkaBoundedRead(s: SparkSession, dir: String): DataFrame = {
+    val tmp = ReplayStaging.scratchDir("graft_p8_")
+    try {
+      val topicDir = tmp.resolve("topic").toString
+      val (pA, pB) = stageSidedTopic(s, dir, topicDir, decoy = true)
+      s.read.format("graft-testkafka")
+        .option("path", topicDir).option("partitions", "4")
+        .option("subscribe", "trades_raw")
+        .option("startingOffsets", s"""{"trades_raw":{"$pA":7,"$pB":3}}""")
+        .option("endingOffsets", s"""{"trades_raw":{"$pA":400,"$pB":-1}}""")
+        .load()
+        .select(col("key").cast("string").as("side"),
+          from_json(col("value").cast("string"), org.apache.spark.sql.types.StructType.fromDDL(
+            "symbol STRING, price DOUBLE, volume BIGINT, timestamp BIGINT")).as("t"))
+        .select(col("side"), col("t.symbol").as("symbol"),
+          col("t.timestamp").as("ts_ms"),
+          col("t.price").as("price"), col("t.volume").as("volume"))
+        .localCheckpoint(eager = true)
     } finally deleteRecursively(tmp)
   }
 
@@ -1240,7 +1295,8 @@ object StreamReplayQueries {
     "sr17_stream_ratelimit_replay" -> (streamRateLimitReplay _),
     "sr18_stream_startoffsets_replay" -> (streamStartOffsetsReplay _),
     "sr19_stream_evolution_replay" -> (streamEvolutionReplay _),
-    "sr20_stream_unionwm_replay" -> (streamUnionWatermarkReplay _))
+    "sr20_stream_unionwm_replay" -> (streamUnionWatermarkReplay _),
+    "p8_kafka_bounded_read" -> (kafkaBoundedRead _))
 
   /** sr11's kept/emitted sets, as explicit SQL: the late-record filter
     * the THIRD slice meets (m0 — the watermark slice 1 evicted with,
@@ -1426,5 +1482,17 @@ object StreamReplayQueries {
     SELECT feed, symbol, ws_ms, ws_ms + 300000 AS we_ms,
            COUNT(*) AS n_events, CAST(SUM(volume) AS BIGINT) AS sum_volume
     FROM u GROUP BY 1, 2, 3
-    HAVING ws_ms + 300000 <= (SELECT w FROM wmx)"""))
+    HAVING ws_ms + 300000 <= (SELECT w FROM wmx)"""),
+    // The batch offset window: side A's [7, 400), side B's [3, end) —
+    // and NOTHING from the decoy topic (subscribe must exclude it, or
+    // extra rows trip the gate).
+    "p8_kafka_bounded_read" -> (SparkEntry.P + """
+      SELECT side, symbol, ts_ms, price, volume FROM (
+        SELECT CASE WHEN event_id % 2 = 0 THEN 'feed-a' ELSE 'feed-b' END AS side,
+               symbol, epoch_ms(event_time) AS ts_ms, price, volume,
+               ROW_NUMBER() OVER (PARTITION BY event_id % 2 ORDER BY event_id) AS rn
+        FROM silver
+      )
+      WHERE (side = 'feed-a' AND rn > 7 AND rn <= 400)
+         OR (side = 'feed-b' AND rn > 3)"""))
 }

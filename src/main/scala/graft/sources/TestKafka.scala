@@ -170,42 +170,63 @@ object TestKafka {
     * earliest matches the real source's newly-discovered-partition
     * rule).
     */
-  def parseStartingOffsets(json: String, nPartitions: Int): Map[(String, Int), Long] = {
+  def parseStartingOffsets(json: String, nPartitions: Int): Map[(String, Int), Long] =
+    parseOffsetsJson(json, nPartitions, ending = false)
+
+  /** `endingOffsets` twin for BATCH reads (r14): same JSON shape; the
+    * sentinel rules flip — `-1` (latest) means unbounded here (the
+    * batch read's natural end), `-2` (earliest) is rejected exactly as
+    * the real source rejects it for ending offsets.
+    */
+  def parseEndingOffsets(json: String, nPartitions: Int): Map[(String, Int), Long] =
+    parseOffsetsJson(json, nPartitions, ending = true)
+
+  private def parseOffsetsJson(json: String, nPartitions: Int,
+                               ending: Boolean): Map[(String, Int), Long] = {
     import org.json4s._
+    val what = if (ending) "endingOffsets" else "startingOffsets"
     val parsed =
       try org.json4s.jackson.JsonMethods.parse(json)
       catch { case e: Exception => throw new IllegalArgumentException(
-        s"testkafka: malformed startingOffsets JSON '$json'", e) }
+        s"testkafka: malformed $what JSON '$json'", e) }
     parsed match {
       case JObject(topics) if topics.nonEmpty =>
         topics.iterator.flatMap {
           case (topic, JObject(parts)) =>
             require(parts.nonEmpty,
-              s"testkafka: startingOffsets topic '$topic' maps to an empty object")
+              s"testkafka: $what topic '$topic' maps to an empty object")
             parts.iterator.map {
               case (p, JInt(n)) =>
                 val pi =
                   try p.toInt
                   catch { case _: NumberFormatException =>
                     throw new IllegalArgumentException(
-                      s"testkafka: startingOffsets partition '$p' of topic '$topic' is not an integer") }
+                      s"testkafka: $what partition '$p' of topic '$topic' is not an integer") }
                 require(pi >= 0 && pi < nPartitions,
-                  s"testkafka: startingOffsets names partition $pi of topic '$topic' " +
+                  s"testkafka: $what names partition $pi of topic '$topic' " +
                     s"but the source has $nPartitions partitions")
-                require(n == -2 || n >= 0,
-                  s"testkafka: startingOffsets $n for $topic-$pi — concrete offsets ≥0 " +
-                    "and -2 (earliest) are supported; -1 (latest) needs broker end " +
-                    "offsets, use startingOffsets=latest for the whole query")
-                ((topic, pi), if (n == -2) 0L else n.toLong)
+                if (ending) {
+                  require(n == -1 || n >= 0,
+                    s"testkafka: $what $n for $topic-$pi — concrete offsets ≥0 and " +
+                      "-1 (latest/unbounded) are supported; -2 (earliest) is not a " +
+                      "valid ending offset, matching the real source")
+                  ((topic, pi), if (n == -1) Long.MaxValue else n.toLong)
+                } else {
+                  require(n == -2 || n >= 0,
+                    s"testkafka: $what $n for $topic-$pi — concrete offsets ≥0 " +
+                      "and -2 (earliest) are supported; -1 (latest) needs broker end " +
+                      "offsets, use startingOffsets=latest for the whole query")
+                  ((topic, pi), if (n == -2) 0L else n.toLong)
+                }
               case (p, other) => throw new IllegalArgumentException(
-                s"testkafka: startingOffsets $topic-$p must be an integer offset, got $other")
+                s"testkafka: $what $topic-$p must be an integer offset, got $other")
             }
           case (topic, other) => throw new IllegalArgumentException(
-            s"testkafka: startingOffsets topic '$topic' must map to " +
+            s"testkafka: $what topic '$topic' must map to " +
               s"""{"partition":offset}, got $other""")
         }.toMap
       case _ => throw new IllegalArgumentException(
-        s"""testkafka: startingOffsets JSON must be {"topic":{"partition":offset}}, got '$json'""")
+        s"""testkafka: $what JSON must be {"topic":{"partition":offset}}, got '$json'""")
     }
   }
 }
@@ -252,6 +273,28 @@ class TestKafkaTable(path: String, nPartitions: Int, defaultTopic: Option[String
         else throw new IllegalArgumentException(
           s"testkafka: startingOffsets must be 'earliest', 'latest' or " +
             s"""per-partition offset JSON {"topic":{"partition":offset}}, got '$starting'""")
+      // `endingOffsets` — BATCH-only, like the real source: 'latest'
+      // (default, unbounded) or per-partition JSON with -1 = latest.
+      val ending = Option(options.get("endingOffsets")).map(_.trim)
+      val ceilings: Map[(String, Int), Long] = ending match {
+        case None | Some("latest") => Map.empty
+        case Some(j) if j.startsWith("{") =>
+          TestKafka.parseEndingOffsets(j, nPartitions)
+        case Some(other) => throw new IllegalArgumentException(
+          s"testkafka: endingOffsets must be 'latest' or per-partition offset " +
+            s"JSON (earliest is not a valid ending offset), got '$other'")
+      }
+      // Topic targeting — the real source's subscribe / subscribePattern
+      // (mutually exclusive). The seam's documented deviation: with
+      // NEITHER set it reads every topic in the store (the real source
+      // demands exactly one of assign/subscribe/subscribePattern).
+      val subscribe = Option(options.get("subscribe"))
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      val pattern = Option(options.get("subscribePattern")).map(_.trim)
+      require(subscribe.isEmpty || pattern.isEmpty,
+        "testkafka: subscribe and subscribePattern are mutually exclusive, " +
+          "matching the real source")
+      pattern.foreach(p => java.util.regex.Pattern.compile(p)) // fail at planning
       new TestKafkaScan(path, nPartitions,
         // The real Kafka source's rate-limit option, same name & unit
         // (records per micro-batch).
@@ -262,7 +305,11 @@ class TestKafkaTable(path: String, nPartitions: Int, defaultTopic: Option[String
         // replay fixtures stage their topic before consuming — a
         // latest default would silently drain nothing.
         startFromLatest = starting == "latest",
-        floors = floors)
+        floors = floors,
+        ceilings = ceilings,
+        endingSpecified = ending.exists(_ != "latest"),
+        subscribe = subscribe,
+        subscribePattern = pattern)
     }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -292,13 +339,20 @@ class TestKafkaTable(path: String, nPartitions: Int, defaultTopic: Option[String
 final case class TestKafkaInputPartition(partitionId: Int, nPartitions: Int,
                                          prior: Array[(String, Long)],
                                          delta: Array[(String, Long, Long)],
-                                         floors: Map[(String, Int), Long] = Map.empty)
+                                         floors: Map[(String, Int), Long] = Map.empty,
+                                         ceilings: Map[(String, Int), Long] = Map.empty,
+                                         subscribe: Option[Seq[String]] = None,
+                                         subscribePattern: Option[String] = None)
     extends InputPartition
 
 class TestKafkaScan(path: String, nPartitions: Int,
                     maxPerTrigger: Option[Long] = None,
                     startFromLatest: Boolean = false,
-                    floors: Map[(String, Int), Long] = Map.empty) extends Scan with Batch {
+                    floors: Map[(String, Int), Long] = Map.empty,
+                    ceilings: Map[(String, Int), Long] = Map.empty,
+                    endingSpecified: Boolean = false,
+                    subscribe: Option[Seq[String]] = None,
+                    subscribePattern: Option[String] = None) extends Scan with Batch {
   override def readSchema(): StructType = TestKafka.ReadSchema
   override def toBatch: Batch = {
     // The real source's batch-read rule, verbatim: a batch query reads
@@ -309,15 +363,23 @@ class TestKafkaScan(path: String, nPartitions: Int,
     this
   }
   override def toMicroBatchStream(checkpointLocation: String):
-      org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new TestKafkaMicroBatchStream(path, nPartitions, maxPerTrigger, startFromLatest, floors)
+      org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    // The real source's streaming rule, verbatim: an unbounded query
+    // has no ending offset.
+    require(!endingSpecified,
+      "testkafka: ending offset not valid in streaming queries " +
+        "(matching the Kafka source's rejection)")
+    new TestKafkaMicroBatchStream(path, nPartitions, maxPerTrigger, startFromLatest,
+      floors, subscribe, subscribePattern)
+  }
   override def description(): String = s"TestKafkaScan(path=$path, partitions=$nPartitions)"
 
   override def planInputPartitions(): Array[InputPartition] = {
     val files = TestKafka.listRecordFiles(path)
       .map(f => (f, 0L, Long.MaxValue))
     (0 until nPartitions)
-      .map(i => TestKafkaInputPartition(i, nPartitions, Array.empty, files, floors): InputPartition)
+      .map(i => TestKafkaInputPartition(i, nPartitions, Array.empty, files,
+        floors, ceilings, subscribe, subscribePattern): InputPartition)
       .toArray
   }
 
@@ -335,6 +397,14 @@ object TestKafkaScan {
 
 class TestKafkaPartitionReader(p: TestKafkaInputPartition)
     extends PartitionReader[InternalRow] {
+  // Topic targeting: subscribe list or pattern, applied BEFORE offset
+  // assignment — excluding a whole topic never perturbs the offsets of
+  // the topics that remain (offsets are per-topic by construction).
+  private val topicOk: String => Boolean = (p.subscribe, p.subscribePattern) match {
+    case (Some(list), _) => val set = list.toSet; set.contains _
+    case (_, Some(pat)) => val rx = pat.r; t => rx.pattern.matcher(t).matches()
+    case _ => _ => true
+  }
   // Contract-test scale: each task reads the record files whole and
   // keeps only its partition's rows in its line range — fine for seam
   // tests, documented as wrong for TBs (TestKafka scaladoc).
@@ -345,7 +415,8 @@ class TestKafkaPartitionReader(p: TestKafkaInputPartition)
         .collect { case (line, i) if i >= from && i < to && line.nonEmpty =>
           TestKafka.decodeLine(line)
         }
-    }.filter(r => TestKafka.partitionFor(r.key, p.nPartitions) == p.partitionId)
+    }.filter(r => topicOk(r.topic) &&
+      TestKafka.partitionFor(r.key, p.nPartitions) == p.partitionId)
 
   private val rows: Iterator[InternalRow] = {
     // Next offset per topic after the already-consumed prefix (full
@@ -358,8 +429,10 @@ class TestKafkaPartitionReader(p: TestKafkaInputPartition)
       base(r.topic) = offset + 1L
       // startingOffsets floor: records below it are consumed history —
       // they advance the log position but are never emitted, like a
-      // consumer that sought past them.
-      if (offset < p.floors.getOrElse((r.topic, p.partitionId), 0L)) None
+      // consumer that sought past them. endingOffsets ceiling (batch):
+      // records at/after it are beyond the read's bounded range.
+      if (offset < p.floors.getOrElse((r.topic, p.partitionId), 0L) ||
+          offset >= p.ceilings.getOrElse((r.topic, p.partitionId), Long.MaxValue)) None
       else Some(new GenericInternalRow(Array[Any](
         r.key, r.value, UTF8String.fromString(r.topic),
         p.partitionId, offset, r.tsMs * 1000L, 0)): InternalRow)
@@ -462,7 +535,9 @@ object TestKafkaOffset {
 class TestKafkaMicroBatchStream(path: String, nPartitions: Int,
                                 maxPerTrigger: Option[Long] = None,
                                 startFromLatest: Boolean = false,
-                                floors: Map[(String, Int), Long] = Map.empty)
+                                floors: Map[(String, Int), Long] = Map.empty,
+                                subscribe: Option[Seq[String]] = None,
+                                subscribePattern: Option[String] = None)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
@@ -528,7 +603,8 @@ class TestKafkaMicroBatchStream(path: String, nPartitions: Int,
       .map { case (f, n) => (f, priorMap.getOrElse(f, 0L), n) }
       .filter { case (_, from, to) => to > from }
     (0 until nPartitions)
-      .map(i => TestKafkaInputPartition(i, nPartitions, prior, delta, floors): InputPartition)
+      .map(i => TestKafkaInputPartition(i, nPartitions, prior, delta, floors,
+        Map.empty, subscribe, subscribePattern): InputPartition)
       .toArray
   }
 

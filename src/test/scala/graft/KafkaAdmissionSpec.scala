@@ -249,6 +249,103 @@ class KafkaAdmissionSpec extends SparkSpecBase {
       .option("startingOffsets", """{"t":{"0":-2}}""").load().collect()
   }
 
+  // ------------------------------------------------------------------
+  // endingOffsets (batch) + subscribe/subscribePattern topic targeting
+  // (r14): the remaining batch-read contract of the real source.
+  // ------------------------------------------------------------------
+
+  private def chainMsgs(err: Throwable): String =
+    Iterator.iterate(err)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("|")
+
+  test("endingOffsets JSON bounds a batch read; -1 means latest/unbounded") {
+    import spark.implicits._
+    val dir = oneFileTopic(12)
+    val byPart = (0 until 12).map(i => s"sym$i").groupBy(partitionOf)
+    val p = byPart.filter(_._2.size >= 3).keys.min
+    val rows = spark.read.format("graft-testkafka")
+      .option("path", dir).option("partitions", "4")
+      .option("endingOffsets", s"""{"t":{"$p":2}}""")
+      .load().select($"partition", $"offset").as[(Int, Long)].collect().toSeq
+    // Bounded partition: offsets [0, 2) only; others unbounded.
+    assert(rows.filter(_._1 == p).map(_._2).sorted === Seq(0L, 1L))
+    byPart.keys.filter(_ != p).foreach { other =>
+      assert(rows.count(_._1 == other) === byPart(other).size)
+    }
+    // -1 per partition = latest: explicitly unbounded reads everything.
+    val all = spark.read.format("graft-testkafka")
+      .option("path", dir).option("partitions", "4")
+      .option("endingOffsets", s"""{"t":{"$p":-1}}""")
+      .load().count()
+    assert(all === 12L)
+  }
+
+  test("endingOffsets is rejected for streaming queries, -2 rejected as an ending offset") {
+    val dir = oneFileTopic(2)
+    val errS = intercept[Exception] {
+      spark.readStream.format("graft-testkafka")
+        .option("path", dir).option("partitions", "4")
+        .option("endingOffsets", """{"t":{"0":1}}""")
+        .load()
+        .writeStream.option("checkpointLocation", tmpDir("graft_tk_endstream_ck"))
+        .trigger(Trigger.AvailableNow()).format("noop").start().awaitTermination()
+    }
+    assert(chainMsgs(errS).contains("ending offset not valid in streaming queries"),
+      chainMsgs(errS))
+    val errE = intercept[Exception] {
+      spark.read.format("graft-testkafka")
+        .option("path", dir).option("partitions", "4")
+        .option("endingOffsets", """{"t":{"0":-2}}""").load().collect()
+    }
+    assert(chainMsgs(errE).contains("not a valid ending offset"), chainMsgs(errE))
+  }
+
+  test("subscribe targets one topic of a multi-topic store; pattern targets by regex") {
+    import spark.implicits._
+    val dir = tmpDir("graft_tk_sub")
+    Seq(("k1", "v1", "trades_raw"), ("k2", "v2", "quotes_raw"),
+      ("k3", "v3", "trades_dlq"))
+      .toDF("key", "value", "topic").coalesce(1)
+      .write.mode("append").format("graft-testkafka")
+      .option("path", dir).save()
+    def topics(opts: (String, String)*): Set[String] = {
+      val r = opts.foldLeft(spark.read.format("graft-testkafka")
+        .option("path", dir).option("partitions", "4")) {
+        case (b, (k, v)) => b.option(k, v)
+      }
+      r.load().select($"topic").as[String].collect().toSet
+    }
+    assert(topics() === Set("trades_raw", "quotes_raw", "trades_dlq"))
+    assert(topics("subscribe" -> "trades_raw") === Set("trades_raw"))
+    assert(topics("subscribe" -> "trades_raw, quotes_raw") ===
+      Set("trades_raw", "quotes_raw"))
+    assert(topics("subscribePattern" -> "trades_.*") ===
+      Set("trades_raw", "trades_dlq"))
+    // Mutually exclusive, like the real source.
+    val err = intercept[Exception] {
+      topics("subscribe" -> "trades_raw", "subscribePattern" -> "q.*")
+    }
+    assert(chainMsgs(err).contains("mutually exclusive"), chainMsgs(err))
+  }
+
+  test("subscribe filtering never perturbs the surviving topics' offsets") {
+    import spark.implicits._
+    val dir = tmpDir("graft_tk_suboff")
+    // Interleave two topics with the SAME key so they share a seam
+    // partition; each topic's offsets must be dense [0, n) regardless
+    // of whether the other topic is filtered out.
+    (0 until 8).map(i => ("k", s"v$i", if (i % 2 == 0) "a" else "b"))
+      .toDF("key", "value", "topic").coalesce(1)
+      .write.mode("append").format("graft-testkafka")
+      .option("path", dir).save()
+    val offs = spark.read.format("graft-testkafka")
+      .option("path", dir).option("partitions", "4")
+      .option("subscribe", "a")
+      .load().select($"offset").as[Long].collect().toSeq.sorted
+    assert(offs === Seq(0L, 1L, 2L, 3L),
+      s"filtered-topic read must keep per-topic offsets dense: $offs")
+  }
+
   test("batch read rejects startingOffsets=latest, matching the real source") {
     val dir = oneFileTopic(1)
     val err = intercept[Exception] {
