@@ -28,10 +28,15 @@ import org.apache.spark.sql.functions._
   *      most one extra file per partition, the bin-packing bound).
   *      Untouched partitions are never read.
   *   3. DRIVER-side atomic-ish swap: each flagged partition's old
-  *      fragment files move aside, the compacted files move in. A
-  *      crash mid-swap leaves some partitions compacted and some not —
-  *      both states read correctly; re-running converges (idempotent
-  *      maintenance, like every job in this repo).
+  *      fragment files move aside into an underscore-hidden trash dir,
+  *      the compacted files move in, the trash drops last. A crash
+  *      mid-swap leaves some partitions compacted and some not — both
+  *      states read correctly, except the one partition caught between
+  *      its two moves, whose originals sit complete in the trash; a
+  *      later run REFUSES to start over a non-empty trash (it would
+  *      otherwise end by deleting the only complete copy), demanding
+  *      explicit recovery. A clean re-run after recovery converges
+  *      (idempotent maintenance, like every job in this repo).
   *
   * Content is IDENTICAL before and after — compaction moves bytes,
   * never rows — proven under the DuckDB oracle by v8_compaction (the
@@ -81,6 +86,19 @@ object Compaction {
   def compact(spark: SparkSession, root: String, partitionCol: String,
               clusterKey: Column, targetBytes: Long,
               minFiles: Int = 4): Seq[PartitionStats] = {
+    // A non-empty trash dir means a previous run crashed between
+    // moving a partition's originals aside and moving the compacted
+    // files in: the originals in trash are the only complete copy of
+    // that partition. Running again would finish by DELETING the
+    // trash, so refuse loudly instead — the operator must never be
+    // the thing that turns a recoverable crash into data loss.
+    val staleTrash = new File(root, "_compact_trash")
+    require(!staleTrash.exists() ||
+        Option(staleTrash.listFiles()).forall(_.isEmpty),
+      s"compaction: $staleTrash is non-empty — a previous run crashed " +
+        "mid-swap and its partition originals are in there; restore them " +
+        "(move the trash's files back into their partition dirs) or " +
+        "delete the trash explicitly before compacting again")
     val flagged = smallFilePartitions(root, partitionCol, minFiles)
     if (flagged.isEmpty) return Seq.empty
     val values = flagged.map(_._1.split("=", 2)(1))

@@ -523,14 +523,18 @@ object TestKafkaOffset {
   * Now pins the run's end offset at start, as the real source does, so
   * files landing mid-drain don't extend it.
   *
-  * `floors` (per-partition `startingOffsets` JSON) are applied at the
-  * READER — skipped history advances log positions without being
-  * emitted — so when combined with `maxOffsetsPerTrigger` the
-  * admission budget is counted over record LINES including the
-  * pre-floor history (early batches emit fewer than `max` rows while
-  * the skip drains), whereas the real source seeks first and admits
-  * from the floor onward. The observable guarantee both share:
-  * every batch emits ≤ max records.
+  * `floors` (per-partition `startingOffsets` JSON) and the topic
+  * filter compose with the budget EXACTLY as the real source's
+  * seek-then-admit does (r14, closing the r14a documented deviation):
+  * when either is set, `latestOffset` counts the budget over
+  * ADMISSIBLE records only — subscribed topic, rank ≥ floor — by
+  * walking memoized per-file admissibility prefix sums, so every
+  * rate-limited batch emits exactly `max` rows until the feed's tail.
+  * Pre-floor history and unsubscribed topics ride along inside the
+  * admitted line ranges for free, as a seeking consumer never fetches
+  * them. The prefix scan reads record files at the driver — seam-test
+  * scale by design (the scaladoc's standing note), memoized on the
+  * immutable sorted file list.
   */
 class TestKafkaMicroBatchStream(path: String, nPartitions: Int,
                                 maxPerTrigger: Option[Long] = None,
@@ -553,6 +557,53 @@ class TestKafkaMicroBatchStream(path: String, nPartitions: Int,
     })
   private def allAvailable(): Seq[(String, Long)] =
     TestKafka.listRecordFiles(path).toSeq.map(f => f -> lineCount(f))
+
+  private val filtered =
+    floors.nonEmpty || subscribe.isDefined || subscribePattern.isDefined
+  private val topicOk: String => Boolean = (subscribe, subscribePattern) match {
+    case (Some(list), _) => val set = list.toSet; set.contains _
+    case (_, Some(pat)) => val rx = pat.r; t => rx.pattern.matcher(t).matches()
+    case _ => _ => true
+  }
+
+  /** Per-file prefix sums of ADMISSIBLE records (subscribed topic and
+    * per-(topic, partition) rank ≥ floor) over the sorted file list —
+    * the driver-side map that lets the budget walk in latestOffset
+    * count exactly what a post-seek consumer would fetch. Ranks
+    * accumulate ACROSS files (arrival order), so the whole list
+    * recomputes when it changes; files are immutable, so the memo is
+    * sound.
+    */
+  @volatile private var admMemo: (Seq[String], Map[String, Array[Long]]) =
+    (Nil, Map.empty)
+  private def admissiblePrefixes(files: Seq[String]): Map[String, Array[Long]] = {
+    val sorted = files.sorted
+    val memo = admMemo
+    if (memo._1 == sorted) return memo._2
+    val ranks = scala.collection.mutable.Map.empty[(String, Int), Long]
+      .withDefaultValue(0L)
+    val out = sorted.map { f =>
+      val lines = Files.readAllLines(Paths.get(f), StandardCharsets.UTF_8)
+      val arr = new Array[Long](lines.size() + 1)
+      var adm = 0L
+      var i = 0
+      while (i < lines.size()) {
+        val line = lines.get(i)
+        if (line.nonEmpty) {
+          val r = TestKafka.decodeLine(line)
+          val key = (r.topic, TestKafka.partitionFor(r.key, nPartitions))
+          val rank = ranks(key)
+          ranks(key) = rank + 1L
+          if (topicOk(r.topic) && rank >= floors.getOrElse(key, 0L)) adm += 1L
+        }
+        arr(i + 1) = adm
+        i += 1
+      }
+      f -> arr
+    }.toMap
+    admMemo = (sorted, out)
+    out
+  }
 
   @volatile private var availableNowTarget: Option[Seq[(String, Long)]] = None
   override def prepareForTriggerAvailableNow(): Unit = {
@@ -580,6 +631,25 @@ class TestKafkaMicroBatchStream(path: String, nPartitions: Int,
     val startMap = start.asInstanceOf[TestKafkaOffset].lines.toMap
     limit match {
       case _: ReadAllAvailable => TestKafkaOffset(target)
+      case r: ReadMaxRows if filtered =>
+        // Seek-then-admit: budget counts ADMISSIBLE records only, so
+        // every batch is exactly `max` rows until the feed's tail —
+        // inadmissible lines inside the admitted ranges are free.
+        val pref = admissiblePrefixes(target.map(_._1))
+        var budget = r.maxRows()
+        TestKafkaOffset(target.map { case (f, n) =>
+          val arr = pref(f)
+          val done = math.min(startMap.getOrElse(f, 0L), n)
+          val admRemaining = arr(n.toInt) - arr(done.toInt)
+          if (admRemaining <= budget) { budget -= admRemaining; f -> n }
+          else {
+            val targetAdm = arr(done.toInt) + budget
+            var t = done.toInt
+            while (arr(t) < targetAdm) t += 1
+            budget = 0L
+            f -> t.toLong
+          }
+        })
       case r: ReadMaxRows =>
         var budget = r.maxRows()
         TestKafkaOffset(target.map { case (f, n) =>

@@ -74,6 +74,32 @@ class CompactionSpec extends SparkSpecBase {
     assert(namesAfter === namesBefore, "untouched partitions were rewritten")
   }
 
+  test("a non-empty crash trash blocks compaction instead of being silently destroyed") {
+    val store = fragmentedStore(6)
+    // Simulate a crash between a partition's two swap moves: its
+    // originals live in _compact_trash and the partition dir is empty.
+    val part = new File(store).listFiles().filter(_.isDirectory).head
+    val trash = new File(new File(store, "_compact_trash"), part.getName)
+    trash.mkdirs()
+    part.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+      Files.move(f.toPath, new File(trash, f.getName).toPath)
+    }
+    val e = intercept[IllegalArgumentException] {
+      Compaction.compact(spark, store, "trade_date", clusterKey,
+        targetBytes = 64L << 20, minFiles = 4)
+    }
+    assert(e.getMessage.contains("crashed mid-swap"), e.getMessage)
+    // Recovery (move the originals back) unblocks the run.
+    trash.listFiles().foreach { f =>
+      Files.move(f.toPath, new File(part, f.getName).toPath)
+    }
+    graft.streaming.ReplayStaging.deleteRecursively(
+      new File(store, "_compact_trash").toPath)
+    val stats = Compaction.compact(spark, store, "trade_date", clusterKey,
+      targetBytes = 64L << 20, minFiles = 4)
+    assert(stats.nonEmpty && stats.forall(st => st.filesAfter < st.filesBefore))
+  }
+
   test("cluster-key locality: per-file extents within a date do not interleave") {
     val store = fragmentedStore(10)
     // Small target so each date compacts to SEVERAL files — the

@@ -346,6 +346,57 @@ class KafkaAdmissionSpec extends SparkSpecBase {
       s"filtered-topic read must keep per-topic offsets dense: $offs")
   }
 
+  // ------------------------------------------------------------------
+  // Seek-then-admit (r14): floors and topic filters compose with
+  // maxOffsetsPerTrigger EXACTLY — the budget counts admissible
+  // records only, so every rate-limited batch is FULL until the tail
+  // (the real source's behavior; the first r14 cut counted raw lines
+  // and emitted short batches while the skip drained).
+  // ------------------------------------------------------------------
+
+  private def drainSizes(dir: String, opts: (String, String)*): Seq[Long] = {
+    val sizes = new ConcurrentLinkedQueue[Long]()
+    val reader = opts.foldLeft(spark.readStream.format("graft-testkafka")
+      .option("path", dir).option("partitions", "4")) {
+      case (b, (k, v)) => b.option(k, v)
+    }
+    val q = reader.load().select(col("offset"))
+      .writeStream.option("checkpointLocation", tmpDir("graft_tk_sta_ck"))
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sizes.add(batch.count()); ()
+      }
+      .start()
+    try q.awaitTermination() finally if (q.isActive) q.stop()
+    sizes.asScala.toSeq.filter(_ > 0)
+  }
+
+  test("seek-then-admit: the cap budget counts only post-floor records") {
+    val dir = oneFileTopic(12)
+    val byPart = (0 until 12).map(i => s"sym$i").groupBy(partitionOf)
+    val p = byPart.filter(_._2.size >= 2).keys.min
+    // 12 records, 2 skipped by the floor → 10 admissible; cap 3 must
+    // cut 3,3,3,1 — full batches until the tail, no short head batch.
+    assert(drainSizes(dir,
+      "startingOffsets" -> s"""{"t":{"$p":2}}""",
+      "maxOffsetsPerTrigger" -> "3") === Seq(3L, 3L, 3L, 1L))
+  }
+
+  test("seek-then-admit: unsubscribed topics never consume budget") {
+    import spark.implicits._
+    val dir = tmpDir("graft_tk_subcap")
+    // Interleave topics a (8 records) and b (4): subscribed-only
+    // admissible = 8; cap 3 → 3,3,2 even though b's lines sit between
+    // a's in the file.
+    (0 until 12).map(i => ("k", s"v$i", if (i % 3 == 2) "b" else "a"))
+      .toDF("key", "value", "topic").coalesce(1)
+      .write.mode("append").format("graft-testkafka")
+      .option("path", dir).save()
+    assert(drainSizes(dir,
+      "subscribe" -> "a",
+      "maxOffsetsPerTrigger" -> "3") === Seq(3L, 3L, 2L))
+  }
+
   test("batch read rejects startingOffsets=latest, matching the real source") {
     val dir = oneFileTopic(1)
     val err = intercept[Exception] {
