@@ -109,9 +109,27 @@ object StreamBench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // State-partition sizing is a real dial, not a constant (SCALE.md
+    // §4's replay lesson, re-learned on the live topology in r14):
+    // every shuffle partition is another RocksDB instance set up and
+    // committed PER STATEFUL OPERATOR PER MICRO-BATCH, so this
+    // workload — ~10⁵ state keys, a handful of batches — wants state
+    // partitions sized to key cardinality, not cores — and the right
+    // size is REGIME-dependent (both measured r14, settled disk):
+    // catch-up wants key-cardinality sizing (mins: 8 partitions
+    // 10.1 s, 16 → 19.0 s, 32 → 18.3 s; gold5m's state-commit sum
+    // collapses 69 s → 6.8 s at 8), while the SUSTAINED 1-s cadence
+    // wants compute parallelism (100k ev/s SLO e2e p99: 5.7 s at 32
+    // vs 8.8 s at 8 — per-batch state setup amortizes over 60 small
+    // batches, the per-batch aggregation does not). Defaults follow
+    // the regime; SPARK_GRAFT_STREAM_SHUFFLE overrides either (a
+    // 100 TB deployment sizes to ITS key cardinality — SCALE.md
+    // §9.2's 8000–16000).
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_STREAM_SHUFFLE",
+      if (sys.env.get("SPARK_GRAFT_STREAM_SLO").contains("1")) cpus else "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       // HotSpot refuses to JIT methods >8000 bytecodes (DontCompileHuge
@@ -123,6 +141,14 @@ object StreamBench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      // Changelog checkpointing is the RocksDB production posture the
+      // replay harness has run since r13 (per-batch DELTAS to the
+      // checkpoint instead of a full snapshot per store per batch) —
+      // the r14 stream-profile found the live topology paying the
+      // snapshot tax it was built to remove: gold5m's catch-up batch
+      // summed 160 s of state commit across partitions, ~5 s of the
+      // ~20 s wall, and silver another 43 s.
+      .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -138,7 +164,18 @@ object StreamBench {
     // the store-creation append the single catch-up batch hits.
     val waves = args.headOption.map(_.toInt).getOrElse(1)
 
-    val work = Files.createTempDirectory("graft_streambench").toString
+    // Default work dir is java.io.tmpdir (DISK — checkpoints and
+    // RocksDB fsync pay real I/O, the durable-sink posture every
+    // round's catch-up number has priced). SPARK_GRAFT_STREAM_WORK
+    // relocates it (e.g. /dev/shm) to measure the fsync-free floor —
+    // the r14 adjudication that separated disk state from compute:
+    // 56.8 s under post-sweep writeback, 18.8 s settled disk, and the
+    // tmpfs floor in BENCHNOTES.
+    val work = sys.env.get("SPARK_GRAFT_STREAM_WORK") match {
+      case Some(d) =>
+        Files.createTempDirectory(java.nio.file.Paths.get(d), "graft_streambench").toString
+      case None => Files.createTempDirectory("graft_streambench").toString
+    }
     // Kafka-shaped JSON values from the events table. Waves are split
     // by EVENT TIME (ntile over timestamp), not row id: an
     // interleaved split would let wave 1 advance the watermark past
@@ -187,6 +224,29 @@ object StreamBench {
       val t0 = System.nanoTime()
       mgr.processAllAvailable()
       (System.nanoTime() - t0) / 1e9
+    }
+    // SPARK_GRAFT_STREAM_PROFILE=1: the catch-up wall split per query
+    // across the engine's own phase metrics (durationMs + state-store
+    // commit), the drain()-profile discipline applied to the live
+    // topology — so a wall regression adjudicates to a PHASE (source
+    // listing, addBatch compute, WAL, state commit) instead of a
+    // guess. Reads recentProgress BEFORE stopAll.
+    if (sys.env.get("SPARK_GRAFT_STREAM_PROFILE").contains("1")) {
+      mgr.handles.foreach { case (name, q) =>
+        val ps = q.recentProgress.toSeq
+        def tot(k: String): Long =
+          ps.flatMap(p => Option(p.durationMs.get(k)).map(_.toLong)).sum
+        val stateCommit = ps.flatMap(_.stateOperators.toSeq.map(_.commitTimeMs)).sum
+        val stateRows = ps.lastOption.toSeq
+          .flatMap(_.stateOperators.toSeq.map(_.numRowsTotal)).sum
+        System.err.println(
+          s"[stream-profile] $name batches=${ps.length} " +
+            s"triggerExecution=${tot("triggerExecution")}ms addBatch=${tot("addBatch")}ms " +
+            s"walCommit=${tot("walCommit")}ms commitOffsets=${tot("commitOffsets")}ms " +
+            s"queryPlanning=${tot("queryPlanning")}ms " +
+            s"source=${tot("getBatch") + tot("latestOffset")}ms " +
+            s"stateCommit=${stateCommit}ms stateRows=$stateRows")
+      }
     }
     mgr.stopAll()
 

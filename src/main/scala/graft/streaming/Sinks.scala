@@ -278,6 +278,12 @@ object Sinks {
     def status: Map[String, Boolean] =
       queries.map { case (n, q) => n -> q.isActive }.toMap
 
+    /** The managed query handles, by sink name — read-only view for
+      * callers that profile or assert on StreamingQueryProgress
+      * (StreamBench's per-query phase breakdown).
+      */
+    def handles: Map[String, StreamingQuery] = queries.toMap
+
     def processAllAvailable(): Unit = queries.values.foreach(_.processAllAvailable())
 
     def awaitAnyTermination(): Unit =
