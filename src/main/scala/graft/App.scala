@@ -238,6 +238,17 @@ object App {
         case None | Some(_)
             if spark.conf.getOption(key).forall(_.endsWith("HDFSBackedStateStoreProvider")) =>
           spark.conf.set(key, rocks)
+          // We chose RocksDB for the caller, so also choose its
+          // production commit mode (deltas, not per-batch snapshots —
+          // the r14-measured tax). Unconditional inside THIS branch
+          // only: getOption can't distinguish an explicit false from
+          // the stock default (it reports defaults, same trap as the
+          // provider above), and a caller who wants different RocksDB
+          // knobs sets the provider explicitly — which skips this
+          // whole branch.
+          spark.conf.set(
+            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+            "true")
         case Some(p) => throw new IllegalArgumentException(
           s"the indicators layer needs $rocks, but the session pins $key=$p")
       }
@@ -500,6 +511,15 @@ object App {
       // spills to disk — required posture for long-running streams.
       .config("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      // ...and changelog checkpointing with it: commit per-batch
+      // DELTAS to the checkpoint instead of a full RocksDB snapshot
+      // per store instance per batch (snapshots still materialize
+      // lazily in maintenance). The r14 StreamBench profile measured
+      // the live topology paying a 160 s summed snapshot tax on one
+      // catch-up batch without this — the same fix the replay harness
+      // has run since r13.
+      .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
