@@ -1119,6 +1119,47 @@ object StreamReplayQueries {
     } finally deleteRecursively(tmp)
   }
 
+  /** SR21 — SEEK-THEN-ADMIT under the oracle (r14): per-partition
+    * `startingOffsets` floors AND `maxOffsetsPerTrigger` composed in
+    * one drain — the backfill-repair shape at production rate limits
+    * (resume two partitions mid-topic, then admit in bounded batches).
+    * The admission budget must count only post-floor records
+    * (KafkaAdmissionSpec pins the batch shape: full batches until the
+    * tail); this row proves the composed path's CONTENT end-to-end —
+    * the drained set equals sr18's oracle exactly, while the execution
+    * is ceil(admissible/cap) rate-limited micro-batches with mid-file
+    * checkpoint offsets instead of sr18's single batch.
+    */
+  def streamSeekAdmitReplay(s: SparkSession, dir: String): DataFrame = withReplayConfs(s) {
+    val tmp = ReplayStaging.scratchDir("graft_sr21_")
+    try {
+      val topicDir = tmp.resolve("topic").toString
+      val (pA, pB) = stageSidedTopic(s, dir, topicDir, decoy = false)
+      // Admissible = all but the 10 floored records; cap cuts the
+      // drain into ~4 rate-limited batches at any SF.
+      val cap = math.max(1L, (silverM(s, dir).count() - 10 + 3) / 4)
+      val raw = s.readStream.format("graft-testkafka")
+        .option("path", topicDir).option("partitions", "4")
+        .option("startingOffsets", s"""{"trades_raw":{"$pA":7,"$pB":3}}""")
+        .option("maxOffsetsPerTrigger", cap.toString)
+        .load()
+      val parsed = raw.select(col("key").cast("string").as("side"),
+          from_json(col("value").cast("string"), org.apache.spark.sql.types.StructType.fromDDL(
+            "symbol STRING, price DOUBLE, volume BIGINT, timestamp BIGINT")).as("t"))
+        .select(col("side"), col("t.symbol").as("symbol"),
+          col("t.timestamp").as("ts_ms"),
+          col("t.price").as("price"), col("t.volume").as("volume"))
+      val outDir = tmp.resolve("out").toString
+      val q = parsed.writeStream.outputMode("append")
+        .option("checkpointLocation", tmp.resolve("ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .format("parquet").option("path", outDir)
+        .start()
+      drain(q, tmp)
+      s.read.parquet(outDir).localCheckpoint(eager = true)
+    } finally deleteRecursively(tmp)
+  }
+
   /** P8 — the Kafka BATCH bounded read (r14): `spark.read` over the
     * seam with the real source's full batch option surface exercised
     * at once under the oracle — `subscribe` (a decoy 'quotes_raw'
@@ -1296,6 +1337,7 @@ object StreamReplayQueries {
     "sr18_stream_startoffsets_replay" -> (streamStartOffsetsReplay _),
     "sr19_stream_evolution_replay" -> (streamEvolutionReplay _),
     "sr20_stream_unionwm_replay" -> (streamUnionWatermarkReplay _),
+    "sr21_stream_seekadmit_replay" -> (streamSeekAdmitReplay _),
     "p8_kafka_bounded_read" -> (kafkaBoundedRead _))
 
   /** sr11's kept/emitted sets, as explicit SQL: the late-record filter
@@ -1483,6 +1525,17 @@ object StreamReplayQueries {
            COUNT(*) AS n_events, CAST(SUM(volume) AS BIGINT) AS sum_volume
     FROM u GROUP BY 1, 2, 3
     HAVING ws_ms + 300000 <= (SELECT w FROM wmx)"""),
+    // sr18's oracle verbatim: same offset floors, same content — what
+    // changes is EXECUTION (rate-limited multi-batch admission from a
+    // mid-topic seek, mid-file checkpoint offsets).
+    "sr21_stream_seekadmit_replay" -> (SparkEntry.P + """
+      SELECT side, symbol, ts_ms, price, volume FROM (
+        SELECT CASE WHEN event_id % 2 = 0 THEN 'feed-a' ELSE 'feed-b' END AS side,
+               symbol, epoch_ms(event_time) AS ts_ms, price, volume,
+               ROW_NUMBER() OVER (PARTITION BY event_id % 2 ORDER BY event_id) AS rn
+        FROM silver
+      )
+      WHERE (side = 'feed-a' AND rn > 7) OR (side = 'feed-b' AND rn > 3)"""),
     // The batch offset window: side A's [7, 400), side B's [3, end) —
     // and NOTHING from the decoy topic (subscribe must exclude it, or
     // extra rows trip the gate).
