@@ -1,0 +1,133 @@
+#!/usr/bin/env python3
+"""Ledger-merge automation (r14 verdict item #6).
+
+BENCH_BEST.json and SCALEBENCH_LOCAL.json are the ledgers the whole
+bench-adjudication layer keys off; both were maintained by MANUAL
+rules in BENCHNOTES/memory (elementwise-min over pressure-clean runs
+only; subset SCALEBENCH runs merged over the git-HEAD base) — one
+slip clobbers a ledger and every later regression verdict silently
+compares against garbage. This script IS those rules:
+
+  merge_ledgers.py bench <run.json> [--allow name,name]
+      Verify <run.json> is pressure-clean (refuse otherwise), then
+      fold it into BENCH_BEST.json:
+        - plan queries:  min(best, queries_warm[q])    (warm > 0 only)
+        - sr drains:     min(best, queries[sr*])       (cold > 0 only;
+                         the k=1 discipline — drains have no warm)
+        - walls:         "wall:sr_concurrent"   <- sr_drains.concurrent_wall
+                         "wall:board_concurrent" <- board_concurrent.wall
+      Existing keys are NEVER raised or dropped. --allow names an
+      explicit re-seed (e.g. a query whose fixture changed shape):
+      those keys take the run's value even if higher.
+
+  merge_ledgers.py scale <subset.json>
+      Merge a SCALEBENCH subset run's "queries" entries over the
+      git-HEAD SCALEBENCH_LOCAL.json (NOT the working copy — a prior
+      unmerged subset must not become the base), preserving every
+      other top-level field from HEAD unless the subset run carried a
+      fresh d16_check/d12_skew_check.
+
+check.sh runs scripts/bench_best_guard.py separately so a hand-edited
+BENCH_BEST that regressed (raised/dropped) any entry fails the build.
+"""
+import json
+import subprocess
+import sys
+
+
+def load(path):
+    with open(path) as f:
+        return json.load(f)
+
+
+def git_head(path):
+    out = subprocess.run(["git", "show", f"HEAD:{path}"], cwd=".",
+                         capture_output=True, text=True)
+    if out.returncode != 0:
+        sys.exit(f"refusing to merge: cannot read HEAD:{path} ({out.stderr.strip()})")
+    return json.loads(out.stdout)
+
+
+def merge_bench(run_path, allow):
+    run = load(run_path)
+    if not run.get("pressure_clean", False):
+        sys.exit(f"refusing to merge {run_path}: pressure_clean is false "
+                 "(only quiet-host runs may update best-known)")
+    if run.get("failed"):
+        sys.exit(f"refusing to merge {run_path}: failed queries {run['failed']}")
+    best = load("BENCH_BEST.json")
+    before = dict(best)
+    updates = {}
+    for q, w in run.get("queries_warm", {}).items():
+        if not q.startswith("sr") and w and w > 0:
+            updates[q] = w
+    for q, c in run.get("queries", {}).items():
+        if q.startswith("sr") and c and c > 0:
+            updates[q] = c
+    sr_wall = run.get("sr_drains", {}).get("concurrent_wall", 0)
+    if sr_wall and sr_wall > 0:
+        updates["wall:sr_concurrent"] = sr_wall
+    board_wall = run.get("board_concurrent", {}).get("wall", 0)
+    if board_wall and board_wall > 0:
+        updates["wall:board_concurrent"] = board_wall
+    n_new = n_better = n_reseed = 0
+    for q, v in sorted(updates.items()):
+        v = round(v, 3)
+        if q in allow and v != best.get(q):
+            print(f"RESEED {q}: {best.get(q)} -> {v}")
+            best[q] = v
+            n_reseed += 1
+        elif q not in best:
+            print(f"NEW    {q}: {v}")
+            best[q] = v
+            n_new += 1
+        elif v < best[q]:
+            print(f"BETTER {q}: {best[q]} -> {v}")
+            best[q] = v
+            n_better += 1
+    dropped = set(before) - set(best)
+    assert not dropped, f"merge dropped keys: {dropped}"
+    with open("BENCH_BEST.json", "w") as f:
+        json.dump(dict(sorted(best.items())), f, indent=1)
+        f.write("\n")
+    print(f"== BENCH_BEST: {n_new} new, {n_better} improved, "
+          f"{n_reseed} reseeded, {len(best)} total ==")
+
+
+def merge_scale(subset_path):
+    subset = load(subset_path)
+    base = git_head("SCALEBENCH_LOCAL.json")
+    merged = dict(base)
+    qs = dict(base.get("queries", {}))
+    new_qs = subset.get("queries", {})
+    if not new_qs:
+        sys.exit(f"refusing to merge {subset_path}: no 'queries' entries")
+    qs.update(new_qs)
+    merged["queries"] = qs
+    for k in ("d16_check", "d12_skew_check"):
+        if k in subset:
+            merged[k] = subset[k]
+    if len(merged["queries"]) < len(base.get("queries", {})):
+        sys.exit("merge would SHRINK the queries ledger — aborting")
+    with open("SCALEBENCH_LOCAL.json", "w") as f:
+        json.dump(merged, f, indent=1)
+        f.write("\n")
+    print(f"== SCALEBENCH_LOCAL: {len(new_qs)} entries merged over HEAD base, "
+          f"{len(merged['queries'])} total ==")
+
+
+def main():
+    if len(sys.argv) < 3 or sys.argv[1] not in ("bench", "scale"):
+        sys.exit(__doc__)
+    allow = set()
+    if "--allow" in sys.argv:
+        i = sys.argv.index("--allow")
+        allow = set(sys.argv[i + 1].split(","))
+    if sys.argv[1] == "bench":
+        merge_bench(sys.argv[2], allow)
+    else:
+        merge_scale(sys.argv[2])
+
+
+if __name__ == "__main__":
+    main()

@@ -70,13 +70,34 @@ def main():
             print(f"SKIP {fam}/{name}: base compare is not green here")
             continue
         n = len(base)
+        if n == 0:
+            # A 0-row base makes the rows (LIMIT 0 = no-op) and hash
+            # mutations vacuous matches — not dead comparators. Try the
+            # next query in the family; if none has rows, widen alone
+            # still proves the column gate.
+            alt = next((q for q in sorted(oracle)
+                        if re.match(r"([a-z]+)", q).group(1) == fam
+                        and q != name
+                        and len(con.sql(oracle[q]).df()) > 0), None)
+            if alt is not None:
+                name, sql = alt, oracle[alt]
+                got_fp = table_fingerprint(
+                    pq.read_table(f"{out_dir}/{name}")
+                    .to_pandas(date_as_object=False))
+                base = con.sql(sql).df()
+                if compare(got_fp, base) != "match":
+                    print(f"SKIP {fam}/{name}: base compare is not green here")
+                    continue
+                n = len(base)
         desc = con.sql(f"DESCRIBE ({sql})").fetchall()
         numcols = [r[0] for r in desc if r[1] in NUMERIC]
         muts = [
             ("widen", f"SELECT *, 1 AS graft_extra FROM ({sql})", "cols"),
-            ("rows", f"SELECT * FROM ({sql}) LIMIT {max(0, n - 1)}", "rows"),
         ]
-        if numcols:
+        if n > 0:
+            muts.append(
+                ("rows", f"SELECT * FROM ({sql}) LIMIT {n - 1}", "rows"))
+        if numcols and n > 0:
             c = numcols[0]
             muts.append(("hash",
                          f'SELECT * REPLACE ("{c}" + 1 AS "{c}") FROM ({sql})',
@@ -107,6 +128,12 @@ def main():
                 print(f"LIVE {fam}/{name} [{label}] -> {verdict} gate fired")
                 n_ok += 1
     print(f"== {n_ok} live, {n_dead} dead ==")
+    if n_ok == 0:
+        # An all-SKIP run exercised zero gates — that must not read as
+        # a passing liveness check.
+        print("DEAD HARNESS: no mutation gate was exercised "
+              "(every family skipped)")
+        sys.exit(1)
     sys.exit(1 if n_dead else 0)
 
 

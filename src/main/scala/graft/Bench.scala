@@ -72,6 +72,53 @@ object Bench {
     */
   val CpuPressureCleanMax = 5.0
 
+  /** Direct fsync-latency probe (ms per 256 KB write+force to a fresh
+    * java.io.tmpdir file, min-of-none over 24 ops). The r14 driver run
+    * inflated the fsync-sensitive drains 1.8–11× while io full-avg300
+    * peaked at 0.17 — far below PressureCleanMax — so the pressure
+    * gates alone cannot certify a drain re-measure: dirty-page
+    * writeback throttles each fsync without ever stalling ALL runnable
+    * tasks. This probes the exact primitive the state-store commit
+    * path pays (quiet host: 1–2 ms/op on this box's /tmp device;
+    * writeback storms push it 10–100×), and gates drain/wall verdicts
+    * alongside io/cpu pressure.
+    */
+  def fsyncProbeMsPerOp(): Double =
+    try {
+      val dir = java.nio.file.Files.createTempDirectory("graft_fsyncprobe_")
+      try {
+        val ch = java.nio.channels.FileChannel.open(dir.resolve("probe.bin"),
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.WRITE)
+        try {
+          val buf = java.nio.ByteBuffer.allocate(256 << 10)
+          new java.util.Random(7).nextBytes(buf.array())
+          val n = 24
+          val t0 = System.nanoTime()
+          var i = 0
+          while (i < n) { buf.rewind(); ch.write(buf, 0L); ch.force(true); i += 1 }
+          (System.nanoTime() - t0) / 1e6 / n
+        } finally ch.close()
+      } finally graft.streaming.ReplayStaging.deleteRecursively(dir)
+    } catch { case _: Throwable => -1.0 }
+
+  /** Ceiling for a CLEAN fsync probe reading, ms/op: ~5× the quiet
+    * baseline, far below any writeback storm's 20–200 ms/op.
+    */
+  val FsyncCleanMax = 10.0
+
+  /** Parse a flat {"name": seconds} ledger (BENCH_BEST.json). \s*
+    * after the colon matters: the ledger is written by
+    * merge_ledgers.py (json.dump puts a space after the colon) — the
+    * old no-space regex parsed ZERO entries from that format, which
+    * disabled the whole regression layer with no error (caught r15
+    * while forcing a flag in a smoke test; BenchBestParseSpec pins
+    * both formats).
+    */
+  def parseBestKnown(s: String): Map[String, Double] =
+    """"([^"]+)":\s*([0-9.]+)""".r.findAllMatchIn(s)
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -113,6 +160,7 @@ object Bench {
     })
     val pressureStart = ioPressureFullAvg300()
     val cpuPressureStart = cpuPressureSomeAvg300()
+    val fsyncStart = fsyncProbeMsPerOp()
     // Best-known warm mins (BENCH_BEST.json, maintained per round from
     // pressure-clean runs): the cross-round regression gate. A warm
     // time > 1.5x best-known on a PRESSURE-CLEAN run is flagged in the
@@ -123,9 +171,7 @@ object Bench {
         sys.env.getOrElse("SPARK_GRAFT_BENCH_BEST", "BENCH_BEST.json"))
       if (!java.nio.file.Files.exists(f)) Map.empty
       else {
-        val s = new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
-        """"([^"]+)":([0-9.]+)""".r.findAllMatchIn(s)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        parseBestKnown(new String(java.nio.file.Files.readAllBytes(f), "UTF-8"))
       }
     }
     // Warm the JVM/session (codegen, file index, JIT) outside the
@@ -243,6 +289,21 @@ object Bench {
         .getOrElse(k.split("_")(0), (-1L, -1L))
       "\"" + k + "\":{" + s""""rows":$rows,"bytes":$bytes}"""
     }.mkString("{", ",", "}")
+    // Per-drain phase profile from the SERIAL pass (r14 verdict item
+    // #2): snapshotted HERE, before the concurrent passes re-drain
+    // everything and overwrite the last-writer-wins registry. The
+    // split (stateCommit vs addBatch vs setup) is what lets a flagged
+    // drain's own artifact say "14 of 17 s was state-store fsync".
+    def renderProfile(p: Map[String, Long]): String =
+      Seq("batches", "triggerExecution", "addBatch", "walCommit",
+        "commitOffsets", "queryPlanning", "source", "stateCommit")
+        .map(k => "\"" + k + "\":" + p.getOrElse(k, -1L))
+        .mkString("{", ",", "}")
+    val qsDrainProfile = results.collect { case (k, _, _, _, _) if k.startsWith("sr") =>
+      "\"" + k + "\":" + renderProfile(
+        StreamReplayQueries.lastDrainProfile
+          .getOrElse(k.split("_")(0), Map.empty[String, Long]))
+    }.mkString("{", ",", "}")
     // The fixed per-query floor: a pre-listed single-row scan through
     // the same session — what a "0-cost" query measures here.
     val overhead = {
@@ -274,7 +335,7 @@ object Bench {
       .collect { case (k, Some(v), _, _, _) if k.startsWith("sr") => v }.sum
     val srConcurrency = math.max(1,
       sys.env.getOrElse("SPARK_GRAFT_SR_CONCURRENCY", "4").toInt)
-    val (srWall, srConcFailed): (Double, Seq[String]) =
+    def runSrConcurrent(): (Double, Seq[String]) =
       if (srNames.isEmpty) (0.0, Seq.empty)
       else {
         val pool = java.util.concurrent.Executors.newFixedThreadPool(srConcurrency)
@@ -296,6 +357,7 @@ object Bench {
           (((System.nanoTime() - t0) / 1e9), bad)
         } finally pool.shutdown()
       }
+    val (srWall, srConcFailed): (Double, Seq[String]) = runSrConcurrent()
     // WHOLE-BOARD concurrent schedule (r13 verdict item #8): a driver
     // submitting the 203-query board would interleave EVERYTHING, not
     // just the sr drains — run the full board again at
@@ -311,7 +373,7 @@ object Bench {
       results.collect { case (k, _, _, _, Some(h)) => k -> h }.toMap
     val boardConcurrency = math.max(0,
       sys.env.getOrElse("SPARK_GRAFT_BOARD_CONCURRENCY", "6").toInt)
-    val (boardWall, boardDiverged, boardFailed): (Double, Seq[String], Seq[String]) =
+    def runBoardConcurrent(): (Double, Seq[String], Seq[String]) =
       if (boardConcurrency == 0 || names.isEmpty) (0.0, Seq.empty, Seq.empty)
       else {
         val pool = java.util.concurrent.Executors.newFixedThreadPool(boardConcurrency)
@@ -338,6 +400,8 @@ object Bench {
           (wall, diverged, bad)
         } finally pool.shutdown()
       }
+    val (boardWall, boardDiverged, boardFailed): (Double, Seq[String], Seq[String]) =
+      runBoardConcurrent()
     val failed = results.collect { case (k, None, _, _, _) => "\"" + k + "\"" }
     // With any failure the green-subset sum is NOT a comparable
     // headline (round 8: 53 failures read as a "41% speedup" to any
@@ -349,14 +413,24 @@ object Bench {
     val pressureClean = pressureStart >= 0 && pressureEnd >= 0 &&
       math.max(pressureStart, pressureEnd) <= PressureCleanMax &&
       cpuPressureStart >= 0 && cpuPressureStart <= CpuPressureCleanMax
-    // >1.5x best-known warm, flagged ONLY on pressure-clean runs —
-    // host contention can never fabricate a regression, and a clean
+    // >1.5x best-known, flagged ONLY on pressure-clean runs — host
+    // contention can never fabricate a regression, and a clean
     // regression can never hide behind "maybe the host was busy".
+    // Plan queries flag on their WARM min (low-noise execution-only
+    // signal); sr drains flag on their COLD one-rep wall against a
+    // best-known COLD min — drains have no warm column by design, and
+    // until r15 they had no best-known either, so the shipped r14
+    // artifact carried an 11× drain outlier with regressions:{} (r14
+    // verdict item #1: the adjudicator's structural blind spot).
     val regressionFlags: Seq[(String, Double, Double)] =
       if (!pressureClean) Seq.empty else results.collect {
         case (k, _, Some(w), _, _)
           if bestKnown.get(k).exists(b => b > 0 && w > 1.5 * b) =>
           (k, w, bestKnown(k))
+        case (k, Some(c), None, _, _)
+          if k.startsWith("sr") &&
+            bestKnown.get(k).exists(b => b > 0 && c > 1.5 * b) =>
+          (k, c, bestKnown(k))
       }
     val regressions = regressionFlags.map { case (k, w, b) =>
       f""""$k":{"warm":$w%.3f,"best":$b%.3f}"""
@@ -387,51 +461,125 @@ object Bench {
     //     dirty                     → unresolved (the re-measure itself
     //                                 was contended; no verdict can be
     //                                 honest)
-    // sr queries never enter: their warm column is suppressed by
-    // design, so flags only ever name batch queries whose frame
-    // rebuild is cheap.
+    // Since r15 the sr DRAINS enter too (r14 verdict item #1): a
+    // flagged drain re-runs its full writeStream drain ONCE standalone
+    // (the same one-rep cold statistic its flag was computed from),
+    // with the fsync probe read around the re-measure in addition to
+    // the pressure gates — drains are fsync-bound, and r14's inflation
+    // sat at io 0.17, invisible to the pressure gates alone. A drain
+    // verdict ships its re-measure's phase profile (stateCommit vs
+    // addBatch vs setup) so the artifact itself explains the reading.
     final case class Adjudicated(name: String, warm: Double, best: Double,
-                                 re: Double, reIo: Double, reCpu: Double)
+                                 re: Double, reIo: Double, reCpu: Double,
+                                 reFsync: Double, isDrain: Boolean,
+                                 reProfile: Option[String])
     val (regConfirmed, regAmbient, regUnresolved) = {
       val adjudicated = regressionFlags.map { case (name, w, b) =>
+        val isDrain = name.startsWith("sr")
         val io0 = ioPressureFullAvg300(); val cpu0 = cpuPressureSomeAvg300()
+        val fs0 = if (isDrain) fsyncProbeMsPerOp() else -1.0
         val re =
           try {
-            val df = SparkEntry.queries(name)(spark, sfDir)
-            (1 to 3).map { _ =>
-              val t0 = System.nanoTime(); df.count(); (System.nanoTime() - t0) / 1e9
-            }.min
+            if (isDrain) {
+              val t0 = System.nanoTime()
+              SparkEntry.queries(name)(spark, sfDir).count()
+              (System.nanoTime() - t0) / 1e9
+            } else {
+              val df = SparkEntry.queries(name)(spark, sfDir)
+              (1 to 3).map { _ =>
+                val t0 = System.nanoTime(); df.count(); (System.nanoTime() - t0) / 1e9
+              }.min
+            }
           } catch { case _: Throwable => -1.0 }
         val io1 = ioPressureFullAvg300(); val cpu1 = cpuPressureSomeAvg300()
+        val reProfile =
+          if (isDrain)
+            StreamReplayQueries.lastDrainProfile.get(name.split("_")(0))
+              .map(renderProfile)
+          else None
+        // fsync gate = ENTRY probe only (fs0): a drain's own state
+        // commits dirty the page cache, so a post-drain probe reads
+        // the re-measure's self-inflicted writeback and would bias
+        // every real drain regression toward "unresolved" — the same
+        // start-only reasoning as the cpu-pressure gate.
         Adjudicated(name, w, b, re,
-          math.max(io0, io1), math.max(cpu0, cpu1))
+          math.max(io0, io1), math.max(cpu0, cpu1), fs0,
+          isDrain, reProfile)
       }
       def render(a: Adjudicated): String =
         f""""${a.name}":{"warm":${a.warm}%.3f,"best":${a.best}%.3f,""" +
-          f""""remeasure":${a.re}%.3f,"re_io":${a.reIo}%.2f,"re_cpu":${a.reCpu}%.2f}"""
+          f""""remeasure":${a.re}%.3f,"re_io":${a.reIo}%.2f,"re_cpu":${a.reCpu}%.2f""" +
+          (if (a.isDrain) f""","kind":"drain","re_fsync_ms":${a.reFsync}%.2f""" else "") +
+          a.reProfile.map(p => s""","re_profile":$p""").getOrElse("") + "}"
       val ambient = adjudicated.filter(a => a.re >= 0 && a.re <= 1.5 * a.best)
       val reClean = (a: Adjudicated) =>
         a.reIo >= 0 && a.reIo <= PressureCleanMax &&
-          a.reCpu >= 0 && a.reCpu <= CpuPressureCleanMax
+          a.reCpu >= 0 && a.reCpu <= CpuPressureCleanMax &&
+          (!a.isDrain || (a.reFsync >= 0 && a.reFsync <= FsyncCleanMax))
       val confirmed = adjudicated.filter(a =>
         a.re >= 0 && a.re > 1.5 * a.best && reClean(a))
       val unresolved = adjudicated.filterNot(a =>
         ambient.contains(a) || confirmed.contains(a))
       (confirmed.map(render), ambient.map(render), unresolved.map(render))
     }
+    // WALL adjudication (r14 verdict items #1/#8): the two concurrent
+    // schedules get best-known walls of their own (BENCH_BEST keys
+    // "wall:sr_concurrent"/"wall:board_concurrent"). A pressure-clean
+    // wall >1.5× best re-runs its WHOLE schedule once — expensive, but
+    // only paid when flagged — with pressure + fsync read around it,
+    // and ships confirmed/ambient/unresolved by the same rules, so an
+    // r14-style 5× board-wall inflation self-adjudicates in the JSON
+    // instead of silently doubling the round's wall-clock reading.
+    def adjudicateWall(key: String, wall: Double, active: Boolean,
+                       rerun: () => Double): String = {
+      val best = bestKnown.get(key).filter(_ > 0)
+      val flagged = pressureClean && active &&
+        best.exists(b => wall > 1.5 * b)
+      val head = f""""$key":{"wall":$wall%.3f,"best":${best.getOrElse(-1.0)}%.3f"""
+      if (!flagged) head + ""","flagged":false}"""
+      else {
+        val io0 = ioPressureFullAvg300(); val cpu0 = cpuPressureSomeAvg300()
+        val fs0 = fsyncProbeMsPerOp()
+        val re = try rerun() catch { case _: Throwable => -1.0 }
+        val io1 = ioPressureFullAvg300(); val cpu1 = cpuPressureSomeAvg300()
+        // fsync gate = entry probe only (see the drain adjudication
+        // note: the schedule's own writes dirty the page cache).
+        val (io, cpu, fs) =
+          (math.max(io0, io1), math.max(cpu0, cpu1), fs0)
+        val clean = io >= 0 && io <= PressureCleanMax &&
+          cpu >= 0 && cpu <= CpuPressureCleanMax &&
+          fs >= 0 && fs <= FsyncCleanMax
+        val verdict =
+          if (re >= 0 && best.exists(b => re <= 1.5 * b)) "ambient"
+          else if (re >= 0 && clean) "confirmed"
+          else "unresolved"
+        head + f""","flagged":true,"remeasure":$re%.3f,"re_io":$io%.2f,""" +
+          f""""re_cpu":$cpu%.2f,"re_fsync_ms":$fs%.2f,"verdict":"$verdict"}"""
+      }
+    }
+    val wallsJson = Seq(
+      adjudicateWall("wall:sr_concurrent", srWall, srNames.nonEmpty,
+        () => runSrConcurrent()._1),
+      adjudicateWall("wall:board_concurrent", boardWall,
+        boardConcurrency > 0 && names.nonEmpty,
+        () => runBoardConcurrent()._1)
+    ).mkString("{", ",", "}")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""queries_warm":$qsWarm,""" +
         s""""shuffle_bytes_written":$qsShuf,""" +
         s""""state_actuals":$qsState,""" +
+        s""""drain_profile":$qsDrainProfile,""" +
         f""""io_pressure_full_avg300":{"start":$pressureStart%.2f,"end":$pressureEnd%.2f},""" +
         f""""cpu_pressure_some_avg300":{"start":$cpuPressureStart%.2f,"end":$cpuPressureEnd%.2f},""" +
+        f""""fsync_probe_ms":{"start":$fsyncStart%.2f},""" +
         s""""pressure_clean":$pressureClean,""" +
         s""""regressions":${regressions.mkString("{", ",", "}")},""" +
         s""""regressions_suspect_ambient":$regressionsSuspectAmbient,""" +
         s""""regressions_confirmed":${regConfirmed.mkString("{", ",", "}")},""" +
         s""""regressions_ambient":${regAmbient.mkString("{", ",", "}")},""" +
         s""""regressions_unresolved":${regUnresolved.mkString("{", ",", "}")},""" +
+        s""""walls":$wallsJson,""" +
         f""""sr_drains":{"serial_sum":$srSerialSum%.3f,"concurrent_wall":$srWall%.3f,""" +
         s""""concurrency":$srConcurrency,""" +
         s""""failed":${srConcFailed.mkString("[", ",", "]")}},""" +

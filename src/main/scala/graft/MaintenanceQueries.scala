@@ -381,20 +381,32 @@ object MaintenanceQueries {
     * the silver frame that was appended in. File-count collapse and
     * idempotence are require()d in-query; cluster-extent preservation
     * and the scan-time delta live in CompactionSpec + BENCHNOTES.
+    *
+    * The PRISTINE fragmented store is staged once per process through
+    * ReplayStaging like every sr input (r14 verdict item #4 — building
+    * it in-query made the bench number measure a partitioned silver
+    * write, not `compact()`); each invocation hardlink-clones it in
+    * O(files) metadata and compacts the clone, so round-over-round
+    * bench diffs track the compaction job itself.
     */
   def compactionQ(s: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_v8_")
-    try {
-      val store = tmp.resolve("gold").toString
+    val pristine = graft.streaming.ReplayStaging.stagedDir(s"v8store|$dir",
       SparkEntry.silverDf(s, dir)
         .select(col("symbol"), col("price"), col("volume"),
-          col("event_time"), col("trade_date"))
-        .repartition(12)
-        .write.partitionBy("trade_date").parquet(store)
+          col("event_time"), col("trade_date"))) { (tmp, f) =>
       // repartition(12) caps fragments at 12 per date; a task with no
       // rows for a date writes no file, so sparse dates land below 12
       // (observed 9-12 at sf0.001) — the flag threshold is the bound
       // that matters.
+      val store = tmp.resolve("gold").toString
+      f.repartition(12).write.partitionBy("trade_date").parquet(store)
+      store
+    }
+    val work = graft.streaming.ReplayStaging.scratchDir("graft_v8_")
+    try {
+      val store = work.resolve("gold").toString
+      graft.streaming.ReplayStaging.linkClone(
+        java.nio.file.Paths.get(pristine), java.nio.file.Paths.get(store))
       val before = graft.operators.Compaction
         .smallFilePartitions(store, "trade_date", minFiles = 4)
       require(before.nonEmpty && before.forall(_._2 >= 4),
@@ -408,15 +420,17 @@ object MaintenanceQueries {
         s"compacted ${stats.length} of ${before.length} flagged partitions")
       require(stats.forall(st => st.filesAfter < st.filesBefore),
         s"no file-count collapse: $stats")
-      // Idempotence: a second pass finds nothing left to do.
+      // Idempotence: a second pass finds nothing left to do (triage
+      // with the operator's own size-aware threshold, targetBytes/2).
       require(graft.operators.Compaction
-        .smallFilePartitions(store, "trade_date", minFiles = 4).isEmpty,
+        .smallFilePartitions(store, "trade_date", minFiles = 4,
+          smallBytes = 32L << 20).isEmpty,
         "second triage still flags partitions after compaction")
       s.read.parquet(store)
         .select(col("symbol"), unix_millis(col("event_time")).as("ts_ms"),
           col("price"), col("volume"))
         .localCheckpoint(eager = true)
-    } finally graft.streaming.ReplayStaging.deleteRecursively(tmp)
+    } finally graft.streaming.ReplayStaging.deleteRecursively(work)
   }
 
   /** Silver verbatim, like sr15: the proof is that the store's content

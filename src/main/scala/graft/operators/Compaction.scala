@@ -1,9 +1,9 @@
 package graft.operators
 
-import java.io.File
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Small-file compaction for a date-partitioned parquet store — the
@@ -16,9 +16,14 @@ import org.apache.spark.sql.functions._
   *
   * Shape (Delta OPTIMIZE's, re-expressed on plain parquet):
   *   1. DRIVER-side partition triage — list `part=value` directories,
-  *      flag those with ≥ `minFiles` fragments. Bounded by partition
-  *      count (a date-partitioned store has thousands of partitions,
-  *      not billions), same posture as Retention.dropExpiredPartitions.
+  *      flag those carrying ≥ `minFiles` SMALL fragments (parquet
+  *      files below `smallBytes`, i.e. half the bin-pack target).
+  *      Size-aware, not count-based: a correctly bin-packed large
+  *      partition holds many files but none of them small, so it is
+  *      never re-flagged and maintenance cycles converge (r14 ADVICE).
+  *      Bounded by partition count (a date-partitioned store has
+  *      thousands of partitions, not billions), same posture as
+  *      Retention.dropExpiredPartitions.
   *   2. ONE distributed rewrite of the flagged partitions only:
   *      `repartitionByRange` over (partition column, cluster key) into
   *      ceil(flaggedBytes / targetBytes) output slots, rows sorted
@@ -38,11 +43,27 @@ import org.apache.spark.sql.functions._
   *      explicit recovery. A clean re-run after recovery converges
   *      (idempotent maintenance, like every job in this repo).
   *
+  * All filesystem work goes through the Hadoop `FileSystem` API, and
+  * the rewrite is staged under `root/_compact_tmp` — ON the store's
+  * own filesystem by construction — so both swap moves are
+  * same-filesystem renames (r14 ADVICE: the old java.io.tmpdir staging
+  * threw AtomicMoveNotSupportedException mid-swap whenever the store
+  * lived on a different device, after the originals were already
+  * trashed). On HDFS, `rename` is the same atomic namespace primitive
+  * as a local rename; on S3A there is no atomic rename (rename =
+  * copy + delete), so there a production deployment should commit
+  * through a table format's transaction log instead — the
+  * trash-before-swap ordering still guarantees no data loss, only a
+  * wider non-atomic window. The underscore prefixes (`_compact_tmp`,
+  * `_compact_trash`) keep both staging dirs invisible to Spark's file
+  * index, so a concurrent reader of the store never sees them.
+  *
   * Content is IDENTICAL before and after — compaction moves bytes,
   * never rows — proven under the DuckDB oracle by v8_compaction (the
   * read-back of a compacted store must hash-match the silver frame
   * that was appended into it) and pinned by CompactionSpec (file
-  * counts, cluster-extent disjointness, idempotence).
+  * counts, cluster-extent disjointness, idempotence, size-aware
+  * triage).
   *
   * 100 TB posture: the rewrite touches only flagged partitions (the
   * read is a partition-pruned scan), the shuffle moves exactly the
@@ -59,47 +80,71 @@ object Compaction {
                                   bytesBefore: Long, filesAfter: Long,
                                   bytesAfter: Long)
 
-  private def parquetFiles(dir: File): Array[File] =
-    Option(dir.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+  private def parquetFiles(fs: FileSystem, dir: Path): Array[FileStatus] =
+    if (fs.exists(dir))
+      fs.listStatus(dir)
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    else Array.empty
 
-  /** Driver-side triage: `part=value` directories with ≥ `minFiles`
-    * parquet fragments, with their current file/byte counts.
+  private def isEmptyDir(fs: FileSystem, dir: Path): Boolean =
+    !fs.exists(dir) || fs.listStatus(dir).isEmpty
+
+  private def renameOrDie(fs: FileSystem, src: Path, dst: Path): Unit =
+    require(fs.rename(src, dst), s"compaction: rename $src -> $dst failed")
+
+  /** Driver-side triage: `part=value` directories carrying ≥ `minFiles`
+    * parquet fragments smaller than `smallBytes`, with their TOTAL
+    * current file/byte counts (the whole partition is rewritten, so
+    * the stats cover every file in it, not just the small ones). The
+    * default `smallBytes = Long.MaxValue` counts every file — the
+    * count-based triage older call sites expect; `compact()` passes
+    * `targetBytes / 2` so its own flag is size-aware.
     */
   def smallFilePartitions(root: String, partitionCol: String,
-                          minFiles: Int): Seq[(String, Long, Long)] = {
-    val dirs = Option(new File(root).listFiles()).getOrElse(Array.empty)
-      .filter(d => d.isDirectory && d.getName.startsWith(s"$partitionCol="))
+                          minFiles: Int,
+                          smallBytes: Long = Long.MaxValue,
+                          conf: Configuration = new Configuration())
+      : Seq[(String, Long, Long)] = {
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(conf)
+    val dirs =
+      (if (fs.exists(rootPath)) fs.listStatus(rootPath) else Array.empty[FileStatus])
+        .filter(s => s.isDirectory &&
+          s.getPath.getName.startsWith(s"$partitionCol="))
     dirs.toSeq.flatMap { d =>
-      val fs = parquetFiles(d)
-      if (fs.length >= minFiles)
-        Some((d.getName, fs.length.toLong, fs.map(_.length).sum))
+      val files = parquetFiles(fs, d.getPath)
+      val small = files.count(_.getLen < smallBytes)
+      if (small >= minFiles)
+        Some((d.getPath.getName, files.length.toLong, files.map(_.getLen).sum))
       else None
     }.sortBy(_._1)
   }
 
   /** Compact every partition of `root` holding ≥ `minFiles` parquet
-    * fragments into ~`targetBytes` files clustered by `clusterKey`.
-    * Returns per-partition before/after stats (empty = nothing was
-    * flagged; the store is untouched).
+    * fragments below `targetBytes / 2` into ~`targetBytes` files
+    * clustered by `clusterKey`. Returns per-partition before/after
+    * stats (empty = nothing was flagged; the store is untouched).
     */
   def compact(spark: SparkSession, root: String, partitionCol: String,
               clusterKey: Column, targetBytes: Long,
               minFiles: Int = 4): Seq[PartitionStats] = {
+    val hconf = spark.sessionState.newHadoopConf()
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(hconf)
     // A non-empty trash dir means a previous run crashed between
     // moving a partition's originals aside and moving the compacted
     // files in: the originals in trash are the only complete copy of
     // that partition. Running again would finish by DELETING the
     // trash, so refuse loudly instead — the operator must never be
     // the thing that turns a recoverable crash into data loss.
-    val staleTrash = new File(root, "_compact_trash")
-    require(!staleTrash.exists() ||
-        Option(staleTrash.listFiles()).forall(_.isEmpty),
-      s"compaction: $staleTrash is non-empty — a previous run crashed " +
+    val trash = new Path(rootPath, "_compact_trash")
+    require(isEmptyDir(fs, trash),
+      s"compaction: $trash is non-empty — a previous run crashed " +
         "mid-swap and its partition originals are in there; restore them " +
         "(move the trash's files back into their partition dirs) or " +
         "delete the trash explicitly before compacting again")
-    val flagged = smallFilePartitions(root, partitionCol, minFiles)
+    val flagged = smallFilePartitions(root, partitionCol, minFiles,
+      smallBytes = math.max(1L, targetBytes / 2), conf = hconf)
     if (flagged.isEmpty) return Seq.empty
     val values = flagged.map(_._1.split("=", 2)(1))
     val bytesFlagged = flagged.map(_._3).sum
@@ -109,42 +154,45 @@ object Compaction {
     // partitioned re-write can route rows).
     val df = spark.read.option("basePath", root).parquet(root)
       .filter(col(partitionCol).cast("string").isin(values: _*))
-    val tmpRoot = Files.createTempDirectory("graft_compact_")
-    val tmp = tmpRoot.resolve("rewrite").toString
+    // Stage the rewrite INSIDE the store root (same filesystem by
+    // construction, hidden from readers by the underscore prefix).
+    // A leftover _compact_tmp can only be a dead staging area from a
+    // crash BEFORE any original was trashed (the trash guard above
+    // already covered the mid-swap case), so it is safe to clear.
+    val tmpRoot = new Path(rootPath, "_compact_tmp")
+    fs.delete(tmpRoot, true)
+    val tmp = new Path(tmpRoot, "rewrite")
     try {
       df.repartitionByRange(slots, col(partitionCol), clusterKey)
         .sortWithinPartitions(col(partitionCol), clusterKey)
-        .write.partitionBy(partitionCol).parquet(tmp)
-      // Swap: old fragments aside into an underscore-prefixed trash
-      // dir (hidden from Spark's file index), compacted files in,
-      // trash dropped last. Plain parquet has no manifest to commit
-      // atomically — a production lake would do this step through a
-      // table format's transaction log; here a crash mid-swap leaves
-      // the partition's originals intact in trash (recoverable), and
-      // the window where a partition is visible part-swapped is the
-      // per-partition move loop, not the whole rewrite.
-      val trash = new File(root, "_compact_trash")
+        .write.partitionBy(partitionCol).parquet(tmp.toString)
+      // Swap: old fragments aside into the trash dir, compacted files
+      // in, trash dropped last. Plain parquet has no manifest to
+      // commit atomically — a production lake would do this step
+      // through a table format's transaction log; here a crash
+      // mid-swap leaves the partition's originals intact in trash
+      // (recoverable), and the window where a partition is visible
+      // part-swapped is the per-partition move loop, not the whole
+      // rewrite.
       val stats = flagged.map { case (partDir, nBefore, bBefore) =>
-        val oldDir = new File(root, partDir)
-        val newDir = new File(tmp, partDir)
-        val newFiles = parquetFiles(newDir)
+        val oldDir = new Path(rootPath, partDir)
+        val newDir = new Path(tmp, partDir)
+        val newFiles = parquetFiles(fs, newDir)
         require(newFiles.nonEmpty,
           s"compaction produced no files for $partDir — refusing to drop the originals")
-        val partTrash = new File(trash, partDir)
-        partTrash.mkdirs()
-        parquetFiles(oldDir).foreach { f =>
-          Files.move(f.toPath, Paths.get(partTrash.toString, f.getName),
-            StandardCopyOption.ATOMIC_MOVE)
+        val partTrash = new Path(trash, partDir)
+        fs.mkdirs(partTrash)
+        parquetFiles(fs, oldDir).foreach { f =>
+          renameOrDie(fs, f.getPath, new Path(partTrash, f.getPath.getName))
         }
         newFiles.foreach { f =>
-          Files.move(f.toPath, Paths.get(oldDir.toString, f.getName),
-            StandardCopyOption.ATOMIC_MOVE)
+          renameOrDie(fs, f.getPath, new Path(oldDir, f.getPath.getName))
         }
         PartitionStats(partDir, nBefore, bBefore,
-          newFiles.length.toLong, newFiles.map(_.length).sum)
+          newFiles.length.toLong, newFiles.map(_.getLen).sum)
       }
-      graft.streaming.ReplayStaging.deleteRecursively(trash.toPath)
+      fs.delete(trash, true)
       stats
-    } finally graft.streaming.ReplayStaging.deleteRecursively(tmpRoot)
+    } finally fs.delete(tmpRoot, true)
   }
 }

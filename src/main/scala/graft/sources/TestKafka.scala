@@ -147,6 +147,23 @@ object TestKafka {
       B64D.decode(parts(2)), parts(3).toLong)
   }
 
+  /** Batch-commit record file names, ASCENDING in commit order (r15):
+    * they were `records-<UUID>.tsv`, which sorts randomly — a second
+    * `save()` into the same topic dir could sort BEFORE the first,
+    * scrambling the seam's arrival-order semantics (offset ranks,
+    * floors, the admission meters) across appends. A broker appends
+    * at arrival; the name now carries (epoch-ms, process-wide
+    * sequence, task partition), strictly monotonic within a JVM and
+    * millisecond-ordered across them. Streaming epoch commits keep
+    * their DETERMINISTIC `records-e<epoch>-p<part>` names (idempotent
+    * re-commit needs them time-free); batch files ('b') sort before
+    * epoch files ('e') — one writer kind per topic dir, as every
+    * fixture does.
+    */
+  private val commitSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+  def nextBatchFileName(partitionId: Int): String =
+    f"records-b${System.currentTimeMillis()}%013d-${commitSeq.getAndIncrement()}%06d-p$partitionId.tsv"
+
   def listRecordFiles(path: String): Array[String] = {
     val dir = new File(path)
     Option(dir.listFiles()).getOrElse(Array.empty[File])
@@ -299,6 +316,16 @@ class TestKafkaTable(path: String, nPartitions: Int, defaultTopic: Option[String
         // The real Kafka source's rate-limit option, same name & unit
         // (records per micro-batch).
         Option(options.getLong("maxOffsetsPerTrigger", -1L)).filter(_ > 0L),
+        // The real source's ReadMinRows pair (r14 verdict item #5):
+        // a trickle feed accumulates until `minOffsetsPerTrigger`
+        // records are available OR `maxTriggerDelay` has passed since
+        // the last fired batch — what stops a 100 TB lake's slow feed
+        // from generating one micro-batch (and one output file) per
+        // arriving record. Same names, same units, same 15m default.
+        minPerTrigger =
+          Option(options.getLong("minOffsetsPerTrigger", -1L)).filter(_ > 0L),
+        maxTriggerDelayMs = org.apache.spark.network.util.JavaUtils
+          .timeStringAsMs(Option(options.get("maxTriggerDelay")).getOrElse("15m")),
         // The real source's consumer-position option. NOTE the
         // deliberate DEFAULT deviation: the real streaming source
         // defaults to latest; this seam defaults to earliest because
@@ -347,6 +374,8 @@ final case class TestKafkaInputPartition(partitionId: Int, nPartitions: Int,
 
 class TestKafkaScan(path: String, nPartitions: Int,
                     maxPerTrigger: Option[Long] = None,
+                    minPerTrigger: Option[Long] = None,
+                    maxTriggerDelayMs: Long = 15L * 60 * 1000,
                     startFromLatest: Boolean = false,
                     floors: Map[(String, Int), Long] = Map.empty,
                     ceilings: Map[(String, Int), Long] = Map.empty,
@@ -360,6 +389,13 @@ class TestKafkaScan(path: String, nPartitions: Int,
     require(!startFromLatest,
       "testkafka: starting offset can't be latest for batch queries " +
         "(matching the Kafka source's rejection)")
+    // minOffsetsPerTrigger is TRIGGER admission control — a batch
+    // query has no trigger to defer, so the option can only be a
+    // misconfiguration there. Fail loudly (streaming-only restriction,
+    // negative-tested in KafkaAdmissionSpec).
+    require(minPerTrigger.isEmpty,
+      "testkafka: minOffsetsPerTrigger is a streaming-only admission " +
+        "option (a batch read is bounded by endingOffsets, not triggers)")
     this
   }
   override def toMicroBatchStream(checkpointLocation: String):
@@ -370,7 +406,8 @@ class TestKafkaScan(path: String, nPartitions: Int,
       "testkafka: ending offset not valid in streaming queries " +
         "(matching the Kafka source's rejection)")
     new TestKafkaMicroBatchStream(path, nPartitions, maxPerTrigger, startFromLatest,
-      floors, subscribe, subscribePattern)
+      floors, subscribe, subscribePattern,
+      minPerTrigger = minPerTrigger, maxTriggerDelayMs = maxTriggerDelayMs)
   }
   override def description(): String = s"TestKafkaScan(path=$path, partitions=$nPartitions)"
 
@@ -541,11 +578,14 @@ class TestKafkaMicroBatchStream(path: String, nPartitions: Int,
                                 startFromLatest: Boolean = false,
                                 floors: Map[(String, Int), Long] = Map.empty,
                                 subscribe: Option[Seq[String]] = None,
-                                subscribePattern: Option[String] = None)
+                                subscribePattern: Option[String] = None,
+                                minPerTrigger: Option[Long] = None,
+                                maxTriggerDelayMs: Long = 15L * 60 * 1000,
+                                clock: () => Long = () => System.currentTimeMillis())
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
-  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadAllAvailable, ReadLimit, ReadMaxRows}
+  import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, Offset, ReadAllAvailable, ReadLimit, ReadMaxRows, ReadMinRows}
 
   // Record files are immutable once committed (atomic move; an epoch
   // re-commit replays identical content), so line counts memoize.
@@ -610,8 +650,52 @@ class TestKafkaMicroBatchStream(path: String, nPartitions: Int,
     availableNowTarget = Some(allAvailable())
   }
 
-  override def getDefaultReadLimit: ReadLimit =
-    maxPerTrigger.map(ReadLimit.maxRows).getOrElse(ReadLimit.allAvailable())
+  /** The real source's limit composition, verbatim: min+max →
+    * CompositeReadLimit(ReadMinRows, ReadMaxRows); min alone →
+    * ReadMinRows; max alone → ReadMaxRows; neither → all-available.
+    */
+  override def getDefaultReadLimit: ReadLimit = (minPerTrigger, maxPerTrigger) match {
+    case (Some(min), Some(max)) => ReadLimit.compositeLimit(Array(
+      ReadLimit.minRows(min, maxTriggerDelayMs), ReadLimit.maxRows(max)))
+    case (Some(min), None) => ReadLimit.minRows(min, maxTriggerDelayMs)
+    case (None, Some(max)) => ReadLimit.maxRows(max)
+    case _ => ReadLimit.allAvailable()
+  }
+
+  /** Wall-clock of the last FIRED (non-deferred) micro-batch, for the
+    * ReadMinRows deadline. 0 initial = the first trigger always fires
+    * regardless of min — the real source's exact rule (its
+    * lastTriggerMillis also starts at 0, so the first delayBatch call
+    * sees the deadline as passed).
+    */
+  @volatile private var lastTriggerMillis = 0L
+
+  /** ReadMinRows deferral (the real source's delayBatch, same
+    * decision order): deadline passed → fire; else NEW admissible
+    * records since `start` < min → defer; else fire. Both fire paths
+    * reset the deadline clock.
+    */
+  private def delayBatch(min: Long, target: Seq[(String, Long)],
+                         startMap: Map[String, Long]): Boolean = {
+    val now = clock()
+    if (now - lastTriggerMillis >= maxTriggerDelayMs) {
+      lastTriggerMillis = now
+      false
+    } else {
+      val newRecords =
+        if (filtered) {
+          val pref = admissiblePrefixes(target.map(_._1))
+          target.map { case (f, n) =>
+            val arr = pref(f)
+            arr(n.toInt) - arr(math.min(startMap.getOrElse(f, 0L), n).toInt)
+          }.sum
+        } else target.map { case (f, n) =>
+          n - math.min(startMap.getOrElse(f, 0L), n)
+        }.sum
+      if (newRecords < min) true
+      else { lastTriggerMillis = now; false }
+    }
+  }
 
   /** `startingOffsets=latest` — Kafka's consumer-position semantics:
     * a FRESH query (no checkpoint) starts at the log's current end and
@@ -629,9 +713,32 @@ class TestKafkaMicroBatchStream(path: String, nPartitions: Int,
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val target = availableNowTarget.getOrElse(allAvailable()).sortBy(_._1)
     val startMap = start.asInstanceOf[TestKafkaOffset].lines.toMap
-    limit match {
-      case _: ReadAllAvailable => TestKafkaOffset(target)
-      case r: ReadMaxRows if filtered =>
+    // Unwrap the composite exactly as the real source does: all-
+    // available wins outright; otherwise ReadMinRows (deferral) is
+    // consulted FIRST, then ReadMaxRows rations what fires. Note the
+    // real source's corner, mirrored deliberately: with min+max set,
+    // a tail smaller than min left behind by the max cap DEFERS until
+    // the deadline even though the feed already delivered it once —
+    // pinned in KafkaAdmissionSpec.
+    val limits = limit match {
+      case c: CompositeReadLimit => c.getReadLimits.toSeq
+      case l => Seq(l)
+    }
+    limits.collectFirst {
+      case l if !l.isInstanceOf[ReadAllAvailable] &&
+        !l.isInstanceOf[ReadMinRows] && !l.isInstanceOf[ReadMaxRows] =>
+        throw new UnsupportedOperationException(
+          s"testkafka: unsupported read limit $l")
+    }
+    if (limits.exists(_.isInstanceOf[ReadAllAvailable]))
+      return TestKafkaOffset(target)
+    limits.collectFirst { case m: ReadMinRows => m }.foreach { m =>
+      if (delayBatch(m.minRows(), target, startMap))
+        return TestKafkaOffset(
+          target.map { case (f, n) => f -> math.min(startMap.getOrElse(f, 0L), n) })
+    }
+    limits.collectFirst { case r: ReadMaxRows => r } match {
+      case Some(r) if filtered =>
         // Seek-then-admit: budget counts ADMISSIBLE records only, so
         // every batch is exactly `max` rows until the feed's tail —
         // inadmissible lines inside the admitted ranges are free.
@@ -650,7 +757,7 @@ class TestKafkaMicroBatchStream(path: String, nPartitions: Int,
             f -> t.toLong
           }
         })
-      case r: ReadMaxRows =>
+      case Some(r) =>
         var budget = r.maxRows()
         TestKafkaOffset(target.map { case (f, n) =>
           val done = math.min(startMap.getOrElse(f, 0L), n)
@@ -658,8 +765,10 @@ class TestKafkaMicroBatchStream(path: String, nPartitions: Int,
           budget -= take
           f -> (done + take)
         })
-      case other => throw new UnsupportedOperationException(
-        s"testkafka: unsupported read limit $other")
+      case None =>
+        // ReadMinRows alone: once the batch fires it takes everything
+        // available (the real source's min-without-max behavior).
+        TestKafkaOffset(target)
     }
   }
   override def deserializeOffset(json: String): Offset = TestKafkaOffset.fromJson(json)
@@ -761,7 +870,7 @@ class TestKafkaBatchWrite(path: String, defaultTopic: Option[String],
     new TestKafkaWriterFactory(path, defaultTopic, schema)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit =
-    commitAs(messages, _ => s"records-${UUID.randomUUID()}.tsv")
+    commitAs(messages, m => TestKafka.nextBatchFileName(m.partitionId))
 
   /** Move each task's tmp file to its committed name. `name` picks the
     * destination from the commit message: batch commits use a fresh

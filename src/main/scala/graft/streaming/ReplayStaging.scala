@@ -201,6 +201,47 @@ object ReplayStaging {
       staging
     }
 
+  /** Memoize an arbitrary staged directory under `key`: `build` gets a
+    * fresh scratch root and the frame, populates the root, and returns
+    * the path to hand out (cleaned at JVM exit like every staging).
+    * Same contract as the slice cachers — same key ⇒ same frame,
+    * schema-checked on every hit. v8 stages its pristine fragmented
+    * store through this (r14 verdict item #4: the fixture build was
+    * inside the timed query, so the bench number measured a
+    * partitioned silver write, not `compact()`).
+    */
+  def stagedDir(key: String, frame: => DataFrame)
+               (build: (Path, DataFrame) => String): String =
+    checkedHit(key, frame, cache) { f =>
+      val tmp = scratchDir("graft_stage_")
+      roots.put(key, tmp)
+      build(tmp, f)
+    }
+
+  /** Clone a staged directory tree into `dst` by HARDLINK (same
+    * filesystem, O(files) metadata, zero data copy) with a plain copy
+    * fallback. For consumers that MUTATE their input — compaction
+    * renames and deletes the store's files, and a staged dir must stay
+    * immutable — link-clones are safe against exactly that mutation
+    * class: renames and deletes drop links, never touch the shared
+    * inode's bytes, and compacted output files are new inodes.
+    */
+  def linkClone(src: Path, dst: Path): Unit = {
+    Files.createDirectories(dst)
+    val walk = Files.walk(src)
+    try walk.forEach { p =>
+      val rel = src.relativize(p)
+      val to = dst.resolve(rel)
+      if (Files.isDirectory(p)) Files.createDirectories(to)
+      else {
+        try Files.createLink(to, p)
+        catch { case _: UnsupportedOperationException | _: java.io.IOException =>
+          Files.copy(p, to, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
+      }
+    } finally walk.close()
+  }
+
   /** The uncached staging body — also used directly by specs that need
     * a private staging to mutate or crash against.
     */

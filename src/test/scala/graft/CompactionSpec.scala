@@ -16,8 +16,8 @@ class CompactionSpec extends SparkSpecBase {
   import spark.implicits._
 
   /** A fragmented date-partitioned store: `frags` files per date. */
-  private def fragmentedStore(frags: Int): String = {
-    val tmp = Files.createTempDirectory("graft_cspec_").resolve("store").toString
+  private def fragmentedStoreAt(base: java.nio.file.Path, frags: Int): String = {
+    val tmp = base.resolve("store").toString
     val df = (0 until 3000).map { i =>
       (s"SYM${i % 7}", 100.0 + (i % 250) * 0.01, (i % 13 + 1).toLong,
         java.sql.Date.valueOf(s"2024-01-${10 + i % 3}"),
@@ -26,6 +26,9 @@ class CompactionSpec extends SparkSpecBase {
     df.repartition(frags).write.partitionBy("trade_date").parquet(tmp)
     tmp
   }
+
+  private def fragmentedStore(frags: Int): String =
+    fragmentedStoreAt(Files.createTempDirectory("graft_cspec_"), frags)
 
   private def clusterKey = col("ts_ms")
 
@@ -98,6 +101,89 @@ class CompactionSpec extends SparkSpecBase {
     val stats = Compaction.compact(spark, store, "trade_date", clusterKey,
       targetBytes = 64L << 20, minFiles = 4)
     assert(stats.nonEmpty && stats.forall(st => st.filesAfter < st.filesBefore))
+  }
+
+  test("triage is size-aware: many LARGE files do not flag a partition") {
+    val store = fragmentedStore(10)
+    // Every fixture file counts as small under the count-based default.
+    val byCount = Compaction.smallFilePartitions(store, "trade_date", 4)
+    assert(byCount.size === 3)
+    // With a smallness threshold below every file's size, the same
+    // partitions hold 10 files each but ZERO fragments — a correctly
+    // bin-packed large partition must never be re-flagged (r14 ADVICE).
+    val bySize = Compaction.smallFilePartitions(store, "trade_date", 4,
+      smallBytes = 1L)
+    assert(bySize.isEmpty, bySize.toString)
+    // Threshold between: files sized in [1, MaxValue) all count again.
+    val wide = Compaction.smallFilePartitions(store, "trade_date", 4,
+      smallBytes = 1L << 30)
+    assert(wide.size === 3 && wide.forall(_._2 === 10), wide.toString)
+  }
+
+  test("maintenance converges when partition data exceeds minFiles x targetBytes") {
+    // Per-date bytes ~= 4x targetBytes, so a bin-packed date keeps
+    // ~4 files forever. Count-based triage (>= 3 files) would re-flag
+    // and fully rewrite it every cycle; size-aware triage reaches a
+    // fixed point in <= 3 passes (pass 2 may re-pack once if the first
+    // sort changed the compression ratio; sorted input is then stable).
+    // The payload is pseudo-random (incompressible) so file sizes are
+    // data-dominated, not parquet-overhead-dominated.
+    val rnd = new scala.util.Random(42)
+    val base = Files.createTempDirectory("graft_cspec_big_")
+    val store = base.resolve("store").toString
+    (0 until 3000).map { i =>
+      (s"SYM${i % 7}", rnd.alphanumeric.take(256).mkString,
+        java.sql.Date.valueOf(s"2024-01-${10 + i % 3}"),
+        1704844800000L + i * 60000L)
+    }.toDF("symbol", "payload", "trade_date", "ts_ms")
+      .repartition(10).write.partitionBy("trade_date").parquet(store)
+    val total = Compaction.smallFilePartitions(store, "trade_date", 1).map(_._3).sum
+    val target = math.max(1L, total / 12)
+    var passes = 0
+    while (passes < 5 && Compaction.compact(spark, store, "trade_date",
+        clusterKey, targetBytes = target, minFiles = 3).nonEmpty) {
+      passes += 1
+    }
+    assert(passes >= 1 && passes <= 3, s"compaction did not converge: $passes passes")
+    // The converged store still holds multiple files per date (the
+    // large-partition shape) yet nothing is flagged.
+    val files = Compaction.smallFilePartitions(store, "trade_date", 1).map(_._2)
+    assert(files.forall(_ >= 2), s"fixture degenerated to one file: $files")
+  }
+
+  test("store outside java.io.tmpdir: staging is in-store, swap succeeds, no residue") {
+    // r14 ADVICE: the old java.io.tmpdir staging broke whenever the
+    // store lived on a different filesystem. Staging now lives under
+    // root/_compact_tmp (same fs by construction); prove it against a
+    // store deliberately placed outside tmpdir.
+    val base = Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "graft_cspec_out_")
+    try {
+      val store = fragmentedStoreAt(base, 8)
+      val before = spark.read.parquet(store)
+        .select($"symbol", $"price", $"volume", $"ts_ms", $"trade_date".cast("string"))
+        .collect().map(_.toString).sorted
+      val stats = Compaction.compact(spark, store, "trade_date", clusterKey,
+        targetBytes = 64L << 20, minFiles = 4)
+      assert(stats.size === 3 && stats.forall(st => st.filesAfter < st.filesBefore))
+      val after = spark.read.parquet(store)
+        .select($"symbol", $"price", $"volume", $"ts_ms", $"trade_date".cast("string"))
+        .collect().map(_.toString).sorted
+      assert(after === before)
+      assert(!new File(store, "_compact_trash").exists())
+      assert(!new File(store, "_compact_tmp").exists())
+    } finally graft.streaming.ReplayStaging.deleteRecursively(base)
+  }
+
+  test("a stale _compact_tmp (pre-swap crash residue) is cleared, not fatal") {
+    val store = fragmentedStore(6)
+    val stale = new File(new File(store, "_compact_tmp"), "rewrite")
+    stale.mkdirs()
+    Files.write(new File(stale, "junk.parquet").toPath, Array[Byte](1, 2, 3))
+    val stats = Compaction.compact(spark, store, "trade_date", clusterKey,
+      targetBytes = 64L << 20, minFiles = 4)
+    assert(stats.nonEmpty && stats.forall(st => st.filesAfter < st.filesBefore))
+    assert(!new File(store, "_compact_tmp").exists())
   }
 
   test("cluster-key locality: per-file extents within a date do not interleave") {

@@ -409,6 +409,169 @@ class KafkaAdmissionSpec extends SparkSpecBase {
     assert(msgs.contains("starting offset can't be latest for batch queries"), msgs)
   }
 
+  // ------------------------------------------------------------------
+  // ReadMinRows / CompositeReadLimit (r14 verdict item #5): the real
+  // source's minOffsetsPerTrigger + maxTriggerDelay pair — a trickle
+  // feed accumulates until min records are available OR the deadline
+  // passes since the last fired batch. At 100 TB this is what stops a
+  // slow feed from generating one micro-batch (and one output file)
+  // per arriving record.
+  // ------------------------------------------------------------------
+
+  private def appendKeyed(dir: String, from: Int, n: Int): Unit = {
+    import spark.implicits._
+    (from until from + n).map(i => (s"sym$i", s"""{"v":$i}"""))
+      .toDF("key", "value").coalesce(1)
+      .write.mode("append").format("graft-testkafka")
+      .option("path", dir).option("topic", "t").save()
+  }
+
+  test("ReadMinRows defers a sub-min trickle until maxTriggerDelay (deterministic clock)") {
+    import graft.sources.{TestKafkaMicroBatchStream, TestKafkaOffset}
+    val dir = tmpDir("graft_tk_min")
+    var now = 1000000L
+    val stream = new TestKafkaMicroBatchStream(dir, 4,
+      minPerTrigger = Some(5L), maxTriggerDelayMs = 10000L, clock = () => now)
+    def latest(start: TestKafkaOffset): TestKafkaOffset =
+      stream.latestOffset(start, stream.getDefaultReadLimit)
+        .asInstanceOf[TestKafkaOffset]
+    def total(o: TestKafkaOffset): Long = o.lines.map(_._2).sum
+    // First trigger ALWAYS fires regardless of min — the real source's
+    // rule (its lastTriggerMillis starts at 0, so the first delayBatch
+    // call sees the deadline as already passed).
+    appendKeyed(dir, 0, 2)
+    val o1 = latest(TestKafkaOffset(Nil))
+    assert(total(o1) === 2L, "first trigger must fire regardless of min")
+    // 3 new records: 3 < 5 and the deadline has not passed → defer
+    // (the end offset equals the start — no batch).
+    now += 1000; appendKeyed(dir, 2, 3)
+    assert(total(latest(o1)) === 2L, "sub-min trickle must defer")
+    // 2 more (5 new ≥ min) → fires, and min-without-max takes all.
+    now += 1000; appendKeyed(dir, 5, 2)
+    val o2 = latest(o1)
+    assert(total(o2) === 7L, "min met must fire and take everything")
+    // A 1-record trickle defers… until the deadline expires, which
+    // fires the batch with whatever is there.
+    now += 1000; appendKeyed(dir, 7, 1)
+    assert(total(latest(o2)) === 7L, "sub-min trickle must defer again")
+    now += 10000
+    assert(total(latest(o2)) === 8L, "deadline expiry must fire the sub-min batch")
+  }
+
+  test("composite min+max: max rations fired batches; the real source's sub-min-tail corner is mirrored") {
+    import graft.sources.{TestKafkaMicroBatchStream, TestKafkaOffset}
+    val dir = tmpDir("graft_tk_minmax")
+    var now = 1000000L
+    val stream = new TestKafkaMicroBatchStream(dir, 4,
+      maxPerTrigger = Some(3L), minPerTrigger = Some(5L),
+      maxTriggerDelayMs = 10000L, clock = () => now)
+    def latest(start: TestKafkaOffset): TestKafkaOffset =
+      stream.latestOffset(start, stream.getDefaultReadLimit)
+        .asInstanceOf[TestKafkaOffset]
+    def total(o: TestKafkaOffset): Long = o.lines.map(_._2).sum
+    appendKeyed(dir, 0, 10)
+    val o1 = latest(TestKafkaOffset(Nil))
+    assert(total(o1) === 3L, "first trigger fires; max caps it at 3")
+    now += 1000
+    val o2 = latest(o1)
+    assert(total(o2) === 6L, "7 available >= min 5 -> fires, capped at 3")
+    now += 1000
+    // The mirrored corner: 4 remaining < min 5 DEFERS until the
+    // deadline even though the feed already delivered those records —
+    // exactly what the real source's delayBatch does (min is checked
+    // against available-not-yet-admitted, with no memory that a prior
+    // batch's cap left them behind).
+    assert(total(latest(o2)) === 6L, "sub-min tail left by the cap defers")
+    now += 10000
+    val o3 = latest(o2)
+    assert(total(o3) === 9L, "deadline fires the tail, still capped at 3")
+    now += 1000
+    assert(total(latest(o3)) === 9L)
+    now += 10000
+    assert(total(latest(o3)) === 10L)
+  }
+
+  test("min+max+floors compose: the min gate counts ADMISSIBLE records only") {
+    import graft.sources.{TestKafkaMicroBatchStream, TestKafkaOffset}
+    val dir = tmpDir("graft_tk_minfloor")
+    var now = 1000000L
+    appendKeyed(dir, 0, 12) // sym0..sym11
+    val byPart = (0 until 12).map(i => s"sym$i").groupBy(partitionOf)
+    val p = byPart.filter(_._2.size >= 2).keys.min
+    val floors = Map(("t", p) -> 2L)
+    val stream = new TestKafkaMicroBatchStream(dir, 4,
+      minPerTrigger = Some(11L), maxTriggerDelayMs = 10000L,
+      floors = floors, clock = () => now)
+    def latest(start: TestKafkaOffset): TestKafkaOffset =
+      stream.latestOffset(start, stream.getDefaultReadLimit)
+        .asInstanceOf[TestKafkaOffset]
+    // First trigger always fires and (min-without-max) takes all 12
+    // lines; that also starts the deadline clock.
+    val first = latest(TestKafkaOffset(Nil))
+    assert(first.lines.map(_._2).sum === 12L, "first trigger fires")
+    now += 1000
+    // 10 new records arrive, ALL admissible (the floor only skipped
+    // pre-consumed history): 10 < min 11 → defer. The gate must count
+    // ADMISSIBLE records — were it counting raw new lines it would
+    // see the same 10 and behave identically here, so the discriminating
+    // step is next: one more record makes 11 admissible while a
+    // raw-minus-floor meter would still see the floor-skipped history
+    // and fire a step early (12 raw new > 11). Both assertions pin the
+    // admissible meter.
+    appendKeyed(dir, 12, 10)
+    assert(latest(first).lines.map(_._2).sum === 12L,
+      "10 admissible < min 11 must defer")
+    appendKeyed(dir, 22, 1) // 11 admissible now
+    assert(latest(first).lines.map(_._2).sum === 23L,
+      "11 admissible >= min fires and takes everything")
+  }
+
+  test("minOffsetsPerTrigger end-to-end: a trickle drain accumulates (ProcessingTime)") {
+    val dir = oneFileTopic(10)
+    val sizes = new ConcurrentLinkedQueue[Long]()
+    val raw = spark.readStream.format("graft-testkafka")
+      .option("path", dir).option("partitions", "4")
+      .option("minOffsetsPerTrigger", "5")
+      .option("maxOffsetsPerTrigger", "3")
+      .option("maxTriggerDelay", "1s")
+      .load()
+    val q = raw.select(col("offset"))
+      .writeStream.option("checkpointLocation", tmpDir("graft_tk_min_e2e_ck"))
+      .trigger(Trigger.ProcessingTime(0))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val n = batch.count(); if (n > 0) sizes.add(n); ()
+      }
+      .start()
+    // NOTE processAllAvailable CANNOT wait out a deferral: a deferred
+    // trigger reports end == start, so availableOffsets == committed
+    // and the wait returns with the tail unconsumed — poll instead.
+    def awaitSizes(expected: Seq[Long]): Unit = {
+      val t0 = System.nanoTime()
+      while (sizes.asScala.toSeq != expected &&
+        (System.nanoTime() - t0) < 30L * 1000 * 1000 * 1000) Thread.sleep(50)
+      assert(sizes.asScala.toSeq === expected,
+        s"batch sizes: ${sizes.asScala.toSeq}")
+    }
+    try {
+      // 10 records, max 3, min 5, delay 1s: 3,3 fire on the min gate;
+      // the 4-record tail defers to the deadline, then 3,1.
+      awaitSizes(Seq(3L, 3L, 3L, 1L))
+      // A fresh 2-record trickle (< min) only lands after the deadline.
+      appendKeyed(dir, 10, 2)
+      awaitSizes(Seq(3L, 3L, 3L, 1L, 2L))
+    } finally q.stop()
+  }
+
+  test("minOffsetsPerTrigger is rejected for batch queries (streaming-only)") {
+    val dir = oneFileTopic(2)
+    val err = intercept[Exception] {
+      spark.read.format("graft-testkafka")
+        .option("path", dir).option("partitions", "4")
+        .option("minOffsetsPerTrigger", "5").load().collect()
+    }
+    assert(chainMsgs(err).contains("streaming-only admission option"), chainMsgs(err))
+  }
+
   test("no cap: ReadAllAvailable consumes everything in one batch (pre-r13 behavior unchanged)") {
     val dir = oneFileTopic(10)
     val sizes = new ConcurrentLinkedQueue[Long]()

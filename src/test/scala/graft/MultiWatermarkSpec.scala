@@ -90,6 +90,116 @@ class MultiWatermarkSpec extends SparkSpecBase {
     assert(emitted === Seq(ts("09:00"), ts("10:00")), s"emitted: $emitted")
   }
 
+  test("an IDLE source pins the min watermark; downstream state grows unboundedly") {
+    // sr20 pins the min-rule with a SLOW feed; the harder production
+    // case is an IDLE one — no new data AT ALL, so the global
+    // watermark never advances and every window downstream of the
+    // union stays open forever (r14 verdict item #7). Pin the stall
+    // AND the growth curve batch-by-batch.
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val a = MemoryStream[Timestamp]
+    val b = MemoryStream[Timestamp]
+    def side(m: MemoryStream[Timestamp]) =
+      m.toDF().withColumnRenamed("value", "event_time")
+        .withWatermark("event_time", "10 minutes")
+    val agg = side(a).unionByName(side(b))
+      .groupBy(window(col("event_time"), "5 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("n"))
+    val out = Files.createTempDirectory("graft_mwm_idle_").toString
+    val q = agg.writeStream.outputMode("append")
+      .option("checkpointLocation", s"$out/ckpt")
+      .format("memory").queryName("mwm_idle")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    val wms = Seq.newBuilder[String]
+    val stateRows = Seq.newBuilder[Long]
+    def step(body: => Unit): Unit = {
+      body
+      q.processAllAvailable()
+      wms += Option(q.lastProgress).map(_.eventTime.get("watermark")).orNull
+      stateRows += Option(q.lastProgress).toSeq
+        .flatMap(_.stateOperators.toSeq).map(_.numRowsTotal).sum
+    }
+    try {
+      step { a.addData(ts("10:00")); b.addData(ts("09:00")); () }
+      // B goes idle; A keeps producing for four more hours.
+      Seq("11:00", "12:00", "13:00", "14:00").foreach { h =>
+        step { a.addData(ts(h)); () }
+      }
+      val (w, s) = (wms.result(), stateRows.result())
+      // The watermark is FROZEN at B's horizon (09:00 − 10 min) for
+      // every batch after the first — A's progress is irrelevant.
+      assert(w.tail.forall(_ == "2024-01-15T08:50:00.000Z"), s"watermarks: $w")
+      // State grows strictly with each A batch: nothing ever evicts.
+      assert(s.zip(s.tail).forall { case (x, y) => y > x }, s"state rows: $s")
+      // And nothing is ever emitted — the pipeline is silently stuck.
+      assert(spark.table("mwm_idle").isEmpty)
+    } finally {
+      q.stop()
+      graft.streaming.ReplayStaging.deleteRecursively(java.nio.file.Paths.get(out))
+    }
+  }
+
+  test("heartbeat rows un-stick an idle source: watermark advances, results stay clean") {
+    // The operational lever for the idle-source stall (SCALE.md §4):
+    // the idle feed emits HEARTBEAT rows that are filtered out AFTER
+    // watermark assignment — EventTimeWatermarkExec collects its max
+    // event time as rows flow THROUGH it, so a later filter removes
+    // the row from every aggregate while its timestamp still advances
+    // that source's watermark. THE TRAP (found writing this test):
+    // the filter predicate must REFERENCE the event-time column —
+    // PushPredicateThroughNonJoin pushes any watermark-column-free
+    // predicate BELOW the EventTimeWatermark node, and the heartbeat
+    // then never reaches the collector (watermark stays stuck,
+    // silently). `!hb OR event_time IS NULL` is semantically `!hb`
+    // but un-pushable. (The alternatives — policy=max with its
+    // late-drop cost, or splitting the union into independent
+    // queries — are pinned above and in SCALE.md.)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val a = MemoryStream[(Timestamp, Boolean)]
+    val b = MemoryStream[(Timestamp, Boolean)]
+    def side(m: MemoryStream[(Timestamp, Boolean)]) =
+      m.toDF().toDF("event_time", "hb")
+        .withWatermark("event_time", "10 minutes")
+        .filter(!col("hb") || col("event_time").isNull).drop("hb")
+    val agg = side(a).unionByName(side(b))
+      .groupBy(window(col("event_time"), "5 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("n"))
+    val out = Files.createTempDirectory("graft_mwm_hb_").toString
+    val q = agg.writeStream.outputMode("append")
+      .option("checkpointLocation", s"$out/ckpt")
+      .format("memory").queryName("mwm_hb")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    def step(body: => Unit): String = {
+      body
+      q.processAllAvailable()
+      Option(q.lastProgress).map(_.eventTime.get("watermark")).orNull
+    }
+    try {
+      step { a.addData((ts("10:00"), false)); b.addData((ts("09:00"), false)); () }
+      val stuck = step { a.addData((ts("12:00"), false)); () }
+      assert(stuck === "2024-01-15T08:50:00.000Z", s"watermark: $stuck")
+      // B's HEARTBEAT at 12:00 (no real data) lifts the min watermark
+      // to 11:50...
+      val lifted = step { b.addData((ts("12:00"), true)); () }
+      assert(lifted === "2024-01-15T11:50:00.000Z", s"watermark: $lifted")
+      // ...flushing A's stalled 10:00 window, and the heartbeat row
+      // itself appears in NO window (each emitted window counts
+      // exactly one real event).
+      val emitted = spark.table("mwm_hb")
+        .select(col("ws"), col("n")).collect()
+        .map(r => (r.getTimestamp(0), r.getLong(1))).sortBy(_._1.getTime)
+      assert(emitted.map(_._1).contains(ts("10:00")), s"emitted: ${emitted.toSeq}")
+      assert(emitted.forall(_._2 == 1L), s"heartbeat polluted a window: ${emitted.toSeq}")
+    } finally {
+      q.stop()
+      graft.streaming.ReplayStaging.deleteRecursively(java.nio.file.Paths.get(out))
+    }
+  }
+
   test("multipleWatermarkPolicy=max: the FAST source drives the watermark") {
     val (wms, emitted) = run(Some("max"))
     // After batch 2 the max policy tracks A: 12:00 − 10 min = 11:50 —
