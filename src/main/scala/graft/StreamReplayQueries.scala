@@ -1270,6 +1270,72 @@ object StreamReplayQueries {
     } finally deleteRecursively(tmp)
   }
 
+  /** SR23 — HEARTBEAT rows un-stick an IDLE source, under the oracle
+    * (r15; the operational lever for the idle-feed stall that r14
+    * verdict item #7 asked to pin — MultiWatermarkSpec pins the
+    * batch-by-batch mechanics, this row proves the CONTENT). Feed A =
+    * all of silver; feed B goes IDLE after an early prefix
+    * (event_time < 2024-01-10) and thereafter emits only HEARTBEAT
+    * rows stamped at silver's max event time, filtered out AFTER
+    * `withWatermark` with a predicate that references the event-time
+    * column (`!hb OR event_time IS NULL`) so Catalyst cannot push it
+    * below the watermark node. The final global watermark is then
+    * min(maxA, heartbeat) − 3d = maxSilver − 3d — the FULL horizon —
+    * and append mode emits every window closed by it. Were the
+    * heartbeat missing (or silently pushed below the watermark
+    * collector), B's horizon would freeze ~3 weeks earlier and nearly
+    * every trade window would be withheld in state: the hash against
+    * this oracle would fail. Were the heartbeat NOT filtered, the
+    * 'HB' rows would mint extra windows: same failure. One row proves
+    * both halves of the mitigation.
+    */
+  def streamHeartbeatReplay(s: SparkSession, dir: String): DataFrame = withReplayConfs(s) {
+    val silver = silverM(s, dir)
+    val tmp = ReplayStaging.scratchDir("graft_sr23_")
+    try {
+      // Bounded 1-row aggregate: the heartbeat's deterministic stamp.
+      val maxTs = silver.agg(max(col("event_time"))).collect()(0).getTimestamp(0)
+      val feedB = silver
+        .filter(col("event_time") < lit("2024-01-10").cast("timestamp"))
+        .select(col("symbol"), col("event_time"), col("volume"),
+          lit(false).as("hb"))
+        .unionByName(s.range(3).select(lit("HB").as("symbol"),
+          lit(maxTs).as("event_time"), lit(0L).cast("long").as("volume"),
+          lit(true).as("hb")))
+      val stagingA = stagedChrono(s"silver|$dir", silver)
+      // Real prefix first, heartbeats after — the idle period's shape.
+      val stagingB = ReplayStaging.customSlices(s"silver_hb|$dir", feedB,
+        Seq(!col("hb"), col("hb")))
+      val srcA = s.readStream.schema(silver.schema)
+        .option("maxFilesPerTrigger", "1").parquet(stagingA)
+        .withWatermark("event_time", "3 days")
+        .select(lit("trade").as("feed"), col("symbol"),
+          col("event_time"), col("volume"))
+      val srcB = s.readStream.schema(feedB.schema)
+        .option("maxFilesPerTrigger", "1").parquet(stagingB)
+        .withWatermark("event_time", "3 days")
+        .filter(!col("hb") || col("event_time").isNull)
+        .select(lit("quote").as("feed"), col("symbol"),
+          col("event_time"), col("volume"))
+      val agg = srcA.unionByName(srcB)
+        .groupBy(col("feed"), col("symbol"),
+          window(col("event_time"), "5 minutes"))
+        .agg(count(lit(1)).as("n_events"), sum(col("volume")).as("sum_volume"))
+        .select(col("feed"), col("symbol"),
+          unix_millis(col("window.start")).as("ws_ms"),
+          unix_millis(col("window.end")).as("we_ms"),
+          col("n_events"), col("sum_volume"))
+      val outDir = tmp.resolve("out").toString
+      val q = agg.writeStream.outputMode("append")
+        .option("checkpointLocation", tmp.resolve("ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .format("parquet").option("path", outDir)
+        .start()
+      drain(q, tmp)
+      s.read.parquet(outDir).localCheckpoint(eager = true)
+    } finally deleteRecursively(tmp)
+  }
+
   /** P8 — the Kafka BATCH bounded read (r14): `spark.read` over the
     * seam with the real source's full batch option surface exercised
     * at once under the oracle — `subscribe` (a decoy 'quotes_raw'
@@ -1449,6 +1515,7 @@ object StreamReplayQueries {
     "sr20_stream_unionwm_replay" -> (streamUnionWatermarkReplay _),
     "sr21_stream_seekadmit_replay" -> (streamSeekAdmitReplay _),
     "sr22_stream_minoffsets_replay" -> (streamMinOffsetsReplay _),
+    "sr23_stream_heartbeat_replay" -> (streamHeartbeatReplay _),
     "p8_kafka_bounded_read" -> (kafkaBoundedRead _))
 
   /** sr11's kept/emitted sets, as explicit SQL: the late-record filter
@@ -1652,6 +1719,28 @@ object StreamReplayQueries {
     // never WHAT arrives.
     "sr22_stream_minoffsets_replay" -> (SparkEntry.P + """
       SELECT symbol, epoch_ms(event_time) AS ts_ms, price, volume FROM silver"""),
+    // Both feeds' windows closed by the FULL horizon maxSilver - 3d:
+    // that horizon is only reachable because feed B's heartbeat
+    // (stamped at maxSilver, filtered above the watermark node)
+    // advanced the min watermark past its idle gap — a stuck B horizon
+    // (early-prefix max - 3d) would withhold nearly every trade window
+    // and hash-mismatch; an unfiltered heartbeat would mint 'HB'
+    // windows and hash-mismatch the other way.
+    "sr23_stream_heartbeat_replay" -> (SparkEntry.P + """, wmx AS (
+      SELECT epoch_ms(MAX(event_time)) - 259200000 AS w FROM silver
+    ), u AS (
+      SELECT 'trade' AS feed, symbol,
+             epoch_ms(event_time) - epoch_ms(event_time) % 300000 AS ws_ms, volume
+      FROM silver
+      UNION ALL
+      SELECT 'quote' AS feed, symbol,
+             epoch_ms(event_time) - epoch_ms(event_time) % 300000 AS ws_ms, volume
+      FROM silver WHERE event_time < TIMESTAMP '2024-01-10 00:00:00'
+    )
+    SELECT feed, symbol, ws_ms, ws_ms + 300000 AS we_ms,
+           COUNT(*) AS n_events, CAST(SUM(volume) AS BIGINT) AS sum_volume
+    FROM u GROUP BY 1, 2, 3
+    HAVING ws_ms + 300000 <= (SELECT w FROM wmx)"""),
     // The batch offset window: side A's [7, 400), side B's [3, end) —
     // and NOTHING from the decoy topic (subscribe must exclude it, or
     // extra rows trip the gate).

@@ -562,6 +562,32 @@ class KafkaAdmissionSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("restart during a deferral fires immediately: the deadline clock is per-instance") {
+    import graft.sources.{TestKafkaMicroBatchStream, TestKafkaOffset}
+    // The real source keeps lastTriggerMillis in memory, not in the
+    // checkpoint: a query restarted mid-deferral constructs a fresh
+    // stream whose clock starts at 0, so its FIRST trigger fires
+    // regardless of min — accumulated trickle data is never stranded
+    // behind a deadline that died with the old process.
+    val dir = tmpDir("graft_tk_minrestart")
+    var now = 1000000L
+    val s1 = new TestKafkaMicroBatchStream(dir, 4,
+      minPerTrigger = Some(5L), maxTriggerDelayMs = 10000L, clock = () => now)
+    appendKeyed(dir, 0, 4)
+    val o1 = s1.latestOffset(TestKafkaOffset(Nil), s1.getDefaultReadLimit)
+      .asInstanceOf[TestKafkaOffset]
+    assert(o1.lines.map(_._2).sum === 4L)
+    now += 1000; appendKeyed(dir, 4, 2) // 2 < 5: s1 defers
+    assert(s1.latestOffset(o1, s1.getDefaultReadLimit)
+      .asInstanceOf[TestKafkaOffset].lines.map(_._2).sum === 4L)
+    // "Restart": a fresh instance resumes from the checkpointed o1 —
+    // and fires at once with the same sub-min 2 records.
+    val s2 = new TestKafkaMicroBatchStream(dir, 4,
+      minPerTrigger = Some(5L), maxTriggerDelayMs = 10000L, clock = () => now)
+    assert(s2.latestOffset(o1, s2.getDefaultReadLimit)
+      .asInstanceOf[TestKafkaOffset].lines.map(_._2).sum === 6L)
+  }
+
   test("minOffsetsPerTrigger is rejected for batch queries (streaming-only)") {
     val dir = oneFileTopic(2)
     val err = intercept[Exception] {
