@@ -27,12 +27,24 @@ def main():
     head = json.loads(out.stdout)
     with open("BENCH_BEST.json") as f:
         tree = json.load(f)
+    # An intentional reseed (merge_ledgers.py bench --allow) records
+    # its raised values in BENCH_BEST_RESEED.json; a raise matching
+    # that sidecar exactly is allowed — anything else is a clobber.
+    try:
+        with open("BENCH_BEST_RESEED.json") as f:
+            reseed = json.load(f)
+    except FileNotFoundError:
+        reseed = {}
     bad = []
     for k in sorted(head):
         if k not in tree:
             bad.append(f"DROPPED {k} (HEAD {head[k]})")
         elif tree[k] > head[k] + 1e-9:
-            bad.append(f"RAISED  {k}: {head[k]} -> {tree[k]}")
+            if reseed.get(k) == tree[k]:
+                print(f"bench_best_guard: RESEED {k}: {head[k]} -> {tree[k]} "
+                      "(allowed via BENCH_BEST_RESEED.json)")
+            else:
+                bad.append(f"RAISED  {k}: {head[k]} -> {tree[k]}")
     if bad:
         print("BENCH_BEST regressed vs HEAD (ledger clobber?):")
         for b in bad:

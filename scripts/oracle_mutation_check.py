@@ -80,10 +80,19 @@ def main():
                         and q != name
                         and len(con.sql(oracle[q]).df()) > 0), None)
             if alt is not None:
-                name, sql = alt, oracle[alt]
-                got_fp = table_fingerprint(
-                    pq.read_table(f"{out_dir}/{name}")
-                    .to_pandas(date_as_object=False))
+                # The alt was chosen by its ORACLE having rows; its
+                # engine parquet may still be absent (partial Verify
+                # output — the rep loop tolerates exactly this). SKIP,
+                # don't die: one family's quirk must not kill the gate.
+                try:
+                    alt_fp = table_fingerprint(
+                        pq.read_table(f"{out_dir}/{alt}")
+                        .to_pandas(date_as_object=False))
+                except Exception as e:
+                    print(f"SKIP {fam}/{alt}: engine output unreadable "
+                          f"({type(e).__name__})")
+                    continue
+                name, sql, got_fp = alt, oracle[alt], alt_fp
                 base = con.sql(sql).df()
                 if compare(got_fp, base) != "match":
                     print(f"SKIP {fam}/{name}: base compare is not green here")

@@ -107,6 +107,25 @@ object Bench {
     */
   val FsyncCleanMax = 10.0
 
+  /** THE verdict rule, shared by every adjudication surface (plan
+    * warms, drain colds, schedule walls) so the three can never
+    * silently diverge: re ≤ 1.5×best → ambient (the flag was the
+    * neighbors); still slow on a re-measure whose entry gates were
+    * clean → confirmed; otherwise unresolved (the re-measure itself
+    * was contended — no verdict can be honest). `fsyncGated` adds the
+    * fsync probe to the gates for the fsync-bound surfaces (drains,
+    * walls); plan queries gate on io/cpu pressure only.
+    */
+  def verdictOf(re: Double, best: Double, io: Double, cpu: Double,
+                fs: Double, fsyncGated: Boolean): String = {
+    val clean = io >= 0 && io <= PressureCleanMax &&
+      cpu >= 0 && cpu <= CpuPressureCleanMax &&
+      (!fsyncGated || (fs >= 0 && fs <= FsyncCleanMax))
+    if (re >= 0 && re <= 1.5 * best) "ambient"
+    else if (re >= 0 && clean) "confirmed"
+    else "unresolved"
+  }
+
   /** Parse a flat {"name": seconds} ledger (BENCH_BEST.json). \s*
     * after the colon matters: the ledger is written by
     * merge_ledgers.py (json.dump puts a space after the colon) — the
@@ -492,8 +511,12 @@ object Bench {
             }
           } catch { case _: Throwable => -1.0 }
         val io1 = ioPressureFullAvg300(); val cpu1 = cpuPressureSomeAvg300()
+        // Profile only when the re-measure SUCCEEDED: on a failed
+        // re-drain the registry still holds the tag's last successful
+        // drain (the concurrent pass), and shipping that would explain
+        // the wrong measurement.
         val reProfile =
-          if (isDrain)
+          if (isDrain && re >= 0)
             StreamReplayQueries.lastDrainProfile.get(name.split("_")(0))
               .map(renderProfile)
           else None
@@ -511,15 +534,11 @@ object Bench {
           f""""remeasure":${a.re}%.3f,"re_io":${a.reIo}%.2f,"re_cpu":${a.reCpu}%.2f""" +
           (if (a.isDrain) f""","kind":"drain","re_fsync_ms":${a.reFsync}%.2f""" else "") +
           a.reProfile.map(p => s""","re_profile":$p""").getOrElse("") + "}"
-      val ambient = adjudicated.filter(a => a.re >= 0 && a.re <= 1.5 * a.best)
-      val reClean = (a: Adjudicated) =>
-        a.reIo >= 0 && a.reIo <= PressureCleanMax &&
-          a.reCpu >= 0 && a.reCpu <= CpuPressureCleanMax &&
-          (!a.isDrain || (a.reFsync >= 0 && a.reFsync <= FsyncCleanMax))
-      val confirmed = adjudicated.filter(a =>
-        a.re >= 0 && a.re > 1.5 * a.best && reClean(a))
-      val unresolved = adjudicated.filterNot(a =>
-        ambient.contains(a) || confirmed.contains(a))
+      def verdict(a: Adjudicated): String =
+        verdictOf(a.re, a.best, a.reIo, a.reCpu, a.reFsync, a.isDrain)
+      val ambient = adjudicated.filter(verdict(_) == "ambient")
+      val confirmed = adjudicated.filter(verdict(_) == "confirmed")
+      val unresolved = adjudicated.filter(verdict(_) == "unresolved")
       (confirmed.map(render), ambient.map(render), unresolved.map(render))
     }
     // WALL adjudication (r14 verdict items #1/#8): the two concurrent
@@ -546,13 +565,8 @@ object Bench {
         // note: the schedule's own writes dirty the page cache).
         val (io, cpu, fs) =
           (math.max(io0, io1), math.max(cpu0, cpu1), fs0)
-        val clean = io >= 0 && io <= PressureCleanMax &&
-          cpu >= 0 && cpu <= CpuPressureCleanMax &&
-          fs >= 0 && fs <= FsyncCleanMax
         val verdict =
-          if (re >= 0 && best.exists(b => re <= 1.5 * b)) "ambient"
-          else if (re >= 0 && clean) "confirmed"
-          else "unresolved"
+          verdictOf(re, best.getOrElse(-1.0), io, cpu, fs, fsyncGated = true)
         head + f""","flagged":true,"remeasure":$re%.3f,"re_io":$io%.2f,""" +
           f""""re_cpu":$cpu%.2f,"re_fsync_ms":$fs%.2f,"verdict":"$verdict"}"""
       }

@@ -407,15 +407,21 @@ object MaintenanceQueries {
       val store = work.resolve("gold").toString
       graft.streaming.ReplayStaging.linkClone(
         java.nio.file.Paths.get(pristine), java.nio.file.Paths.get(store))
+      // Triage with the SAME size threshold compact() flags with
+      // (targetBytes/2), or the two sides disagree the moment
+      // fragments exceed it and the length require below would fail.
+      val targetBytes = 64L << 20
+      val smallBytes = targetBytes / 2
       val before = graft.operators.Compaction
-        .smallFilePartitions(store, "trade_date", minFiles = 4)
+        .smallFilePartitions(store, "trade_date", minFiles = 4,
+          smallBytes = smallBytes)
       require(before.nonEmpty && before.forall(_._2 >= 4),
         s"v8 fixture did not fragment: $before")
       // The z1 cluster key, on the store's own columns.
       val px = pmod((col("price").cast("decimal(18,4)") * 10000).cast("long"), lit(65536L))
       val ty = pmod(expr("unix_millis(event_time) div 60000"), lit(65536L))
       val stats = graft.operators.Compaction.compact(
-        s, store, "trade_date", morton(px, ty), targetBytes = 64L << 20, minFiles = 4)
+        s, store, "trade_date", morton(px, ty), targetBytes = targetBytes, minFiles = 4)
       require(stats.length == before.length,
         s"compacted ${stats.length} of ${before.length} flagged partitions")
       require(stats.forall(st => st.filesAfter < st.filesBefore),
@@ -424,7 +430,7 @@ object MaintenanceQueries {
       // with the operator's own size-aware threshold, targetBytes/2).
       require(graft.operators.Compaction
         .smallFilePartitions(store, "trade_date", minFiles = 4,
-          smallBytes = 32L << 20).isEmpty,
+          smallBytes = smallBytes).isEmpty,
         "second triage still flags partitions after compaction")
       s.read.parquet(store)
         .select(col("symbol"), unix_millis(col("event_time")).as("ts_ms"),

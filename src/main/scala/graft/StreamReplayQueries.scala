@@ -1251,8 +1251,11 @@ object StreamReplayQueries {
       try {
         val t0 = System.nanoTime()
         def drainedRows(): Long = q.recentProgress.toSeq.map(_.numInputRows).sum
-        while (drainedRows() < n &&
+        while (drainedRows() < n && q.exception.isEmpty &&
           (System.nanoTime() - t0) < 120L * 1000 * 1000 * 1000) Thread.sleep(50)
+        // A query that died mid-drain must surface ITS error, not a
+        // misleading drained-X-of-N timeout two minutes later.
+        q.exception.foreach(throw _)
         require(drainedRows() == n,
           s"sr22: drained ${drainedRows()} of $n rows before the poll timeout")
       } finally q.stop()

@@ -24,6 +24,19 @@ class BenchBestParseSpec extends AnyFunSuite {
       "wall:board_concurrent" -> 87.0))
   }
 
+  test("verdictOf: the shared adjudication rule (plan/drain/wall)") {
+    // ambient: the re-measure came back inside 1.5x best.
+    assert(Bench.verdictOf(1.0, 0.9, 0.0, 0.0, 1.0, fsyncGated = true) === "ambient")
+    // confirmed: still slow alone with every entry gate clean.
+    assert(Bench.verdictOf(2.0, 1.0, 0.5, 2.0, 2.0, fsyncGated = true) === "confirmed")
+    // unresolved: slow but the re-measure's own environment was dirty
+    // (fsync gate only bites the fsync-gated surfaces).
+    assert(Bench.verdictOf(2.0, 1.0, 0.5, 2.0, 50.0, fsyncGated = true) === "unresolved")
+    assert(Bench.verdictOf(2.0, 1.0, 0.5, 2.0, 50.0, fsyncGated = false) === "confirmed")
+    // a failed re-measure (re = -1) can never be ambient or confirmed.
+    assert(Bench.verdictOf(-1.0, 1.0, 0.0, 0.0, 1.0, fsyncGated = true) === "unresolved")
+  }
+
   test("the committed BENCH_BEST.json parses to every entry") {
     val p = java.nio.file.Paths.get("BENCH_BEST.json")
     assume(java.nio.file.Files.exists(p))
