@@ -25,7 +25,7 @@ class BenchBestParseSpec extends AnyFunSuite {
   }
 
   test("verdictOf: the shared adjudication rule (plan/drain/wall)") {
-    // ambient: the re-measure came back inside 1.5x best.
+    // ambient: the re-measure came back inside the flag threshold.
     assert(Bench.verdictOf(1.0, 0.9, 0.0, 0.0, 1.0, fsyncGated = true) === "ambient")
     // confirmed: still slow alone with every entry gate clean.
     assert(Bench.verdictOf(2.0, 1.0, 0.5, 2.0, 2.0, fsyncGated = true) === "confirmed")
@@ -35,6 +35,21 @@ class BenchBestParseSpec extends AnyFunSuite {
     assert(Bench.verdictOf(2.0, 1.0, 0.5, 2.0, 50.0, fsyncGated = false) === "confirmed")
     // a failed re-measure (re = -1) can never be ambient or confirmed.
     assert(Bench.verdictOf(-1.0, 1.0, 0.0, 0.0, 1.0, fsyncGated = true) === "unresolved")
+  }
+
+  test("regressedVsBest carries the absolute jitter floor (the d21 calibration)") {
+    // A 148 ms best: warm jitter to 0.30 s must NOT flag — the pure
+    // ratio threshold (0.222) sat inside the query's measured warm
+    // variance band and produced a factually wrong 'confirmed'.
+    assert(!Bench.regressedVsBest(0.30, 0.148))
+    // A real regression of the same query (>0.42 s) still flags.
+    assert(Bench.regressedVsBest(0.45, 0.148))
+    // At drain/wall scale the floor is negligible either way.
+    assert(Bench.regressedVsBest(7.0, 4.4))
+    assert(!Bench.regressedVsBest(6.0, 4.4))
+    // And verdictOf stays symmetric with the flag rule: a re-measure
+    // landing just inside the floor is ambient.
+    assert(Bench.verdictOf(0.30, 0.148, 0.0, 0.0, 1.0, fsyncGated = false) === "ambient")
   }
 
   test("the committed BENCH_BEST.json parses to every entry") {
