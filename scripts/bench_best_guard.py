@@ -28,8 +28,12 @@ def main():
     with open("BENCH_BEST.json") as f:
         tree = json.load(f)
     # An intentional reseed (merge_ledgers.py bench --allow) records
-    # its raised values in BENCH_BEST_RESEED.json; a raise matching
-    # that sidecar exactly is allowed — anything else is a clobber.
+    # BOTH endpoints in BENCH_BEST_RESEED.json ({"from": HEAD value at
+    # reseed time, "to": new value}); a raise is allowed only while
+    # HEAD still equals "from" AND the tree equals "to" — once the
+    # reseed is committed the entry is inert, so a stale sidecar can
+    # never whitelist clobbering the key back to its old reseeded
+    # value after the ledger has improved past it (r15 ADVICE).
     try:
         with open("BENCH_BEST_RESEED.json") as f:
             reseed = json.load(f)
@@ -40,7 +44,9 @@ def main():
         if k not in tree:
             bad.append(f"DROPPED {k} (HEAD {head[k]})")
         elif tree[k] > head[k] + 1e-9:
-            if reseed.get(k) == tree[k]:
+            e = reseed.get(k)
+            if (isinstance(e, dict) and e.get("from") == head[k]
+                    and e.get("to") == tree[k]):
                 print(f"bench_best_guard: RESEED {k}: {head[k]} -> {tree[k]} "
                       "(allowed via BENCH_BEST_RESEED.json)")
             else:

@@ -14,6 +14,10 @@ compares against garbage. This script IS those rules:
         - plan queries:  min(best, queries_warm[q])    (warm > 0 only)
         - sr drains:     min(best, queries[sr*])       (cold > 0 only;
                          the k=1 discipline — drains have no warm)
+        - eager queries: "cold:<q>" <- min(best, queries[q]) for every
+                         q in the run's "eager" roster (their warm
+                         re-counts a cached frame; the cold min is what
+                         their regression flag fires on)
         - walls:         "wall:sr_concurrent"   <- sr_drains.concurrent_wall
                          "wall:board_concurrent" <- board_concurrent.wall
       Existing keys are NEVER raised or dropped. --allow names an
@@ -53,6 +57,10 @@ def merge_bench(run_path, allow):
     if not run.get("pressure_clean", False):
         sys.exit(f"refusing to merge {run_path}: pressure_clean is false "
                  "(only quiet-host runs may update best-known)")
+    if run.get("pressure_clean_forced", False):
+        sys.exit(f"refusing to merge {run_path}: pressure_clean was FORCED "
+                 "(SPARK_GRAFT_BENCH_ASSUME_CLEAN is for the adjudicator "
+                 "liveness smoke only — its numbers are not quiet-host)")
     if run.get("failed"):
         sys.exit(f"refusing to merge {run_path}: failed queries {run['failed']}")
     best = load("BENCH_BEST.json")
@@ -64,6 +72,16 @@ def merge_bench(run_path, allow):
     for q, c in run.get("queries", {}).items():
         if q.startswith("sr") and c and c > 0:
             updates[q] = c
+    # Eager plan queries additionally seed a COLD best-known under
+    # "cold:<name>" (r15 verdict item #1): their warm only re-counts a
+    # cached frame, so the cold column is the statistic their
+    # regression flag fires on. The roster comes from the run artifact
+    # itself (Bench.EagerPlanQueries emits it), so this script can
+    # never drift from the flag pass's registry.
+    for q in run.get("eager", []):
+        c = run.get("queries", {}).get(q)
+        if c and c > 0:
+            updates[f"cold:{q}"] = c
     # Walls are SCHEDULE aggregates, not per-query numbers: a subset
     # run (SPARK_GRAFT_ONLY), a non-default concurrency, or a schedule
     # with a crashed member ships an artificially short wall that the
@@ -73,7 +91,7 @@ def merge_bench(run_path, allow):
     # must cover at least every per-query entry already in the ledger)
     # at the default concurrency with empty failed lists.
     full_board = set(run.get("queries", {})) >= {
-        k for k in best if not k.startswith("wall:")}
+        k for k in best if ":" not in k}
     sr = run.get("sr_drains", {})
     board = run.get("board_concurrent", {})
     if full_board:
@@ -109,21 +127,35 @@ def merge_bench(run_path, allow):
     with open("BENCH_BEST.json", "w") as f:
         json.dump(dict(sorted(best.items())), f, indent=1)
         f.write("\n")
-    if reseeds:
-        # Sidecar for bench_best_guard: a RAISED entry vs HEAD is
-        # tolerated iff it matches an explicit --allow reseed recorded
-        # here (committed alongside the ledger, documenting intent) —
-        # otherwise the guard would force a red check.sh between the
-        # reseed and its commit.
-        try:
-            with open("BENCH_BEST_RESEED.json") as f:
-                prior = json.load(f)
-        except FileNotFoundError:
-            prior = {}
-        prior.update(reseeds)
+    # Sidecar for bench_best_guard: a RAISED entry vs HEAD is
+    # tolerated iff it matches an explicit --allow reseed recorded
+    # here (committed alongside the ledger, documenting intent) —
+    # otherwise the guard would force a red check.sh between the
+    # reseed and its commit. Each entry records BOTH endpoints
+    # ({"from": head-value-at-reseed-time, "to": new-value}): the
+    # guard honors a raise only when HEAD still equals "from", so the
+    # moment the reseed is committed (HEAD == "to") the entry goes
+    # inert — a flat value-only sidecar would whitelist raising the
+    # key back to its old reseeded value FOREVER (r15 ADVICE). Inert
+    # entries are pruned on every merge for the same reason.
+    try:
+        with open("BENCH_BEST_RESEED.json") as f:
+            prior = json.load(f)
+    except FileNotFoundError:
+        prior = {}
+    head_best = git_head("BENCH_BEST.json")
+    prior = {q: e for q, e in prior.items()
+             if isinstance(e, dict) and head_best.get(q) == e.get("from")}
+    for q, v in reseeds.items():
+        prior[q] = {"from": head_best.get(q), "to": v}
+    if prior:
         with open("BENCH_BEST_RESEED.json", "w") as f:
             json.dump(dict(sorted(prior.items())), f, indent=1)
             f.write("\n")
+    else:
+        import os
+        if os.path.exists("BENCH_BEST_RESEED.json"):
+            os.remove("BENCH_BEST_RESEED.json")
     print(f"== BENCH_BEST: {n_new} new, {n_better} improved, "
           f"{n_reseed} reseeded, {len(best)} total ==")
 
@@ -133,6 +165,34 @@ def merge_scale(subset_path):
     base = git_head("SCALEBENCH_LOCAL.json")
     merged = dict(base)
     qs = dict(base.get("queries", {}))
+    # r15 ADVICE: basing on git-HEAD alone silently DISCARDS a prior
+    # uncommitted merge's entries when two subset runs are merged
+    # without a commit between them — the exact ledger-clobber class
+    # this script exists to prevent. Union the working tree's queries
+    # into the HEAD base first: they are real measurements either way
+    # (a prior merge's output, or a direct subset run that overwrote
+    # the file), and the shrink guard below still catches anything
+    # destructive. Invalid JSON in the tree is a hard stop — that is
+    # not a ledger, and guessing would hide whatever truncated it.
+    try:
+        tree = load("SCALEBENCH_LOCAL.json")
+    except FileNotFoundError:
+        tree = base
+    except json.JSONDecodeError:
+        sys.exit("working-tree SCALEBENCH_LOCAL.json is not valid JSON — "
+                 "restore it (git checkout) before merging")
+    tree_qs = tree.get("queries", {})
+    uncommitted = {q: v for q, v in tree_qs.items()
+                   if base.get("queries", {}).get(q) != v}
+    if uncommitted:
+        print(f"working tree differs from HEAD: keeping "
+              f"{len(uncommitted)} uncommitted entries "
+              f"({', '.join(sorted(uncommitted)[:6])}"
+              f"{'...' if len(uncommitted) > 6 else ''})")
+        qs.update(tree_qs)
+        for k in ("d16_check", "d12_skew_check"):
+            if k in tree:
+                merged[k] = tree[k]
     new_qs = subset.get("queries", {})
     if not new_qs:
         sys.exit(f"refusing to merge {subset_path}: no 'queries' entries")

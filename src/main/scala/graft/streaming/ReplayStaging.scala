@@ -117,22 +117,31 @@ object ReplayStaging {
     * (≤300 MB measured), so the fallback fires only when tmpfs is
     * genuinely near capacity.
     */
-  def scratchDir(prefix: String): Path = {
-    sys.env.get("SPARK_GRAFT_SCRATCH") match {
+  /** The RESOLVED scratch root — the directory scratchDir() allocates
+    * under, exposed separately so instruments can probe the DEVICE the
+    * drains actually commit to (r15 verdict item #2: the bench's fsync
+    * probe measured java.io.tmpdir while a SPARK_GRAFT_SCRATCH
+    * override pointed the drains at another device, gating drain
+    * verdicts on the wrong disk's writeback state). Takes the env as a
+    * parameter so the resolution rule itself is unit-testable.
+    */
+  def scratchRoot(env: Map[String, String] = sys.env): Path =
+    env.get("SPARK_GRAFT_SCRATCH") match {
       case Some(dir) =>
         val p = Paths.get(dir)
         require(Files.isDirectory(p) && Files.isWritable(p),
           s"SPARK_GRAFT_SCRATCH=$dir is not a writable directory")
-        Files.createTempDirectory(p, prefix)
+        p
       case None =>
         val shm = Paths.get("/dev/shm")
         val minFree = 4L << 30
         if (Files.isDirectory(shm) && Files.isWritable(shm) &&
-            shm.toFile.getUsableSpace >= minFree)
-          Files.createTempDirectory(shm, prefix)
-        else Files.createTempDirectory(prefix)
+            shm.toFile.getUsableSpace >= minFree) shm
+        else Paths.get(System.getProperty("java.io.tmpdir"))
     }
-  }
+
+  def scratchDir(prefix: String): Path =
+    Files.createTempDirectory(scratchRoot(), prefix)
 
   private[graft] def deleteRecursively(root: Path): Unit = {
     if (Files.exists(root)) {

@@ -52,6 +52,45 @@ class BenchBestParseSpec extends AnyFunSuite {
     assert(Bench.verdictOf(0.30, 0.148, 0.0, 0.0, 1.0, fsyncGated = false) === "ambient")
   }
 
+  test("cold:-prefixed eager keys parse (r16 key class)") {
+    val m = Bench.parseBestKnown(
+      "{\n \"cold:v8_compaction\": 1.754,\n \"v8_compaction\": 0.058\n}\n")
+    assert(m === Map("cold:v8_compaction" -> 1.754, "v8_compaction" -> 0.058))
+  }
+
+  test("every eager-registry query exists on the board") {
+    // A renamed/removed query with a stale registry entry would make
+    // its cold flag silently impossible — the r15 lesson that guard
+    // layers rot without a liveness pin.
+    val missing = Bench.EagerPlanQueries -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"EagerPlanQueries not on the board: $missing")
+    // And none of them is an sr drain — drains already have their own
+    // cold surface; double-flagging one would double-adjudicate it.
+    assert(Bench.EagerPlanQueries.forall(!_.startsWith("sr")))
+  }
+
+  test("fsync probe targets the resolved replay scratch root (r15 verdict #2)") {
+    // The resolution rule itself, unit-tested via the env parameter:
+    // an explicit SPARK_GRAFT_SCRATCH pin wins; without it tmpfs or
+    // java.io.tmpdir per capacity. The probe allocates under
+    // scratchRoot() by construction (Bench.fsyncProbeMsPerOp's default
+    // argument), so pinning the resolution pins the probe's device.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_scratch_spec_")
+    try {
+      assert(graft.streaming.ReplayStaging.scratchRoot(
+        Map("SPARK_GRAFT_SCRATCH" -> tmp.toString)) === tmp)
+      val default = graft.streaming.ReplayStaging.scratchRoot(Map.empty)
+      assert(default === java.nio.file.Paths.get("/dev/shm") ||
+        default === java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")))
+      // And the probe actually runs against a caller-given root.
+      val ms = Bench.fsyncProbeMsPerOp(tmp)
+      assert(ms > 0)
+      // The probe cleans up after itself.
+      val leftover = java.nio.file.Files.list(tmp)
+      try assert(!leftover.iterator().hasNext) finally leftover.close()
+    } finally graft.streaming.ReplayStaging.deleteRecursively(tmp)
+  }
+
   test("the committed BENCH_BEST.json parses to every entry") {
     val p = java.nio.file.Paths.get("BENCH_BEST.json")
     assume(java.nio.file.Files.exists(p))
