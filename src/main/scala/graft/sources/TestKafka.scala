@@ -161,8 +161,18 @@ object TestKafka {
     * fixture does.
     */
   private val commitSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+  // The epoch-ms + sequence prefix is only unique per JVM (every
+  // process's AtomicLong starts at 0): two processes appending to the
+  // same topic dir in the same millisecond would collide and the
+  // commit rename would silently overwrite the first file (r15
+  // ADVICE — the replaced UUID names were collision-free). A fixed
+  // per-process component after the sequence keeps names sortable
+  // (ms-ordered across JVMs, seq-ordered within one) while making
+  // cross-JVM collisions impossible again; %07d covers Linux's
+  // default pid_max (4194304).
+  private val processTag = f"${ProcessHandle.current().pid()}%07d"
   def nextBatchFileName(partitionId: Int): String =
-    f"records-b${System.currentTimeMillis()}%013d-${commitSeq.getAndIncrement()}%06d-p$partitionId.tsv"
+    f"records-b${System.currentTimeMillis()}%013d-${commitSeq.getAndIncrement()}%06d-$processTag-p$partitionId.tsv"
 
   def listRecordFiles(path: String): Array[String] = {
     val dir = new File(path)

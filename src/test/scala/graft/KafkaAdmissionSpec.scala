@@ -491,6 +491,51 @@ class KafkaAdmissionSpec extends SparkSpecBase {
     assert(total(latest(o3)) === 10L)
   }
 
+  test("restart mid-deferral: the deadline clock resets in the FIRING direction (r15 verdict #5)") {
+    import graft.sources.{TestKafkaMicroBatchStream, TestKafkaOffset}
+    // The real source persists NOTHING about lastTriggerMillis — a
+    // restarted query constructs a fresh stream whose deferral clock
+    // starts at 0, and delayBatch's first call therefore sees the
+    // deadline as already passed and FIRES. Pin that rule on the seam:
+    // a sub-min tail that was mid-deferral when the query died is
+    // admitted by the first post-restart trigger, without waiting out
+    // a fresh delay window — restart can only make the source fire
+    // MORE eagerly than min asks, never defer forever (a crash-looping
+    // job with min set degrades to per-restart micro-batches, not to
+    // starvation). SCALE.md §3 documents the operational posture.
+    val dir = tmpDir("graft_tk_minrestart")
+    var now = 1000000L
+    val stream = new TestKafkaMicroBatchStream(dir, 4,
+      minPerTrigger = Some(5L), maxTriggerDelayMs = 60000L, clock = () => now)
+    def latest(s: TestKafkaMicroBatchStream, start: TestKafkaOffset): TestKafkaOffset =
+      s.latestOffset(start, s.getDefaultReadLimit).asInstanceOf[TestKafkaOffset]
+    def total(o: TestKafkaOffset): Long = o.lines.map(_._2).sum
+    appendKeyed(dir, 0, 6)
+    val o1 = latest(stream, TestKafkaOffset(Nil))
+    assert(total(o1) === 6L, "first trigger fires")
+    // A 2-record tail arrives; 2 < 5 and the 60 s deadline is far away
+    // → the running query defers (and would keep deferring).
+    now += 1000; appendKeyed(dir, 6, 2)
+    assert(total(latest(stream, o1)) === 6L, "sub-min tail defers mid-run")
+    now += 1000
+    assert(total(latest(stream, o1)) === 6L, "still deferring before restart")
+    // CRASH + RESTART: a new stream instance over the same topic dir,
+    // resuming from the checkpointed offset o1. Its deferral clock is
+    // fresh (0), so the very first trigger fires the 2-record tail —
+    // no fresh 60 s wait.
+    now += 1000
+    val restarted = new TestKafkaMicroBatchStream(dir, 4,
+      minPerTrigger = Some(5L), maxTriggerDelayMs = 60000L, clock = () => now)
+    val o2 = latest(restarted, o1)
+    assert(total(o2) === 8L,
+      "first post-restart trigger must fire the mid-deferral tail immediately")
+    // And that firing reset the new instance's deadline clock: the
+    // next sub-min trickle defers again under the fresh window.
+    now += 1000; appendKeyed(dir, 8, 1)
+    assert(total(latest(restarted, o2)) === 8L,
+      "post-restart deferral discipline resumes")
+  }
+
   test("min+max+floors compose: the min gate counts ADMISSIBLE records only") {
     import graft.sources.{TestKafkaMicroBatchStream, TestKafkaOffset}
     val dir = tmpDir("graft_tk_minfloor")
