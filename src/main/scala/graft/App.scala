@@ -89,7 +89,19 @@ object App {
       /** Admission layer: verified n-gram-Jaccard threshold (e6
         * micro-units) above which a batch doc is a near-dup.
         */
-      minJaccardE6: Long = 500000L)
+      minJaccardE6: Long = 500000L,
+      /** Idle-source heartbeat interval in seconds (0 = off). When on,
+        * the parsed trade feed is decorated with a rate-driven
+        * heartbeat (Heartbeats.decorate): the watermark keeps
+        * advancing while the feed is idle, so append-mode windows
+        * (gold5m_final, the gold1h cascade) still close after the
+        * market goes quiet instead of withholding the session's last
+        * bars until the next trading day's first tick. Wall-clock
+        * stamped, so refused under bounded-drain triggers — a backfill
+        * heartbeat would late-drop the entire backlog (see
+        * Heartbeats.decorate's caveat).
+        */
+      heartbeatSecs: Int = 0)
 
   def parseArgs(args: Array[String]): Config =
     args.sliding(2, 2).foldLeft(Config()) {
@@ -112,6 +124,7 @@ object App {
       case (c, Array("--docs-in", v)) => c.copy(docsIn = v)
       case (c, Array("--corpus", v)) => c.copy(corpus = v)
       case (c, Array("--min-jaccard-e6", v)) => c.copy(minJaccardE6 = v.toLong)
+      case (c, Array("--heartbeat-secs", v)) => c.copy(heartbeatSecs = v.toInt)
       case (c, other) => sys.error(s"unknown argument: ${other.mkString(" ")}")
     }
 
@@ -219,6 +232,14 @@ object App {
       require(cfg.docsIn.nonEmpty && cfg.corpus.nonEmpty,
         "the admission layer needs --docs-in (incoming JSONL batches) " +
           "and --corpus (existing corpus parquet)")
+    // Heartbeats are wall-clock stamped: under a bounded-drain trigger
+    // (a backfill) the first heartbeat would advance the watermark
+    // past the whole backlog and late-drop it — refuse up front.
+    require(cfg.heartbeatSecs == 0 || !boundedDrain,
+      s"--heartbeat-secs ${cfg.heartbeatSecs} cannot combine with the " +
+        s"bounded-drain trigger '${cfg.trigger}': a wall-clock heartbeat " +
+        "marks the entire backlog late. Backfill without heartbeats, " +
+        "then restart the continuous topology with them.")
     // The indicators layer runs on transformWithState, which only the
     // RocksDB state store provider supports — configure it here (as
     // main() does for the whole app) so callers building their own
@@ -280,6 +301,24 @@ object App {
       case other => sys.error(s"unknown format '$other' (json|avro)")
     }
     val watermarked = TradeStreams.withWatermark(parsed, cfg.watermark)
+    // Heartbeat decoration goes LAST — above every quality filter,
+    // directly under the stateful operators. Decorating the raw parsed
+    // feed instead would re-freeze the watermark through a SECOND
+    // Catalyst trap (found live in AppSpec): CombineFilters merges the
+    // silver quality filter into the strip filter, and
+    // PushPredicateThroughNonJoin then pushes its watermark-column-free
+    // conjuncts (volume > 0, price > 0) BELOW the EventTimeWatermark
+    // node, where the heartbeats' null columns fail them — the rows die
+    // before the collector, silently, exactly like an unprotected
+    // strip predicate. Heartbeats' scaladoc documents the rule; the
+    // "null-hostile filter above the decoration point" test pins it.
+    def cleanFeed(): DataFrame =
+      if (cfg.heartbeatSecs > 0)
+        TradeStreams.dedupWithinWatermark(graft.streaming.Heartbeats.decorate(
+          TradeStreams.toSilverStreaming(parsed), "event_time",
+          cfg.watermark, cfg.heartbeatSecs))
+      else
+        TradeStreams.dedupWithinWatermark(TradeStreams.toSilverStreaming(watermarked))
     val mgr = new Sinks.SinkManager
 
     // Operational visibility (the reference's Prometheus/Grafana
@@ -310,8 +349,7 @@ object App {
         trigger = trigger, queryName = "bronze"))
     }
     if (cfg.layers("silver")) {
-      val silver = TradeStreams.dedupWithinWatermark(
-        TradeStreams.toSilverStreaming(watermarked))
+      val silver = cleanFeed()
         .withColumn("trade_date", to_date(col("event_time")))
       // Exactly-once matters here specifically: the chained gold
       // topology STREAMS from this directory, so a foreachBatch
@@ -347,13 +385,18 @@ object App {
         val silverPath = new org.apache.hadoop.fs.Path(s"${cfg.out}/silver")
         silverPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
           .mkdirs(silverPath)
-        TradeStreams.withWatermark(
-          spark.readStream.schema(silverSchema)
-            .option("maxFilesPerTrigger", cfg.maxFilesPerTrigger)
-            .parquet(s"${cfg.out}/silver"),
-          cfg.watermark)
-      } else
-        TradeStreams.dedupWithinWatermark(TradeStreams.toSilverStreaming(watermarked))
+        val files = spark.readStream.schema(silverSchema)
+          .option("maxFilesPerTrigger", cfg.maxFilesPerTrigger)
+          .parquet(s"${cfg.out}/silver")
+        // An idle silver directory stalls the chained grains exactly
+        // like an idle union member — same mitigation, same altitude
+        // rule (the file feed is already quality-filtered, so nothing
+        // null-hostile sits above the decoration).
+        if (cfg.heartbeatSecs > 0)
+          graft.streaming.Heartbeats.decorate(files, "event_time",
+            cfg.watermark, cfg.heartbeatSecs)
+        else TradeStreams.withWatermark(files, cfg.watermark)
+      } else cleanFeed()
 
     // Schema note for existing stores: bars() output gained a
     // `pv_ticks` column (the exact VWAP carry that makes grain

@@ -8,7 +8,7 @@ import org.apache.spark.sql.streaming.Trigger
 
 import graft.operators.TextAnalysis
 import graft.sources.Tables
-import graft.streaming.{CurationStream, HeavyHitterStream, IncrementalGoldStream, LatestPriceStream, OrderFlowStream, ReplayStaging, VpinStream}
+import graft.streaming.{CurationStream, Heartbeats, HeavyHitterStream, IncrementalGoldStream, LatestPriceStream, OrderFlowStream, ReplayStaging, VpinStream}
 
 /** Driver-visible queries that actually EXECUTE `writeStream` — the
   * streaming runtimes replayed deterministically over the static sf
@@ -1314,10 +1314,15 @@ object StreamReplayQueries {
         .withWatermark("event_time", "3 days")
         .select(lit("trade").as("feed"), col("symbol"),
           col("event_time"), col("volume"))
-      val srcB = s.readStream.schema(feedB.schema)
-        .option("maxFilesPerTrigger", "1").parquet(stagingB)
-        .withWatermark("event_time", "3 days")
-        .filter(!col("hb") || col("event_time").isNull)
+      // The watermark-then-strip order and the un-pushable predicate
+      // live in ONE place since r16 (Heartbeats.watermarkAndStrip) —
+      // the production decorator (App --heartbeat-secs) and this
+      // oracle-gated replay share it, so neither can drift from the
+      // other. Same oracle row as the hand-built r15 form.
+      val srcB = Heartbeats.watermarkAndStrip(
+        s.readStream.schema(feedB.schema)
+          .option("maxFilesPerTrigger", "1").parquet(stagingB),
+        "event_time", "3 days", hbCol = "hb")
         .select(lit("quote").as("feed"), col("symbol"),
           col("event_time"), col("volume"))
       val agg = srcA.unionByName(srcB)

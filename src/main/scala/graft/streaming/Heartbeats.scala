@@ -1,0 +1,107 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The idle-source heartbeat pattern, packaged so no caller can get
+  * its one sharp edge wrong (r15 verdict item #6).
+  *
+  * THE PROBLEM (MultiWatermarkSpec pins it batch-by-batch): under the
+  * default `min` multipleWatermarkPolicy, a source that goes IDLE in a
+  * union topology freezes the GLOBAL watermark — every window
+  * downstream stays open forever, state grows monotonically, and an
+  * append-mode sink emits nothing, silently. The reference's live
+  * quote/trade fan-in (spark_processor.py's per-topic consumers) hits
+  * this whenever one feed's market closes while another trades on.
+  *
+  * THE MITIGATION: the idle feed carries HEARTBEAT rows — no business
+  * content, just a fresh event timestamp — that are filtered out AFTER
+  * watermark assignment. `EventTimeWatermarkExec` collects its max
+  * event time as rows flow THROUGH it, so a filter above it removes
+  * the row from every aggregate while its timestamp still advances
+  * that source's watermark.
+  *
+  * THE TRAP (why this helper exists): the strip predicate must
+  * REFERENCE the event-time column. Catalyst's
+  * `PushPredicateThroughNonJoin` pushes any predicate that does not
+  * mention the watermark column BELOW the EventTimeWatermark node —
+  * a plain `!hb` filter lands under the collector, the heartbeat
+  * never reaches it, and the watermark stays stuck with no error
+  * anywhere. `!hb OR event_time IS NULL` is semantically `!hb` (the
+  * watermark column is never null on a heartbeat) but un-pushable.
+  * sr23 executes the whole pattern under the DuckDB oracle on this
+  * helper; MultiWatermarkSpec pins the Catalyst mechanics.
+  *
+  * THE SECOND TRAP (found live wiring App, r16): the same pushdown
+  * bites ANY filter placed ABOVE the decoration point. CombineFilters
+  * merges a downstream quality filter (`volume > 0`) into the strip
+  * filter, and the watermark-column-free conjuncts are then pushed
+  * below the collector — where the heartbeats' null business columns
+  * fail them, and the stall silently returns. THE RULE: decorate
+  * LAST. Apply every row-level filter to the source BEFORE handing it
+  * to `decorate`; keep only projections and the stateful operators
+  * above it. (A filter above the decoration is safe only if its
+  * predicate references the event-time column or passes null
+  * columns — neither is worth relying on.) MultiWatermarkSpec pins
+  * this trap too.
+  */
+object Heartbeats {
+
+  /** Marker-column name the production decorator uses. */
+  val HbCol = "__hb"
+
+  /** Apply the watermark and strip heartbeat rows ABOVE it — the
+    * order and the un-pushable predicate are the whole point; callers
+    * hand-rolling either have silently reintroduced the stall twice
+    * (sr23's first draft, MultiWatermarkSpec's). The heartbeat flag
+    * column is dropped from the result.
+    */
+  def watermarkAndStrip(df: DataFrame, eventTimeCol: String, delay: String,
+                        hbCol: String = HbCol): DataFrame =
+    df.withWatermark(eventTimeCol, delay)
+      .filter(!col(hbCol) || col(eventTimeCol).isNull)
+      .drop(hbCol)
+
+  /** Decorate one streaming source with a rate-driven heartbeat: union
+    * a 1-row-per-`intervalSecs` feed whose only content is a fresh
+    * `eventTimeCol` stamp, then watermark the union and strip the
+    * heartbeats above the collector. The result is a drop-in
+    * replacement for `src.withWatermark(eventTimeCol, delay)` whose
+    * watermark keeps advancing while `src` is idle.
+    *
+    * `stamp` is evaluated against the rate source's row (columns
+    * `timestamp` = processing time, `value` = tick counter); the
+    * default stamps heartbeats with the arrival wall clock.
+    *
+    * OPERATIONAL CAVEAT (documented, not hidden): a wall-clock stamp
+    * assumes event time ≈ arrival time. During a BACKFILL the very
+    * first heartbeat would advance the watermark past the entire
+    * backlog and late-drop it — so heartbeats are refused under
+    * bounded-drain triggers (App validates this), and a deployment
+    * replaying history must disable them or supply a `stamp` derived
+    * from the replay clock.
+    */
+  def decorate(src: DataFrame, eventTimeCol: String, delay: String,
+               intervalSecs: Int = 5,
+               stamp: Column = col("timestamp")): DataFrame = {
+    require(src.isStreaming, "Heartbeats.decorate takes a streaming frame")
+    require(intervalSecs >= 1, s"heartbeat interval must be >= 1s, got $intervalSecs")
+    val spark = src.sparkSession
+    val fields = src.schema.fields.toIndexedSeq
+    require(fields.exists(_.name == eventTimeCol),
+      s"no $eventTimeCol column in ${src.schema.toDDL}")
+    // One driver-side row per interval: rowsPerSecond=1 and a modulo
+    // filter on the tick counter — the rate source's floor is one row
+    // per second, so sub-rate intervals thin it instead.
+    val hb = spark.readStream.format("rate")
+      .option("rowsPerSecond", "1").option("numPartitions", "1").load()
+      .filter(pmod(col("value"), lit(intervalSecs.toLong)) === 0)
+      .select(fields.map { f =>
+        if (f.name == eventTimeCol) stamp.cast(f.dataType).as(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      }: _*)
+      .withColumn(HbCol, lit(true))
+    val union = src.withColumn(HbCol, lit(false)).unionByName(hb)
+    watermarkAndStrip(union, eventTimeCol, delay)
+  }
+}

@@ -200,6 +200,61 @@ class MultiWatermarkSpec extends SparkSpecBase {
     }
   }
 
+  test("the SECOND pushdown trap: a null-hostile filter above the decoration re-freezes the watermark") {
+    // Found live wiring App (r16): Heartbeats.decorate protects its
+    // own strip predicate, but CombineFilters merges any LATER filter
+    // into it and PushPredicateThroughNonJoin pushes the merged
+    // watermark-column-free conjuncts (here `volume > 0`) below the
+    // EventTimeWatermark node — the heartbeats' null business columns
+    // fail them UNDER the collector and the stall silently returns.
+    // Drive the same feed twice: filter above the decoration freezes;
+    // the identical filter applied BEFORE decorate (the documented
+    // "decorate LAST" rule, what App.cleanFeed does) advances.
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def run(filterAbove: Boolean): String = {
+      val m = MemoryStream[(Timestamp, Long, Boolean)]
+      val base = m.toDF().toDF("event_time", "volume", "hb")
+      val feed =
+        if (filterAbove)
+          graft.streaming.Heartbeats.watermarkAndStrip(
+            base, "event_time", "10 minutes", hbCol = "hb")
+            .filter(col("volume") > 0)
+        else
+          graft.streaming.Heartbeats.watermarkAndStrip(
+            base.filter(col("hb") || col("volume") > 0),
+            "event_time", "10 minutes", hbCol = "hb")
+      val agg = feed.groupBy(window(col("event_time"), "5 minutes"))
+        .agg(count(lit(1)).as("n"))
+      val out = Files.createTempDirectory("graft_mwm_trap_").toString
+      val name = s"mwm_trap_$filterAbove"
+      val q = agg.writeStream.outputMode("append")
+        .option("checkpointLocation", s"$out/ckpt")
+        .format("memory").queryName(name)
+        .trigger(Trigger.ProcessingTime(0))
+        .start()
+      try {
+        m.addData((ts("10:00"), 5L, false))
+        q.processAllAvailable()
+        // Heartbeat only (sentinel volume, the null-hostile case):
+        // does it reach the collector? A wm change triggers a no-data
+        // batch, so lastProgress surfaces the answer immediately.
+        m.addData((ts("13:00"), -1L, true))
+        q.processAllAvailable()
+        Option(q.lastProgress).map(_.eventTime.get("watermark")).orNull
+      } finally {
+        q.stop()
+        graft.streaming.ReplayStaging.deleteRecursively(java.nio.file.Paths.get(out))
+      }
+    }
+    // Filter above the decoration: the 13:00 heartbeat was pushed
+    // below the collector (volume > 0 fails on its null/sentinel) —
+    // after batch 2 the watermark still reflects only 10:00.
+    assert(run(filterAbove = true) === "2024-01-15T09:50:00.000Z")
+    // Same filter below the decoration (heartbeats exempted before the
+    // watermark node): the 13:00 heartbeat advances it.
+    assert(run(filterAbove = false) === "2024-01-15T12:50:00.000Z")
+  }
+
   test("multipleWatermarkPolicy=max: the FAST source drives the watermark") {
     val (wms, emitted) = run(Some("max"))
     // After batch 2 the max policy tracks A: 12:00 − 10 min = 11:50 —
