@@ -51,12 +51,15 @@ import org.apache.spark.sql.functions._
   * lived on a different device, after the originals were already
   * trashed). On HDFS, `rename` is the same atomic namespace primitive
   * as a local rename; on S3A there is no atomic rename (rename =
-  * copy + delete), so there a production deployment should commit
-  * through a table format's transaction log instead — the
-  * trash-before-swap ordering still guarantees no data loss, only a
-  * wider non-atomic window. The underscore prefixes (`_compact_tmp`,
-  * `_compact_trash`) keep both staging dirs invisible to Spark's file
-  * index, so a concurrent reader of the store never sees them.
+  * copy + delete) — for that posture use MANIFEST mode below
+  * (`snapshotManifest`/`compactManifest`/`read`/`vacuum`, r15 verdict
+  * item #4): the commit is the publication of one new manifest object
+  * and no live file is ever renamed. The rename-swap path here remains
+  * the default for atomic-rename filesystems (no manifest to maintain,
+  * plain `spark.read.parquet` readers). The underscore prefixes
+  * (`_compact_tmp`, `_compact_trash`, `_manifest-*`) keep staging and
+  * metadata invisible to Spark's file index, so a concurrent
+  * directory-listing reader never sees them.
   *
   * Content is IDENTICAL before and after — compaction moves bytes,
   * never rows — proven under the DuckDB oracle by v8_compaction (the
@@ -194,5 +197,236 @@ object Compaction {
       fs.delete(trash, true)
       stats
     } finally fs.delete(tmpRoot, true)
+  }
+
+  // ------------------------------------------------------------------
+  // MANIFEST-COMMIT mode (r15 verdict item #4): the object-store
+  // posture, executable instead of documented. The rename-swap above
+  // is correct on any filesystem with atomic rename (HDFS, local); on
+  // S3A rename = copy + delete, so the per-partition swap window is
+  // wide and non-atomic. Manifest mode never moves a LIVE file at all:
+  //   - the table's state is the newest `_manifest-<seq>.json` at the
+  //     root (a JSON list of live data files, relative paths);
+  //   - compaction writes new files into the partition dirs (invisible
+  //     to manifest readers until referenced), then publishes ONE new
+  //     manifest object — a single create-write-close, relying on
+  //     nothing but object-PUT visibility: no rename anywhere on the
+  //     commit path (CompactionSpec proves it on a FileSystem whose
+  //     rename is non-atomic and counted);
+  //   - a reader resolves the newest manifest that PARSES (a torn read
+  //     of a mid-write manifest falls back to the previous seq — the
+  //     same reader rule every log-structured table format uses);
+  //   - old fragments stay on disk, unreferenced, until `vacuum` —
+  //     which a deployment runs after its read-grace window, so a scan
+  //     that resolved the previous manifest never has files deleted
+  //     under it.
+  // Crash anywhere leaves the table readable at the OLD manifest and
+  // the retry convergent: unreferenced garbage is vacuum's job, never
+  // a correctness hazard. This is Delta/Iceberg's commit shape with a
+  // last-writer-wins manifest instead of a transaction log — adequate
+  // for a single-writer maintenance job (the deployment serializes
+  // compactions per store; concurrent WRITERS need a real table
+  // format, documented in SCALE.md §9).
+  // ------------------------------------------------------------------
+
+  private val ManifestName = "_manifest-(\\d{20})\\.json".r
+
+  private def manifestPath(root: Path, seq: Long): Path =
+    new Path(root, f"_manifest-$seq%020d.json")
+
+  /** All manifest (seq, path) pairs at `root`, newest first. */
+  def listManifests(fs: FileSystem, root: Path): Seq[(Long, Path)] =
+    (if (fs.exists(root)) fs.listStatus(root) else Array.empty[FileStatus])
+      .flatMap(s => s.getPath.getName match {
+        case ManifestName(seq) if s.isFile => Some((seq.toLong, s.getPath))
+        case _ => None
+      }).sortBy(-_._1).toSeq
+
+  private def renderManifest(seq: Long, files: Seq[String]): String = {
+    // Writer side of the torn-read contract: "complete":true is the
+    // LAST key, so any truncated read fails JSON parsing (or the
+    // marker check) and the reader falls back one seq.
+    val fileArr = files.sorted.map(f => "\"" + f + "\"").mkString("[", ",", "]")
+    s"""{"seq":$seq,"files":$fileArr,"complete":true}"""
+  }
+
+  private def parseManifest(bytes: Array[Byte]): Option[Seq[String]] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    try {
+      val j = JsonMethods.parse(new String(bytes, "UTF-8"))
+      val complete = (j \ "complete") match {
+        case JBool(true) => true
+        case _ => false
+      }
+      val files = (j \ "files") match {
+        case JArray(xs) => Some(xs.collect { case JString(s) => s })
+        case _ => None
+      }
+      if (complete) files else None
+    } catch { case _: Throwable => None }
+  }
+
+  /** The newest PARSEABLE manifest at `root`: (seq, relative file
+    * paths). Torn or corrupt manifests are skipped, newest first.
+    */
+  def currentManifest(fs: FileSystem, root: Path): Option[(Long, Seq[String])] =
+    listManifests(fs, root).iterator.flatMap { case (seq, p) =>
+      val in = fs.open(p)
+      val bytes =
+        try {
+          val buf = new java.io.ByteArrayOutputStream()
+          org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 64 << 10, false)
+          buf.toByteArray
+        } finally in.close()
+      parseManifest(bytes).map(files => (seq, files))
+    }.nextOption()
+
+  /** The next free manifest seq: one past the highest EXISTING
+    * manifest file, parseable or torn — a torn seq is burned, never
+    * reused (overwriting it would race any reader mid-fallback).
+    */
+  private def nextSeq(fs: FileSystem, root: Path): Long =
+    listManifests(fs, root).headOption.map(_._1 + 1).getOrElse(0L)
+
+  private def writeManifest(fs: FileSystem, root: Path, seq: Long,
+                            files: Seq[String]): Path = {
+    val p = manifestPath(root, seq)
+    require(!fs.exists(p), s"manifest $p already exists — concurrent compaction?")
+    // Single create-write-close: no temp file, no rename. On an object
+    // store the PUT is atomic; on HDFS/local a concurrent reader may
+    // see a partial object, which the parse-fallback absorbs.
+    val out = fs.create(p, false)
+    try out.write(renderManifest(seq, files).getBytes("UTF-8"))
+    finally out.close()
+    p
+  }
+
+  /** Bootstrap manifest mode over an existing directory-listed store:
+    * snapshot every current partition file into manifest seq 0 (or a
+    * fresh seq over the current manifest — idempotent maintenance).
+    * Returns the committed seq.
+    */
+  def snapshotManifest(spark: SparkSession, root: String,
+                       partitionCol: String): Long = {
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val seq = nextSeq(fs, rootPath)
+    val files = (if (fs.exists(rootPath)) fs.listStatus(rootPath)
+                 else Array.empty[FileStatus])
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$partitionCol="))
+      .flatMap(d => parquetFiles(fs, d.getPath)
+        .map(f => s"${d.getPath.getName}/${f.getPath.getName}"))
+    writeManifest(fs, rootPath, seq, files.toIndexedSeq)
+    seq
+  }
+
+  /** Manifest-aware reader: scan exactly the newest manifest's files
+    * (partition column preserved via basePath). Falls back to the
+    * plain directory-listing read when no manifest exists.
+    */
+  def read(spark: SparkSession, root: String): org.apache.spark.sql.DataFrame = {
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    currentManifest(fs, rootPath) match {
+      case Some((_, files)) if files.nonEmpty =>
+        spark.read.option("basePath", root)
+          .parquet(files.map(f => new Path(rootPath, f).toString): _*)
+      case Some(_) => // a committed EMPTY table is empty, not a listing
+        spark.emptyDataFrame
+      case None => spark.read.parquet(root)
+    }
+  }
+
+  /** Compact under manifest commit: same triage and rewrite as
+    * `compact`, but the swap is the publication of ONE new manifest —
+    * no live file is ever renamed, so the commit is object-store-safe.
+    * Requires a manifest to exist (run `snapshotManifest` once to
+    * adopt a store). Old fragments stay until `vacuum`.
+    */
+  def compactManifest(spark: SparkSession, root: String, partitionCol: String,
+                      clusterKey: Column, targetBytes: Long,
+                      minFiles: Int = 4): Seq[PartitionStats] = {
+    val hconf = spark.sessionState.newHadoopConf()
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(hconf)
+    val (_, live) = currentManifest(fs, rootPath).getOrElse(
+      throw new IllegalStateException(
+        s"no manifest at $root — run Compaction.snapshotManifest first"))
+    val smallBytes = math.max(1L, targetBytes / 2)
+    // Triage over the MANIFEST's files (the table state), not the
+    // directory listing: unreferenced garbage from a crashed prior
+    // attempt must be neither read nor counted.
+    val byPartition = live.groupBy(f => f.split("/", 2)(0))
+    val flagged = byPartition.toSeq.flatMap { case (partDir, fs0) =>
+      val sizes = fs0.map(f => f -> fs.getFileStatus(new Path(rootPath, f)).getLen)
+      val small = sizes.count(_._2 < smallBytes)
+      if (small >= minFiles)
+        Some((partDir, sizes.map(_._1), sizes.length.toLong, sizes.map(_._2).sum))
+      else None
+    }.sortBy(_._1)
+    if (flagged.isEmpty) return Seq.empty
+    val bytesFlagged = flagged.map(_._4).sum
+    val slots = math.max(1L, (bytesFlagged + targetBytes - 1) / targetBytes).toInt
+    val df = spark.read.option("basePath", root)
+      .parquet(flagged.flatMap(_._2).map(f => new Path(rootPath, f).toString): _*)
+    val tmpRoot = new Path(rootPath, "_compact_tmp")
+    fs.delete(tmpRoot, true)
+    val tmp = new Path(tmpRoot, "rewrite")
+    try {
+      df.repartitionByRange(slots, col(partitionCol), clusterKey)
+        .sortWithinPartitions(col(partitionCol), clusterKey)
+        .write.partitionBy(partitionCol).parquet(tmp.toString)
+      // Stage new files into the partition dirs. These moves touch
+      // only files no manifest references yet — a non-atomic rename
+      // (or a crash mid-loop) leaves garbage for vacuum, never a
+      // broken table.
+      val stats = flagged.map { case (partDir, oldFiles, nBefore, bBefore) =>
+        val oldDir = new Path(rootPath, partDir)
+        val newFiles = parquetFiles(fs, new Path(tmp, partDir))
+        require(newFiles.nonEmpty,
+          s"compaction produced no files for $partDir — refusing to commit")
+        val moved = newFiles.map { f =>
+          val dst = new Path(oldDir, f.getPath.getName)
+          renameOrDie(fs, f.getPath, dst)
+          s"$partDir/${f.getPath.getName}" -> fs.getFileStatus(dst).getLen
+        }
+        (partDir, oldFiles.toSet, moved,
+          PartitionStats(partDir, nBefore, bBefore,
+            moved.length.toLong, moved.map(_._2).sum))
+      }
+      // THE commit: one new manifest referencing (live − old fragments
+      // + compacted files). Everything before this line was invisible;
+      // everything after it is cleanup.
+      val replacedOld = stats.flatMap(_._2).toSet
+      val added = stats.flatMap(_._3.map(_._1))
+      val next = live.filterNot(replacedOld) ++ added
+      writeManifest(fs, rootPath, nextSeq(fs, rootPath), next)
+      stats.map(_._4)
+    } finally fs.delete(tmpRoot, true)
+  }
+
+  /** Delete partition files not referenced by the NEWEST manifest, and
+    * all older manifests. Run this after the deployment's read-grace
+    * window (a scan that resolved manifest N−1 must finish before its
+    * files go) — never inside the compaction job itself. Returns
+    * (data files deleted, manifests deleted).
+    */
+  def vacuum(spark: SparkSession, root: String, partitionCol: String): (Long, Long) = {
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val (seq, live) = currentManifest(fs, rootPath).getOrElse(
+      throw new IllegalStateException(s"no manifest at $root — nothing to vacuum against"))
+    val liveSet = live.toSet
+    val dataDeleted = (if (fs.exists(rootPath)) fs.listStatus(rootPath)
+                       else Array.empty[FileStatus])
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$partitionCol="))
+      .flatMap(d => parquetFiles(fs, d.getPath).map(f =>
+        s"${d.getPath.getName}/${f.getPath.getName}" -> f.getPath))
+      .collect { case (rel, p) if !liveSet.contains(rel) => fs.delete(p, false); 1L }
+      .sum
+    val manifestsDeleted = listManifests(fs, rootPath)
+      .collect { case (s, p) if s < seq => fs.delete(p, false); 1L }.sum
+    (dataDeleted, manifestsDeleted)
   }
 }

@@ -1,11 +1,35 @@
 package graft
 
 import java.io.File
+import java.net.URI
 import java.nio.file.Files
 
+import org.apache.hadoop.fs.{FileUtil, Path => HPath, RawLocalFileSystem}
 import org.apache.spark.sql.functions._
 
 import graft.operators.Compaction
+
+/** A FileSystem WITHOUT atomic rename — the S3A shape: rename =
+  * copy + delete, never a namespace operation, and every call is
+  * recorded so a spec can prove a commit path performed none on its
+  * published objects. Registered under the `nonatomic://` scheme via
+  * `fs.nonatomic.impl` (Hadoop instantiates it reflectively — must be
+  * a top-level class with a no-arg constructor).
+  */
+class NonAtomicRenameFileSystem extends RawLocalFileSystem {
+  override def getScheme: String = "nonatomic"
+  override def getUri: URI = URI.create("nonatomic:///")
+  override def rename(src: HPath, dst: HPath): Boolean = {
+    NonAtomicRenameFileSystem.renames.add(src.toString -> dst.toString)
+    // Copy bytes then delete the source — the non-atomic two-step a
+    // reader can observe mid-flight, exactly what S3A does.
+    FileUtil.copy(this, src, this, dst, true, getConf)
+  }
+}
+
+object NonAtomicRenameFileSystem {
+  val renames = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
+}
 
 /** Small-file compaction (v8 / r13 verdict item #3): bin-packing a
   * date-partitioned store's fragments must move bytes, never rows —
@@ -184,6 +208,85 @@ class CompactionSpec extends SparkSpecBase {
       targetBytes = 64L << 20, minFiles = 4)
     assert(stats.nonEmpty && stats.forall(st => st.filesAfter < st.filesBefore))
     assert(!new File(store, "_compact_tmp").exists())
+  }
+
+  test("manifest commit works on a filesystem with NO atomic rename (r15 verdict #4)") {
+    // The object-store posture, executed: compaction + read + vacuum
+    // over a scheme whose rename is copy+delete (recorded), proving
+    // the COMMIT is one manifest object PUT and no published file is
+    // ever renamed.
+    spark.sparkContext.hadoopConfiguration.set(
+      "fs.nonatomic.impl", classOf[NonAtomicRenameFileSystem].getName)
+    val local = Files.createTempDirectory("graft_cspec_manifest_")
+    val store = s"nonatomic://${local.resolve("store")}"
+    try {
+      (0 until 3000).map { i =>
+        (s"SYM${i % 7}", 100.0 + (i % 250) * 0.01, (i % 13 + 1).toLong,
+          java.sql.Date.valueOf(s"2024-01-${10 + i % 3}"),
+          1704844800000L + i * 60000L)
+      }.toDF("symbol", "price", "volume", "trade_date", "ts_ms")
+        .repartition(10).write.partitionBy("trade_date").parquet(store)
+      // Adopt the store: manifest seq 0 snapshots the current listing.
+      assert(Compaction.snapshotManifest(spark, store, "trade_date") === 0L)
+      def content() = Compaction.read(spark, store)
+        .select($"symbol", $"price", $"volume", $"ts_ms", $"trade_date".cast("string"))
+        .collect().map(_.toString).sorted
+      val before = content()
+      assert(before.length === 3000)
+      NonAtomicRenameFileSystem.renames.clear()
+      val stats = Compaction.compactManifest(spark, store, "trade_date",
+        clusterKey, targetBytes = 64L << 20, minFiles = 4)
+      assert(stats.size === 3 && stats.forall(st => st.filesAfter < st.filesBefore))
+      // The manifest itself was never renamed INTO place — published
+      // by a single create, so non-atomic rename cannot tear the
+      // commit. (Staging moves of not-yet-referenced data files are
+      // allowed and expected.)
+      import scala.jdk.CollectionConverters._
+      val manifestRenames = NonAtomicRenameFileSystem.renames.asScala
+        .filter { case (src, dst) =>
+          new HPath(src).getName.startsWith("_manifest-") ||
+            new HPath(dst).getName.startsWith("_manifest-") }
+      assert(manifestRenames.isEmpty, s"manifest was renamed: $manifestRenames")
+      // Content through the manifest reader is unchanged, while the
+      // old fragments are STILL on disk (vacuum's job, after the
+      // deployment's read-grace window) — a directory-listing read
+      // would double-count, which is exactly why manifest-mode readers
+      // go through Compaction.read.
+      assert(content() === before)
+      assert(spark.read.parquet(store).count() > 3000)
+      val (dataGone, manifestsGone) = Compaction.vacuum(spark, store, "trade_date")
+      assert(dataGone > 0 && manifestsGone === 1L, s"($dataGone, $manifestsGone)")
+      assert(content() === before)
+      // After vacuum the directory listing agrees with the manifest.
+      assert(spark.read.parquet(store).count() === 3000)
+      // Maintenance converges: a second pass finds nothing.
+      assert(Compaction.compactManifest(spark, store, "trade_date",
+        clusterKey, targetBytes = 64L << 20, minFiles = 4).isEmpty)
+    } finally graft.streaming.ReplayStaging.deleteRecursively(local)
+  }
+
+  test("a torn manifest is skipped: readers fall back to the previous seq") {
+    val local = Files.createTempDirectory("graft_cspec_torn_")
+    val store = local.resolve("store").toString
+    try {
+      (0 until 300).map { i =>
+        (s"SYM${i % 3}", i.toDouble, java.sql.Date.valueOf("2024-01-10"),
+          1704844800000L + i * 1000L)
+      }.toDF("symbol", "price", "trade_date", "ts_ms")
+        .repartition(2).write.partitionBy("trade_date").parquet(store)
+      Compaction.snapshotManifest(spark, store, "trade_date")
+      val good = Compaction.read(spark, store).count()
+      assert(good === 300)
+      // A writer died mid-PUT of seq 1: truncated JSON, no trailing
+      // "complete":true. Readers must resolve seq 0.
+      Files.write(new File(store, "_manifest-" + "0" * 19 + "1.json").toPath,
+        """{"seq":1,"files":["trade_date=2024-01-10/nothing.parquet""".getBytes)
+      assert(Compaction.read(spark, store).count() === 300)
+      // And the next snapshot commits ABOVE the torn seq (no reuse —
+      // writeManifest refuses to overwrite an existing object).
+      assert(Compaction.snapshotManifest(spark, store, "trade_date") === 2L)
+      assert(Compaction.read(spark, store).count() === 300)
+    } finally graft.streaming.ReplayStaging.deleteRecursively(local)
   }
 
   test("cluster-key locality: per-file extents within a date do not interleave") {
