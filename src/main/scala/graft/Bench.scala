@@ -115,6 +115,42 @@ object Bench {
     */
   val FsyncCleanMax = 10.0
 
+  /** Driver→executor job ROUND-TRIP floor: ms per one-row job over 20
+    * sequential `spark.range(1).count()` calls. Added r16 after a
+    * measured blind-spot instance the other three gates all missed: a
+    * host regime where the sr drains ran 2–7× over best on BOTH the
+    * r15 and r16 jars (code-identical A/B, BENCHNOTES "Round 16"),
+    * with io-pressure 0.0, cpu-some 0.4, fsync 0.07 ms (tmpfs) — and
+    * 5.4% hypervisor steal under load. Drains are SEQUENTIAL
+    * micro-batch orchestration: hundreds of driver→executor round
+    * trips and per-partition state commits, so scheduling-latency
+    * degradation inflates them while throughput-parallel plan queries
+    * barely move (that run: 3 plan flags, 14 drain/wall flags). This
+    * probes the exact primitive. Shipped at run start and around every
+    * drain/wall re-measure, and GATES those verdicts (RoundTripCleanMax):
+    * in the degraded regime it read a stable 127–180 ms/job across six
+    * consecutive probes while the r15 drain best-knowns bound the
+    * healthy floor from above at ≲20 ms/job (a 2.3 s three-batch
+    * stateful drain is not achievable otherwise) — so 50 ms separates
+    * the regimes with wide margin on both sides, and a re-measure taken
+    * in this regime honestly reads 'unresolved' instead of 'confirmed'.
+    */
+  def jobRoundTripMsPerOp(spark: SparkSession): Double =
+    try {
+      spark.range(1).count() // warm the path once, untimed
+      val n = 20
+      val t0 = System.nanoTime()
+      var i = 0
+      while (i < n) { spark.range(1).count(); i += 1 }
+      (System.nanoTime() - t0) / 1e6 / n
+    } catch { case _: Throwable => -1.0 }
+
+  /** Ceiling for a CLEAN job-round-trip reading, ms/job: well above
+    * the healthy floor the drain best-knowns imply (≲20), well below
+    * the measured degraded regime (127–180).
+    */
+  val RoundTripCleanMax = 50.0
+
   /** Timing noise has an ABSOLUTE component as well as a relative
     * one: on this 32-core box a warm execution's scheduler/GC jitter
     * is ~±100 ms regardless of query size, so a pure 1.5× threshold
@@ -148,10 +184,12 @@ object Bench {
     * io/cpu pressure only.
     */
   def verdictOf(re: Double, best: Double, io: Double, cpu: Double,
-                fs: Double, fsyncGated: Boolean): String = {
+                fs: Double, fsyncGated: Boolean,
+                rt: Double = -1.0, rtGated: Boolean = false): String = {
     val clean = io >= 0 && io <= PressureCleanMax &&
       cpu >= 0 && cpu <= CpuPressureCleanMax &&
-      (!fsyncGated || (fs >= 0 && fs <= FsyncCleanMax))
+      (!fsyncGated || (fs >= 0 && fs <= FsyncCleanMax)) &&
+      (!rtGated || (rt >= 0 && rt <= RoundTripCleanMax))
     if (re >= 0 && !regressedVsBest(re, best)) "ambient"
     else if (re >= 0 && clean) "confirmed"
     else "unresolved"
@@ -248,6 +286,7 @@ object Bench {
     val pressureStart = ioPressureFullAvg300()
     val cpuPressureStart = cpuPressureSomeAvg300()
     val fsyncStart = fsyncProbeMsPerOp()
+    val roundTripStart = jobRoundTripMsPerOp(spark)
     // Best-known warm mins (BENCH_BEST.json, maintained per round from
     // pressure-clean runs): the cross-round regression gate. A warm
     // time > 1.5x best-known on a PRESSURE-CLEAN run is flagged in the
@@ -595,12 +634,17 @@ object Bench {
     // checkpoint writes that never force().
     final case class Adjudicated(flag: Flag, re: Double, reIo: Double,
                                  reCpu: Double, reFsync: Double,
+                                 reRoundTrip: Double,
                                  reProfile: Option[String])
     val (regConfirmed, regAmbient, regUnresolved) = {
       val adjudicated = regressionFlags.map { f =>
         val isDrain = f.kind == "drain"
         val io0 = ioPressureFullAvg300(); val cpu0 = cpuPressureSomeAvg300()
         val fs0 = if (isDrain) fsyncProbeMsPerOp() else -1.0
+        // Scheduler-latency reading around drain re-measures —
+        // measurement only this round (no gate until r17 calibrates a
+        // healthy baseline); see jobRoundTripMsPerOp.
+        val rt0 = if (isDrain) jobRoundTripMsPerOp(spark) else -1.0
         val re =
           try {
             f.kind match {
@@ -637,17 +681,20 @@ object Bench {
         // every real drain regression toward "unresolved" — the same
         // start-only reasoning as the cpu-pressure gate.
         Adjudicated(f, re, math.max(io0, io1), math.max(cpu0, cpu1), fs0,
-          reProfile)
+          rt0, reProfile)
       }
       def render(a: Adjudicated): String =
         f""""${a.flag.key}":{"${measuredKey(a.flag.kind)}":${a.flag.t}%.3f,""" +
           f""""best":${a.flag.best}%.3f,"kind":"${a.flag.kind}",""" +
           f""""remeasure":${a.re}%.3f,"re_io":${a.reIo}%.2f,"re_cpu":${a.reCpu}%.2f""" +
-          (if (a.flag.kind == "drain") f""","re_fsync_ms":${a.reFsync}%.2f""" else "") +
+          (if (a.flag.kind == "drain")
+            f""","re_fsync_ms":${a.reFsync}%.2f,"re_roundtrip_ms":${a.reRoundTrip}%.2f"""
+          else "") +
           a.reProfile.map(p => s""","re_profile":$p""").getOrElse("") + "}"
       def verdict(a: Adjudicated): String =
         verdictOf(a.re, a.flag.best, a.reIo, a.reCpu, a.reFsync,
-          fsyncGated = a.flag.kind == "drain")
+          fsyncGated = a.flag.kind == "drain",
+          rt = a.reRoundTrip, rtGated = a.flag.kind == "drain")
       val ambient = adjudicated.filter(verdict(_) == "ambient")
       val confirmed = adjudicated.filter(verdict(_) == "confirmed")
       val unresolved = adjudicated.filter(verdict(_) == "unresolved")
@@ -671,16 +718,20 @@ object Bench {
       else {
         val io0 = ioPressureFullAvg300(); val cpu0 = cpuPressureSomeAvg300()
         val fs0 = fsyncProbeMsPerOp()
+        val rt0 = jobRoundTripMsPerOp(spark)
         val re = try rerun() catch { case _: Throwable => -1.0 }
         val io1 = ioPressureFullAvg300(); val cpu1 = cpuPressureSomeAvg300()
-        // fsync gate = entry probe only (see the drain adjudication
-        // note: the schedule's own writes dirty the page cache).
+        // fsync/round-trip gates = entry probes only (see the drain
+        // adjudication note: the schedule's own writes dirty the page
+        // cache, and its own task storm would inflate a post-run
+        // round-trip reading).
         val (io, cpu, fs) =
           (math.max(io0, io1), math.max(cpu0, cpu1), fs0)
-        val verdict =
-          verdictOf(re, best.getOrElse(-1.0), io, cpu, fs, fsyncGated = true)
+        val verdict = verdictOf(re, best.getOrElse(-1.0), io, cpu, fs,
+          fsyncGated = true, rt = rt0, rtGated = true)
         head + f""","flagged":true,"remeasure":$re%.3f,"re_io":$io%.2f,""" +
-          f""""re_cpu":$cpu%.2f,"re_fsync_ms":$fs%.2f,"verdict":"$verdict"}"""
+          f""""re_cpu":$cpu%.2f,"re_fsync_ms":$fs%.2f,""" +
+          f""""re_roundtrip_ms":$rt0%.2f,"verdict":"$verdict"}"""
       }
     }
     val wallsJson = Seq(
@@ -699,6 +750,7 @@ object Bench {
         f""""io_pressure_full_avg300":{"start":$pressureStart%.2f,"end":$pressureEnd%.2f},""" +
         f""""cpu_pressure_some_avg300":{"start":$cpuPressureStart%.2f,"end":$cpuPressureEnd%.2f},""" +
         f""""fsync_probe_ms":{"start":$fsyncStart%.2f},""" +
+        f""""job_roundtrip_ms":{"start":$roundTripStart%.2f},""" +
         s""""pressure_clean":$pressureClean,""" +
         s""""pressure_clean_forced":$assumeClean,""" +
         // The eager-query roster THIS run ran, for merge_ledgers: it
@@ -710,6 +762,14 @@ object Bench {
         s""""regressions":${regressions.mkString("{", ",", "}")},""" +
         s""""regressions_suspect_ambient":$regressionsSuspectAmbient,""" +
         s""""regressions_confirmed":${regConfirmed.mkString("{", ",", "}")},""" +
+        // The uniform-vs-skewed diagnostic, applied to VERDICTS (r16):
+        // a real regression confirms ONE query (or one family changed
+        // by one commit); a host regime none of the entry gates sees —
+        // measured live this round: drains 2–7× over best on two
+        // code-identical jars with io/cpu/fsync all clean — confirms
+        // MANY at once. >3 simultaneous confirmations annotates (never
+        // suppresses) the list, same rule as the flag-level field.
+        s""""confirmed_suspect_ambient":${regConfirmed.size > 3},""" +
         s""""regressions_ambient":${regAmbient.mkString("{", ",", "}")},""" +
         s""""regressions_unresolved":${regUnresolved.mkString("{", ",", "}")},""" +
         s""""walls":$wallsJson,""" +

@@ -37,6 +37,26 @@ class BenchBestParseSpec extends AnyFunSuite {
     assert(Bench.verdictOf(-1.0, 1.0, 0.0, 0.0, 1.0, fsyncGated = true) === "unresolved")
   }
 
+  test("round-trip gate (r16): a degraded-scheduler regime cannot mint 'confirmed'") {
+    // The measured blind spot: drains 2-7x over best on two
+    // code-identical jars with io/cpu/fsync ALL clean — only the
+    // driver->executor round trip (127-180 ms/job vs the <=20 ms floor
+    // the drain best-knowns imply) saw the regime. Gated surfaces
+    // (rtGated) read 'unresolved' there; ungated plan queries are
+    // unaffected; and the gate never rescues an ambient verdict.
+    assert(Bench.verdictOf(2.0, 1.0, 0.5, 2.0, 2.0, fsyncGated = true,
+      rt = 150.0, rtGated = true) === "unresolved")
+    assert(Bench.verdictOf(2.0, 1.0, 0.5, 2.0, 2.0, fsyncGated = true,
+      rt = 15.0, rtGated = true) === "confirmed")
+    assert(Bench.verdictOf(2.0, 1.0, 0.5, 2.0, 2.0, fsyncGated = true,
+      rt = 150.0, rtGated = false) === "confirmed")
+    assert(Bench.verdictOf(1.0, 0.9, 0.0, 0.0, 1.0, fsyncGated = true,
+      rt = 150.0, rtGated = true) === "ambient")
+    // a missing probe reading (-1) on a gated surface is not clean.
+    assert(Bench.verdictOf(2.0, 1.0, 0.0, 0.0, 1.0, fsyncGated = true,
+      rt = -1.0, rtGated = true) === "unresolved")
+  }
+
   test("regressedVsBest carries the absolute jitter floor (the d21 calibration)") {
     // A 148 ms best: warm jitter to 0.30 s must NOT flag — the pure
     // ratio threshold (0.222) sat inside the query's measured warm
