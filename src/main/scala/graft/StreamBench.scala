@@ -53,6 +53,14 @@ object StreamBench {
     // sizing taught.)
     val parts = sys.env.getOrElse("SPARK_GRAFT_SLO_PARTS", "8")
     val pStart = Bench.ioPressureFullAvg300()
+    // Scheduler-latency reading (r16, same instrumentation as the
+    // bench): a 1 s cadence pays one driver→executor round trip per
+    // phase per batch, so a degraded regime (measured 127–199 ms/job
+    // vs the ≲20 ms healthy floor) inflates the worst-batch p99 by
+    // seconds while the host looks clean to every pressure gate. The
+    // reading ships in the artifact so a false slo_trigger_ok is
+    // attributable to the regime that produced it.
+    val rtStart = Bench.jobRoundTripMsPerOp(spark)
     val work = Files.createTempDirectory("graft_slo").toString
     val raw = spark.readStream.format("rate")
       .option("rowsPerSecond", rate.toString)
@@ -146,6 +154,7 @@ object StreamBench {
         s""""slo_trigger_rule":"p50<interval && p99<2x interval",""" +
         f""""slo_e2e_ok":${e2e.getLong(2) <= 10000},""" +
         f""""io_pressure_full_avg300":{"start":$pStart%.2f,"end":$pEnd%.2f},""" +
+        f""""job_roundtrip_ms":{"start":$rtStart%.2f},""" +
         f""""slo_valid":$clean}"""
     println(line)
   }
