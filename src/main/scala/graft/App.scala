@@ -457,10 +457,24 @@ object App {
         // upstream), so one bar-span of slack is already conservative.
         val barsPath = new org.apache.hadoop.fs.Path(s"${cfg.out}/gold5m_final")
         barsPath.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(barsPath)
-        val barStream = spark.readStream.schema(barsSchema)
+        val barFiles = spark.readStream.schema(barsSchema)
           .option("maxFilesPerTrigger", cfg.maxFilesPerTrigger)
           .parquet(s"${cfg.out}/gold5m_final")
-          .withWatermark("window_start", "5 minutes")
+        // The cascade needs its OWN heartbeat: an idle trade feed means
+        // EMPTY 5m windows upstream, which emit no bars in append mode
+        // — so nothing propagates down to advance this layer's
+        // watermark and the session's last 1h bar would stay open until
+        // the next session's first bar. rollup's per-row shape assert
+        // references window_start, so it stays above the watermark
+        // beside the strip filter, and CombineFilters puts the strip
+        // (the lower filter) on the short-circuiting left of the merged
+        // And — heartbeat rows never reach the assert (pinned in
+        // MultiWatermarkSpec's rollup-decoration test).
+        val barStream =
+          if (cfg.heartbeatSecs > 0)
+            graft.streaming.Heartbeats.decorate(barFiles, "window_start",
+              "5 minutes", cfg.heartbeatSecs)
+          else barFiles.withWatermark("window_start", "5 minutes")
         val grain = Ohlcv.rollup(barStream, "1 hour")
           .withColumn("window_date", to_date(col("window_start")))
         mgr.start("gold1h", Sinks.fileSink(grain, s"${cfg.out}/gold1h",

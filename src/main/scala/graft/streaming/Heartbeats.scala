@@ -44,6 +44,29 @@ import org.apache.spark.sql.functions._
   * predicate references the event-time column or passes null
   * columns — neither is worth relying on.) MultiWatermarkSpec pins
   * this trap too.
+  *
+  * THE THIRD TRAP (found pinning the second one, r16): the optimizer
+  * can dissolve the strip predicate ITSELF whenever it can statically
+  * evaluate either half. In a micro-batch containing ONLY heartbeats —
+  * the idle case, i.e. the normal case — PropagateEmptyRelation prunes
+  * the union down to the heartbeat branch, whose event-time column
+  * then aliases the stamp expression directly, and two independent
+  * rules each kill the filter: a FOLDABLE stamp lets
+  * FoldablePropagation + ConstantFolding collapse `!hb OR isnull(et)`
+  * to a reference-free `false` (captured live as `Filter false`
+  * directly over the rate scan in MultiWatermarkSpec's rollup test
+  * during development), and even a non-foldable but NON-NULLABLE stamp
+  * (any expression over the rate source's columns) lets
+  * NullPropagation rewrite `isnull(et)` to false via static
+  * nullability, with the same end state. Either way the predicate
+  * loses its watermark-column reference, pushes below the collector,
+  * and every heartbeat dies in exactly the batches that exist to
+  * carry them. `decorate` therefore routes EVERY stamp through
+  * [[graft.functions.OpaqueStamp]] — a pass-through Catalyst
+  * expression that is non-foldable and nullable-typed by declaration —
+  * so no optimizer rule can evaluate either disjunct statically and
+  * the strip provably keeps its reference. Stamps of any shape,
+  * including plain literals for deterministic replays, are safe.
   */
 object Heartbeats {
 
@@ -97,7 +120,13 @@ object Heartbeats {
       .option("rowsPerSecond", "1").option("numPartitions", "1").load()
       .filter(pmod(col("value"), lit(intervalSecs.toLong)) === 0)
       .select(fields.map { f =>
-        if (f.name == eventTimeCol) stamp.cast(f.dataType).as(f.name)
+        if (f.name == eventTimeCol)
+          // The third-trap barrier (see the scaladoc): the stamp goes
+          // through OpaqueStamp so no optimizer rule can statically
+          // evaluate the strip predicate's isnull(event_time) half —
+          // neither by folding a literal stamp nor by NullPropagation
+          // over a provably non-nullable one.
+          graft.functions.OpaqueStamp(stamp.cast(f.dataType)).as(f.name)
         else lit(null).cast(f.dataType).as(f.name)
       }: _*)
       .withColumn(HbCol, lit(true))

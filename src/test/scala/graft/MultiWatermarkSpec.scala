@@ -255,6 +255,82 @@ class MultiWatermarkSpec extends SparkSpecBase {
     assert(run(filterAbove = false) === "2024-01-15T12:50:00.000Z")
   }
 
+  test("decorate composes with a per-row shape assert above it (the rollup cascade)") {
+    // Ohlcv.rollup filters on assert_true(shape) — a predicate that
+    // THROWS on a malformed row. A heartbeat row (everything null but
+    // the event-time stamp) is maximally malformed, so this only works
+    // if the strip filter runs FIRST: both filters reference the
+    // watermark column and stay above the collector, CombineFilters
+    // merges them with the LOWER (strip) filter on the And's
+    // short-circuiting left. Pin that composition: heartbeats advance
+    // the watermark, close the 1h window, reach no assert, pollute no
+    // bar — a conjunct reorder or a pushdown change in a Spark upgrade
+    // fails HERE, loudly, instead of crashing App's cascade topology.
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val m = MemoryStream[(String, Timestamp, Timestamp, Double, Double, Double,
+      Double, Long, Long, Long)]
+    val bars0 = m.toDF().toDF("symbol", "window_start", "window_end", "open",
+      "high", "low", "close", "volume", "trade_count", "pv_ticks")
+      .withColumn("vwap_e6", lit(0L)).withColumn("vwap", lit(0.0))
+      .withColumn("window_date", to_date(col("window_start")))
+    // A plain LITERAL stamp — the hardest case for the third trap:
+    // without the OpaqueStamp barrier, heartbeat-only batches pruned
+    // the union, folded the strip predicate to a reference-free
+    // `false`, and pushed it below the collector (`Filter false` over
+    // the rate scan, captured live developing this test). This test
+    // passing IS the barrier's proof.
+    val decorated = graft.streaming.Heartbeats.decorate(
+      bars0, "window_start", "5 minutes", intervalSecs = 1,
+      stamp = lit(ts("13:00")))
+    val grain = graft.operators.Ohlcv.rollup(decorated, "1 hour")
+      .select(col("symbol"), col("window_start"), col("open"), col("close"),
+        col("volume"))
+    val out = Files.createTempDirectory("graft_mwm_rollup_").toString
+    val q = grain.writeStream.outputMode("append")
+      .option("checkpointLocation", s"$out/ckpt")
+      .format("memory").queryName("mwm_rollup")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      def bar(hhmm: String, endHhmm: String, px: Double) =
+        ("AAPL", ts(hhmm), ts(endHhmm), px, px, px, px, 10L, 1L, 0L)
+      m.addData(bar("10:00", "10:05", 1.0), bar("10:55", "11:00", 2.0))
+      q.processAllAvailable()
+      // Only the 13:00-stamped HEARTBEATS (rate-driven) advance the
+      // watermark past 11:00 + 5m — no real bar after 10:55 exists.
+      // Wait until the 10:00 hour's rollup flushes (or time out; the
+      // deadline is generous because a degraded-scheduler host — the
+      // r16 regime BENCHNOTES documents — stretches each micro-batch
+      // to seconds and the flush needs a few of them).
+      val deadline = System.currentTimeMillis() + 120000
+      def rows() = spark.table("mwm_rollup").collect()
+      while (rows().isEmpty && System.currentTimeMillis() < deadline) {
+        Thread.sleep(1000)
+        q.processAllAvailable()
+      }
+      val emitted = rows()
+      assert(emitted.length === 1,
+        s"1h bar never flushed on heartbeats alone: ${emitted.toSeq}; " +
+          s"lastProgress eventTime=${Option(q.lastProgress).map(_.eventTime).orNull} " +
+          s"exception=${q.exception}")
+      val r = emitted.head
+      assert(r.getAs[String]("symbol") === "AAPL")
+      assert(r.getAs[Timestamp]("window_start") === ts("10:00"))
+      assert(r.getAs[Double]("open") === 1.0 && r.getAs[Double]("close") === 2.0)
+      assert(r.getAs[Long]("volume") === 20L) // heartbeats added nothing
+    } finally {
+      q.stop()
+      graft.streaming.ReplayStaging.deleteRecursively(java.nio.file.Paths.get(out))
+    }
+    // And the barrier's declarations, pinned directly — both halves
+    // the third trap needs defeated: non-foldable (FoldablePropagation
+    // cannot substitute the alias) and nullable (NullPropagation
+    // cannot rewrite isnull(event_time) to false).
+    val barrier = graft.functions.OpaqueStamp(
+      org.apache.spark.sql.graftbridge.ColumnBridge.expression(lit(ts("13:00"))))
+    assert(!barrier.foldable && barrier.nullable)
+  }
+
   test("multipleWatermarkPolicy=max: the FAST source drives the watermark") {
     val (wms, emitted) = run(Some("max"))
     // After batch 2 the max policy tracks A: 12:00 − 10 min = 11:50 —
