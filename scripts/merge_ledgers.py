@@ -61,6 +61,10 @@ def merge_bench(run_path, allow):
         sys.exit(f"refusing to merge {run_path}: pressure_clean was FORCED "
                  "(SPARK_GRAFT_BENCH_ASSUME_CLEAN is for the adjudicator "
                  "liveness smoke only — its numbers are not quiet-host)")
+    if run.get("roundtrip_forced", False):
+        sys.exit(f"refusing to merge {run_path}: round-trip readings were "
+                 "FORCED (SPARK_GRAFT_BENCH_FORCE_RT is for the adjudicator "
+                 "smoke's degraded-regime case only)")
     if run.get("failed"):
         sys.exit(f"refusing to merge {run_path}: failed queries {run['failed']}")
     best = load("BENCH_BEST.json")

@@ -91,9 +91,15 @@ object Bench {
     * alongside io/cpu pressure.
     */
   def fsyncProbeMsPerOp(
-      root: java.nio.file.Path = graft.streaming.ReplayStaging.scratchRoot()): Double =
+      root: () => java.nio.file.Path =
+        () => graft.streaming.ReplayStaging.scratchRoot()): Double =
     try {
-      val dir = java.nio.file.Files.createTempDirectory(root, "graft_fsyncprobe_")
+      // Root resolution happens INSIDE the guarded body (r16 ADVICE):
+      // as a plain default argument it evaluated at the call site,
+      // so an invalid SPARK_GRAFT_SCRATCH aborted the whole bench run
+      // instead of degrading to the probe's -1 like every other
+      // probe failure.
+      val dir = java.nio.file.Files.createTempDirectory(root(), "graft_fsyncprobe_")
       try {
         val ch = java.nio.channels.FileChannel.open(dir.resolve("probe.bin"),
           java.nio.file.StandardOpenOption.CREATE,
@@ -126,14 +132,23 @@ object Bench {
     * trips and per-partition state commits, so scheduling-latency
     * degradation inflates them while throughput-parallel plan queries
     * barely move (that run: 3 plan flags, 14 drain/wall flags). This
-    * probes the exact primitive. Shipped at run start and around every
-    * drain/wall re-measure, and GATES those verdicts (RoundTripCleanMax):
-    * in the degraded regime it read a stable 127–180 ms/job across six
-    * consecutive probes while the r15 drain best-knowns bound the
-    * healthy floor from above at ≲20 ms/job (a 2.3 s three-batch
-    * stateful drain is not achievable otherwise) — so 50 ms separates
-    * the regimes with wide margin on both sides, and a re-measure taken
-    * in this regime honestly reads 'unresolved' instead of 'confirmed'.
+    * probes the exact primitive. Shipped at run start and around EVERY
+    * re-measure (median-of-3 spaced samples since r17), and GATES every
+    * verdict kind (RoundTripCleanMax) — plan and eager re-measures are
+    * sequential few-job affairs too, and the r16 driver artifact minted
+    * a false plan "confirmed" in a 176 ms/job regime the drain-only
+    * gate ignored. In the degraded regime it read a stable 127–180
+    * ms/job across six consecutive probes while the r15 drain
+    * best-knowns bound the healthy floor from above at ≲20 ms/job (a
+    * 2.3 s three-batch stateful drain is not achievable otherwise) — so
+    * 50 ms separates the regimes with wide margin on both sides, and a
+    * re-measure taken in this regime honestly reads 'unresolved'
+    * instead of 'confirmed'. Every reading also lands in the rolling
+    * cross-run log (appendRoundTripLog) so the regime's persistence is
+    * a measured distribution, not an anecdote. The operational lesson
+    * is generalized in SCALE.md §9.3 (the FOURTH host-health gauge:
+    * sequential-orchestration latency, diagnosed by the drain-vs-plan
+    * differential).
     */
   def jobRoundTripMsPerOp(spark: SparkSession): Double =
     try {
@@ -150,6 +165,44 @@ object Bench {
     * the measured degraded regime (127–180).
     */
   val RoundTripCleanMax = 50.0
+
+  /** Median of three SPACED round-trip samples (r16 verdict #2: a
+    * single 20-job sample at one instant classifies a fluctuating
+    * regime poorly — the r16 runs probed 176–199 ms at start yet
+    * delivered near-best walls minutes later, and vice versa). Three
+    * samples ~spacingMs apart span ~1 s of regime; the median ignores
+    * one outlier burst in either direction. A failed sample sorts to
+    * an end (-1 low), so the median stays meaningful with one failure
+    * and reads -1 only when at least two samples fail.
+    */
+  def jobRoundTripMedian3(spark: SparkSession, spacingMs: Long = 400L): Double = {
+    val xs = (1 to 3).map { i =>
+      if (i > 1) Thread.sleep(spacingMs)
+      jobRoundTripMsPerOp(spark)
+    }.sorted
+    xs(1)
+  }
+
+  /** Rolling cross-run round-trip ledger (r16 verdict #2): every
+    * reading — run start and each re-measure's — appends one line to
+    * ROUNDTRIP_LOG.jsonl with a wall-clock stamp and its context, so
+    * the regime question ("is 127–199 ms this host's new floor, or an
+    * intermittent storm?") is answered by a measured distribution
+    * across runs instead of per-round anecdotes. Append-only and
+    * fail-silent: a log write can never affect a verdict.
+    */
+  def appendRoundTripLog(context: String, ms: Double): Unit =
+    try {
+      val line =
+        f"""{"t_ms":${System.currentTimeMillis()},"context":"$context","ms":$ms%.2f}""" + "\n"
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(
+          sys.env.getOrElse("SPARK_GRAFT_RT_LOG", "ROUNDTRIP_LOG.jsonl")),
+        line.getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+      ()
+    } catch { case _: Throwable => () }
 
   /** Timing noise has an ABSOLUTE component as well as a relative
     * one: on this 32-core box a warm execution's scheduler/GC jitter
@@ -286,7 +339,20 @@ object Bench {
     val pressureStart = ioPressureFullAvg300()
     val cpuPressureStart = cpuPressureSomeAvg300()
     val fsyncStart = fsyncProbeMsPerOp()
-    val roundTripStart = jobRoundTripMsPerOp(spark)
+    // SPARK_GRAFT_BENCH_FORCE_RT forces every round-trip reading — for
+    // the adjudicator smoke's degraded-regime case ONLY (same contract
+    // as ASSUME_CLEAN: the run records roundtrip_forced=true and
+    // merge_ledgers refuses to fold it, so a forced run can never
+    // poison best-knowns or launder a verdict).
+    val forceRt = sys.env.get("SPARK_GRAFT_BENCH_FORCE_RT").map(_.toDouble)
+    // Every reading is a median-of-3 spaced sample and lands in the
+    // rolling cross-run log (both r16 verdict #2).
+    def rtReading(context: String): Double = {
+      val ms = forceRt.getOrElse(jobRoundTripMedian3(spark))
+      appendRoundTripLog(context, ms)
+      ms
+    }
+    val roundTripStart = rtReading("start")
     // Best-known warm mins (BENCH_BEST.json, maintained per round from
     // pressure-clean runs): the cross-round regression gate. A warm
     // time > 1.5x best-known on a PRESSURE-CLEAN run is flagged in the
@@ -641,10 +707,18 @@ object Bench {
         val isDrain = f.kind == "drain"
         val io0 = ioPressureFullAvg300(); val cpu0 = cpuPressureSomeAvg300()
         val fs0 = if (isDrain) fsyncProbeMsPerOp() else -1.0
-        // Scheduler-latency reading around drain re-measures —
-        // measurement only this round (no gate until r17 calibrates a
-        // healthy baseline); see jobRoundTripMsPerOp.
-        val rt0 = if (isDrain) jobRoundTripMsPerOp(spark) else -1.0
+        // Scheduler-latency reading around EVERY re-measure, gating
+        // every kind (r17, closing r16 verdict #1): the driver's r16
+        // artifact minted its only "confirmed" — a PLAN query
+        // (x34_bigram_lm, 1.79× best) — in a 176 ms/job regime the
+        // drain-only gate ignored; the judge's re-measure on the same
+        // regime acquitted it at 1.20 s. A plan/eager re-measure is a
+        // handful of sequential jobs, so a degraded scheduler inflates
+        // a sub-second warm right through the flag line exactly like
+        // a drain. A fast re-measure still acquits as ambient in any
+        // regime (contention can only inflate) — only the "confirmed"
+        // branch needs the cleanliness guard.
+        val rt0 = rtReading(s"re:${f.key}")
         val re =
           try {
             f.kind match {
@@ -686,15 +760,16 @@ object Bench {
       def render(a: Adjudicated): String =
         f""""${a.flag.key}":{"${measuredKey(a.flag.kind)}":${a.flag.t}%.3f,""" +
           f""""best":${a.flag.best}%.3f,"kind":"${a.flag.kind}",""" +
-          f""""remeasure":${a.re}%.3f,"re_io":${a.reIo}%.2f,"re_cpu":${a.reCpu}%.2f""" +
+          f""""remeasure":${a.re}%.3f,"re_io":${a.reIo}%.2f,"re_cpu":${a.reCpu}%.2f,""" +
+          f""""re_roundtrip_ms":${a.reRoundTrip}%.2f""" +
           (if (a.flag.kind == "drain")
-            f""","re_fsync_ms":${a.reFsync}%.2f,"re_roundtrip_ms":${a.reRoundTrip}%.2f"""
+            f""","re_fsync_ms":${a.reFsync}%.2f"""
           else "") +
           a.reProfile.map(p => s""","re_profile":$p""").getOrElse("") + "}"
       def verdict(a: Adjudicated): String =
         verdictOf(a.re, a.flag.best, a.reIo, a.reCpu, a.reFsync,
           fsyncGated = a.flag.kind == "drain",
-          rt = a.reRoundTrip, rtGated = a.flag.kind == "drain")
+          rt = a.reRoundTrip, rtGated = true)
       val ambient = adjudicated.filter(verdict(_) == "ambient")
       val confirmed = adjudicated.filter(verdict(_) == "confirmed")
       val unresolved = adjudicated.filter(verdict(_) == "unresolved")
@@ -718,7 +793,7 @@ object Bench {
       else {
         val io0 = ioPressureFullAvg300(); val cpu0 = cpuPressureSomeAvg300()
         val fs0 = fsyncProbeMsPerOp()
-        val rt0 = jobRoundTripMsPerOp(spark)
+        val rt0 = rtReading(s"re:$key")
         val re = try rerun() catch { case _: Throwable => -1.0 }
         val io1 = ioPressureFullAvg300(); val cpu1 = cpuPressureSomeAvg300()
         // fsync/round-trip gates = entry probes only (see the drain
@@ -753,6 +828,7 @@ object Bench {
         f""""job_roundtrip_ms":{"start":$roundTripStart%.2f},""" +
         s""""pressure_clean":$pressureClean,""" +
         s""""pressure_clean_forced":$assumeClean,""" +
+        s""""roundtrip_forced":${forceRt.isDefined},""" +
         // The eager-query roster THIS run ran, for merge_ledgers: it
         // folds these queries' COLD mins into "cold:<name>" ledger
         // entries (the registry lives in one place — here — so the
@@ -790,6 +866,20 @@ object Bench {
         System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
     }
     println(line)
+    // Compact machine-parseable tail (r16 verdict #3): the full line
+    // has outgrown what the driver's stdout capture keeps (every
+    // BENCH_r13–r16 artifact carries parsed:null with a mid-JSON
+    // truncated tail), so the LAST stdout line is a <256-byte summary
+    // any tail capture survives. The full line still lands in
+    // SPARK_GRAFT_BENCH_OUT (single-line file, json.load-able).
+    val summary =
+      s"""{"bench_summary":{"total":$total,"n":${names.size},""" +
+        s""""failed":${failed.size},"flags":${regressionFlags.size},""" +
+        s""""confirmed":${regConfirmed.size},"ambient":${regAmbient.size},""" +
+        s""""unresolved":${regUnresolved.size},""" +
+        f""""roundtrip_ms":$roundTripStart%.1f,""" +
+        s""""pressure_clean":$pressureClean}}"""
+    println(summary)
     spark.stop()
   }
 }

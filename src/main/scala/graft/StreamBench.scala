@@ -60,7 +60,8 @@ object StreamBench {
     // seconds while the host looks clean to every pressure gate. The
     // reading ships in the artifact so a false slo_trigger_ok is
     // attributable to the regime that produced it.
-    val rtStart = Bench.jobRoundTripMsPerOp(spark)
+    val rtStart = Bench.jobRoundTripMedian3(spark)
+    Bench.appendRoundTripLog("stream_slo_start", rtStart)
     val work = Files.createTempDirectory("graft_slo").toString
     val raw = spark.readStream.format("rate")
       .option("rowsPerSecond", rate.toString)
@@ -217,6 +218,16 @@ object StreamBench {
     // the store-creation append the single catch-up batch hits.
     val waves = args.headOption.map(_.toInt).getOrElse(1)
 
+    // Scheduler round-trip reading for the CATCH-UP artifact too (r16
+    // verdict #4): the r16 catch-up read 10.9–14.2 s vs the 8.76 s
+    // settled-disk band and BENCHNOTES attributed the delta to the
+    // degraded round-trip regime by cross-jar inference — this turns
+    // the attribution into a measurement the artifact itself carries.
+    // A catch-up wave is a handful of sequential micro-batches per
+    // layer, so it pays the same per-job scheduler latency drains do.
+    val rtStart = Bench.jobRoundTripMedian3(spark)
+    Bench.appendRoundTripLog("stream_catchup_start", rtStart)
+
     // Default work dir is java.io.tmpdir (DISK — checkpoints and
     // RocksDB fsync pay real I/O, the durable-sink posture every
     // round's catch-up number has priced). SPARK_GRAFT_STREAM_WORK
@@ -319,7 +330,7 @@ object StreamBench {
       val readSec = (System.nanoTime() - t0) / 1e9
       f""","mor_partials":$partials,"mor_bars":$morBars,"mor_read_sec":$readSec%.3f"""
     } else ""
-    println(f"""{"metric":"stream_catchup","value":$secs%.3f,"unit":"sec","rows":$n,"rows_per_sec":${n / secs}%.0f,"waves":$wavesJson,"silver_rows":$silverN,"gold_bars":$goldN$morJson}""")
+    println(f"""{"metric":"stream_catchup","value":$secs%.3f,"unit":"sec","rows":$n,"rows_per_sec":${n / secs}%.0f,"waves":$wavesJson,"silver_rows":$silverN,"gold_bars":$goldN,"job_roundtrip_ms":{"start":$rtStart%.2f}$morJson}""")
     spark.stop()
   }
 }

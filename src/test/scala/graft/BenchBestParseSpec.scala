@@ -57,6 +57,24 @@ class BenchBestParseSpec extends AnyFunSuite {
       rt = -1.0, rtGated = true) === "unresolved")
   }
 
+  test("round-trip gate covers plan/eager kinds (r17, closing the r16 gap)") {
+    // The gap the driver's own r16 artifact demonstrated: its lone
+    // "confirmed" was a PLAN query (x34_bigram_lm, 1.79x best) minted
+    // in a 176 ms/job regime the drain-only rt gate ignored — the
+    // judge's re-measure on the same regime acquitted it at 1.20 s.
+    // Plan/eager kinds gate with fsyncGated=false (their work never
+    // force()s) but rtGated=true: a slow re-measure under a degraded
+    // scheduler reads unresolved, never confirmed.
+    assert(Bench.verdictOf(2.0, 1.0, 0.5, 2.0, -1.0, fsyncGated = false,
+      rt = 150.0, rtGated = true) === "unresolved")
+    assert(Bench.verdictOf(2.0, 1.0, 0.5, 2.0, -1.0, fsyncGated = false,
+      rt = 15.0, rtGated = true) === "confirmed")
+    // A fast re-measure still acquits in ANY regime — contention can
+    // only inflate, so ambient needs no rt cleanliness.
+    assert(Bench.verdictOf(1.0, 0.9, 0.5, 2.0, -1.0, fsyncGated = false,
+      rt = 150.0, rtGated = true) === "ambient")
+  }
+
   test("regressedVsBest carries the absolute jitter floor (the d21 calibration)") {
     // A 148 ms best: warm jitter to 0.30 s must NOT flag — the pure
     // ratio threshold (0.222) sat inside the query's measured warm
@@ -103,8 +121,13 @@ class BenchBestParseSpec extends AnyFunSuite {
       assert(default === java.nio.file.Paths.get("/dev/shm") ||
         default === java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")))
       // And the probe actually runs against a caller-given root.
-      val ms = Bench.fsyncProbeMsPerOp(tmp)
+      val ms = Bench.fsyncProbeMsPerOp(() => tmp)
       assert(ms > 0)
+      // Root RESOLUTION failures degrade to -1 like every other probe
+      // failure (r16 ADVICE: as a plain default argument the
+      // resolution ran at the call site, outside the try, so an
+      // invalid SPARK_GRAFT_SCRATCH aborted the whole bench run).
+      assert(Bench.fsyncProbeMsPerOp(() => sys.error("bad scratch")) === -1.0)
       // The probe cleans up after itself.
       val leftover = java.nio.file.Files.list(tmp)
       try assert(!leftover.iterator().hasNext) finally leftover.close()
