@@ -167,6 +167,23 @@ object App {
       StructField("window_date", DateType)))
   }
 
+  /** Watermark delay for the HEARTBEAT-decorated gold1h cascade:
+    * upstream watermark delay + 5m bar span + 5m chain-latency
+    * margin. See the sizing note at the cascade wiring — a wall-clock
+    * heartbeat watermark at a cascade level must lag by at least the
+    * upstream EMISSION lag, or every steady-state bar arrives "late"
+    * by construction and the hour's tail bars silently vanish from
+    * the rollup.
+    */
+  def cascadeHeartbeatDelay(upstreamWatermark: String): String = {
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+      org.apache.spark.unsafe.types.UTF8String.fromString(upstreamWatermark))
+    require(iv.months == 0,
+      s"watermark '$upstreamWatermark' uses month units — not a fixed duration")
+    val upstreamMs = iv.days * 86400000L + iv.microseconds / 1000L
+    s"${upstreamMs + 10 * 60000L} milliseconds"
+  }
+
   /** Build the full branch graph over a raw source frame and start
     * every selected sink. Returns the manager holding the handles.
     */
@@ -465,15 +482,41 @@ object App {
         // — so nothing propagates down to advance this layer's
         // watermark and the session's last 1h bar would stay open until
         // the next session's first bar. rollup's per-row shape assert
-        // references window_start, so it stays above the watermark
-        // beside the strip filter, and CombineFilters puts the strip
-        // (the lower filter) on the short-circuiting left of the merged
-        // And — heartbeat rows never reach the assert (pinned in
-        // MultiWatermarkSpec's rollup-decoration test).
+        // PASSES null-bounded rows by design (r16 ADVICE fix), so the
+        // composition is safe in EITHER conjunct order when
+        // CombineFilters merges the strip filter with the assert — no
+        // Catalyst ordering detail is load-bearing. The strip conjunct
+        // still removes heartbeats from the stream before the
+        // aggregate (pinned end-to-end in MultiWatermarkSpec's
+        // rollup-decoration test and AppSpec's idle-cascade test).
+        //
+        // DELAY SIZING (r17 — found driving the idle-cascade test
+        // end-to-end; the r16 wiring carried the bar-order delay
+        // "5 minutes" here and was WRONG under heartbeats): a bar for
+        // window [W, W+5m) is only EMITTED upstream once the
+        // silver-level heartbeat watermark (wallclock − D) passes
+        // W+5m, i.e. at wallclock ≈ W + 5m + D — so against THIS
+        // layer's wall-clock heartbeat watermark the bar is D+5m
+        // "late" BY CONSTRUCTION, every bar, in steady state. With a
+        // 5-minute delay and the default D = 10 minutes, the last
+        // bars of every hour arrived behind the 1h aggregate's
+        // watermark and were SILENTLY late-dropped — a corrupted
+        // hourly bar, no error anywhere (numRowsDroppedByWatermark is
+        // the only witness; MultiWatermarkSpec pins both sides). The
+        // delay must cover the upstream emission lag: D (upstream
+        // watermark delay) + 5m (bar span) + a chain-latency margin
+        // (file commit + trigger + catch-up batching; 5m is generous
+        // for a live chain — a deeper backlog is the documented
+        // backfill posture, which refuses heartbeats anyway). Cost:
+        // the session's last 1h bar flushes ~10 min later and
+        // O(symbols) windows stay open that much longer — state is
+        // bars, not trades. Without heartbeats the watermark derives
+        // from bar stamps themselves (near-monotone window order), so
+        // the one-bar-span slack remains correct there.
         val barStream =
           if (cfg.heartbeatSecs > 0)
             graft.streaming.Heartbeats.decorate(barFiles, "window_start",
-              "5 minutes", cfg.heartbeatSecs)
+              cascadeHeartbeatDelay(cfg.watermark), cfg.heartbeatSecs)
           else barFiles.withWatermark("window_start", "5 minutes")
         val grain = Ohlcv.rollup(barStream, "1 hour")
           .withColumn("window_date", to_date(col("window_start")))

@@ -324,6 +324,17 @@ object Compaction {
   /** Manifest-aware reader: scan exactly the newest manifest's files
     * (partition column preserved via basePath). Falls back to the
     * plain directory-listing read when no manifest exists.
+    *
+    * A committed-EMPTY manifest yields an empty frame that KEEPS the
+    * table's schema when any footer is still on disk (r16 ADVICE:
+    * returning the schema-less `emptyDataFrame` made downstream
+    * column references — fine on a non-empty table — fail with
+    * AnalysisException on a committed-empty one). Unreferenced
+    * fragments awaiting vacuum, and the usual delete-everything
+    * maintenance flow, leave footers to derive the schema from; only
+    * a table that never held a file AND has nothing pre-vacuum
+    * degrades to the zero-column frame (documented here — there is
+    * no schema anywhere to preserve in that case).
     */
   def read(spark: SparkSession, root: String): org.apache.spark.sql.DataFrame = {
     val rootPath = new Path(root)
@@ -333,7 +344,18 @@ object Compaction {
         spark.read.option("basePath", root)
           .parquet(files.map(f => new Path(rootPath, f).toString): _*)
       case Some(_) => // a committed EMPTY table is empty, not a listing
-        spark.emptyDataFrame
+        val leftover = (if (fs.exists(rootPath)) fs.listStatus(rootPath)
+                        else Array.empty[FileStatus])
+          .filter(_.isDirectory)
+          .flatMap(d => parquetFiles(fs, d.getPath)).headOption
+        leftover match {
+          case Some(f) =>
+            // Schema (incl. the partition column via basePath) from one
+            // unreferenced footer; limit(0) so no row is ever read.
+            spark.read.option("basePath", root)
+              .parquet(f.getPath.toString).limit(0)
+          case None => spark.emptyDataFrame
+        }
       case None => spark.read.parquet(root)
     }
   }

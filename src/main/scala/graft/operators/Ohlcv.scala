@@ -109,23 +109,40 @@ object Ohlcv {
     * check (span > 0, divides the target, window_start aligned to its
     * own span — two integer ops inside codegen; `assert_true` keeps
     * it alive through optimization) catches sliding/non-dividing
-    * input, and a per-output-group min==max span check catches MIXED
-    * grains (a glob over `gold*` directories unioning 5m and 1h bars
-    * passes every per-row test yet double-counts — the group check
-    * costs two primitive agg slots). Two sources of the SAME grain
-    * remain indistinguishable from duplicate data, which no schema
-    * check can see.
+    * input, and a per-output-group check catches what the per-row one
+    * deliberately lets through: min==max span catches MIXED grains (a
+    * glob over `gold*` directories unioning 5m and 1h bars passes
+    * every per-row test yet double-counts), and a null-span count
+    * catches NULL-BOUNDED rows — which the per-row assert PASSES so
+    * that streaming heartbeat rows (null window_end, stripped by a
+    * filter that Catalyst may merge with this one in either conjunct
+    * order) can never crash the cascade on an ordering detail (r16
+    * ADVICE; the group check costs four primitive agg slots). Two
+    * sources of the SAME grain remain indistinguishable from
+    * duplicate data, which no schema check can see.
     */
   def rollup(bars: DataFrame, duration: String): DataFrame = {
     // to_timestamp(0) is the epoch instant in any session timezone;
     // a timestamp literal would shift with the session zone.
     val targetUs = expr(s"unix_micros(to_timestamp(0) + INTERVAL $duration)")
     val barUs = unix_micros(col("window_end")) - unix_micros(col("window_start"))
-    // coalesce: null window bounds make the conjunction NULL, and
-    // assert_true only throws on FALSE — without it a null-bounded
-    // bar would slip past the guard into a null output window.
+    // NULL-bound rows PASS the per-row assert (r16 ADVICE): in the
+    // streaming cascade a heartbeat row (null window_end, stamped
+    // window_start) sits under a strip filter that removes it from
+    // the stream — but CombineFilters merges that strip with this
+    // assert filter into one And, and whether the heartbeat reaches
+    // the throwing assert then depends on Catalyst's conjunct
+    // ORDERING, an implementation detail a Spark upgrade may change.
+    // Tolerating null bounds here makes the composition order-proof:
+    // the strip conjunct still removes the row either way (And is
+    // logically commutative; only the side effect was order-
+    // sensitive). Malformed BATCH input with null bounds is still
+    // rejected — by the group-level null-span count below, which
+    // heartbeat rows can never reach (the strip runs before the
+    // aggregate in every ordering).
     val nested = coalesce(barUs > 0 && pmod(targetUs, barUs) === 0 &&
-      pmod(unix_micros(col("window_start")), barUs) === 0, lit(false))
+      pmod(unix_micros(col("window_start")), barUs) === 0,
+      col("window_end").isNull || col("window_start").isNull)
     val ordTs = unix_micros(col("window_start"))
     bars
       .filter(assert_true(nested,
@@ -142,9 +159,16 @@ object Ohlcv {
         sum(col("trade_count")).as("trade_count"),
         sum(col("pv_ticks")).as("pv_ticks"),
         min(col("__bar_us")).as("__span_min"),
-        max(col("__bar_us")).as("__span_max"))
-      .filter(assert_true(col("__span_min") === col("__span_max"),
-        lit("rollup: mixed input bar grains in one output window")).isNull)
+        max(col("__bar_us")).as("__span_max"),
+        count(lit(1)).as("__n"),
+        count(col("__bar_us")).as("__n_span"))
+      // coalesce: an all-null-span group makes min===max NULL, and
+      // assert_true only throws on FALSE — the count conjunct alone
+      // already fails such a group, but keep the guard explicit.
+      .filter(assert_true(coalesce(
+        col("__span_min") === col("__span_max"), lit(false)) &&
+        col("__n") === col("__n_span"),
+        lit("rollup: mixed or null-bounded input bars in one output window")).isNull)
       .transform(finishBars)
   }
 }

@@ -67,6 +67,26 @@ import org.apache.spark.sql.functions._
   * so no optimizer rule can evaluate either disjunct statically and
   * the strip provably keeps its reference. Stamps of any shape,
   * including plain literals for deterministic replays, are safe.
+  *
+  * THE FOURTH TRAP (r17, found driving App's idle-cascade test — a
+  * WATERMARK-SEMANTICS trap, not a Catalyst one): when the decorated
+  * source is itself the OUTPUT of a watermarked append-mode stage, a
+  * wall-clock stamp makes every arriving row "late" by construction.
+  * An upstream window [W, W+span) is only emitted once the upstream
+  * watermark (wallclock - D_up) passes W+span — so the row reaches
+  * this level at wallclock ≈ W + span + D_up, where a wall-clock
+  * heartbeat watermark with delay d sits at W + span + D_up - d. Its
+  * event stamp is W: the row is (span + D_up - d) late, EVERY row, in
+  * steady state. If d does not cover the upstream EMISSION LAG
+  * (D_up + span + chain latency), downstream stateful operators
+  * silently drop the tail of every upstream window's worth of data —
+  * `numRowsDroppedByWatermark` is the only witness. THE RULE: a
+  * decorated CASCADE level's delay ≥ upstream delay + upstream window
+  * span + a chain-latency margin (App.cascadeHeartbeatDelay computes
+  * it; MultiWatermarkSpec pins both the drop and the fix). First
+  * ingestion of pre-existing history is exempt only in the very first
+  * micro-batch (watermark still 0) — deeper backlogs are the
+  * documented backfill posture, which refuses heartbeats.
   */
 object Heartbeats {
 

@@ -289,6 +289,34 @@ class CompactionSpec extends SparkSpecBase {
     } finally graft.streaming.ReplayStaging.deleteRecursively(local)
   }
 
+  test("a committed-EMPTY manifest reads as zero rows WITH the table schema (r16 ADVICE)") {
+    val local = Files.createTempDirectory("graft_cspec_empty_")
+    val store = local.resolve("store").toString
+    try {
+      (0 until 50).map { i =>
+        (s"SYM${i % 3}", i.toDouble, java.sql.Date.valueOf("2024-01-10"),
+          1704844800000L + i * 1000L)
+      }.toDF("symbol", "price", "trade_date", "ts_ms")
+        .write.partitionBy("trade_date").parquet(store)
+      Compaction.snapshotManifest(spark, store, "trade_date")
+      val full = Compaction.read(spark, store)
+      assert(full.count() === 50)
+      // A retention/maintenance commit that empties the table: seq 1
+      // references zero files; the physical fragments stay on disk
+      // until vacuum (the normal pre-vacuum window).
+      Files.write(new File(store, "_manifest-" + "0" * 19 + "1.json").toPath,
+        """{"seq":1,"files":[],"complete":true}""".getBytes)
+      val empty = Compaction.read(spark, store)
+      assert(empty.count() === 0)
+      // The schema survives, so downstream column references that
+      // work on the non-empty table keep working (the r16 finding:
+      // a schema-less emptyDataFrame made them AnalysisException).
+      assert(empty.schema.fieldNames.toSet === full.schema.fieldNames.toSet)
+      assert(empty.filter(col("symbol") === "SYM0")
+        .select(col("price"), col("trade_date")).count() === 0)
+    } finally graft.streaming.ReplayStaging.deleteRecursively(local)
+  }
+
   test("cluster-key locality: per-file extents within a date do not interleave") {
     val store = fragmentedStore(10)
     // Small target so each date compacts to SEVERAL files — the

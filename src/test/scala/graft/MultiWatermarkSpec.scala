@@ -257,15 +257,16 @@ class MultiWatermarkSpec extends SparkSpecBase {
 
   test("decorate composes with a per-row shape assert above it (the rollup cascade)") {
     // Ohlcv.rollup filters on assert_true(shape) — a predicate that
-    // THROWS on a malformed row. A heartbeat row (everything null but
-    // the event-time stamp) is maximally malformed, so this only works
-    // if the strip filter runs FIRST: both filters reference the
-    // watermark column and stay above the collector, CombineFilters
-    // merges them with the LOWER (strip) filter on the And's
-    // short-circuiting left. Pin that composition: heartbeats advance
-    // the watermark, close the 1h window, reach no assert, pollute no
-    // bar — a conjunct reorder or a pushdown change in a Spark upgrade
-    // fails HERE, loudly, instead of crashing App's cascade topology.
+    // THROWS on malformed rows but deliberately PASSES null-bounded
+    // ones (r16 ADVICE fix): a heartbeat row (everything null but the
+    // event-time stamp) must survive the assert no matter which
+    // conjunct order CombineFilters picks when it merges the strip
+    // filter with the assert filter — before the fix, safety hinged on
+    // the strip landing on the merged And's short-circuiting left, a
+    // Catalyst implementation detail. Pin the composition end-to-end:
+    // heartbeats advance the watermark, close the 1h window, crash no
+    // assert, pollute no bar — a pushdown change in a Spark upgrade
+    // fails HERE, loudly, instead of stalling App's cascade topology.
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val m = MemoryStream[(String, Timestamp, Timestamp, Double, Double, Double,
       Double, Long, Long, Long)]
@@ -329,6 +330,76 @@ class MultiWatermarkSpec extends SparkSpecBase {
     val barrier = graft.functions.OpaqueStamp(
       org.apache.spark.sql.graftbridge.ColumnBridge.expression(lit(ts("13:00"))))
     assert(!barrier.foldable && barrier.nullable)
+  }
+
+  test("cascade delay sizing: wall-clock heartbeats late-drop steady-state bars unless the delay covers the upstream emission lag (r17)") {
+    // The fourth trap (Heartbeats scaladoc): a bar for window
+    // [12:55, 13:00) is only EMITTED upstream once the upstream
+    // heartbeat watermark (wallclock − 10 min) passes 13:00 — i.e. at
+    // wallclock 13:10. At THAT instant a wall-clock-stamped heartbeat
+    // here puts this level's watermark at 13:10 − d. With the r16
+    // cascade delay (d = 5 min → watermark 13:05) the bar's hour
+    // window [12:00, 13:00) has already closed: the bar is silently
+    // dropped and the hourly rollup loses the hour's tail — every
+    // hour, in steady state. With the sized delay
+    // (App.cascadeHeartbeatDelay = D_up + 10 min → watermark 12:50)
+    // it lands in state. Deterministic via a literal 13:10 stamp.
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def droppedAndTotal(delay: String, tag: String): (Long, Long) = {
+      val m = MemoryStream[(String, Timestamp, Timestamp, Double, Double,
+        Double, Double, Long, Long, Long)]
+      val bars0 = m.toDF().toDF("symbol", "window_start", "window_end", "open",
+        "high", "low", "close", "volume", "trade_count", "pv_ticks")
+        .withColumn("vwap_e6", lit(0L)).withColumn("vwap", lit(0.0))
+        .withColumn("window_date", to_date(col("window_start")))
+      val decorated = graft.streaming.Heartbeats.decorate(
+        bars0, "window_start", delay, intervalSecs = 1,
+        stamp = lit(ts("13:10")))
+      val grain = graft.operators.Ohlcv.rollup(decorated, "1 hour")
+      val out = Files.createTempDirectory(s"graft_mwm_lag_$tag").toString
+      val q = grain.writeStream.outputMode("append")
+        .option("checkpointLocation", s"$out/ckpt")
+        .format("memory").queryName(s"mwm_lag_$tag")
+        .trigger(Trigger.ProcessingTime(0))
+        .start()
+      try {
+        // Let the heartbeat establish the steady-state watermark
+        // (13:10 − delay) BEFORE the bar arrives.
+        val deadline = System.currentTimeMillis() + 90000
+        def wm(): String = Option(q.lastProgress)
+          .flatMap(p => Option(p.eventTime.get("watermark"))).getOrElse("")
+        while (!wm().startsWith("2024-01-15T") &&
+               System.currentTimeMillis() < deadline) {
+          Thread.sleep(500); q.processAllAvailable()
+        }
+        assert(wm().startsWith("2024-01-15T"),
+          s"heartbeat never advanced the watermark: '${wm()}'")
+        // The freshly-emitted upstream bar arrives.
+        m.addData(("AAPL", ts("12:55"), ts("13:00"),
+          1.0, 1.0, 1.0, 1.0, 10L, 1L, 0L))
+        q.processAllAvailable()
+        val ps = q.recentProgress.toSeq
+        val dropped = ps.flatMap(_.stateOperators.toSeq
+          .map(_.numRowsDroppedByWatermark)).sum
+        val total = Option(q.lastProgress).toSeq
+          .flatMap(_.stateOperators.toSeq.map(_.numRowsTotal)).sum
+        (dropped, total)
+      } finally {
+        q.stop()
+        graft.streaming.ReplayStaging.deleteRecursively(java.nio.file.Paths.get(out))
+      }
+    }
+    // The r16 wiring's delay: the steady-state bar is silently lost.
+    val (dropNarrow, totalNarrow) = droppedAndTotal("5 minutes", "narrow")
+    assert(dropNarrow >= 1, "the narrow delay did not drop the late bar — " +
+      "either the emission-lag analysis or the drop accounting changed")
+    assert(totalNarrow === 0L)
+    // The sized delay: upstream delay + bar span + chain margin.
+    assert(App.cascadeHeartbeatDelay("10 minutes") === "1200000 milliseconds")
+    val (dropSized, totalSized) =
+      droppedAndTotal(App.cascadeHeartbeatDelay("10 minutes"), "sized")
+    assert(dropSized === 0L, s"the sized delay still dropped $dropSized rows")
+    assert(totalSized >= 1L, "the bar never landed in the rollup's state")
   }
 
   test("multipleWatermarkPolicy=max: the FAST source drives the watermark") {

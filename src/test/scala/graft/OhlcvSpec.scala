@@ -111,6 +111,35 @@ class OhlcvSpec extends SparkSpecBase {
     assert(Ohlcv.rollup(Ohlcv.bars5m(df), "1 hour").count() === 1)
   }
 
+  test("rollup rejects null-bounded input at the GROUP level (heartbeat tolerance, r16 ADVICE)") {
+    // The per-row assert PASSES a null-window_end row — so a streaming
+    // heartbeat (stripped by a filter Catalyst may merge with the
+    // assert in either conjunct order) can never crash the cascade —
+    // but a null-bounded row that actually REACHES the aggregate (a
+    // malformed batch input with nothing stripping it) still errors,
+    // via the group-level null-span count.
+    import org.apache.spark.sql.functions.{col, lit}
+    val df = tradesDf((0 until 12).map(i =>
+      (i.toLong, "A", 10.0 + i, 1L, f"2024-01-01 00:${i * 5}%02d:00")))
+    val bars = Ohlcv.bars5m(df)
+    val withNullEnd = bars.unionByName(
+      bars.limit(1).withColumn("window_end",
+        lit(null).cast("timestamp")))
+    val e = intercept[Exception] {
+      Ohlcv.rollup(withNullEnd, "1 hour").collect()
+    }
+    assert(e.getMessage.contains("null-bounded") ||
+      Option(e.getCause).exists(_.getMessage.contains("null-bounded")))
+    // And the heartbeat shape composes: a strip filter above the
+    // rollup (the cascade's composition) removes the null-bounded row
+    // regardless of conjunct order, and the result equals the clean
+    // rollup.
+    val stripped = Ohlcv.rollup(
+      withNullEnd.filter(col("window_end").isNotNull), "1 hour")
+    assert(stripped.collect().toSet ===
+      Ohlcv.rollup(bars, "1 hour").collect().toSet)
+  }
+
   test("property: OHLC invariants hold on random trade sets (seeded)") {
     val rng = new scala.util.Random(42)
     (1 to 10).foreach { _ =>
