@@ -297,16 +297,24 @@ object MaintenanceQueries {
   private val RetentionAsOf = "2024-01-30"
 
   def retentionAudit(s: SparkSession, dir: String): DataFrame = {
-    import graft.operators.{Medallion, Retention}
+    import graft.operators.Medallion
     import graft.sources.Tables
-    def one(layer: String, df: DataFrame, dateCol: String, days: Int): DataFrame = {
-      val total = df.agg(count(lit(1)).as("n_total"))
-      val kept = Retention.retained(df, dateCol, days, RetentionAsOf)
-        .agg(count(lit(1)).as("n_retained"))
-      total.crossJoin(kept)
+    // One conditional-aggregation pass per layer (r17 optimization
+    // round, guide §2.3 "single-scan conditional aggregates"): the old
+    // form ran total and retained as two separate aggregations —
+    // every layer's feed (bronze scan, silver dedup, each bars
+    // cascade) was computed TWICE per audit row, 8 scans for 4 rows
+    // (plans/r17/v6_retention_audit_before.txt). count(when(pred, 1))
+    // counts exactly the rows Retention.retained keeps: the predicate
+    // is null-rejecting either way.
+    def one(layer: String, df: DataFrame, dateCol: String, days: Int): DataFrame =
+      df.agg(
+          count(lit(1)).as("n_total"),
+          count(when(col(dateCol) >=
+            date_sub(lit(RetentionAsOf).cast("date"), days - 1), 1))
+            .as("n_retained"))
         .select(lit(layer).as("layer"), lit(days.toLong).as("ttl_days"),
           col("n_total"), col("n_retained"))
-    }
     val silver = SparkEntry.silverDf(s, dir)
     val withDate = (g: DataFrame) =>
       g.withColumn("window_date", to_date(col("window_start")))

@@ -40,6 +40,38 @@ object SparkEntry {
   private def gold5m(s: SparkSession, dir: String): DataFrame = Ohlcv.bars5m(silverDf(s, dir))
   private def gold1h(s: SparkSession, dir: String): DataFrame = Ohlcv.bars1h(silverDf(s, dir))
 
+  /** Silver restricted to event days [from, toExclusive) BEFORE the
+    * dedup exchange (r17 optimization round). The day-scoped Q queries
+    * filter on trade_date / window_date — columns carried THROUGH the
+    * dedup aggregate as payloads — so Catalyst cannot push the
+    * predicate below the (symbol, event_time) exchange and the whole
+    * corpus was deduplicated to answer one day (guide §2.3/§2.4:
+    * shuffle fewer bytes / remove work before the exchange). Because
+    * trade_date = cast(event_time AS date) and the dedup key contains
+    * event_time, a group is wholly inside or outside any event-day
+    * range: pre-filtering trades on the equivalent half-open
+    * event_time interval keeps every surviving row bit-identical. The
+    * range form (not to_date(event_time) = d) also reaches the parquet
+    * scan as a ts min/max predicate — PushedFilters gains
+    * GreaterThanOrEqual/LessThan(ts), so row-group skipping works on a
+    * time-clustered 100 TB store (plans/r17/q1_count_day_*.txt). The
+    * queries keep their original trade_date/window_date filters on
+    * top (now cheap residuals), so their own semantics are unchanged.
+    * Window grains used by the day-scoped gold queries (5m, 1h) divide
+    * a day exactly, so a bar's window_date equals its trades'
+    * trade_date and the same pre-filter is exact for them too.
+    */
+  private def silverForDays(s: SparkSession, dir: String,
+                            from: String, toExclusive: String): DataFrame =
+    Medallion.dedupAgg(
+      Medallion.toSilver(trades(s, dir), lit(CutoffTs).cast("timestamp"))
+        .filter(col("event_time") >= lit(from).cast("timestamp") &&
+          col("event_time") < lit(toExclusive).cast("timestamp")),
+      payloadCols = Seq("price", "volume", "trade_date"))
+
+  private def nextDay(day: String): String =
+    java.time.LocalDate.parse(day).plusDays(1).toString
+
   private def goldMs(gold: DataFrame): DataFrame =
     gold.select(col("symbol"),
       unix_millis(col("window_start")).as("window_start_ms"),
@@ -111,17 +143,24 @@ object SparkEntry {
     "a8_ohlcv_daily" -> ((s, dir) =>
       goldMs(Ohlcv.rollup(Ohlcv.rollup(gold5m(s, dir), "1 hour"), "1 day"))),
 
-    // Q1 — count for one day.
-    "q1_count_day" -> ((s, dir) => MarketQueries.countForDay(silverDf(s, dir), Day)),
+    // Q1 — count for one day (day-scoped silver: see silverForDays).
+    "q1_count_day" -> ((s, dir) =>
+      MarketQueries.countForDay(silverForDays(s, dir, Day, nextDay(Day)), Day)),
 
     // Q2 — total gold volume for one day.
-    "q2_volume_day" -> ((s, dir) => MarketQueries.volumeForDay(gold5m(s, dir), Day)),
+    "q2_volume_day" -> ((s, dir) =>
+      MarketQueries.volumeForDay(
+        Ohlcv.bars5m(silverForDays(s, dir, Day, nextDay(Day))), Day)),
 
     // Q3 — freshest bar for one day.
-    "q3_max_window_day" -> ((s, dir) => MarketQueries.maxWindowForDay(gold5m(s, dir), Day)),
+    "q3_max_window_day" -> ((s, dir) =>
+      MarketQueries.maxWindowForDay(
+        Ohlcv.bars5m(silverForDays(s, dir, Day, nextDay(Day))), Day)),
 
     // Q4 — candles top-k newest-first.
-    "q4_candles" -> ((s, dir) => MarketQueries.candles(gold5m(s, dir), "click", Day, 50)),
+    "q4_candles" -> ((s, dir) =>
+      MarketQueries.candles(
+        Ohlcv.bars5m(silverForDays(s, dir, Day, nextDay(Day))), "click", Day, 50)),
 
     // Q5 — volume by symbol.
     "q5_volume_by_symbol" -> ((s, dir) => MarketQueries.volumeBySymbol(gold5m(s, dir))),
@@ -130,15 +169,19 @@ object SparkEntry {
     "q6_trades_by_symbol" -> ((s, dir) => MarketQueries.tradeCountBySymbol(gold5m(s, dir))),
 
     // Q8 — latest N trades for symbol+day.
-    "q8_latest_trades" -> ((s, dir) => MarketQueries.latestTrades(silverDf(s, dir), "purchase", Day, 20)),
+    "q8_latest_trades" -> ((s, dir) =>
+      MarketQueries.latestTrades(
+        silverForDays(s, dir, Day, nextDay(Day)), "purchase", Day, 20)),
 
     // Q9 — OHLCV date-range fetch (1h grain).
     "q9_ohlcv_range" -> ((s, dir) =>
-      MarketQueries.ohlcvRange(gold1h(s, dir), "view", "2024-01-10", "2024-01-16")),
+      MarketQueries.ohlcvRange(
+        Ohlcv.bars1h(silverForDays(s, dir, "2024-01-10", nextDay("2024-01-16"))),
+        "view", "2024-01-10", "2024-01-16")),
 
     // Q10 — avg-latency analog (timestamp arithmetic + avg).
     "q10_avg_seconds_into_day" -> ((s, dir) =>
-      MarketQueries.avgSecondsIntoDay(silverDf(s, dir), Day)),
+      MarketQueries.avgSecondsIntoDay(silverForDays(s, dir, Day, nextDay(Day)), Day)),
 
     // Q11 — secondary-index analog: price-band filter.
     "q11_price_band" -> ((s, dir) => MarketQueries.priceBand(silverDf(s, dir), 50.0, 100.0)),

@@ -592,18 +592,31 @@ object Dedup {
                             textCol: String = "text"): DataFrame = {
     require(k >= 1, s"need k >= 1, got $k")
     val base = windowBase(docs.filter(!benchPred), k, idCol, textCol)
-    val corpusWins = distinctWindows(base, k, idCol)
+    // n_windows rides through the window explode as a group constant
+    // (r17 optimization round): the output only contains docs with at
+    // least one contaminated window (the old stats join was INNER), so
+    // attaching n_windows via a second full windowBase pass over the
+    // corpus — tokenize + explode, just to read one per-doc count —
+    // doubled the corpus scans (plans/r17/d13_window_decontam_before
+    // .txt: two tokenize subtrees over the corpus slice). Carrying the
+    // per-doc constant through the distinct (same groups — it is
+    // functionally dependent on the doc id) and reading it back with
+    // max() in the contamination aggregate leaves ONE corpus pass and
+    // drops the broadcast stats join outright (..._after.txt).
+    val corpusWins = base.filter(col("__n") >= k)
+      .select(col(idCol), col("n_windows"), col("__toks"),
+        explode(sequence(lit(0), col("__n") - k)).as("__s"))
+      .select(col(idCol), col("n_windows"),
+        md5(array_join(slice(col("__toks"), col("__s") + 1, lit(k)), " ")
+          .cast("binary")).as("wh"))
+      .distinct()
     val benchWins = distinctWindows(
       windowBase(docs.filter(benchPred), k, idCol, textCol), k, idCol)
       .select(col("wh")).distinct()
-    val contam = corpusWins.join(broadcast(benchWins), "wh")
+    corpusWins.join(broadcast(benchWins), "wh")
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_contaminated_windows"))
-    // contam is bounded by contamination volume (the regime this
-    // operator exists for: eval leakage is rare) — broadcast it so
-    // the corpus-sized base side never shuffles for the stats join.
-    base.select(col(idCol), col("n_windows"))
-      .join(broadcast(contam), Seq(idCol))
+      .agg(max(col("n_windows")).as("n_windows"),
+        count(lit(1)).as("n_contaminated_windows"))
       .select(col(idCol), col("n_windows"), col("n_contaminated_windows"))
       .withColumn("contam_frac_e6",
         expr("n_contaminated_windows * 1000000L div n_windows"))

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Latest-price snapshot per symbol with change vs the previous trade
@@ -9,11 +8,20 @@ import org.apache.spark.sql.functions._
   * UPDATE statement cassandra_client.py:105-114, but never wired to a
   * writer; a reference gap we fill, SURVEY.md §2.5).
   *
-  * Batch form: one window over (symbol) ordered by event time —
-  * a single shuffle on symbol. Symbol cardinality is small relative to
-  * rows, so at 100 TB this wants AQE skew handling if one symbol
-  * dominates; the window itself only materializes two rows of state
-  * per partition (row_number + lead), not the full history.
+  * Batch form (rewritten in the r17 optimization round): a single
+  * HashAggregate per symbol with map-side partials — max_by and
+  * second_max_by over the (event_time, event_id) ordering key. The
+  * previous form sorted every silver row per symbol and ran a
+  * row_number+lead Window just to read the top two rows; at 100 TB
+  * that is a full per-symbol sort of the trade history, where the
+  * aggregate keeps two (ord, value) slots of state per group and the
+  * exchange ships two buffered rows per symbol per map task. Plan
+  * diff: Exchange+Sort+Window+Filter -> partial HashAggregate +
+  * Exchange + final HashAggregate (plans/r17/a6_latest_prices_*).
+  * Equivalence holds because silver is deduped on (symbol,
+  * event_time): the ordering key is unique per symbol, so "value at
+  * the second-largest key" IS lead(value, 1) at the top row (see
+  * SecondMaxByOrd2's scaladoc for why uniqueness matters).
   *
   * Streaming form: graft.streaming.LatestPriceStream keeps one small
   * state record per symbol via flatMapGroupsWithState.
@@ -21,13 +29,16 @@ import org.apache.spark.sql.functions._
 object LatestPrices {
 
   def snapshot(silver: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("symbol"))
-      .orderBy(col("event_time").desc, col("event_id").desc)
+    import graft.functions.OrderedExtremum.{maxByOrd2, secondMaxByOrd2}
+    val t = unix_micros(col("event_time"))
+    val id = col("event_id")
     silver
-      .withColumn("rn", row_number().over(w))
-      // In descending order, the next row is the previous trade.
-      .withColumn("prev_price", lead(col("price"), 1).over(w))
-      .filter(col("rn") === 1)
+      .groupBy(col("symbol"))
+      .agg(
+        maxByOrd2(col("price"), t, id).as("price"),
+        maxByOrd2(col("volume"), t, id).as("volume"),
+        max(col("event_time")).as("event_time"),
+        secondMaxByOrd2(col("price"), t, id).as("prev_price"))
       .select(
         col("symbol"),
         col("price").as("last_price"),

@@ -255,8 +255,19 @@ object Retrieval {
         explode(expr("transform(slice(toks, 1, greatest(size(toks)-1, 0)), " +
           "(w, i) -> struct(w AS w1, element_at(toks, i + 2) AS w2))")).as("pr"))
       .select(col("doc_id"), col("dl"), col("pr.w1"), col("pr.w2"))
-    // NOT checkpointed (measured): the final plan's two btf subtrees
-    // share one exchange via ReuseExchange, so materializing either
+      // Vacuously-true filter (w2 = element_at within slice bounds is
+      // never null), placed here so every subtree BUILT FROM bg is
+      // byte-canonically identical (r17 optimization round). Without
+      // it the inner join btf⋈lp infers IsNotNull(w2) into the btf
+      // and c12 legs but NOT the c1 leg (groupBy(w1) implies no w2
+      // constraint), the three legs stop canonicalizing equal, and
+      // AQE stage reuse misses the third — measured: the corpus was
+      // scanned + bigram-exploded + exchanged 3× per run, and with
+      // this filter 1× (executedPlan shows two ReusedExchange nodes;
+      // plans/r17/x34_bigram_lm_{before,after}.txt).
+      .filter(col("w2").isNotNull)
+    // NOT checkpointed (measured): the final plan's btf subtrees share
+    // one exchange via AQE stage reuse, so materializing either
     // btf or c12 eagerly ADDS a corpus scan instead of saving one
     // (btf: 1.30→1.50 s, c12: 1.30→2.2 s at sf0.1).
     val btf = bg.groupBy(col("doc_id"), col("dl"), col("w1"), col("w2"))
