@@ -91,7 +91,17 @@ object StreamReplayQueries {
       case None => s.conf.unset(key)
     }
     try {
-      s.conf.set(shufKey, "8")
+      // Parameterized (r17 optimization round) so the drain state
+      // partitioning can be re-derived per deployment without a code
+      // change: every partition is a state-store instance whose setup/
+      // commit machinery is paid per stateful operator per micro-batch,
+      // so the right count is a function of state size and scheduler
+      // latency, not of cores. Default stays the measured 8 (4 read no
+      // better on a healthy host — r11; re-measured r17 under a
+      // degraded 70–90 ms/job scheduler: 4 within noise of 8, see
+      // OPTIMIZATION_r17.md).
+      s.conf.set(shufKey,
+        sys.env.getOrElse("SPARK_GRAFT_SR_SHUFFLE", "8"))
       provider.foreach { p =>
         s.conf.set(provKey, p)
         s.conf.set(logKey, "true")

@@ -39,6 +39,70 @@ class FunctionsSpec extends SparkSpecBase {
     assert(run(rows.sortBy(_._3)) == null)
   }
 
+  test("secondMaxByOrd2: second-largest value, partition- and order-independent") {
+    // 5 rows, unique (ord, id) keys — the a6 regime (dedup key unique).
+    val rows = Seq(
+      (1L, "g", 10L, 1.5), (2L, "g", 40L, 4.5), (3L, "g", 30L, 3.5),
+      (4L, "g", 20L, 2.5), (5L, "g", 50L, 5.5))
+    def run(order: Seq[(Long, String, Long, Double)], parts: Int) =
+      order.toDF("id", "k", "ord", "v").repartition(parts)
+        .groupBy(col("k"))
+        .agg(OrderedExtremum.secondMaxByOrd2(col("v"), col("ord"), col("id")).as("m"))
+        .collect().head.getAs[java.lang.Double]("m")
+    // Second-largest ord is 40 -> 4.5, under every encounter order and
+    // partitioning (exercises both updateExpressions and the top-2
+    // mergeExpressions across partial buffers).
+    for (parts <- Seq(1, 3, 5); o <- Seq(rows, rows.reverse, rows.sortBy(_._3)))
+      assert(run(o, parts) === 4.5, s"parts=$parts order=${o.map(_._1)}")
+  }
+
+  test("secondMaxByOrd2: <2 rows yields null; tie-break on ord2; null ords ignored") {
+    import org.apache.spark.sql.Row
+    val df = Seq(
+      // group a: single row -> null
+      (1L, "a", 10L, 1.0),
+      // group b: primary tie at ord=10, ids 2<3: top is id 3, second is id 2
+      (2L, "b", 10L, 2.0), (3L, "b", 10L, 3.0))
+      .toDF("id", "k", "ord", "v")
+    val m = df.groupBy(col("k"))
+      .agg(OrderedExtremum.secondMaxByOrd2(col("v"), col("ord"), col("id")).as("m"))
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(m === Map("a" -> None, "b" -> Some(2.0)))
+    // A null ordering key never participates (matches the window form,
+    // where the a6 caller's key is non-null by construction).
+    val withNull = Seq(
+      Row(1L, "c", java.lang.Long.valueOf(5L), 1.0),
+      Row(2L, "c", null.asInstanceOf[java.lang.Long], 9.0),
+      Row(3L, "c", java.lang.Long.valueOf(7L), 2.0))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType, false),
+      org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.StringType, false),
+      org.apache.spark.sql.types.StructField("ord", org.apache.spark.sql.types.LongType, true),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.DoubleType, false)))
+    val out = spark.createDataFrame(
+        spark.sparkContext.parallelize(withNull, 3), schema)
+      .groupBy(col("k"))
+      .agg(OrderedExtremum.secondMaxByOrd2(col("v"), col("ord"), col("id")).as("m"))
+      .collect().head.getDouble(1)
+    assert(out === 1.0) // second among {5->1.0, 7->2.0}; the null-ord 9.0 row is invisible
+  }
+
+  test("secondMaxByOrd2 equals lead(v,1) at the top row when keys are unique (a6 equivalence)") {
+    import org.apache.spark.sql.expressions.Window
+    val rows = (1L to 23L).map(i => (i, s"s${i % 4}", i * 7L % 101L, i * 1.25))
+    val df = rows.toDF("id", "k", "ord", "v").repartition(4)
+    val agg = df.groupBy(col("k"))
+      .agg(OrderedExtremum.secondMaxByOrd2(col("v"), col("ord"), col("id")).as("m"))
+    val w = Window.partitionBy(col("k")).orderBy(col("ord").desc, col("id").desc)
+    val win = df.withColumn("rn", row_number().over(w))
+      .withColumn("m", lead(col("v"), 1).over(w))
+      .filter(col("rn") === 1).select(col("k"), col("m"))
+    val a = agg.collect().map(r => r.getString(0) -> r.getAs[java.lang.Double]("m")).toMap
+    val b = win.collect().map(r => r.getString(0) -> r.getAs[java.lang.Double]("m")).toMap
+    assert(a === b)
+  }
+
   test("sortedIntersectSize counts duplicate runs once (set semantics)") {
     val out = Seq((Seq(1L, 1L, 2L, 2L, 3L), Seq(1L, 2L, 2L, 9L)))
       .toDF("a", "b")
