@@ -73,7 +73,8 @@ object StreamReplayQueries {
     * does not support them); sr1/sr2 (foreachBatch store, watermark
     * dedup) run on the session default.
     */
-  private def withReplayConfs[T](s: SparkSession, provider: Option[String] = None)
+  private def withReplayConfs[T](s: SparkSession, provider: Option[String] = None,
+                                 statePartitions: Int = 2)
                                 (body: => T): T = {
     val shufKey = "spark.sql.shuffle.partitions"
     val provKey = "spark.sql.streaming.stateStore.providerClass"
@@ -95,13 +96,18 @@ object StreamReplayQueries {
       // partitioning can be re-derived per deployment without a code
       // change: every partition is a state-store instance whose setup/
       // commit machinery is paid per stateful operator per micro-batch,
-      // so the right count is a function of state size and scheduler
-      // latency, not of cores. Default stays the measured 8 (4 read no
-      // better on a healthy host — r11; re-measured r17 under a
-      // degraded 70–90 ms/job scheduler: 4 within noise of 8, see
-      // OPTIMIZATION_r17.md).
+      // so the right count is a function of STATE SIZE, not of cores.
+      // r18 swept 8/4/2 against the measured state actuals (the
+      // largest replay state is sr14's 20k rows / 33 MB — far below
+      // one store instance's comfortable capacity): 2 partitions read
+      // serial 68.3 s vs 76.2 s at 8 and concurrent wall 15.1 s vs
+      // 20.1 s, with the heavy-stateCommit drains (sr13's 4-store
+      // stream-stream join, sr4's chained tws pair) gaining the most —
+      // so 2 is the sized default. The env override wins, so a
+      // deployment with real state re-derives the count (≈ one
+      // partition per few hundred MB of state) without a code change.
       s.conf.set(shufKey,
-        sys.env.getOrElse("SPARK_GRAFT_SR_SHUFFLE", "8"))
+        sys.env.getOrElse("SPARK_GRAFT_SR_SHUFFLE", statePartitions.toString))
       provider.foreach { p =>
         s.conf.set(provKey, p)
         s.conf.set(logKey, "true")
@@ -210,6 +216,58 @@ object StreamReplayQueries {
   private def silverM(s: SparkSession, dir: String): DataFrame =
     ReplayStaging.materialized(s"silver_df|$dir", SparkEntry.silverDf(s, dir))
 
+  /** Per-drain scratch with the r18 output posture: `body` drains into
+    * subdirectories of a fresh scratch dir and returns a frame that
+    * reads the drained output LAZILY. On success the `transient`
+    * subdirs (checkpoint, state stores, per-invocation topics) are
+    * deleted immediately and the rest of the scratch — the output
+    * parquet the returned frame reads — lives until JVM exit
+    * (ReplayStaging.keepUntilExit, the same lifetime as every staged
+    * input), so the result needs NO eager localCheckpoint pass: the
+    * caller's first action IS the single read. On failure the whole
+    * scratch is deleted. Before r18 every drain ended in
+    * `localCheckpoint(eager = true)` + immediate scratch deletion —
+    * one extra full job per drain (execute the readback plan, cache
+    * it) whose only purpose was to outlive the deletion.
+    */
+  private def withDrainScratch(prefix: String,
+                               transient: Seq[String] = Seq("ckpt"))
+                              (body: Path => DataFrame): DataFrame = {
+    val tmp = ReplayStaging.scratchDir(prefix)
+    try {
+      val out = body(tmp)
+      transient.foreach(nm => deleteRecursively(tmp.resolve(nm)))
+      ReplayStaging.keepUntilExit(tmp)
+      out
+    } catch {
+      case e: Throwable => deleteRecursively(tmp); throw e
+    }
+  }
+
+  /** The silver trade feed serialized under the K3 wire contract —
+    * shared produce for every drain that consumes the plain
+    * 'trades_raw' topic (sr15 data plane, sr17 admission control,
+    * sr22 min-offsets). One TestKafka store per (JVM, dir), staged
+    * through ReplayStaging like every other input (r18: the produce
+    * job ran once PER DRAIN, three identical stores per bench pass);
+    * consumers are read-only by construction — each opens its own
+    * checkpoint over the shared topic files.
+    */
+  private def stagedTradesTopic(s: SparkSession, dir: String): String = {
+    val wire = silverM(s, dir).select(col("symbol"), col("price"), col("volume"),
+      unix_millis(col("event_time")).as("timestamp"),
+      array().cast("array<string>").as("conditions"))
+    ReplayStaging.stagedDir(s"ktopic_trades|$dir", wire) { (tmp, f) =>
+      val topicDir = tmp.resolve("topic").toString
+      graft.streaming.Sinks.kafkaProjection(f)
+        .write.mode("append").format("graft-testkafka")
+        .option("path", topicDir).option("topic", "trades_raw")
+        .option("partitions", "4")
+        .save()
+      topicDir
+    }
+  }
+
   /** SR1 — the IncrementalGoldStream runtime end-to-end: silver →
     * AvailableNow stream (one file per micro-batch) → foreachBatch
     * partial-bar upsert store → merge-on-read. Result = gold_5m
@@ -217,8 +275,7 @@ object StreamReplayQueries {
     */
   def streamGoldReplay(s: SparkSession, dir: String): DataFrame = withReplayConfs(s) {
     val silver = silverM(s, dir)
-    val tmp = ReplayStaging.scratchDir("graft_sr1_")
-    try {
+    withDrainScratch("graft_sr1_") { tmp =>
       // The monoid store converges under ANY slicing; reuse the shared
       // chronological silver staging rather than paying a private one.
       val staging = stagedChrono(s"silver|$dir", silver)
@@ -231,16 +288,13 @@ object StreamReplayQueries {
         trigger = Trigger.AvailableNow(),
         nBuckets = 8).start()
       drain(q, tmp)
-      // Materialize before the scratch store is deleted: the returned
-      // frame must not lazily re-read files that no longer exist.
       IncrementalGoldStream.read(s, tmp.resolve("store").toString)
         .select(col("symbol"),
           unix_millis(col("window_start")).as("window_start_ms"),
           unix_millis(col("window_end")).as("window_end_ms"),
           col("open"), col("high"), col("low"), col("close"),
           col("volume"), col("trade_count"), col("vwap_e6"))
-        .localCheckpoint(eager = true)
-    } finally deleteRecursively(tmp)
+    }
   }
 
   /** SR2 — the CurationStream runtime end-to-end: documents →
@@ -252,8 +306,7 @@ object StreamReplayQueries {
     */
   def streamCurationReplay(s: SparkSession, dir: String): DataFrame = withReplayConfs(s) {
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-    val tmp = ReplayStaging.scratchDir("graft_sr2_")
-    try {
+    withDrainScratch("graft_sr2_") { tmp =>
       // Shared with sr9: stage the raw (doc_id, text) feed once; the
       // constant event time is attached AFTER readStream (a literal
       // column, identical semantics to staging it).
@@ -271,8 +324,8 @@ object StreamReplayQueries {
         .format("parquet").option("path", outDir)
         .start()
       drain(q, tmp)
-      s.read.parquet(outDir).distinct().localCheckpoint(eager = true)
-    } finally deleteRecursively(tmp)
+      s.read.parquet(outDir).distinct()
+    }
   }
 
   /** SR3 — the LatestPriceStream `transformWithState` runtime
@@ -303,8 +356,7 @@ object StreamReplayQueries {
       withReplayConfs(s, Some(RocksDb)) {
     import s.implicits._
     val silver = silverM(s, dir)
-    val tmp = ReplayStaging.scratchDir("graft_sr3_")
-    try {
+    withDrainScratch("graft_sr3_") { tmp =>
       val staging = stagedChrono(s"silver|$dir", silver)
       val stream = s.readStream.schema(silver.schema)
         .option("maxFilesPerTrigger", "1").parquet(staging)
@@ -334,8 +386,7 @@ object StreamReplayQueries {
           unix_millis(col("last_trade_time")).as("last_trade_time_ms"),
           round(col("price_change"), 6).as("price_change"),
           round(col("price_change_pct"), 6).as("price_change_pct"))
-        .localCheckpoint(eager = true)
-    } finally deleteRecursively(tmp)
+    }
   }
 
   /** A tick with its classification grouping key (sr4's replay input:
@@ -368,8 +419,7 @@ object StreamReplayQueries {
       withReplayConfs(s, Some(RocksDb)) {
     import s.implicits._
     val silver = silverM(s, dir)
-    val tmp = ReplayStaging.scratchDir("graft_sr4_")
-    try {
+    withDrainScratch("graft_sr4_") { tmp =>
       val staging = stagedChrono(s"silver|$dir", silver)
       val stream = s.readStream.schema(silver.schema)
         .option("maxFilesPerTrigger", "1").parquet(staging)
@@ -397,8 +447,7 @@ object StreamReplayQueries {
       s.read.parquet(outDir)
         .select(col("symbol"), col("bucket"), col("buy"), col("sell"),
           col("vol"), col("n_in_window"), col("vpin_roll_e6"))
-        .localCheckpoint(eager = true)
-    } finally deleteRecursively(tmp)
+    }
   }
 
   /** Shared harness for the event-keyed replays (sr5/sr6): stage the
@@ -423,8 +472,7 @@ object StreamReplayQueries {
       withReplayConfs(s, Some(RocksDb)) {
     import s.implicits._
     val ev = eventsFeed(s, dir)
-    val tmp = ReplayStaging.scratchDir(s"graft_${tag}_")
-    try {
+    withDrainScratch(s"graft_${tag}_") { tmp =>
       val staging = stagedChrono(s"events|$dir", ev)
       val stream = s.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", "1").parquet(staging)
@@ -438,8 +486,8 @@ object StreamReplayQueries {
         .format("parquet").option("path", outDir)
         .start()
       drain(q, tmp)
-      reduce(s.read.parquet(outDir)).localCheckpoint(eager = true)
-    } finally deleteRecursively(tmp)
+      reduce(s.read.parquet(outDir))
+    }
   }
 
   /** SR5 — the FunnelStream `transformWithState` runtime end-to-end:
@@ -500,8 +548,7 @@ object StreamReplayQueries {
       withReplayConfs(s, Some(RocksDb)) {
     import s.implicits._
     val snaps = MaintenanceQueries.dailyCloseSnapshots(s, dir)
-    val tmp = ReplayStaging.scratchDir("graft_sr7_")
-    try {
+    withDrainScratch("graft_sr7_") { tmp =>
       val staging = stagedChrono(s"snaps|$dir", snaps, col("trade_date"), "date")
       val stream = s.readStream.schema(snaps.schema)
         .option("maxFilesPerTrigger", "1").parquet(staging)
@@ -529,8 +576,7 @@ object StreamReplayQueries {
         .select(col("key").as("symbol"), col("value").as("close"),
           col("version"), col("effective_from"), col("effective_to"),
           col("is_current"))
-        .localCheckpoint(eager = true)
-    } finally deleteRecursively(tmp)
+    }
   }
 
   /** SR8 — the IndicatorStream EMA recursion end-to-end: silver ticks
@@ -545,8 +591,7 @@ object StreamReplayQueries {
       withReplayConfs(s, Some(RocksDb)) {
     import s.implicits._
     val silver = silverM(s, dir)
-    val tmp = ReplayStaging.scratchDir("graft_sr8_")
-    try {
+    withDrainScratch("graft_sr8_") { tmp =>
       // Shared full-silver staging; the tick projection happens after
       // readStream, where parquet column pruning makes the narrower
       // read free.
@@ -567,8 +612,7 @@ object StreamReplayQueries {
         .groupBy(col("symbol"), to_date(col("event_time")).as("trade_date"))
         .agg(count(lit(1)).as("n_ticks"),
           max_by(col("ema"), col("event_time")).as("ema"))
-        .localCheckpoint(eager = true)
-    } finally deleteRecursively(tmp)
+    }
   }
 
   /** SR9 — the HeavyHitterStream runtime end-to-end: document tokens
@@ -590,8 +634,7 @@ object StreamReplayQueries {
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
     val toks = (df: DataFrame) =>
       df.select(explode(graft.operators.TextAnalysis.tokens(lower(col("text")))).as("token"))
-    val tmp = ReplayStaging.scratchDir("graft_sr9_")
-    try {
+    withDrainScratch("graft_sr9_") { tmp =>
       val staging = ReplayStaging.multiFile(s"docs|$dir", docs, n = 3)
       val stream = s.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", "1").parquet(staging)
@@ -616,8 +659,7 @@ object StreamReplayQueries {
         // decimal staging: tf·1e6 and n·φE6 both pass 2⁶³ at web scale.
         .filter(expr("cast(tf as decimal(38,0)) * 1000000 >= cast(n as decimal(38,0)) * 30000"))
         .select(col("token"), col("tf"))
-        .localCheckpoint(eager = true)
-    } finally deleteRecursively(tmp)
+    }
   }
 
   /** SR10 — the BarIndicatorStream runtime end-to-end: closed daily
@@ -635,8 +677,7 @@ object StreamReplayQueries {
     val bars = graft.operators.Indicators.dailyBars(silverM(s, dir))
       .select(col("symbol"), col("trade_date"), col("high"), col("low"),
         col("close"), col("day_volume"))
-    val tmp = ReplayStaging.scratchDir("graft_sr10_")
-    try {
+    withDrainScratch("graft_sr10_") { tmp =>
       val staging = stagedChrono(s"bars|$dir", bars, col("trade_date"), "date")
       val stream = s.readStream.schema(bars.schema)
         .option("maxFilesPerTrigger", "1").parquet(staging)
@@ -652,8 +693,7 @@ object StreamReplayQueries {
       s.read.parquet(outDir)
         .select(col("symbol"), col("trade_date"), col("k_num"), col("k_den"),
           col("pct_k"), col("pct_d"))
-        .localCheckpoint(eager = true)
-    } finally deleteRecursively(tmp)
+    }
   }
 
   /** SR11 — adversarial LATE / out-of-order replay under the oracle
@@ -688,8 +728,7 @@ object StreamReplayQueries {
     */
   def streamLateReplay(s: SparkSession, dir: String): DataFrame = withReplayConfs(s) {
     val silver = silverM(s, dir)
-    val tmp = ReplayStaging.scratchDir("graft_sr11_")
-    try {
+    withDrainScratch("graft_sr11_") { tmp =>
       val staging = ReplayStaging.modSlices(s"silver_mod3|$dir", silver, col("event_id"))
       val stream = s.readStream.schema(silver.schema)
         .option("maxFilesPerTrigger", "1").parquet(staging)
@@ -706,8 +745,8 @@ object StreamReplayQueries {
         .format("parquet").option("path", outDir)
         .start()
       drain(q, tmp)
-      s.read.parquet(outDir).localCheckpoint(eager = true)
-    } finally deleteRecursively(tmp)
+      s.read.parquet(outDir)
+    }
   }
 
   /** SR12 — streaming SESSION WINDOWS under the oracle: x2's gap-merge
@@ -730,8 +769,7 @@ object StreamReplayQueries {
     */
   def streamSessionReplay(s: SparkSession, dir: String): DataFrame = withReplayConfs(s) {
     val ev = eventsFeed(s, dir)
-    val tmp = ReplayStaging.scratchDir("graft_sr12_")
-    try {
+    withDrainScratch("graft_sr12_") { tmp =>
       val staging = stagedChrono(s"events|$dir", ev)
       val stream = s.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", "1").parquet(staging)
@@ -747,8 +785,8 @@ object StreamReplayQueries {
         .format("parquet").option("path", outDir)
         .start()
       drain(q, tmp)
-      s.read.parquet(outDir).localCheckpoint(eager = true)
-    } finally deleteRecursively(tmp)
+      s.read.parquet(outDir)
+    }
   }
 
   /** SR13 — watermarked STREAM-STREAM interval join under the oracle:
@@ -780,8 +818,7 @@ object StreamReplayQueries {
     */
   def streamJoinReplay(s: SparkSession, dir: String): DataFrame = withReplayConfs(s) {
     val day = silverM(s, dir).filter(col("trade_date") === lit("2024-01-15").cast("date"))
-    val tmp = ReplayStaging.scratchDir("graft_sr13_")
-    try {
+    withDrainScratch("graft_sr13_") { tmp =>
       // Slice classifier independent of the quote residue (id % 3), so
       // quotes and trades scatter across all three batches and matches
       // form in BOTH arrival orders.
@@ -823,8 +860,7 @@ object StreamReplayQueries {
         .select(col("symbol"), col("trade_date"), col("n_matches"),
           expr("cast(__quoted as bigint)").as("quoted_sum_e4"),
           expr("cast(__dev as bigint)").as("dev_sum_e4"))
-        .localCheckpoint(eager = true)
-    } finally deleteRecursively(tmp)
+    }
   }
 
   /** SR14 — streaming DEDUP state under the oracle: the F2 operator
@@ -853,20 +889,26 @@ object StreamReplayQueries {
     // regenerated corpus. Fail loudly at the source instead: payload-
     // identical collisions are fine (any survivor emits the same row,
     // and the oracle dedup below collapses them the same way).
-    val conflicted = cleaned
-      .groupBy(col("symbol"), col("timestamp"))
-      .agg(countDistinct(col("price"), col("volume")).as("n_payloads"))
-      .filter(col("n_payloads") > 1)
-      .count()
-    require(conflicted == 0L,
-      s"sr14 precondition violated: $conflicted natural (symbol, ms) collisions " +
-        "with differing payloads in the cleaned feed — the stream's intra-batch " +
-        "dedup survivor is nondeterministic there; regenerate or re-key the replay")
+    // Proven once per (JVM, dir) — the cleaned feed is a deterministic
+    // function of the sf dir and its staging below is process-cached,
+    // so re-running the aggregation per invocation spends a full job
+    // re-proving a constant (r18; ReplayStaging.once re-fires the
+    // guard if it ever throws).
+    ReplayStaging.once(s"sr14_guard|$dir") {
+      val conflicted = cleaned
+        .groupBy(col("symbol"), col("timestamp"))
+        .agg(countDistinct(col("price"), col("volume")).as("n_payloads"))
+        .filter(col("n_payloads") > 1)
+        .count()
+      require(conflicted == 0L,
+        s"sr14 precondition violated: $conflicted natural (symbol, ms) collisions " +
+          "with differing payloads in the cleaned feed — the stream's intra-batch " +
+          "dedup survivor is nondeterministic there; regenerate or re-key the replay")
+    }
     val feed = cleaned.unionByName(
       cleaned.filter(col("event_id") % 5 === 0)
         .withColumn("event_id", col("event_id") + 10000000L))
-    val tmp = ReplayStaging.scratchDir("graft_sr14_")
-    try {
+    withDrainScratch("graft_sr14_") { tmp =>
       val staging = ReplayStaging.customSlices(s"dedup_feed|$dir", feed,
         Seq(col("event_id") < 10000000L, col("event_id") >= 10000000L))
       val stream = s.readStream.schema(feed.schema)
@@ -883,8 +925,8 @@ object StreamReplayQueries {
         .format("parquet").option("path", outDir)
         .start()
       drain(q, tmp)
-      s.read.parquet(outDir).localCheckpoint(eager = true)
-    } finally deleteRecursively(tmp)
+      s.read.parquet(outDir)
+    }
   }
 
   /** SR15 — the Kafka DATA PLANE under the oracle: silver trades
@@ -901,18 +943,8 @@ object StreamReplayQueries {
     * connector exposes is now under the DuckDB gate, not just specs.
     */
   def streamKafkaReplay(s: SparkSession, dir: String): DataFrame = withReplayConfs(s) {
-    val tmp = ReplayStaging.scratchDir("graft_sr15_")
-    try {
-      val silver = silverM(s, dir)
-      val wire = silver.select(col("symbol"), col("price"), col("volume"),
-        unix_millis(col("event_time")).as("timestamp"),
-        array().cast("array<string>").as("conditions"))
-      val topicDir = tmp.resolve("topic").toString
-      graft.streaming.Sinks.kafkaProjection(wire)
-        .write.mode("append").format("graft-testkafka")
-        .option("path", topicDir).option("topic", "trades_raw")
-        .option("partitions", "4")
-        .save()
+    withDrainScratch("graft_sr15_") { tmp =>
+      val topicDir = stagedTradesTopic(s, dir)
       val raw = s.readStream.format("graft-testkafka")
         .option("path", topicDir).option("partitions", "4").load()
       val parsed = graft.streaming.TradeStreams.parseTrades(raw)
@@ -925,8 +957,8 @@ object StreamReplayQueries {
         .format("parquet").option("path", outDir)
         .start()
       drain(q, tmp)
-      s.read.parquet(outDir).localCheckpoint(eager = true)
-    } finally deleteRecursively(tmp)
+      s.read.parquet(outDir)
+    }
   }
 
   /** SR16 — MULTI-TOPIC subscribe under the oracle (r12 verdict item
@@ -946,8 +978,7 @@ object StreamReplayQueries {
     * and the same IEEE division.
     */
   def streamMultiTopicReplay(s: SparkSession, dir: String): DataFrame = withReplayConfs(s) {
-    val tmp = ReplayStaging.scratchDir("graft_sr16_")
-    try {
+    withDrainScratch("graft_sr16_") { tmp =>
       val silver = silverM(s, dir)
       val tradeWire = silver.select(col("symbol"), col("price"), col("volume"),
         unix_millis(col("event_time")).as("timestamp"),
@@ -964,15 +995,19 @@ object StreamReplayQueries {
           (col("volume") + 1L).as("ask_size"),
           (unix_millis(col("event_time")) - 500L).as("timestamp"))
       // One produce with per-row topic routing — the sink contract's
-      // `topic` COLUMN form (no `topic` option set).
+      // `topic` COLUMN form (no `topic` option set). Staged once per
+      // (JVM, dir) like the plain trades topic.
       val wire = graft.streaming.Sinks.kafkaProjection(tradeWire)
         .withColumn("topic", lit("trades_raw"))
         .unionByName(graft.streaming.Sinks.kafkaProjection(quoteWire)
           .withColumn("topic", lit("quotes_raw")))
-      val topicDir = tmp.resolve("topics").toString
-      wire.write.mode("append").format("graft-testkafka")
-        .option("path", topicDir).option("partitions", "4")
-        .save()
+      val topicDir = ReplayStaging.stagedDir(s"ktopic_multi|$dir", wire) { (ktmp, f) =>
+        val td = ktmp.resolve("topics").toString
+        f.write.mode("append").format("graft-testkafka")
+          .option("path", td).option("partitions", "4")
+          .save()
+        td
+      }
       // ONE subscribe scan; branch on the topic metadata column via
       // the production helper, decode per contract, union.
       val raw = s.readStream.format("graft-testkafka")
@@ -1000,8 +1035,8 @@ object StreamReplayQueries {
         .format("parquet").option("path", outDir)
         .start()
       drain(q, tmp)
-      s.read.parquet(outDir).localCheckpoint(eager = true)
-    } finally deleteRecursively(tmp)
+      s.read.parquet(outDir)
+    }
   }
 
   /** SR17 — Kafka ADMISSION CONTROL under the oracle (r13): the real
@@ -1023,18 +1058,9 @@ object StreamReplayQueries {
     * duplication.
     */
   def streamRateLimitReplay(s: SparkSession, dir: String): DataFrame = withReplayConfs(s) {
-    val tmp = ReplayStaging.scratchDir("graft_sr17_")
-    try {
+    withDrainScratch("graft_sr17_") { tmp =>
       val silver = silverM(s, dir)
-      val wire = silver.select(col("symbol"), col("price"), col("volume"),
-        unix_millis(col("event_time")).as("timestamp"),
-        array().cast("array<string>").as("conditions"))
-      val topicDir = tmp.resolve("topic").toString
-      graft.streaming.Sinks.kafkaProjection(wire)
-        .write.mode("append").format("graft-testkafka")
-        .option("path", topicDir).option("topic", "trades_raw")
-        .option("partitions", "4")
-        .save()
+      val topicDir = stagedTradesTopic(s, dir)
       // Cap = a quarter of the feed (silver is localCheckpoint-
       // materialized, so the sizing count is O(1) re-reads).
       val cap = math.max(1L, (silver.count() + 3) / 4)
@@ -1058,7 +1084,10 @@ object StreamReplayQueries {
         .format("parquet").option("path", outDir)
         .start()
       drain(q, tmp)
-      val out = s.read.parquet(outDir).localCheckpoint(eager = true)
+      // The drained files are read twice (dense-offset guard + the
+      // returned frame) — both lazy scans of a silver-sized parquet
+      // dir, cheaper than the former eager checkpoint pass + cache.
+      val out = s.read.parquet(outDir)
       // Dense-offset guard (bounded: ≤4 groups): offsets per partition
       // must be exactly [0, n).
       val bad = out.groupBy(col("kafka_partition"))
@@ -1070,7 +1099,7 @@ object StreamReplayQueries {
         .count()
       require(bad == 0L, s"sr17: non-dense kafka offsets in $bad partitions")
       out.select(col("symbol"), col("ts_ms"), col("price"), col("volume"))
-    } finally deleteRecursively(tmp)
+    }
   }
 
   /** SR18 — per-partition `startingOffsets` offset JSON under the
@@ -1099,8 +1128,8 @@ object StreamReplayQueries {
     * Returns (pA, pB). Shared by sr18 (streaming resume) and p8
     * (batch bounded read).
     */
-  private def stageSidedTopic(s: SparkSession, dir: String, topicDir: String,
-                              decoy: Boolean): (Int, Int) = {
+  private def stagedSidedTopic(s: SparkSession, dir: String,
+                               decoy: Boolean): (String, Int, Int) = {
     val silver = silverM(s, dir)
     val pA = graft.sources.TestKafka.partitionFor("feed-a".getBytes("UTF-8"), 4)
     val pB = graft.sources.TestKafka.partitionFor("feed-b".getBytes("UTF-8"), 4)
@@ -1117,20 +1146,26 @@ object StreamReplayQueries {
         .select(sideKey,
           to_json(struct(col("symbol"), col("price"))).as("value"),
           lit("quotes_raw").as("topic"), col("event_id")))
-    wire.repartition(1).sortWithinPartitions("event_id")
-      .select("key", "value", "topic")
-      .write.mode("append").format("graft-testkafka")
-      .option("path", topicDir).option("partitions", "4").save()
-    require(graft.sources.TestKafka.listRecordFiles(topicDir).length == 1,
-      "sided-topic staging must be ONE record file so arrival order is the event_id order")
-    (pA, pB)
+    // Staged once per (JVM, dir, decoy) — sr18 and sr21 consume the
+    // SAME store (that is the point: identical content, different
+    // execution), and p8 the decoy variant; the per-drain produce job
+    // bought nothing (r18).
+    val topicDir = ReplayStaging.stagedDir(s"ktopic_sided_$decoy|$dir", wire) { (tmp, f) =>
+      val td = tmp.resolve("topic").toString
+      f.repartition(1).sortWithinPartitions("event_id")
+        .select("key", "value", "topic")
+        .write.mode("append").format("graft-testkafka")
+        .option("path", td).option("partitions", "4").save()
+      require(graft.sources.TestKafka.listRecordFiles(td).length == 1,
+        "sided-topic staging must be ONE record file so arrival order is the event_id order")
+      td
+    }
+    (topicDir, pA, pB)
   }
 
   def streamStartOffsetsReplay(s: SparkSession, dir: String): DataFrame = withReplayConfs(s) {
-    val tmp = ReplayStaging.scratchDir("graft_sr18_")
-    try {
-      val topicDir = tmp.resolve("topic").toString
-      val (pA, pB) = stageSidedTopic(s, dir, topicDir, decoy = false)
+    withDrainScratch("graft_sr18_") { tmp =>
+      val (topicDir, pA, pB) = stagedSidedTopic(s, dir, decoy = false)
       val raw = s.readStream.format("graft-testkafka")
         .option("path", topicDir).option("partitions", "4")
         .option("startingOffsets", s"""{"trades_raw":{"$pA":7,"$pB":3}}""")
@@ -1148,8 +1183,8 @@ object StreamReplayQueries {
         .format("parquet").option("path", outDir)
         .start()
       drain(q, tmp)
-      s.read.parquet(outDir).localCheckpoint(eager = true)
-    } finally deleteRecursively(tmp)
+      s.read.parquet(outDir)
+    }
   }
 
   /** SR21 — SEEK-THEN-ADMIT under the oracle (r14): per-partition
@@ -1164,10 +1199,8 @@ object StreamReplayQueries {
     * checkpoint offsets instead of sr18's single batch.
     */
   def streamSeekAdmitReplay(s: SparkSession, dir: String): DataFrame = withReplayConfs(s) {
-    val tmp = ReplayStaging.scratchDir("graft_sr21_")
-    try {
-      val topicDir = tmp.resolve("topic").toString
-      val (pA, pB) = stageSidedTopic(s, dir, topicDir, decoy = false)
+    withDrainScratch("graft_sr21_") { tmp =>
+      val (topicDir, pA, pB) = stagedSidedTopic(s, dir, decoy = false)
       // Admissible = all but the 10 floored records; cap cuts the
       // drain into ~4 rate-limited batches at any SF.
       val cap = math.max(1L, (silverM(s, dir).count() - 10 + 3) / 4)
@@ -1189,8 +1222,8 @@ object StreamReplayQueries {
         .format("parquet").option("path", outDir)
         .start()
       drain(q, tmp)
-      s.read.parquet(outDir).localCheckpoint(eager = true)
-    } finally deleteRecursively(tmp)
+      s.read.parquet(outDir)
+    }
   }
 
   /** SR22 — ReadMinRows admission under the oracle (r15, verdict item
@@ -1221,18 +1254,9 @@ object StreamReplayQueries {
     * feed size, which only the deadline-fired tail batch completes.
     */
   def streamMinOffsetsReplay(s: SparkSession, dir: String): DataFrame = withReplayConfs(s) {
-    val tmp = ReplayStaging.scratchDir("graft_sr22_")
-    try {
+    withDrainScratch("graft_sr22_") { tmp =>
       val silver = silverM(s, dir)
-      val wire = silver.select(col("symbol"), col("price"), col("volume"),
-        unix_millis(col("event_time")).as("timestamp"),
-        array().cast("array<string>").as("conditions"))
-      val topicDir = tmp.resolve("topic").toString
-      graft.streaming.Sinks.kafkaProjection(wire)
-        .write.mode("append").format("graft-testkafka")
-        .option("path", topicDir).option("topic", "trades_raw")
-        .option("partitions", "4")
-        .save()
+      val topicDir = stagedTradesTopic(s, dir)
       val n = silver.count()
       require(n >= 16, s"sr22 needs a non-trivial feed, got $n rows")
       // cap = n/4 + 1 (not ceil(n/4)): guarantees 0 < tail < cap for
@@ -1279,8 +1303,8 @@ object StreamReplayQueries {
         java.time.Instant.parse(fired(2).timestamp).toEpochMilli
       require(gapMs >= 900L,
         s"sr22: the sub-min tail fired after ${gapMs}ms — no deferral observed")
-      s.read.parquet(outDir).localCheckpoint(eager = true)
-    } finally deleteRecursively(tmp)
+      s.read.parquet(outDir)
+    }
   }
 
   /** SR23 — HEARTBEAT rows un-stick an IDLE source, under the oracle
@@ -1304,8 +1328,7 @@ object StreamReplayQueries {
     */
   def streamHeartbeatReplay(s: SparkSession, dir: String): DataFrame = withReplayConfs(s) {
     val silver = silverM(s, dir)
-    val tmp = ReplayStaging.scratchDir("graft_sr23_")
-    try {
+    withDrainScratch("graft_sr23_") { tmp =>
       // Bounded 1-row aggregate: the heartbeat's deterministic stamp.
       val maxTs = silver.agg(max(col("event_time"))).collect()(0).getTimestamp(0)
       val feedB = silver
@@ -1350,8 +1373,8 @@ object StreamReplayQueries {
         .format("parquet").option("path", outDir)
         .start()
       drain(q, tmp)
-      s.read.parquet(outDir).localCheckpoint(eager = true)
-    } finally deleteRecursively(tmp)
+      s.read.parquet(outDir)
+    }
   }
 
   /** P8 — the Kafka BATCH bounded read (r14): `spark.read` over the
@@ -1367,24 +1390,22 @@ object StreamReplayQueries {
     * subscribe+subscribePattern together).
     */
   def kafkaBoundedRead(s: SparkSession, dir: String): DataFrame = {
-    val tmp = ReplayStaging.scratchDir("graft_p8_")
-    try {
-      val topicDir = tmp.resolve("topic").toString
-      val (pA, pB) = stageSidedTopic(s, dir, topicDir, decoy = true)
-      s.read.format("graft-testkafka")
-        .option("path", topicDir).option("partitions", "4")
-        .option("subscribe", "trades_raw")
-        .option("startingOffsets", s"""{"trades_raw":{"$pA":7,"$pB":3}}""")
-        .option("endingOffsets", s"""{"trades_raw":{"$pA":400,"$pB":-1}}""")
-        .load()
-        .select(col("key").cast("string").as("side"),
-          from_json(col("value").cast("string"), org.apache.spark.sql.types.StructType.fromDDL(
-            "symbol STRING, price DOUBLE, volume BIGINT, timestamp BIGINT")).as("t"))
-        .select(col("side"), col("t.symbol").as("symbol"),
-          col("t.timestamp").as("ts_ms"),
-          col("t.price").as("price"), col("t.volume").as("volume"))
-        .localCheckpoint(eager = true)
-    } finally deleteRecursively(tmp)
+    // The staged decoy topic lives in the process-lifetime staging
+    // cache, so the bounded batch scan can stay LAZY — no scratch of
+    // its own and no eager materialization pass.
+    val (topicDir, pA, pB) = stagedSidedTopic(s, dir, decoy = true)
+    s.read.format("graft-testkafka")
+      .option("path", topicDir).option("partitions", "4")
+      .option("subscribe", "trades_raw")
+      .option("startingOffsets", s"""{"trades_raw":{"$pA":7,"$pB":3}}""")
+      .option("endingOffsets", s"""{"trades_raw":{"$pA":400,"$pB":-1}}""")
+      .load()
+      .select(col("key").cast("string").as("side"),
+        from_json(col("value").cast("string"), org.apache.spark.sql.types.StructType.fromDDL(
+          "symbol STRING, price DOUBLE, volume BIGINT, timestamp BIGINT")).as("t"))
+      .select(col("side"), col("t.symbol").as("symbol"),
+        col("t.timestamp").as("ts_ms"),
+        col("t.price").as("price"), col("t.volume").as("volume"))
   }
 
   /** SR19 — SCHEMA-EVOLUTION replay under the oracle (r13 verdict item
@@ -1407,8 +1428,10 @@ object StreamReplayQueries {
     * type flips → corrupt-record null, loud under a count guard).
     */
   def streamEvolutionReplay(s: SparkSession, dir: String): DataFrame = withReplayConfs(s) {
-    val tmp = ReplayStaging.scratchDir("graft_sr19_")
-    try {
+    // The topic stays PER-INVOCATION (transient, deleted with the
+    // checkpoint): the two-epoch produce interleaves with the drains
+    // on one checkpoint, so a shared staging cannot express it.
+    withDrainScratch("graft_sr19_", transient = Seq("ckpt", "topic")) { tmp =>
       val silver = silverM(s, dir)
       val topicDir = tmp.resolve("topic").toString
       val outDir = tmp.resolve("out").toString
@@ -1455,8 +1478,7 @@ object StreamReplayQueries {
       s.read.option("mergeSchema", "true").parquet(outDir)
         .select(col("exchange"), col("symbol"), col("ts_ms"),
           col("price"), col("volume"))
-        .localCheckpoint(eager = true)
-    } finally deleteRecursively(tmp)
+    }
   }
 
   /** SR20 — MULTI-SOURCE watermark semantics under the oracle (r13
@@ -1479,8 +1501,7 @@ object StreamReplayQueries {
     */
   def streamUnionWatermarkReplay(s: SparkSession, dir: String): DataFrame = withReplayConfs(s) {
     val silver = silverM(s, dir)
-    val tmp = ReplayStaging.scratchDir("graft_sr20_")
-    try {
+    withDrainScratch("graft_sr20_") { tmp =>
       val feedB = silver.filter(col("event_id") % 3 === 0 &&
         col("event_time") < lit("2024-01-20").cast("timestamp"))
       val stagingA = stagedChrono(s"silver|$dir", silver)
@@ -1506,8 +1527,8 @@ object StreamReplayQueries {
         .format("parquet").option("path", outDir)
         .start()
       drain(q, tmp)
-      s.read.parquet(outDir).localCheckpoint(eager = true)
-    } finally deleteRecursively(tmp)
+      s.read.parquet(outDir)
+    }
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

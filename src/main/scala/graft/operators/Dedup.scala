@@ -310,17 +310,47 @@ object Dedup {
       require(b * r == k, s"config ($b bands × $r rows) must cover the k=$k signature")
     }
     val tauE6 = 500000L // τ = 1/2: the sCurveHalfE6 closed form's constant
-    val truth = jaccardPairs(docs, tauE6, idCol, textCol, shingleN, maxRows)
+    // ONE corpus pass (r18 optimization round): the truth stage's
+    // sorted shingle sets and the config stage's MinHash signatures
+    // come from the SAME tokenize+shingle pipeline, so stage them in
+    // one checkpointed frame instead of the former two (jaccardPairs
+    // built + checkpointed its own shingle table, then the signature
+    // pass re-tokenized the corpus from scratch). Restricting both
+    // stages to ELIGIBLE docs (≥ shingleN tokens) is exact: an
+    // ineligible doc's shingle set is empty, so its exact Jaccard with
+    // anything is 0 < τ (τ = 1/2 > 0, hardcoded above) and the sig
+    // pipeline always excluded it — neither truth nor candidates can
+    // contain it. minhashSignature over the SORTED set is unchanged
+    // (a min over a set is order-independent; the d19 harness pins
+    // this shape).
+    val eligible = docs.select(col(idCol).as("id"), col(textCol))
+      .filter(size(TextAnalysis.tokens(col(textCol))) >= shingleN)
+    val shSig = withShingles(eligible, textCol, shingleN)
+      .select(col("id"), array_sort(col("sh")).as("sh"))
+      .select(col("id"), col("sh"), minhashSignature(col("sh"), k).as("sig"))
+      .localCheckpoint(true)
+    // Same bounded-set guard as jaccardPairs: the all-pairs truth
+    // stage below is O(n²) by design.
+    val n = shSig.count()
+    require(n <= maxRows,
+      s"lshTuning's all-pairs truth stage is bounded; got $n eligible rows " +
+        s"(max $maxRows). Tune from a sample, never a corpus share.")
+    val a0 = shSig.as("a"); val b0 = shSig.as("b")
+    val truth = a0.join(b0, col("a.id") < col("b.id"))
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
+        graft.functions.ArrayFunctions.sortedIntersectSize(col("a.sh"), col("b.sh")).as("inter"),
+        (size(col("a.sh")) + size(col("b.sh"))).cast("long").as("szsum"))
+      .withColumn("uni", col("szsum") - col("inter"))
+      .withColumn("jaccard_e6",
+        when(col("uni") === 0, lit(0L))
+          .otherwise(((col("inter") * 1000000L) - pmod(col("inter") * 1000000L, col("uni"))) / col("uni"))
+          .cast("long"))
+      .filter(col("jaccard_e6") >= tauE6)
       .select(col("doc_a"), col("doc_b"), lit(1L).as("is_true"))
       .localCheckpoint(true) // reused by every config's left join
     val nTruth = truth.count()
-    val eligible = docs.select(col(idCol).as("id"), col(textCol))
-      .filter(size(TextAnalysis.tokens(col(textCol))) >= shingleN)
-    val sig = withShingles(eligible, textCol, shingleN)
-      .select(col("id"), minhashSignature(col("sh"), k).as("sig"))
-      .localCheckpoint(true) // one signature pass feeds all configs
     val perConfig = configs.map { case (b, r) =>
-      val banded = sig.select(col("id"),
+      val banded = shSig.select(col("id"),
         posexplode(bandKeys(col("sig"), b, r)).as(Seq("band", "key")))
       val l = banded.as("a"); val rr = banded.as("b")
       val cand = l.join(rr,
@@ -1002,6 +1032,14 @@ object Dedup {
     val cc = GraphOps.connectedComponents(
       verifiedPairs(docs, minJaccardE6, idCol, textCol, shingleN, k, bands),
       "doc_a", "doc_b")
+    // Quality stays a FULL-corpus scan-side projection deliberately
+    // (r18: measured the "tokenize only clustered docs" semi-join
+    // alternative and rejected it — Catalyst pushes the LeftSemi
+    // through the corpus union as per-branch SortMergeJoins, so the
+    // corpus TEXT gets exchanged by id before tokenizing, while this
+    // form shuffles only narrow (id, n_tokens) rows into the cc join;
+    // broadcasting the cc side instead would put an unbounded
+    // cluster-count cap on driver memory).
     val quality = docs.select(col(idCol).as("id"),
       size(tokenHashes(col(textCol))).cast("long").as("n_tokens"))
     val w = Window.partitionBy(col("cluster_id"))

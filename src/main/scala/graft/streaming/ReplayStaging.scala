@@ -94,6 +94,30 @@ object ReplayStaging {
     roots.values.foreach(deleteRecursively)
   }
 
+  /** Register an existing scratch directory for JVM-exit deletion —
+    * the drained-output posture (r18): a replay's result frame reads
+    * its output parquet LAZILY instead of paying an eager
+    * materialization pass, so the files must outlive the query
+    * function. Same lifetime contract as every staged input above.
+    */
+  def keepUntilExit(p: Path): Unit = {
+    roots.put(s"keep:$p", p)
+    ()
+  }
+
+  private val onceDone = new ConcurrentHashMap[String, Unit]()
+
+  /** Run `body` once per (JVM, key) — for fixture-precondition guards
+    * over frames that are themselves staged once per JVM (the sr14
+    * payload-collision guard): the staged feed cannot change under a
+    * live process, so re-proving the same precondition per invocation
+    * is a full aggregation job spent on a constant. First touch is
+    * atomic like the staging cache; a THROWING body is not recorded,
+    * so the guard re-fires until it passes.
+    */
+  def once(key: String)(body: => Unit): Unit =
+    onceDone.computeIfAbsent(key, _ => { body; () })
+
   /** Ephemeral scratch for replay checkpoints, state stores, staged
     * inputs and drained outputs: tmpfs (/dev/shm) when present, else
     * java.io.tmpdir. A replay's checkpoint needs NO durability — every
