@@ -732,9 +732,31 @@ object PipelineQueries {
     curationPipelineOn(docs(s, dir))
 
   def curationPipelineOn(d: DataFrame): DataFrame = {
+    import graft.functions.StageBarrier
     val unique = Dedup.exactDedup(d)
-    val en = unique.filter(TextAnalysis.langId(col("text")) === "en")
-    val bucketed = TextAnalysis.hashedNgramScore(en)
+    // Both filter stages run over BARRIER-staged expensive columns
+    // (r18, guide §4.4): without the barriers PushPredicateThroughNonJoin
+    // re-inlined the staged trees into the pushed-down scan filter —
+    // the full score-aggregate tree 4× and the langId tokenize ~15×
+    // per input row (plans/r17/c2_curation_pipeline_after.txt
+    // Filter(2); warm 1.35 s → 0.4 s class). The barrier pins each
+    // tree to ONE evaluation per surviving row; values are unchanged.
+    // ONE tokenize feeds both stages: langId and the gram expansion
+    // share the staged `__toks` (the coalesce('') only differs from
+    // langId's bare tokens(lower(text)) on NULL text, where both
+    // forms already resolve to 'und' — count_in_set over NULL and
+    // over [] both fail every hit threshold — so the en-filter's
+    // verdict is unchanged row for row).
+    val en = unique
+      .withColumn("__toks",
+        StageBarrier(TextAnalysis.tokens(lower(coalesce(col("text"), lit(""))))))
+      .filter(TextAnalysis.langIdFromToks(col("__toks"), col("text")) === "en")
+    val scored = en
+      .withColumn("__grams", TextAnalysis.ngramFeaturesFromToks(col("__toks")))
+      .withColumn("score_milli", StageBarrier(TextAnalysis.ngramScoreMilli(col("__grams"))))
+      .select(col("doc_id"), size(col("__grams")).cast("long").as("n_grams"),
+        col("score_milli"))
+    val bucketed = scored
       .withColumn("bucket",
         when(col("score_milli") > 5000, lit("head"))
           .when(col("score_milli") >= -2500, lit("middle"))

@@ -48,3 +48,47 @@ case class OpaqueStamp(child: Expression) extends UnaryExpression {
 object OpaqueStamp {
   def apply(c: Column): Column = ColumnBridge.column(OpaqueStamp(ColumnBridge.expression(c)))
 }
+
+/** A value-preserving PUSHDOWN barrier: evaluates to exactly its
+  * child but declares itself NON-DETERMINISTIC — the one property
+  * every alias-substituting optimizer rule respects.
+  *
+  * Why it exists (r18 optimization round, guide §4.4 applied to
+  * native expression trees): `PushPredicateThroughNonJoin` re-inlines
+  * a Project's deterministic aliases into any filter condition it
+  * pushes below the Project, COST-BLIND — so a filter over a staged
+  * expensive column (a hashed-ngram score, a tokenization) re-
+  * evaluates the whole producing tree at every reference, per row,
+  * interpreted (HOF lambdas get no codegen CSE). Measured on
+  * c2_curation_pipeline: the pushed quota filter carried FOUR copies
+  * of the full score-aggregate tree and ~15 copies of the langId
+  * tokenize into the parquet scan's filter (plans/r17/
+  * c2_curation_pipeline_after.txt Filter(2)); warm wall 1.35 s where
+  * the staged single-evaluation form costs ~0.4 s. Marking the staged
+  * alias non-deterministic stops the substitution (and CollapseProject
+  * duplication) while the value — a pure function of the row — is
+  * unchanged, so results cannot move.
+  *
+  * The flag only FORFEITS optimizations (pushdown past the stage,
+  * constant folding); it never licenses a wrong plan. Like
+  * OpaqueStamp, this is not a general hint: each use must argue the
+  * guarded tree is expensive enough that one blocked pushdown is the
+  * cheaper side of the trade.
+  */
+case class StageBarrier(child: Expression) extends UnaryExpression {
+  override lazy val deterministic: Boolean = false
+  override def dataType: DataType = child.dataType
+  override def nullable: Boolean = child.nullable
+  override def foldable: Boolean = false
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    child.eval(input)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => c)
+  override protected def withNewChildInternal(newChild: Expression): StageBarrier =
+    copy(child = newChild)
+  override def prettyName: String = "stage_barrier"
+}
+
+object StageBarrier {
+  def apply(c: Column): Column = ColumnBridge.column(StageBarrier(ColumnBridge.expression(c)))
+}

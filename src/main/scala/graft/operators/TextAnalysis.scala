@@ -337,15 +337,25 @@ object TextAnalysis {
   /** The uni+bigram feature expansion of a text column — shared by the
     * batch scorer and the streaming admission gate.
     */
-  def ngramFeatures(text: Column): Column = {
-    val toks = tokens(lower(text))
+  def ngramFeatures(text: Column): Column =
+    ngramFeaturesFromToks(tokens(lower(text)))
+
+  /** The same expansion over an ALREADY-TOKENIZED array column — the
+    * staged form hot paths use (the langIdFromToks discipline): the
+    * expansion references its token input SIX times (concat + size +
+    * two slices with their own size bounds), and higher-order
+    * functions are interpreted with no codegen CSE, so an inlined
+    * `tokens(lower(text))` re-splits the text six times per row.
+    * Callers stage the token array as a projection attribute and pay
+    * one split.
+    */
+  def ngramFeaturesFromToks(toks: Column): Column =
     concat(toks,
       when(size(toks) < 2, array().cast("array<string>"))
         .otherwise(zip_with(
           slice(toks, lit(1), size(toks) - 1),
           slice(toks, lit(2), size(toks) - 1),
           (a, b) => concat(a, lit(" "), b))))
-  }
 
   /** The classifier score as a pure column expression over a grams
     * array (hash → weight → exact integer fold) — usable in any batch

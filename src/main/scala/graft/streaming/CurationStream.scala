@@ -34,11 +34,25 @@ object CurationStream {
     // NULL text must score 0 exactly like the batch scorer's coalesce —
     // a bare ngramFeatures(null) would yield a NULL score and silently
     // drop the row regardless of threshold, breaking batch parity.
+    // The score is BARRIER-staged (r18, guide §4.4): the gate filter
+    // otherwise gets pushed below this projection with the whole
+    // score-aggregate tree inlined into its condition, so every
+    // micro-batch row paid the tokenize+hash fold twice (once to
+    // gate, once to emit). Values are unchanged — the barrier only
+    // pins the tree to one evaluation per row.
+    // The token array is staged too: the gram expansion references
+    // its token input six times and HOFs get no codegen CSE, so the
+    // inlined form re-split every micro-batch row's text six times
+    // (TextAnalysis.ngramFeaturesFromToks).
     val gated = df
+      .withColumn("__toks",
+        graft.functions.StageBarrier(
+          TextAnalysis.tokens(lower(coalesce(col(textCol), lit(""))))))
       .withColumn("score_milli",
-        TextAnalysis.ngramScoreMilli(
-          TextAnalysis.ngramFeatures(coalesce(col(textCol), lit("")))))
+        graft.functions.StageBarrier(TextAnalysis.ngramScoreMilli(
+          TextAnalysis.ngramFeaturesFromToks(col("__toks")))))
       .filter(col("score_milli") > minScoreMilli)
+      .drop("__toks")
     StreamingDedup.exactWithinWatermark(gated, textCol, timeCol, delay)
   }
 }
