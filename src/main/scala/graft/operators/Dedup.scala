@@ -77,11 +77,21 @@ object Dedup {
 
   /** Staged shingle computation: adds column `out` with the distinct
     * shingle-hash set, materializing tokens-hashes first.
+    *
+    * The staged column is a [[graft.functions.StageBarrier]] (r18,
+    * guide §4.4): downstream `explode(sh)` infers a `size(sh) > 0`
+    * predicate (InferFiltersFromGenerate) and predicate pushdown
+    * re-inlines the whole tokenize+shingle tree into the pushed scan
+    * filter — every consumer row paid the tree TWICE (filter +
+    * projection), measured in the d8/d10/d14/d23 plans. The barrier
+    * pins it to one evaluation; the value is a pure function of the
+    * row, so nothing downstream can change.
     */
   def withShingles(docs: DataFrame, textCol: String, n: Int,
                    out: String = "sh"): DataFrame =
     docs.withColumn("__th", tokenHashes(col(textCol)))
-      .withColumn(out, shinglesFromTokenHashes(col("__th"), n))
+      .withColumn(out,
+        graft.functions.StageBarrier(shinglesFromTokenHashes(col("__th"), n)))
       .drop("__th")
 
   /** Deterministic (a,b) parameters for the k MinHash permutations.
@@ -391,9 +401,13 @@ object Dedup {
   def winnowFingerprints(docs: DataFrame, k: Int = 4, w: Int = 5,
                          idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(k >= 1 && w >= 1, s"need k >= 1 and w >= 1, got k=$k w=$w")
+    // Barrier-staged like withShingles: the size filter (and the
+    // downstream explode's inferred predicate) otherwise pushes below
+    // this projection with the winnow tree inlined — 2× per row
+    // (d22's r18 plan).
     docs.select(col(idCol).as("id"),
-        graft.functions.WinnowFunctions
-          .winnowFingerprints(tokenHashes(col(textCol)), k, w).as("fps"))
+        graft.functions.StageBarrier(graft.functions.WinnowFunctions
+          .winnowFingerprints(tokenHashes(col(textCol)), k, w)).as("fps"))
       .filter(size(col("fps")) > 0)
   }
 
@@ -496,7 +510,11 @@ object Dedup {
   private def windowBase(docs: DataFrame, k: Int, idCol: String,
                          textCol: String): DataFrame =
     docs
-      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
+      // Barrier-staged tokens (see withShingles): the `__n >= k`
+      // filter consumers apply otherwise pushes below with the
+      // tokenize inlined — 2× per row.
+      .select(col(idCol),
+        graft.functions.StageBarrier(TextAnalysis.tokens(col(textCol))).as("__toks"))
       .withColumn("__n", size(col("__toks")))
       .withColumn("n_windows", greatest(col("__n") - (k - 1), lit(0)).cast("long"))
 
